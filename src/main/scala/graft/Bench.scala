@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The sf0.1 parquet files are a few tens of MB; the default
+      // 128 MB split size would give ~3 input partitions and leave
+      // most local cores idle. 8 MB splits restore scan parallelism
+      // at this scale (on a real cluster the default is right).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,91 @@
+package graft
+
+/** DuckDB-dialect oracle SQL builders, twinned 1:1 with the Spark
+  * queries in [[SparkEntry.queries]]. The driver executes these against
+  * the same parquet tables and hash-compares (SURVEY.md §5).
+  *
+  * Portability rules used throughout (so Spark parquet output and
+  * DuckDB in-memory results hash-match):
+  *  - every computed column is aliased identically on both sides;
+  *  - double sums accumulate in DECIMAL(18,6) on both sides (double
+  *    addition is order-dependent; decimal is exact, and precision 18
+  *    keeps Spark's compact-Long decimal representation);
+  *  - visible doubles are `round(x, 5)`;
+  *  - counts stay BIGINT, or are cast to double on both sides;
+  *  - explicit ORDER BY on a deterministic key on both sides.
+  */
+object Oracles {
+
+  /** The 8 profile statistics as DuckDB SQL over column `c` — the
+    * oracle twin of TableProfiler.statsFor. Order matches
+    * TableProfiler.aggLabels (`1. count` … `8. sum`,
+    * /root/reference/aws-athena.sh:81-100).
+    */
+  def duckStats(c: String): Seq[String] = Seq(
+    s"cast(count($c) as double)",
+    s"cast(count(distinct $c) as double)",
+    s"round(avg($c), 5)",
+    s"round(stddev_samp($c), 5)",
+    s"round(cast(min($c) as double), 5)",
+    s"round(quantile_cont($c, 0.5), 5)",
+    s"round(cast(max($c) as double), 5)",
+    s"round(cast(sum(cast($c as decimal(18,6))) as double), 5)")
+
+  /** Wide (pivoted) profile: 8 UNION ALL'd single-row aggregates — the
+    * same shape the reference's generated query produces after its
+    * map_agg pivot (aws-athena.sh:112-122), ordered by agg_type.
+    */
+  def profilePivot(table: String, cols: Seq[String]): String = {
+    val selects = TableProfilerLabels.labels.zipWithIndex.map { case (label, j) =>
+      val cells = cols.map(c => s"${duckStats(c)(j)} AS $c").mkString(", ")
+      s"SELECT '$label' AS agg_type, $cells FROM $table"
+    }
+    selects.mkString("", " UNION ALL ", " ORDER BY agg_type")
+  }
+
+  /** Long-form profile `(column_name, agg_type, result)` — the
+    * reference's UNION ALL relation (aws-athena.sh:80-110).
+    */
+  def profileLong(table: String, cols: Seq[String]): String = {
+    val selects = for {
+      c <- cols
+      (label, j) <- TableProfilerLabels.labels.zipWithIndex
+    } yield s"SELECT '$c' AS column_name, '$label' AS agg_type, ${duckStats(c)(j)} AS result FROM $table"
+    selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name, agg_type")
+  }
+
+  /** information_schema.columns fixture rows for a table whose schema
+    * is known (FIXTURES.md §B) — a literal VALUES oracle.
+    */
+  def infoSchemaValues(table: String, colTypes: Seq[(String, String)]): String = {
+    val rows = colTypes.zipWithIndex.map { case ((name, dt), i) =>
+      s"('spark_catalog', 'default', '$table', '$name', ${i + 1}, CAST(NULL AS varchar), 'YES', '$dt')"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(table_catalog, table_schema, table_name, " +
+      "column_name, ordinal_position, column_default, is_nullable, data_type) " +
+      "ORDER BY ordinal_position"
+  }
+
+  /** Same VALUES fixture filtered by the numeric-type regex
+    * (aws-athena.sh:68) — oracle for the profiler's column-selection
+    * step.
+    */
+  def numericFilterValues(table: String, colTypes: Seq[(String, String)]): String = {
+    val rows = colTypes.zipWithIndex.map { case ((name, dt), i) =>
+      s"('$table', '$name', ${i + 1}, '$dt')"
+    }.mkString(", ")
+    s"SELECT table_name, column_name, data_type FROM (VALUES $rows) AS " +
+      "t(table_name, column_name, ordinal_position, data_type) " +
+      "WHERE regexp_matches(data_type, '^(tinyint|smallint|integer|bigint|real|double|decimal.*)$') " +
+      "ORDER BY ordinal_position"
+  }
+}
+
+/** Labels split out so Oracles has no Spark dependency (usable from
+  * plain tooling).
+  */
+object TableProfilerLabels {
+  val labels: Seq[String] = Seq(
+    "1. count", "2. count_distinct", "3. mean", "4. std",
+    "5. min", "6. median", "7. max", "8. sum")
+}

@@ -1,0 +1,72 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registers the driver's parquet tables as temp views and resolves
+  * the reference's 3-part `catalog.database.table` names
+  * (/root/reference/aws-athena.sh:165-173) onto them.
+  *
+  * At 100 TB these would be external catalog tables (partitioned
+  * parquet under a metastore); the registration layer is the only
+  * thing that changes — every operator downstream addresses tables
+  * by name through the session catalog.
+  */
+object Tables {
+
+  /** All driver-generated tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Default 3-part namespace the engine exposes, mirroring the
+    * reference's `catalog_name.database_name.table_name` contract.
+    */
+  val DefaultCatalog = "spark_catalog"
+  val DefaultSchema  = "default"
+
+  // Idempotence guard: re-registering identical views is cheap but
+  // re-reads 10 parquet footers per query; skip when unchanged.
+  @volatile private var registered: Option[(SparkSession, String)] = None
+
+  def register(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registered.contains((spark, sfDir))) {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects outright; read it as raw nanos and surface a proper
+      // (microsecond) TimestampType column on the view.
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      all.foreach { name =>
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        val shaped =
+          if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          else df
+        shaped.createOrReplaceTempView(name)
+      }
+      InfoSchema.register(spark, all)
+      registered = Some((spark, sfDir))
+    }
+  }
+
+  /** Split a `catalog.database.table` name, validating the 3-part shape
+    * exactly as /root/reference/aws-athena.sh:165-167 does.
+    */
+  def splitThreePart(qualified: String): (String, String, String) = {
+    val parts = qualified.split('.')
+    require(parts.length == 3 && parts.forall(_.nonEmpty),
+      "table name must be in the format 'catalog_name.database_name.table_name'")
+    (parts(0), parts(1), parts(2))
+  }
+
+  /** Resolve a 1- or 3-part table name to a DataFrame. 3-part names are
+    * accepted in the default namespace (the reference forwards them
+    * verbatim to Athena; we resolve the table part against the session
+    * catalog).
+    */
+  def table(spark: SparkSession, name: String): DataFrame = {
+    if (name.contains('.')) {
+      val (_, _, tbl) = splitThreePart(name)
+      spark.table(tbl)
+    } else spark.table(name)
+  }
+}

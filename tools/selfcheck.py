@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/selfcheck.py [sfDir] [outDir]
+
+1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
+   (or run it yourself first);
+2. loads each <outDir>/<name> parquet (Spark result);
+3. runs <outDir>/oracle_sql.json's SQL in DuckDB over the same parquet
+   tables;
+4. sorts columns by name, compares shape, dtypes (loosely) and values.
+
+Exit code 0 iff every query matches.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return float(v)
+    if hasattr(v, "item"):  # numpy scalar
+        v = v.item()
+        return norm_cell(v)
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def frame_rows(df: pd.DataFrame):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        spark_dir = out_dir / name
+        if not spark_dir.exists():
+            failures.append((name, "no spark output"))
+            print(f"FAIL {name}: spark output missing")
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append((name, f"error: {e}"))
+            print(f"FAIL {name}: {e}")
+            continue
+        g_cols, w_cols = sorted(got.columns), sorted(want.columns)
+        if g_cols != w_cols:
+            failures.append((name, f"columns {g_cols} != {w_cols}"))
+            print(f"FAIL {name}: columns differ\n  spark={g_cols}\n  duck ={w_cols}")
+            continue
+        gr, wr = frame_rows(got), frame_rows(want)
+        if len(gr) != len(wr):
+            failures.append((name, f"rows {len(gr)} != {len(wr)}"))
+            print(f"FAIL {name}: row count {len(gr)} != {len(wr)}")
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, wr)) if a != b]
+        if bad:
+            failures.append((name, f"{len(bad)} mismatched rows"))
+            print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first:")
+            for i, a, b in bad[:3]:
+                print(f"  row {i}\n   spark={a}\n   duck ={b}")
+        else:
+            print(f"OK   {name}: {len(gr)} rows, {len(g_cols)} cols")
+
+    # queries with no oracle → rows-only note
+    for d in sorted(out_dir.iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"NOTE {d.name}: no oracle, rows={n}")
+
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
