@@ -1,0 +1,80 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+
+/** The engine's external-function surface — the reference's Lambda
+  * wrapper (/root/reference/aws-lambda.sh) made in-process.
+  *
+  *  - `list` enumerates function names (aws-lambda.sh:38-40).
+  *  - `invoke(name, payload)` validates the payload is JSON
+  *    ("third arg json format invalid", aws-lambda.sh:31-33), compacts
+  *    it (`jq -c .`, aws-lambda.sh:45), invokes, and returns both the
+  *    invocation metadata and the response (aws-lambda.sh:47-51).
+  *
+  * Functions are `String => String` (JSON in / JSON out). They can
+  * additionally be bridged into Spark SQL as UDFs so passthrough SQL
+  * can call them — but note a JVM-closure UDF is opaque to Catalyst
+  * (no codegen, no pushdown through it); keep them off hot paths.
+  */
+final case class InvokeResult(
+    statusCode: Int,
+    executedVersion: String,
+    payload: String)
+
+final class FunctionRegistry(spark: Option[SparkSession] = None) {
+  private val mapper = new ObjectMapper()
+  private val fns = TrieMap[String, String => String]()
+
+  /** Register a JSON→JSON function; optionally expose to Spark SQL as
+    * a string UDF of the same name.
+    */
+  def register(name: String, fn: String => String, asUdf: Boolean = false): Unit = {
+    fns.put(name, fn)
+    if (asUdf) spark.foreach(_.udf.register(name, fn))
+  }
+
+  /** Function names (aws-lambda.sh:39's `.Functions[] | .FunctionName`). */
+  def list: Seq[String] = fns.keys.toSeq.sorted
+
+  /** Canonical compact form, `jq -c .` (aws-lambda.sh:45). Throws
+    * IllegalArgumentException with the reference's message for
+    * malformed payloads (aws-lambda.sh:31-33).
+    */
+  def compact(json: String): String =
+    try mapper.writeValueAsString(mapper.readTree(json))
+    catch { case _: Exception =>
+      throw new IllegalArgumentException("third arg json format invalid")
+    }
+
+  def invoke(name: String, payloadJson: String): InvokeResult = {
+    val fn = fns.getOrElse(name,
+      throw new NoSuchElementException(s"Function not found: $name"))
+    val compacted = compact(payloadJson)
+    InvokeResult(statusCode = 200, executedVersion = "$LATEST",
+      payload = fn(compacted))
+  }
+}
+
+object FunctionRegistry {
+
+  /** A registry preloaded with a few reference-style JSON functions,
+    * demonstrating the invoke surface end-to-end.
+    */
+  def withBuiltins(spark: Option[SparkSession] = None): FunctionRegistry = {
+    val r = new FunctionRegistry(spark)
+    val mapper = new ObjectMapper()
+    r.register("echo", identity)
+    r.register("upcase_values", { json =>
+      val node = mapper.readTree(json)
+      val out = mapper.createObjectNode()
+      node.fields().forEachRemaining { e =>
+        out.put(e.getKey,
+          if (e.getValue.isTextual) e.getValue.asText().toUpperCase else e.getValue.asText())
+      }
+      mapper.writeValueAsString(out)
+    })
+    r
+  }
+}
