@@ -37,9 +37,11 @@ object InfoSchema {
     * mirrors aws-athena.sh:174's succeed-empty behavior).
     */
   def rowsFor(spark: SparkSession, table: String): Seq[Row] = {
+    // Only "table or view not found" maps to succeed-empty; genuine
+    // errors (corrupt files, IO failures) must propagate.
     val fields: Seq[StructField] =
       try spark.table(table).schema.fields.toSeq
-      catch { case _: Exception => Seq.empty }
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
     fields.zipWithIndex.map { case (f, i) =>
       Row(Tables.DefaultCatalog, Tables.DefaultSchema, table, f.name,
         i + 1, null, if (f.nullable) "YES" else "NO", TrinoTypes.name(f.dataType))

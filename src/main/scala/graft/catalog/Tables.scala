@@ -65,7 +65,12 @@ object Tables {
     */
   def table(spark: SparkSession, name: String): DataFrame = {
     if (name.contains('.')) {
-      val (_, _, tbl) = splitThreePart(name)
+      val (cat, db, tbl) = splitThreePart(name)
+      // The reference forwards the full 3-part name to the engine,
+      // which fails for an unknown catalog/schema — silently dropping
+      // the qualifier would resolve wrong_cat.wrong_db.t to t.
+      require(cat == DefaultCatalog && db == DefaultSchema,
+        s"unknown catalog or schema: $cat.$db (expected $DefaultCatalog.$DefaultSchema)")
       spark.table(tbl)
     } else spark.table(name)
   }

@@ -2,8 +2,9 @@ package graft.exec
 
 import java.util.UUID
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
-import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicReference
+import scala.annotation.tailrec
+import org.apache.spark.sql.SparkSession
 
 /** Execution states, exactly the reference's poll-loop state machine
   * (/root/reference/aws-athena.sh:39-60): QUEUED/RUNNING are
@@ -45,12 +46,17 @@ final class QueryExecutionException(msg: String) extends RuntimeException(msg)
 final class QueryManager(spark: SparkSession,
     defaultWorkGroup: String = sys.env.getOrElse("ATHENA_WORKGROUP", "primary")) {
 
+  /** State transitions go through an AtomicReference CAS so a cancel
+    * racing the worker thread can never be overwritten: terminal
+    * states (CANCELLED included — aws-athena.sh:54-56) are final.
+    */
   private final class Execution(
       val id: String,
       val sql: String,
-      val workGroup: String,
-      @volatile var state: QueryState,
-      @volatile var result: Option[ResultSet])
+      val workGroup: String) {
+    val state = new AtomicReference[QueryState](QueryState.Queued)
+    @volatile var result: Option[ResultSet] = None
+  }
 
   private val executions = new ConcurrentHashMap[String, Execution]()
   private val pool = Executors.newCachedThreadPool { r =>
@@ -64,27 +70,28 @@ final class QueryManager(spark: SparkSession,
   def submit(sql: String, workGroup: String = defaultWorkGroup): String = {
     val df = spark.sql(sql) // eager parse + analysis (submit-time errors)
     val id = UUID.randomUUID().toString
-    val exec = new Execution(id, sql, workGroup, QueryState.Queued, None)
+    val exec = new Execution(id, sql, workGroup)
     executions.put(id, exec)
     pool.submit(new Runnable {
       def run(): Unit = {
-        exec.state match {
-          case QueryState.Cancelled => // cancelled while queued
-          case _ =>
-            exec.state = QueryState.Running
+        // Job group is attached BEFORE the Queued->Running CAS, so by
+        // the time any observer can see RUNNING, cancelJobGroup(id)
+        // reaches the real job.
+        spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
+        try {
+          if (exec.state.compareAndSet(QueryState.Queued, QueryState.Running)) {
             try {
-              spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
               val rs = ResultSet.fromDataFrame(df)
-              if (exec.state == QueryState.Running) {
-                exec.result = Some(rs)
-                exec.state = QueryState.Succeeded
-              }
+              exec.result = Some(rs) // publish before the state flips
+              exec.state.compareAndSet(QueryState.Running, QueryState.Succeeded)
             } catch {
-              case e: Throwable if exec.state == QueryState.Cancelled => ()
               case e: Throwable =>
-                exec.state = QueryState.Failed(Option(e.getMessage).getOrElse(e.toString))
-            } finally spark.sparkContext.clearJobGroup()
-        }
+                // CAS keeps CANCELLED if a cancel won the race.
+                exec.state.compareAndSet(QueryState.Running,
+                  QueryState.Failed(Option(e.getMessage).getOrElse(e.toString)))
+            }
+          } // else: cancelled while queued — never runs
+        } finally spark.sparkContext.clearJobGroup()
       }
     })
     id
@@ -94,15 +101,18 @@ final class QueryManager(spark: SparkSession,
     Option(executions.get(id)).getOrElse(
       throw new QueryExecutionException(s"unknown execution id: $id"))
 
-  def status(id: String): QueryState = execution(id).state
+  def status(id: String): QueryState = execution(id).state.get()
 
-  def cancel(id: String): Unit = {
-    val exec = execution(id)
-    if (!exec.state.terminal) {
-      exec.state = QueryState.Cancelled
-      spark.sparkContext.cancelJobGroup(exec.id)
-    }
+  @tailrec
+  private def cancelLoop(exec: Execution): Unit = exec.state.get() match {
+    case s if s.terminal => () // terminal states are final
+    case s =>
+      if (exec.state.compareAndSet(s, QueryState.Cancelled))
+        spark.sparkContext.cancelJobGroup(exec.id)
+      else cancelLoop(exec)
   }
+
+  def cancel(id: String): Unit = cancelLoop(execution(id))
 
   /** Poll until terminal (the aws-athena.sh:39-60 loop). */
   def awaitTerminal(id: String, pollMillis: Long = 10L): QueryState = {
@@ -119,7 +129,7 @@ final class QueryManager(spark: SparkSession,
     * cancellation (aws-athena.sh:54-56); non-terminal states are a
     * protocol error.
     */
-  def results(id: String): ResultSet = execution(id).state match {
+  def results(id: String): ResultSet = execution(id).state.get() match {
     case QueryState.Succeeded => execution(id).result.get
     case QueryState.Failed(reason) =>
       throw new QueryExecutionException(s"Query failed: $reason")

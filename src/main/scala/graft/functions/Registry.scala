@@ -70,8 +70,8 @@ object FunctionRegistry {
       val node = mapper.readTree(json)
       val out = mapper.createObjectNode()
       node.fields().forEachRemaining { e =>
-        out.put(e.getKey,
-          if (e.getValue.isTextual) e.getValue.asText().toUpperCase else e.getValue.asText())
+        if (e.getValue.isTextual) out.put(e.getKey, e.getValue.asText().toUpperCase)
+        else out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue) // preserve type
       }
       mapper.writeValueAsString(out)
     })

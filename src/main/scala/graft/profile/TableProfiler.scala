@@ -99,7 +99,8 @@ object TableProfiler {
   /** One row with all 8×N stats as columns `c<i>_<j>`. */
   private def aggRow(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column, medianAgg: String => Column): DataFrame = {
-    val base = df.agg(baseStats(cols).head, baseStats(cols).tail: _*)
+    val bs = baseStats(cols)
+    val base = df.agg(bs.head, bs.tail: _*)
     val dists = cols.zipWithIndex.map { case (c, i) =>
       distinctAgg(c).as(s"c${i}_2")
     }
