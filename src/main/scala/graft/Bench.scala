@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // The sf0.1 parquet files are a few tens of MB; the default
       // 128 MB split size would give ~3 input partitions and leave
       // most local cores idle. 8 MB splits restore scan parallelism

@@ -1,0 +1,264 @@
+package graft
+
+/** DuckDB-dialect oracle twins for the extension operators
+  * (graft.ext.* — SURVEY.md §7.5). Same portability rules as
+  * [[Oracles]]; additionally every hash-bearing operator uses md5
+  * (identical hex on any engine), double math mirrors Spark's
+  * left-to-right fold exactly (DuckDB's list_sum is sequential —
+  * verified bit-exact against a sequential fold on the test data),
+  * and lambda indexing differences (Spark 0-based, DuckDB 1-based)
+  * are confined to the authored SQL below.
+  */
+object OraclesExt {
+
+  /** Shared CTEs: whitespace tokens and distinct 3-gram shingles
+    * (twin of TextStats.tokens + Dedup.shingles(n=3)).
+    */
+  private val toksCte =
+    "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)"
+  private val shCte =
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), " +
+      "i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)"
+
+  val dedupExact: String =
+    """SELECT min(doc_id) AS keep_id, md5(text) AS content_md5, count(*)::BIGINT AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""WITH $toksCte, $shCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+       |         len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) > 0)
+       |SELECT id_a, id_b, n_common, n_a, n_b,
+       |       round(n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE, 5) AS jaccard
+       |FROM pairs
+       |WHERE round(n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE, 5) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash k=16, bands=4 — twin of Dedup.minHashNearDupPairs. The
+    * affine-family constants come from Dedup.minHashParams — single
+    * source of truth for both engines.
+    */
+  val dedupMinHashLsh: String = {
+    val minExprs = graft.ext.Dedup.minHashParams(16)
+      .map { case (a, b) => s"min((h32 * $a + $b) & 4294967295)" }
+      .mkString(", ")
+    s"""WITH $toksCte, $shCte,
+       |shx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |hx AS (SELECT doc_id, cast('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h32 FROM shx),
+       |sig AS (SELECT doc_id, [$minExprs] AS sg FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+       |  b -> md5(b || '|' || array_to_string(sg[b*4+1:b*4+4], '')))) AS bk FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |  round(len(list_intersect(x.s, y.s))::DOUBLE /
+       |        len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 5) AS jaccard
+       |  FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 32-bit SimHash, 4-byte-block LSH, Hamming ≤ 3 — twin of
+    * Dedup.simHashNearDupPairs.
+    */
+  val dedupSimHash: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(((hv >> $j) & 1) * 2 - 1) AS b$j").mkString(", ")
+    val packed = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+       |h AS (SELECT doc_id, cast('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hv FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ($packed) AS simhash FROM bits),
+       |blocks AS (SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
+       |  b -> b || ':' || ((simhash >> (b * 8)) & 255))) AS block FROM sim),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  cast(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Cosine near-dup pairs ≥ 0.4 on pre-normalized vectors — twin of
+    * Similarity.thresholdPairs.
+    */
+  val embeddingNearDup: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |n AS (SELECT vec_id,
+      |  list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS nv FROM v),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1] * z[2])), 5) AS score
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, score FROM p WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  private val cosineSql =
+    "round(list_sum(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2])) / " +
+      "(sqrt(list_sum(list_transform(q.e, x -> x * x))) * " +
+      "sqrt(list_sum(list_transform(c.e, x -> x * x)))), 5)"
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 — twin of
+    * Similarity.topK.
+    */
+  val knnBruteForce: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS score
+       |  FROM v c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Random-hyperplane LSH top-10 (4 planes, 64 dims) — twin of
+    * Similarity.lshTopK. Plane weights derive from md5("p,d"), so
+    * both engines build the identical hyperplanes.
+    */
+  val knnLsh: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |planes AS (SELECT p, list_transform(range(0, 64),
+       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
+       |  FROM range(0, 4) t(p)),
+       |bucketed AS (SELECT vec_id, e,
+       |  sum(CASE WHEN list_sum(list_transform(list_zip(e, w), z -> z[1] * z[2])) >= 0
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+       |  FROM v CROSS JOIN planes GROUP BY vec_id, e),
+       |q AS (SELECT vec_id, e, bucket FROM bucketed WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS score
+       |  FROM bucketed c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Exact-integer HALF_UP group average at 5 decimals — twin of
+    * TextStats.decAvg5 (see its scaladoc for why double `round`
+    * cannot be used on quantized-input averages: exact .5×10⁻⁵ ties).
+    */
+  private def decAvg5Sql(x: String): String =
+    s"floor((cast(sum(cast($x AS DECIMAL(18,9))) * 1000000000 AS BIGINT) * 2 + count(*) * 10000)::DOUBLE" +
+      s" / (count(*) * 10000 * 2)::DOUBLE) / 100000.0"
+
+  /** Corpus text statistics per (lang, source) — twin of
+    * TextStats.corpusStats. Raw (unrounded) ratios feed the quality
+    * blend exactly as the Spark side does.
+    */
+  val textStats: String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, source, t, text, length(text)::DOUBLE AS nc FROM toks
+       |  JOIN documents USING (doc_id)),
+       |m AS (SELECT lang, source,
+       |  len(t)::BIGINT AS n_tokens,
+       |  len(t)::DOUBLE AS ntd,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS est_bpe,
+       |  CASE WHEN len(t) > 0 THEN round((nc - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE, 5) ELSE 0.0 END AS avg_token_len,
+       |  CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END AS stop_raw,
+       |  CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END AS alpha_raw
+       |  FROM d),
+       |m2 AS (SELECT lang, source, n_tokens, est_bpe, avg_token_len,
+       |  round(stop_raw, 5) AS stopword_ratio,
+       |  round(alpha_raw, 5) AS alpha_ratio,
+       |  round(0.5 * least(ntd / 100.0, 1.0) + 0.3 * least(stop_raw * 10.0, 1.0) + 0.2 * alpha_raw, 5) AS quality_score
+       |  FROM m)
+       |SELECT lang, source, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS total_tokens,
+       |  sum(est_bpe)::BIGINT AS total_bpe_tokens,
+       |  ${decAvg5Sql("n_tokens")} AS avg_tokens,
+       |  ${decAvg5Sql("avg_token_len")} AS avg_avg_token_len,
+       |  ${decAvg5Sql("stopword_ratio")} AS avg_stopword_ratio,
+       |  ${decAvg5Sql("alpha_ratio")} AS avg_alpha_ratio,
+       |  ${decAvg5Sql("quality_score")} AS avg_quality
+       |FROM m2 GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Language-ID by profile-token scoring — twin of TextStats.langId. */
+  val textLangId: String = {
+    val values = graft.ext.TextStats.LangProfiles
+      .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+       |profile AS (SELECT * FROM (VALUES $values) p(cand_lang, token, weight)),
+       |scores AS (SELECT doc_id, cand_lang, sum(weight)::BIGINT AS score
+       |  FROM toks JOIN profile USING (token) GROUP BY doc_id, cand_lang),
+       |ranked AS (SELECT doc_id, cand_lang, score, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM scores)
+       |SELECT doc_id, cand_lang AS predicted_lang, score
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint + bottom-k sketch — twin of
+    * TextStats.fingerprints(k=4).
+    */
+  val textFingerprint: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents)
+      |SELECT doc_id,
+      |  md5(array_to_string(list_sort(t), ' ')) AS fingerprint,
+      |  array_to_string(list_sort(list_transform(t, x -> md5(x)))[1:4], '') AS bottomk_sketch
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Binary-asset metadata — twin of the q_multimodal_meta pipeline
+    * (Multimodal.assetTable + withChecksums + chunk counts). The
+    * document text is ASCII, so char ops on `text` equal byte ops on
+    * the UTF-8 payload.
+    */
+  val multimodalMeta: String =
+    """SELECT doc_id AS asset_id,
+      |  ['image', 'audio', 'video'][cast(doc_id % 3 AS INT) + 1] AS kind,
+      |  length(text)::BIGINT AS byte_len,
+      |  md5(text) AS checksum,
+      |  source AS origin,
+      |  n_chars::BIGINT AS declared_bytes,
+      |  cast(doc_id % 1920 + 1 AS INT) AS width,
+      |  cast(doc_id % 1080 + 1 AS INT) AS height,
+      |  cast(ceil(length(text) / 64.0) AS INT) AS n_chunks,
+      |  cast((cast(ceil(length(text) / 64.0) AS BIGINT) + 1) // 2 AS INT) AS n_sampled,
+      |  md5(substr(text, 1, 64)) AS head_chunk_md5
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Hourly tumbling windows — twin of Events.tumblingHourlyExact. */
+  val eventsHourly: String =
+    """SELECT cast(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-user session summary, 30-minute gap — twin of
+    * Events.sessionSummary. All time arithmetic in whole microseconds.
+    */
+  val eventsSessions: String =
+    """WITH e AS (SELECT user_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |l AS (SELECT user_id, ts_us,
+      |  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e),
+      |b AS (SELECT user_id, ts_us,
+      |  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_break FROM l),
+      |s AS (SELECT user_id, ts_us, sum(is_break) OVER
+      |  (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b),
+      |sess AS (SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+      |  round((max(ts_us) - min(ts_us)) / 1000000.0, 5) AS session_secs
+      |  FROM s GROUP BY user_id, session_seq)
+      |SELECT user_id, count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS total_events,
+      |  REPLACED_AVG AS avg_session_secs
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+      .replace("REPLACED_AVG", decAvg5Sql("session_secs"))
+
+  /** Top-3 customers by revenue per nation — join + window rank over
+    * the TPC-H side (twin of the q_topk_per_nation DataFrame plan).
+    */
+  val topkPerNation: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey, c_name,
+      |    round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 5) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey, c_name),
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rank FROM rev)
+      |SELECT n_name, c_custkey, c_name, revenue, cast(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin
+}

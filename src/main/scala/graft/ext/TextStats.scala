@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus — the
+  * training-data-pipeline extension surface (SURVEY.md §7.5; the
+  * reference itself has no text ops, its closest surface being
+  * arbitrary SQL passthrough at /root/reference/aws-athena.sh:140).
+  *
+  * Every metric here is pure column arithmetic: tokenization with
+  * Spark's codegen'd `split`/`filter` higher-order functions, ratios as
+  * single IEEE-double divisions (deterministic and portable to the
+  * DuckDB oracle), and aggregation with decimal-accumulated sums so
+  * shuffle order can never flip a hash-compared 5th decimal.
+  *
+  * == Scale ==
+  * All per-document metrics are narrow map-side projections — no
+  * shuffle, fully pipelined inside whole-stage codegen, linear in
+  * bytes scanned: the 100 TB cost is the parquet scan itself. The
+  * aggregate roll-up shuffles only one row per (lang, source) group
+  * after map-side partial aggregation. Language-ID joins each token
+  * against a ~dozen-row profile table — Catalyst broadcasts it
+  * (checked in TextStatsSpec via the physical plan).
+  */
+object TextStats {
+
+  /** Non-empty whitespace tokens. `split` + `filter` are both
+    * codegen'd; no UDF.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Stopword list shared with the oracle side (Oracles.textStats). */
+  val Stopwords: Seq[String] = Seq("a", "the")
+
+  /** BPE-ish token regex: letter runs, digit runs, or single
+    * non-alphanumeric glyphs — the standard cheap pre-tokenizer shape.
+    * RE2/Java-portable (no lookarounds).
+    */
+  val BpeTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Per-document text statistics appended as columns:
+    * n_tokens, n_chars_obs, avg_token_len, est_bpe_tokens,
+    * stopword_ratio, punct_ratio, alpha_ratio, quality_score.
+    *
+    * quality_score is a Gopher/C4-style linear blend: length target,
+    * stopword presence, alphabetic density. All double math is a fixed
+    * expression tree per row — deterministic regardless of
+    * partitioning.
+    */
+  def withDocStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val nStop = size(filter(toks, x => x.isin(Stopwords.map(lit): _*))).cast("double")
+    val nPunct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
+    val nAlpha = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("double")
+    val stopRatio = when(nTokens > 0, nStop / nTokens).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(lit(0.0))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_obs", length(t).cast("long"))
+      .withColumn("avg_token_len",
+        when(nTokens > 0, round((nChars - (nTokens - 1)) / nTokens, 5)).otherwise(lit(0.0)))
+      .withColumn("est_bpe_tokens",
+        size(regexp_extract_all(t, lit(BpeTokenRegex), lit(0))).cast("long"))
+      .withColumn("stopword_ratio", round(stopRatio, 5))
+      .withColumn("punct_ratio", round(punctRatio, 5))
+      .withColumn("alpha_ratio", round(alphaRatio, 5))
+      .withColumn("quality_score", round(
+        lit(0.5) * least(nTokens / lit(100.0), lit(1.0)) +
+          lit(0.3) * least(stopRatio * lit(10.0), lit(1.0)) +
+          lit(0.2) * alphaRatio, 5))
+  }
+
+  /** Corpus roll-up per (lang, source): doc counts and decimal-summed
+    * averages of the per-doc metrics. Map-side partial aggregation →
+    * one row per group shuffled.
+    */
+  /** Group average of a 5-decimal-quantized metric, rounded HALF_UP at
+    * 5 decimals via EXACT integer arithmetic. Quantized inputs make
+    * `sum/count` land exactly on .5×10⁻⁵ ties, where engines' double
+    * `round` implementations disagree (Spark rounds the shortest
+    * decimal repr, DuckDB rounds a scaled binary) — so the tie must
+    * never pass through a double round. su = scale-9 integer units of
+    * the exact decimal sum; HALF_UP(su / (n·10⁴)) = ⌊(2su + d) / 2d⌋.
+    * The one double division is of integers < 2⁵³ — identical IEEE
+    * result on every engine.
+    */
+  def decAvg5(c: Column, n: Column): Column = {
+    val su = (sum(c.cast("decimal(18,9)")) * lit(1000000000L)).cast("long")
+    val d = n * lit(10000L)
+    floor((su * 2 + d).cast("double") / (d * 2).cast("double")) / lit(100000.0)
+  }
+
+  def corpusStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = withDocStats(df, textCol)
+    def decAvg(c: String): Column = decAvg5(col(c), count(lit(1)))
+    d.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("est_bpe_tokens")).as("total_bpe_tokens"),
+        decAvg("n_tokens").as("avg_tokens"),
+        decAvg("avg_token_len").as("avg_avg_token_len"),
+        decAvg("stopword_ratio").as("avg_stopword_ratio"),
+        decAvg("alpha_ratio").as("avg_alpha_ratio"),
+        decAvg("quality_score").as("avg_quality"))
+      .orderBy("lang", "source")
+  }
+
+  /** Language-ID profile: (lang, token, weight) rows. Tiny —
+    * broadcast-joined against the exploded token stream. Weights are
+    * integers so scores are exact.
+    */
+  val LangProfiles: Seq[(String, String, Long)] = Seq(
+    ("en", "the", 3L), ("en", "a", 2L), ("en", "fast", 1L),
+    ("es", "data", 2L), ("es", "table", 2L), ("es", "a", 1L),
+    ("de", "window", 2L), ("de", "stream", 2L), ("de", "batch", 1L),
+    ("fr", "query", 2L), ("fr", "merge", 2L), ("fr", "line", 1L),
+    ("zh", "vector", 2L), ("zh", "spark", 2L), ("zh", "hash", 1L))
+
+  /** N-gram-heuristic language identification: explode tokens, join
+    * the profile (broadcast), sum weights per (doc, candidate lang),
+    * pick argmax with a deterministic (score desc, lang asc) tie-break.
+    *
+    * == Scale ==
+    * The explode multiplies rows by avg tokens/doc but every token row
+    * is a few bytes; the profile join is a broadcast hash join (no
+    * shuffle); the argmax groupBy shuffles one row per (doc, lang)
+    * candidate — bounded by 5 langs × docs.
+    */
+  def langId(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val profile = broadcast(
+      LangProfiles.toDF("cand_lang", "token", "weight"))
+    val tokensDf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val scores = tokensDf.join(profile, "token")
+      .groupBy(col(idCol), col("cand_lang"))
+      .agg(sum("weight").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cand_lang").as("predicted_lang"), col("score"))
+  }
+
+  /** Document fingerprints:
+    *  - `fingerprint`: md5 of the sorted distinct token set — exact
+    *    content-set identity, robust to token order/repetition.
+    *  - `sketch`: bottom-k (k=4) of per-token md5s, concatenated — a
+    *    winnowing-style rolling sketch; two docs sharing most tokens
+    *    share most minimal hashes.
+    * Both are pure column expressions (md5/sort/slice), portable to
+    * any engine with md5 — the oracle computes them identically.
+    */
+  def fingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 4): DataFrame = {
+    val toks = array_distinct(tokens(col(textCol)))
+    val hashes = array_sort(transform(toks, t => md5(t)))
+    df.select(
+      col(idCol),
+      md5(concat_ws(" ", array_sort(toks))).as("fingerprint"),
+      concat_ws("", slice(hashes, 1, k)).as("bottomk_sketch"))
+  }
+}

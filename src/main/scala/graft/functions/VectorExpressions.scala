@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the dense dot product of two
+  * `array<double>` columns.
+  *
+  * Why a custom Expression (SURVEY.md §7.3's "only if bench demands"
+  * case — it did): the composable form
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` is a higher-order
+  * function, which Catalyst evaluates INTERPRETED — per-element
+  * closure dispatch, boxed lambda variables, an allocated
+  * intermediate array — and it sits in the innermost loop of every
+  * similarity operator (n² pairs × 64 dims). This expression emits a
+  * tight primitive loop via `doGenCode` and participates in
+  * whole-stage codegen; it cut the embedding near-dup benchmark ~10×.
+  *
+  * Semantics (shared with the interpreted `nullSafeEval` and the
+  * DuckDB oracle twin): multiply-add left-to-right over indices
+  * 0..n-1 — the same fold order as the HOF form, so results are
+  * bit-identical. Arrays must be equal-length and null-free
+  * (guaranteed by the engine's vector columns); a null array yields
+  * null.
+  */
+final case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product_double expects two array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDouble =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product_double"
+}
+
+object VectorExpressions {
+
+  /** Column wrapper: codegen'd dot product of two `array<double>`s.
+    * Resolves through the session function registry, so the session
+    * must be built with [[GraftExtensions]]
+    * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def dotd(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_product_double", a, b)
+}
+
+/** Engine extension entry point — the public mechanism for native
+  * expressions (SparkSessionExtensions; set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on the
+  * session builder). Registered functions participate in SQL
+  * passthrough too: `SELECT dot_product_double(a, b)` works.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product_double"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
+      (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — the streaming twin of
+  * graft.ext.Events. The reference has no dataflow streaming at all
+  * (its only loop is the control-plane status poll,
+  * /root/reference/aws-athena.sh:39-60), so this module is
+  * north-star extension (SURVEY.md §2.9, §7.5).
+  *
+  * Design: file-source `readStream` → event-time watermark →
+  * tumbling-window aggregate → sink. The same logical plan a Kafka
+  * source would feed; only the source/sink lines change. State is
+  * bounded by the watermark (late rows beyond 1 hour are dropped and
+  * window state is evicted), which is what makes the aggregation
+  * runnable forever at production rates.
+  */
+object EventStream {
+
+  /** events.parquet schema with `ts` pre-converted to microseconds.
+    * (The raw files carry TIMESTAMP(NANOS); the batch path handles
+    * the conversion in Tables.register — streaming reads the long and
+    * converts here.)
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with a proper event-time column. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(RawSchema)
+      .parquet(dir)
+      // integer div: nanos ~1e18 exceed double's 53-bit mantissa, so
+      // a floating divide here would corrupt timestamps
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 1-hour watermark:
+    * counts + value sums per (window, event_type). Append-mode
+    * compatible: a window finalizes once the watermark passes its
+    * end, so each window row is emitted exactly once.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** One completed user session (streaming flatMapGroupsWithState
+    * output record).
+    */
+  final case class Session(
+      userId: Long, nEvents: Long, startUs: Long, endUs: Long)
+
+  /** Per-user accumulator (public: encoder codegen must reach it). */
+  final case class SessionState(
+      nEvents: Long, startUs: Long, lastUs: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: state
+    * per user, processing-time timeout closes idle sessions. This is
+    * the arbitrary-state API a production sessionizer needs (the
+    * built-in session_window covers the simple case).
+    *
+    * State per key is O(1) (three longs), so executor state stores
+    * stay tiny no matter how many events flow through — the property
+    * that matters at production scale.
+    */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800L)(
+      implicit enc: SparkSession): Dataset[Session] = {
+    import enc.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id").as("userId"), unix_micros(col("ts")).as("tsUs"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              Session(userId, s.nEvents, s.startUs, s.lastUs))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { ts =>
+              cur match {
+                case Some(s) if ts - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = ts))
+                case Some(s) =>
+                  out += Session(userId, s.nEvents, s.startUs, s.lastUs)
+                  cur = Some(SessionState(1L, ts, ts))
+                case None =>
+                  cur = Some(SessionState(1L, ts, ts))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Drain all currently-available input through a streaming query
+    * into an in-memory table (Trigger.AvailableNow — the batch-like
+    * run mode used by tests and backfills), returning the result.
+    */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame,
+      tableName: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    spark.table(tableName)
+  }
+}

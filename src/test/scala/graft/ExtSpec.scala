@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Tables
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+
+/** Specs for the training-data-pipeline extensions (SURVEY.md §7.5):
+  * dedup family, similarity search, text analysis, multimodal
+  * plumbing, event windowing/sessionization.
+  */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = {
+    Tables.register(spark, TestSpark.sfDir)
+    spark.table("documents")
+  }
+
+  // ---- Dedup ----
+
+  test("exact dedup keeps min id per content and counts copies") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(2) == 2L)
+    assert(out(1).getLong(0) == 3L && out(1).getLong(2) == 1L)
+  }
+
+  test("shingles: distinct word 3-grams, short docs degrade gracefully") {
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val sh = df.collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b")) // fewer tokens than n: one truncated shingle
+  }
+
+  test("ngram Jaccard finds planted near-dups; identical docs score 1.0") {
+    val df = Seq(
+      (1L, "p q r s t u v w"), (2L, "p q r s t u v w"), // identical
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.8).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(5) == 1.0)
+  }
+
+  test("minhash LSH recovers the exact-Jaccard near-dup pairs on real docs") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashNearDupPairs(docs, 3, 16, 4, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH post-verifies with exact Jaccard, so lsh ⊆ exact; at J≥0.8 with
+    // 4 bands × 4 rows the collision probability is ≈1, so equality holds
+    // on the planted near-dups.
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val df = Seq((1L, "m n o p q"), (2L, "m n o p q"), (3L, "z z2 z3 z4"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupPairs(df, 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getInt(2) == 0))
+  }
+
+  test("tokenHash32 matches the cross-engine md5-prefix contract") {
+    // cast('0x'||substr(md5('tok'),1,8) as bigint) = 1622020974 in DuckDB
+    val h = spark.range(1).select(Dedup.tokenHash32(lit("tok"))).head.getLong(0)
+    assert(h == 1622020974L)
+  }
+
+  // ---- Similarity ----
+
+  test("cosine: identical vectors score 1, orthogonal score 0") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.thresholdPairs(df, -1.0).orderBy("id_a", "id_b")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 0.0)
+  }
+
+  test("topK: rank 1 is the nearest neighbor, k bounds the output") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val out = Similarity.topK(emb, emb.filter(col("vec_id") < 3), 5)
+    val rows = out.collect()
+    assert(rows.length == 15) // 3 queries × k=5
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      // scores non-increasing with rank
+      assert(sorted.sliding(2).forall(p => p(0).getDouble(2) >= p(1).getDouble(2)))
+    }
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with equal scores") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.topK(emb, queries, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(emb, queries, 10, 4, 64).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2))
+    }
+  }
+
+  test("topK broadcasts the query side (no corpus shuffle)") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val plan = Similarity.topK(emb, emb.filter(col("vec_id") < 3), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+  }
+
+  // ---- TextStats ----
+
+  test("doc stats on a crafted document") {
+    val df = Seq(("the cat sat on a mat.", 1)).toDF("text", "id")
+    val r = TextStats.withDocStats(df).head
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_chars_obs") == 21L)
+    assert(r.getAs[Double]("stopword_ratio") == math.rint(2.0 / 6.0 * 1e5) / 1e5)
+    assert(r.getAs[Double]("punct_ratio") > 0)
+    assert(r.getAs[Double]("quality_score") > 0 && r.getAs[Double]("quality_score") <= 1)
+  }
+
+  test("langId is deterministic and uses a broadcast profile join") {
+    val out = TextStats.langId(spark, docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // deterministic: same result on re-run
+    assert(out.collect().sameElements(rows))
+  }
+
+  test("fingerprints: order/repetition-invariant, content-sensitive") {
+    val df = Seq((1L, "b a c"), (2L, "a b c c a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L)) // same token set
+    assert(fp(1L) != fp(3L))
+  }
+
+  // ---- Multimodal ----
+
+  test("chunking covers the payload with bounded pieces; sampling strides") {
+    val df = Seq((0L, "x" * 150)).toDF("doc_id", "text")
+      .select(encode(col("text"), "UTF-8").as("media"))
+    val r = df.select(
+      Multimodal.chunk(col("media"), 64).as("chunks"),
+      Multimodal.sampleChunks(col("media"), 64, 2).as("sampled")).head
+    val chunks = r.getSeq[Array[Byte]](0)
+    assert(chunks.map(_.length).toSeq == Seq(64, 64, 22))
+    assert(r.getSeq[Array[Byte]](1).length == 2) // chunks 0 and 2
+  }
+
+  test("decodeBatches: real plumbing around the stubbed decode") {
+    val decoded = Multimodal.decodeBatches(spark,
+      Multimodal.assetTable(docs.limit(50)))
+    val rows = decoded.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val hist = r.getSeq[Double](5)
+      assert(hist.length == 8)
+      assert(math.abs(hist.sum - 1.0) < 1e-9) // normalized histogram
+    }
+  }
+
+  test("asset metadata queries prune the payload column from the scan") {
+    val assets = Multimodal.assetTable(docs)
+    val metaOnly = assets.select("asset_id", "kind", "meta")
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    // the binary payload column must not be read for metadata queries
+    assert(!scan.contains("media") || !scan.toLowerCase.contains("readschema: struct<doc_id:bigint,text"))
+  }
+
+  // ---- Events ----
+
+  test("sessionize splits on gaps > 30 min and counts correctly") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(20)),  // session 1: 3 events, 20 min
+      (1L, ts(120)), (1L, ts(125)),             // session 2: 2 events, 5 min
+      (2L, ts(0))                               // user 2: 1 session
+    ).toDF("user_id", "ts")
+    val sess = Events.sessionize(df).orderBy("user_id", "session_seq").collect()
+    assert(sess.length == 3)
+    assert(sess(0).getAs[Long]("n_events") == 3L)
+    assert(sess(0).getAs[Double]("session_secs") == 1200.0)
+    assert(sess(1).getAs[Long]("n_events") == 2L)
+    assert(sess(2).getAs[Long]("n_events") == 1L)
+    val summary = Events.sessionSummary(df).collect()
+    assert(summary.find(_.getLong(0) == 1L).get.getAs[Long]("n_sessions") == 2L)
+  }
+
+  test("tumblingHourlyExact groups by hour and type") {
+    Tables.register(spark, TestSpark.sfDir)
+    val out = Events.tumblingHourlyExact(spark.table("events")).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_events")).sum ==
+      spark.table("events").count())
+  }
+}
