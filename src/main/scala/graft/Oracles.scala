@@ -54,6 +54,24 @@ object Oracles {
     selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name, agg_type")
   }
 
+  /** Structured profile diff — twin of TableDiff.diff: full-outer
+    * join of two long-form profiles on (column_name, agg_type), with
+    * a null-safe equality verdict (`IS NOT DISTINCT FROM` ≙ Spark's
+    * `<=>`).
+    */
+  def profileDiff(baseTable: String, baseCols: Seq[String],
+      targetTable: String, targetCols: Seq[String]): String = {
+    s"""WITH b AS (${profileLong(baseTable, baseCols)}),
+       |t AS (${profileLong(targetTable, targetCols)})
+       |SELECT coalesce(b.column_name, t.column_name) AS column_name,
+       |  coalesce(b.agg_type, t.agg_type) AS agg_type,
+       |  b.result AS base_result, t.result AS target_result,
+       |  (b.result IS NOT DISTINCT FROM t.result) AS equal
+       |FROM b FULL OUTER JOIN t
+       |  ON b.column_name = t.column_name AND b.agg_type = t.agg_type
+       |ORDER BY column_name, agg_type""".stripMargin
+  }
+
   /** information_schema.columns fixture rows for a table whose schema
     * is known (FIXTURES.md §B) — a literal VALUES oracle.
     */

@@ -104,6 +104,11 @@ object SparkEntry {
         .orderBy("ordinal_position")
         .select("table_name", "column_name", "data_type")
     },
+    // §3.2 — the vimdiff flagship as a structured relational diff
+    // (full-outer join of two long profiles; SURVEY.md §2.3).
+    "q_profile_diff" -> withTables { s =>
+      graft.profile.TableDiff.diff(s, "lineitem", "orders")
+    },
     // §3.1 — arbitrary-SQL passthrough (query/file commands).
     "q_pricing_summary" -> withTables { s => s.sql(pricingSummarySql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
@@ -195,6 +200,8 @@ object SparkEntry {
     "q_profile_orders" -> Oracles.profilePivot("orders", ordersNumeric),
     "q_infoschema_lineitem" -> Oracles.infoSchemaValues("lineitem", lineitemTypes),
     "q_infoschema_numeric_filter" -> Oracles.numericFilterValues("lineitem", lineitemTypes),
+    "q_profile_diff" -> Oracles.profileDiff(
+      "lineitem", lineitemNumeric, "orders", ordersNumeric),
     "q_pricing_summary" -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_dedup_exact" -> OraclesExt.dedupExact,

@@ -35,16 +35,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a whitespace-tokenized text.
-    * `transform` over an index `sequence` + `slice`, all codegen'd.
+  /** Distinct word n-gram shingles from a TOKEN-ARRAY column.
+    *
+    * The argument must be a staged attribute (see [[withShingleSet]]),
+    * not the tokenization expression itself: higher-order functions
+    * re-evaluate their lambda body per element, so a `split`-based
+    * argument inlined here would re-tokenize the document once per
+    * shingle (~60× — measured 8× wall-clock on the corpus ops).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextStats.tokens(text)
+  def shingles(tokens: Column, n: Int): Column = {
     val ngrams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(n))))
     array_distinct(ngrams)
   }
+
+  /** Stages tokenization as a named column, then shingles from the
+    * attribute. Two projections on purpose — CollapseProject keeps
+    * the non-cheap, multiply-referenced token array un-inlined, so
+    * the text is tokenized exactly once per row.
+    */
+  def withShingleSet(df: DataFrame, n: Int, textCol: String,
+      outCol: String): DataFrame =
+    df.withColumn("__toks", TextStats.tokens(col(textCol)))
+      .withColumn(outCol, shingles(col("__toks"), n))
+      .drop("__toks")
 
   /** Exact dedup: canonical survivor (min id) per content digest.
     * Returns (`keep_id`, `content_md5`, `n_copies`). The groupBy key
@@ -68,8 +83,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = 0L): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val inv0 = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val sets = withShingleSet(df, n, textCol, "sh")
+      .select(col(idCol).as("id"), col("sh"))
+    // explode_outer: plain explode makes InferFiltersFromGenerate push
+    // a size(<whole shingle expression>)>0 predicate into the SCAN,
+    // re-evaluating the shingle pipeline per row as a filter (measured
+    // 15× slowdown). Shingle sets are never empty (withShingleSet
+    // emits ≥1), so outer semantics are identical.
+    val inv0 = sets.select(col("id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     val inv =
       if (maxDocFreq <= 0L) inv0
       else {
@@ -126,8 +148,9 @@ object Dedup {
   def minHashSignatures(df: DataFrame, n: Int, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val params = minHashParams(k)
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val exploded = withShingleSet(df, n, textCol, "__sh")
+      .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull) // see ngramJaccardPairs: avoids inferred scan filter
       .withColumn("h32", tokenHash32(col("shingle")))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min((col("h32") * lit(a) + lit(b)).bitwiseAND(lit(0xFFFFFFFFL))).as(s"m$i")
@@ -171,7 +194,8 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = withShingleSet(df, n, textCol, "sh")
+      .select(col(idCol).as("id"), col("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -197,7 +221,8 @@ object Dedup {
   def withSimHash(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(TextStats.tokens(col(textCol))).as("token"))
+      explode_outer(TextStats.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // avoids inferred re-tokenizing scan filter
     val h = tokenHash32(col("token"))
     val bitSums = (0 until 32).map { j =>
       sum(shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$j")

@@ -51,7 +51,11 @@ object TextStats {
     */
   def withDocStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // Stage tokenization once as an attribute: six metric expressions
+    // reference the token array, and CollapseProject keeps a
+    // non-cheap, multiply-referenced alias un-inlined.
+    val staged = df.withColumn("__toks", tokens(t))
+    val toks = col("__toks")
     val nTokens = size(toks).cast("double")
     val nChars = length(t).cast("double")
     val nStop = size(filter(toks, x => x.isin(Stopwords.map(lit): _*))).cast("double")
@@ -60,7 +64,7 @@ object TextStats {
     val stopRatio = when(nTokens > 0, nStop / nTokens).otherwise(lit(0.0))
     val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))
     val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(lit(0.0))
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    staged.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_chars_obs", length(t).cast("long"))
       .withColumn("avg_token_len",
         when(nTokens > 0, round((nChars - (nTokens - 1)) / nTokens, 5)).otherwise(lit(0.0)))
@@ -73,6 +77,7 @@ object TextStats {
         lit(0.5) * least(nTokens / lit(100.0), lit(1.0)) +
           lit(0.3) * least(stopRatio * lit(10.0), lit(1.0)) +
           lit(0.2) * alphaRatio, 5))
+      .drop("__toks")
   }
 
   /** Corpus roll-up per (lang, source): doc counts and decimal-summed
@@ -137,7 +142,10 @@ object TextStats {
     import spark.implicits._
     val profile = broadcast(
       LangProfiles.toDF("cand_lang", "token", "weight"))
-    val tokensDf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tokensDf = df
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // avoids inferred re-tokenizing scan filter
+
     val scores = tokensDf.join(profile, "token")
       .groupBy(col(idCol), col("cand_lang"))
       .agg(sum("weight").as("score"))
@@ -161,9 +169,10 @@ object TextStats {
     */
   def fingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 4): DataFrame = {
-    val toks = array_distinct(tokens(col(textCol)))
+    val staged = df.withColumn("__t", array_distinct(tokens(col(textCol))))
+    val toks = col("__t")
     val hashes = array_sort(transform(toks, t => md5(t)))
-    df.select(
+    staged.select(
       col(idCol),
       md5(concat_ws(" ", array_sort(toks))).as("fingerprint"),
       concat_ws("", slice(hashes, 1, k)).as("bottomk_sketch"))

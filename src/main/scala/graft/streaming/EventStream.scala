@@ -125,9 +125,14 @@ object EventStream {
     */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
       tableName: String): DataFrame = {
+    // Explicit checkpoint dir: the auto-created temporary checkpoint
+    // is deleted on stop and races Hadoop's local-FS .crc renames.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-ckpt-$tableName").toString
     val q = streamed.writeStream
       .format("memory")
       .queryName(tableName)
+      .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()

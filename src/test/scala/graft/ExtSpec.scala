@@ -31,7 +31,7 @@ class ExtSpec extends AnyFunSuite {
 
   test("shingles: distinct word 3-grams, short docs degrade gracefully") {
     val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
-      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .select(Dedup.shingles(TextStats.tokens(col("text")), 3).as("sh"))
     val sh = df.collect().map(_.getSeq[String](0))
     assert(sh(0) == Seq("a b c", "b c d"))
     assert(sh(1) == Seq("a b")) // fewer tokens than n: one truncated shingle

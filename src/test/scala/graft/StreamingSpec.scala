@@ -57,10 +57,15 @@ class StreamingSpec extends AnyFunSuite {
     val q = sessions.writeStream
       .format("memory")
       .queryName("stream_sessions")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-sessions").toString)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000L)
+    // The processing-time timeout schedules one more batch after the
+    // AvailableNow drain; stop the query so it can't race JVM teardown.
+    q.stop()
     val got = spark.table("stream_sessions").collect()
     // sessions whose successor batch never arrives stay open in state;
     // with the whole file in one batch, all intermediate sessions close.
