@@ -20,17 +20,33 @@ import graft.catalog.{InfoSchema, Tables, TrinoTypes}
   * == Scale design ==
   * The reference's generated plan is 8×N *independent scalar-subquery
   * scans* of the target table (64 scans for lineitem). Here ALL 8×N
-  * statistics are computed in ONE scan — a single `df.agg(...)` with
-  * partial (map-side) aggregation, so at 100 TB the table is read once,
-  * each executor reduces its partitions locally, and only 8×N numbers
-  * travel to the final stage. The subsequent unpivot (`stack`) and
-  * pivot run on a 1-row / 8N-row relation — driver-trivial at any data
-  * scale. The only potentially heavy stats are `count_distinct` (exact,
-  * per reference semantics — aws-athena.sh:85) and exact `median`;
-  * both still aggregate in the same single pass (median buffers values
-  * per-partition). For the 100 TB path, [[approxProfile]] swaps them
-  * for `approx_count_distinct` / `percentile_approx` sketches, which
-  * are constant-memory and merge associatively.
+  * statistics come from TWO column-pruned scans:
+  *
+  *  1. the six declarative stats per column in one codegen'd
+  *     `df.agg(...)` with map-side partial aggregation — only 6×N
+  *     numbers reach the final stage;
+  *  2. exact `count_distinct` AND exact `median` for all N columns
+  *     from one shared value-counts relation
+  *     ([[distinctAndMedianRow]]): groupBy (column, value) with
+  *     map-side combine, then a tiny per-column roll-up and an N-way
+  *     parallel window cumsum over DISTINCT values. No operator ever
+  *     buffers raw rows in one task (Spark's own `percentile` and the
+  *     Expand-based multi-distinct both do, which is what breaks at
+  *     100 TB).
+  *
+  * The subsequent unpivot (`stack`) and pivot run on a 1-row / 8N-row
+  * relation — trivial at any data scale. For the 100 TB fast path,
+  * [[approxProfile]] swaps distinct/median for `approx_count_distinct`
+  * / `percentile_approx` sketches (constant memory, associative
+  * merge) when ±ε is acceptable.
+  *
+  * Local-bench caveat: the driver's parquet files contain a single
+  * row group, so a scan's parallelism is 1 task per file no matter
+  * the split size — profile wall-clock at sf0.1 is bounded by that
+  * one task. A real table has thousands of row groups; we do NOT
+  * repartition to fake parallelism because a shuffle would reorder
+  * the double `avg` partial sums and break bit-determinism against
+  * the oracle.
   */
 object TableProfiler {
 
@@ -96,7 +112,9 @@ object TableProfiler {
         round(sum(x.cast(DecimalType(18, 6))).cast(DoubleType), 5).as(s"c${i}_8"))
     }
 
-  /** One row with all 8×N stats as columns `c<i>_<j>`. */
+  /** One row with all 8×N stats as columns `c<i>_<j>` (sketch-based
+    * distinct/median — the approxProfile path).
+    */
   private def aggRow(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column, medianAgg: String => Column): DataFrame = {
     val bs = baseStats(cols)
@@ -110,6 +128,77 @@ object TableProfiler {
     val dist = df.agg(dists.head, dists.tail: _*)
     val med = df.agg(meds.head, meds.tail: _*)
     base.crossJoin(dist).crossJoin(med)
+  }
+
+  /** EXACT count_distinct and median for all N columns from ONE shared
+    * value-counts relation — one scan, fully distributed.
+    *
+    * Why not `countDistinct`×N + `percentile`×N: the former plans as
+    * Expand×(N+1) with an (N+1)-column distinct shuffle; the latter is
+    * a TypedImperativeAggregate that buffers EVERY value per column in
+    * one final task (measured: a 2-second serial merge at sf0.1 —
+    * and a guaranteed OOM at 100 TB). Here instead:
+    *
+    *   unpivot (ci, value) → groupBy(ci, value) count   [one shuffle,
+    *     map-side combined, key space = Σ distinct values]
+    *   distinct(ci)  = count of rows per ci              [tiny]
+    *   median(ci)    = window cumsum over value order    [N-way
+    *     parallel sort of DISTINCT values, never raw rows]
+    *
+    * The interpolation reproduces Spark `Percentile.getPercentile`
+    * bit-for-bit (lower·(higher−pos) + higher·(pos−lower)), so the
+    * result is indistinguishable from `percentile(c, 0.5)` and the
+    * DuckDB oracle keeps hash-matching.
+    *
+    * Values are compared as doubles: exact for all doubles and for
+    * integers below 2⁵³ (the reference's own stats all cast to double
+    * anyway — aws-athena.sh:81-100).
+    */
+  private def distinctAndMedianRow(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$i', cast(`$c` as double)" }.mkString(", ")
+    val vc = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")
+      .filter(col("v").isNotNull)
+      .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
+    val tot = vc.groupBy("ci")
+      .agg(sum("cnt").as("n"), count(lit(1)).cast(DoubleType).as("ndist"))
+    val pos = lit(0.5) * (col("n") - 1).cast(DoubleType)
+    val lower = floor(pos)
+    val higher = ceil(pos)
+    val cum = vc.withColumn("cum", sum("cnt").over(
+      Window.partitionBy("ci").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), "ci")
+    val picked = cum.groupBy("ci", "n", "ndist")
+      .agg(
+        max(when(col("cum") - col("cnt") <= lower && lower <= col("cum") - 1,
+          col("v"))).as("lowv"),
+        max(when(col("cum") - col("cnt") <= higher && higher <= col("cum") - 1,
+          col("v"))).as("highv"))
+      .withColumn("median", round(
+        when(lower === higher, col("lowv"))
+          .otherwise(col("lowv") * (higher - pos) + col("highv") * (pos - lower)), 5))
+    // assemble the N (ci, ndist, median) rows into one wide row
+    val cells = cols.indices.flatMap { i =>
+      Seq(
+        coalesce(max(when(col("ci") === i.toString, col("ndist"))), lit(0.0))
+          .as(s"c${i}_2"),
+        max(when(col("ci") === i.toString, col("median"))).as(s"c${i}_6"))
+    }
+    picked.agg(cells.head, cells.tail: _*)
+  }
+
+  /** One row with all 8×N stats — EXACT path: declarative base stats
+    * in one codegen'd scan + the shared value-counts subtree for
+    * distinct/median (one more scan). 2 column-pruned scans total vs
+    * the reference's 8×N (aws-athena.sh:81-100).
+    */
+  private def exactAggRow(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val bs = baseStats(cols)
+    val base = df.agg(bs.head, bs.tail: _*)
+    base.crossJoin(distinctAndMedianRow(df, cols))
   }
 
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
@@ -129,10 +218,7 @@ object TableProfiler {
   def profileLong(df: DataFrame): DataFrame = {
     val cols = numericColumns(df.schema)
     require(cols.nonEmpty, "no numeric columns to profile")
-    val one = aggRow(df, cols,
-      c => countDistinct(col(c)).cast(DoubleType),
-      c => round(percentile(col(c), lit(0.5)), 5))
-    unpivot(one, cols)
+    unpivot(exactAggRow(df, cols), cols)
   }
 
   /** Wide profile: 8 rows (`1. count`…`8. sum`) × (agg_type + one
