@@ -148,6 +148,13 @@ final class QueryManager(spark: SparkSession,
     results(id)
   }
 
+  /** The `query` lifecycle for Trino-dialect SQL — the dialect the
+    * reference itself emits (aws-athena.sh:73-122) — via
+    * [[TrinoDialect.translate]].
+    */
+  def queryTrino(sql: String, workGroup: String = defaultWorkGroup): ResultSet =
+    query(TrinoDialect.translate(sql), workGroup)
+
   /** The `file` command (aws-athena.sh:146-157): suffix-validated
     * SQL-file source.
     */
