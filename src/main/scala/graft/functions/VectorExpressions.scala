@@ -103,5 +103,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
       (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+    // cosine_similarity(a, b) — composed from the native dot product;
+    // the whole tree stays inside codegen.
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (children(0), children(1))
+        Divide(DotProductDouble(a, b),
+          Multiply(Sqrt(DotProductDouble(a, a)), Sqrt(DotProductDouble(b, b))))
+      }))
   }
 }

@@ -181,9 +181,21 @@ class ExtSpec extends AnyFunSuite {
   test("asset metadata queries prune the payload column from the scan") {
     val assets = Multimodal.assetTable(docs)
     val metaOnly = assets.select("asset_id", "kind", "meta")
-    val scan = metaOnly.queryExecution.executedPlan.toString
-    // the binary payload column must not be read for metadata queries
-    assert(!scan.contains("media") || !scan.toLowerCase.contains("readschema: struct<doc_id:bigint,text"))
+    val readSchema = metaOnly.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSet }
+      .headOption.getOrElse(Set.empty[String])
+    // the payload derives from `text`; a metadata-only query must not
+    // read it from parquet at all
+    assert(!readSchema.contains("text"), s"scan reads $readSchema")
+    assert(readSchema.contains("doc_id"))
+  }
+
+  test("cosine_similarity SQL function works via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c1, " +
+        "cosine_similarity(array(1.0d, 0.0d), array(0.0d, 1.0d)) c0").head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
   // ---- Events ----
