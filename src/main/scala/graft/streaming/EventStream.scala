@@ -60,6 +60,19 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon — the streaming twin of
+    * graft.ext.Dedup.exact. State stores one entry per key and is
+    * evicted once the watermark passes (bounded state at any rate);
+    * duplicates arriving later than the horizon are out of contract,
+    * exactly as in any watermarked pipeline.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One completed user session (streaming flatMapGroupsWithState
     * output record).
     */

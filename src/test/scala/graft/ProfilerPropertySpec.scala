@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profile.TableProfiler
+
+/** Property-based profiler invariants (SURVEY.md §5.3) on
+  * deterministic scalacheck-generated columns. The strongest check
+  * pins the distributed value-counts median
+  * (TableProfiler.distinctAndMedianRow) against Spark's own exact
+  * `percentile(c, 0.5)` — bit-equality, since the implementation
+  * claims Percentile-identical interpolation.
+  */
+class ProfilerPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val colGen: Gen[List[Double]] = for {
+    n <- Gen.chooseNum(1, 300)
+    // duplicates are likely (small value space) — exercises the
+    // value-counts path's cnt > 1 branches and interpolation ties
+    xs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum(-50, 50).map(_.toDouble),
+      Gen.chooseNum(-5.0, 5.0),
+      Gen.oneOf(0.0, 1.0, -1.0, 0.5)))
+  } yield xs
+
+  private def sample(i: Int): List[Double] =
+    colGen.pureApply(Gen.Parameters.default, Seed(42L + i))
+
+  test("profile invariants and median == percentile on generated columns") {
+    (1 to 8).foreach { i =>
+      val xs = sample(i)
+      val df = xs.toDF("a")
+      val p = TableProfiler.profile(df).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def stat(l: String) = p(l).getDouble(1)
+
+      assert(stat("2. count_distinct") <= stat("1. count"))
+      assert(stat("1. count") == xs.size.toDouble)
+      assert(stat("5. min") <= stat("6. median") && stat("6. median") <= stat("7. max"))
+      assert(stat("3. mean") >= stat("5. min") && stat("3. mean") <= stat("7. max"))
+
+      // the distributed median must equal Spark's exact percentile
+      val sparkMedian = df.agg(round(percentile(col("a"), lit(0.5)), 5)).head.getDouble(0)
+      assert(stat("6. median") == sparkMedian,
+        s"case $i: value-counts median ${stat("6. median")} != percentile $sparkMedian")
+
+      // doubling the table doubles count and sum, keeps distinct
+      val doubled = TableProfiler.profile(df.union(df)).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(doubled("1. count").getDouble(1) == 2 * stat("1. count"))
+      assert(doubled("2. count_distinct").getDouble(1) == stat("2. count_distinct"))
+      // sums accumulate in exact decimal, so doubling is exact up to
+      // the final 5-decimal rounding of each result
+      assert(math.abs(doubled("8. sum").getDouble(1) - 2 * stat("8. sum")) <= 2e-5)
+    }
+  }
+
+  test("stddev of a constant column is 0; distinct of a constant is 1") {
+    val df = List.fill(100)(3.14).toDF("a")
+    val p = TableProfiler.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("4. std").getDouble(1) == 0.0)
+    assert(p("2. count_distinct").getDouble(1) == 1.0)
+    assert(p("6. median").getDouble(1) == 3.14)
+  }
+
+  test("all-null column: distinct 0, median null (value-counts path edges)") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (null, 1.0), (null, 2.0)).toDF("a", "b")
+    val p = TableProfiler.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("2. count_distinct").getDouble(1) == 0.0)
+    assert(p("6. median").isNullAt(1))
+    assert(p("6. median").getDouble(2) == 1.5) // interpolated even-count median
+  }
+}

@@ -50,6 +50,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= batch.size - 2)
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    // stage the same file twice: every event_id arrives twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dupDir.resolve("b.parquet"))
+    val deduped = EventStream.runAvailableNow(spark,
+      EventStream.dedupStream(EventStream.readEvents(spark, dupDir.toString)),
+      "stream_dedup")
+    val n = deduped.count()
+    Tables.register(spark, TestSpark.sfDir)
+    assert(n == spark.table("events").count()) // each id survives once
+  }
+
   test("stateful sessionizer emits closed sessions") {
     implicit val s = spark
     val events = EventStream.readEvents(spark, eventsDir)
