@@ -174,6 +174,19 @@ object SparkEntry {
     "q_events_sessions" -> withTables { s =>
       Events.sessionSummary(s.table("events"))
     },
+    // §7.5 — skew-mitigated aggregation: event_type has ~5 hot values,
+    // the salted two-phase plan spreads each over 16 reducers.
+    "q_events_salted_agg" -> withTables { s =>
+      graft.ext.Skew.saltedCountSum(s.table("events"),
+        keyCol = "event_type", valueCol = "value",
+        carrierCol = "event_id", salts = 16)
+        .orderBy("event_type")
+    },
+    // §4 scale path — sketch-based profile (approx_count_distinct +
+    // percentile_approx); rows-only check (approximate by construction).
+    "q_profile_approx" -> withTables { s =>
+      TableProfiler.approxProfile(s.table("lineitem"))
+    },
     // §2.5 window functions — join + per-group top-k rank.
     "q_topk_per_nation" -> withTables { s =>
       val rev = s.table("lineitem")
@@ -216,6 +229,10 @@ object SparkEntry {
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
     "q_events_hourly" -> OraclesExt.eventsHourly,
+    "q_events_salted_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_sessions" -> OraclesExt.eventsSessions,
     "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

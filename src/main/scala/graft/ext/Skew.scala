@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers: two-phase (salted) aggregation.
+  *
+  * A `groupBy(key)` over a skewed key (few distinct values, or one
+  * hot value) concentrates whole key-groups in single reducer tasks.
+  * Salting splits each key into `salts` sub-groups for the first,
+  * heavy aggregation — the shuffle spreads each hot key over `salts`
+  * reducers — and a second, tiny aggregation merges the partials.
+  * Only decomposable aggregates can be salted (count/sum/min/max —
+  * anything with an associative merge).
+  *
+  * The salt is derived from a deterministic hash of a carrier column,
+  * NOT from randomness or partition ids, so results and plans are
+  * reproducible run-to-run (required by the oracle gate and by any
+  * retry-safe production job — a task retry must re-salt rows
+  * identically).
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts) from a carrier column. */
+  def saltOf(carrier: Column, salts: Int): Column =
+    pmod(crc32(carrier.cast("string")), lit(salts.toLong))
+
+  /** Salted count + decimal-exact sum per key:
+    * phase 1 groups on (key, salt) — the wide shuffle, spread over
+    * `salts` reducers per key; phase 2 merges `salts` partial rows
+    * per key — trivially small. Decimal partials merge exactly, so
+    * the result is bit-identical to the unsalted aggregation.
+    */
+  def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
+      carrierCol: String, salts: Int): DataFrame =
+    df
+      .withColumn("__salt", saltOf(col(carrierCol), salts))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__n")).as("n_events"),
+        round(sum(col("__s")).cast("double"), 5).as("sum_value"))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Tables
+
+/** Physical-plan hygiene: the properties that decide 100 TB behavior —
+  * filter pushdown to parquet, column pruning, broadcast joins for
+  * small dimensions, bucket-co-located joins without shuffles, and
+  * salted-aggregation shape.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // sparkPlan, not executedPlan: the AQE wrapper node hides scan
+  // leaves from collectLeaves until stages materialize
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+
+  test("pricing summary pushes the shipdate predicate into the parquet scan") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = SparkEntry.queries("q_pricing_summary")(spark, TestSpark.sfDir)
+    val scan = scans(df).find(_.requiredSchema.fieldNames.contains("l_shipdate")).get
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      s"no pushed filter: ${scan.metadata("PushedFilters")}")
+  }
+
+  test("profiler scans read only the numeric columns") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.profile.TableProfiler.profileTable(spark, "lineitem")
+    scans(df).foreach { s =>
+      val fields = s.requiredSchema.fieldNames.toSet
+      assert(!fields.contains("l_returnflag") && !fields.contains("l_shipdate"),
+        s"non-numeric column read: $fields")
+    }
+  }
+
+  test("revenue query broadcasts the small dimension tables") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_revenue_by_nation")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    Tables.register(spark, TestSpark.sfDir)
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    // a previously failed run can leave orphan table dirs that block
+    // managed-table creation
+    Seq("lineitem_bkt", "orders_bkt").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    spark.table("lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+    spark.table("orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bkt")
+    // force a sort-merge join (orders is broadcast-sized at test SF);
+    // bucket co-location is what must then avoid the exchanges
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        """SELECT count(*) AS n
+          |FROM lineitem_bkt JOIN orders_bkt ON l_orderkey = o_orderkey""".stripMargin)
+      joined.collect()
+      // AQE wraps materialized stages in QueryStageExec leaves; unwrap
+      // recursively to see the real operators
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+          case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+          case other => other.children.flatMap(unwrap)
+        })
+      val all = unwrap(joined.queryExecution.executedPlan)
+      val smj = all.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${joined.queryExecution.executedPlan}")
+      val shufflesUnderJoin = unwrap(smj.head).collect { case e: ShuffleExchangeExec => e }
+      assert(shufflesUnderJoin.isEmpty,
+        s"bucketed join still shuffles:\n${smj.head}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation matches the direct aggregation exactly") {
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val salted = graft.ext.Skew.saltedCountSum(events,
+      "event_type", "value", "event_id", 16)
+      .orderBy("event_type").collect()
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(salted.toSeq == direct.toSeq)
+  }
+}
