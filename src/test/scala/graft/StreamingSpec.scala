@@ -67,6 +67,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == spark.table("events").count()) // each id survives once
   }
 
+  test("watermark drops late data and finalizes windows exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val streamed = EventStream.tumblingHourly(
+      input.toDF.toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_late")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-late").toString)
+      .outputMode("append")
+      .start()
+    try {
+      // two events in the 12:00 window
+      input.addData((ts("2026-01-01 12:05:00"), "click", 1.0),
+        (ts("2026-01-01 12:10:00"), "click", 2.0))
+      q.processAllAvailable()
+      // watermark advances to 13:00 — the 12:00 window finalizes + emits
+      input.addData((ts("2026-01-01 14:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      // late arrival for 12:00 — beyond the watermark, must be dropped
+      input.addData((ts("2026-01-01 12:30:00"), "click", 8.0))
+      q.processAllAvailable()
+
+      val noon = spark.table("stream_late")
+        .filter(col("window_start") === ts("2026-01-01 12:00:00")).collect()
+      assert(noon.length == 1, "window must be emitted exactly once")
+      assert(noon(0).getAs[Long]("n_events") == 2L,
+        "the late event must not be counted")
+      assert(noon(0).getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions") {
     implicit val s = spark
     val events = EventStream.readEvents(spark, eventsDir)
