@@ -50,6 +50,19 @@ object Dedup {
     array_distinct(ngrams)
   }
 
+  /** Spread rows across all cores before CPU-heavy per-row work.
+    * Document corpora often arrive in few large files (the test
+    * parquet has ONE row group per file → one scan task), which
+    * serializes the expensive tokenize/shingle/hash expressions. A
+    * hash repartition on the given column is deterministic, and every
+    * aggregate downstream of it in this module is
+    * partitioning-independent (integer counts, exact decimal sums,
+    * mins over longs) — unlike float `avg`, which is why the profiler
+    * must NOT do this (TableProfiler scaladoc).
+    */
+  private[ext] def spread(df: DataFrame, byCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(byCol))
+
   /** Stages tokenization as a named column, then shingles from the
     * attribute. Two projections on purpose — CollapseProject keeps
     * the non-cheap, multiply-referenced token array un-inlined, so
@@ -57,7 +70,8 @@ object Dedup {
     */
   def withShingleSet(df: DataFrame, n: Int, textCol: String,
       outCol: String): DataFrame =
-    df.withColumn("__toks", TextStats.tokens(col(textCol)))
+    spread(df, textCol)
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
       .withColumn(outCol, shingles(col("__toks"), n))
       .drop("__toks")
 
@@ -220,7 +234,7 @@ object Dedup {
     */
   def withSimHash(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = spread(df, textCol).select(col(idCol),
       explode_outer(TextStats.tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull) // avoids inferred re-tokenizing scan filter
     val h = tokenHash32(col("token"))

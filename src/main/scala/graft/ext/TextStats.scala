@@ -101,7 +101,10 @@ object TextStats {
   }
 
   def corpusStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val d = withDocStats(df, textCol)
+    // spread before the per-doc metric expressions (see Dedup.spread:
+    // single-row-group inputs serialize the heavy projection); every
+    // aggregate here is partitioning-independent (counts + decAvg5)
+    val d = withDocStats(Dedup.spread(df, textCol), textCol)
     def decAvg(c: String): Column = decAvg5(col(c), count(lit(1)))
     d.groupBy("lang", "source")
       .agg(
@@ -142,7 +145,7 @@ object TextStats {
     import spark.implicits._
     val profile = broadcast(
       LangProfiles.toDF("cand_lang", "token", "weight"))
-    val tokensDf = df
+    val tokensDf = Dedup.spread(df, textCol)
       .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull) // avoids inferred re-tokenizing scan filter
 

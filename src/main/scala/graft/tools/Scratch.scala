@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc timing harness (not part of the library surface). */
@@ -15,21 +14,16 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.files.maxPartitionBytes", "2m")
-      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        val m = si.taskMetrics
-        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d wall=${dur}%5d ms run=${m.executorRunTime}%6d ms gc=${m.jvmGCTime}%5d ms deser=${m.executorDeserializeTime}%5d ms")
-      }
-    })
     graft.catalog.Tables.register(spark, "/root/testdata/sf0.1")
-    val li = spark.table("lineitem")
-    time("warm")(li.count())
-    time("profileLong")(graft.profile.TableProfiler.profileLong(li).count())
+    val docs = spark.table("documents")
+    time("warm")(docs.count())
+    time("ngram pairs")(graft.ext.Dedup.ngramJaccardPairs(docs, 3, 0.8).count())
+    time("minhash")(graft.ext.Dedup.minHashNearDupPairs(docs).count())
+    time("simhash")(graft.ext.Dedup.simHashNearDupPairs(docs).count())
+    time("corpusStats")(graft.ext.TextStats.corpusStats(docs).count())
+    time("langid")(graft.ext.TextStats.langId(spark, docs).count())
   }
 }
