@@ -111,4 +111,24 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, DecodedSchema)
   }
+
+  /** STUB — deterministic fake resize of a decoded asset to fit in a
+    * target box, preserving aspect ratio (the real arithmetic a
+    * resizer performs; only the pixel resampling itself is absent).
+    * Operates on [[DecodedSchema]] rows with plain column expressions:
+    * resize is metadata+buffer work, so unlike decode it needs no
+    * partition-level hook.
+    */
+  def resizeDecoded(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scale = least(
+      lit(maxW.toDouble) / greatest(col("decoded_width"), lit(1)),
+      lit(maxH.toDouble) / greatest(col("decoded_height"), lit(1)),
+      lit(1.0)) // never upscale
+    decoded
+      .withColumn("resized_width",
+        greatest(floor(col("decoded_width") * scale), lit(1L)).cast("int"))
+      .withColumn("resized_height",
+        greatest(floor(col("decoded_height") * scale), lit(1L)).cast("int"))
+  }
 }

@@ -178,6 +178,20 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stub: aspect-preserving fit inside the target box, no upscale") {
+    val decoded = Multimodal.decodeBatches(spark,
+      Multimodal.assetTable(docs.limit(20)))
+    val resized = Multimodal.resizeDecoded(decoded, 64, 64).collect()
+    resized.foreach { r =>
+      val (w0, h0) = (r.getAs[Int]("decoded_width"), r.getAs[Int]("decoded_height"))
+      val (w1, h1) = (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))
+      assert(w1 <= 64 && h1 <= 64 && w1 >= 1 && h1 >= 1)
+      assert(w1 <= w0 && h1 <= h0) // never upscale
+      if (w0 > 64 || h0 > 64) // downscales preserve aspect within rounding
+        assert(math.abs(w1.toDouble / w0 - h1.toDouble / h0) < 0.1)
+    }
+  }
+
   test("asset metadata queries prune the payload column from the scan") {
     val assets = Multimodal.assetTable(docs)
     val metaOnly = assets.select("asset_id", "kind", "meta")
