@@ -187,6 +187,36 @@ object SparkEntry {
     "q_profile_approx" -> withTables { s =>
       TableProfiler.approxProfile(s.table("lineitem"))
     },
+    // §2.8/§1.3 — typed JSON extraction from the events props column
+    // (the engine's JSON surface on table data; from_json with an
+    // explicit schema is the codegen'd, no-UDF path).
+    "q_events_json" -> withTables { s =>
+      s.table("events")
+        .withColumn("k", from_json(col("props"), "k BIGINT",
+          Map.empty[String, String]).getField("k"))
+        // floor, not cast: Spark's double->long cast truncates but
+        // DuckDB's rounds — floor + // keep both sides identical
+        .groupBy(floor(col("k") / 10).cast("long").as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5)
+            .as("sum_value"))
+        .orderBy("k_bucket")
+    },
+    // §2.3 joins — fact-to-dimension star join over part + supplier
+    // (both broadcast), decimal-exact revenue per brand.
+    "q_brand_revenue" -> withTables { s =>
+      s.table("lineitem")
+        .join(s.table("part"), col("l_partkey") === col("p_partkey"))
+        .join(s.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double"), 5).as("revenue"))
+        .orderBy("p_brand")
+    },
     // §2.5 window functions — join + per-group top-k rank.
     "q_topk_per_nation" -> withTables { s =>
       val rev = s.table("lineitem")
@@ -229,6 +259,19 @@ object SparkEntry {
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
     "q_events_hourly" -> OraclesExt.eventsHourly,
+    "q_events_json" ->
+      """SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_bucket,
+        |  count(*)::BIGINT AS n_events,
+        |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q_brand_revenue" ->
+      """SELECT p_brand, count(*)::BIGINT AS n_items,
+        |  count(DISTINCT s_suppkey)::BIGINT AS n_suppliers,
+        |  round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 5) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_events_salted_agg" ->
       """SELECT event_type, count(*)::BIGINT AS n_events,
         |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
