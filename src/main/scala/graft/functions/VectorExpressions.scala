@@ -20,17 +20,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * tight primitive loop via `doGenCode` and participates in
   * whole-stage codegen; it cut the embedding near-dup benchmark ~10×.
   *
-  * Semantics (shared with the interpreted `nullSafeEval` and the
-  * DuckDB oracle twin): multiply-add left-to-right over indices
-  * 0..n-1 — the same fold order as the HOF form, so results are
-  * bit-identical. Arrays must be equal-length and null-free
-  * (guaranteed by the engine's vector columns); a null array yields
-  * null.
+  * Semantics — EXACTLY those of the HOF form (so
+  * [[RewriteHofDotProduct]] may substitute this expression
+  * unconditionally):
+  *  - multiply-add left-to-right over indices 0..n-1 (same fold
+  *    order → bit-identical doubles);
+  *  - a null array yields null;
+  *  - unequal lengths yield null (zip_with pads the shorter side
+  *    with null, so some product — and the fold — is null);
+  *  - a null element yields null (null propagates through × and +).
   */
 final case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true // null elements / length mismatch
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -48,10 +53,12 @@ final case class DotProductDouble(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -64,12 +71,17 @@ final case class DotProductDouble(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -99,6 +111,7 @@ object VectorExpressions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
