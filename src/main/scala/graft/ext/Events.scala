@@ -81,6 +81,20 @@ object Events {
         round(col("session_secs"), 5).as("session_secs"))
   }
 
+  /** Built-in variant of [[sessionize]] using `session_window` —
+    * Spark's native gap-based session operator (also the streaming
+    * form). Kept alongside the lag/cumsum version: the built-in is
+    * the right default, the custom one exists because sessionize's
+    * per-session sequence numbers and µs-integer arithmetic aren't
+    * expressible through session_window. Cross-checked in ExtSpec.
+    */
+  def sessionizeBuiltin(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Per-user session summary — the compact roll-up of [[sessionize]]:
     * (user_id, n_sessions, total_events, avg_session_secs).
     */

@@ -232,6 +232,39 @@ class ExtSpec extends AnyFunSuite {
     assert(summary.find(_.getLong(0) == 1L).get.getAs[Long]("n_sessions") == 2L)
   }
 
+  test("custom sessionizer agrees with the built-in session_window") {
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val custom = Events.sessionize(events)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val builtin = Events.sessionizeBuiltin(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // session_window's gap is start-exclusive in the same way as the
+    // lag/cumsum formulation (> gap breaks) — identical sessions
+    assert(custom == builtin)
+    assert(custom.nonEmpty)
+  }
+
+  test("approx profile agrees with the exact profile on non-sketch stats") {
+    Tables.register(spark, TestSpark.sfDir)
+    val exact = graft.profile.TableProfiler.profileTable(spark, "lineitem")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.profile.TableProfiler.approxProfile(spark.table("lineitem"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (label <- Seq("1. count", "3. mean", "4. std", "5. min", "7. max", "8. sum");
+         i <- 1 to 8)
+      assert(exact(label).getDouble(i) == approx(label).getDouble(i),
+        s"$label col$i differs between exact and approx profile")
+    // the sketches must land within the column's range
+    for (i <- 1 to 8) {
+      val m = approx("6. median").getDouble(i)
+      assert(m >= exact("5. min").getDouble(i) && m <= exact("7. max").getDouble(i))
+      assert(approx("2. count_distinct").getDouble(i) > 0)
+    }
+  }
+
   test("tumblingHourlyExact groups by hour and type") {
     Tables.register(spark, TestSpark.sfDir)
     val out = Events.tumblingHourlyExact(spark.table("events")).collect()
