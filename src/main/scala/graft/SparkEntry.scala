@@ -69,6 +69,27 @@ object SparkEntry {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
+    * per-partition top-k, k-row merge on the driver — no full sort of
+    * the table at any scale). Unique tie-break key for determinism.
+    */
+  private val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 5) AS total
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** §2.7 — INTERSECT/EXCEPT through the SQL passthrough: customers
+    * active in both 1995-96 and 1998+ minus those who ever cancelled.
+    */
+  private val setOpsSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < timestamp '1997-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'C'
+      |ORDER BY o_custkey""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     Tables.register(spark, "/root/testdata/sf0.001")
@@ -111,6 +132,8 @@ object SparkEntry {
     },
     // §3.1 — arbitrary-SQL passthrough (query/file commands).
     "q_pricing_summary" -> withTables { s => s.sql(pricingSummarySql) },
+    "q_top_orders" -> withTables { s => s.sql(topOrdersSql) },
+    "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     // §7.5 extensions — deduplication family over `documents`.
     "q_dedup_exact" -> withTables { s =>
@@ -246,6 +269,8 @@ object SparkEntry {
     "q_profile_diff" -> Oracles.profileDiff(
       "lineitem", lineitemNumeric, "orders", ordersNumeric),
     "q_pricing_summary" -> pricingSummarySql,
+    "q_top_orders" -> topOrdersSql,
+    "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,

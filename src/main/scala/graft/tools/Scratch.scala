@@ -1,18 +1,25 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Ad-hoc timing harness (not part of the library surface). */
+/** Ad-hoc timing/debugging harness (not part of the library surface;
+  * rewrite freely — see the memory notes for the listener pattern).
+  */
 object Scratch {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scratch] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
-    val e = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v).as("dot"))
-    println(e.queryExecution.analyzed.expressions.map(_.treeString).mkString("\n"))
+    graft.catalog.Tables.register(spark, "/root/testdata/sf0.1")
+    time("entry smoke")(graft.SparkEntry.entry(spark).count())
   }
 }
