@@ -16,20 +16,42 @@ package graft
   */
 object Oracles {
 
-  /** The 8 profile statistics as DuckDB SQL over column `c` — the
-    * oracle twin of TableProfiler.statsFor. Order matches
-    * TableProfiler.aggLabels (`1. count` … `8. sum`,
+  /** The 8 profile statistics as DuckDB SQL over column `c` of
+    * `table` — the oracle twin of TableProfiler.exactAggRow. Order
+    * matches TableProfiler.aggLabels (`1. count` … `8. sum`,
     * /root/reference/aws-athena.sh:81-100).
+    *
+    * Mean/std/sum mirror the engine's partitioning-independent
+    * definitions exactly (TableProfiler.exactAggRow scaladoc):
+    *  - sum/mean from the exact `decimal(18,6)` sum, displayed via
+    *    integer HALF-AWAY-FROM-ZERO at 5 decimals (su6 = scale-6
+    *    integer units; double round() diverges across engines on the
+    *    exact .5×10⁻⁵ ties these quantized sums produce);
+    *  - std is the two-pass form around the unrounded mean, with each
+    *    squared deviation quantized at `decimal(26,12)` before the
+    *    exact sum (identical per-row doubles → identical quantization
+    *    → order-independent equality);
+    *  - median interpolates like Spark's Percentile, which
+    *    `quantile_cont` matches.
     */
-  def duckStats(c: String): Seq[String] = Seq(
-    s"cast(count($c) as double)",
-    s"cast(count(distinct $c) as double)",
-    s"round(avg($c), 5)",
-    s"round(stddev_samp($c), 5)",
-    s"round(cast(min($c) as double), 5)",
-    s"round(quantile_cont($c, 0.5), 5)",
-    s"round(cast(max($c) as double), 5)",
-    s"round(cast(sum(cast($c as decimal(18,6))) as double), 5)")
+  def duckStats(c: String, table: String): Seq[String] = {
+    val su6 = s"cast(sum(cast($c as decimal(18,6))) * 1000000 as bigint)"
+    val sign = s"(CASE WHEN sum(cast($c as decimal(18,6))) < 0 THEN -1.0 ELSE 1.0 END)"
+    def r5(b: String) =
+      s"$sign * floor((abs($su6) * 2 + ($b))::DOUBLE / (($b) * 2)::DOUBLE) / 100000.0"
+    val meanRaw =
+      s"(SELECT cast(sum(cast($c as decimal(18,6))) as double) / count($c) FROM $table)"
+    val dev = s"(cast($c as double) - $meanRaw)"
+    Seq(
+      s"cast(count($c) as double)",
+      s"cast(count(distinct $c) as double)",
+      r5(s"count($c) * 10"),
+      s"CASE WHEN count($c) > 1 THEN round(sqrt(cast(sum(cast($dev * $dev as decimal(26,12))) as double) / (count($c) - 1)), 5) END",
+      s"round(cast(min($c) as double), 5)",
+      s"round(quantile_cont($c, 0.5), 5)",
+      s"round(cast(max($c) as double), 5)",
+      r5("10"))
+  }
 
   /** Wide (pivoted) profile: 8 UNION ALL'd single-row aggregates — the
     * same shape the reference's generated query produces after its
@@ -37,7 +59,7 @@ object Oracles {
     */
   def profilePivot(table: String, cols: Seq[String]): String = {
     val selects = TableProfilerLabels.labels.zipWithIndex.map { case (label, j) =>
-      val cells = cols.map(c => s"${duckStats(c)(j)} AS $c").mkString(", ")
+      val cells = cols.map(c => s"${duckStats(c, table)(j)} AS $c").mkString(", ")
       s"SELECT '$label' AS agg_type, $cells FROM $table"
     }
     selects.mkString("", " UNION ALL ", " ORDER BY agg_type")
@@ -50,7 +72,7 @@ object Oracles {
     val selects = for {
       c <- cols
       (label, j) <- TableProfilerLabels.labels.zipWithIndex
-    } yield s"SELECT '$c' AS column_name, '$label' AS agg_type, ${duckStats(c)(j)} AS result FROM $table"
+    } yield s"SELECT '$c' AS column_name, '$label' AS agg_type, ${duckStats(c, table)(j)} AS result FROM $table"
     selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name, agg_type")
   }
 

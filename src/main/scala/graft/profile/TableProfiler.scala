@@ -130,48 +130,77 @@ object TableProfiler {
     base.crossJoin(dist).crossJoin(med)
   }
 
-  /** EXACT count_distinct and median for all N columns from ONE shared
-    * value-counts relation — one scan, fully distributed.
-    *
-    * Why not `countDistinct`×N + `percentile`×N: the former plans as
-    * Expand×(N+1) with an (N+1)-column distinct shuffle; the latter is
-    * a TypedImperativeAggregate that buffers EVERY value per column in
-    * one final task (measured: a 2-second serial merge at sf0.1 —
-    * and a guaranteed OOM at 100 TB). Here instead:
+  /** ALL 8 exact statistics for all N columns from ONE shared
+    * value-counts relation — one raw-data scan, fully distributed,
+    * and — crucially — deterministic under ARBITRARY partitioning:
     *
     *   unpivot (ci, value) → groupBy(ci, value) count   [one shuffle,
     *     map-side combined, key space = Σ distinct values]
-    *   distinct(ci)  = count of rows per ci              [tiny]
-    *   median(ci)    = window cumsum over value order    [N-way
-    *     parallel sort of DISTINCT values, never raw rows]
+    *   count / count_distinct / min / max  — trivial per-ci roll-ups
+    *   sum / mean  — Σ decimal(18,6)(v)·cnt: exact decimal arithmetic
+    *     (associative → partitioning-independent); mean = Σ/n in one
+    *     double division
+    *   std  — TWO-PASS: Σ decimal(26,12)((v−m)²)·cnt around the exact
+    *     mean, then sqrt(S₂/(n−1)). No Welford merge (whose result
+    *     depends on partition merge order) and no single-pass
+    *     Σx²−(Σx)²/n cancellation
+    *   median  — window cumsum over value order (N-way parallel sort
+    *     of DISTINCT values, never raw rows), interpolated exactly as
+    *     Spark's `Percentile.getPercentile`
     *
-    * The interpolation reproduces Spark `Percentile.getPercentile`
-    * bit-for-bit (lower·(higher−pos) + higher·(pos−lower)), so the
-    * result is indistinguishable from `percentile(c, 0.5)` and the
-    * DuckDB oracle keeps hash-matching.
+    * Why not the obvious built-ins: `countDistinct`×N plans as
+    * Expand×(N+1) with an (N+1)-column distinct shuffle; `percentile`
+    * buffers EVERY value per column in one final task (a 2 s serial
+    * merge at sf0.1 and a guaranteed OOM at 100 TB); and
+    * `avg`/`stddev_samp` accumulate doubles in partition order, so
+    * their 5th decimal can flip under re-partitioning — this pipeline
+    * has no order-dependent float accumulation anywhere, which is what
+    * lets [[profileLong]] repartition for parallelism.
     *
-    * Values are compared as doubles: exact for all doubles and for
-    * integers below 2⁵³ (the reference's own stats all cast to double
-    * anyway — aws-athena.sh:81-100).
+    * Semantics notes (mirrored in the oracle, Oracles.duckStats):
+    * values compare as doubles (exact for doubles and for integers
+    * below 2⁵³); sum/mean quantize each value at 10⁻⁶ (the existing
+    * `decimal(18,6)` sum contract); per-(column,value) row counts are
+    * assumed < 10¹⁰ (decimal(10,0) — far beyond any real corpus; a
+    * hotter single value would need a wider count decimal).
     */
-  private def distinctAndMedianRow(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def exactAggRow(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stackArgs = cols.zipWithIndex
       .map { case (c, i) => s"'$i', cast(`$c` as double)" }.mkString(", ")
-    val vc = df
+    // spread first: inputs with few row groups would otherwise run the
+    // whole stack+shuffle-write in one scan task; everything downstream
+    // is partitioning-independent, so this is safe (unlike the old
+    // avg/stddev_samp subtree)
+    val spreadDf = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val vc = spreadDf
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")
       .filter(col("v").isNotNull)
-      .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
-    val tot = vc.groupBy("ci")
-      .agg(sum("cnt").as("n"), count(lit(1)).cast(DoubleType).as("ndist"))
+      .groupBy("ci", "v").agg(count(lit(1)).cast(DecimalType(10, 0)).as("cnt"))
+    val basic = vc.groupBy("ci").agg(
+      sum(col("cnt").cast(LongType)).as("n"),
+      count(lit(1)).cast(DoubleType).as("ndist"),
+      min("v").as("minv"),
+      max("v").as("maxv"),
+      sum(col("v").cast(DecimalType(18, 6)) * col("cnt")).as("s1"))
+      .withColumn("m", col("s1").cast(DoubleType) / col("n"))
+    // pass 2 for stddev: exact decimal sum of (v-m)^2 around the mean
+    val sq = vc
+      .join(broadcast(basic.select(col("ci"), col("m"), col("n"))), "ci")
+      .withColumn("d2",
+        ((col("v") - col("m")) * (col("v") - col("m")))
+          .cast(DecimalType(26, 12)) * col("cnt"))
+      .groupBy("ci")
+      .agg(sum("d2").as("s2"))
+    // median: cumsum over value order, Percentile-exact interpolation
     val pos = lit(0.5) * (col("n") - 1).cast(DoubleType)
     val lower = floor(pos)
     val higher = ceil(pos)
-    val cum = vc.withColumn("cum", sum("cnt").over(
+    val cum = vc.withColumn("cum", sum(col("cnt").cast(LongType)).over(
       Window.partitionBy("ci").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(tot), "ci")
-    val picked = cum.groupBy("ci", "n", "ndist")
+      .join(broadcast(basic.select(col("ci"), col("n"))), "ci")
+    val med = cum.groupBy("ci", "n")
       .agg(
         max(when(col("cum") - col("cnt") <= lower && lower <= col("cum") - 1,
           col("v"))).as("lowv"),
@@ -180,25 +209,33 @@ object TableProfiler {
       .withColumn("median", round(
         when(lower === higher, col("lowv"))
           .otherwise(col("lowv") * (higher - pos) + col("highv") * (pos - lower)), 5))
-    // assemble the N (ci, ndist, median) rows into one wide row
+      .select("ci", "median")
+    val perCi = basic.join(sq, Seq("ci")).join(med, Seq("ci"))
+    // mean and sum display 6-decimal-quantized sums, which land
+    // exactly on .5×10⁻⁵ rounding ties where double round() diverges
+    // across engines (see TextStats.decAvg5) — round them with exact
+    // integer HALF-AWAY-FROM-ZERO instead. su6 = scale-6 integer
+    // units of the exact decimal sum.
+    val su6 = (col("s1") * lit(1000000L)).cast(LongType)
+    def r5FromSu6(b: Column): Column =
+      when(col("s1") < 0, lit(-1.0)).otherwise(lit(1.0)) *
+        floor((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
+        lit(100000.0)
+    // assemble the N per-column rows into the single wide stats row
     val cells = cols.indices.flatMap { i =>
+      def forCi(c: Column) = max(when(col("ci") === i.toString, c))
       Seq(
-        coalesce(max(when(col("ci") === i.toString, col("ndist"))), lit(0.0))
-          .as(s"c${i}_2"),
-        max(when(col("ci") === i.toString, col("median"))).as(s"c${i}_6"))
+        coalesce(forCi(col("n").cast(DoubleType)), lit(0.0)).as(s"c${i}_1"),
+        coalesce(forCi(col("ndist")), lit(0.0)).as(s"c${i}_2"),
+        forCi(r5FromSu6(col("n") * lit(10L))).as(s"c${i}_3"),
+        forCi(when(col("n") > 1, round(
+          sqrt(col("s2").cast(DoubleType) / (col("n") - 1)), 5))).as(s"c${i}_4"),
+        forCi(round(col("minv"), 5)).as(s"c${i}_5"),
+        forCi(col("median")).as(s"c${i}_6"),
+        forCi(round(col("maxv"), 5)).as(s"c${i}_7"),
+        forCi(r5FromSu6(lit(10L))).as(s"c${i}_8"))
     }
-    picked.agg(cells.head, cells.tail: _*)
-  }
-
-  /** One row with all 8×N stats — EXACT path: declarative base stats
-    * in one codegen'd scan + the shared value-counts subtree for
-    * distinct/median (one more scan). 2 column-pruned scans total vs
-    * the reference's 8×N (aws-athena.sh:81-100).
-    */
-  private def exactAggRow(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val bs = baseStats(cols)
-    val base = df.agg(bs.head, bs.tail: _*)
-    base.crossJoin(distinctAndMedianRow(df, cols))
+    perCi.agg(cells.head, cells.tail: _*)
   }
 
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {

@@ -253,10 +253,17 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     val approx = graft.profile.TableProfiler.approxProfile(spark.table("lineitem"))
       .collect().map(r => r.getString(0) -> r).toMap
-    for (label <- Seq("1. count", "3. mean", "4. std", "5. min", "7. max", "8. sum");
-         i <- 1 to 8)
+    for (label <- Seq("1. count", "5. min", "7. max", "8. sum"); i <- 1 to 8)
       assert(exact(label).getDouble(i) == approx(label).getDouble(i),
         s"$label col$i differs between exact and approx profile")
+    // the exact path computes decimal-exact mean and two-pass std; the
+    // approx path uses double avg/stddev_samp — same value up to float
+    // accumulation, not bit-equal by construction
+    for (label <- Seq("3. mean", "4. std"); i <- 1 to 8) {
+      val (e, a) = (exact(label).getDouble(i), approx(label).getDouble(i))
+      assert(math.abs(e - a) <= math.max(1.0, math.abs(e)) * 1e-4,
+        s"$label col$i: exact=$e approx=$a")
+    }
     // the sketches must land within the column's range
     for (i <- 1 to 8) {
       val m = approx("6. median").getDouble(i)
