@@ -34,6 +34,10 @@ object SparkEntry {
 
   private val ordersNumeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
 
+  // c_acctbal goes negative — exercises the profiler's sign handling
+  // in the exact display rounding against the real oracle
+  private val customerNumeric = Seq("c_custkey", "c_nationkey", "c_acctbal")
+
   /** TPC-H Q1-shaped pricing summary — ANSI SQL that parses identically
     * in Spark and DuckDB, exercising the `query`/`file` SQL-passthrough
     * surface (/root/reference/aws-athena.sh:140,155). Sums accumulate
@@ -111,6 +115,9 @@ object SparkEntry {
     },
     "q_profile_orders" -> withTables { s =>
       TableProfiler.profileTable(s, "orders")
+    },
+    "q_profile_customer" -> withTables { s =>
+      TableProfiler.profileTable(s, "customer")
     },
     // §2.1/§1.1 — information_schema.columns scan with the reference's
     // conjunctive WHERE (aws-athena.sh:175-176).
@@ -264,6 +271,7 @@ object SparkEntry {
     "q_profile_lineitem" -> Oracles.profilePivot("lineitem", lineitemNumeric),
     "q_profile_lineitem_long" -> Oracles.profileLong("lineitem", lineitemNumeric),
     "q_profile_orders" -> Oracles.profilePivot("orders", ordersNumeric),
+    "q_profile_customer" -> Oracles.profilePivot("customer", customerNumeric),
     "q_infoschema_lineitem" -> Oracles.infoSchemaValues("lineitem", lineitemTypes),
     "q_infoschema_numeric_filter" -> Oracles.numericFilterValues("lineitem", lineitemTypes),
     "q_profile_diff" -> Oracles.profileDiff(
