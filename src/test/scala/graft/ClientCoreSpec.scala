@@ -65,6 +65,24 @@ class ClientCoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cancelled"))
   }
 
+  test("CANCELLED is terminal under submit/cancel races (CAS state machine)") {
+    // stress the Queued->Running vs cancel window: whatever the
+    // interleaving, a cancelled execution must never report SUCCEEDED
+    // later (terminal states are final — aws-athena.sh:54-56)
+    val ids = (1 to 20).map { i =>
+      val id = qm.submit(s"SELECT $i AS x")
+      qm.cancel(id)
+      id
+    }
+    ids.foreach { id =>
+      val s = qm.awaitTerminal(id)
+      assert(s == QueryState.Cancelled, s"expected CANCELLED, got $s")
+    }
+    Thread.sleep(200) // let any in-flight runnables finish
+    ids.foreach(id => assert(qm.status(id) == QueryState.Cancelled,
+      "a late-finishing runnable overwrote CANCELLED"))
+  }
+
   test("queryFile validates .sql suffix (aws-athena.sh:147)") {
     intercept[IllegalArgumentException](qm.queryFile("/tmp/whatever.txt"))
     val p = java.nio.file.Files.createTempFile("graft", ".sql")
