@@ -142,6 +142,34 @@ object OraclesExt {
     s"floor((cast(sum(cast($x AS DECIMAL(18,9))) * 1000000000 AS BIGINT) * 2 + count(*) * 10000)::DOUBLE" +
       s" / (count(*) * 10000 * 2)::DOUBLE) / 100000.0"
 
+  private def cosExpr(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x * x)))), 5)"
+
+  /** IVF top-10 (nlist=16, nprobe=4) — twin of Similarity.ivfTopK.
+    * Centroids are the vectors with the smallest md5(id), so both
+    * engines build the identical inverted file.
+    */
+  val knnIvf: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |ascore AS (SELECT v.vec_id, v.e, c.centroid_id,
+       |  ${cosExpr("v.e", "c.ce")} AS cscore FROM v CROSS JOIN cents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id AS neighbor_id, e AS cv, centroid_id
+       |  FROM ranked_a WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, e AS qv, centroid_id
+       |  FROM ranked_a WHERE crank <= 4 AND vec_id < 5),
+       |scored AS (SELECT query_id, neighbor_id, ${cosExpr("qv", "cv")} AS score
+       |  FROM cells JOIN probes USING (centroid_id) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Corpus text statistics per (lang, source) — twin of
     * TextStats.corpusStats. Raw (unrounded) ratios feed the quality
     * blend exactly as the Spark side does.

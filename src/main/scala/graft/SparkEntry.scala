@@ -173,6 +173,11 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         planes = 4, dims = 64).orderBy("query_id", "rank")
     },
+    "q_knn_ivf" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobe = 4).orderBy("query_id", "rank")
+    },
     // §7.5 extensions — text analysis over `documents`.
     "q_text_stats" -> withTables { s =>
       TextStats.corpusStats(s.table("documents"))
@@ -287,6 +292,7 @@ object SparkEntry {
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
     "q_knn_lsh" -> OraclesExt.knnLsh,
+    "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_text_stats" -> OraclesExt.textStats,
     "q_text_langid" -> OraclesExt.textLangId,
     "q_text_fingerprint" -> OraclesExt.textFingerprint,

@@ -119,6 +119,64 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), planes, dims))
 
+  /** IVF (inverted-file) centroids: `nlist` corpus vectors selected
+    * deterministically — the vectors whose md5(id) sorts smallest.
+    * This is zero-iteration IVF (sampled centroids instead of k-means
+    * training): the index structure, assignment, and nprobe search
+    * are the real thing; only centroid QUALITY differs, and sampling
+    * is the standard bootstrap before a training job refines them.
+    * md5 selection means any engine rebuilds the identical index.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Assign each vector to its `nprobe` nearest centroids by cosine
+    * (nprobe=1 for corpus rows builds the inverted lists; nprobe>1
+    * for query rows probes neighboring cells). Centroids broadcast;
+    * assignment is a map-side cross-score + per-vector top-nprobe.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = vectors.join(broadcast(centroids))
+      .withColumn("cscore", round(cosine(col(vecCol), col("centroid_vec")), 5))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    scored
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF top-k: corpus vectors live in their nearest centroid's cell;
+    * each query scores only the cells of its `nprobe` nearest
+    * centroids. At scale the join is an equi-join on centroid_id —
+    * each task scans nprobe/nlist of the corpus per query instead of
+    * all of it. Recall < 1 by construction (a true neighbor may live
+    * in an unprobed cell); raise nprobe toward nlist for recall 1.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val cells = ivfAssign(corpus, cents, 1, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val probes = ivfAssign(queries, cents, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 5))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: queries meet only corpus rows in
     * their own bucket (equi-join on bucket key → hash-partitioned
     * shuffle, each task scores one bucket's slice). Recall < 1 by

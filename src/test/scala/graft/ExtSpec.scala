@@ -114,6 +114,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK results are true scored pairs; every cell holds its members") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.topK(emb, queries, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, 10, 16, 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2))
+    }
+    // the inverted file partitions the corpus: every vector in exactly one cell
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val cells = Similarity.ivfAssign(emb, cents, 1)
+    assert(cells.count() == emb.count())
+    assert(cells.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("topK broadcasts the query side (no corpus shuffle)") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")
