@@ -64,41 +64,29 @@ object TableProfiler {
       .filter(f => TrinoTypes.isNumeric(f.dataType))
       .map(_.name)
 
-  /** Semantics of the 8 statistics:
+  /** Semantics of the 8 statistics (exact path — see [[exactAggRow]]
+    * for the plan shape):
     *
     *  - count / count_distinct are exact and unrounded
     *    (aws-athena.sh:81-85); the cast to double is lossless below
     *    2^53 rows.
-    *  - mean/std/min/median/max/sum are `round(x, 5)`
+    *  - mean/std/min/median/max/sum display at 5 decimals
     *    (aws-athena.sh:87-100).
-    *  - median is EXACT `percentile(c, 0.5)` rather than the
-    *    reference's `approx_percentile` (aws-athena.sh:96): Trino's
-    *    t-digest, Spark's GK sketch and any oracle all disagree on
-    *    approximate quantiles, so exactness is the only portable
-    *    semantics (SURVEY.md §7.6). The sketch variant lives in
+    *  - median is EXACT rather than the reference's
+    *    `approx_percentile` (aws-athena.sh:96): Trino's t-digest,
+    *    Spark's GK sketch and any oracle all disagree on approximate
+    *    quantiles, so exactness is the only portable semantics
+    *    (SURVEY.md §7.6). The sketch variant lives in
     *    [[approxProfile]].
-    *  - sum accumulates in DECIMAL(18,6): double addition is not
+    *  - sum/mean accumulate in DECIMAL(18,6): double addition is not
     *    associative, so a shuffle-order-dependent double sum can flip
     *    the 5th decimal at scale; decimal accumulation is exact and
     *    deterministic regardless of partitioning. Precision 18 keeps
     *    Spark's Decimal in its compact-Long representation (~10×
-    *    faster than precision>18), scale 6 out-scales the 5-decimal
-    *    rounding, and the sum buffer is decimal(28,6) — headroom to
-    *    ~1e22, enough for 100 TB-scale sums of 1e12-magnitude values.
-    *
-    * == Why three aggregation subtrees instead of one ==
-    * A single `df.agg` mixing N exact `countDistinct`s (which plan as
-    * an Expand ×(N+1) + re-keyed hash aggregate) with N `percentile`s
-    * (TypedImperativeAggregate → ObjectHashAggregate) degenerates: the
-    * whole aggregate becomes object-hash with millions of groups and
-    * falls back to sort-based — measured 60-100 s on 600 k rows. Split
-    * apart, each subtree keeps its natural physical shape:
-    * declarative stats stay in whole-stage codegen, the distinct
-    * aggregate stays a pure hash aggregate over the expand, and the
-    * percentile aggregate runs object-hash with a single group. The
-    * three 1-row results are then joined (broadcast of single rows —
-    * free at any scale). Cost: 3 column-pruned scans instead of 1 —
-    * still O(1) scans vs the reference's 8×N (aws-athena.sh:81-100).
+    *    faster than precision>18), and scale 6 out-scales the
+    *    5-decimal display rounding.
+    *  - std is the two-pass sample standard deviation around the
+    *    exact mean (see [[exactAggRow]]).
     */
   private def baseStats(cols: Seq[String]): Seq[Column] =
     cols.zipWithIndex.flatMap { case (c, i) =>
@@ -250,7 +238,7 @@ object TableProfiler {
 
   /** Long-form profile: `(column_name, agg_type, result)` — the shape
     * of the reference's UNION ALL relation (aws-athena.sh:80-110) —
-    * computed in 3 column-pruned scans and unpivoted with `stack`.
+    * computed from one scan ([[exactAggRow]]) and unpivoted with `stack`.
     */
   def profileLong(df: DataFrame): DataFrame = {
     val cols = numericColumns(df.schema)
