@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Tables
+
+/** Source/sink formats beyond the driver's parquet: CSV and JSON
+  * round-trips (schema-explicit, no inference on the read path — the
+  * engine's catalog-declared-schema posture, SURVEY.md §1.3), and
+  * partition-pruned reads of partitioned parquet — the layout that
+  * makes selective queries cheap at 100 TB.
+  */
+class SourceSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+
+  test("documents round-trip through JSON and CSV with explicit schemas") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents").orderBy("doc_id")
+    val schema = docs.schema
+
+    val jsonDir = tmp("json")
+    docs.write.mode("overwrite").json(jsonDir)
+    val fromJson = spark.read.schema(schema).json(jsonDir).orderBy("doc_id")
+    assert(fromJson.collect().toSeq == docs.collect().toSeq)
+
+    val csvDir = tmp("csv")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").csv(csvDir)
+    val fromCsv = spark.read.schema(schema)
+      .option("header", "true").csv(csvDir).orderBy("doc_id")
+    assert(fromCsv.collect().toSeq == docs.collect().toSeq)
+  }
+
+  test("partitioned parquet reads prune partitions at plan time") {
+    Tables.register(spark, TestSpark.sfDir)
+    val dir = tmp("part")
+    spark.table("events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val types = all.select("event_type").distinct().collect().map(_.getString(0))
+    assert(types.length > 1)
+
+    val one = all.filter(col("event_type") === types.head)
+    val scan = one.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not DataFilters (row filtering after reading everything)
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters: ${scan.metadata}")
+    assert(scan.relation.partitionSchema.fieldNames.contains("event_type"))
+    // and only the matching partition's rows flow
+    assert(one.count() ==
+      spark.table("events").filter(col("event_type") === types.head).count())
+  }
+}
