@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc timing/debugging harness (not part of the library surface;
-  * rewrite freely — see the memory notes for the listener pattern).
+  * rewrite freely — see the memory notes for the listener pattern,
+  * and PLANS.md for how plan dumps were generated).
   */
 object Scratch {
   def time[A](label: String)(f: => A): A = {
@@ -19,7 +20,7 @@ object Scratch {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.catalog.Tables.register(spark, "/root/testdata/sf0.1")
+    graft.catalog.Tables.register(spark, "/root/testdata/sf0.001")
     time("entry smoke")(graft.SparkEntry.entry(spark).count())
   }
 }
