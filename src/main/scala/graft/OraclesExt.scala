@@ -201,6 +201,24 @@ object OraclesExt {
        |  ${decAvg5Sql("quality_score")} AS avg_quality
        |FROM m2 GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Per-document text metrics — twin of TextStats.withDocStats. */
+  val textDocStats: String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, t, text, length(text)::DOUBLE AS nc FROM toks
+       |  JOIN documents USING (doc_id))
+       |SELECT doc_id,
+       |  len(t)::BIGINT AS n_tokens,
+       |  length(text)::BIGINT AS n_chars_obs,
+       |  CASE WHEN len(t) > 0 THEN round((nc - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE, 5) ELSE 0.0 END AS avg_token_len,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS est_bpe_tokens,
+       |  round(CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END, 5) AS stopword_ratio,
+       |  round(CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nc ELSE 0.0 END, 5) AS punct_ratio,
+       |  round(CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END, 5) AS alpha_ratio,
+       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
+       |    + 0.2 * (CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END), 5) AS quality_score
+       |FROM d ORDER BY doc_id""".stripMargin
+
   /** Language-ID by profile-token scoring — twin of TextStats.langId. */
   val textLangId: String = {
     val values = graft.ext.TextStats.LangProfiles

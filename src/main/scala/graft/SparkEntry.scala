@@ -182,6 +182,13 @@ object SparkEntry {
     "q_text_stats" -> withTables { s =>
       TextStats.corpusStats(s.table("documents"))
     },
+    "q_text_docstats" -> withTables { s =>
+      TextStats.withDocStats(s.table("documents"))
+        .select("doc_id", "n_tokens", "n_chars_obs", "avg_token_len",
+          "est_bpe_tokens", "stopword_ratio", "punct_ratio",
+          "alpha_ratio", "quality_score")
+        .orderBy("doc_id")
+    },
     "q_text_langid" -> withTables { s =>
       TextStats.langId(s, s.table("documents")).orderBy("doc_id")
     },
@@ -294,6 +301,7 @@ object SparkEntry {
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_text_stats" -> OraclesExt.textStats,
+    "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
