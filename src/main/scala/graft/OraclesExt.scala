@@ -24,29 +24,37 @@ object OraclesExt {
     """SELECT min(doc_id) AS keep_id, md5(text) AS content_md5, count(*)::BIGINT AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Twin of Dedup.ngramJaccardPairs with maxDocFreq=50: the same
+    * inverted shingle index with the stop-shingle doc-frequency cap —
+    * n_common counts only shingles kept by the cap; set sizes stay
+    * uncapped (exactly as the Spark operator computes them).
+    */
   val dedupNgramJaccard: String =
     s"""WITH $toksCte, $shCte,
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         len(list_intersect(a.s, b.s))::BIGINT AS n_common,
-       |         len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.s, b.s)) > 0)
-       |SELECT id_a, id_b, n_common, n_a, n_b,
-       |       round(n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE, 5) AS jaccard
-       |FROM pairs
-       |WHERE round(n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE, 5) >= 0.8
+       |shx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |freq AS (SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 50),
+       |inv AS (SELECT doc_id, shingle FROM shx JOIN freq USING (shingle)),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |sizes AS (SELECT doc_id, len(s)::BIGINT AS n_sh FROM sh)
+       |SELECT id_a, id_b, n_common, x.n_sh AS n_a, y.n_sh AS n_b,
+       |       round(n_common::DOUBLE / (x.n_sh + y.n_sh - n_common)::DOUBLE, 5) AS jaccard
+       |FROM common JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+       |WHERE round(n_common::DOUBLE / (x.n_sh + y.n_sh - n_common)::DOUBLE, 5) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash k=16, bands=4 — twin of Dedup.minHashNearDupPairs. The
+  /** MinHash k=16 / bands=4 CTE chain ending in verified pairs `mh`
+    * (id_a, id_b, jaccard ≥ 0.8) — twin of Dedup.minHashNearDupPairs,
+    * shared by [[dedupMinHashLsh]] and [[dedupClusters]]. The
     * affine-family constants come from Dedup.minHashParams — single
     * source of truth for both engines.
     */
-  val dedupMinHashLsh: String = {
+  private val minHashPairsCtes: String = {
     val minExprs = graft.ext.Dedup.minHashParams(16)
       .map { case (a, b) => s"min((h32 * $a + $b) & 4294967295)" }
       .mkString(", ")
-    s"""WITH $toksCte, $shCte,
+    s"""$toksCte, $shCte,
        |shx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
        |hx AS (SELECT doc_id, cast('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h32 FROM shx),
        |sig AS (SELECT doc_id, [$minExprs] AS sg FROM hx GROUP BY doc_id),
@@ -57,57 +65,112 @@ object OraclesExt {
        |j AS (SELECT id_a, id_b,
        |  round(len(list_intersect(x.s, y.s))::DOUBLE /
        |        len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 5) AS jaccard
-       |  FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+       |  FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id),
+       |mh AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8)""".stripMargin
   }
 
-  /** 32-bit SimHash, 4-byte-block LSH, Hamming ≤ 3 — twin of
-    * Dedup.simHashNearDupPairs.
+  val dedupMinHashLsh: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT id_a, id_b, jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup clustering + survivorship — twin of
+    * Dedup.nearDupClusters: min-label connected components over the
+    * MinHash pair graph as a recursive transitive-closure CTE
+    * (exact min-reachable-id per node), then per-cluster size and
+    * min-id survivor flag.
+    */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+       |  UNION ALL SELECT id_b, id_a FROM mh),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT cc.id AS doc_id, cc.cluster_id, cs.cluster_size,
+       |       (cc.id = cc.cluster_id) AS is_survivor
+       |FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** 64-bit SimHash, 4×16-bit-block LSH, Hamming ≤ 3 — twin of
+    * Dedup.simHashNearDupPairs. The token hash is the same biased
+    * two-half assembly as Dedup.tokenHash64 ((hi−2³¹)·2³²+lo — no
+    * signed-64 overflow at any step); bit 63's pack weight is the
+    * min-BIGINT literal because DuckDB rejects `1::BIGINT << 63`,
+    * and it is added LAST so every partial sum stays in range.
+    * `(x >> j) & mask` extracts bits identically under arithmetic or
+    * logical shift — verified against DuckDB directly.
     */
   val dedupSimHash: String = {
-    val bitSums = (0 until 32)
+    val bitSums = (0 until 64)
       .map(j => s"sum(((hv >> $j) & 1) * 2 - 1) AS b$j").mkString(", ")
-    val packed = (0 until 32)
-      .map(j => s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
-      .mkString(" + ")
+    val packed = (0 until 64).map { j =>
+      val weight = if (j == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $j)"
+      s"CASE WHEN b$j > 0 THEN $weight ELSE 0::BIGINT END"
+    }.mkString(" + ")
     s"""WITH toks AS (SELECT doc_id,
        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
-       |h AS (SELECT doc_id, cast('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hv FROM toks),
+       |h AS (SELECT doc_id,
+       |  (cast('0x' || substr(md5(token), 1, 8) AS BIGINT) - 2147483648) * 4294967296
+       |    + cast('0x' || substr(md5(token), 9, 8) AS BIGINT) AS hv FROM toks),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
        |sim AS (SELECT doc_id, ($packed) AS simhash FROM bits),
        |blocks AS (SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
-       |  b -> b || ':' || ((simhash >> (b * 8)) & 255))) AS block FROM sim),
+       |  b -> b || ':' || ((simhash >> (b * 16)) & 65535))) AS block FROM sim),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  cast(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |  FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Cosine near-dup pairs ≥ 0.4 on pre-normalized vectors — twin of
-    * Similarity.thresholdPairs.
+  /** Normalized-vector CTEs shared by the similarity twins — the
+    * DuckDB mirror of Similarity.normalized (float→double cast, then
+    * one division by the L2 norm per element).
+    */
+  private val normCte =
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+      "n AS (SELECT vec_id, list_transform(e, x -> x / " +
+      "sqrt(list_sum(list_transform(e, y -> y * y)))) AS nv FROM v)"
+
+  /** One sequential-fold dot product — twin of the staged
+    * round(dot(nqv, ncv), 5) scoring on pre-normalized vectors.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])), 5)"
+
+  /** Cosine near-dup pairs ≥ 0.4 via banded hyperplane LSH (8 bands ×
+    * 2 planes, 64 dims) — twin of Similarity.thresholdPairs. Band
+    * keys derive from md5-seeded hyperplanes, so both engines build
+    * identical buckets; candidates sharing a band are verified with
+    * the exact normalized dot.
     */
   val embeddingNearDup: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      |n AS (SELECT vec_id,
-      |  list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS nv FROM v),
-      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1] * z[2])), 5) AS score
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |SELECT id_a, id_b, score FROM p WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
-
-  private val cosineSql =
-    "round(list_sum(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2])) / " +
-      "(sqrt(list_sum(list_transform(q.e, x -> x * x))) * " +
-      "sqrt(list_sum(list_transform(c.e, x -> x * x)))), 5)"
+    s"""WITH $normCte,
+       |planes AS (SELECT p, list_transform(range(0, 64),
+       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
+       |  FROM range(0, 16) t(p)),
+       |bits AS (SELECT vec_id, p // 2 AS band,
+       |  CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
+       |    THEN (1::BIGINT << (p % 2)) ELSE 0::BIGINT END AS bit
+       |  FROM n CROSS JOIN planes),
+       |keys AS (SELECT vec_id, band || ':' || sum(bit)::BIGINT AS bk
+       |  FROM bits GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |p2 AS (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
+       |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
+       |SELECT id_a, id_b, score FROM p2 WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5 — twin of
-    * Similarity.topK.
+    * Similarity.topK (pre-normalized, one dot per pair).
     */
   val knnBruteForce: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
-       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS score
-       |  FROM v c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id, nv FROM n WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
+       |  FROM n c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
        |ranked AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
@@ -115,19 +178,21 @@ object OraclesExt {
 
   /** Random-hyperplane LSH top-10 (4 planes, 64 dims) — twin of
     * Similarity.lshTopK. Plane weights derive from md5("p,d"), so
-    * both engines build the identical hyperplanes.
+    * both engines build the identical hyperplanes; buckets and scores
+    * both computed on the normalized vectors.
     */
   val knnLsh: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""WITH $normCte,
        |planes AS (SELECT p, list_transform(range(0, 64),
        |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
        |  FROM range(0, 4) t(p)),
-       |bucketed AS (SELECT vec_id, e,
-       |  sum(CASE WHEN list_sum(list_transform(list_zip(e, w), z -> z[1] * z[2])) >= 0
+       |bucketed AS (SELECT vec_id, nv,
+       |  sum(CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
        |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
-       |  FROM v CROSS JOIN planes GROUP BY vec_id, e),
-       |q AS (SELECT vec_id, e, bucket FROM bucketed WHERE vec_id < 5),
-       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS score
+       |  FROM n CROSS JOIN planes GROUP BY vec_id, nv),
+       |q AS (SELECT vec_id, nv, bucket FROM bucketed WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
        |  FROM bucketed c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
        |ranked AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
@@ -142,28 +207,24 @@ object OraclesExt {
     s"floor((cast(sum(cast($x AS DECIMAL(18,9))) * 1000000000 AS BIGINT) * 2 + count(*) * 10000)::DOUBLE" +
       s" / (count(*) * 10000 * 2)::DOUBLE) / 100000.0"
 
-  private def cosExpr(a: String, b: String): String =
-    s"round(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) / " +
-      s"(sqrt(list_sum(list_transform($a, x -> x * x))) * " +
-      s"sqrt(list_sum(list_transform($b, x -> x * x)))), 5)"
-
   /** IVF top-10 (nlist=16, nprobe=4) — twin of Similarity.ivfTopK.
     * Centroids are the vectors with the smallest md5(id), so both
-    * engines build the identical inverted file.
+    * engines build the identical inverted file; assignment and search
+    * both score with one dot on the normalized vectors.
     */
   val knnIvf: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
-       |ascore AS (SELECT v.vec_id, v.e, c.centroid_id,
-       |  ${cosExpr("v.e", "c.ce")} AS cscore FROM v CROSS JOIN cents c),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cents c),
        |ranked_a AS (SELECT *, row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
-       |cells AS (SELECT vec_id AS neighbor_id, e AS cv, centroid_id
+       |cells AS (SELECT vec_id AS neighbor_id, nv AS cv, centroid_id
        |  FROM ranked_a WHERE crank = 1),
-       |probes AS (SELECT vec_id AS query_id, e AS qv, centroid_id
+       |probes AS (SELECT vec_id AS query_id, nv AS qv, centroid_id
        |  FROM ranked_a WHERE crank <= 4 AND vec_id < 5),
-       |scored AS (SELECT query_id, neighbor_id, ${cosExpr("qv", "cv")} AS score
+       |scored AS (SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS score
        |  FROM cells JOIN probes USING (centroid_id) WHERE query_id <> neighbor_id),
        |ranked AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)

@@ -146,21 +146,33 @@ object SparkEntry {
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
     },
+    // maxDocFreq=50 exercises the stop-shingle doc-frequency cap — the
+    // guard that keeps the inverted-index self-join off quadratic hot
+    // keys at corpus scale (mirrored in the oracle's freq CTE).
     "q_dedup_ngram_jaccard" -> withTables { s =>
-      Dedup.ngramJaccardPairs(s.table("documents"), n = 3, threshold = 0.8)
-        .orderBy("id_a", "id_b")
+      Dedup.ngramJaccardPairs(s.table("documents"), n = 3, threshold = 0.8,
+        maxDocFreq = 50L).orderBy("id_a", "id_b")
     },
     "q_dedup_minhash_lsh" -> withTables { s =>
       Dedup.minHashNearDupPairs(s.table("documents"), n = 3, k = 16,
         bands = 4, threshold = 0.8).orderBy("id_a", "id_b")
+    },
+    // Near-dup clustering + survivorship: connected components over
+    // the MinHash pair graph, canonical survivor = min doc id.
+    "q_dedup_clusters" -> withTables { s =>
+      Dedup.nearDupClusters(s.table("documents")).orderBy("doc_id")
     },
     "q_dedup_simhash" -> withTables { s =>
       Dedup.simHashNearDupPairs(s.table("documents"), maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
     // §7.5 extensions — similarity search over `embeddings`.
+    // Banded hyperplane LSH (8 bands × 2 planes): candidates meet on
+    // an equi-join over band keys — no all-pairs join in the plan
+    // (PlanHygieneSpec asserts no BroadcastNestedLoopJoin).
     "q_embedding_neardup" -> withTables { s =>
-      Similarity.thresholdPairs(s.table("embeddings"), threshold = 0.4)
+      Similarity.thresholdPairs(s.table("embeddings"), threshold = 0.4,
+        bands = 8, planesPerBand = 2, dims = 64)
         .orderBy("id_a", "id_b")
     },
     "q_knn_bruteforce" -> withTables { s =>
@@ -295,6 +307,7 @@ object SparkEntry {
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
+    "q_dedup_clusters" -> OraclesExt.dedupClusters,
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,

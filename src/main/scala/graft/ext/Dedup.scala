@@ -60,8 +60,15 @@ object Dedup {
     * mins over longs) — unlike float `avg`, which is why the profiler
     * must NOT do this (TableProfiler scaladoc).
     */
-  private[ext] def spread(df: DataFrame, byCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(byCol))
+  private[ext] def spread(df: DataFrame, byCol: String): DataFrame = {
+    // conditional: a corpus-scale table already scans as thousands of
+    // tasks — repartitioning it would add a full-table exchange for
+    // nothing. Fire only when the scan is under-parallel (the few-
+    // row-group local case this guard exists for).
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism, col(byCol))
+  }
 
   /** Stages tokenization as a named column, then shingles from the
     * attribute. Two projections on purpose — CollapseProject keeps
@@ -226,22 +233,47 @@ object Dedup {
   def tokenHash32(token: Column): Column =
     conv(substring(md5(token), 1, 8), 16, 10).cast("long")
 
-  /** 32-bit SimHash per document: explode tokens (duplicates kept —
+  /** 64-bit token hash from the first 16 hex digits of md5, assembled
+    * from two 32-bit halves: (hi − 2³¹)·2³² + lo. The hi half is
+    * re-biased by 2³¹ BEFORE the scale-up so no intermediate exceeds
+    * signed-64 range on any engine (a raw hi·2³² overflows for
+    * hi ≥ 2³¹, and 64-bit unsigned hex parses to NULL past 2⁶³).
+    * Relative to the raw md5 prefix this deterministically flips bit
+    * 63 — irrelevant for a hash, identical on every engine.
+    */
+  def tokenHash64(token: Column): Column = {
+    val hi = conv(substring(md5(token), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(token), 9, 8), 16, 10).cast("long")
+    (hi - lit(2147483648L)) * lit(4294967296L) + lo
+  }
+
+  /** 64-bit SimHash per document: explode tokens (duplicates kept —
     * SimHash weights by term frequency), hash each, and for every bit
     * position accumulate +1/-1; the sign vector re-packs into a long.
-    * One explode + one groupBy(id) shuffle; the 32 per-bit sums are a
+    * One explode + one groupBy(id) shuffle; the 64 per-bit sums are a
     * single map-side-combined aggregate row per document.
+    *
+    * 64 bits (not 32) is the corpus-scale shape: at 10⁹ docs a 32-bit
+    * simhash loses Hamming discrimination, and its byte blocks give
+    * only 4×2⁸ LSH buckets — each bucket holds ~n/1024 docs and the
+    * block self-join degenerates quadratically. 64-bit hashes with
+    * 16-bit blocks give 4×2¹⁶ buckets (see [[simHashNearDupPairs]]).
     */
   def withSimHash(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = spread(df, textCol).select(col(idCol),
       explode_outer(TextStats.tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull) // avoids inferred re-tokenizing scan filter
-    val h = tokenHash32(col("token"))
-    val bitSums = (0 until 32).map { j =>
+    val h = tokenHash64(col("token"))
+    val bitSums = (0 until 64).map { j =>
+      // (h >> j) & 1 extracts bit j under arithmetic OR logical shift
+      // (the mask kills sign-extension) — same on every engine
       sum(shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$j")
     }
-    val packed = (0 until 32).map { j =>
+    // bit 63's weight is Long.MinValue; summing it LAST keeps every
+    // partial sum in signed-64 range (positives first ≤ 2⁶³−1, then
+    // one negative add — no overflow under ANSI/checked arithmetic)
+    val packed = (0 until 64).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy(col(idCol))
@@ -251,8 +283,10 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`
     * (must be ≤ 3 for the 4-block pigeonhole to be exhaustive).
-    * Candidates share at least one exact byte block of the hash
-    * (shuffle keyed by (block index, byte value)); verification is
+    * Candidates share at least one exact 16-bit block of the 64-bit
+    * hash (shuffle keyed by (block index, block value) — 4×2¹⁶
+    * distinct keys, so at 10⁹ docs a bucket holds ~n/262144 docs and
+    * the self-join stays near-linear); verification is
     * `bit_count(xor)` — pure codegen'd bit arithmetic.
     */
   def simHashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
@@ -263,7 +297,7 @@ object Dedup {
     val blocks = hashes.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         concat_ws(":", lit(b).cast("string"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).cast("string"))
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).cast("string"))
       }: _*)).as("block"))
     blocks.as("l")
       .join(blocks.as("r"), col("l.block") === col("r.block") &&
@@ -272,5 +306,63 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Connected components over an undirected candidate-pair graph by
+    * bounded min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels; converged when no label changes. The final
+    * label is the component's MINIMUM node id — deterministic, and the
+    * natural canonical-survivor key for dedup.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels, keyed
+    * by node id) + one map-side-combined min-aggregate — no driver
+    * data, no collect. Rounds needed = graph diameter; near-dup
+    * cluster diameters are tiny (pairs all verified ≥ threshold), so
+    * `maxIter` is a safety bound, not a tuning knob. `localCheckpoint`
+    * truncates the per-round lineage (on a real cluster prefer
+    * `checkpoint` with a durable dir for executor-loss recovery).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20, idCol: String = "id",
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() == 0L
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clustering + survivorship — the keep/drop half of the
+    * dedup job: MinHash-LSH candidate pairs become graph edges,
+    * [[connectedComponents]] groups transitive near-dups, and the
+    * minimum doc id in each cluster is the canonical survivor.
+    * Returns one row per document:
+    * (idCol, cluster_id, cluster_size, is_survivor).
+    */
+  def nearDupClusters(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8, maxIter: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minHashNearDupPairs(df, n, k, bands, threshold, idCol, textCol)
+    val cc = connectedComponents(df.select(col(idCol).as("id")),
+      pairs.select("id_a", "id_b"), maxIter)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as(idCol), col("component").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("component")).as("is_survivor"))
   }
 }

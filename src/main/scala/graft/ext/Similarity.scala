@@ -8,28 +8,33 @@ import org.apache.spark.sql.functions._
   * training-data-pipeline extension (SURVEY.md §7.5; absent from the
   * reference, whose only vector-adjacent surface is SQL passthrough).
   *
-  * Two tiers:
+  * Three tiers:
   *
   *  - [[topK]] — brute-force cosine top-k: broadcast the (small) query
-  *    set against the corpus, score with codegen'd higher-order
-  *    functions (`zip_with` + `aggregate`, pure double arithmetic, no
-  *    UDF), rank with a per-query window. The corpus is scanned once;
-  *    there is no shuffle of corpus rows (broadcast join + map-side
-  *    scoring), and the only wide exchange carries (query × corpus)
-  *    score rows already filtered to candidates — suitable whenever
-  *    |queries| is broadcastable, at any corpus size.
-  *  - [[lshTopK]] — random-hyperplane LSH: each vector maps to a
-  *    small bucket key (sign bits of dots with P deterministic
-  *    hyperplanes); query and corpus rows join on bucket key, so at
-  *    100 TB each query meets only its bucket's corpus slice
-  *    (expected corpus/2^P of the data), at the cost of recall.
-  *    Hyperplanes are derived from md5 — no RNG state, identical on
-  *    any engine, reproducible across runs (a hard requirement for
-  *    incremental pipelines).
+  *    set against the corpus, score with a codegen'd native dot
+  *    product (no UDF), rank with a per-query window. The corpus is
+  *    scanned once; there is no shuffle of corpus rows (broadcast join
+  *    + map-side scoring) — suitable whenever |queries| is
+  *    broadcastable, at any corpus size.
+  *  - [[lshTopK]] / [[ivfTopK]] — bucketed approximate top-k: an
+  *    equi-join on a deterministic bucket key (random-hyperplane sign
+  *    bits / nearest-centroid cell) so each query meets only its
+  *    bucket's corpus slice.
+  *  - [[thresholdPairs]] — all pairs with cosine ≥ threshold via
+  *    BANDED hyperplane LSH: candidates must share one band of sign
+  *    bits (equi-join on band key), then candidates are verified with
+  *    the exact normalized dot. Cost ~ O(corpus·bands) + O(collisions)
+  *    — never the O(n²) cross join ([[thresholdPairsExact]] keeps the
+  *    exact all-pairs semantics for small, broadcastable inputs).
   *
-  * All float math: cast float→double (exact), multiply/add doubles
-  * left-to-right (`aggregate` folds sequentially) — deterministic and
-  * reproducible bit-for-bit in the DuckDB oracle.
+  * == Scoring (shared by every operator) ==
+  * Vectors are normalized ONCE per row ([[normalized]]: cast
+  * float→double exactly, divide by the L2 norm), so each scored pair
+  * costs ONE dot product instead of three plus two sqrt — at n·k or
+  * collision-set cardinality the per-pair constant is the whole cost.
+  * All math is sequential-fold double arithmetic — deterministic and
+  * reproducible bit-for-bit in the DuckDB oracle (which normalizes
+  * with the identical expression).
   */
 object Similarity {
 
@@ -40,18 +45,31 @@ object Similarity {
     * native expression (graft.functions.DotProductDouble). Identical
     * fold order (and therefore bit-identical results) to the
     * composable HOF form `aggregate(zip_with(a,b,_*_), 0d, _+_)`,
-    * which Catalyst can only interpret — ~10× slower in the n²-pair
+    * which Catalyst can only interpret — ~10× slower in the pair
     * inner loop.
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotd(a, b)
 
-  /** Cosine similarity of two float-array columns, in doubles. */
+  /** Cosine similarity of two float-array columns, in doubles.
+    * (Three dots; the operators below avoid it by pre-normalizing —
+    * kept as the one-shot composable form.)
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
+
+  /** Replaces `vecCol` with its unit-L2-norm double form, staged as a
+    * named attribute so the norm is computed exactly once per row.
+    * After this, cosine(a, b) ≡ dot(a, b) — one dot per scored pair.
+    */
+  def normalized(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .withColumn("__nrm", sqrt(dot(col("__vd"), col("__vd"))))
+      .select(col(idCol), transform(col("__vd"), x => x / col("__nrm")).as(vecCol))
 
   /** Brute-force cosine top-k.
     *
@@ -62,10 +80,12 @@ object Similarity {
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 5))
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored
@@ -74,20 +94,14 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
-  /** All corpus pairs with cosine ≥ threshold — the embedding-cosine
-    * near-dup operator. Brute force (O(n²) scores, no materialized
-    * cross join — rows stream through the range-free join); the LSH
-    * bucket variant below is the 100 TB path.
+  /** EXACT all-pairs cosine ≥ threshold. O(n²) scores by construction
+    * — only for small, broadcastable inputs (validation sets, centroid
+    * tables). The corpus-scale operator is [[thresholdPairs]].
     */
-  def thresholdPairs(df: DataFrame, threshold: Double,
+  def thresholdPairsExact(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Pre-normalize once per row so each pair costs ONE dot product
-    // instead of three — at n² pairs the per-pair constant is the
-    // whole cost.
-    val v = df
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vd"))
-      .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
-      .select(col("id"), transform(col("vd"), x => x / col("nrm")).as("nv"))
+    val v = normalized(df, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("nv"))
     v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
       .withColumn("score", round(dot(col("l.nv"), col("r.nv")), 5))
       .filter(col("score") >= threshold)
@@ -119,6 +133,57 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), planes, dims))
 
+  /** Banded hyperplane LSH keys: `bands` keys per vector, band b
+    * packing the sign bits of planes [b·r, (b+1)·r). Two vectors are
+    * candidates iff they agree on ALL r sign bits of SOME band —
+    * per-band match probability (1−θ/π)^r, overall recall
+    * 1−(1−(1−θ/π)^r)^bands: more bands → recall, more planes/band →
+    * precision, the same precision/recall dial as MinHash banding.
+    */
+  def bandKeys(vec: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    array((0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { i =>
+        when(dot(vec, planeWeights(lit(b * planesPerBand + i), dims)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      concat_ws(":", lit(b).cast("string"), bits.cast("string"))
+    }: _*)
+
+  /** All corpus pairs with cosine ≥ `threshold`, via banded
+    * hyperplane LSH — the 100 TB embedding-near-dup path.
+    *
+    * Pipeline: normalize (map-only) → explode band keys → self-join on
+    * band key (shuffle keyed by band hash; only band-colliding rows
+    * meet) → distinct candidate pairs → fetch the two normalized
+    * vectors → exact-dot verify ≥ threshold. Like
+    * [[Dedup.minHashNearDupPairs]], the candidate set is ~(true
+    * near-dups + band false positives), orders below n²; the key join
+    * carries only (id, 10-byte key) rows, and vectors travel only for
+    * verified candidates. Approximate: recall < 1 by construction —
+    * a pair can disagree somewhere in every band (raise `bands` for
+    * recall; the oracle twin rebuilds identical buckets, so results
+    * stay engine-reproducible).
+    */
+  def thresholdPairs(df: DataFrame, threshold: Double, bands: Int = 8,
+      planesPerBand: Int = 2, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = normalized(df, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("nv"))
+    val keyed = v.select(col("id"),
+      explode(bandKeys(col("nv"), bands, planesPerBand, dims)).as("bk"))
+    val candidates = keyed.as("l")
+      .join(keyed.as("r"), col("l.bk") === col("r.bk") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("nv").as("nv_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("nv").as("nv_b")), "id_b")
+      .withColumn("score", round(dot(col("nv_a"), col("nv_b")), 5))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
   /** IVF (inverted-file) centroids: `nlist` corpus vectors selected
     * deterministically — the vectors whose md5(id) sorts smallest.
     * This is zero-iteration IVF (sampled centroids instead of k-means
@@ -126,6 +191,7 @@ object Similarity {
     * are the real thing; only centroid QUALITY differs, and sampling
     * is the standard bootstrap before a training job refines them.
     * md5 selection means any engine rebuilds the identical index.
+    * Input must be [[normalized]] (assignment scores with plain dot).
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
@@ -138,11 +204,13 @@ object Similarity {
     * (nprobe=1 for corpus rows builds the inverted lists; nprobe>1
     * for query rows probes neighboring cells). Centroids broadcast;
     * assignment is a map-side cross-score + per-vector top-nprobe.
+    * Both inputs must be [[normalized]] — one dot per (vector,
+    * centroid), no per-pair norms.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scored = vectors.join(broadcast(centroids))
-      .withColumn("cscore", round(cosine(col(vecCol), col("centroid_vec")), 5))
+      .withColumn("cscore", round(dot(col(vecCol), col("centroid_vec")), 5))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cscore").desc, col("centroid_id").asc)
     scored
@@ -161,14 +229,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
       nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
-    val cells = ivfAssign(corpus, cents, 1, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    val probes = ivfAssign(queries, cents, nprobe, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val nc = normalized(corpus, idCol, vecCol)
+    val nq = normalized(queries, idCol, vecCol)
+    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    val cells = ivfAssign(nc, cents, 1, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"), col("centroid_id"))
+    val probes = ivfAssign(nq, cents, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"), col("centroid_id"))
     val scored = cells.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 5))
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored
@@ -185,13 +255,13 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
       dims: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = withBucket(corpus, planes, dims, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
-    val q = withBucket(queries, planes, dims, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val c = withBucket(normalized(corpus, idCol, vecCol), planes, dims, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"), col("bucket"))
+    val q = withBucket(normalized(queries, idCol, vecCol), planes, dims, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 5))
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored

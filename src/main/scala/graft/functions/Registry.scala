@@ -1,5 +1,8 @@
 package graft.functions
 
+import java.nio.file.{Files, Path}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
 import scala.collection.concurrent.TrieMap
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
@@ -54,6 +57,57 @@ final class FunctionRegistry(spark: Option[SparkSession] = None) {
     val compacted = compact(payloadJson)
     InvokeResult(statusCode = 200, executedVersion = "$LATEST",
       payload = fn(compacted))
+  }
+
+  /** jq-style 2-space-indent pretty print (`jq '.'`,
+    * aws-lambda.sh:48,51). Throws the same validation error as
+    * [[compact]] on malformed input.
+    */
+  def pretty(json: String): String =
+    try {
+      val node = mapper.readTree(json)
+      val printer = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
+      printer.indentArraysWith(
+        com.fasterxml.jackson.core.util.DefaultIndenter.SYSTEM_LINEFEED_INSTANCE)
+      mapper.writer(printer).writeValueAsString(node)
+    } catch { case _: Exception =>
+      throw new IllegalArgumentException("third arg json format invalid")
+    }
+
+  /** The reference's full observable invoke choreography
+    * (/root/reference/aws-lambda.sh:43-53): write the response payload
+    * to `response_<yyyyMMdd_HHmmss>.json` in `workDir`, render the CLI
+    * metadata and the response pretty-printed under the "AWS CLI
+    * Output:" / "Lambda Response:" headers, then DELETE the response
+    * file (it is a scratch artifact in the reference).
+    *
+    * @param now injectable clock for deterministic specs; defaults to
+    *   wall time like the reference's `date +%%Y%%m%%d_%%H%%M%%S`.
+    * @return (invoke result, rendered text, response file name — the
+    *   file no longer exists on return).
+    */
+  def invokeRendered(name: String, payloadJson: String, workDir: Path,
+      now: LocalDateTime = LocalDateTime.now()): (InvokeResult, String, String) = {
+    val res = invoke(name, payloadJson)
+    val ts = now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    val fileName = s"response_$ts.json"
+    val file = workDir.resolve(fileName)
+    Files.writeString(file, res.payload)
+    try {
+      val metaJson = mapper.writeValueAsString {
+        val o = mapper.createObjectNode()
+        o.put("StatusCode", res.statusCode)
+        o.put("ExecutedVersion", res.executedVersion)
+      }
+      val text = new StringBuilder()
+        .append("AWS CLI Output:\n")
+        .append(pretty(metaJson)).append("\n")
+        .append("\n")
+        .append("Lambda Response:\n")
+        .append(pretty(Files.readString(file))).append("\n")
+        .toString()
+      (res, text, fileName)
+    } finally Files.deleteIfExists(file)
   }
 }
 

@@ -22,14 +22,36 @@ import graft.render.TsvRenderer
   */
 object TableDiff {
 
+  /** A profile failure attributed to one side of the diff, with the
+    * reference's exact per-table message (aws-athena.sh:183-190 —
+    * "second argument" = base table, "third argument" = target).
+    */
+  final class TableDiffException(val argumentOrdinal: String,
+      val table: String, cause: Throwable)
+    extends RuntimeException(
+      s"Failed on the table provided as the $argumentOrdinal argument.", cause)
+
+  /** Builds one side's long profile, wrapping any failure (missing
+    * table, no numeric columns, malformed name) with the side's
+    * attribution. The reference detects failure at query execution;
+    * here Spark's analysis surfaces the same classes of error at plan
+    * construction — same observable attribution, earlier.
+    */
+  private def profileSide(spark: SparkSession, table: String,
+      ordinal: String): DataFrame =
+    try TableProfiler.profileLong(graft.catalog.Tables.table(spark, table))
+    catch { case e: Exception => throw new TableDiffException(ordinal, table, e) }
+
   /** Structured diff: one row per (column_name, agg_type) in either
     * profile, with both values and an equality verdict. NULL-vs-NULL
-    * is equal (<=> semantics).
+    * is equal (<=> semantics). Fails fast on the base (second
+    * argument) before touching the target (third), like the
+    * reference's early exit.
     */
   def diff(spark: SparkSession, baseTable: String, targetTable: String): DataFrame = {
-    val base = TableProfiler.profileLong(graft.catalog.Tables.table(spark, baseTable))
+    val base = profileSide(spark, baseTable, "second")
       .withColumnRenamed("result", "base_result")
-    val target = TableProfiler.profileLong(graft.catalog.Tables.table(spark, targetTable))
+    val target = profileSide(spark, targetTable, "third")
       .withColumnRenamed("result", "target_result")
     base.join(target, Seq("column_name", "agg_type"), "full_outer")
       .withColumn("equal", col("base_result") <=> col("target_result"))
@@ -47,13 +69,18 @@ object TableDiff {
   def renderPair(spark: SparkSession, baseTable: String, targetTable: String,
       outDir: String): (Path, Path) = {
     Files.createDirectories(Paths.get(outDir))
-    def write(table: String, file: String): Path = {
-      val profiled = TableProfiler.profileTable(spark, table)
+    def write(table: String, file: String, ordinal: String): Path = {
+      val profiled =
+        try TableProfiler.profileTable(spark, table)
+        catch { case e: Exception => throw new TableDiffException(ordinal, table, e) }
       val text = TsvRenderer.aligned(ResultSet.fromDataFrame(profiled))
       val p = Paths.get(outDir, file)
       Files.writeString(p, text + "\n")
       p
     }
-    (write(baseTable, "base_result.tsv"), write(targetTable, "target_result.tsv"))
+    // base fully renders (and fails) before the target — the
+    // reference's sequential get_query_results ordering
+    (write(baseTable, "base_result.tsv", "second"),
+      write(targetTable, "target_result.tsv", "third"))
   }
 }

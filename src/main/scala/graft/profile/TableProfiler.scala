@@ -101,21 +101,19 @@ object TableProfiler {
     }
 
   /** One row with all 8×N stats as columns `c<i>_<j>` (sketch-based
-    * distinct/median — the approxProfile path).
+    * distinct/median — the approxProfile path). ALL 8×N aggregates —
+    * the six declarative base stats plus the sketch distinct/median —
+    * are ordinary associative aggregates, so they belong in ONE
+    * `df.agg(...)`: one column-pruned scan, one partial/final
+    * aggregation, no crossJoin reassembly (PlanHygieneSpec asserts
+    * the single FileScan).
     */
   private def aggRow(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column, medianAgg: String => Column): DataFrame = {
-    val bs = baseStats(cols)
-    val base = df.agg(bs.head, bs.tail: _*)
-    val dists = cols.zipWithIndex.map { case (c, i) =>
-      distinctAgg(c).as(s"c${i}_2")
-    }
-    val meds = cols.zipWithIndex.map { case (c, i) =>
-      medianAgg(c).as(s"c${i}_6")
-    }
-    val dist = df.agg(dists.head, dists.tail: _*)
-    val med = df.agg(meds.head, meds.tail: _*)
-    base.crossJoin(dist).crossJoin(med)
+    val aggs = baseStats(cols) ++
+      cols.zipWithIndex.map { case (c, i) => distinctAgg(c).as(s"c${i}_2") } ++
+      cols.zipWithIndex.map { case (c, i) => medianAgg(c).as(s"c${i}_6") }
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** ALL 8 exact statistics for all N columns from ONE shared
@@ -159,8 +157,14 @@ object TableProfiler {
     // spread first: inputs with few row groups would otherwise run the
     // whole stack+shuffle-write in one scan task; everything downstream
     // is partitioning-independent, so this is safe (unlike the old
-    // avg/stddev_samp subtree)
-    val spreadDf = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // avg/stddev_samp subtree). CONDITIONAL: a real 100 TB table
+    // already scans as thousands of tasks — inserting a full-table
+    // round-robin exchange there would only add I/O, so the spread
+    // fires only when the scan is under-parallel.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val spreadDf =
+      if (df.rdd.getNumPartitions >= parallelism) df
+      else df.repartition(parallelism)
     val vc = spreadDf
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")
       .filter(col("v").isNotNull)

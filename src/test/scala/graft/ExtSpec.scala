@@ -73,16 +73,101 @@ class ExtSpec extends AnyFunSuite {
     assert(h == 1622020974L)
   }
 
+  test("tokenHash64 matches the biased two-half md5 assembly") {
+    // md5('tok') = 60ae136e5d49fbdf…: (0x60ae136e - 2^31)*2^32 + 0x5d49fbdf
+    // = -2256844998533579809 — verified identical in DuckDB
+    val h = spark.range(1).select(Dedup.tokenHash64(lit("tok"))).head.getLong(0)
+    assert(h == -2256844998533579809L)
+  }
+
+  test("simhash LSH blocks: 4 block positions, each with 2^16 key space") {
+    val hashes = Dedup.withSimHash(docs.limit(100))
+    val blocks = hashes.select(explode(array((0 until 4).map { b =>
+      struct(lit(b).as("pos"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("v"))
+    }: _*)).as("blk")).select("blk.pos", "blk.v").collect()
+    assert(blocks.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
+    blocks.foreach { r =>
+      val v = r.getLong(1)
+      assert(v >= 0L && v < 65536L, s"block value $v outside 2^16 key space")
+    }
+    // 64-bit packing: hashes actually use the full width (some hash
+    // has a nonzero top block, i.e. bits 48..63 are not dead weight)
+    assert(blocks.exists(r => r.getInt(0) == 3 && r.getLong(1) != 0L))
+  }
+
+  test("doc-freq cap drops stop-shingle pairs, keeps true near-dups") {
+    // 30 docs share exactly one hot shingle ("the quick brown") and are
+    // otherwise disjoint; docs 100/101 are identical with unique text.
+    val hot = (1L to 30L).map(i => (i, s"the quick brown a$i b$i c$i d$i e$i"))
+    val dups = Seq((100L, "unique payload text here now ok"),
+      (101L, "unique payload text here now ok"))
+    val df = (hot ++ dups).toDF("doc_id", "text")
+    // uncapped at threshold 0: every hot pair appears — the quadratic
+    val uncapped = Dedup.ngramJaccardPairs(df, 3, 0.0)
+    assert(uncapped.filter(col("id_a") <= 30 && col("id_b") <= 30).count() ==
+      30L * 29L / 2L)
+    // capped at 10 < 30: the hot shingle leaves the inverted index, so
+    // hot-only pairs vanish; the true near-dup pair survives at 1.0
+    val capped = Dedup.ngramJaccardPairs(df, 3, 0.0, maxDocFreq = 10L).collect()
+    assert(!capped.exists(r => r.getLong(0) <= 30 && r.getLong(1) <= 30))
+    assert(capped.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L &&
+      r.getDouble(5) == 1.0))
+  }
+
+  test("connected components: min-label over a known graph") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // components {1,2,3,4} (a path — exercises multi-hop propagation),
+    // {5,6}, and isolated {7}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("nearDupClusters: one survivor per cluster, sizes partition the corpus") {
+    val out = Dedup.nearDupClusters(docs).collect()
+    assert(out.length == docs.count())
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid) // label = min member id
+      assert(members.count(_.getBoolean(3)) == 1)  // exactly one survivor
+      assert(members.forall(_.getLong(2) == members.length)) // size consistent
+    }
+    // the corpus has planted near-dups: some cluster is non-trivial
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
   // ---- Similarity ----
 
   test("cosine: identical vectors score 1, orthogonal score 0") {
     val df = Seq(
       (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
-    val pairs = Similarity.thresholdPairs(df, -1.0).orderBy("id_a", "id_b")
+    val pairs = Similarity.thresholdPairsExact(df, -1.0).orderBy("id_a", "id_b")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs((1L, 3L)) == 0.0)
+  }
+
+  test("banded thresholdPairs ⊆ exact with identical scores, high recall") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val exact = Similarity.thresholdPairsExact(emb, 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded = Similarity.thresholdPairs(emb, 0.4, bands = 8,
+      planesPerBand = 2, dims = 64).collect()
+    assert(banded.nonEmpty)
+    banded.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key) && exact(key) == r.getDouble(2),
+        s"banded pair $key not in exact set or score differs")
+    }
+    // 8 bands × 2 planes at cosine ≥ 0.4 gives per-pair recall
+    // 1-(1-(1-θ/π)²)⁸ ≥ 0.98 — require ≥ 0.9 to keep the spec stable
+    assert(banded.length >= (exact.size * 0.9).toInt,
+      s"recall too low: ${banded.length}/${exact.size}")
   }
 
   test("topK: rank 1 is the nearest neighbor, k bounds the output") {
@@ -127,8 +212,9 @@ class ExtSpec extends AnyFunSuite {
       assert(brute.contains(key) && brute(key) == r.getDouble(2))
     }
     // the inverted file partitions the corpus: every vector in exactly one cell
-    val cents = Similarity.ivfCentroids(emb, 16)
-    val cells = Similarity.ivfAssign(emb, cents, 1)
+    val nemb = Similarity.normalized(emb)
+    val cents = Similarity.ivfCentroids(nemb, 16)
+    val cells = Similarity.ivfAssign(nemb, cents, 1)
     assert(cells.count() == emb.count())
     assert(cells.select("vec_id").distinct().count() == emb.count())
   }

@@ -93,6 +93,39 @@ class PlanHygieneSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("approx profile computes all 8×N sketch stats from ONE scan") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.profile.TableProfiler.approxProfile(spark.table("lineitem"))
+    assert(scans(df).size == 1,
+      s"approx profile should scan once, got ${scans(df).size}")
+  }
+
+  test("spread skips the repartition when the input is already parallel") {
+    Tables.register(spark, TestSpark.sfDir)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.size
+    val docs = spark.table("documents")
+    val many = docs.repartition(spark.sparkContext.defaultParallelism)
+    // withShingleSet is map-only apart from spread: on an already-
+    // parallel input the ONLY exchange is the explicit repartition
+    assert(exchanges(graft.ext.Dedup.withShingleSet(many, 3, "text", "sh")) == 1,
+      "spread added an exchange to an already-parallel input")
+    // on the single-row-group test file it must still fire
+    assert(exchanges(graft.ext.Dedup.withShingleSet(docs, 3, "text", "sh")) == 1,
+      "spread did not fire on an under-parallel input")
+  }
+
+  test("embedding near-dup plans as equi-joins — no all-pairs join") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_embedding_neardup")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"all-pairs join in the near-dup plan:\n$plan")
+  }
+
   test("salted aggregation matches the direct aggregation exactly") {
     Tables.register(spark, TestSpark.sfDir)
     val events = spark.table("events")
