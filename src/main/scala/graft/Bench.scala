@@ -27,7 +27,12 @@ object Bench {
       spark.range(1000).selectExpr("id", "id * 7 as v")).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not .count(): count() re-plans the query as an
+      // empty-schema aggregate, letting Catalyst prune every computed
+      // column and EliminateSorts drop final ORDER BYs — the timed
+      // plan must be the DELIVERED plan (all columns materialized).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -24,15 +24,16 @@ object OraclesExt {
     """SELECT min(doc_id) AS keep_id, md5(text) AS content_md5, count(*)::BIGINT AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
-  /** Twin of Dedup.ngramJaccardPairs with maxDocFreq=50: the same
-    * inverted shingle index with the stop-shingle doc-frequency cap —
-    * n_common counts only shingles kept by the cap; set sizes stay
-    * uncapped (exactly as the Spark operator computes them).
+  /** Twin of Dedup.ngramJaccardPairs with the shared stop-shingle
+    * doc-frequency cap (Dedup.NgramStopShingleCap — single source for
+    * both engines): the same inverted shingle index — n_common counts
+    * only shingles kept by the cap; set sizes stay uncapped (exactly
+    * as the Spark operator computes them).
     */
   val dedupNgramJaccard: String =
     s"""WITH $toksCte, $shCte,
        |shx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-       |freq AS (SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 50),
+       |freq AS (SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= ${graft.ext.Dedup.NgramStopShingleCap}),
        |inv AS (SELECT doc_id, shingle FROM shx JOIN freq USING (shingle)),
        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

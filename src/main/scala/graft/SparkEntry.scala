@@ -146,12 +146,12 @@ object SparkEntry {
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
     },
-    // maxDocFreq=50 exercises the stop-shingle doc-frequency cap — the
-    // guard that keeps the inverted-index self-join off quadratic hot
-    // keys at corpus scale (mirrored in the oracle's freq CTE).
+    // the stop-shingle doc-frequency cap — the guard that keeps the
+    // inverted-index self-join off quadratic hot keys at corpus scale
+    // — single-sourced with the oracle's freq CTE via Dedup.
     "q_dedup_ngram_jaccard" -> withTables { s =>
       Dedup.ngramJaccardPairs(s.table("documents"), n = 3, threshold = 0.8,
-        maxDocFreq = 50L).orderBy("id_a", "id_b")
+        maxDocFreq = Dedup.NgramStopShingleCap).orderBy("id_a", "id_b")
     },
     "q_dedup_minhash_lsh" -> withTables { s =>
       Dedup.minHashNearDupPairs(s.table("documents"), n = 3, k = 16,

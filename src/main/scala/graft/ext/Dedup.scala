@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * itself has no dedup surface — its data ops end at profiling,
   * /root/reference/aws-athena.sh:64-125).
   *
-  * Four families, all shuffle-architected for 100 TB:
+  * Five families, all shuffle-architected for 100 TB:
   *
   *  - [[exact]]: hash-groupBy on a content digest. One shuffle keyed
   *    by md5(text) — uniformly distributed by construction, no skew.
@@ -18,15 +18,18 @@ import org.apache.spark.sql.functions._
   *    cost is Σ per-shingle bucket². A document-frequency cap
   *    (`maxDocFreq`) drops degenerate stop-shingles, the standard
   *    guard against quadratic hot keys at corpus scale.
-  *  - [[withMinHash]] / [[minHashNearDupPairs]]: MinHash signatures +
-  *    LSH banding. Candidate generation touches only documents whose
-  *    band keys collide (shuffle keyed by band hash), then candidates
-  *    are verified with exact Jaccard. At 100 TB this is THE
-  *    scalable near-dup path: cost ~ O(corpus) + O(collisions).
-  *  - [[withSimHash]] / [[simHashNearDupPairs]]: 32-bit SimHash with
-  *    byte-block LSH (pairs within Hamming distance d ≤ 3 must share
-  *    one of 4 exact byte blocks — pigeonhole), verified with
-  *    `bit_count(xor)`.
+  *  - [[minHashSignatures]] / [[minHashNearDupPairs]]: MinHash
+  *    signatures + LSH banding. Candidate generation touches only
+  *    documents whose band keys collide (shuffle keyed by band hash),
+  *    then candidates are verified with exact Jaccard. At 100 TB this
+  *    is THE scalable near-dup path: cost ~ O(corpus) + O(collisions).
+  *  - [[withSimHash]] / [[simHashNearDupPairs]]: 64-bit SimHash with
+  *    16-bit-block LSH (pairs within Hamming distance d ≤ 3 must share
+  *    one of 4 exact 16-bit blocks — pigeonhole; 4×2¹⁶ buckets keep
+  *    the block self-join near-linear), verified with `bit_count(xor)`.
+  *  - [[connectedComponents]] / [[nearDupClusters]]: the keep/drop
+  *    half — candidate pairs become graph edges, min-label propagation
+  *    groups transitive near-dups, min id per cluster survives.
   *
   * Everything is built from codegen'd column expressions (md5,
   * higher-order array functions, bit ops) — no UDFs, no driver-side
@@ -34,6 +37,13 @@ import org.apache.spark.sql.functions._
   * recompute signatures bit-for-bit (Oracles.scala twins).
   */
 object Dedup {
+
+  /** Stop-shingle doc-frequency cap used by the flagship
+    * q_dedup_ngram_jaccard query AND its DuckDB oracle twin
+    * (OraclesExt.dedupNgramJaccard) — single-sourced so the two
+    * engines cannot drift.
+    */
+  val NgramStopShingleCap: Long = 50L
 
   /** Distinct word n-gram shingles from a TOKEN-ARRAY column.
     *
@@ -65,8 +75,11 @@ object Dedup {
     // tasks — repartitioning it would add a full-table exchange for
     // nothing. Fire only when the scan is under-parallel (the few-
     // row-group local case this guard exists for).
+    // queryExecution.toRdd, not df.rdd: both plan the physical query
+    // eagerly, but toRdd is the memoized internal-row RDD — df.rdd
+    // additionally builds a per-call deserializer stage on top of it.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    if (df.queryExecution.toRdd.getNumPartitions >= parallelism) df
     else df.repartition(parallelism, col(byCol))
   }
 
@@ -326,24 +339,41 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20, idCol: String = "id",
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    // materialize the (usually expensive) edge pipeline ONCE — without
+    // this every round's join re-derives the full upstream candidate
+    // generation (for nearDupClusters: the whole MinHash+LSH+verify
+    // pipeline, measured ~3× the entire query's cost at 20 rounds)
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("dst").as("id"), col("component").as("ncomp"))
+      // one pass computes BOTH the new label and whether it moved —
+      // no second labels-vs-next join per round; the convergence probe
+      // then reads only the checkpointed round output
+      val next = labels.join(
+          prop.groupBy("id").agg(min("ncomp").as("pcomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("pcomp"), col("component")))
+            .as("component"),
+          (coalesce(col("pcomp"), col("component")) < col("component"))
+            .as("__moved"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() == 0L
-      labels = next
+      converged = next.filter(col("__moved")).limit(1).count() == 0L
+      labels = next.drop("__moved")
       iter += 1
     }
+    // min-label propagation past maxIter would silently return labels
+    // that DISAGREE with the exact transitive closure (and any oracle
+    // that computes it) — refuse rather than diverge
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component graph diameter exceeds maxIter); raise maxIter")
     labels
   }
 

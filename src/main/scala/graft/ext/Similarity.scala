@@ -108,23 +108,38 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("score"))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Deterministic hyperplane weights: plane p, dimension d →
     * uniform in [-1, 1) from the first 8 hex digits of md5("p,d").
     * Integer→double division is exact, so every engine computes the
-    * identical plane.
+    * identical plane. Computed ONCE on the driver and shipped as a
+    * literal array: planes are per-OPERATOR constants, and the
+    * column-expression form (transform + md5 per element) is not
+    * constant-folded by Catalyst — it re-hashed planes·dims md5s per
+    * ROW, which dominated the whole LSH pipeline. The DuckDB oracle
+    * twins derive the identical doubles from the same md5 formula in
+    * SQL (OraclesExt.embeddingNearDup/knnLsh), so results are
+    * unchanged.
     */
-  def planeWeights(p: Column, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)), d =>
-      conv(substring(md5(concat_ws(",", p.cast("string"), d.cast("string"))), 1, 8), 16, 10)
-        .cast("double") / lit(2147483648.0) - lit(1.0))
+  def planeWeights(p: Int, dims: Int): Column =
+    typedLit((0 until dims).map { d =>
+      java.lang.Long.parseLong(md5Hex(s"$p,$d").take(8), 16)
+        .toDouble / 2147483648.0 - 1.0
+    })
 
   /** Random-hyperplane bucket key: the P sign bits of dot(vec, plane_p)
     * packed into a long. Vectors within a bucket are cosine-close in
-    * expectation (SimHash for angles).
+    * expectation (SimHash for angles). `vec` must already be a DOUBLE
+    * array (both call sites pass [[normalized]] vectors) — a per-plane
+    * float→double cast here would materialize `planes` copies of the
+    * array per row.
     */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      when(dot(asDouble(vec), planeWeights(lit(p), dims)) >= 0, lit(1L << p))
+      when(dot(vec, planeWeights(p, dims)) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -143,7 +158,7 @@ object Similarity {
   def bandKeys(vec: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
     array((0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { i =>
-        when(dot(vec, planeWeights(lit(b * planesPerBand + i), dims)) >= 0,
+        when(dot(vec, planeWeights(b * planesPerBand + i, dims)) >= 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       concat_ws(":", lit(b).cast("string"), bits.cast("string"))

@@ -59,16 +59,25 @@ final class FunctionRegistry(spark: Option[SparkSession] = None) {
       payload = fn(compacted))
   }
 
-  /** jq-style 2-space-indent pretty print (`jq '.'`,
-    * aws-lambda.sh:48,51). Throws the same validation error as
-    * [[compact]] on malformed input.
+  /** jq-exact 2-space-indent pretty print (`jq '.'`,
+    * aws-lambda.sh:48,51). Jackson's defaults differ from jq in three
+    * observable ways, each overridden here: field separator (jq emits
+    * `"key": v`, Jackson `"key" : v` — Spacing.AFTER), empty object
+    * (`{}` vs `{ }`) and empty array (`[]` vs `[ ]`). Arrays indent
+    * one-element-per-line like objects. Byte-for-byte parity is
+    * asserted against captured jq output in ClientCoreSpec. Throws
+    * the same validation error as [[compact]] on malformed input.
     */
   def pretty(json: String): String =
     try {
+      import com.fasterxml.jackson.core.util.{DefaultIndenter, DefaultPrettyPrinter, Separators}
       val node = mapper.readTree(json)
-      val printer = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
-      printer.indentArraysWith(
-        com.fasterxml.jackson.core.util.DefaultIndenter.SYSTEM_LINEFEED_INSTANCE)
+      val seps = Separators.createDefaultInstance()
+        .withObjectFieldValueSpacing(Separators.Spacing.AFTER)
+        .withObjectEmptySeparator("")
+        .withArrayEmptySeparator("")
+      val printer = new DefaultPrettyPrinter().withSeparators(seps)
+      printer.indentArraysWith(DefaultIndenter.SYSTEM_LINEFEED_INSTANCE)
       mapper.writer(printer).writeValueAsString(node)
     } catch { case _: Exception =>
       throw new IllegalArgumentException("third arg json format invalid")

@@ -162,8 +162,10 @@ object TableProfiler {
     // round-robin exchange there would only add I/O, so the spread
     // fires only when the scan is under-parallel.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // toRdd, not df.rdd — see Dedup.spread: same partition count, no
+    // extra per-call deserializer RDD on top of the planned query
     val spreadDf =
-      if (df.rdd.getNumPartitions >= parallelism) df
+      if (df.queryExecution.toRdd.getNumPartitions >= parallelism) df
       else df.repartition(parallelism)
     val vc = spreadDf
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")

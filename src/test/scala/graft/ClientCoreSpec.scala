@@ -119,6 +119,70 @@ class ClientCoreSpec extends AnyFunSuite {
     intercept[NoSuchElementException](reg.invoke("missing_fn", "{}"))
   }
 
+  test("pretty() reproduces jq '.' byte-for-byte (aws-lambda.sh:48,51)") {
+    val reg = new FunctionRegistry()
+    // expected text captured from `jq '.'` on this exact payload:
+    // 2-space indent, `"key": value` (no space before the colon),
+    // arrays one element per line, empty object/array stay {} / []
+    val in = """{"a":1,"b":{"c":[1,2],"d":{},"e":[]},"f":"x","g":null,"h":true,"i":1.5}"""
+    val jqOutput =
+      """{
+        |  "a": 1,
+        |  "b": {
+        |    "c": [
+        |      1,
+        |      2
+        |    ],
+        |    "d": {},
+        |    "e": []
+        |  },
+        |  "f": "x",
+        |  "g": null,
+        |  "h": true,
+        |  "i": 1.5
+        |}""".stripMargin
+    assert(reg.pretty(in) == jqOutput)
+    val e = intercept[IllegalArgumentException](reg.pretty("{nope"))
+    assert(e.getMessage == "third arg json format invalid")
+  }
+
+  test("invokeRendered: timestamped response file, jq-pretty render, cleanup (aws-lambda.sh:43-53)") {
+    val reg = FunctionRegistry.withBuiltins(Some(spark))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lambda")
+    val clock = java.time.LocalDateTime.of(2026, 8, 12, 9, 30, 5)
+    val (res, text, fileName) =
+      reg.invokeRendered("upcase_values", """{"name":"tokyo"}""", dir, clock)
+    assert(fileName == "response_20260812_093005.json")
+    // the scratch file is deleted after rendering, like the reference's rm
+    assert(!java.nio.file.Files.exists(dir.resolve(fileName)))
+    assert(res.statusCode == 200)
+    val expected =
+      """AWS CLI Output:
+        |{
+        |  "StatusCode": 200,
+        |  "ExecutedVersion": "$LATEST"
+        |}
+        |
+        |Lambda Response:
+        |{
+        |  "name": "TOKYO"
+        |}
+        |""".stripMargin
+    assert(text == expected)
+  }
+
+  test("diff failures attribute the failing side (aws-athena.sh:183-190)") {
+    Tables.register(spark, TestSpark.sfDir)
+    val base = intercept[TableDiff.TableDiffException](
+      TableDiff.diff(spark, "no_such_table", "supplier"))
+    assert(base.getMessage == "Failed on the table provided as the second argument.")
+    assert(base.table == "no_such_table")
+    val target = intercept[TableDiff.TableDiffException](
+      TableDiff.diff(spark, "supplier", "also_missing"))
+    assert(target.getMessage == "Failed on the table provided as the third argument.")
+    assert(target.table == "also_missing")
+  }
+
   test("table diff: self-diff empty, perturbed diff targeted (vimdiff semantics)") {
     Tables.register(spark, TestSpark.sfDir)
     assert(TableDiff.differences(spark, "supplier", "supplier").count() == 0)
