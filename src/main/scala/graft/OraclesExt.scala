@@ -307,6 +307,79 @@ object OraclesExt {
       |  array_to_string(list_sort(list_transform(t, x -> md5(x)))[1:4], '') AS bottomk_sketch
       |FROM toks ORDER BY doc_id""".stripMargin
 
+  /** Deterministic uniform in [0,1) from md5(salt|id) — twin of
+    * Sampling.hashUniform (same 8 hex digits, same exact scale).
+    */
+  private def hashUniformSql(salt: String): String =
+    s"cast('0x' || substr(md5('$salt|' || doc_id), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0"
+
+  /** Per-stratum deterministic sample — twin of
+    * Sampling.stratifiedSample with the query's shared rate map.
+    */
+  def sampleStratified(rates: Map[String, Double], defaultRate: Double): String = {
+    val cases = rates.toSeq.sorted
+      .map { case (k, r) => s"WHEN '$k' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${hashUniformSql("strata")} < CASE lang $cases ELSE $defaultRate END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Train/test split counts per language — twin of
+    * Sampling.trainTestSplit + roll-up.
+    */
+  def sampleSplit(testFraction: Double): String =
+    s"""WITH s AS (SELECT lang,
+       |  CASE WHEN ${hashUniformSql("split")} < $testFraction
+       |    THEN 'test' ELSE 'train' END AS split FROM documents)
+       |SELECT lang, split, count(*)::BIGINT AS n_docs
+       |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** Sequence packing — twin of Packing.packSequences. The oracle
+    * computes the SINGLE-WINDOW global cumsum; the Spark side's
+    * two-phase sharded prefix sum must be bit-identical (integer
+    * arithmetic throughout).
+    */
+  def packSequences(budget: Long): String =
+    s"""WITH $toksCte,
+       |c AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |  (sum(len(t)) OVER (ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t))::BIGINT AS s
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, (s // $budget)::BIGINT AS pack_id,
+       |  (s % $budget)::BIGINT AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Curation verdict — twin of Curation.curate: near-dup
+    * survivorship (the dedupClusters transitive closure) > length
+    * gate > quality gate (the textDocStats quality expression),
+    * first match wins. Thresholds single-sourced from Curation.
+    */
+  val curate: String = {
+    val minTokens = graft.ext.Curation.DefaultMinTokens
+    val minQuality = graft.ext.Curation.DefaultMinQuality
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+       |  UNION ALL SELECT id_b, id_a FROM mh),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |q AS (SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
+       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
+       |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5) AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |r AS (SELECT q.doc_id, n_tokens, quality_score,
+       |  CASE WHEN cc.id <> cc.cluster_id THEN 'near_duplicate'
+       |       WHEN n_tokens < $minTokens THEN 'too_short'
+       |       WHEN quality_score < $minQuality THEN 'low_quality' END AS reject_reason
+       |  FROM q JOIN cc ON q.doc_id = cc.id)
+       |SELECT doc_id, n_tokens, quality_score,
+       |  (reject_reason IS NULL) AS keep, reject_reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Binary-asset metadata — twin of the q_multimodal_meta pipeline
     * (Multimodal.assetTable + withChecksums + chunk counts). The
     * document text is ASCII, so char ops on `text` equal byte ops on

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.{InfoSchema, Tables}
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Events, Multimodal, Packing, Sampling, Similarity, TextStats}
 import graft.profile.TableProfiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -93,6 +93,15 @@ object SparkEntry {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'C'
       |ORDER BY o_custkey""".stripMargin
+
+  /** Sampling / packing parameters — passed to BOTH the Spark queries
+    * and the OraclesExt twin builders, so the two engines cannot
+    * drift (same pattern as Dedup.NgramStopShingleCap).
+    */
+  private[graft] val stratifiedRates = Map("en" -> 0.5, "zh" -> 0.25)
+  private[graft] val stratifiedDefaultRate = 0.1
+  private[graft] val testFraction = 0.2
+  private[graft] val packBudget = 512L
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -207,6 +216,34 @@ object SparkEntry {
     "q_text_fingerprint" -> withTables { s =>
       TextStats.fingerprints(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 extensions — deterministic sampling (membership is a pure
+    // function of (salt, id): reproducible under any partitioning).
+    "q_sample_stratified" -> withTables { s =>
+      Sampling.stratifiedSample(s.table("documents"), "lang",
+        stratifiedRates, stratifiedDefaultRate)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+    "q_sample_split" -> withTables { s =>
+      Sampling.trainTestSplit(s.table("documents"), testFraction)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    },
+    // §7.5 — sequence packing: two-phase distributed prefix sum (no
+    // single-task global window), bit-identical to the oracle's
+    // single-window form because all math is integer.
+    "q_pack_sequences" -> withTables { s =>
+      val toks = s.table("documents").select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      Packing.packSequences(toks, budget = packBudget, shards = 32)
+        .orderBy("doc_id")
+    },
+    // §7.5 — the end-to-end keep/drop curation verdict (near-dup
+    // survivorship > length gate > quality gate, with audit reasons).
+    "q_curate" -> withTables { s =>
+      Curation.curate(s.table("documents"),
+        Curation.DefaultMinTokens, Curation.DefaultMinQuality)
+        .orderBy("doc_id")
+    },
     // §7.5 extensions — multimodal binary-column metadata.
     "q_multimodal_meta" -> withTables { s =>
       val assets = Multimodal.withChecksums(
@@ -318,6 +355,10 @@ object SparkEntry {
     "q_text_langid" -> OraclesExt.textLangId,
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
+    "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
+    "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
+    "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
+    "q_curate" -> OraclesExt.curate,
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->
       """SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_bucket,

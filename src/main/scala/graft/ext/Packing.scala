@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines — a training-data
+  * extension (SURVEY.md §7.5). Documents in id order are laid
+  * head-to-tail on one conceptual token tape; pack p owns tape
+  * positions [p·budget, (p+1)·budget). Each document reports the pack
+  * where it STARTS and its offset inside that pack — the standard
+  * concat-then-chunk shape used to fill fixed context windows
+  * (documents may straddle a boundary; the packer's contract is the
+  * tape coordinate, the trainer decides splitting/masking).
+  *
+  * == Scale design: a distributed prefix sum ==
+  * The obvious implementation — one `Window.orderBy(id)` running sum —
+  * is a SINGLE-TASK total sort at any scale (an unpartitioned window
+  * collapses to one reducer holding the whole corpus). Instead the
+  * classic two-phase scan:
+  *
+  *  1. deterministic RANGE shards: `shard = id / ceil((max(id)+1)/S)`
+  *     — contiguous in id order, so per-shard order concatenates to
+  *     global order (a hash shard would not);
+  *  2. per-shard token totals (map-side-combined aggregate, S rows)
+  *     → exclusive prefix offsets on the driver (S longs — bounded by
+  *     the shard count, never by data);
+  *  3. per-shard window cumsum (S-way parallel) + broadcast-joined
+  *     shard offset ⇒ the global exclusive cumsum, exactly.
+  *
+  * All arithmetic is integer (token counts), so the result is
+  * bit-identical to the single-window form — which is what the DuckDB
+  * oracle twin computes (OraclesExt.packSequences).
+  */
+object Packing {
+
+  /** Packs `df` rows (must carry an integral `tokenCol`) onto the
+    * token tape. Returns (idCol, tokenCol, pack_id, pack_offset),
+    * one row per input row.
+    *
+    * @param budget tokens per pack (the context-window size).
+    * @param shards range-shard count — bounds BOTH the driver-held
+    *   prefix state (S longs) and the cumsum parallelism; size it to
+    *   the cluster's cores, not the data.
+    */
+  def packSequences(df: DataFrame, budget: Long, shards: Int = 64,
+      idCol: String = "doc_id", tokenCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val rows = df.select(col(idCol), col(tokenCol))
+    // phase 0: id range → deterministic contiguous shards. One
+    // column-pruned scan for max(id); ids need not be dense.
+    val maxId = rows.agg(max(col(idCol)).cast("long")).head.getLong(0)
+    val span = math.max(1L, (maxId + shards) / shards) // ceil((maxId+1)/S)
+    // `div`, not `/`: Column./ is DOUBLE division, inexact past 2⁵³ —
+    // tape coordinates and ids are longs and must stay exact
+    val sharded = rows.withColumn("__shard",
+      expr(s"cast(`$idCol` as bigint) div $span").cast("int"))
+    // phase 1: per-shard totals → driver-side exclusive prefix. The
+    // collect is bounded by `shards` (config), not by data size.
+    val totals = sharded.groupBy("__shard")
+      .agg(sum(col(tokenCol).cast("long")).as("__total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until shards).scanLeft(0L) { (acc, s) =>
+      acc + totals.getOrElse(s, 0L)
+    }
+    val offsetDf = sharded.sparkSession.createDataFrame(
+      (0 until shards).map(s => (s, offsets(s)))
+    ).toDF("__shard", "__base")
+    // phase 2: S-way parallel within-shard cumsum + the shard base.
+    val w = Window.partitionBy("__shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .join(broadcast(offsetDf), "__shard")
+      .withColumn("__start",
+        col("__base") + sum(col(tokenCol).cast("long")).over(w)
+          - col(tokenCol).cast("long"))
+      .select(col(idCol), col(tokenCol),
+        expr(s"__start div $budget").as("pack_id"),
+        (col("__start") % budget).as("pack_offset"))
+  }
+}

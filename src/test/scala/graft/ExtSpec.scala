@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.Tables
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Events, Multimodal, Sampling, Similarity, TextStats}
 
 /** Specs for the training-data-pipeline extensions (SURVEY.md §7.5):
   * dedup family, similarity search, text analysis, multimodal
@@ -383,5 +383,93 @@ class ExtSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.map(_.getAs[Long]("n_events")).sum ==
       spark.table("events").count())
+  }
+
+  // ---- Sampling ----
+
+  test("hash sampling is deterministic, partitioning-independent, ~rate-sized") {
+    val ids1 = Sampling.bernoulliSample(docs, 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // identical membership after an arbitrary repartition (the property
+    // Spark's per-partition-RNG sample does NOT have)
+    val ids2 = Sampling.bernoulliSample(docs.repartition(7), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    val n = docs.count().toDouble
+    assert(ids1.size > n * 0.2 && ids1.size < n * 0.4,
+      s"expected ~30% of $n, got ${ids1.size}")
+    // different salts give different (independent) samples
+    val other = Sampling.bernoulliSample(docs, 0.3, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 != other)
+  }
+
+  test("stratified rates apply per stratum; split partitions the corpus") {
+    val byLang = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 1.0, "zh" -> 0.0), defaultRate = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == full("en")) // rate 1.0 keeps everything
+    assert(!byLang.contains("zh"))     // rate 0.0 keeps nothing
+    val split = Sampling.trainTestSplit(docs, 0.2)
+    assert(split.count() == docs.count()) // split labels, never drops
+    val splits = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "test"))
+  }
+
+  // ---- Packing ----
+
+  test("packSequences: sharded prefix sum ≡ single-window form, any shard count") {
+    val toks = docs.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = toks
+      .withColumn("s", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("s div 512").as("pack_id"), (col("s") % 512).as("pack_offset"))
+      .orderBy("doc_id").collect().toSeq
+    for (shards <- Seq(1, 5, 32)) {
+      val got = graft.ext.Packing.packSequences(toks, 512, shards)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == expected, s"shards=$shards diverged from single-window")
+    }
+  }
+
+  test("packSequences: offsets stay inside the budget, packs are contiguous") {
+    val toks = docs.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val out = graft.ext.Packing.packSequences(toks, 512, 8)
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 512))
+    assert(out.head.getLong(2) == 0L) // tape starts at pack 0
+    // monotone in id order, and consecutive docs advance the pack by
+    // exactly the tokens laid between them: pack(i+1) - pack(i) ==
+    // (start(i) + tokens(i)) div budget - pack(i) bounds to the tape law
+    out.sliding(2).foreach { case Array(a, b) =>
+      val nextStart = a.getLong(2) * 512 + a.getLong(3) + a.getLong(1)
+      assert(b.getLong(2) == nextStart / 512 && b.getLong(3) == nextStart % 512,
+        s"tape law broken between ${a.getLong(0)} and ${b.getLong(0)}")
+    }
+  }
+
+  // ---- Curation ----
+
+  test("curate: rejection priority is near_duplicate > too_short > low_quality") {
+    val longText = (1 to 60).map(i => s"the w$i").mkString(" ") // high quality, long
+    val df = Seq(
+      (1L, longText),                 // survivor of the near-dup pair
+      (2L, longText + " tail"),       // near-dup of 1 AND long: near_duplicate
+      (3L, "tiny"),                   // too short (and low quality) → too_short
+      (4L, (1 to 50).map(i => s"zq$i").mkString(" ")) // long, no stopwords → low_quality
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.curate(df, minTokens = 40, minQuality = 0.55)
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(3) && out(0).isNullAt(4)) // kept
+    assert(!out(1).getBoolean(3) && out(1).getString(4) == "near_duplicate")
+    assert(!out(2).getBoolean(3) && out(2).getString(4) == "too_short")
+    assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
 }
