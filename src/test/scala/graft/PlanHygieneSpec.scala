@@ -126,6 +126,31 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"all-pairs join in the near-dup plan:\n$plan")
   }
 
+  test("deterministic sampling is map-only — no exchange, no shuffle") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.ext.Sampling.stratifiedSample(spark.table("documents"),
+      "lang", Map("en" -> 0.5), 0.1).select("doc_id", "lang")
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "sampling must be a pure map-side filter")
+  }
+
+  test("packing has no single-partition global window (the scale trap)") {
+    Tables.register(spark, TestSpark.sfDir)
+    val toks = spark.table("documents").select(col("doc_id"),
+      size(graft.ext.TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val df = graft.ext.Packing.packSequences(toks, 512, 32)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-shard cumsum window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "unpartitioned window = single-task total sort at scale:\n" + w)
+    }
+  }
+
   test("salted aggregation matches the direct aggregation exactly") {
     Tables.register(spark, TestSpark.sfDir)
     val events = spark.table("events")
