@@ -163,6 +163,38 @@ object OraclesExt {
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, score FROM p2 WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dup clustering — twin of q_embedding_clusters:
+    * the [[embeddingNearDup]] pair graph, closed transitively by the
+    * same recursive min-reachable-id CTE as [[dedupClusters]].
+    */
+  val embeddingClusters: String =
+    s"""WITH RECURSIVE $normCte,
+       |planes AS (SELECT p, list_transform(range(0, 64),
+       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
+       |  FROM range(0, 16) t(p)),
+       |bits AS (SELECT vec_id, p // 2 AS band,
+       |  CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
+       |    THEN (1::BIGINT << (p % 2)) ELSE 0::BIGINT END AS bit
+       |  FROM n CROSS JOIN planes),
+       |keys AS (SELECT vec_id, band || ':' || sum(bit)::BIGINT AS bk
+       |  FROM bits GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |p2 AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
+       |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
+       |  WHERE score >= 0.4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+       |  UNION ALL SELECT id_b, id_a FROM p2),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT cc.id AS vec_id, cc.cluster_id, cs.cluster_size,
+       |       (cc.id = cc.cluster_id) AS is_survivor
+       |FROM cc JOIN cs USING (cluster_id) ORDER BY vec_id""".stripMargin
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5 — twin of
     * Similarity.topK (pre-normalized, one dot per pair).
     */

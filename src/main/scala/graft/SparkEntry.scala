@@ -184,6 +184,17 @@ object SparkEntry {
         bands = 8, planesPerBand = 2, dims = 64)
         .orderBy("id_a", "id_b")
     },
+    // Embedding-space near-dup clustering: the banded-LSH pair graph
+    // fed through the same connected-components + survivorship
+    // roll-up as the document families (maxIter=50: semantic-space
+    // chains can be longer than text near-dup chains).
+    "q_embedding_clusters" -> withTables { s =>
+      val emb = s.table("embeddings")
+      val pairs = Similarity.thresholdPairs(emb, threshold = 0.4,
+        bands = 8, planesPerBand = 2, dims = 64).select("id_a", "id_b")
+      Dedup.clustersFromPairs(emb, pairs, idCol = "vec_id", maxIter = 50)
+        .orderBy("vec_id")
+    },
     "q_knn_bruteforce" -> withTables { s =>
       val emb = s.table("embeddings")
       Similarity.topK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -347,6 +358,7 @@ object SparkEntry {
     "q_dedup_clusters" -> OraclesExt.dedupClusters,
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
+    "q_embedding_clusters" -> OraclesExt.embeddingClusters,
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,

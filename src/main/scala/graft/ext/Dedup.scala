@@ -377,22 +377,31 @@ object Dedup {
     labels
   }
 
-  /** Near-dup clustering + survivorship — the keep/drop half of the
-    * dedup job: MinHash-LSH candidate pairs become graph edges,
-    * [[connectedComponents]] groups transitive near-dups, and the
-    * minimum doc id in each cluster is the canonical survivor.
-    * Returns one row per document:
+  /** Cluster roll-up shared by every pair-graph family: components
+    * from [[connectedComponents]], per-cluster sizes, and the
+    * min-id canonical survivor flag. Returns one row per node:
     * (idCol, cluster_id, cluster_size, is_survivor).
     */
-  def nearDupClusters(df: DataFrame, n: Int = 3, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.8, maxIter: Int = 20,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = minHashNearDupPairs(df, n, k, bands, threshold, idCol, textCol)
-    val cc = connectedComponents(df.select(col(idCol).as("id")),
-      pairs.select("id_a", "id_b"), maxIter)
+  def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(nodes.select(col(idCol).as("id")),
+      pairs, maxIter)
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "component")
       .select(col("id").as(idCol), col("component").as("cluster_id"),
         col("cluster_size"), (col("id") === col("component")).as("is_survivor"))
   }
+
+  /** Near-dup clustering + survivorship — the keep/drop half of the
+    * dedup job: MinHash-LSH candidate pairs become graph edges,
+    * [[connectedComponents]] groups transitive near-dups, and the
+    * minimum doc id in each cluster is the canonical survivor.
+    */
+  def nearDupClusters(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8, maxIter: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    clustersFromPairs(df,
+      minHashNearDupPairs(df, n, k, bands, threshold, idCol, textCol)
+        .select("id_a", "id_b"),
+      idCol, maxIter)
 }
