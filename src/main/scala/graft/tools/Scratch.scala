@@ -20,7 +20,13 @@ object Scratch {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.catalog.Tables.register(spark, "/root/testdata/sf0.001")
-    time("entry smoke")(graft.SparkEntry.entry(spark).count())
+    val sf = "/root/testdata/sf0.001"
+    for (q <- args) {
+      println(s"===== $q =====")
+      println(graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString)
+    }
+    if (args.isEmpty)
+      time("entry smoke")(graft.SparkEntry.entry(spark).count())
   }
 }
