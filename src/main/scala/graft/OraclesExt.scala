@@ -366,6 +366,35 @@ object OraclesExt {
        |SELECT lang, split, count(*)::BIGINT AS n_docs
        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** Token-mixture rebalance — twin of Sampling.rebalanceToMixture:
+    * the oracle recomputes the per-stratum totals, the binding
+    * constant K = min(t_s / w_s) and the keep rates w_s·K/t_s in SQL
+    * (identical left-to-right IEEE arithmetic), then applies the same
+    * md5 membership and rolls up the kept corpus.
+    */
+  def mixtureRebalance(weights: Map[String, Double]): String = {
+    val values = weights.toSeq.sorted
+      .map { case (s, w) => s"('$s', ${w}::DOUBLE)" }.mkString(", ")
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, len(t)::BIGINT AS n_tokens
+       |  FROM toks JOIN documents USING (doc_id)),
+       |tot AS (SELECT lang, sum(n_tokens)::BIGINT AS tt FROM d GROUP BY lang),
+       |w AS (SELECT * FROM (VALUES $values) w(lang, wt)),
+       |k AS (SELECT min(tt::DOUBLE / wt) AS k FROM tot JOIN w USING (lang)),
+       |r AS (SELECT lang, wt * k.k / tt::DOUBLE AS rate FROM tot JOIN w USING (lang), k),
+       |s AS (SELECT d.lang, d.n_tokens FROM d JOIN r USING (lang)
+       |  WHERE ${hashUniformSql("mixture")} < rate)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS kept_tokens
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
+  def topTokens(k: Int): String =
+    s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents)
+       |SELECT token, count(*)::BIGINT AS n_occurrences FROM tk
+       |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT $k""".stripMargin
+
   /** Sequence packing — twin of Packing.packSequences. The oracle
     * computes the SINGLE-WINDOW global cumsum; the Spark side's
     * two-phase sharded prefix sum must be bit-identical (integer

@@ -102,6 +102,9 @@ object SparkEntry {
   private[graft] val stratifiedDefaultRate = 0.1
   private[graft] val testFraction = 0.2
   private[graft] val packBudget = 512L
+  private[graft] val mixtureWeights = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  private[graft] val topTokensK = 50
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -239,6 +242,22 @@ object SparkEntry {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
     },
+    // §7.5 — token-mixture rebalancing: per-stratum keep rates are
+    // computed from the corpus' own token totals (K = min t_s/w_s),
+    // then applied with the deterministic md5 membership.
+    "q_mixture_rebalance" -> withTables { s =>
+      val d = s.table("documents").withColumn("n_tokens",
+        size(TextStats.tokens(col("text"))).cast("long"))
+      Sampling.rebalanceToMixture(d, "lang", mixtureWeights)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
+        .orderBy("lang")
+    },
+    // §7.5 — exact corpus heavy hitters (TakeOrderedAndProject: no
+    // full vocabulary sort).
+    "q_top_tokens" -> withTables { s =>
+      TextStats.topTokens(s.table("documents"), topTokensK)
+    },
     // §7.5 — sequence packing: two-phase distributed prefix sum (no
     // single-task global window), bit-identical to the oracle's
     // single-window form because all math is integer.
@@ -370,6 +389,8 @@ object SparkEntry {
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
+    "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
+    "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_curate" -> OraclesExt.curate,
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->

@@ -54,6 +54,38 @@ object Sampling {
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Rebalance a corpus to a target TOKEN mixture — the op behind
+    * "train on 40% en / 15% each of the rest". Per-stratum totals
+    * t_s are aggregated once (map-side combined; the collect is
+    * bounded by the stratum count, never by data), then the largest
+    * corpus achieving the exact mixture is K = min_s(t_s / w_s)
+    * total tokens, giving per-stratum keep rates
+    * rate_s = w_s·K / t_s ≤ 1 (= 1 for the binding stratum). Rows are
+    * then kept by the same md5 membership as [[stratifiedSample]] —
+    * map-only, reproducible, oracle-recomputable (the rate arithmetic
+    * is a fixed left-to-right IEEE expression both engines evaluate
+    * identically).
+    *
+    * @param df must carry an integral `tokensCol` (e.g.
+    *   `size(TextStats.tokens(col("text")))`).
+    */
+  def rebalanceToMixture(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], idCol: String = "doc_id",
+      tokensCol: String = "n_tokens", salt: String = "mixture"): DataFrame = {
+    val totals = df.groupBy(strataCol)
+      .agg(sum(col(tokensCol).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = totals.keySet -- weights.keySet
+    require(missing.isEmpty, s"no target weight for strata: $missing")
+    val k = totals.map { case (s, t) => t.toDouble / weights(s) }.min
+    val rate = totals.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, t)) =>
+        when(col(strataCol) === lit(s), lit(weights(s) * k / t.toDouble))
+          .otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
   /** Deterministic train/test split: adds a `split` column
     * ("test" iff uniform(salt|id) < testFraction, else "train").
     * Because membership is a function of the id alone, the split is

@@ -161,6 +161,21 @@ object TextStats {
       .select(col(idCol), col("cand_lang").as("predicted_lang"), col("score"))
   }
 
+  /** Exact corpus heavy hitters: the k most frequent tokens
+    * (occurrences, not document frequency — duplicates count).
+    * Plans as map-side partial count → one token-keyed shuffle →
+    * TakeOrderedAndProject (per-partition top-k, k-row driver merge):
+    * no full sort of the vocabulary at any scale. Deterministic
+    * tie-break on the token itself.
+    */
+  def topTokens(df: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    Dedup.spread(df, textCol)
+      .select(explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // avoids inferred re-tokenizing scan filter
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the sorted distinct token set — exact
     *    content-set identity, robust to token order/repetition.
