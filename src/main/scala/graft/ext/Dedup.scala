@@ -321,6 +321,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Materialize a loop-state DataFrame with FRESH leaf statistics.
+    *
+    * `localCheckpoint()` alone truncates lineage and partitions, but
+    * its `LogicalRDD` still carries the origin plan's
+    * estimated statistics (`originStats`). Catalyst's size-only join
+    * estimate is the PRODUCT of the children's `sizeInBytes`
+    * (SizeInBytesOnlyStatsPlanVisitor.visitJoin), and each CC round
+    * joins the previous round's labels with itself (pointer jump) and
+    * with prop — so the BigInt size estimate is raised to the ~4th
+    * power every round. The value's digit count grows 4^round; by
+    * round 12 the driver spends tens of seconds in
+    * `BigInteger.multiply` on million-digit numbers (observed: 0.5 s
+    * rounds degrading to 40 s, the whole cost in stats estimation, 30
+    * tasks throughout). Rebuilding the Dataset from the checkpointed
+    * RDD through the public `createDataFrame(rdd, schema)` makes the
+    * round input a fresh leaf with default stats — the product chain
+    * resets every round and planning time stays constant. Broadcast
+    * choices are unaffected in practice: AQE re-plans each round's
+    * joins from the ACTUAL materialized sizes at runtime.
+    *
+    * (On a real cluster prefer `checkpoint` with a durable dir for
+    * executor-loss recovery; the stats reset is needed either way.)
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Connected components over an undirected candidate-pair graph by
     * bounded min-label propagation: every node starts labeled with its
     * own id; each round every node takes the min of its own and its
@@ -328,13 +356,14 @@ object Dedup {
     * label is the component's MINIMUM node id — deterministic, and the
     * natural canonical-survivor key for dedup.
     *
-    * Scale shape: each round is one equi-join (edges ⋈ labels, keyed
-    * by node id) + one map-side-combined min-aggregate — no driver
-    * data, no collect. Rounds needed = graph diameter; near-dup
-    * cluster diameters are tiny (pairs all verified ≥ threshold), so
-    * `maxIter` is a safety bound, not a tuning knob. `localCheckpoint`
-    * truncates the per-round lineage (on a real cluster prefer
-    * `checkpoint` with a durable dir for executor-loss recovery).
+    * Scale shape: each round is two equi-joins (edges ⋈ labels for
+    * neighbor propagation, labels ⋈ labels for the pointer jump) +
+    * one map-side-combined min-aggregate — no driver data, no
+    * collect. The pointer jump makes rounds O(log diameter) rather
+    * than O(diameter), so even long similarity chains converge in a
+    * handful of Spark jobs; `maxIter` is a safety bound, not a tuning
+    * knob. Loop state is [[materialize]]d each round — see that
+    * method for why plain `localCheckpoint` is NOT enough here.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20, idCol: String = "id",
@@ -343,27 +372,39 @@ object Dedup {
     // this every round's join re-derives the full upstream candidate
     // generation (for nearDupClusters: the whole MinHash+LSH+verify
     // pipeline, measured ~3× the entire query's cost at 20 rounds)
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
-      .localCheckpoint()
+    val sym = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var labels = materialize(
+      nodes.select(col(idCol).as("id"), col(idCol).as("component")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // neighbor propagation: min label over the open neighborhood
       val prop = sym.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("component").as("ncomp"))
+        .groupBy("id").agg(min("ncomp").as("pcomp"))
+      // pointer jump: my label's OWN label (labels self-joined on
+      // component=id — component values are always node ids, so the
+      // join always matches). Neighbor steps alone need diameter
+      // rounds on a chain; adding the jump halves the remaining
+      // distance each round — O(log diameter) rounds total, which is
+      // what keeps long semantic-similarity chains from turning the
+      // loop into 30+ Spark jobs.
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.component") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.component").as("jcomp"))
       // one pass computes BOTH the new label and whether it moved —
-      // no second labels-vs-next join per round; the convergence probe
-      // then reads only the checkpointed round output
-      val next = labels.join(
-          prop.groupBy("id").agg(min("ncomp").as("pcomp")), Seq("id"), "left")
+      // the convergence probe then reads only the checkpointed output
+      val best = least(
+        coalesce(col("pcomp"), col("component")),
+        coalesce(col("jcomp"), col("component")))
+      val next = materialize(labels
+        .join(prop, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("pcomp"), col("component")))
-            .as("component"),
-          (coalesce(col("pcomp"), col("component")) < col("component"))
-            .as("__moved"))
-        .localCheckpoint()
+          least(col("component"), best).as("component"),
+          (best < col("component")).as("__moved")))
       converged = next.filter(col("__moved")).limit(1).count() == 0L
       labels = next.drop("__moved")
       iter += 1
