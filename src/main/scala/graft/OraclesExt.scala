@@ -388,6 +388,62 @@ object OraclesExt {
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Held-out decontamination — twin of
+    * Decontamination.contaminationReport over the deterministic
+    * train/test split (same md5 membership as sampleSplit): per
+    * contaminated TRAIN doc, how many of its distinct 3-gram shingles
+    * occur anywhere in the test split.
+    */
+  def decontam(testFraction: Double): String =
+    s"""WITH $toksCte, $shCte,
+       |te AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+       |  WHERE ${hashUniformSql("split")} < $testFraction),
+       |tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+       |  WHERE NOT (${hashUniformSql("split")} < $testFraction))
+       |SELECT doc_id, count(*)::BIGINT AS n_hits
+       |FROM tr JOIN te USING (shingle)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-doc repetition metrics — twin of TextStats.repetitionStats.
+    * Same 1-token bigram-window convention (`greatest(len-1, 1)`) and
+    * the same exact-integer-count ratios.
+    */
+  val textRepetition: String =
+    s"""WITH $toksCte,
+       |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |  len(list_distinct(t))::BIGINT AS n_distinct_tokens FROM toks),
+       |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+       |unic AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM uni GROUP BY doc_id, g),
+       |unia AS (SELECT doc_id, max(c) AS topc FROM unic GROUP BY doc_id),
+       |bg AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |  i -> array_to_string(t[i:i+1], ' ')) AS b FROM toks),
+       |bgu AS (SELECT doc_id, unnest(b) AS g FROM bg),
+       |bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bgu GROUP BY doc_id, g),
+       |bga AS (SELECT doc_id, max(c) AS topc, sum(c)::BIGINT AS tot FROM bgc GROUP BY doc_id)
+       |SELECT base.doc_id, n_tokens, n_distinct_tokens,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(n_distinct_tokens::DOUBLE / n_tokens::DOUBLE, 5) ELSE 0.0 END
+       |    AS distinct_token_ratio,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(unia.topc::DOUBLE / n_tokens::DOUBLE, 5) ELSE 0.0 END
+       |    AS top_token_frac,
+       |  CASE WHEN coalesce(bga.tot, 0) > 0
+       |    THEN round(bga.topc::DOUBLE / bga.tot::DOUBLE, 5) ELSE 0.0 END
+       |    AS top_bigram_frac
+       |FROM base LEFT JOIN unia USING (doc_id) LEFT JOIN bga USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic shuffle + sharding — twin of Sharding.shardCorpus:
+    * same md5-derived shard assignment and within-shard rank.
+    */
+  def shard(numShards: Int): String =
+    s"""WITH h AS (SELECT doc_id, md5('shard|' || doc_id) AS hx FROM documents),
+       |s AS (SELECT doc_id, hx,
+       |  (cast('0x' || substr(hx, 1, 8) AS BIGINT) % $numShards)::INT AS shard_id FROM h)
+       |SELECT doc_id, shard_id,
+       |  (row_number() OVER (PARTITION BY shard_id ORDER BY hx, doc_id) - 1)::BIGINT AS shard_pos
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
   def topTokens(k: Int): String =
     s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

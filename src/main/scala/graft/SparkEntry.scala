@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.{InfoSchema, Tables}
-import graft.ext.{Curation, Dedup, Events, Multimodal, Packing, Sampling, Similarity, TextStats}
+import graft.ext.{Curation, Decontamination, Dedup, Events, Multimodal, Packing, Sampling, Sharding, Similarity, TextStats}
 import graft.profile.TableProfiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -105,6 +105,7 @@ object SparkEntry {
   private[graft] val mixtureWeights = Map(
     "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
   private[graft] val topTokensK = 50
+  private[graft] val shardCount = 8
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -258,6 +259,26 @@ object SparkEntry {
     "q_top_tokens" -> withTables { s =>
       TextStats.topTokens(s.table("documents"), topTokensK)
     },
+    // §7.5 — held-out decontamination: train docs (deterministic md5
+    // split) that share any 3-gram shingle with the test split. One
+    // shingle equi-join; nothing quadratic.
+    "q_decontam" -> withTables { s =>
+      val split = Sampling.trainTestSplit(s.table("documents"), testFraction)
+      Decontamination.contaminationReport(
+        split.filter(col("split") === "train").drop("split"),
+        split.filter(col("split") === "test").drop("split"))
+        .orderBy("doc_id")
+    },
+    // §7.5 — Gopher-style repetition/diversity quality signals.
+    "q_text_repetition" -> withTables { s =>
+      TextStats.repetitionStats(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — deterministic corpus shuffle + sharding (map-only
+    // assignment; the only exchange is the per-shard rank window).
+    "q_shard" -> withTables { s =>
+      Sharding.shardCorpus(s.table("documents"), shardCount)
+        .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
+    },
     // §7.5 — sequence packing: two-phase distributed prefix sum (no
     // single-task global window), bit-identical to the oracle's
     // single-window form because all math is integer.
@@ -391,6 +412,9 @@ object SparkEntry {
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
+    "q_decontam" -> OraclesExt.decontam(testFraction),
+    "q_text_repetition" -> OraclesExt.textRepetition,
+    "q_shard" -> OraclesExt.shard(shardCount),
     "q_curate" -> OraclesExt.curate,
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->

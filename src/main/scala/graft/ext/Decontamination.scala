@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Held-out-set decontamination — pipeline extension (SURVEY.md §7.5;
+  * the reference has no training-data surface). Before training, any
+  * document that shares an n-gram with the evaluation/held-out set
+  * must be dropped from the training corpus, otherwise benchmark
+  * numbers measure memorization (the n-gram-overlap rule used by the
+  * GPT-3 and PaLM data pipelines).
+  *
+  * Scale shape: the held-out side is reduced to its DISTINCT shingle
+  * set once (eval sets are tiny next to the corpus — the join side
+  * Spark will broadcast; at worst it is a uniform shingle-keyed
+  * shuffle), the train side streams through an explode, and
+  * contamination is one equi-join on the shingle — no similarity
+  * scoring, no candidate pairs, nothing quadratic. The report
+  * aggregates hit counts per train doc (map-side combined); the
+  * decontaminate step is a left-anti join on doc id.
+  */
+object Decontamination {
+
+  /** Per-document contamination report over the train corpus:
+    * one row per CONTAMINATED train doc — (idCol, `n_hits`) where
+    * n_hits = how many of the doc's distinct n-gram shingles occur
+    * anywhere in the held-out set. Clean docs are absent.
+    */
+  def contaminationReport(train: DataFrame, heldOut: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // explode_outer + isNotNull, not explode: InferFiltersFromGenerate
+    // would otherwise push `size(shingles(...)) > 0` into the scan and
+    // re-run the whole tokenize/shingle pipeline as a filter
+    // (SURVEY.md §8.4 rule 2)
+    val trainShingles = Dedup.withShingleSet(train, n, textCol, "__sh")
+      .select(col(idCol), explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val heldOutShingles = Dedup.withShingleSet(heldOut, n, textCol, "__sh")
+      .select(explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+    // per-doc shingle arrays are distinct (array_distinct) and the
+    // held-out side is deduped, so the join emits each (doc, shingle)
+    // hit at most once — count(*) IS the distinct-hit count
+    trainShingles.join(heldOutShingles, "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The training corpus minus every contaminated document — the rows
+    * of `train` whose id does not appear in [[contaminationReport]].
+    */
+  def decontaminate(train: DataFrame, heldOut: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    train.join(
+      contaminationReport(train, heldOut, n, idCol, textCol).select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -161,6 +161,57 @@ object TextStats {
       .select(col(idCol), col("cand_lang").as("predicted_lang"), col("score"))
   }
 
+  /** Per-document repetition metrics — the Gopher-style "excessive
+    * repetition" quality signals: how much of a document is its most
+    * frequent token / word bigram, and how diverse its vocabulary is.
+    * Returns one row per doc: (idCol, n_tokens, n_distinct_tokens,
+    * distinct_token_ratio, top_token_frac, top_bigram_frac).
+    *
+    * Shape: ONE explode over a combined (kind, gram) struct array
+    * covers unigrams and bigrams together — two map-side-combined
+    * aggregations (gram counts, then per-doc top/total) instead of two
+    * separate explode pipelines, plus a doc_id-keyed join back to the
+    * map-only per-doc columns. Ratios are single IEEE divisions of
+    * exact integer counts — deterministic on both engines.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val staged = Dedup.spread(df, textCol)
+      .withColumn("__toks", tokens(col(textCol)))
+    val toks = col("__toks")
+    // word bigrams, same windowing convention as Dedup.shingles(n=2)
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val docSide = staged.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+    val grams = staged.select(col(idCol), explode_outer(concat(
+        transform(toks, t => struct(lit(0).as("k"), t.as("g"))),
+        transform(bigrams, b => struct(lit(1).as("k"), b.as("g"))))).as("kg"))
+      .select(col(idCol), col("kg.k").as("k"), col("kg.g").as("g"))
+      .filter(col("g").isNotNull)
+    val tops = grams.groupBy(col(idCol), col("k"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("k"))
+      .agg(max("c").as("top"), sum("c").as("tot"))
+      .groupBy(col(idCol)).agg(
+        max(when(col("k") === 0, col("top"))).as("__top_tok"),
+        max(when(col("k") === 1, col("top"))).as("__top_bg"),
+        max(when(col("k") === 1, col("tot"))).as("__n_bg"))
+    docSide.join(tops, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        when(col("n_tokens") > 0, round(
+          col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"), 5))
+          .otherwise(lit(0.0)).as("distinct_token_ratio"),
+        when(col("n_tokens") > 0, round(
+          col("__top_tok").cast("double") / col("n_tokens").cast("double"), 5))
+          .otherwise(lit(0.0)).as("top_token_frac"),
+        when(coalesce(col("__n_bg"), lit(0L)) > 0, round(
+          col("__top_bg").cast("double") / col("__n_bg").cast("double"), 5))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Exact corpus heavy hitters: the k most frequent tokens
     * (occurrences, not document frequency — duplicates count).
     * Plans as map-side partial count → one token-keyed shuffle →

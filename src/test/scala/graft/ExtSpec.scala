@@ -472,4 +472,77 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(2).getBoolean(3) && out(2).getString(4) == "too_short")
     assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
+
+  // ---- Decontamination ----
+
+  test("decontamination reports shared-shingle docs and drops exactly those") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta gamma" with test
+      (2L, "one two three four five"),  // clean
+      (3L, "six seven eight nine")      // clean
+    ).toDF("doc_id", "text")
+    val test_ = Seq((100L, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    val report = graft.ext.Decontamination.contaminationReport(train, test_)
+      .collect()
+    assert(report.length == 1)
+    assert(report(0).getLong(0) == 1L && report(0).getLong(1) == 1L,
+      "doc 1 shares exactly one 3-gram shingle with the held-out set")
+    val kept = graft.ext.Decontamination.decontaminate(train, test_)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("decontamination of a disjoint corpus keeps everything") {
+    val train = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    val test_ = Seq((9L, "five six seven eight")).toDF("doc_id", "text")
+    assert(graft.ext.Decontamination.contaminationReport(train, test_).count() == 0)
+    assert(graft.ext.Decontamination.decontaminate(train, test_).count() == 1)
+  }
+
+  // ---- Repetition metrics ----
+
+  test("repetitionStats: hand-computed fractions on a repetitive doc") {
+    val df = Seq(
+      (1L, "a a a b"),       // top token a:3/4; bigrams: "a a"×2,"a b" → 2/3; distinct 2/4
+      (2L, "x y z w")        // all distinct: top token 1/4, top bigram 1/3
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(df).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(0).getDouble(4) == 0.75)
+    assert(out(0).getDouble(5) == math.rint(2.0 / 3.0 * 1e5) / 1e5)
+    assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(4) == 0.25)
+    assert(out(1).getDouble(5) == math.rint(1.0 / 3.0 * 1e5) / 1e5)
+  }
+
+  test("repetitionStats: single-token doc uses the degenerate bigram window") {
+    val out = TextStats.repetitionStats(
+      Seq((1L, "solo")).toDF("doc_id", "text")).collect()
+    // bigram list degrades to the lone token (same greatest(n-1,1)
+    // convention as Dedup.shingles) — fraction 1.0, not null
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(5) == 1.0)
+  }
+
+  // ---- Sharding ----
+
+  test("shardCorpus: ids in range, positions contiguous, stable under repartition") {
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sharded = graft.ext.Sharding.shardCorpus(df, 8).cache()
+    val byShard = sharded.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("lo"), max("shard_pos").as("hi"))
+      .collect()
+    assert(byShard.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    byShard.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1,
+        s"shard ${r.getInt(0)}: positions must be 0..n-1")
+    }
+    // deterministic under arbitrary input partitioning
+    val again = graft.ext.Sharding.shardCorpus(df.repartition(13), 8)
+      .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
+      .collect().toSeq
+    val first = sharded.select("doc_id", "shard_id", "shard_pos")
+      .orderBy("doc_id").collect().toSeq
+    assert(again == first, "shard assignment/order must not depend on partitioning")
+    sharded.unpersist()
+  }
 }

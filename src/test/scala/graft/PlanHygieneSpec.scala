@@ -151,6 +151,28 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination is a pure shingle equi-join — nothing quadratic") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_decontam")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi join in the decontamination plan:\n$plan")
+  }
+
+  test("shard ranking window is partitioned by shard — no global sort task") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.ext.Sharding.shardCorpus(spark.table("documents"), 8)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-shard rank window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "unpartitioned window = single-task total sort at scale:\n" + w)
+    }
+  }
+
   test("salted aggregation matches the direct aggregation exactly") {
     Tables.register(spark, TestSpark.sfDir)
     val events = spark.table("events")
