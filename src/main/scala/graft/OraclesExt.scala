@@ -444,6 +444,37 @@ object OraclesExt {
        |  (row_number() OVER (PARTITION BY shard_id ORDER BY hx, doc_id) - 1)::BIGINT AS shard_pos
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Best-k docs per language by quality — twin of
+    * Sampling.topKPerGroup over TextStats.withDocStats quality_score
+    * (the same quality expression as [[textDocStats]]).
+    */
+  def topQualityPerLang(k: Int): String =
+    s"""WITH $toksCte,
+       |q AS (SELECT d.doc_id, d.lang,
+       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
+       |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5) AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |r AS (SELECT doc_id, lang, quality_score, row_number() OVER
+       |  (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn FROM q)
+       |SELECT doc_id, lang, quality_score FROM r WHERE rn <= $k
+       |ORDER BY lang, doc_id""".stripMargin
+
+  /** Per-doc OOV rate vs the corpus top-V vocabulary — twin of
+    * TextStats.vocabCoverage (same count-desc/token-asc vocab order).
+    */
+  def vocabCoverage(v: Int): String =
+    s"""WITH tk AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents),
+       |vocab AS (SELECT token, 1 AS inv FROM tk GROUP BY token
+       |  ORDER BY count(*) DESC, token LIMIT $v)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  (count(*) - count(vocab.inv))::BIGINT AS n_oov,
+       |  round((count(*) - count(vocab.inv))::DOUBLE / count(*)::DOUBLE, 5) AS oov_rate
+       |FROM tk LEFT JOIN vocab USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
   def topTokens(k: Int): String =
     s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

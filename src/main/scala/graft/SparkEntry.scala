@@ -106,6 +106,8 @@ object SparkEntry {
     "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
   private[graft] val topTokensK = 50
   private[graft] val shardCount = 8
+  private[graft] val topQualityK = 5
+  private[graft] val vocabSize = 20
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -273,6 +275,21 @@ object SparkEntry {
     "q_text_repetition" -> withTables { s =>
       TextStats.repetitionStats(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — best-k-per-group selection (WindowGroupLimit: skewed
+    // groups never materialize more than k+ rows per task).
+    "q_top_quality_per_lang" -> withTables { s =>
+      Sampling.topKPerGroup(
+        TextStats.withDocStats(s.table("documents"))
+          .select("doc_id", "lang", "quality_score"),
+        "lang", "quality_score", topQualityK)
+        .orderBy("lang", "doc_id")
+    },
+    // §7.5 — out-of-vocabulary rate vs the corpus' own top-V tokens
+    // (broadcast vocab; the corpus is never shuffled by token).
+    "q_vocab_coverage" -> withTables { s =>
+      TextStats.vocabCoverage(s.table("documents"), vocabSize)
+        .orderBy("doc_id")
+    },
     // §7.5 — deterministic corpus shuffle + sharding (map-only
     // assignment; the only exchange is the per-shard rank window).
     "q_shard" -> withTables { s =>
@@ -415,6 +432,8 @@ object SparkEntry {
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_shard" -> OraclesExt.shard(shardCount),
+    "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
+    "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->

@@ -86,6 +86,23 @@ object Sampling {
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Keep the k best rows per group by a score column — the
+    * "highest-quality N documents per language/source" selection step.
+    * Deterministic: ties are broken by ascending id, so the kept set
+    * is a pure function of the data. Plans as a rank window
+    * partitioned by the group with the `<= k` predicate pushed into
+    * WindowGroupLimit (per-partition top-k heaps on BOTH the map and
+    * reduce side of the group exchange — no group ever materializes
+    * more than k+ rows, so a skewed group cannot OOM a task).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Deterministic train/test split: adds a `split` column
     * ("test" iff uniform(salt|id) < testFraction, else "train").
     * Because membership is a function of the id alone, the split is

@@ -227,6 +227,32 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document vocabulary coverage against the corpus' own top-V
+    * vocabulary: (idCol, n_tokens, n_oov, oov_rate). A high
+    * out-of-vocabulary rate flags noise/garbled docs; the vocab is
+    * [[topTokens]] (deterministic count-desc/token-asc order), so the
+    * whole metric is a pure function of the corpus.
+    *
+    * Shape: the V-row vocab is explicitly `broadcast` — the exploded
+    * token stream left-joins it map-side (no shuffle of the corpus),
+    * then one map-side-combined per-doc aggregation.
+    */
+  def vocabCoverage(df: DataFrame, vocabSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = topTokens(df, vocabSize)
+      .select(col("token"), lit(1).as("__inv"))
+    val toks = Dedup.spread(df, textCol)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("__inv"))).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 5)
+          .as("oov_rate"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the sorted distinct token set — exact
     *    content-set identity, robust to token order/repetition.

@@ -523,6 +523,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 1L && out(0).getDouble(5) == 1.0)
   }
 
+  // ---- Per-group selection / vocabulary coverage ----
+
+  test("topKPerGroup keeps k best per group with deterministic tie-break") {
+    val df = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.9), (3L, "en", 0.5),
+      (4L, "de", 0.7)
+    ).toDF("doc_id", "lang", "score")
+    val out = graft.ext.Sampling.topKPerGroup(df, "lang", "score", 2)
+      .orderBy("lang", "doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L, 1L, 2L),
+      "ties broken by ascending id; only k rows kept per group")
+  }
+
+  test("vocabCoverage: OOV counted against the corpus top-V vocab") {
+    val df = Seq(
+      (1L, "a a b rare1"),  // vocab(2) = {a, b}: 1 OOV of 4
+      (2L, "a b b rare2")
+    ).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(df, 2).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 1L)
+    assert(out(0).getDouble(3) == 0.25)
+    assert(out(1).getLong(2) == 1L)
+  }
+
   // ---- Sharding ----
 
   test("shardCorpus: ids in range, positions contiguous, stable under repartition") {

@@ -173,6 +173,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group top-k plans as WindowGroupLimit — skewed groups stay bounded") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_top_quality_per_lang")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into WindowGroupLimit:\n$plan")
+  }
+
+  test("vocab coverage broadcasts the vocabulary — corpus never shuffled by token") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.ext.TextStats.vocabCoverage(spark.table("documents"), 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must be broadcast:\n$plan")
+  }
+
   test("salted aggregation matches the direct aggregation exactly") {
     Tables.register(spark, TestSpark.sfDir)
     val events = spark.table("events")
