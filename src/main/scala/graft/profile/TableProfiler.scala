@@ -110,10 +110,19 @@ object TableProfiler {
     */
   private def aggRow(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column, medianAgg: String => Column): DataFrame = {
+    // same conditional spread as exactAggRow: a few-row-group input
+    // would run every sketch update in ONE scan task (measured 4× the
+    // whole query at sf0.1). The sketch merges are associative (HLL
+    // registers merge bitwise; KLL/GK summary merge is the documented
+    // approximate path), so parallel partials are safe here.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val spreadDf =
+      if (df.queryExecution.toRdd.getNumPartitions >= parallelism) df
+      else df.repartition(parallelism)
     val aggs = baseStats(cols) ++
       cols.zipWithIndex.map { case (c, i) => distinctAgg(c).as(s"c${i}_2") } ++
       cols.zipWithIndex.map { case (c, i) => medianAgg(c).as(s"c${i}_6") }
-    df.agg(aggs.head, aggs.tail: _*)
+    spreadDf.agg(aggs.head, aggs.tail: _*)
   }
 
   /** ALL 8 exact statistics for all N columns from ONE shared

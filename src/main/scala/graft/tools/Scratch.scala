@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc timing/debugging harness (not part of the library surface;
   * rewrite freely — see the memory notes for the listener pattern,
@@ -21,18 +20,13 @@ object Scratch {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.1"
-    graft.catalog.Tables.register(spark, sf)
-    val emb = spark.table("embeddings")
-    val pairs = time("thresholdPairs materialize") {
-      graft.ext.Similarity.thresholdPairs(emb, threshold = 0.4,
-        bands = 8, planesPerBand = 2, dims = 64)
-        .select("id_a", "id_b").localCheckpoint()
+    val sf = "/root/testdata/sf0.001"
+    for (q <- args) {
+      println(s"===== $q =====")
+      println(graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString)
     }
-    val cc = time("connectedComponents") {
-      graft.ext.Dedup.connectedComponents(
-        emb.select(col("vec_id").as("id")), pairs, maxIter = 50)
-    }
-    println(s"labels = ${cc.count()}, components = ${cc.select("component").distinct().count()}")
+    if (args.isEmpty)
+      time("entry smoke")(graft.SparkEntry.entry(spark).count())
   }
 }
