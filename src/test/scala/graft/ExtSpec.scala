@@ -523,6 +523,65 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 1L && out(0).getDouble(5) == 1.0)
   }
 
+  // ---- Connected components: pointer-jump round bound ----
+
+  test("connectedComponents converges on a long chain within O(log diameter) rounds") {
+    // an 80-node path graph has diameter 79: neighbor-only min-label
+    // propagation needs ~79 rounds, the pointer jump gets there in
+    // O(log n). maxIter=10 would fail without the jump.
+    val nodes = (1L to 80L).toDF("id")
+    val edges = (1L until 80L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges, maxIter = 10)
+    assert(cc.select("component").distinct().count() == 1L)
+    assert(cc.agg(max("component")).head.getLong(0) == 1L,
+      "every node must carry the chain's minimum id")
+  }
+
+  // ---- Mixture rebalance semantics ----
+
+  test("rebalanceToMixture keeps the binding stratum whole and downsamples the rest") {
+    // en: 10 docs x 100 tokens = 1000; de: 4 docs x 25 tokens = 100.
+    // weights (0.9, 0.1): K = min(1000/0.9, 100/0.1) = 1000 tokens,
+    // so rate_de = 0.1*1000/100 = 1.0 (binding: fully kept) and
+    // rate_en = 0.9*1000/1000 = 0.9.
+    val df = ((1L to 10L).map(i => (i, "en", 100L)) ++
+      (11L to 14L).map(i => (i, "de", 25L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val kept = Sampling.rebalanceToMixture(df, "lang",
+      Map("en" -> 0.9, "de" -> 0.1))
+    val deKept = kept.filter(col("lang") === "de").count()
+    assert(deKept == 4L, "binding stratum must be kept in full (rate = 1)")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.rebalanceToMixture(df.repartition(7), "lang",
+      Map("en" -> 0.9, "de" -> 0.1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == again, "membership is a pure function of (salt, id)")
+  }
+
+  test("rebalanceToMixture refuses strata without a target weight") {
+    val df = Seq((1L, "xx", 10L)).toDF("doc_id", "lang", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToMixture(df, "lang", Map("en" -> 1.0))
+    }
+  }
+
+  // ---- Decontamination partition property ----
+
+  test("contamination report and decontaminated corpus partition the train set") {
+    Tables.register(spark, TestSpark.sfDir)
+    val split = Sampling.trainTestSplit(spark.table("documents"), 0.2)
+    val train = split.filter(col("split") === "train").drop("split")
+    val test_ = split.filter(col("split") === "test").drop("split")
+    val contaminated = graft.ext.Decontamination
+      .contaminationReport(train, test_)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = graft.ext.Decontamination.decontaminate(train, test_)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((contaminated & kept).isEmpty)
+    assert((contaminated | kept) == all)
+  }
+
   // ---- Per-group selection / vocabulary coverage ----
 
   test("topKPerGroup keeps k best per group with deterministic tie-break") {
