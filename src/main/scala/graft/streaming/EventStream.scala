@@ -73,6 +73,25 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming exact-content document dedup: the streaming twin of
+    * `Dedup.exact`. Incoming docs are keyed by their content digest
+    * (md5 of the text — the same canonical identity as the batch
+    * operator) and duplicates arriving within the watermark horizon
+    * are dropped; state per digest is bounded by the watermark, so a
+    * forever-running ingest keeps O(docs-per-horizon) state, not
+    * O(corpus). Emits the first-seen copy of each content, with its
+    * `content_md5` attached for downstream lineage.
+    *
+    * @param docs streaming DataFrame with an event-time column
+    *   `tsCol` (ingest time) and the text payload.
+    */
+  def dedupDocsStream(docs: DataFrame, horizon: String = "1 hour",
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** One completed user session (streaming flatMapGroupsWithState
     * output record).
     */

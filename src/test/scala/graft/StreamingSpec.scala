@@ -67,6 +67,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == spark.table("events").count()) // each id survives once
   }
 
+  test("streaming doc dedup keys on content digest and keeps the first copy") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val streamed = EventStream.dedupDocsStream(
+      input.toDF.toDF("ts", "doc_id", "text"))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_doc_dedup")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-docdedup").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (ts("2026-01-01 12:00:00"), 1L, "alpha beta"),
+        (ts("2026-01-01 12:01:00"), 2L, "alpha beta"),  // dup content, within watermark
+        (ts("2026-01-01 12:02:00"), 3L, "gamma delta"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_doc_dedup")
+        .select("doc_id", "content_md5").collect()
+      assert(rows.length == 2, "duplicate content within the horizon must be dropped")
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L),
+        "the FIRST-seen copy of each content survives")
+      assert(rows.map(_.getString(1)).distinct.length == 2)
+    } finally q.stop()
+  }
+
   test("watermark drops late data and finalizes windows exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
