@@ -53,12 +53,18 @@ object Dedup {
     * argument inlined here would re-tokenize the document once per
     * shingle (~60× — measured 8× wall-clock on the corpus ops).
     */
-  def shingles(tokens: Column, n: Int): Column = {
-    val ngrams = transform(
+  def shingles(tokens: Column, n: Int): Column =
+    array_distinct(ngrams(tokens, n))
+
+  /** Word n-grams WITH duplicates (the windowing primitive behind
+    * [[shingles]] and TextStats.repetitionStats — one copy of the
+    * `greatest(size-n+1, 1)` degenerate-window convention, so the
+    * operators and their oracle twins cannot drift apart).
+    */
+  def ngrams(tokens: Column, n: Int): Column =
+    transform(
       sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(tokens, i, lit(n))))
-    array_distinct(ngrams)
-  }
 
   /** Spread rows across all cores before CPU-heavy per-row work.
     * Document corpora often arrive in few large files (the test

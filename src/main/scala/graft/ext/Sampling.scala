@@ -56,15 +56,16 @@ object Sampling {
 
   /** Rebalance a corpus to a target TOKEN mixture — the op behind
     * "train on 40% en / 15% each of the rest". Per-stratum totals
-    * t_s are aggregated once (map-side combined; the collect is
-    * bounded by the stratum count, never by data), then the largest
-    * corpus achieving the exact mixture is K = min_s(t_s / w_s)
-    * total tokens, giving per-stratum keep rates
+    * t_s are aggregated once (map-side combined, one row per
+    * stratum), then the largest corpus achieving the exact mixture is
+    * K = min_s(t_s / w_s) total tokens, giving per-stratum keep rates
     * rate_s = w_s·K / t_s ≤ 1 (= 1 for the binding stratum). Rows are
-    * then kept by the same md5 membership as [[stratifiedSample]] —
-    * map-only, reproducible, oracle-recomputable (the rate arithmetic
+    * then kept by the same md5 membership as [[stratifiedSample]],
+    * applied through a broadcast join of the stratum-count-sized rate
+    * table — reproducible, oracle-recomputable (the rate arithmetic
     * is a fixed left-to-right IEEE expression both engines evaluate
-    * identically).
+    * identically), and fully lazy (no driver-side collect; the plan
+    * is self-contained).
     *
     * @param df must carry an integral `tokensCol` (e.g.
     *   `size(TextStats.tokens(col("text")))`).
@@ -72,18 +73,29 @@ object Sampling {
   def rebalanceToMixture(df: DataFrame, strataCol: String,
       weights: Map[String, Double], idCol: String = "doc_id",
       tokensCol: String = "n_tokens", salt: String = "mixture"): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = weights.toSeq.sortBy(_._1).toDF(strataCol, "__wt")
+    // per-stratum totals, the binding constant K = min(t_s / w_s) and
+    // the rates all live IN the plan (driver-literal weights joined
+    // against a tiny aggregate) — the operator stays lazy, nothing
+    // executes at construction time, and an empty corpus yields an
+    // empty result (null K matches no row) instead of a driver error.
+    // A stratum with no target weight fails AT EXECUTION via
+    // raise_error, naming the stratum.
     val totals = df.groupBy(strataCol)
-      .agg(sum(col(tokensCol).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missing = totals.keySet -- weights.keySet
-    require(missing.isEmpty, s"no target weight for strata: $missing")
-    val k = totals.map { case (s, t) => t.toDouble / weights(s) }.min
-    val rate = totals.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (s, t)) =>
-        when(col(strataCol) === lit(s), lit(weights(s) * k / t.toDouble))
-          .otherwise(acc)
-    }
-    df.filter(hashUniform(col(idCol), salt) < rate)
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .join(broadcast(w), Seq(strataCol), "left")
+      .withColumn("__wt", when(col("__wt").isNotNull, col("__wt"))
+        .otherwise(raise_error(
+          concat(lit("no target weight for stratum: "), col(strataCol)))))
+    val k = totals.agg(min(col("__t").cast("double") / col("__wt")).as("__k"))
+    // same left-to-right IEEE arithmetic as the oracle: w·K/t
+    val rates = totals.crossJoin(broadcast(k))
+      .select(col(strataCol),
+        (col("__wt") * col("__k") / col("__t").cast("double")).as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .select(df.columns.map(col): _*)
   }
 
   /** Keep the k best rows per group by a score column — the

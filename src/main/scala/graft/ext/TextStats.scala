@@ -179,10 +179,7 @@ object TextStats {
     val staged = Dedup.spread(df, textCol)
       .withColumn("__toks", tokens(col(textCol)))
     val toks = col("__toks")
-    // word bigrams, same windowing convention as Dedup.shingles(n=2)
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val bigrams = Dedup.ngrams(toks, 2)
     val docSide = staged.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))

@@ -42,11 +42,12 @@ import graft.catalog.{InfoSchema, Tables, TrinoTypes}
   *
   * Local-bench caveat: the driver's parquet files contain a single
   * row group, so a scan's parallelism is 1 task per file no matter
-  * the split size — profile wall-clock at sf0.1 is bounded by that
-  * one task. A real table has thousands of row groups; we do NOT
-  * repartition to fake parallelism because a shuffle would reorder
-  * the double `avg` partial sums and break bit-determinism against
-  * the oracle.
+  * the split size. Both paths therefore repartition CONDITIONALLY
+  * (only when the scan is under-parallel) — which is safe only
+  * because neither path contains any order-dependent double
+  * accumulation: no `avg`/`stddev_samp` anywhere; every mean/sum/std
+  * is derived from exact decimal sums (associative, so bit-identical
+  * under any partitioning — see [[exactAggRow]] and `baseStats`).
   */
 object TableProfiler {
 
@@ -88,16 +89,40 @@ object TableProfiler {
     *  - std is the two-pass sample standard deviation around the
     *    exact mean (see [[exactAggRow]]).
     */
+  /** The six non-sketch stats, ALL partition-independent — no
+    * order-dependent double accumulation (`avg`/`stddev_samp` are
+    * banned here for the same reason as in the exact path, see the
+    * object scaladoc): mean and sum reuse the exact decimal-sum +
+    * integer HALF-AWAY rounding of [[exactAggRow]] (bit-identical to
+    * the exact profile, which ProfilerSpec asserts with `==`), and
+    * std is a single-pass variance over decimal-quantized Σx and Σx²
+    * — deterministic under ANY partitioning; for ill-conditioned
+    * columns (|mean| ≫ σ, where the single-pass cancellation loses
+    * digits) the exact two-pass profile is the reference answer.
+    */
   private def baseStats(cols: Seq[String]): Seq[Column] =
     cols.zipWithIndex.flatMap { case (c, i) =>
       val x = col(c)
+      val n = count(x)
+      val s1 = sum(x.cast(DecimalType(18, 6)))
+      // x² quantized at 10⁻⁶ then summed exactly; decimal(38,6) keeps
+      // 32 integer digits of headroom before the sum can overflow
+      val s2 = sum((x * x).cast(DecimalType(38, 6)))
+      val su6 = (s1 * lit(1000000L)).cast(LongType)
+      def r5FromSu6(b: Column): Column =
+        when(s1 < 0, lit(-1.0)).otherwise(lit(1.0)) *
+          floor((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
+          lit(100000.0)
+      val m = s1.cast(DoubleType) / n
+      val variance = (s2.cast(DoubleType) - (m * m) * n) / (n - 1)
       Seq(
-        count(x).cast(DoubleType).as(s"c${i}_1"),
-        round(avg(x), 5).as(s"c${i}_3"),
-        round(stddev_samp(x), 5).as(s"c${i}_4"),
+        n.cast(DoubleType).as(s"c${i}_1"),
+        r5FromSu6(n * lit(10L)).as(s"c${i}_3"),
+        when(n > 1, round(sqrt(greatest(variance, lit(0.0))), 5))
+          .as(s"c${i}_4"),
         round(min(x).cast(DoubleType), 5).as(s"c${i}_5"),
         round(max(x).cast(DoubleType), 5).as(s"c${i}_7"),
-        round(sum(x.cast(DecimalType(18, 6))).cast(DoubleType), 5).as(s"c${i}_8"))
+        r5FromSu6(lit(10L)).as(s"c${i}_8"))
     }
 
   /** One row with all 8×N stats as columns `c<i>_<j>` (sketch-based

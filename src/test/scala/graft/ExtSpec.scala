@@ -558,11 +558,17 @@ class ExtSpec extends AnyFunSuite {
     assert(keptIds == again, "membership is a pure function of (salt, id)")
   }
 
-  test("rebalanceToMixture refuses strata without a target weight") {
+  test("rebalanceToMixture refuses strata without a target weight (at execution)") {
     val df = Seq((1L, "xx", 10L)).toDF("doc_id", "lang", "n_tokens")
-    intercept[IllegalArgumentException] {
-      Sampling.rebalanceToMixture(df, "lang", Map("en" -> 1.0))
-    }
+    val lazyResult = Sampling.rebalanceToMixture(df, "lang", Map("en" -> 1.0))
+    val e = intercept[Exception](lazyResult.count())
+    assert(e.getMessage.contains("no target weight for stratum: xx") ||
+      Option(e.getCause).exists(_.getMessage.contains("no target weight for stratum: xx")))
+  }
+
+  test("rebalanceToMixture of an empty corpus is empty, not an error") {
+    val df = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_tokens")
+    assert(Sampling.rebalanceToMixture(df, "lang", Map("en" -> 1.0)).count() == 0L)
   }
 
   // ---- Decontamination partition property ----
