@@ -73,6 +73,25 @@ object SparkEntry {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** §2.3/§2.4 — TPC-H Q3-shaped shipping-priority query through the
+    * SQL passthrough: 3-table join with selective predicates on BOTH
+    * fact and dimension sides (all pushed to the scans), decimal-exact
+    * revenue, top-10 by revenue with a unique tie-break key.
+    */
+  private val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      | round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 5) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -157,6 +176,7 @@ object SparkEntry {
     "q_top_orders" -> withTables { s => s.sql(topOrdersSql) },
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
+    "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
     // §7.5 extensions — deduplication family over `documents`.
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
@@ -409,6 +429,7 @@ object SparkEntry {
     "q_top_orders" -> topOrdersSql,
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
+    "q_shipping_priority" -> shippingPrioritySql,
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
