@@ -482,6 +482,22 @@ object OraclesExt {
        |SELECT token, count(*)::BIGINT AS n_occurrences FROM tk
        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT $k""".stripMargin
 
+  /** Context-length chunking — twin of Packing.chunkDocuments: same
+    * start grid (0, stride, … while start < n, one empty chunk for an
+    * empty doc) and the same 1-based inclusive token slicing.
+    */
+  def chunkDocs(maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH $toksCte,
+       |n AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks),
+       |c AS (SELECT doc_id, t, n, unnest(range(0,
+       |  CASE WHEN n > 0 THEN (n - 1) // $stride + 1 ELSE 1 END)) AS ci FROM n)
+       |SELECT doc_id, ci::INT AS chunk_index,
+       |  array_to_string(t[(ci * $stride + 1):(ci * $stride + $maxTokens)], ' ') AS chunk_text,
+       |  len(t[(ci * $stride + 1):(ci * $stride + $maxTokens)])::BIGINT AS n_chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_index""".stripMargin
+  }
+
   /** Sequence packing — twin of Packing.packSequences. The oracle
     * computes the SINGLE-WINDOW global cumsum; the Spark side's
     * two-phase sharded prefix sum must be bit-identical (integer

@@ -127,6 +127,8 @@ object SparkEntry {
   private[graft] val shardCount = 8
   private[graft] val topQualityK = 5
   private[graft] val vocabSize = 20
+  private[graft] val chunkMaxTokens = 32
+  private[graft] val chunkOverlap = 4
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -316,6 +318,12 @@ object SparkEntry {
       Sharding.shardCorpus(s.table("documents"), shardCount)
         .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
     },
+    // §7.5 — context-length chunking: overlapping token windows per
+    // doc (map-only explode; trailing runt chunks kept).
+    "q_chunk" -> withTables { s =>
+      Packing.chunkDocuments(s.table("documents"), chunkMaxTokens, chunkOverlap)
+        .orderBy("doc_id", "chunk_index")
+    },
     // §7.5 — sequence packing: two-phase distributed prefix sum (no
     // single-task global window), bit-identical to the oracle's
     // single-window form because all math is integer.
@@ -448,6 +456,7 @@ object SparkEntry {
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
+    "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_decontam" -> OraclesExt.decontam(testFraction),

@@ -79,4 +79,44 @@ object Packing {
         expr(s"__start div $budget").as("pack_id"),
         (col("__start") % budget).as("pack_offset"))
   }
+
+  /** Split each document into fixed-size token windows with overlap —
+    * the context-length chunking step that precedes packing when
+    * single documents exceed the window. Chunk i covers token offsets
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens −
+    * overlap; starts advance while they are inside the document, so a
+    * trailing runt chunk (shorter than maxTokens) is emitted rather
+    * than silently dropping tail tokens, and an empty document yields
+    * one empty chunk (no rows disappear).
+    *
+    * Returns (idCol, chunk_index, chunk_text, n_chunk_tokens) — one
+    * row per chunk. Pure per-row explode + projections: map-only,
+    * linear, no shuffle; `spread` only parallelizes few-row-group
+    * local inputs.
+    */
+  def chunkDocuments(df: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val staged = Dedup.spread(df, textCol)
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+    // chunk count = floor((n-1)/stride) + 1 for n ≥ 1 (starts 0,
+    // stride, 2·stride, … while start < n); integer `div`, never
+    // Column./ (double division)
+    val nChunks = when(size(col("__toks")) > 0,
+      expr(s"(size(__toks) - 1) div $stride") + 1).otherwise(lit(1))
+    val start = (col("chunk_index") * stride) + 1 // slice is 1-based
+    staged
+      .select(col(idCol), col("__toks"),
+        explode_outer(sequence(lit(0), (nChunks - 1).cast("int")))
+          .as("chunk_index"))
+      .filter(col("chunk_index").isNotNull)
+      .select(col(idCol), col("chunk_index"),
+        concat_ws(" ", slice(col("__toks"), start, lit(maxTokens)))
+          .as("chunk_text"),
+        size(slice(col("__toks"), start, lit(maxTokens))).cast("long")
+          .as("n_chunk_tokens"))
+  }
 }

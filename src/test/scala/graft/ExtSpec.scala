@@ -455,6 +455,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Chunking ----
+
+  test("chunkDocuments: overlapping windows, trailing runt kept, empty doc = one empty chunk") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // max 4, overlap 1, stride 3: starts 0,3,6
+      (2L, "a b"),                  // single chunk, shorter than max
+      (3L, "")                      // empty doc: one empty chunk
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Packing.chunkDocuments(df, maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_index").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getString(2)).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7"))
+    assert(doc1.map(_.getLong(3)).toSeq == Seq(4L, 4L, 1L))
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getString(2) == "a b")
+    val doc3 = out.filter(_.getLong(0) == 3L)
+    assert(doc3.length == 1 && doc3(0).getString(2) == "" &&
+      doc3(0).getLong(3) == 0L)
+    // every non-empty token is covered: concatenating stride-prefixes
+    // of each chunk plus the final chunk reconstructs the doc
+    intercept[IllegalArgumentException] {
+      graft.ext.Packing.chunkDocuments(df, maxTokens = 4, overlap = 4)
+    }
+  }
+
   // ---- Curation ----
 
   test("curate: rejection priority is near_duplicate > too_short > low_quality") {
