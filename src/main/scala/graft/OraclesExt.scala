@@ -74,6 +74,25 @@ object OraclesExt {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus near-dups — twin of Dedup.crossCorpusNearDups over
+    * the deterministic train/test split: per-doc signatures (and so
+    * band keys and verified Jaccard) are identical whether a doc is
+    * signed inside its own corpus or the union, so the cross pairs
+    * are exactly the full-corpus pairs with ONE endpoint in the test
+    * split — reordered train-first.
+    */
+  def crossDedup(testFraction: Double): String = {
+    def isTest(c: String) =
+      s"(cast('0x' || substr(md5('split|' || $c), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0 < $testFraction)"
+    s"""WITH $minHashPairsCtes
+       |SELECT CASE WHEN ${isTest("id_a")} THEN id_b ELSE id_a END AS id_a,
+       |       CASE WHEN ${isTest("id_a")} THEN id_a ELSE id_b END AS id_b,
+       |       jaccard
+       |FROM mh
+       |WHERE ${isTest("id_a")} <> ${isTest("id_b")}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Near-dup clustering + survivorship — twin of
     * Dedup.nearDupClusters: min-label connected components over the
     * MinHash pair graph as a recursive transitive-closure CTE

@@ -194,6 +194,15 @@ object SparkEntry {
       Dedup.minHashNearDupPairs(s.table("documents"), n = 3, k = 16,
         bands = 4, threshold = 0.8).orderBy("id_a", "id_b")
     },
+    // cross-corpus near-dups: the deterministic train split deduped
+    // against the test split (band keys meet across corpora only).
+    "q_cross_dedup" -> withTables { s =>
+      val split = Sampling.trainTestSplit(s.table("documents"), testFraction)
+      Dedup.crossCorpusNearDups(
+        split.filter(col("split") === "train").drop("split"),
+        split.filter(col("split") === "test").drop("split"))
+        .orderBy("id_a", "id_b")
+    },
     // Near-dup clustering + survivorship: connected components over
     // the MinHash pair graph, canonical survivor = min doc id.
     "q_dedup_clusters" -> withTables { s =>
@@ -441,6 +450,7 @@ object SparkEntry {
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
+    "q_cross_dedup" -> OraclesExt.crossDedup(testFraction),
     "q_dedup_clusters" -> OraclesExt.dedupClusters,
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,

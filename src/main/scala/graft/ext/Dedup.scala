@@ -246,6 +246,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-dup pairs: MinHash+LSH between TWO corpora —
+    * the "dedup a new crawl against the existing training set"
+    * operation (same banding machinery as [[minHashNearDupPairs]],
+    * but candidates meet across corpora only). Output:
+    * (id_a ∈ left, id_b ∈ right, jaccard ≥ threshold).
+    *
+    * Scale shape: each side is signed independently (map-only per
+    * side), candidates meet on the band-key equi-join — the shuffle
+    * is keyed by band hash and sized by collisions, never |A|·|B| —
+    * and exact-Jaccard verification touches candidate pairs only.
+    */
+  def crossCorpusNearDups(left: DataFrame, right: DataFrame, n: Int = 3,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def buckets(df: DataFrame) =
+      minHashSignatures(df, n, k, idCol, textCol).select(col("id"),
+        explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+    val candidates = buckets(left).as("l")
+      .join(buckets(right).as("r"), col("l.bk") === col("r.bk"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    def sh(df: DataFrame, side: String) =
+      withShingleSet(df, n, textCol, "sh")
+        .select(col(idCol).as(s"id_$side"), col("sh").as(s"sh_$side"))
+    candidates
+      .join(sh(left, "a"), "id_a")
+      .join(sh(right, "b"), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 5))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 32-bit token hash: the first 8 hex digits of md5, parsed base-16.
     * Identical bytes on any md5-capable engine.
     */

@@ -499,6 +499,27 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
 
+  // ---- Cross-corpus near-dups ----
+
+  test("crossCorpusNearDups pairs across corpora only, near-dups found") {
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about spark plans and shuffles here")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog now"), // near-dup of 1
+      (11L, "another disjoint document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(a, b, threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 10L)
+    assert(out(0).getDouble(2) >= 0.5)
+    // identical corpora: every doc pairs with its twin, never itself-side
+    val self = Dedup.crossCorpusNearDups(a, a, threshold = 0.9).collect()
+    assert(self.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 2L)))
+  }
+
   // ---- Decontamination ----
 
   test("decontamination reports shared-shingle docs and drops exactly those") {
