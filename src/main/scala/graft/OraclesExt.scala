@@ -563,6 +563,68 @@ object OraclesExt {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Full-pipeline curation verdict — twin of Curation.curateFull:
+    * the [[curate]] chain (MinHash CC + quality) extended with the
+    * [[textRepetition]] and [[vocabCoverage]] signal CTEs, same
+    * priority CASE. All thresholds single-sourced from Curation.
+    */
+  val curateFull: String = {
+    val minTokens = graft.ext.Curation.DefaultMinTokens
+    val minQuality = graft.ext.Curation.DefaultMinQuality
+    val maxBigramFrac = graft.ext.Curation.DefaultMaxBigramFrac
+    val minDistinctRatio = graft.ext.Curation.DefaultMinDistinctRatio
+    val maxOovRate = graft.ext.Curation.DefaultMaxOovRate
+    val vocabSize = graft.ext.Curation.DefaultVocabSize
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+       |  UNION ALL SELECT id_b, id_a FROM mh),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |q AS (SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
+       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
+       |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5) AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |  len(list_distinct(t))::BIGINT AS n_distinct_tokens FROM toks),
+       |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+       |bg AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |  i -> array_to_string(t[i:i+1], ' ')) AS b FROM toks),
+       |bgu AS (SELECT doc_id, unnest(b) AS g FROM bg),
+       |bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bgu GROUP BY doc_id, g),
+       |bga AS (SELECT doc_id, max(c) AS topc, sum(c)::BIGINT AS tot FROM bgc GROUP BY doc_id),
+       |repx AS (SELECT base.doc_id,
+       |  CASE WHEN base.n_tokens > 0
+       |    THEN round(base.n_distinct_tokens::DOUBLE / base.n_tokens::DOUBLE, 5) ELSE 0.0 END
+       |    AS distinct_token_ratio,
+       |  CASE WHEN coalesce(bga.tot, 0) > 0
+       |    THEN round(bga.topc::DOUBLE / bga.tot::DOUBLE, 5) ELSE 0.0 END
+       |    AS top_bigram_frac
+       |  FROM base LEFT JOIN bga USING (doc_id)),
+       |vocab AS (SELECT g AS token, 1 AS inv FROM uni GROUP BY g
+       |  ORDER BY count(*) DESC, g LIMIT $vocabSize),
+       |oovx AS (SELECT uni.doc_id,
+       |  round((count(*) - count(v.inv))::DOUBLE / count(*)::DOUBLE, 5) AS oov_rate
+       |  FROM uni LEFT JOIN vocab v ON uni.g = v.token GROUP BY uni.doc_id),
+       |r AS (SELECT q.doc_id, q.n_tokens, q.quality_score,
+       |  repx.top_bigram_frac, oovx.oov_rate,
+       |  CASE WHEN cc.id <> cc.cluster_id THEN 'near_duplicate'
+       |       WHEN q.n_tokens < $minTokens THEN 'too_short'
+       |       WHEN q.quality_score < $minQuality THEN 'low_quality'
+       |       WHEN repx.top_bigram_frac > $maxBigramFrac
+       |         OR repx.distinct_token_ratio < $minDistinctRatio THEN 'repetitive'
+       |       WHEN oovx.oov_rate > $maxOovRate THEN 'high_oov' END AS reject_reason
+       |  FROM q JOIN cc ON q.doc_id = cc.id
+       |  JOIN repx ON q.doc_id = repx.doc_id
+       |  JOIN oovx ON q.doc_id = oovx.doc_id)
+       |SELECT doc_id, n_tokens, quality_score, top_bigram_frac, oov_rate,
+       |  (reject_reason IS NULL) AS keep, reject_reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Binary-asset metadata — twin of the q_multimodal_meta pipeline
     * (Multimodal.assetTable + withChecksums + chunk counts). The
     * document text is ASCII, so char ops on `text` equal byte ops on

@@ -327,6 +327,11 @@ object SparkEntry {
       Sharding.shardCorpus(s.table("documents"), shardCount)
         .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
     },
+    // §7.5 — full-pipeline curation verdict: near-dup survivorship +
+    // length + quality + repetition + OOV gates, first match wins.
+    "q_curate_full" -> withTables { s =>
+      Curation.curateFull(s.table("documents")).orderBy("doc_id")
+    },
     // §7.5 — context-length chunking: overlapping token windows per
     // doc (map-only explode; trailing runt chunks kept).
     "q_chunk" -> withTables { s =>
@@ -475,6 +480,7 @@ object SparkEntry {
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
+    "q_curate_full" -> OraclesExt.curateFull,
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->
       """SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_bucket,

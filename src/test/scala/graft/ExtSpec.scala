@@ -499,6 +499,32 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
 
+  // ---- Full curation verdict ----
+
+  test("curateFull: repetitive and high_oov gates fire in priority order") {
+    val good = (1 to 60).map(i => s"the w$i").mkString(" ")
+    val df = Seq(
+      (1L, good),                                   // kept
+      (2L, ("the spam " * 40).trim),                // long+quality ok, bigram-dominated
+      (3L, (1 to 60).map(_ => "the").mkString(" ")) // degenerate vocab: repetitive
+    ).toDF("doc_id", "text")
+    // vocab of size 2 over this corpus = {the, spam}; rare w_i tokens
+    // in doc 1 are OOV but doc 1 must be judged on earlier gates first
+    val out = graft.ext.Curation.curateFull(df,
+      minTokens = 40, minQuality = 0.3, maxBigramFrac = 0.5,
+      minDistinctRatio = 0.05, maxOovRate = 2.0, vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out(1).getString(6) == "repetitive", "bigram domination")
+    assert(out(2).getString(6) == "repetitive", "vocabulary collapse")
+    // with an OOV gate that can fire, the diverse doc trips it LAST
+    val out2 = graft.ext.Curation.curateFull(df,
+      minTokens = 40, minQuality = 0.3, maxBigramFrac = 0.99,
+      minDistinctRatio = 0.0, maxOovRate = 0.4, vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out2(0).getString(6) == "high_oov",
+      "doc 1 passes every earlier gate, then fails OOV")
+  }
+
   // ---- Cross-corpus near-dups ----
 
   test("crossCorpusNearDups pairs across corpora only, near-dups found") {
