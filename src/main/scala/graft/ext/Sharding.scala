@@ -42,4 +42,26 @@ object Sharding {
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
       .drop("__h")
   }
+
+  /** Materialize the sharded corpus as `shard_id=<k>/` parquet
+    * directories in the deterministic shuffle order — the form a
+    * training job actually reads. Same assignment and order as
+    * [[shardCorpus]], but the per-shard rank window is FOLDED INTO
+    * THE WRITE: `repartition(shard_id)` is the one exchange and
+    * `sortWithinPartitions` orders each shard as it streams to disk —
+    * no row_number materialized, no second pass.
+    */
+  def writeShards(df: DataFrame, dir: String, numShards: Int,
+      idCol: String = "doc_id", salt: String = "shard"): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    val h = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard_id",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .drop("__h")
+      .write.partitionBy("shard_id").mode("overwrite").parquet(dir)
+  }
 }

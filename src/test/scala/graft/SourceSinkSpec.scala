@@ -57,4 +57,28 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(one.count() ==
       spark.table("events").filter(col("event_type") === types.head).count())
   }
+
+  test("writeShards materializes the shardCorpus assignment as partitioned parquet") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val dir = tmp("shards")
+    graft.ext.Sharding.writeShards(docs, dir, numShards = 8)
+    val back = spark.read.parquet(dir)
+    // nothing lost, nothing duplicated
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // the directory layout IS the assignment of shardCorpus
+    val expected = graft.ext.Sharding.shardCorpus(docs, 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = back.select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    // shard partition dirs on disk, pruned reads work
+    val one = spark.read.parquet(dir).filter(col("shard_id") === 3)
+    val scan = one.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+  }
 }
