@@ -610,6 +610,39 @@ class ExtSpec extends AnyFunSuite {
       "every node must carry the chain's minimum id")
   }
 
+  test("connectedComponents equals brute-force union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 25)
+      m <- Gen.chooseNum(0, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(1, n); b <- Gen.chooseNum(1, n)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n, es.distinct)
+    (1 to 4).foreach { i =>
+      val (n, es) = graphGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      // brute-force union-find on the driver
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(v => v.toLong ->
+        (1 to n).filter(u => find(u) == find(v)).min.toLong).toMap
+      val nodes = (1L to n.toLong).toDF("id")
+      val edges =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else es.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, edges, maxIter = 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"graph $i: n=$n edges=$es")
+    }
+  }
+
   // ---- Mixture rebalance semantics ----
 
   test("rebalanceToMixture keeps the binding stratum whole and downsamples the rest") {
