@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == spark.table("events").count()) // each id survives once
   }
 
+  test("map-only doc-stats gates run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // withDocStats is a pure projection, so the SAME operator the
+    // batch queries grade composes onto readStream with no changes —
+    // quality filtering at ingest time
+    val streamed = graft.ext.TextStats
+      .withDocStats(input.toDF.toDF("doc_id", "text"))
+      .filter(col("n_tokens") >= 3)
+      .select("doc_id", "n_tokens", "quality_score")
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_docstats")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-docstats").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((1L, "a a the fox jumps"), (2L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_docstats").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L), "short doc filtered in-stream")
+      // identical numbers to the batch operator
+      val batch = graft.ext.TextStats
+        .withDocStats(Seq((1L, "a a the fox jumps")).toDF("doc_id", "text"))
+        .select("quality_score").head.getDouble(0)
+      assert(rows(0).getDouble(2) == batch)
+    } finally q.stop()
+  }
+
   test("streaming doc dedup keys on content digest and keeps the first copy") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
