@@ -327,6 +327,14 @@ object SparkEntry {
       Sharding.shardCorpus(s.table("documents"), shardCount)
         .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
     },
+    // §7.5 — mergeable HLL sketch rollup (approximate by construction
+    // → no oracle, rows-only check like q_profile_approx; ExtSpec
+    // pins the estimates against exact distinct counts).
+    "q_sketch_rollup" -> withTables { s =>
+      graft.ext.Sketches.rollupDistinctUsers(
+        graft.ext.Sketches.dailyUserSketches(s.table("events")))
+        .orderBy("event_type")
+    },
     // §7.5 — full-pipeline curation verdict: near-dup survivorship +
     // length + quality + repetition + OOV gates, first match wins.
     "q_curate_full" -> withTables { s =>

@@ -499,6 +499,32 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
 
+  // ---- Mergeable sketches ----
+
+  test("HLL sketch rollup: merged daily sketches match direct sketch and near-exact") {
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val daily = graft.ext.Sketches.dailyUserSketches(events)
+    val rolled = graft.ext.Sketches.rollupDistinctUsers(daily)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rolled.keySet == exact.keySet)
+    exact.foreach { case (k, (d, n)) =>
+      val (approx, nEvents) = rolled(k)
+      assert(nEvents == n, "event counts are exact")
+      assert(math.abs(approx - d).toDouble / d < 0.05,
+        s"$k: approx $approx vs exact $d outside HLL error envelope")
+    }
+    // mergeability: union of daily sketches ≡ one sketch over raw data
+    val direct = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.map { case (k, v) => k -> v._1 } == direct,
+      "re-aggregated daily sketches must estimate exactly like a direct sketch")
+  }
+
   // ---- Full curation verdict ----
 
   test("curateFull: repetitive and high_oov gates fire in priority order") {
