@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
   * shuffle order can never flip a hash-compared 5th decimal.
   *
   * == Scale ==
-  * All per-document metrics are narrow map-side projections — no
-  * shuffle, fully pipelined inside whole-stage codegen, linear in
-  * bytes scanned: the 100 TB cost is the parquet scan itself. The
-  * aggregate roll-up shuffles only one row per (lang, source) group
-  * after map-side partial aggregation. Language-ID joins each token
-  * against a ~dozen-row profile table — Catalyst broadcasts it
+  * The per-document metrics ([[withDocStats]], [[fingerprints]]) are
+  * narrow map-side projections — no shuffle, fully pipelined inside
+  * whole-stage codegen, linear in bytes scanned: the 100 TB cost is
+  * the parquet scan itself. The corpus-level operators shuffle only
+  * aggregates: [[corpusStats]] one row per (lang, source) group,
+  * [[topTokens]] partial counts per token into a
+  * TakeOrderedAndProject (never a full vocabulary sort),
+  * [[repetitionStats]] per-(doc, gram) counts from one combined
+  * explode, [[vocabCoverage]] a broadcast of the top-V vocab (the
+  * corpus itself is never shuffled by token). Language-ID joins each
+  * token against a ~dozen-row profile table — Catalyst broadcasts it
   * (checked in TextStatsSpec via the physical plan).
   */
 object TextStats {
