@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * itself has no dedup surface — its data ops end at profiling,
   * /root/reference/aws-athena.sh:64-125).
   *
-  * Five families, all shuffle-architected for 100 TB:
+  * Six families, all shuffle-architected for 100 TB:
   *
   *  - [[exact]]: hash-groupBy on a content digest. One shuffle keyed
   *    by md5(text) — uniformly distributed by construction, no skew.
@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   *  - [[connectedComponents]] / [[nearDupClusters]]: the keep/drop
   *    half — candidate pairs become graph edges, min-label propagation
   *    groups transitive near-dups, min id per cluster survives.
+  *  - [[crossCorpusNearDups]]: the two-corpus variant (new crawl vs
+  *    existing training set) — bands meet across corpora only, the
+  *    shuffle sized by collisions, never |A|·|B|.
   *
   * Everything is built from codegen'd column expressions (md5,
   * higher-order array functions, bit ops) — no UDFs, no driver-side

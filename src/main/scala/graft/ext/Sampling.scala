@@ -3,22 +3,26 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Deterministic sampling operators for training-data curation —
-  * pipeline extensions (SURVEY.md §7.5; the reference has no sampling
-  * surface). A corpus pipeline needs samples that are REPRODUCIBLE
-  * (re-running the job yields the same training set), SEEDABLE
-  * (different salts give independent samples), and JOIN-FREE (the
-  * keep/drop decision is a pure function of the row — no global
-  * state, no shuffle).
+/** Deterministic sampling and selection operators for training-data
+  * curation — pipeline extensions (SURVEY.md §7.5; the reference has
+  * no sampling surface). A corpus pipeline needs samples that are
+  * REPRODUCIBLE (re-running the job yields the same training set),
+  * SEEDABLE (different salts give independent samples), and stable
+  * under ANY re-partitioning at 100 TB.
   *
   * Spark's own `df.sample`/`sampleBy` are none of these at pipeline
   * scale: they seed a per-partition RNG, so the selected ROWS change
-  * whenever partitioning, file order, or split size changes. Here the
-  * decision is `uniform(id) < rate` with the uniform derived from
-  * md5(salt|id) — a pure, codegen'd column expression: map-only, no
-  * shuffle, identical output on any engine with md5 (the DuckDB
-  * oracle twins recompute it bit-for-bit), and stable under ANY
-  * re-partitioning at 100 TB.
+  * whenever partitioning, file order, or split size changes. Here
+  * every membership decision is `uniform(id) < rate` with the uniform
+  * derived from md5(salt|id) — a pure, codegen'd column expression,
+  * identical output on any engine with md5 (the DuckDB oracle twins
+  * recompute it bit-for-bit). [[bernoulliSample]] /
+  * [[stratifiedSample]] / [[trainTestSplit]] are fully map-only (no
+  * shuffle at all — asserted in PlanHygieneSpec);
+  * [[rebalanceToMixture]] adds one stratum-count-sized aggregate +
+  * broadcast join to derive its rates from the corpus itself; and
+  * [[topKPerGroup]] is rank-based selection (WindowGroupLimit), not
+  * hash membership.
   */
 object Sampling {
 
