@@ -20,6 +20,63 @@ object OraclesExt {
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), " +
       "i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)"
 
+  /** Exploded tokens (one row per occurrence) — shared by the
+    * repetition, vocabulary and curation twins.
+    */
+  private val uniCte =
+    "uni AS (SELECT doc_id, unnest(t) AS g FROM toks)"
+
+  /** Word-bigram counts + per-doc repetition ratios (twin of
+    * TextStats.repetitionStats minus the top-token metric) — ONE copy
+    * of the bigram window convention, shared by [[textRepetition]]
+    * and [[curateFull]]. Ends in `repx(doc_id, n_tokens,
+    * n_distinct_tokens, distinct_token_ratio, top_bigram_frac)`,
+    * one row per doc.
+    */
+  private val repetitionCtes =
+    s"""base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |  len(list_distinct(t))::BIGINT AS n_distinct_tokens FROM toks),
+       |bg AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |  i -> array_to_string(t[i:i+1], ' ')) AS b FROM toks),
+       |bgu AS (SELECT doc_id, unnest(b) AS g FROM bg),
+       |bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bgu GROUP BY doc_id, g),
+       |bga AS (SELECT doc_id, max(c) AS topc, sum(c)::BIGINT AS tot FROM bgc GROUP BY doc_id),
+       |repx AS (SELECT base.doc_id, base.n_tokens, base.n_distinct_tokens,
+       |  CASE WHEN base.n_tokens > 0
+       |    THEN round(base.n_distinct_tokens::DOUBLE / base.n_tokens::DOUBLE, 5) ELSE 0.0 END
+       |    AS distinct_token_ratio,
+       |  CASE WHEN coalesce(bga.tot, 0) > 0
+       |    THEN round(bga.topc::DOUBLE / bga.tot::DOUBLE, 5) ELSE 0.0 END
+       |    AS top_bigram_frac
+       |  FROM base LEFT JOIN bga USING (doc_id))""".stripMargin
+
+  /** Top-V vocabulary + per-doc OOV report (twin of
+    * TextStats.vocabCoverage, incl. its zero-token-doc row) — shared
+    * by [[vocabCoverage]] and [[curateFull]]. Ends in
+    * `oovx(doc_id, n_tokens, n_oov, oov_rate)`, one row per doc.
+    */
+  private def vocabCtes(v: Int): String =
+    s"""vocab AS (SELECT g AS token, 1 AS inv FROM uni GROUP BY g
+       |  ORDER BY count(*) DESC, g LIMIT $v),
+       |oovagg AS (SELECT doc_id, count(*)::BIGINT AS nt,
+       |  (count(*) - count(v.inv))::BIGINT AS no
+       |  FROM uni LEFT JOIN vocab v ON uni.g = v.token GROUP BY doc_id),
+       |oovx AS (SELECT d.doc_id, coalesce(nt, 0)::BIGINT AS n_tokens,
+       |  coalesce(no, 0)::BIGINT AS n_oov,
+       |  CASE WHEN coalesce(nt, 0) > 0 THEN round(no::DOUBLE / nt::DOUBLE, 5)
+       |    ELSE 0.0 END AS oov_rate
+       |  FROM documents d LEFT JOIN oovagg USING (doc_id))""".stripMargin
+
+  /** The Gopher-style quality blend over (toks t, documents text) —
+    * ONE copy of the expression, shared by [[curate]],
+    * [[curateFull]] and [[topQualityPerLang]] (textDocStats keeps its
+    * staged-`nc` variant, same arithmetic).
+    */
+  private val qualityScoreSql =
+    """round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
+      |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
+      |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5)""".stripMargin
+
   val dedupExact: String =
     """SELECT min(doc_id) AS keep_id, md5(text) AS content_md5, count(*)::BIGINT AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
@@ -424,32 +481,21 @@ object OraclesExt {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Per-doc repetition metrics — twin of TextStats.repetitionStats.
-    * Same 1-token bigram-window convention (`greatest(len-1, 1)`) and
-    * the same exact-integer-count ratios.
+    * The bigram-window convention and the shared ratios live in
+    * [[repetitionCtes]]; only the top-token metric is local.
     */
   val textRepetition: String =
-    s"""WITH $toksCte,
-       |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
-       |  len(list_distinct(t))::BIGINT AS n_distinct_tokens FROM toks),
-       |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    s"""WITH $toksCte, $uniCte,
+       |$repetitionCtes,
        |unic AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM uni GROUP BY doc_id, g),
-       |unia AS (SELECT doc_id, max(c) AS topc FROM unic GROUP BY doc_id),
-       |bg AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-       |  i -> array_to_string(t[i:i+1], ' ')) AS b FROM toks),
-       |bgu AS (SELECT doc_id, unnest(b) AS g FROM bg),
-       |bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bgu GROUP BY doc_id, g),
-       |bga AS (SELECT doc_id, max(c) AS topc, sum(c)::BIGINT AS tot FROM bgc GROUP BY doc_id)
-       |SELECT base.doc_id, n_tokens, n_distinct_tokens,
-       |  CASE WHEN n_tokens > 0
-       |    THEN round(n_distinct_tokens::DOUBLE / n_tokens::DOUBLE, 5) ELSE 0.0 END
-       |    AS distinct_token_ratio,
-       |  CASE WHEN n_tokens > 0
-       |    THEN round(unia.topc::DOUBLE / n_tokens::DOUBLE, 5) ELSE 0.0 END
+       |unia AS (SELECT doc_id, max(c) AS topc FROM unic GROUP BY doc_id)
+       |SELECT repx.doc_id, repx.n_tokens, repx.n_distinct_tokens,
+       |  repx.distinct_token_ratio,
+       |  CASE WHEN repx.n_tokens > 0
+       |    THEN round(unia.topc::DOUBLE / repx.n_tokens::DOUBLE, 5) ELSE 0.0 END
        |    AS top_token_frac,
-       |  CASE WHEN coalesce(bga.tot, 0) > 0
-       |    THEN round(bga.topc::DOUBLE / bga.tot::DOUBLE, 5) ELSE 0.0 END
-       |    AS top_bigram_frac
-       |FROM base LEFT JOIN unia USING (doc_id) LEFT JOIN bga USING (doc_id)
+       |  repx.top_bigram_frac
+       |FROM repx LEFT JOIN unia USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** Deterministic shuffle + sharding — twin of Sharding.shardCorpus:
@@ -469,10 +515,7 @@ object OraclesExt {
     */
   def topQualityPerLang(k: Int): String =
     s"""WITH $toksCte,
-       |q AS (SELECT d.doc_id, d.lang,
-       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
-       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
-       |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5) AS quality_score
+       |q AS (SELECT d.doc_id, d.lang, $qualityScoreSql AS quality_score
        |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
        |r AS (SELECT doc_id, lang, quality_score, row_number() OVER
        |  (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn FROM q)
@@ -480,19 +523,14 @@ object OraclesExt {
        |ORDER BY lang, doc_id""".stripMargin
 
   /** Per-doc OOV rate vs the corpus top-V vocabulary — twin of
-    * TextStats.vocabCoverage (same count-desc/token-asc vocab order).
+    * TextStats.vocabCoverage (same count-desc/token-asc vocab order,
+    * incl. the zero-token-doc row). Shared CTEs: [[vocabCtes]].
     */
   def vocabCoverage(v: Int): String =
-    s"""WITH tk AS (SELECT doc_id,
-       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-       |  FROM documents),
-       |vocab AS (SELECT token, 1 AS inv FROM tk GROUP BY token
-       |  ORDER BY count(*) DESC, token LIMIT $v)
-       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       |  (count(*) - count(vocab.inv))::BIGINT AS n_oov,
-       |  round((count(*) - count(vocab.inv))::DOUBLE / count(*)::DOUBLE, 5) AS oov_rate
-       |FROM tk LEFT JOIN vocab USING (token)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH $toksCte, $uniCte,
+       |${vocabCtes(v)}
+       |SELECT doc_id, n_tokens, n_oov, oov_rate
+       |FROM oovx ORDER BY doc_id""".stripMargin
 
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
   def topTokens(k: Int): String =
@@ -537,11 +575,13 @@ object OraclesExt {
     * gate > quality gate (the textDocStats quality expression),
     * first match wins. Thresholds single-sourced from Curation.
     */
-  val curate: String = {
-    val minTokens = graft.ext.Curation.DefaultMinTokens
-    val minQuality = graft.ext.Curation.DefaultMinQuality
-    s"""WITH RECURSIVE $minHashPairsCtes,
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+  /** MinHash-pair connected components (recursive transitive closure,
+    * min reachable id) + the per-doc quality CTE — the shared head of
+    * [[curate]] and [[curateFull]]. Requires `mh` (from
+    * [[minHashPairsCtes]]) and `toks` upstream.
+    */
+  private val curationHeadCtes =
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM mh
        |  UNION ALL SELECT id_b, id_a FROM mh),
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS label FROM documents
@@ -549,10 +589,14 @@ object OraclesExt {
        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
        |q AS (SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
-       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
-       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
-       |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5) AS quality_score
-       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |  $qualityScoreSql AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id)""".stripMargin
+
+  val curate: String = {
+    val minTokens = graft.ext.Curation.DefaultMinTokens
+    val minQuality = graft.ext.Curation.DefaultMinQuality
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |$curationHeadCtes,
        |r AS (SELECT q.doc_id, n_tokens, quality_score,
        |  CASE WHEN cc.id <> cc.cluster_id THEN 'near_duplicate'
        |       WHEN n_tokens < $minTokens THEN 'too_short'
@@ -575,40 +619,10 @@ object OraclesExt {
     val minDistinctRatio = graft.ext.Curation.DefaultMinDistinctRatio
     val maxOovRate = graft.ext.Curation.DefaultMaxOovRate
     val vocabSize = graft.ext.Curation.DefaultVocabSize
-    s"""WITH RECURSIVE $minHashPairsCtes,
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
-       |  UNION ALL SELECT id_b, id_a FROM mh),
-       |reach AS (
-       |  SELECT doc_id AS id, doc_id AS label FROM documents
-       |  UNION
-       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
-       |q AS (SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
-       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
-       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
-       |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5) AS quality_score
-       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
-       |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
-       |  len(list_distinct(t))::BIGINT AS n_distinct_tokens FROM toks),
-       |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
-       |bg AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-       |  i -> array_to_string(t[i:i+1], ' ')) AS b FROM toks),
-       |bgu AS (SELECT doc_id, unnest(b) AS g FROM bg),
-       |bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bgu GROUP BY doc_id, g),
-       |bga AS (SELECT doc_id, max(c) AS topc, sum(c)::BIGINT AS tot FROM bgc GROUP BY doc_id),
-       |repx AS (SELECT base.doc_id,
-       |  CASE WHEN base.n_tokens > 0
-       |    THEN round(base.n_distinct_tokens::DOUBLE / base.n_tokens::DOUBLE, 5) ELSE 0.0 END
-       |    AS distinct_token_ratio,
-       |  CASE WHEN coalesce(bga.tot, 0) > 0
-       |    THEN round(bga.topc::DOUBLE / bga.tot::DOUBLE, 5) ELSE 0.0 END
-       |    AS top_bigram_frac
-       |  FROM base LEFT JOIN bga USING (doc_id)),
-       |vocab AS (SELECT g AS token, 1 AS inv FROM uni GROUP BY g
-       |  ORDER BY count(*) DESC, g LIMIT $vocabSize),
-       |oovx AS (SELECT uni.doc_id,
-       |  round((count(*) - count(v.inv))::DOUBLE / count(*)::DOUBLE, 5) AS oov_rate
-       |  FROM uni LEFT JOIN vocab v ON uni.g = v.token GROUP BY uni.doc_id),
+    s"""WITH RECURSIVE $minHashPairsCtes, $uniCte,
+       |$curationHeadCtes,
+       |$repetitionCtes,
+       |${vocabCtes(vocabSize)},
        |r AS (SELECT q.doc_id, q.n_tokens, q.quality_score,
        |  repx.top_bigram_frac, oovx.oov_rate,
        |  CASE WHEN cc.id <> cc.cluster_id THEN 'near_duplicate'

@@ -113,10 +113,12 @@ object Packing {
         explode_outer(sequence(lit(0), (nChunks - 1).cast("int")))
           .as("chunk_index"))
       .filter(col("chunk_index").isNotNull)
+      // stage the slice once (module convention — see withShingleSet):
+      // both output columns reference it, and CollapseProject keeps a
+      // multiply-referenced non-cheap alias un-inlined
+      .withColumn("__chunk", slice(col("__toks"), start, lit(maxTokens)))
       .select(col(idCol), col("chunk_index"),
-        concat_ws(" ", slice(col("__toks"), start, lit(maxTokens)))
-          .as("chunk_text"),
-        size(slice(col("__toks"), start, lit(maxTokens))).cast("long")
-          .as("n_chunk_tokens"))
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"))
   }
 }

@@ -19,26 +19,31 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: assignment is a map-only projection; ordering is a
   * window partitioned BY SHARD — one hash exchange on shard_id and a
-  * per-shard sort, each shard sized corpus/N. That per-shard sort is
-  * the honest cost of producing named positions; writing shard FILES
-  * would skip it (`df.repartition(col("shard_id")).sortWithinPartitions
-  * ("__h").write.partitionBy("shard_id")` — same exchange, sort
-  * folded into the write).
+  * per-shard sort, each shard sized corpus/N.
   */
 object Sharding {
+
+  /** The one copy of the assignment math (used by [[shardCorpus]] and
+    * [[writeShards]], mirrored by the DuckDB shard oracle): adds the
+    * full digest as `__h` plus the derived `shard_id`.
+    */
+  private def withShardAssignment(df: DataFrame, numShards: Int,
+      idCol: String, salt: String): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("__h",
+        md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard_id",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+  }
 
   /** Adds `shard_id` (int, [0, numShards)) and `shard_pos` (long,
     * 0-based position in the shard's deterministic shuffle order).
     */
   def shardCorpus(df: DataFrame, numShards: Int, idCol: String = "doc_id",
       salt: String = "shard"): DataFrame = {
-    require(numShards > 0, "numShards must be positive")
-    val h = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
     val w = Window.partitionBy("shard_id").orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
-      .withColumn("shard_id",
-        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
-          lit(numShards.toLong)).cast("int"))
+    withShardAssignment(df, numShards, idCol, salt)
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
       .drop("__h")
   }
@@ -50,18 +55,21 @@ object Sharding {
     * THE WRITE: `repartition(shard_id)` is the one exchange and
     * `sortWithinPartitions` orders each shard as it streams to disk —
     * no row_number materialized, no second pass.
+    *
+    * The sort MUST lead with the partition column: Spark's planned
+    * write (V1Writes) requires an ordering prefixed by the partition
+    * columns and inserts its own `Sort(shard_id)` otherwise — and
+    * EliminateSorts then deletes the user's sort beneath it, leaving
+    * within-shard rows in nondeterministic shuffle-arrival order.
+    * Leading with `shard_id` makes the user sort satisfy the write
+    * requirement, so it is kept verbatim (SourceSinkSpec asserts the
+    * on-disk order).
     */
   def writeShards(df: DataFrame, dir: String, numShards: Int,
-      idCol: String = "doc_id", salt: String = "shard"): Unit = {
-    require(numShards > 0, "numShards must be positive")
-    val h = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
-    df.withColumn("__h", h)
-      .withColumn("shard_id",
-        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
-          lit(numShards.toLong)).cast("int"))
+      idCol: String = "doc_id", salt: String = "shard"): Unit =
+    withShardAssignment(df, numShards, idCol, salt)
       .repartition(col("shard_id"))
-      .sortWithinPartitions(col("__h"), col(idCol))
+      .sortWithinPartitions(col("shard_id"), col("__h"), col(idCol))
       .drop("__h")
       .write.partitionBy("shard_id").mode("overwrite").parquet(dir)
-  }
 }

@@ -246,13 +246,20 @@ object TextStats {
     val toks = Dedup.spread(df, textCol)
       .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull)
-    toks.join(broadcast(vocab), Seq("token"), "left")
+    val counts = toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(idCol).agg(
-        count(lit(1)).as("n_tokens"),
-        (count(lit(1)) - count(col("__inv"))).as("n_oov"))
-      .select(col(idCol), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 5)
-          .as("oov_rate"))
+        count(lit(1)).as("__nt"),
+        (count(lit(1)) - count(col("__inv"))).as("__no"))
+    // left join back to the id universe: a ZERO-TOKEN doc has no
+    // exploded rows and would otherwise vanish from the report (and
+    // from anything inner-joining it downstream, e.g. curateFull)
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__no"), lit(0L)).as("n_oov"),
+        when(coalesce(col("__nt"), lit(0L)) > 0,
+          round(col("__no").cast("double") / col("__nt").cast("double"), 5))
+          .otherwise(lit(0.0)).as("oov_rate"))
   }
 
   /** Document fingerprints:

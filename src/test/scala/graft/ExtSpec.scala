@@ -474,8 +474,12 @@ class ExtSpec extends AnyFunSuite {
     val doc3 = out.filter(_.getLong(0) == 3L)
     assert(doc3.length == 1 && doc3(0).getString(2) == "" &&
       doc3(0).getLong(3) == 0L)
-    // every non-empty token is covered: concatenating stride-prefixes
-    // of each chunk plus the final chunk reconstructs the doc
+    // coverage: the first `stride` tokens of every chunk but the last,
+    // plus the final chunk in full, reconstruct the document exactly
+    val reconstructed = (doc1.dropRight(1).flatMap(
+      _.getString(2).split(" ").take(3)) ++
+      doc1.last.getString(2).split(" ")).mkString(" ")
+    assert(reconstructed == "t1 t2 t3 t4 t5 t6 t7")
     intercept[IllegalArgumentException] {
       graft.ext.Packing.chunkDocuments(df, maxTokens = 4, overlap = 4)
     }
@@ -549,6 +553,30 @@ class ExtSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(out2(0).getString(6) == "high_oov",
       "doc 1 passes every earlier gate, then fails OOV")
+  }
+
+  test("curateFull gives zero-token docs a verdict instead of dropping them") {
+    val df = Seq(
+      (1L, (1 to 60).map(i => s"the w$i").mkString(" ")),
+      (2L, ""), (3L, "   ")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.curateFull(df, minTokens = 2,
+      minQuality = 0.0, maxBigramFrac = 1.1, minDistinctRatio = 0.0,
+      maxOovRate = 1.1, vocabSize = 5).orderBy("doc_id").collect()
+    assert(out.length == 3, "no document may vanish from the audit trail")
+    // the two token-less docs are identical content → near-dups of
+    // each other: the min-id survivor is judged on the next gate
+    // (too_short), the other is rejected as the duplicate
+    assert(out(1).getString(6) == "too_short")
+    assert(out(2).getString(6) == "near_duplicate")
+  }
+
+  test("vocabCoverage emits a zero row for token-less docs") {
+    val df = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(df, 2).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L &&
+      out(1).getDouble(3) == 0.0)
   }
 
   // ---- Cross-corpus near-dups ----

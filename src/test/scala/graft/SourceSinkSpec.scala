@@ -80,5 +80,17 @@ class SourceSinkSpec extends AnyFunSuite {
       case f: FileSourceScanExec => f
     }.head
     assert(scan.partitionFilters.nonEmpty)
+    // the ON-DISK row order within each shard is the deterministic
+    // md5 order — i.e. shard_pos order (V1Writes would silently drop
+    // a user sort not prefixed by the partition column; this pins the
+    // contract against that regression)
+    val posOf = graft.ext.Sharding.shardCorpus(docs, 8)
+      .select("doc_id", "shard_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fileOrder = spark.read.parquet(dir)
+      .filter(col("shard_id") === 3).select("doc_id")
+      .collect().map(r => posOf(r.getLong(0)))
+    assert(fileOrder.toSeq == fileOrder.sorted.toSeq,
+      "within-shard file order must equal the deterministic shuffle order")
   }
 }
