@@ -532,6 +532,37 @@ object OraclesExt {
        |SELECT doc_id, n_tokens, n_oov, oov_rate
        |FROM oovx ORDER BY doc_id""".stripMargin
 
+  /** BM25 keyword search — twin of Search.bm25: identical expression
+    * trees (idf rounded at 5 decimals per term, per-term scores
+    * quantized to DECIMAL(18,9), exact sum, integer HALF-AWAY final
+    * rounding) with the double constants interpolated from the same
+    * Scala values (`Double.toString` round-trips; DuckDB parses to
+    * the identical nearest double).
+    */
+  def bm25(queryTerms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $toksCte, $uniCte,
+       |lens AS (SELECT doc_id, len(t)::BIGINT AS len FROM toks),
+       |consts AS (SELECT count(*)::BIGINT AS n,
+       |  sum(len::DECIMAL(18,6))::DOUBLE / count(*) AS avglen FROM lens),
+       |tf AS (SELECT doc_id, g AS token, count(*)::BIGINT AS tf
+       |  FROM uni WHERE g IN ($terms) GROUP BY doc_id, g),
+       |idf AS (SELECT token,
+       |  round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 5) AS idf
+       |  FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token), consts),
+       |s AS (SELECT tf.doc_id,
+       |  (idf.idf * (tf.tf::DOUBLE * ${k1 + 1}) / (tf.tf::DOUBLE +
+       |    $k1 * (${1 - b} + $b * (lens.len::DOUBLE / consts.avglen))))::DECIMAL(18,9) AS s
+       |  FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), consts),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       |  (sum(s) * 1000000000)::BIGINT AS su FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_terms_matched,
+       |  CASE WHEN su < 0 THEN -1.0 ELSE 1.0 END *
+       |    floor((abs(su) * 2 + 10000)::DOUBLE / 20000.0) / 100000.0 AS score
+       |FROM agg
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
   def topTokens(k: Int): String =
     s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

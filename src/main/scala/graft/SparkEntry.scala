@@ -129,6 +129,10 @@ object SparkEntry {
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
+  private[graft] val bm25Terms = Seq("spark", "window", "merge")
+  private[graft] val bm25K = 20
+  private[graft] val bm25K1 = 1.2
+  private[graft] val bm25B = 0.75
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -327,6 +331,12 @@ object SparkEntry {
       Sharding.shardCorpus(s.table("documents"), shardCount)
         .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
     },
+    // §7.5 — BM25 keyword relevance search (query-term-filtered token
+    // stream; idf/constants broadcast; TakeOrderedAndProject top-k).
+    "q_bm25" -> withTables { s =>
+      graft.ext.Search.bm25(s.table("documents"), bm25Terms, bm25K,
+        bm25K1, bm25B)
+    },
     // §7.5 — mergeable HLL sketch rollup (approximate by construction
     // → no oracle, rows-only check like q_profile_approx; ExtSpec
     // pins the estimates against exact distinct counts).
@@ -489,6 +499,7 @@ object SparkEntry {
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
     "q_curate_full" -> OraclesExt.curateFull,
+    "q_bm25" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->
       """SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_bucket,

@@ -503,6 +503,29 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
 
+  // ---- BM25 search ----
+
+  test("bm25: matched-term count and tf drive rank; non-matching docs absent") {
+    val df = Seq(
+      (1L, "spark merge window row table"),   // all 3 query terms
+      (2L, "spark spark spark row table"),    // one term, high tf
+      (3L, "spark row table value part"),     // one term, tf 1
+      (4L, "row table value part key")        // no query term
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Search.bm25(df, Seq("spark", "merge", "window"), 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L), "doc 4 has no match")
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(1L)._1 == 3L && byId(2L)._1 == 1L)
+    assert(byId(1L)._2 > byId(2L)._2, "three rare terms beat one repeated term")
+    assert(byId(2L)._2 > byId(3L)._2, "higher tf scores higher, same term")
+    // deterministic under repartition
+    val again = graft.ext.Search.bm25(df.repartition(7),
+      Seq("spark", "merge", "window"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out.map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+  }
+
   // ---- Mergeable sketches ----
 
   test("HLL sketch rollup: merged daily sketches match direct sketch and near-exact") {
