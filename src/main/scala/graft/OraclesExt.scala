@@ -340,6 +340,46 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with ONE deterministic Lloyd refinement — twin of
+    * Similarity.ivfTopK(refine = 1): seed assignment (rounded cosine,
+    * centroid-id tie-break, exactly [[Similarity.ivfAssign]]),
+    * per-cell per-dim means from `DECIMAL(28,12)`-quantized exact
+    * sums, re-normalized, then the standard cells/probes/top-k over
+    * the REFINED centroids.
+    */
+  val knnIvfRefined: String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |a0 AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cents c),
+       |r0 AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM a0),
+       |cells0 AS (SELECT vec_id, nv, centroid_id FROM r0 WHERE crank = 1),
+       |dimv AS (SELECT centroid_id, dim, nv[dim] AS v
+       |  FROM cells0, range(1, 65) t(dim)),
+       |sums AS (SELECT centroid_id, dim,
+       |  sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS m
+       |  FROM dimv GROUP BY centroid_id, dim),
+       |mraw AS (SELECT centroid_id, list(m ORDER BY dim) AS mv
+       |  FROM sums GROUP BY centroid_id),
+       |cent1 AS (SELECT centroid_id, list_transform(mv, x -> x /
+       |  sqrt(list_sum(list_transform(mv, y -> y * y)))) AS ce FROM mraw),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cent1 c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id AS neighbor_id, nv AS cv, centroid_id
+       |  FROM ranked_a WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, nv AS qv, centroid_id
+       |  FROM ranked_a WHERE crank <= 4 AND vec_id < 5),
+       |scored AS (SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS score
+       |  FROM cells JOIN probes USING (centroid_id) WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Corpus text statistics per (lang, source) — twin of
     * TextStats.corpusStats. Raw (unrounded) ratios feed the quality
     * blend exactly as the Spark side does.

@@ -251,6 +251,13 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4).orderBy("query_id", "rank")
     },
+    // IVF with one deterministic Lloyd refinement of the sampled
+    // seeds (decimal-exact per-dim means — partitioning-independent).
+    "q_knn_ivf_refined" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobe = 4, refine = 1).orderBy("query_id", "rank")
+    },
     // §7.5 extensions — text analysis over `documents`.
     "q_text_stats" -> withTables { s =>
       TextStats.corpusStats(s.table("documents"))
@@ -481,6 +488,7 @@ object SparkEntry {
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
+    "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_text_stats" -> OraclesExt.textStats,
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,

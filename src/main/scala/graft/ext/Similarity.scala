@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`array<float>`) —
   * training-data-pipeline extension (SURVEY.md §7.5; absent from the
@@ -215,6 +216,37 @@ object Similarity {
       .limit(nlist)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** One deterministic Lloyd refinement of IVF seed centroids: every
+    * corpus vector joins its nearest seed's cell ([[ivfAssign]],
+    * nprobe=1), the refined centroid is the per-cell per-dimension
+    * MEAN — computed from exact `decimal(28,12)`-quantized sums, so
+    * the result is bit-identical under any partitioning (a plain
+    * float `avg` would not be) — then re-normalized so downstream
+    * scoring stays one dot per pair. Every seed cell is non-empty
+    * (the seed vector itself scores 1.0 in its own cell), so no
+    * centroid is ever lost. Each call is one assignment + one
+    * aggregation over the corpus — the standard k-means cost.
+    */
+  def ivfRefineOnce(normCorpus: DataFrame, seeds: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = ivfAssign(normCorpus, seeds, 1, idCol, vecCol)
+    val means = cells
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("centroid_id", "dim")
+      .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      // collect_list order is nondeterministic; sorting the (dim, m)
+      // structs restores the dimension order deterministically
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("centroid_id"),
+        transform(col("dm"), x => x.getField("m")).as("mv"))
+    means
+      .withColumn("__nrm", sqrt(dot(col("mv"), col("mv"))))
+      .select(col("centroid_id"),
+        transform(col("mv"), x => x / col("__nrm")).as("centroid_vec"))
+  }
+
   /** Assign each vector to its `nprobe` nearest centroids by cosine
     * (nprobe=1 for corpus rows builds the inverted lists; nprobe>1
     * for query rows probes neighboring cells). Centroids broadcast;
@@ -243,10 +275,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
       nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", refine: Int = 0): DataFrame = {
     val nc = normalized(corpus, idCol, vecCol)
     val nq = normalized(queries, idCol, vecCol)
-    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    var cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    // optional deterministic k-means refinement of the sampled seeds
+    // (refine=0 keeps the zero-iteration sampled-centroid IVF)
+    for (_ <- 0 until refine)
+      cents = ivfRefineOnce(nc, cents, idCol, vecCol)
     val cells = ivfAssign(nc, cents, 1, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"), col("centroid_id"))
     val probes = ivfAssign(nq, cents, nprobe, idCol, vecCol)

@@ -503,6 +503,28 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(3).getBoolean(3) && out(3).getString(4) == "low_quality")
   }
 
+  // ---- IVF refinement ----
+
+  test("ivfRefineOnce: no centroid lost, unit norm, partition-independent") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val nc = graft.ext.Similarity.normalized(emb)
+    val seeds = graft.ext.Similarity.ivfCentroids(nc, 16)
+    val refined = graft.ext.Similarity.ivfRefineOnce(nc, seeds)
+    val rows = refined.collect()
+    assert(rows.length == 16, "every seed cell is non-empty (seed scores 1.0 in it)")
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid ${r.getLong(0)} not unit norm")
+    }
+    val again = graft.ext.Similarity
+      .ivfRefineOnce(nc.repartition(7), seeds)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first, "decimal-exact means must not depend on partitioning")
+  }
+
   // ---- BM25 search ----
 
   test("bm25: matched-term count and tf drive rank; non-matching docs absent") {
