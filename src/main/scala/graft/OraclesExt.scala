@@ -756,6 +756,25 @@ object OraclesExt {
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
       .replace("REPLACED_AVG", decAvg5Sql("session_secs"))
 
+  /** As-of join of purchases to the latest prior-or-equal click per
+    * user — twin of Events.asofJoin via DuckDB's native ASOF LEFT
+    * JOIN. Clicks are collapsed to one row per (user, ts) on both
+    * sides (arg_max ≙ max_by on the unique event_id) because as-of
+    * semantics on duplicate right timestamps are tie-order-dependent
+    * in every engine. All time arithmetic in whole microseconds.
+    */
+  val eventsAsof: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,
+      |    arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+      |  c.ts_us AS asof_ts_us, c.click_value AS asof_click_value,
+      |  p.ts_us - c.ts_us AS us_since_click
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY p.event_id""".stripMargin
+
   /** Top-3 customers by revenue per nation — join + window rank over
     * the TPC-H side (twin of the q_topk_per_nation DataFrame plan).
     */

@@ -400,6 +400,23 @@ object SparkEntry {
     "q_events_sessions" -> withTables { s =>
       Events.sessionSummary(s.table("events"))
     },
+    // §7.5 — as-of join (union + last-over-window: one key shuffle,
+    // no range-join blowup): each purchase gets the user's latest
+    // prior-or-equal click. Clicks collapse to one row per (user, ts)
+    // first — as-of on duplicate right timestamps is tie-dependent.
+    "q_events_asof" -> withTables { s =>
+      val e = s.table("events").withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      Events.asofJoin(purchases, clicks,
+          keyCol = "user_id", leftTsCol = "ts_us", rightTsCol = "ts_us",
+          rightPayload = Seq("click_value"))
+        .withColumn("us_since_click", col("ts_us") - col("asof_ts_us"))
+        .orderBy("event_id")
+    },
     // §7.5 — skew-mitigated aggregation: event_type has ~5 hot values,
     // the salted two-phase plan spreads each over 16 reducers.
     "q_events_salted_agg" -> withTables { s =>
@@ -527,5 +544,6 @@ object SparkEntry {
         |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_sessions" -> OraclesExt.eventsSessions,
+    "q_events_asof" -> OraclesExt.eventsAsof,
     "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

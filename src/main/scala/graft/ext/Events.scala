@@ -95,6 +95,76 @@ object Events {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** As-of join: attach to every left row the LATEST right row with
+    * the same key whose timestamp is <= the left row's timestamp
+    * (inclusive, left-outer — unmatched left rows keep null right
+    * attributes). The classic time-series operator Spark has no
+    * native form of.
+    *
+    * Plan shape: the naive encoding is a range join
+    * (`l.key = r.key AND r.ts <= l.ts` + a per-left-row max), which
+    * Spark plans as an equi-join on key whose output is O(matches) =
+    * quadratic per hot key before the max prunes it. Instead we use
+    * the union trick: tag both sides, union, and take
+    * `last(right_struct, ignoreNulls)` over a window partitioned by
+    * key and ordered by (ts, side) — ONE hash exchange on key + an
+    * in-partition sort, O(n log n) per key, no join blowup at any
+    * scale. Right rows sort before left rows at equal timestamps
+    * (side 0 < 1), which is what makes the match inclusive.
+    *
+    * The right payload travels as a single struct so all attached
+    * columns come from the SAME matched row even when some of its
+    * fields are null (per-column `last(..., ignoreNulls)` would mix
+    * rows). Right rows must be unique per (key, ts) — collapse
+    * duplicates upstream (e.g. `max_by`) — otherwise which duplicate
+    * wins is tie-order-dependent in every engine's as-of join.
+    *
+    * Skew note: a hot key concentrates one sort partition, same
+    * caveat as [[sessionize]]; AQE's skew-split cannot split a
+    * window partition, so a pathological key needs time-bucketed
+    * pre-aggregation of the right side.
+    *
+    * @param rightPayload right-side columns to attach, each emitted
+    *                     as `asof_<name>`; the matched timestamp is
+    *                     always attached as `asof_<rightTsCol>`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload  = rightTsCol +: rightPayload
+    val l = left.select(
+      col(keyCol).as("__key"),
+      col(leftTsCol).as("__ts"),
+      lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))).as("__r"))
+    val r = right.select(
+      col(keyCol).as("__key"),
+      col(rightTsCol).as("__ts"),
+      lit(0).as("__side"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          leftCols.map(c => org.apache.spark.sql.types.StructField(
+            c, left.schema(c).dataType)))).as("__l"),
+      struct(payload.map(col): _*).as("__r"))
+    val w = Window.partitionBy("__key").orderBy("__ts", "__side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val out = leftCols.map(c => col(s"__l.$c").as(c)) ++
+      payload.map(c => col(s"__match.$c").as(s"asof_$c"))
+    attached.select(out: _*)
+  }
+
   /** Per-user session summary — the compact roll-up of [[sessionize]]:
     * (user_id, n_sessions, total_events, avg_session_secs).
     */

@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc timing/debugging harness (not part of the library surface;
   * rewrite freely — see the memory notes for the listener pattern,
   * and PLANS.md for how plan dumps were generated).
+  *
+  * Current form: `runMain graft.tools.Scratch q_name...` dumps each
+  * named query's sf0.01 result to /tmp/graft_scratch/<name> for a
+  * one-query DuckDB compare (tools/selfcheck.py reads the same
+  * layout if pointed at the dir).
   */
 object Scratch {
   def time[A](label: String)(f: => A): A = {
@@ -18,13 +23,16 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.001"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (q <- args) {
       println(s"===== $q =====")
-      println(graft.SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString)
+      time(q) {
+        graft.SparkEntry.queries(q)(spark, sf).coalesce(1)
+          .write.mode("overwrite").parquet(s"/tmp/graft_scratch/$q")
+      }
     }
     if (args.isEmpty)
       time("entry smoke")(graft.SparkEntry.entry(spark).count())

@@ -337,6 +337,49 @@ class ExtSpec extends AnyFunSuite {
     assert(summary.find(_.getLong(0) == 1L).get.getAs[Long]("n_sessions") == 2L)
   }
 
+  test("asofJoin: crafted inclusive/unmatched/latest-wins cases") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 20L, 100L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (30L, 50L, 9.0))
+      .toDF("key", "t", "v")
+    val out = Events.asofJoin(left, right, "key", "t", "t", Seq("v"))
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    // id=1: equal timestamp matches (inclusive)
+    assert(out(0).getAs[Long]("asof_t") == 100L && out(0).getAs[Double]("asof_v") == 1.0)
+    // id=2: latest of the two prior clicks wins
+    assert(out(1).getAs[Long]("asof_t") == 200L && out(1).getAs[Double]("asof_v") == 2.0)
+    // id=3: nothing at-or-before → nulls survive (left outer)
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_t")))
+    // id=4: key with no right rows at all → nulls
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_v")))
+  }
+
+  test("asofJoin agrees with the brute-force range-join form on real events") {
+    Tables.register(spark, TestSpark.sfDir)
+    val e = spark.table("events").withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val fast = Events.asofJoin(purchases, clicks, "user_id", "ts_us", "ts_us", Seq("v"))
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("asof_ts_us")), Option(r.getAs[Any]("asof_v")))).toSet
+    // Brute force: non-equi join + arg-max per left row (the plan shape
+    // asofJoin exists to avoid; fine at spec scale).
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("p.ts_us") >= col("c.ts_us"),
+        "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(struct(col("c.ts_us"), col("c.v"))).as("m"))
+      .select(col("event_id"), col("m.ts_us").as("mt"), col("m.v").as("mv"))
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("mt")), Option(r.getAs[Any]("mv")))).toSet
+    assert(fast.nonEmpty && fast == brute)
+  }
+
   test("custom sessionizer agrees with the built-in session_window") {
     Tables.register(spark, TestSpark.sfDir)
     val events = spark.table("events")
