@@ -81,6 +81,16 @@ object OraclesExt {
     """SELECT min(doc_id) AS keep_id, md5(text) AS content_md5, count(*)::BIGINT AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Twin of the normalization-first dedup (TextStats.normalizeText +
+    * Dedup.exact): same lowercase / non-alnum-collapse / trim
+    * canonicalization, same md5-keyed grouping.
+    */
+  val dedupNormalized: String =
+    """SELECT min(doc_id) AS keep_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_md5,
+      |  count(*)::BIGINT AS n_copies
+      |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin
+
   /** Twin of Dedup.ngramJaccardPairs with the shared stop-shingle
     * doc-frequency cap (Dedup.NgramStopShingleCap — single source for
     * both engines): the same inverted shingle index — n_common counts
@@ -561,6 +571,24 @@ object OraclesExt {
        |  (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn FROM q)
        |SELECT doc_id, lang, quality_score FROM r WHERE rn <= $k
        |ORDER BY lang, doc_id""".stripMargin
+
+  /** Relative-quantile gate — twin of Curation.quantileGate over the
+    * shared quality score: keep rows with
+    * `rank * keepDen <= n_group * keepNum` (pure integer floor
+    * cutoff, row_number ranked by score DESC then doc_id).
+    */
+  def quantileGate(keepNum: Int, keepDen: Int): String =
+    s"""WITH $toksCte,
+       |q AS (SELECT d.doc_id, d.lang, $qualityScoreSql AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |r AS (SELECT doc_id, lang, quality_score,
+       |  count(*) OVER (PARTITION BY lang) AS n_group,
+       |  row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn
+       |  FROM q)
+       |SELECT doc_id, lang, quality_score, n_group::BIGINT AS n_group,
+       |  cast(rn AS INT) AS rank_in_group
+       |FROM r WHERE rn * $keepDen <= n_group * $keepNum
+       |ORDER BY doc_id""".stripMargin
 
   /** Per-doc OOV rate vs the corpus top-V vocabulary — twin of
     * TextStats.vocabCoverage (same count-desc/token-asc vocab order,

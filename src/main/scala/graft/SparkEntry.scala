@@ -126,6 +126,10 @@ object SparkEntry {
   private[graft] val topTokensK = 50
   private[graft] val shardCount = 8
   private[graft] val topQualityK = 5
+  // quantile gate keep fraction as an exact rational (top 20% per
+  // lang) — integer cutoff math twins bit-for-bit with the oracle
+  private[graft] val quantileKeepNum = 1
+  private[graft] val quantileKeepDen = 5
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
@@ -186,6 +190,15 @@ object SparkEntry {
     // §7.5 extensions — deduplication family over `documents`.
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
+    },
+    // §7.5 — normalization-first dedup: exact dedup keyed on the
+    // canonicalized text (lowercase / punctuation-collapsed), the
+    // standard cheap near-dup pass before MinHash. Map-only
+    // normalize + the same single md5-keyed shuffle as q_dedup_exact.
+    "q_dedup_normalized" -> withTables { s =>
+      Dedup.exact(s.table("documents")
+          .withColumn("text", TextStats.normalizeText(col("text"))))
+        .orderBy("keep_id")
     },
     // the stop-shingle doc-frequency cap — the guard that keeps the
     // inverted-index self-join off quadratic hot keys at corpus scale
@@ -325,6 +338,16 @@ object SparkEntry {
           .select("doc_id", "lang", "quality_score"),
         "lang", "quality_score", topQualityK)
         .orderBy("lang", "doc_id")
+    },
+    // §7.5 — relative-quantile curation gate: keep the top 20% of
+    // each language by quality score (group-size-proportional, unlike
+    // topKPerGroup's fixed k); integer cutoff math, one lang shuffle.
+    "q_quantile_gate" -> withTables { s =>
+      Curation.quantileGate(
+        TextStats.withDocStats(s.table("documents"))
+          .select("doc_id", "lang", "quality_score"),
+        "lang", "quality_score", "doc_id", quantileKeepNum, quantileKeepDen)
+        .orderBy("doc_id")
     },
     // §7.5 — out-of-vocabulary rate vs the corpus' own top-V tokens
     // (broadcast vocab; the corpus is never shuffled by token).
@@ -495,6 +518,7 @@ object SparkEntry {
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_dedup_exact" -> OraclesExt.dedupExact,
+    "q_dedup_normalized" -> OraclesExt.dedupNormalized,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
     "q_cross_dedup" -> OraclesExt.crossDedup(testFraction),
@@ -521,6 +545,7 @@ object SparkEntry {
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
+    "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
     "q_curate_full" -> OraclesExt.curateFull,

@@ -34,6 +34,40 @@ object Curation {
   val DefaultMinTokens: Long = 40L
   val DefaultMinQuality: Double = 0.55
 
+  /** Relative-quantile gate: keep the best `keepNum/keepDen` fraction
+    * of each group by score (e.g. top 20% per language), the
+    * group-size-proportional sibling of [[Sampling.topKPerGroup]]'s
+    * fixed k. A fraction gate is what a curation recipe actually
+    * specifies — "top quintile per source" — because per-group sizes
+    * vary by orders of magnitude.
+    *
+    * Ranking is `row_number` over (score DESC, id) — total and
+    * deterministic; the cutoff `rank * keepDen <= n_group * keepNum`
+    * is pure integer arithmetic (floor semantics), so the kept set is
+    * bit-identical across engines — no percent_rank edge cases
+    * (n=1 division by zero) and no float cutoff wobble.
+    *
+    * Plan: ONE shuffle on the group key serving both window
+    * functions (count + row_number share the partition); no
+    * WindowGroupLimit applies (the cutoff is group-dependent), so a
+    * pathologically hot group sorts in one partition — acceptable
+    * because groups here are languages/sources (bounded cardinality,
+    * heavy groups split by time upstream when needed).
+    */
+  def quantileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be in (0,1]: $keepNum/$keepDen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+    val ranked = df
+      .withColumn("n_group", count(lit(1)).over(w))
+      .withColumn("rank_in_group", row_number().over(
+        w.orderBy(col(scoreCol).desc, col(idCol))))
+    ranked
+      .where(col("rank_in_group") * keepDen <= col("n_group") * keepNum)
+  }
+
   /** [[curateFull]] thresholds (also oracle-shared): repetition and
     * OOV gates sit at the observed tail of the test corpus so each
     * reason actually fires in the flagship query.

@@ -39,6 +39,18 @@ object TextStats {
   /** Stopword list shared with the oracle side (Oracles.textStats). */
   val Stopwords: Seq[String] = Seq("a", "the")
 
+  /** Canonical text normalization for dedup keys: lowercase, collapse
+    * every non-alphanumeric run to a single space, trim. Case and
+    * punctuation variants of the same content normalize identically,
+    * which is what makes exact dedup on the normalized text a
+    * near-dup operator (the standard first pass before the heavier
+    * MinHash/SimHash families). Pure per-row expression — map-only,
+    * codegen'd, no shuffle; the regex is RE2-portable and its DuckDB
+    * twin is the same pattern with the 'g' flag.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** BPE-ish token regex: letter runs, digit runs, or single
     * non-alphanumeric glyphs — the standard cheap pre-tokenizer shape.
     * RE2/Java-portable (no lookarounds).

@@ -34,6 +34,19 @@ object Scratch {
           .write.mode("overwrite").parquet(s"/tmp/graft_scratch/$q")
       }
     }
+    // Filtered oracle dump so `tools/selfcheck.py <sf> /tmp/graft_scratch`
+    // compares exactly the queries just written.
+    if (args.nonEmpty) {
+      def esc(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val json = graft.SparkEntry.oracleSql.filter(kv => args.contains(kv._1))
+        .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/graft_scratch/oracle_sql.json"), json)
+    }
     if (args.isEmpty)
       time("entry smoke")(graft.SparkEntry.entry(spark).count())
   }

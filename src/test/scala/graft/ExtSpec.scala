@@ -337,6 +337,34 @@ class ExtSpec extends AnyFunSuite {
     assert(summary.find(_.getLong(0) == 1L).get.getAs[Long]("n_sessions") == 2L)
   }
 
+  test("normalizeText: case/punct variants converge, distinct content stays apart") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.exact(df.withColumn("text", TextStats.normalizeText(col("text"))))
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_copies") == 3L)
+    assert(out(1).getAs[Long]("keep_id") == 4L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("quantileGate: integer floor cutoff per group, deterministic ties") {
+    val df = (1 to 7).map(i => (i.toLong, "en", 1.0 - i * 0.1)) ++
+      Seq((10L, "zh", 0.5), (11L, "zh", 0.5))
+    val gated = graft.ext.Curation.quantileGate(
+      df.toDF("doc_id", "lang", "score"), "lang", "score", "doc_id", 2, 5)
+      .orderBy("doc_id").collect()
+    // en: n=7, keep rank*5 <= 14 → rank <= 2 (floor of 2.8);
+    // zh: n=2, keep rank*5 <= 4 → nobody (floor of 0.8)
+    assert(gated.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // tie determinism: equal scores rank by doc_id
+    val tied = graft.ext.Curation.quantileGate(
+      Seq((5L, "x", 1.0), (3L, "x", 1.0), (4L, "x", 1.0), (9L, "x", 0.0))
+        .toDF("doc_id", "lang", "score"), "lang", "score", "doc_id", 1, 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(tied == Set(3L, 4L))
+  }
+
   test("asofJoin: crafted inclusive/unmatched/latest-wins cases") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 20L, 100L))
       .toDF("id", "key", "t")
