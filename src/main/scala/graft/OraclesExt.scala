@@ -572,6 +572,26 @@ object OraclesExt {
        |SELECT doc_id, lang, quality_score FROM r WHERE rn <= $k
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** PII redaction audit — twin of TextStats.withRedaction over the
+    * same crafted contact suffix. Pattern constants are the shared
+    * TextStats regexes; DuckDB needs the explicit 'g' flag to match
+    * Spark's replace-all default.
+    */
+  val redact: String = {
+    val em = graft.ext.TextStats.EmailRegex
+    val num = graft.ext.TextStats.LongNumberRegex
+    s"""WITH c AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id || '@mail.example.com or 55512' || doc_id || '00' AS text
+       |  FROM documents),
+       |e AS (SELECT doc_id, text,
+       |  regexp_replace(text, '$em', '<EMAIL>', 'g') AS scrubbed FROM c)
+       |SELECT doc_id,
+       |  cast(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+       |  cast(len(regexp_extract_all(scrubbed, '$num')) AS INT) AS n_longnums,
+       |  md5(regexp_replace(scrubbed, '$num', '<NUM>', 'g')) AS redacted_md5
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   /** Relative-quantile gate — twin of Curation.quantileGate over the
     * shared quality score: keep rows with
     * `rank * keepDen <= n_group * keepNum` (pure integer floor
@@ -783,6 +803,46 @@ object OraclesExt {
       |  REPLACED_AVG AS avg_session_secs
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
       .replace("REPLACED_AVG", decAvg5Sql("session_secs"))
+
+  /** Trailing rolling daily totals — twin of Events.rollingDaily:
+    * same epoch-day integer RANGE frame, same decimal accumulation.
+    */
+  def eventsRolling(windowDays: Int): String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+       |    count(*)::BIGINT AS n_events,
+       |    sum(cast(value AS DECIMAL(18,6))) AS sum_dec
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, day_num, n_events,
+       |  round(cast(sum_dec AS DOUBLE), 5) AS sum_value,
+       |  round(cast(sum(sum_dec) OVER w AS DOUBLE), 5) AS roll_sum_value,
+       |  count(*) OVER w AS roll_days
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+       |  RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, day_num""".stripMargin
+
+  /** Ordered funnel — twin of Events.funnelStages via sequential
+    * filtered-min CTEs (stage i's min is taken at-or-after stage
+    * i-1's time; a user leaves the funnel by absence from the CTE,
+    * which the LEFT JOINs surface as nulls exactly like the Spark
+    * side's null-propagating HOF chain).
+    */
+  def eventsFunnel(stages: Seq[String]): String = {
+    require(stages.length == 3, "oracle written for the 3-stage flagship")
+    val Seq(s0, s1, s2) = stages
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |f0 AS (SELECT user_id, min(ts_us) AS t0 FROM e WHERE event_type = '$s0' GROUP BY 1),
+       |f1 AS (SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN f0 USING (user_id)
+       |  WHERE event_type = '$s1' AND ts_us >= t0 GROUP BY 1),
+       |f2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN f1 USING (user_id)
+       |  WHERE event_type = '$s2' AND ts_us >= t1 GROUP BY 1)
+       |SELECT f0.user_id, t0 AS ${s0}_us, t1 AS ${s1}_us, t2 AS ${s2}_us
+       |FROM f0 LEFT JOIN f1 ON f0.user_id = f1.user_id
+       |LEFT JOIN f2 ON f0.user_id = f2.user_id
+       |ORDER BY f0.user_id""".stripMargin
+  }
 
   /** As-of join of purchases to the latest prior-or-equal click per
     * user — twin of Events.asofJoin via DuckDB's native ASOF LEFT

@@ -130,6 +130,8 @@ object SparkEntry {
   // lang) — integer cutoff math twins bit-for-bit with the oracle
   private[graft] val quantileKeepNum = 1
   private[graft] val quantileKeepDen = 5
+  private[graft] val rollingDays = 7
+  private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
@@ -339,6 +341,20 @@ object SparkEntry {
         "lang", "quality_score", topQualityK)
         .orderBy("lang", "doc_id")
     },
+    // §7.5 — PII redaction audit. The corpus text is synthetic word
+    // salad, so a deterministic contact string derived from doc_id is
+    // appended first — the redaction path then has real matches to
+    // scrub on every row. Map-only chained regexp_replace.
+    "q_redact" -> withTables { s =>
+      val crafted = s.table("documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 55512"), col("doc_id").cast("string"),
+          lit("00")).as("text"))
+      TextStats.withRedaction(crafted)
+        .select(col("doc_id"), col("n_emails"), col("n_longnums"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
     // §7.5 — relative-quantile curation gate: keep the top 20% of
     // each language by quality score (group-size-proportional, unlike
     // topKPerGroup's fixed k); integer cutoff math, one lang shuffle.
@@ -422,6 +438,22 @@ object SparkEntry {
     },
     "q_events_sessions" -> withTables { s =>
       Events.sessionSummary(s.table("events"))
+    },
+    // §7.5 — trailing 7-day rolling totals per event type (integer
+    // epoch-day RANGE frame: absent days fall out of the window).
+    "q_events_rolling" -> withTables { s =>
+      Events.rollingDaily(s.table("events"), rollingDays)
+        .orderBy("event_type", "day_num")
+    },
+    // §7.5 — ordered funnel signup → click → purchase: per-user stage
+    // times (µs; a broken funnel nulls every later stage). One user
+    // shuffle + order-independent min-of-filter HOFs.
+    "q_events_funnel" -> withTables { s =>
+      Events.funnelStages(s.table("events"), funnelStageNames)
+        .where(col("stage0_us").isNotNull)
+        .select(col("user_id"), col("stage0_us").as("signup_us"),
+          col("stage1_us").as("click_us"), col("stage2_us").as("purchase_us"))
+        .orderBy("user_id")
     },
     // §7.5 — as-of join (union + last-over-window: one key shuffle,
     // no range-join blowup): each purchase gets the user's latest
@@ -546,6 +578,7 @@ object SparkEntry {
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),
+    "q_redact" -> OraclesExt.redact,
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
     "q_curate_full" -> OraclesExt.curateFull,
@@ -570,5 +603,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_sessions" -> OraclesExt.eventsSessions,
     "q_events_asof" -> OraclesExt.eventsAsof,
+    "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
+    "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
     "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

@@ -95,6 +95,35 @@ object Events {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Trailing `windowDays`-day rolling totals of the per-day, per-type
+    * event aggregates — the moving-average shape every metrics
+    * pipeline needs. Two stages: (1) a map-side-combined groupBy to
+    * one row per (type, day) — this is the stage that sees all the
+    * data and it reduces 100 TB to O(types × days) rows; (2) a RANGE
+    * window over day number on that tiny frame. The range frame is
+    * integer epoch-days, so "6 preceding" means 6 calendar days, not
+    * 6 rows — days absent from the data correctly fall out of the
+    * window (`roll_days` reports how many days are actually present).
+    * Rolling sums accumulate in decimal — exact under any partitioning.
+    */
+  def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__sum_dec"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("__roll_dec", sum(col("__sum_dec")).over(w))
+      .withColumn("roll_days", count(lit(1)).over(w))
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        round(col("__sum_dec").cast("double"), 5).as("sum_value"),
+        round(col("__roll_dec").cast("double"), 5).as("roll_sum_value"),
+        col("roll_days"))
+  }
+
   /** As-of join: attach to every left row the LATEST right row with
     * the same key whose timestamp is <= the left row's timestamp
     * (inclusive, left-outer — unmatched left rows keep null right
@@ -163,6 +192,42 @@ object Events {
     val out = leftCols.map(c => col(s"__l.$c").as(c)) ++
       payload.map(c => col(s"__match.$c").as(s"asof_$c"))
     attached.select(out: _*)
+  }
+
+  /** Ordered-funnel analysis: for each user, the earliest time of
+    * stage 0, then the earliest stage-1 event at-or-after it, and so
+    * on — the ClickHouse `windowFunnel` semantics. Output: one row
+    * per user with `stage<i>_us` (µs, null once the funnel breaks —
+    * and a null stage forces every later stage null, since
+    * `x >= null` filters everything out).
+    *
+    * Plan: ONE shuffle (groupBy user) collecting a per-stage
+    * timestamp array, then per-row HOF chain
+    * `array_min(filter(ts_i, x -> x >= t_{i-1}))`. min-of-filter is
+    * ORDER-INDEPENDENT, which is what makes `collect_list` (whose
+    * element order is partition-arrival nondeterministic) safe here.
+    * Per-user state is that user's event count — the same bound as
+    * any sessionization; the sequential-join alternative costs
+    * `stages.length` shuffles instead of one.
+    */
+  def funnelStages(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val lists = stages.zipWithIndex.map { case (st, i) =>
+      collect_list(when(col(typeCol) === st, col("__ts_us"))).as(s"__ts_$i")
+    }
+    val agg = events
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .groupBy(col(userCol))
+      .agg(lists.head, lists.tail: _*)
+    val withTimes = stages.indices.foldLeft(agg) { (df, i) =>
+      val t =
+        if (i == 0) array_min(col("__ts_0"))
+        else array_min(filter(col(s"__ts_$i"), x => x >= col(s"stage${i - 1}_us")))
+      df.withColumn(s"stage${i}_us", t)
+    }
+    withTimes.select(col(userCol) +: stages.indices.map(i => col(s"stage${i}_us")): _*)
   }
 
   /** Per-user session summary — the compact roll-up of [[sessionize]]:

@@ -51,6 +51,43 @@ object TextStats {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** PII-shaped patterns for redaction — RE2-portable (char classes
+    * and bounded repetition only, no lookarounds) so the same pattern
+    * text runs in Spark's Java regex and any RE2-based oracle.
+    * Single-sourced: OraclesExt interpolates these constants.
+    */
+  val EmailRegex = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumberRegex = "[0-9]{7,}"
+
+  /** Redact PII-shaped spans: email addresses → `<EMAIL>` first, then
+    * long (7+) digit runs → `<NUM>` (emails are removed first so
+    * their digits don't double-count as numbers). Pure per-row
+    * chained `regexp_replace` — map-only, codegen'd, no shuffle; at
+    * 100 TB this is the shape you want (CPU-bound scan, zero
+    * exchange). Real redaction recipes add locale-specific patterns;
+    * the operator is the composition point.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRegex, "<EMAIL>"),
+      LongNumberRegex, "<NUM>")
+
+  /** Per-document redaction audit: the redacted text plus match
+    * counts (emails on the raw text; digit runs counted after email
+    * removal, exactly as [[redactPii]] replaces them).
+    */
+  def withRedaction(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__email_scrubbed", regexp_replace(t, EmailRegex, "<EMAIL>"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailRegex), lit(0))))
+      .withColumn("n_longnums",
+        size(regexp_extract_all(col("__email_scrubbed"), lit(LongNumberRegex), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(col("__email_scrubbed"), LongNumberRegex, "<NUM>"))
+      .drop("__email_scrubbed")
+  }
+
   /** BPE-ish token regex: letter runs, digit runs, or single
     * non-alphanumeric glyphs — the standard cheap pre-tokenizer shape.
     * RE2/Java-portable (no lookarounds).

@@ -365,6 +365,54 @@ class ExtSpec extends AnyFunSuite {
     assert(tied == Set(3L, 4L))
   }
 
+  test("redactPii: emails then long digit runs, short numbers survive") {
+    val df = Seq((1L, "mail a.b+c@x-y.org and 12345678 but keep 123 and ph 9999999"))
+      .toDF("doc_id", "text")
+    val r = TextStats.withRedaction(df).collect()(0)
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_longnums") == 2)
+    assert(r.getAs[String]("redacted") ==
+      "mail <EMAIL> and <NUM> but keep 123 and ph <NUM>")
+  }
+
+  test("rollingDaily: absent days fall out of the RANGE frame") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    val df = Seq(
+      ("a", ts(1), 1.0), ("a", ts(2), 2.0), ("a", ts(12), 4.0), ("a", ts(14), 8.0))
+      .toDF("event_type", "ts", "value")
+    val out = Events.rollingDaily(df, windowDays = 7)
+      .orderBy("day_num").collect()
+    assert(out.length == 4)
+    // day 2 sees day 1; day 12 sees only itself (1,2 are out of range)
+    assert(out(1).getAs[Double]("roll_sum_value") == 3.0)
+    assert(out(1).getAs[Long]("roll_days") == 2L)
+    assert(out(2).getAs[Double]("roll_sum_value") == 4.0)
+    assert(out(2).getAs[Long]("roll_days") == 1L)
+    // day 14 sees day 12
+    assert(out(3).getAs[Double]("roll_sum_value") == 12.0)
+  }
+
+  test("funnelStages: ordered reach, broken funnel nulls later stages") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      // u1 completes in order
+      (1L, "signup", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // u2: purchase BEFORE its click → stage2 null
+      (2L, "signup", ts(0)), (2L, "click", ts(8)), (2L, "purchase", ts(3)),
+      // u3: no signup → filtered upstream of the flagship query
+      (3L, "click", ts(1)),
+      // u4: click at the same instant as signup counts (inclusive)
+      (4L, "signup", ts(2)), (4L, "click", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnelStages(df, Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+    val byUser = out.map(r => r.getLong(0) -> r).toMap
+    assert(byUser(1L).getAs[Long]("stage2_us") > byUser(1L).getAs[Long]("stage1_us"))
+    assert(!byUser(2L).isNullAt(2) && byUser(2L).isNullAt(3))
+    assert(byUser(3L).isNullAt(1) && byUser(3L).isNullAt(2) && byUser(3L).isNullAt(3))
+    assert(byUser(4L).getAs[Long]("stage1_us") == byUser(4L).getAs[Long]("stage0_us"))
+  }
+
   test("asofJoin: crafted inclusive/unmatched/latest-wins cases") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 20L, 100L))
       .toDF("id", "key", "t")
