@@ -592,6 +592,17 @@ object OraclesExt {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-weighted sample — twin of Sampling.weightedSample over
+    * the shared quality score (same md5 membership, same clamp).
+    */
+  val sampleWeighted: String =
+    s"""WITH $toksCte,
+       |q AS (SELECT d.doc_id, d.lang, $qualityScoreSql AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id)
+       |SELECT doc_id, lang, quality_score FROM q
+       |WHERE ${hashUniformSql("weighted")} < least(greatest(quality_score, 0.0), 1.0)
+       |ORDER BY doc_id""".stripMargin
+
   /** Relative-quantile gate — twin of Curation.quantileGate over the
     * shared quality score: keep rows with
     * `rank * keepDen <= n_group * keepNum` (pure integer floor
@@ -803,6 +814,36 @@ object OraclesExt {
       |  REPLACED_AVG AS avg_session_secs
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
       .replace("REPLACED_AVG", decAvg5Sql("session_secs"))
+
+  /** Exact per-group quantiles — twin of ext.Quantiles.groupQuantiles
+    * over events.value per event_type. Deliberately NOT quantile_cont:
+    * the SQL spells out the identical value-counts + cumsum +
+    * Percentile-interpolation expression tree the Spark operator
+    * evaluates, so both engines run the same IEEE arithmetic (note
+    * the ::DOUBLE on each p — DuckDB numeric literals default to
+    * DECIMAL, which would change the multiply).
+    */
+  def groupQuantiles(ps: Seq[(String, Double)]): String = {
+    def pos(p: Double) = s"${p}::DOUBLE * (n - 1)"
+    val picks = ps.flatMap { case (name, p) =>
+      Seq(
+        s"max(CASE WHEN cum - cnt <= floor(${pos(p)}) AND floor(${pos(p)}) <= cum - 1 THEN v END) AS lo_$name",
+        s"max(CASE WHEN cum - cnt <= ceil(${pos(p)}) AND ceil(${pos(p)}) <= cum - 1 THEN v END) AS hi_$name")
+    }.mkString(", ")
+    val qs = ps.map { case (name, p) =>
+      s"""round(CASE WHEN floor(${pos(p)}) = ceil(${pos(p)}) THEN lo_$name
+         |    ELSE lo_$name * (ceil(${pos(p)}) - ${pos(p)}) + hi_$name * (${pos(p)} - floor(${pos(p)})) END,
+         |  5) AS $name""".stripMargin
+    }.mkString(", ")
+    s"""WITH vc AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
+       |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
+       |a AS (SELECT g, n, $picks FROM j GROUP BY g, n)
+       |SELECT g AS event_type, n, $qs FROM a ORDER BY event_type""".stripMargin
+  }
 
   /** Trailing rolling daily totals — twin of Events.rollingDaily:
     * same epoch-day integer RANGE frame, same decimal accumulation.

@@ -92,6 +92,22 @@ object SparkEntry {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q6 shape — the canonical scan-dominated filtered aggregate:
+    * every predicate pushes into the parquet scan (PushedFilters on
+    * l_shipdate/l_discount/l_quantity), no join, one partial+final
+    * agg of a single row per partition. The query 100 TB scans are
+    * judged by: wall time ≈ I/O bandwidth.
+    */
+  private val forecastRevenueSql: String =
+    """SELECT
+      | round(cast(sum(cast(l_extendedprice * l_discount as decimal(18,6))) as double), 5) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -131,6 +147,8 @@ object SparkEntry {
   private[graft] val quantileKeepNum = 1
   private[graft] val quantileKeepDen = 5
   private[graft] val rollingDays = 7
+  private[graft] val quantilePs: Seq[(String, Double)] =
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
@@ -189,6 +207,7 @@ object SparkEntry {
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
+    "q_forecast_revenue" -> withTables { s => s.sql(forecastRevenueSql) },
     // §7.5 extensions — deduplication family over `documents`.
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
@@ -355,6 +374,15 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")
     },
+    // §7.5 — quality-weighted sampling: acceptance probability = the
+    // row's own quality score (soft curation, no cliff). Map-only.
+    "q_sample_weighted" -> withTables { s =>
+      Sampling.weightedSample(
+        TextStats.withDocStats(s.table("documents"))
+          .select("doc_id", "lang", "quality_score"),
+        "quality_score")
+        .orderBy("doc_id")
+    },
     // §7.5 — relative-quantile curation gate: keep the top 20% of
     // each language by quality score (group-size-proportional, unlike
     // topKPerGroup's fixed k); integer cutoff math, one lang shuffle.
@@ -438,6 +466,14 @@ object SparkEntry {
     },
     "q_events_sessions" -> withTables { s =>
       Events.sessionSummary(s.table("events"))
+    },
+    // §2.4/§7.5 — exact per-group quantiles WITHOUT per-group value
+    // buffering (value-counts + cumsum + Percentile interpolation;
+    // Spark's own exact `percentile` would OOM a hot group at scale).
+    "q_group_quantiles" -> withTables { s =>
+      graft.ext.Quantiles.groupQuantiles(
+        s.table("events"), "event_type", "value", quantilePs)
+        .orderBy("event_type")
     },
     // §7.5 — trailing 7-day rolling totals per event type (integer
     // epoch-day RANGE frame: absent days fall out of the window).
@@ -549,6 +585,7 @@ object SparkEntry {
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
+    "q_forecast_revenue" -> forecastRevenueSql,
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_normalized" -> OraclesExt.dedupNormalized,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
@@ -578,6 +615,7 @@ object SparkEntry {
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),
+    "q_sample_weighted" -> OraclesExt.sampleWeighted,
     "q_redact" -> OraclesExt.redact,
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
@@ -604,6 +642,7 @@ object SparkEntry {
     "q_events_sessions" -> OraclesExt.eventsSessions,
     "q_events_asof" -> OraclesExt.eventsAsof,
     "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
+    "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
     "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
     "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact per-group quantiles at corpus scale — the generalization of
+  * the profiler's single-column median machinery
+  * (graft.profile.TableProfiler.exactAggRow) to arbitrary groups and
+  * an arbitrary quantile vector.
+  *
+  * Why not `percentile(v, array(...))`: Spark's exact Percentile
+  * aggregate buffers EVERY raw value of a group in one task before
+  * sorting — a guaranteed OOM on a hot group at 100 TB (plan-shape
+  * rule, SURVEY.md §8.4.4). This operator never materializes raw
+  * values anywhere:
+  *
+  *   groupBy (g, v) count        — ONE map-side-combined shuffle whose
+  *                                 key space is distinct values, not rows
+  *   window cumsum over v per g  — parallel sort of DISTINCT values
+  *   per-quantile pick + interpolate — `max(when(...))` aggregates
+  *
+  * Interpolation is bit-for-bit Spark `Percentile.getPercentile`:
+  * pos = p·(n−1), result = lo·(⌈pos⌉−pos) + hi·(pos−⌊pos⌋) — and the
+  * DuckDB oracle twin (OraclesExt.groupQuantiles) spells out the SAME
+  * expression tree rather than calling `quantile_cont`, so the two
+  * engines run identical IEEE arithmetic.
+  *
+  * Skew: a group's whole distinct-value set sorts in one window
+  * partition. That is |distinct values| rows, not |rows| — for
+  * measurement-style doubles it is bounded by row count only in the
+  * pathological all-distinct case, where a t-digest/approx path
+  * (TableProfiler.approxProfile) is the documented fallback.
+  */
+object Quantiles {
+
+  /** One row per group: `(group, n, <name1>, <name2>, ...)` with each
+    * quantile rounded to 5 decimals.
+    *
+    * @param ps (columnName, p) pairs, 0 ≤ p ≤ 1.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      "quantiles must be named and in [0,1]")
+    val vc = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = vc.groupBy("g").agg(sum(col("cnt")).as("n"))
+    val cum = vc
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "g")
+    // For each p: the value at rank ⌊pos⌋ and ⌈pos⌉ via the cumulative
+    // count (this row covers ranks [cum-cnt, cum-1]), then interpolate.
+    def pick(rank: Column): Column =
+      max(when(col("cum") - col("cnt") <= rank && rank <= col("cum") - 1, col("v")))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      Seq(pick(lower).as(s"__lo_$name"), pick(higher).as(s"__hi_$name"))
+    }
+    val out = cum.groupBy("g", "n").agg(aggs.head, aggs.tail: _*)
+    val qCols = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      round(
+        when(lower === higher, col(s"__lo_$name"))
+          .otherwise(col(s"__lo_$name") * (higher.cast("double") - pos) +
+            col(s"__hi_$name") * (pos - lower.cast("double"))), 5)
+        .as(name)
+    }
+    out.select(col("g").as(groupCol) +: col("n").cast(LongType).as("n") +: qCols: _*)
+  }
+}

@@ -58,6 +58,18 @@ object Sampling {
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Quality-weighted deterministic sampling: each row's acceptance
+    * probability is its own `weightCol` (clamped to [0,1]) — the soft
+    * alternative to a hard quality cutoff, preserving a calibrated
+    * tail of lower-quality data instead of a cliff. Same md5
+    * membership as [[bernoulliSample]] with a per-row rate: map-only,
+    * reproducible, partitioning-independent.
+    */
+  def weightedSample(df: DataFrame, weightCol: String,
+      idCol: String = "doc_id", salt: String = "weighted"): DataFrame =
+    df.filter(hashUniform(col(idCol), salt) <
+      least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+
   /** Rebalance a corpus to a target TOKEN mixture — the op behind
     * "train on 40% en / 15% each of the rest". Per-stratum totals
     * t_s are aggregated once (map-side combined, one row per

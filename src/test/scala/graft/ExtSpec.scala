@@ -365,6 +365,38 @@ class ExtSpec extends AnyFunSuite {
     assert(tied == Set(3L, 4L))
   }
 
+  test("groupQuantiles equals Spark's exact percentile on real events") {
+    Tables.register(spark, TestSpark.sfDir)
+    val e = spark.table("events")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val ours = graft.ext.Quantiles.groupQuantiles(e, "event_type", "value", ps)
+      .orderBy("event_type").collect()
+    val exact = e.groupBy("event_type").agg(
+      count(col("value")).as("n"),
+      expr("round(percentile(value, 0.25), 5)").as("p25"),
+      expr("round(percentile(value, 0.5), 5)").as("p50"),
+      expr("round(percentile(value, 0.9), 5)").as("p90"),
+      expr("round(percentile(value, 0.99), 5)").as("p99"))
+      .orderBy("event_type").collect()
+    assert(ours.length == exact.length && ours.length > 0)
+    ours.zip(exact).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      Seq("p25", "p50", "p90", "p99").foreach { c =>
+        assert(a.getAs[Double](c) == b.getAs[Double](c),
+          s"${a.getString(0)}.$c: ${a.getAs[Double](c)} != ${b.getAs[Double](c)}")
+      }
+    }
+  }
+
+  test("groupQuantiles: single-row and two-row group edges") {
+    val df = Seq(("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "value")
+    val out = graft.ext.Quantiles.groupQuantiles(df, "g", "value",
+      Seq("p50" -> 0.5, "p100" -> 1.0)).orderBy("g").collect()
+    assert(out(0).getAs[Double]("p50") == 1.0 && out(0).getAs[Double]("p100") == 1.0)
+    assert(out(1).getAs[Double]("p50") == 1.5 && out(1).getAs[Double]("p100") == 2.0)
+  }
+
   test("redactPii: emails then long digit runs, short numbers survive") {
     val df = Seq((1L, "mail a.b+c@x-y.org and 12345678 but keep 123 and ph 9999999"))
       .toDF("doc_id", "text")
