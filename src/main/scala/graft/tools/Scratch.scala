@@ -27,9 +27,14 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val explain = sys.env.contains("SCRATCH_EXPLAIN")
     for (q <- args) {
       println(s"===== $q =====")
-      time(q) {
+      if (explain)
+        println(graft.SparkEntry.queries(q)(spark, sf)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      else time(q) {
         graft.SparkEntry.queries(q)(spark, sf).coalesce(1)
           .write.mode("overwrite").parquet(s"/tmp/graft_scratch/$q")
       }
