@@ -823,7 +823,7 @@ object OraclesExt {
     * the ::DOUBLE on each p — DuckDB numeric literals default to
     * DECIMAL, which would change the multiply).
     */
-  def groupQuantiles(ps: Seq[(String, Double)]): String = {
+  private def groupQuantileCtes(ps: Seq[(String, Double)]): (String, String) = {
     def pos(p: Double) = s"${p}::DOUBLE * (n - 1)"
     val picks = ps.flatMap { case (name, p) =>
       Seq(
@@ -835,14 +835,51 @@ object OraclesExt {
          |    ELSE lo_$name * (ceil(${pos(p)}) - ${pos(p)}) + hi_$name * (${pos(p)} - floor(${pos(p)})) END,
          |  5) AS $name""".stripMargin
     }.mkString(", ")
-    s"""WITH vc AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS cnt
-       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-       |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
-       |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
-       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
-       |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
-       |a AS (SELECT g, n, $picks FROM j GROUP BY g, n)
+    val ctes =
+      s"""vc AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
+         |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+         |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
+         |a AS (SELECT g, n, $picks FROM j GROUP BY g, n)""".stripMargin
+    (ctes, qs)
+  }
+
+  def groupQuantiles(ps: Seq[(String, Double)]): String = {
+    val (ctes, qs) = groupQuantileCtes(ps)
+    s"""WITH $ctes
        |SELECT g AS event_type, n, $qs FROM a ORDER BY event_type""".stripMargin
+  }
+
+  /** Winsorized per-type roll-up — twin of Quantiles.winsorize +
+    * aggregation: bounds are the same 5-decimal-rounded exact
+    * quantiles (shared CTE block), clipping is least/greatest.
+    */
+  def winsorize(pLo: Double, pHi: Double): String = {
+    val (ctes, qs) = groupQuantileCtes(Seq("__lo" -> pLo, "__hi" -> pHi))
+    s"""WITH $ctes,
+       |b AS (SELECT g AS event_type, $qs FROM a)
+       |SELECT e.event_type, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN value < __lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+       |  sum(CASE WHEN value > __hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+       |  round(cast(sum(cast(least(greatest(value, __lo), __hi) AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_clipped
+       |FROM events e JOIN b USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Weighted-dim equi-join roll-up — twin of the q_skew_join plan
+    * (Skew.saltedJoin is an equi-key refinement, so the oracle is the
+    * PLAIN join: identical results is exactly the property under
+    * test).
+    */
+  def skewJoin(weights: Seq[(String, Double)]): String = {
+    val values = weights.map { case (k, w) => s"('$k', ${w}::DOUBLE)" }.mkString(", ")
+    s"""WITH dim(event_type, weight) AS (SELECT * FROM (VALUES $values))
+       |SELECT e.event_type, count(*) AS n_events,
+       |  round(cast(sum(cast(value * weight AS DECIMAL(18,6))) AS DOUBLE), 5) AS weighted_value
+       |FROM events e JOIN dim USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Trailing rolling daily totals — twin of Events.rollingDaily:

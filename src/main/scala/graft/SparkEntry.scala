@@ -108,6 +108,22 @@ object SparkEntry {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** §2.4 extension — ROLLUP grouping sets through the SQL
+    * passthrough (subtotals + grand total in one pass; Spark plans a
+    * single Expand + one shuffle, not one scan per grouping set).
+    * Explicit NULLS FIRST because the engines' default null order
+    * differs (Spark first, DuckDB last).
+    */
+  private val rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | cast(grouping(l_returnflag) AS INT) AS g_flag,
+      | cast(grouping(l_linestatus) AS INT) AS g_status,
+      | count(*) AS n_rows,
+      | round(cast(sum(cast(l_quantity as decimal(18,6))) as double), 5) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -149,6 +165,11 @@ object SparkEntry {
   private[graft] val rollingDays = 7
   private[graft] val quantilePs: Seq[(String, Double)] =
     Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+  private[graft] val winsorLo = 0.05
+  private[graft] val winsorHi = 0.95
+  private[graft] val typeWeights: Seq[(String, Double)] = Seq(
+    "click" -> 0.5, "error" -> 0.1, "purchase" -> 2.0,
+    "signup" -> 1.5, "view" -> 0.25)
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
@@ -208,6 +229,7 @@ object SparkEntry {
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
     "q_forecast_revenue" -> withTables { s => s.sql(forecastRevenueSql) },
+    "q_rollup_pricing" -> withTables { s => s.sql(rollupPricingSql) },
     // §7.5 extensions — deduplication family over `documents`.
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
@@ -475,6 +497,36 @@ object SparkEntry {
         s.table("events"), "event_type", "value", quantilePs)
         .orderBy("event_type")
     },
+    // §7.5 — winsorization: clip each event value to its type's
+    // [p5, p95] band (broadcast bounds join; data side stays map-only)
+    // then roll up clip counts and the clipped decimal sum.
+    "q_winsorize" -> withTables { s =>
+      graft.ext.Quantiles.winsorize(s.table("events"), "event_type", "value",
+          winsorLo, winsorHi)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("__lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("value") > col("__hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+          round(sum(col("clipped").cast("decimal(18,6)")).cast("double"), 5)
+            .as("sum_clipped"))
+        .orderBy("event_type")
+    },
+    // §7.5 — skew-salted equi-join: hot event_type keys spread over 16
+    // reducers; results are the plain join's (the salt is an equi-key
+    // refinement — that equivalence IS the oracle check).
+    "q_skew_join" -> withTables { s =>
+      import s.implicits._
+      val dim = typeWeights.toDF("event_type", "weight")
+      graft.ext.Skew.saltedJoin(s.table("events"), dim,
+          keyCol = "event_type", carrierCol = "event_id", salts = 16)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum((col("value") * col("weight")).cast("decimal(18,6)"))
+            .cast("double"), 5).as("weighted_value"))
+        .orderBy("event_type")
+    },
     // §7.5 — trailing 7-day rolling totals per event type (integer
     // epoch-day RANGE frame: absent days fall out of the window).
     "q_events_rolling" -> withTables { s =>
@@ -586,6 +638,9 @@ object SparkEntry {
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_forecast_revenue" -> forecastRevenueSql,
+    "q_rollup_pricing" -> rollupPricingSql,
+    "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
+    "q_skew_join" -> OraclesExt.skewJoin(typeWeights),
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_normalized" -> OraclesExt.dedupNormalized,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,

@@ -76,4 +76,23 @@ object Quantiles {
     }
     out.select(col("g").as(groupCol) +: col("n").cast(LongType).as("n") +: qCols: _*)
   }
+
+  /** Winsorization: clip each row's value to its group's [pLo, pHi]
+    * quantile band — the standard outlier treatment before training
+    * on heavy-tailed metrics. Bounds come from [[groupQuantiles]]
+    * (so they are the 5-decimal-rounded exact quantiles) and attach
+    * via a broadcast join — the data side stays map-only: no shuffle
+    * of the big table at any scale.
+    *
+    * Appends `__lo`, `__hi`, and `clipped` columns.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo <= pHi, s"pLo $pLo must be <= pHi $pHi")
+    val bounds = groupQuantiles(df, groupCol, valueCol,
+      Seq("__lo" -> pLo, "__hi" -> pHi)).drop("n")
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+  }
 }

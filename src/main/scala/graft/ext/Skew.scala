@@ -43,4 +43,29 @@ object Skew {
       .agg(
         sum(col("__n")).as("n_events"),
         round(sum(col("__s")).cast("double"), 5).as("sum_value"))
+
+  /** Skew-salted equi-join: the big side is salted on a deterministic
+    * carrier hash and the small side replicated `salts` times, so a
+    * hot join key spreads over `salts` reducers instead of one. This
+    * is the manual form of AQE's skew-join split for the case AQE
+    * can't handle: a SINGLE key hot enough that even one runtime
+    * sub-split of it overwhelms a task, or a build side that must
+    * shuffle (too big to broadcast) against a skewed probe side.
+    * Results are exactly the plain join's — the salt is an equi-key
+    * refinement, never a filter.
+    *
+    * When the small side FITS in a broadcast, prefer a plain join
+    * (Catalyst broadcasts it and there is no shuffle to skew); the
+    * `shuffle_hash` hint here exists so the operator demonstrably
+    * exercises the salted-shuffle plan it is for.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+      carrierCol: String, salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      saltOf(col(carrierCol), salts).cast("int"))
+    val expanded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(expanded.hint("shuffle_hash"), Seq(keyCol, "__salt"))
+      .drop("__salt")
+  }
 }

@@ -397,6 +397,39 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("p50") == 1.5 && out(1).getAs[Double]("p100") == 2.0)
   }
 
+  test("saltedJoin equals the plain join and salts the shuffle key") {
+    Tables.register(spark, TestSpark.sfDir)
+    val dim = Seq(("click", 0.5), ("purchase", 2.0)).toDF("event_type", "weight")
+    val events = spark.table("events")
+    val salted = graft.ext.Skew.saltedJoin(events, dim, "event_type", "event_id", 8)
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        round(sum((col("value") * col("weight")).cast("decimal(18,6)")).cast("double"), 5).as("wv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = events.join(dim, "event_type")
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        round(sum((col("value") * col("weight")).cast("decimal(18,6)")).cast("double"), 5).as("wv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain && salted.size == 2)
+    // the salted plan really joins on (key, salt): no broadcast of the
+    // probe side, and the join key set includes the salt column
+    val plan = graft.ext.Skew.saltedJoin(events, dim, "event_type", "event_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+
+  test("winsorize clips into the group quantile band") {
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "value")
+    val out = graft.ext.Quantiles.winsorize(df, "g", "value", 0.05, 0.95)
+    val rows = out.collect()
+    assert(rows.length == 100)
+    val clipped = rows.map(_.getAs[Double]("clipped"))
+    val lo = rows.head.getAs[Double]("__lo")
+    val hi = rows.head.getAs[Double]("__hi")
+    assert(lo > 1.0 && hi < 100.0)
+    assert(clipped.forall(c => c >= lo && c <= hi))
+    assert(clipped.min == lo && clipped.max == hi)
+  }
+
   test("redactPii: emails then long digit runs, short numbers survive") {
     val df = Seq((1L, "mail a.b+c@x-y.org and 12345678 but keep 123 and ph 9999999"))
       .toDF("doc_id", "text")
