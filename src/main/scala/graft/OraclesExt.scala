@@ -141,6 +141,46 @@ object OraclesExt {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
 
+  /** Edit-distance-verified near-dups — twin of
+    * Dedup.editDistanceNearDups: the same banded candidate CTE,
+    * re-scored with levenshtein over the shared canonicalization
+    * (integer edit-ratio cutoff, so no float compare).
+    */
+  def dedupFuzzy(num: Int, den: Int): String =
+    s"""WITH $minHashPairsCtes,
+       |norm AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt FROM documents),
+       |fz AS (SELECT id_a, id_b,
+       |  cast(levenshtein(na.nt, nb.nt) AS INT) AS dist,
+       |  cast(greatest(length(na.nt), length(nb.nt)) AS INT) AS max_len
+       |  FROM cand JOIN norm na ON cand.id_a = na.doc_id
+       |  JOIN norm nb ON cand.id_b = nb.doc_id)
+       |SELECT id_a, id_b, dist, max_len FROM fz
+       |WHERE dist * $den <= max_len * $num
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MERGE INTO — twin of the q_merge_upsert pipeline: identical
+    * deterministic change-set construction (deletes %17, updates %10
+    * spared by deletes, inserts as key+10⁸), anti-join + union.
+    */
+  val mergeUpsert: String =
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 17 = 0),
+      |upd AS (SELECT o_orderkey, o_totalprice * 1.1::DOUBLE AS o_totalprice FROM base
+      |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0),
+      |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice FROM base
+      |  WHERE o_orderkey % 1000 = 0),
+      |changed_keys AS (SELECT o_orderkey FROM del
+      |  UNION ALL SELECT o_orderkey FROM upd
+      |  UNION ALL SELECT o_orderkey FROM ins),
+      |survivors AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM changed_keys c WHERE c.o_orderkey = b.o_orderkey)),
+      |merged AS (SELECT * FROM survivors
+      |  UNION ALL SELECT o_orderkey, o_totalprice FROM upd
+      |  UNION ALL SELECT o_orderkey, o_totalprice FROM ins)
+      |SELECT o_orderkey, round(o_totalprice, 5) AS total
+      |FROM merged ORDER BY o_orderkey""".stripMargin
+
   /** Cross-corpus near-dups — twin of Dedup.crossCorpusNearDups over
     * the deterministic train/test split: per-doc signatures (and so
     * band keys and verified Jaccard) are identical whether a doc is

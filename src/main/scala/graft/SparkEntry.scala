@@ -170,6 +170,9 @@ object SparkEntry {
   private[graft] val typeWeights: Seq[(String, Double)] = Seq(
     "click" -> 0.5, "error" -> 0.1, "purchase" -> 2.0,
     "signup" -> 1.5, "view" -> 0.25)
+  // fuzzy dedup: keep candidate pairs with edit ratio <= 1/5
+  private[graft] val fuzzyRatioNum = 1
+  private[graft] val fuzzyRatioDen = 5
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
@@ -497,6 +500,36 @@ object SparkEntry {
         s.table("events"), "event_type", "value", quantilePs)
         .orderBy("event_type")
     },
+    // §7.5 — fuzzy (edit-distance) dedup: MinHash/LSH candidates
+    // re-verified with Levenshtein over canonicalized text — catches
+    // small in-place edits that set-Jaccard under-reports. The
+    // quadratic scorer only ever sees band collisions.
+    "q_dedup_fuzzy" -> withTables { s =>
+      Dedup.editDistanceNearDups(s.table("documents"),
+          maxRatioNum = fuzzyRatioNum, maxRatioDen = fuzzyRatioDen)
+        .orderBy("id_a", "id_b")
+    },
+    // §7.5 — MERGE INTO (upsert + delete change set applied to a
+    // snapshot): one anti-join + union, the table-maintenance op.
+    // The change set is derived deterministically from orders so both
+    // engines construct the identical merge input.
+    "q_merge_upsert" -> withTables { s =>
+      import graft.ext.Merge
+      val base = s.table("orders").select(col("o_orderkey"), col("o_totalprice"))
+      val deletes = base.where(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+          lit(Merge.Delete).as(Merge.OpCol))
+      val updates = base.where(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit(Merge.Upsert).as(Merge.OpCol))
+      val inserts = base.where(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_totalprice"), lit(Merge.Upsert).as(Merge.OpCol))
+      Merge.applyChangeSet(base, deletes.unionByName(updates).unionByName(inserts),
+          "o_orderkey")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 5).as("total"))
+        .orderBy("o_orderkey")
+    },
     // §7.5 — winsorization: clip each event value to its type's
     // [p5, p95] band (broadcast bounds join; data side stays map-only)
     // then roll up clip counts and the clipped decimal sum.
@@ -640,6 +673,8 @@ object SparkEntry {
     "q_forecast_revenue" -> forecastRevenueSql,
     "q_rollup_pricing" -> rollupPricingSql,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
+    "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
+    "q_merge_upsert" -> OraclesExt.mergeUpsert,
     "q_skew_join" -> OraclesExt.skewJoin(typeWeights),
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_normalized" -> OraclesExt.dedupNormalized,

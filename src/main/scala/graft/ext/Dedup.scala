@@ -226,17 +226,27 @@ object Dedup {
     * ~(true near-dups + band false positives), many orders below
     * docs².
     */
-  def minHashNearDupPairs(df: DataFrame, n: Int = 3, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** LSH-banded candidate pairs (id_a < id_b, distinct): the shared
+    * front half of every MinHash-verified family — band keys collide
+    * ⇒ candidate. The equi-join on band key is what keeps the pair
+    * count collision-sized instead of n².
+    */
+  def bandedCandidates(df: DataFrame, n: Int, k: Int, bands: Int,
+      idCol: String, textCol: String): DataFrame = {
     val sigs = minHashSignatures(df, n, k, idCol, textCol)
     val buckets = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
-    val candidates = buckets.as("l")
+    buckets.as("l")
       .join(buckets.as("r"), col("l.bk") === col("r.bk") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+  }
+
+  def minHashNearDupPairs(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val candidates = bandedCandidates(df, n, k, bands, idCol, textCol)
     val sh = withShingleSet(df, n, textCol, "sh")
       .select(col(idCol).as("id"), col("sh"))
     candidates
@@ -247,6 +257,35 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 5))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Edit-distance-verified near-dups: the MinHash/LSH candidate set
+    * re-scored with Levenshtein distance over the CANONICALIZED text
+    * ([[TextStats.normalizeText]]) — the verifier of choice when the
+    * duplication you hunt is small in-place edits (typo fixes,
+    * template fills) rather than block shuffles, where set-Jaccard
+    * under-reports similarity. Keeps pairs with
+    * `dist · den <= max_len · num` (relative edit ratio as an exact
+    * integer cutoff).
+    *
+    * Scale: Levenshtein is O(len²) per pair, so it must NEVER run
+    * all-pairs — here it runs only on band collisions, the same
+    * guard as the Jaccard verify. Output:
+    * (id_a, id_b, dist, max_len).
+    */
+  def editDistanceNearDups(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, maxRatioNum: Int = 1, maxRatioDen: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val candidates = bandedCandidates(df, n, k, bands, idCol, textCol)
+    val norm = df.select(col(idCol).as("id"),
+      TextStats.normalizeText(col(textCol)).as("nt"))
+    candidates
+      .join(norm.select(col("id").as("id_a"), col("nt").as("nt_a")), "id_a")
+      .join(norm.select(col("id").as("id_b"), col("nt").as("nt_b")), "id_b")
+      .withColumn("dist", levenshtein(col("nt_a"), col("nt_b")))
+      .withColumn("max_len", greatest(length(col("nt_a")), length(col("nt_b"))))
+      .filter(col("dist") * maxRatioDen <= col("max_len") * maxRatioNum)
+      .select("id_a", "id_b", "dist", "max_len")
   }
 
   /** Cross-corpus near-dup pairs: MinHash+LSH between TWO corpora —

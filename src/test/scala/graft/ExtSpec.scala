@@ -397,6 +397,33 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("p50") == 1.5 && out(1).getAs[Double]("p100") == 2.0)
   }
 
+  test("applyChangeSet: replace, delete, insert, untouched") {
+    import graft.ext.Merge
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", Merge.Upsert),   // replace
+      (3L, null.asInstanceOf[String], Merge.Delete), // remove
+      (9L, "z", Merge.Upsert)    // insert
+    ).toDF("k", "v", Merge.OpCol)
+    val out = Merge.applyChangeSet(base, changes, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (9L, "z")))
+  }
+
+  test("editDistanceNearDups scores only banded candidates, exact ratio cutoff") {
+    // identical docs → distance 0; distinct content either never
+    // collides in a band or fails the ratio cutoff
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDups(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getAs[Int]("dist") == 0)
+  }
+
   test("saltedJoin equals the plain join and salts the shuffle key") {
     Tables.register(spark, TestSpark.sfDir)
     val dim = Seq(("click", 0.5), ("purchase", 2.0)).toDF("event_type", "weight")
