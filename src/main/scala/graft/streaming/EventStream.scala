@@ -151,6 +151,38 @@ object EventStream {
       }
   }
 
+  /** Stream-stream attribution join: each purchase joins every click
+    * by the same user in the preceding `horizonMinutes` — the
+    * watermarked STREAM×STREAM equi-join (Spark buffers both sides in
+    * state; without the event-time range bound and watermarks that
+    * state grows forever, which is why both are mandatory here).
+    * State eviction: a click older than
+    * `watermark(purchase) − horizon` can never match again and is
+    * dropped; per-key state is bounded by rate × horizon at any
+    * scale.
+    *
+    * Inner join on purpose: an outer stream-stream join emits its
+    * null rows only on watermark advance, which makes test/backfill
+    * runs trigger-sensitive; unattributed purchases are the batch
+    * as-of join's department ([[graft.ext.Events.asofJoin]]).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizonMinutes: Long = 60L, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
   /** Drain all currently-available input through a streaming query
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.

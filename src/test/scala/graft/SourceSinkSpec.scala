@@ -35,6 +35,22 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(fromCsv.collect().toSeq == docs.collect().toSeq)
   }
 
+  test("documents round-trip through ORC with predicate pushdown") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents").orderBy("doc_id")
+    val orcDir = tmp("orc")
+    docs.write.mode("overwrite").orc(orcDir)
+    val fromOrc = spark.read.orc(orcDir)
+    assert(fromOrc.orderBy("doc_id").collect().toSeq == docs.collect().toSeq)
+    // the columnar source behaves like parquet: filters reach the scan
+    val filtered = fromOrc.filter(col("doc_id") > 100L).select("doc_id")
+    val scan = filtered.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(doc_id,100)"))
+    assert(scan.requiredSchema.fieldNames.sameElements(Array("doc_id")))
+  }
+
   test("partitioned parquet reads prune partitions at plan time") {
     Tables.register(spark, TestSpark.sfDir)
     val dir = tmp("part")

@@ -161,6 +161,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join agrees with the batch join") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, eventsDir)
+    val streamed = EventStream.attributionJoin(
+      events.where(col("event_type") === "click"),
+      events.where(col("event_type") === "purchase"),
+      horizonMinutes = 60L)
+    val got = EventStream.runAvailableNow(spark, streamed, "stream_attrib")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3), r.getDouble(4))).toSet
+    // batch twin: plain inner join with the identical range condition
+    Tables.register(spark, TestSpark.sfDir)
+    val e = spark.table("events")
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("value").as("cv"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val want = p.join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 60 MINUTES"))
+      .select(col("event_id"), col("cts"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("stateful sessionizer emits closed sessions") {
     implicit val s = spark
     val events = EventStream.readEvents(spark, eventsDir)
