@@ -962,6 +962,40 @@ object OraclesExt {
        |ORDER BY f0.user_id""".stripMargin
   }
 
+  /** Range-band roll-up — twin of the q_range_join pipeline. The
+    * oracle uses the PLAIN range join (bucket expansion is an
+    * equi-refinement of it — identical matches is the property under
+    * test, same as skewJoin).
+    */
+  def rangeJoin(bands: Seq[(String, Double, Double)]): String = {
+    val values = bands
+      .map { case (l, lo, hi) => s"('$l', ${lo}::DOUBLE, ${hi}::DOUBLE)" }
+      .mkString(", ")
+    s"""WITH bands(label, lo, hi) AS (SELECT * FROM (VALUES $values))
+       |SELECT label, count(*) AS n_events,
+       |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
+       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  /** Day-over-day deltas — twin of Events.dailyDelta (lag over the
+    * collapsed daily frame, decimal-exact subtraction).
+    */
+  val eventsDelta: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+      |    count(*)::BIGINT AS n_events,
+      |    sum(cast(value AS DECIMAL(18,6))) AS sum_dec
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day_num, n_events,
+      |  n_events - lag(n_events) OVER w AS delta_events,
+      |  round(cast(sum_dec AS DOUBLE), 5) AS sum_value,
+      |  round(cast(sum_dec - lag(sum_dec) OVER w AS DOUBLE), 5) AS delta_value
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+      |ORDER BY event_type, day_num""".stripMargin
+
   /** As-of join of purchases to the latest prior-or-equal click per
     * user — twin of Events.asofJoin via DuckDB's native ASOF LEFT
     * JOIN. Clicks are collapsed to one row per (user, ts) on both

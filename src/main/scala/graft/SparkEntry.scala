@@ -170,6 +170,10 @@ object SparkEntry {
   private[graft] val typeWeights: Seq[(String, Double)] = Seq(
     "click" -> 0.5, "error" -> 0.1, "purchase" -> 2.0,
     "signup" -> 1.5, "view" -> 0.25)
+  private[graft] val valueBands: Seq[(String, Double, Double)] = Seq(
+    ("nano", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 150.0),
+    ("large", 150.0, 400.0), ("huge", 400.0, 1000.0))
+  private[graft] val rangeBucketWidth = 50.0
   // fuzzy dedup: keep candidate pairs with edit ratio <= 1/5
   private[graft] val fuzzyRatioNum = 1
   private[graft] val fuzzyRatioDen = 5
@@ -560,6 +564,28 @@ object SparkEntry {
             .cast("double"), 5).as("weighted_value"))
         .orderBy("event_type")
     },
+    // §7.5 — bucketed range join: value→band lookup as an EQUI-join
+    // on overlap buckets (the naive BETWEEN join is a nested loop),
+    // rolled up per band.
+    "q_range_join" -> withTables { s =>
+      import s.implicits._
+      val bands = valueBands.toDF("label", "lo", "hi")
+      graft.ext.RangeJoin.bucketed(s.table("events"), bands,
+          valueCol = "value", loCol = "lo", hiCol = "hi",
+          bucketWidth = rangeBucketWidth)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5)
+            .as("sum_value"))
+        .orderBy("label")
+    },
+    // §7.5 — day-over-day deltas per event type (lag window over the
+    // collapsed per-day frame; decimal-exact subtraction).
+    "q_events_delta" -> withTables { s =>
+      Events.dailyDelta(s.table("events"))
+        .orderBy("event_type", "day_num")
+    },
     // §7.5 — trailing 7-day rolling totals per event type (integer
     // epoch-day RANGE frame: absent days fall out of the window).
     "q_events_rolling" -> withTables { s =>
@@ -675,6 +701,8 @@ object SparkEntry {
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,
+    "q_range_join" -> OraclesExt.rangeJoin(valueBands),
+    "q_events_delta" -> OraclesExt.eventsDelta,
     "q_skew_join" -> OraclesExt.skewJoin(typeWeights),
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_normalized" -> OraclesExt.dedupNormalized,

@@ -124,6 +124,31 @@ object Events {
         col("roll_days"))
   }
 
+  /** Day-over-day deltas of the per-(type, day) totals: the
+    * sequential-diff (lag) companion of [[rollingDaily]]. Same
+    * two-stage shape — the groupBy collapses the raw stream before
+    * any window runs — and the deltas subtract in decimal, so they
+    * are exact under any partitioning.
+    */
+  def dailyDelta(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__sum_dec"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+    daily
+      .withColumn("delta_events",
+        col("n_events") - lag(col("n_events"), 1).over(w))
+      .withColumn("__delta_dec",
+        col("__sum_dec") - lag(col("__sum_dec"), 1).over(w))
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        col("delta_events"),
+        round(col("__sum_dec").cast("double"), 5).as("sum_value"),
+        round(col("__delta_dec").cast("double"), 5).as("delta_value"))
+  }
+
   /** As-of join: attach to every left row the LATEST right row with
     * the same key whose timestamp is <= the left row's timestamp
     * (inclusive, left-outer — unmatched left rows keep null right

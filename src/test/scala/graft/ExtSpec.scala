@@ -397,6 +397,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("p50") == 1.5 && out(1).getAs[Double]("p100") == 2.0)
   }
 
+  test("bucketed range join equals the plain BETWEEN join, no nested loop") {
+    Tables.register(spark, TestSpark.sfDir)
+    val bands = Seq(("lo", 0.0, 60.0), ("hi", 60.0, 500.0)).toDF("label", "lo", "hi")
+    val events = spark.table("events")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("label").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val bucketed = rollup(graft.ext.RangeJoin.bucketed(
+      events, bands, "value", "lo", "hi", bucketWidth = 25.0))
+    val plain = rollup(events.join(bands,
+      col("value") >= col("lo") && col("value") < col("hi")))
+    assert(bucketed == plain && bucketed.map(_._2).sum > 0)
+    // the bucketed plan joins hash-on-bucket, not nested-loop
+    val plan = graft.ext.RangeJoin.bucketed(
+      events, bands, "value", "lo", "hi", 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dailyDelta: first day null, deltas reconstruct the series") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-02-$day%02d 01:00:00")
+    val df = Seq(("a", ts(1), 1.0), ("a", ts(2), 5.0), ("a", ts(2), 2.0), ("a", ts(4), 10.0))
+      .toDF("event_type", "ts", "value")
+    val out = Events.dailyDelta(df).orderBy("day_num").collect()
+    assert(out(0).isNullAt(3) && out(0).getAs[Long]("n_events") == 1L)
+    assert(out(1).getAs[Long]("delta_events") == 1L)
+    assert(out(1).getAs[Double]("delta_value") == 6.0)
+    assert(out(2).getAs[Long]("delta_events") == -1L)
+    assert(out(2).getAs[Double]("delta_value") == 3.0)
+  }
+
   test("applyChangeSet: replace, delete, insert, untouched") {
     import graft.ext.Merge
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
