@@ -978,6 +978,32 @@ object OraclesExt {
        |GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** Equi-width histogram — twin of Quantiles.histogram. */
+  def histogram(width: Double): String =
+    s"""SELECT event_type,
+       |  cast(floor(value / ${width}::DOUBLE) AS BIGINT) AS bucket,
+       |  count(*)::BIGINT AS n,
+       |  cast(floor(value / ${width}::DOUBLE) AS BIGINT) * ${width}::DOUBLE AS bucket_lo
+       |FROM events WHERE value IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  /** Morton Z-key — twin of ZOrder.morton2: the identical shift/mask
+    * spread chain, generated from the SAME ZOrder.SpreadSteps
+    * constants so the bit math cannot drift.
+    */
+  val zorder: String = {
+    def spread(e: String): String =
+      graft.ext.ZOrder.SpreadSteps.foldLeft(s"($e & 65535)") {
+        case (acc, (sh, m)) => s"((($acc | ($acc << $sh)) & $m))"
+      }
+    s"""WITH e AS (SELECT event_id, user_id,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num
+       |  FROM events)
+       |SELECT event_id, user_id, day_num,
+       |  (${spread("user_id")} | (${spread("day_num")} << 1)) AS zkey
+       |FROM e ORDER BY event_id""".stripMargin
+  }
+
   /** Day-over-day deltas — twin of Events.dailyDelta (lag over the
     * collapsed daily frame, decimal-exact subtraction).
     */

@@ -174,6 +174,7 @@ object SparkEntry {
     ("nano", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 150.0),
     ("large", 150.0, 400.0), ("huge", 400.0, 1000.0))
   private[graft] val rangeBucketWidth = 50.0
+  private[graft] val histogramWidth = 25.0
   // fuzzy dedup: keep candidate pairs with edit ratio <= 1/5
   private[graft] val fuzzyRatioNum = 1
   private[graft] val fuzzyRatioDen = 5
@@ -580,6 +581,24 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy("label")
     },
+    // §2.4/§7.5 — equi-width histogram per event type: map-only
+    // bucket projection + ONE map-side-combined shuffle, no window.
+    "q_histogram" -> withTables { s =>
+      graft.ext.Quantiles.histogram(s.table("events"), "event_type", "value",
+          histogramWidth)
+        .orderBy("event_type", "bucket")
+    },
+    // §7.5 — Z-order key: Morton interleave of (user, day) verified
+    // bit-for-bit (the layout-clustering key used for 2-D data
+    // skipping; see ZOrder.clusterBy for the write path).
+    "q_zorder" -> withTables { s =>
+      val e = s.table("events")
+        .withColumn("day_num",
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"))
+      e.select(col("event_id"), col("user_id"), col("day_num"),
+          graft.ext.ZOrder.morton2(col("user_id"), col("day_num")).as("zkey"))
+        .orderBy("event_id")
+    },
     // §7.5 — day-over-day deltas per event type (lag window over the
     // collapsed per-day frame; decimal-exact subtraction).
     "q_events_delta" -> withTables { s =>
@@ -703,6 +722,8 @@ object SparkEntry {
     "q_merge_upsert" -> OraclesExt.mergeUpsert,
     "q_range_join" -> OraclesExt.rangeJoin(valueBands),
     "q_events_delta" -> OraclesExt.eventsDelta,
+    "q_histogram" -> OraclesExt.histogram(histogramWidth),
+    "q_zorder" -> OraclesExt.zorder,
     "q_skew_join" -> OraclesExt.skewJoin(typeWeights),
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_normalized" -> OraclesExt.dedupNormalized,

@@ -77,6 +77,25 @@ object Quantiles {
     out.select(col("g").as(groupCol) +: col("n").cast(LongType).as("n") +: qCols: _*)
   }
 
+  /** Equi-width histogram per group: one map-only bucket projection
+    * (`floor(v / width)`) + one map-side-combined shuffle keyed by
+    * (group, bucket) — the profiler-family distribution view that,
+    * unlike [[groupQuantiles]], needs no window at all. Fixed width
+    * (not data-dependent min/max) so the bucket function is a pure
+    * per-row expression — at 100 TB a min/max pre-pass would add a
+    * full extra scan; callers wanting adaptive bounds compose with
+    * groupQuantiles.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        floor(col(valueCol).cast("double") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * width)
+  }
+
   /** Winsorization: clip each row's value to its group's [pLo, pHi]
     * quantile band — the standard outlier treatment before training
     * on heavy-tailed metrics. Bounds come from [[groupQuantiles]]

@@ -397,6 +397,61 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("p50") == 1.5 && out(1).getAs[Double]("p100") == 2.0)
   }
 
+  test("histogram: buckets partition the rows, edges exact") {
+    val df = Seq(("a", 0.0), ("a", 24.9), ("a", 25.0), ("a", 70.0), ("b", 10.0))
+      .toDF("g", "value")
+    val out = graft.ext.Quantiles.histogram(df, "g", "value", 25.0)
+      .orderBy("g", "bucket").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 0L, 2L), ("a", 1L, 1L), ("a", 2L, 1L), ("b", 0L, 1L)))
+    assert(out(1).getAs[Double]("bucket_lo") == 25.0)
+  }
+
+  test("morton2 interleaves bits; clusterBy gives tight per-partition envelopes") {
+    // 0b0011 and 0b0101 interleave (a even, b odd) to 0b00100111
+    val r = Seq((3L, 5L)).toDF("a", "b")
+      .select(graft.ext.ZOrder.morton2(col("a"), col("b")).as("z"))
+      .head.getLong(0)
+    assert(r == Integer.parseInt("00100111", 2).toLong)
+    // clustering: each range partition of the curve spans a bounded
+    // sub-square, so per-partition (a, b) ranges shrink vs the global
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val clustered = graft.ext.ZOrder.clusterBy(
+      grid.toDF("a", "b"), "a", "b", partitions = 16)
+    import org.apache.spark.sql.Row
+    val spans = clustered.select("a", "b").rdd
+      .mapPartitions { it =>
+        val rows = it.toSeq
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val as = rows.map(_.getLong(0)); val bs = rows.map(_.getLong(1))
+          Iterator((as.max - as.min, bs.max - bs.min, rows.size))
+        }
+      }.collect()
+    assert(spans.map(_._3).sum == 64 * 64)
+    // every populated partition covers well under the full 0..63 span
+    // in at least one dimension (Z-curve locality)
+    assert(spans.forall { case (sa, sb, _) => math.min(sa, sb) <= 32 })
+  }
+
+  test("compaction sizes output files from actual bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val in = s"$dir/in"; val out = s"$dir/out"
+    spark.range(0, 10000).selectExpr("id", "id * 7 AS v")
+      .repartition(32).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(inFiles == 32)
+    val bytes = graft.ext.Compaction.dataBytes(spark, in)
+    assert(bytes > 0)
+    val n = graft.ext.Compaction.compact(spark, in, out, targetFileBytes = bytes / 2)
+    assert(n == 2)
+    val outFiles = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles == 2)
+    assert(spark.read.parquet(out).count() == 10000L)
+  }
+
   test("bucketed range join equals the plain BETWEEN join, no nested loop") {
     Tables.register(spark, TestSpark.sfDir)
     val bands = Seq(("lo", 0.0, 60.0), ("hi", 60.0, 500.0)).toDF("label", "lo", "hi")
