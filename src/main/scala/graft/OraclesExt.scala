@@ -289,6 +289,27 @@ object OraclesExt {
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, score FROM p2 WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup-style cell-pruned cosine pairs — twin of
+    * Similarity.cellPairs: vectors meet iff they share one of their
+    * `nprobe` nearest of `nlist` md5-selected IVF centroids
+    * (identical index to [[knnIvf]]), then candidates are verified
+    * with the exact normalized dot.
+    */
+  def semDedupPairs(threshold: Double, nlist: Int, nprobe: Int): String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id, centroid_id FROM ranked_a WHERE crank <= $nprobe),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |p2 AS (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
+       |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
+       |SELECT id_a, id_b, score FROM p2 WHERE score >= $threshold ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding near-dup clustering — twin of q_embedding_clusters:
     * the [[embeddingNearDup]] pair graph, closed transitively by the
     * same recursive min-reachable-id CTE as [[dedupClusters]].

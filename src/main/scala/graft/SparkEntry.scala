@@ -182,6 +182,10 @@ object SparkEntry {
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
+  // SemDeDup cell pruning: nlist IVF cells, each vector probes its
+  // nprobe nearest (shared with OraclesExt.semDedupPairs)
+  private[graft] val semDedupNlist = 16
+  private[graft] val semDedupNprobe = 2
   private[graft] val bm25Terms = Seq("spark", "window", "merge")
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
@@ -287,6 +291,13 @@ object SparkEntry {
     "q_embedding_neardup" -> withTables { s =>
       Similarity.thresholdPairs(s.table("embeddings"), threshold = 0.4,
         bands = 8, planesPerBand = 2, dims = 64)
+        .orderBy("id_a", "id_b")
+    },
+    // SemDeDup-style cell-pruned pairs: the LOW-threshold companion
+    // (cluster-then-compare; per-cell work bounded by nlist ∝ corpus).
+    "q_semdedup" -> withTables { s =>
+      Similarity.cellPairs(s.table("embeddings"), threshold = 0.4,
+        nlist = semDedupNlist, nprobe = semDedupNprobe)
         .orderBy("id_a", "id_b")
     },
     // Embedding-space near-dup clustering: the banded-LSH pair graph
@@ -733,6 +744,7 @@ object SparkEntry {
     "q_dedup_clusters" -> OraclesExt.dedupClusters,
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
+    "q_semdedup" -> OraclesExt.semDedupPairs(0.4, semDedupNlist, semDedupNprobe),
     "q_embedding_clusters" -> OraclesExt.embeddingClusters,
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
     "q_knn_lsh" -> OraclesExt.knnLsh,

@@ -147,7 +147,12 @@ object Dedup {
         col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+    // full (pre-cap) distinct-shingle count per doc, derived from the
+    // exploded postings instead of `sets` — shingles are distinct per
+    // doc, so count(postings) == size(sh), and this path reuses the
+    // spread exchange (ReusedExchange) where a `sets`-based projection
+    // would re-run the whole tokenize+shingle pipeline a second time
+    val sizes = inv0.groupBy("id").agg(count(lit(1)).as("n_sh"))
     common
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("n_sh", "n_a"), "id_a")

