@@ -1043,6 +1043,28 @@ object OraclesExt {
       |WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
       |ORDER BY event_type, day_num""".stripMargin
 
+  /** SCD type-2 history — twin of Events.scd2History: per-user runs
+    * of equal consecutive event_type values become versioned
+    * half-open validity intervals; ordering within a user is
+    * (ts_us, event_id) on both engines, so same-timestamp ties
+    * resolve identically.
+    */
+  val scd2: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |ch AS (SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |keep AS (SELECT user_id, event_id, event_type, ts_us FROM ch
+      |  WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type,
+      |  ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us,
+      |  cast(row_number() OVER w AS INT) AS version,
+      |  (lead(ts_us) OVER w IS NULL) AS is_current
+      |FROM keep
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** As-of join of purchases to the latest prior-or-equal click per
     * user — twin of Events.asofJoin via DuckDB's native ASOF LEFT
     * JOIN. Clicks are collapsed to one row per (user, ts) on both

@@ -124,6 +124,21 @@ object SparkEntry {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** §2.3 — semi/anti joins through the SQL passthrough: EXISTS plans
+    * as LeftSemi, NOT EXISTS as LeftAnti — neither materializes the
+    * match side's payload, and both stop probing a key at the first
+    * hit, the scale-correct encoding of set-membership predicates
+    * (vs a join + distinct, which explodes on hot keys first).
+    */
+  private val semiAntiSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -237,6 +252,7 @@ object SparkEntry {
     // §3.1 — arbitrary-SQL passthrough (query/file commands).
     "q_pricing_summary" -> withTables { s => s.sql(pricingSummarySql) },
     "q_top_orders" -> withTables { s => s.sql(topOrdersSql) },
+    "q_semi_anti" -> withTables { s => s.sql(semiAntiSql) },
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
@@ -610,6 +626,13 @@ object SparkEntry {
           graft.ext.ZOrder.morton2(col("user_id"), col("day_num")).as("zkey"))
         .orderBy("event_id")
     },
+    // §7.5 — SCD type-2 dimension history: each user's event_type
+    // sequence collapsed to versioned validity intervals (one key
+    // shuffle serving both windows).
+    "q_scd2" -> withTables { s =>
+      Events.scd2History(s.table("events"))
+        .orderBy("user_id", "version")
+    },
     // §7.5 — day-over-day deltas per event type (lag window over the
     // collapsed per-day frame; decimal-exact subtraction).
     "q_events_delta" -> withTables { s =>
@@ -723,6 +746,8 @@ object SparkEntry {
       "lineitem", lineitemNumeric, "orders", ordersNumeric),
     "q_pricing_summary" -> pricingSummarySql,
     "q_top_orders" -> topOrdersSql,
+    "q_semi_anti" -> semiAntiSql,
+    "q_scd2" -> OraclesExt.scd2,
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,

@@ -149,6 +149,42 @@ object Events {
         round(col("__delta_dec").cast("double"), 5).as("delta_value"))
   }
 
+  /** Type-2 slowly-changing-dimension history from an event stream:
+    * collapse each key's ordered attribute sequence into versioned
+    * validity intervals — one row per RUN of equal consecutive
+    * values, with `[valid_from_us, valid_to_us)` half-open interval
+    * bounds (`valid_to_us` null on the open current version),
+    * a per-key `version` number, and an `is_current` flag. The
+    * standard warehouse dimension-history build (SCD type 2),
+    * expressed as windows instead of the MERGE-per-batch loop.
+    *
+    * Determinism: rows are ordered by (event time, `idCol`) within a
+    * key, so ties at the same timestamp resolve identically on every
+    * engine — the oracle twin orders by the same pair.
+    *
+    * Scale shape: ONE hash exchange on the key serves both windows
+    * (the change-detection lag and the interval-chaining lead/
+    * row_number run over the same partitioning); no self-join, no
+    * per-key buffering beyond the window sort.
+    */
+  def scd2History(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", attrCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts_us"), col(idCol))
+    val changes = events
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .select(col(keyCol), col("__ts_us"), col(idCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col(attrCol) =!= col("__prev"))
+    changes
+      .withColumn("valid_from_us", col("__ts_us"))
+      .withColumn("valid_to_us", lead(col("__ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from_us"),
+        col("valid_to_us"), col("version"), col("is_current"))
+  }
+
   /** As-of join: attach to every left row the LATEST right row with
     * the same key whose timestamp is <= the left row's timestamp
     * (inclusive, left-outer — unmatched left rows keep null right

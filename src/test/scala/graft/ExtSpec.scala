@@ -1136,4 +1136,41 @@ class ExtSpec extends AnyFunSuite {
     assert(again == first, "shard assignment/order must not depend on partitioning")
     sharded.unpersist()
   }
+
+  // ---- SCD2 history ----
+
+  test("scd2History collapses runs into chained versioned intervals") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A A B A  (run-collapse to A,B,A); user 2: single event
+    val df = Seq(
+      (10L, 1L, ts(100), "A"), (11L, 1L, ts(200), "A"),
+      (12L, 1L, ts(300), "B"), (13L, 1L, ts(400), "A"),
+      (20L, 2L, ts(500), "X"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.scd2History(df).orderBy("user_id", "version").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(4))).toSeq ==
+      Seq((1L, "A", 1), (1L, "B", 2), (1L, "A", 3), (2L, "X", 1)))
+    // intervals chain: valid_to == next version's valid_from; final open
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1(0).getLong(3) == u1(1).getLong(2))
+    assert(u1(1).getLong(3) == u1(2).getLong(2))
+    assert(u1(2).isNullAt(3) && u1(2).getBoolean(5), "last version open + current")
+    assert(u1.take(2).forall(!_.getBoolean(5)))
+    // same-timestamp tie resolves by event_id on every engine
+    val tie = Seq((2L, 1L, ts(100), "B"), (1L, 1L, ts(100), "A"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val t = Events.scd2History(tie).orderBy("version").collect()
+    assert(t.map(_.getString(1)).toSeq == Seq("A", "B"))
+  }
+
+  test("scd2History single-version key: one open row, no change rows") {
+    import java.sql.Timestamp
+    val df = Seq((1L, 7L, new Timestamp(1000L), "A"),
+      (2L, 7L, new Timestamp(2000L), "A"),
+      (3L, 7L, new Timestamp(3000L), "A"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.scd2History(df).collect()
+    assert(out.length == 1 && out(0).getInt(4) == 1 && out(0).getBoolean(5))
+  }
 }

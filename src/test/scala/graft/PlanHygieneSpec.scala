@@ -201,4 +201,23 @@ class PlanHygieneSpec extends AnyFunSuite {
       .orderBy("event_type").collect()
     assert(salted.toSeq == direct.toSeq)
   }
+
+  test("EXISTS / NOT EXISTS plan as semi and anti joins") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_semi_anti")(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+  }
+
+  test("scd2 history serves both windows from ONE key exchange") {
+    Tables.register(spark, TestSpark.sfDir)
+    // executedPlan explain, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements, which only the prepared plan has seen
+    val plan = graft.ext.Events.scd2History(spark.table("events"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1,
+      s"change-detection and interval-chaining windows must share one exchange, got $n:\n$plan")
+  }
 }
