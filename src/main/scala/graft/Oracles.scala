@@ -17,12 +17,12 @@ package graft
 object Oracles {
 
   /** The 8 profile statistics as DuckDB SQL over column `c` of
-    * `table` — the oracle twin of TableProfiler.exactAggRow. Order
+    * `table` — the oracle twin of TableProfiler.exactLong. Order
     * matches TableProfiler.aggLabels (`1. count` … `8. sum`,
     * /root/reference/aws-athena.sh:81-100).
     *
     * Mean/std/sum mirror the engine's partitioning-independent
-    * definitions exactly (TableProfiler.exactAggRow scaladoc):
+    * definitions exactly (TableProfiler.exactLong scaladoc):
     *  - sum/mean from the exact `decimal(18,6)` sum, displayed via
     *    integer HALF-AWAY-FROM-ZERO at 5 decimals (su6 = scale-6
     *    integer units; double round() diverges across engines on the

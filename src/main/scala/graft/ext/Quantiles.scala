@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 /** Exact per-group quantiles at corpus scale — the generalization of
   * the profiler's single-column median machinery
-  * (graft.profile.TableProfiler.exactAggRow) to arbitrary groups and
+  * (graft.profile.TableProfiler.exactLong) to arbitrary groups and
   * an arbitrary quantile vector.
   *
   * Why not `percentile(v, array(...))`: Spark's exact Percentile

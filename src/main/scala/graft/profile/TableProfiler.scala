@@ -27,7 +27,7 @@ import graft.catalog.{InfoSchema, Tables, TrinoTypes}
   *     numbers reach the final stage;
   *  2. exact `count_distinct` AND exact `median` for all N columns
   *     from one shared value-counts relation
-  *     ([[distinctAndMedianRow]]): groupBy (column, value) with
+  *     ([[exactLong]]): groupBy (column, value) with
   *     map-side combine, then a tiny per-column roll-up and an N-way
   *     parallel window cumsum over DISTINCT values. No operator ever
   *     buffers raw rows in one task (Spark's own `percentile` and the
@@ -47,7 +47,7 @@ import graft.catalog.{InfoSchema, Tables, TrinoTypes}
   * because neither path contains any order-dependent double
   * accumulation: no `avg`/`stddev_samp` anywhere; every mean/sum/std
   * is derived from exact decimal sums (associative, so bit-identical
-  * under any partitioning — see [[exactAggRow]] and `baseStats`).
+  * under any partitioning — see [[exactLong]] and `baseStats`).
   */
 object TableProfiler {
 
@@ -65,7 +65,7 @@ object TableProfiler {
       .filter(f => TrinoTypes.isNumeric(f.dataType))
       .map(_.name)
 
-  /** Semantics of the 8 statistics (exact path — see [[exactAggRow]]
+  /** Semantics of the 8 statistics (exact path — see [[exactLong]]
     * for the plan shape):
     *
     *  - count / count_distinct are exact and unrounded
@@ -87,13 +87,13 @@ object TableProfiler {
     *    faster than precision>18), and scale 6 out-scales the
     *    5-decimal display rounding.
     *  - std is the two-pass sample standard deviation around the
-    *    exact mean (see [[exactAggRow]]).
+    *    exact mean (see [[exactLong]]).
     */
   /** The six non-sketch stats, ALL partition-independent — no
     * order-dependent double accumulation (`avg`/`stddev_samp` are
     * banned here for the same reason as in the exact path, see the
     * object scaladoc): mean and sum reuse the exact decimal-sum +
-    * integer HALF-AWAY rounding of [[exactAggRow]] (bit-identical to
+    * integer HALF-AWAY rounding of [[exactLong]] (bit-identical to
     * the exact profile, which ProfilerSpec asserts with `==`), and
     * std is a single-pass variance over decimal-quantized Σx and Σx²
     * — deterministic under ANY partitioning; for ill-conditioned
@@ -135,7 +135,7 @@ object TableProfiler {
     */
   private def aggRow(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column, medianAgg: String => Column): DataFrame = {
-    // same conditional spread as exactAggRow: a few-row-group input
+    // same conditional spread as exactLong: a few-row-group input
     // would run every sketch update in ONE scan task (measured 4× the
     // whole query at sf0.1). The sketch merges are associative (HLL
     // registers merge bitwise; KLL/GK summary merge is the documented
@@ -184,7 +184,7 @@ object TableProfiler {
     * assumed < 10¹⁰ (decimal(10,0) — far beyond any real corpus; a
     * hotter single value would need a wider count decimal).
     */
-  private def exactAggRow(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def exactLong(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stackArgs = cols.zipWithIndex
       .map { case (c, i) => s"'$i', cast(`$c` as double)" }.mkString(", ")
@@ -249,21 +249,37 @@ object TableProfiler {
       when(col("s1") < 0, lit(-1.0)).otherwise(lit(1.0)) *
         floor((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
         lit(100000.0)
-    // assemble the N per-column rows into the single wide stats row
-    val cells = cols.indices.flatMap { i =>
-      def forCi(c: Column) = max(when(col("ci") === i.toString, c))
-      Seq(
-        coalesce(forCi(col("n").cast(DoubleType)), lit(0.0)).as(s"c${i}_1"),
-        coalesce(forCi(col("ndist")), lit(0.0)).as(s"c${i}_2"),
-        forCi(r5FromSu6(col("n") * lit(10L))).as(s"c${i}_3"),
-        forCi(when(col("n") > 1, round(
-          sqrt(col("s2").cast(DoubleType) / (col("n") - 1)), 5))).as(s"c${i}_4"),
-        forCi(round(col("minv"), 5)).as(s"c${i}_5"),
-        forCi(col("median")).as(s"c${i}_6"),
-        forCi(round(col("maxv"), 5)).as(s"c${i}_7"),
-        forCi(r5FromSu6(lit(10L))).as(s"c${i}_8"))
-    }
-    perCi.agg(cells.head, cells.tail: _*)
+    // emit the long (column_name, agg_type, result) relation directly
+    // from the N per-column stat rows: one 8-entry struct-array explode
+    // instead of collapsing to a 64-aggregate wide row and stacking it
+    // back out — identical values (same expressions), ~8× smaller
+    // generated code in the final stage (measured: the wide collapse
+    // was the largest codegen unit in the profile plan). Columns with
+    // zero non-null values have no vc rows, so the ci domain is
+    // restored with a literal-range left join (count/count_distinct 0,
+    // other stats null — the reference's observable empty semantics).
+    val domain = df.sparkSession.range(cols.size)
+      .select(col("id").cast(StringType).as("ci"))
+    val full = domain.join(perCi, Seq("ci"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ndist", coalesce(col("ndist"), lit(0.0)))
+    val nameMap = typedLit(cols.indices.map(i => i.toString -> cols(i)).toMap)
+    def e(label: String, value: Column) =
+      struct(lit(label).as("agg_type"), value.as("result"))
+    val entries = array(
+      e("1. count", col("n").cast(DoubleType)),
+      e("2. count_distinct", col("ndist")),
+      e("3. mean", r5FromSu6(col("n") * lit(10L))),
+      e("4. std", when(col("n") > 1,
+        round(sqrt(col("s2").cast(DoubleType) / (col("n") - 1)), 5))),
+      e("5. min", round(col("minv"), 5)),
+      e("6. median", col("median")),
+      e("7. max", round(col("maxv"), 5)),
+      e("8. sum", r5FromSu6(lit(10L))))
+    full.select(element_at(nameMap, col("ci")).as("column_name"),
+        explode(entries).as("entry"))
+      .select(col("column_name"), col("entry.agg_type").as("agg_type"),
+        col("entry.result").as("result"))
   }
 
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
@@ -278,12 +294,12 @@ object TableProfiler {
 
   /** Long-form profile: `(column_name, agg_type, result)` — the shape
     * of the reference's UNION ALL relation (aws-athena.sh:80-110) —
-    * computed from one scan ([[exactAggRow]]) and unpivoted with `stack`.
+    * computed from one scan ([[exactLong]]).
     */
   def profileLong(df: DataFrame): DataFrame = {
     val cols = numericColumns(df.schema)
     require(cols.nonEmpty, "no numeric columns to profile")
-    unpivot(exactAggRow(df, cols), cols)
+    exactLong(df, cols)
   }
 
   /** Wide profile: 8 rows (`1. count`…`8. sum`) × (agg_type + one

@@ -9,7 +9,7 @@ import graft.profile.TableProfiler
 /** Property-based profiler invariants (SURVEY.md §5.3) on
   * deterministic scalacheck-generated columns. The strongest check
   * pins the distributed value-counts median
-  * (TableProfiler.distinctAndMedianRow) against Spark's own exact
+  * (TableProfiler.exactLong) against Spark's own exact
   * `percentile(c, 0.5)` — bit-equality, since the implementation
   * claims Percentile-identical interpolation.
   */
