@@ -183,6 +183,19 @@ object EventStream {
         col("click_ts"), col("click_value"))
   }
 
+  /** Stream-static enrichment join: attach broadcast dimension
+    * attributes to every streamed event. The static side is planned
+    * per micro-batch as an ordinary broadcast hash join — no
+    * streaming state at all (unlike stream-stream joins), so no
+    * watermark is required and the operator composes with any
+    * downstream stateful step. Left-outer on purpose: an event whose
+    * key is missing from the dimension must not silently vanish from
+    * the stream (`coalesce` defaults belong downstream).
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      keyCol: String = "event_type"): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left_outer")
+
   /** Drain all currently-available input through a streaming query
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.

@@ -186,6 +186,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("stream-static enrichment joins broadcast dims without state") {
+    import spark.implicits._
+    val dim = Seq(("click", 0.5), ("purchase", 2.0)).toDF("event_type", "weight")
+    val events = EventStream.readEvents(spark, eventsDir)
+      .where(col("event_type").isin("click", "purchase", "view"))
+    val got = EventStream.runAvailableNow(spark,
+      EventStream.enrich(events, dim), "stream_enrich")
+    // every event survives (left outer); known types carry the weight,
+    // unknown types carry null — no row is dropped by enrichment
+    Tables.register(spark, TestSpark.sfDir)
+    val want = spark.table("events")
+      .where(col("event_type").isin("click", "purchase", "view"))
+    assert(got.count() == want.count())
+    assert(got.where(col("event_type") === "click")
+      .select("weight").distinct().collect().map(_.getDouble(0)).toSeq == Seq(0.5))
+    assert(got.where(col("event_type") === "view")
+      .filter(col("weight").isNotNull).count() == 0L)
+  }
+
   test("stateful sessionizer emits closed sessions") {
     implicit val s = spark
     val events = EventStream.readEvents(spark, eventsDir)
