@@ -27,13 +27,59 @@ import org.apache.spark.sql.types.LongType
   * expression tree rather than calling `quantile_cont`, so the two
   * engines run identical IEEE arithmetic.
   *
-  * Skew: a group's whole distinct-value set sorts in one window
-  * partition. That is |distinct values| rows, not |rows| — for
-  * measurement-style doubles it is bounded by row count only in the
-  * pathological all-distinct case, where a t-digest/approx path
-  * (TableProfiler.approxProfile) is the documented fallback.
+  * Skew: the cumulative count is a range-SHARDED two-phase prefix
+  * sum ([[shardedCumsum]]) — no group ever sorts its whole
+  * distinct-value set in one task; per-task work is one value-range
+  * shard of one group.
   */
 object Quantiles {
+
+  /** Distributed cumulative count over value order — the two-phase
+    * prefix sum shared by [[groupQuantiles]] and the profiler's exact
+    * median (TableProfiler.exactLong). A plain
+    * `partitionBy(keys).orderBy(v)` window sorts a key's ENTIRE
+    * distinct-value set in one task — the last serial stage of any
+    * exact-quantile plan at corpus scale. Instead:
+    *
+    *   1. per-key approx-quantile shard boundaries over the SAME
+    *      value-counts exchange (reused — no extra scan);
+    *   2. codegen'd chained-comparison shard assignment (no
+    *      interpreted HOF on the per-row path);
+    *   3. per-(key, shard) parallel window cumsum;
+    *   4. tiny relational per-shard offsets (a window over the
+    *      (key × shards)-row totals), added to the local cumsums.
+    *
+    * The result is EXACTLY invariant to boundary placement — for any
+    * v-monotone shard assignment, global cum = local + offset — so
+    * the approximate boundary sketch affects load balance only,
+    * never values. Appends column `cum` (long); input columns pass
+    * through unchanged.
+    */
+  private[graft] def shardedCumsum(vc: DataFrame, keyCols: Seq[String],
+      vCol: String, cntCol: String, shards: Int = 32): DataFrame = {
+    val kc = keyCols.map(col)
+    val probs = array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
+    val bounds = vc.groupBy(kc: _*)
+      .agg(percentile_approx(col(vCol), probs, lit(10000)).as("__bs"))
+    val shardOf = (1 until shards)
+      .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    val vcs = vc.join(broadcast(bounds), keyCols).withColumn("__shard", shardOf)
+      .drop("__bs")
+    val skc = kc :+ col("__shard")
+    val localCum = vcs.withColumn("__lcum", sum(col(cntCol).cast(LongType)).over(
+      Window.partitionBy(skc: _*).orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = vcs.groupBy(skc: _*)
+      .agg(sum(col(cntCol).cast(LongType)).as("__stot"))
+      .withColumn("__offset", coalesce(sum(col("__stot")).over(
+        Window.partitionBy(kc: _*).orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(skc :+ col("__offset"): _*)
+    localCum.join(broadcast(offsets), keyCols :+ "__shard")
+      .withColumn("cum", col("__lcum") + col("__offset"))
+      .drop("__shard", "__lcum", "__offset")
+  }
 
   /** One row per group: `(group, n, <name1>, <name2>, ...)` with each
     * quantile rounded to 5 decimals.
@@ -48,10 +94,7 @@ object Quantiles {
       .groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val totals = vc.groupBy("g").agg(sum(col("cnt")).as("n"))
-    val cum = vc
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy("g").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = shardedCumsum(vc, Seq("g"), "v", "cnt")
       .join(broadcast(totals), "g")
     // For each p: the value at rank ⌊pos⌋ and ⌈pos⌉ via the cumulative
     // count (this row covers ranks [cum-cnt, cum-1]), then interpolate.

@@ -221,43 +221,17 @@ object TableProfiler {
       .groupBy("ci")
       .agg(sum("d2").as("s2"))
     // median: cumsum over value order, Percentile-exact interpolation.
-    // The cumsum is a TWO-PHASE range-sharded prefix sum (the
-    // Packing.packSequences pattern): a single `partitionBy(ci)`
-    // window would sort ALL distinct values of a column in ONE task —
-    // the last serial stage in the profile at corpus scale. Shard
-    // boundaries come from an approx-quantile pass over the SAME
-    // value-counts exchange (reused, no extra scan); each (ci, shard)
-    // cumsums in parallel and the global cumsum adds the tiny
-    // relational per-shard offsets. The output is EXACTLY invariant
-    // to boundary placement (cum = local + offset holds for any
-    // v-monotone shard assignment), so the approximate boundary
-    // sketch never touches correctness — only load balance.
+    // The cumsum is the shared range-SHARDED two-phase prefix sum
+    // (graft.ext.Quantiles.shardedCumsum — see its scaladoc): a
+    // single `partitionBy(ci)` window would sort ALL distinct values
+    // of a column in ONE task, the last serial stage in the profile
+    // at corpus scale. Boundary sketch affects load balance only —
+    // the cumulative counts (and so the median) are exactly invariant
+    // to shard placement.
     val pos = lit(0.5) * (col("n") - 1).cast(DoubleType)
     val lower = floor(pos)
     val higher = ceil(pos)
-    val medianShards = 32
-    val probs = array((1 until medianShards)
-      .map(i => lit(i.toDouble / medianShards)): _*)
-    val bounds = vc.groupBy("ci")
-      .agg(percentile_approx(col("v"), probs, lit(10000)).as("bs"))
-    // codegen'd chained comparisons, not an interpreted HOF lambda
-    // (plan-shape rule: nothing interpreted on the per-row hot path)
-    val shardOf = (1 until medianShards)
-      .map(i => when(col("v") > element_at(col("bs"), i), 1).otherwise(0))
-      .reduce(_ + _)
-    val vcs = vc.join(broadcast(bounds), "ci")
-      .withColumn("shard", shardOf).drop("bs")
-    val localCum = vcs.withColumn("lcum", sum(col("cnt").cast(LongType)).over(
-      Window.partitionBy("ci", "shard").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = vcs.groupBy("ci", "shard")
-      .agg(sum(col("cnt").cast(LongType)).as("stot"))
-      .withColumn("offset", coalesce(sum(col("stot")).over(
-        Window.partitionBy("ci").orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("ci", "shard", "offset")
-    val cum = localCum.join(broadcast(offsets), Seq("ci", "shard"))
-      .withColumn("cum", col("lcum") + col("offset"))
+    val cum = graft.ext.Quantiles.shardedCumsum(vc, Seq("ci"), "v", "cnt")
       .join(broadcast(basic.select(col("ci"), col("n"))), "ci")
     val med = cum.groupBy("ci", "n")
       .agg(
