@@ -289,6 +289,37 @@ object OraclesExt {
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, score FROM p2 WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-document duplicated-span stats — twin of
+    * Dedup.duplicateSpanStats(n, minDocs): positional n-grams WITH
+    * duplicates (occurrences, not the distinct shingle sets), cross-
+    * doc frequency on the (gram, doc)-distinct relation, per-doc
+    * occurrence roll-ups.
+    */
+  def dupSpans(n: Int, minDocs: Long): String =
+    s"""WITH $toksCte,
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 1) + 1),
+       |  i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram FROM toks),
+       |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |  GROUP BY gram HAVING count(*) >= $minDocs),
+       |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM g GROUP BY doc_id),
+       |dupdoc AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM g JOIN dup USING (gram) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_ngrams, coalesce(d.n_dup, 0)::BIGINT AS n_dup_ngrams,
+       |  round(coalesce(d.n_dup, 0)::DOUBLE / p.n_ngrams::DOUBLE, 5) AS dup_fraction
+       |FROM perdoc p LEFT JOIN dupdoc d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Cohort retention matrix — twin of Events.cohortRetention. */
+  def cohortRetention(maxOffsetDays: Long): String =
+    s"""WITH d AS (SELECT DISTINCT user_id,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num FROM events),
+       |c AS (SELECT user_id, min(day_num) AS cohort_day FROM d GROUP BY user_id),
+       |s AS (SELECT cohort_day, count(*)::BIGINT AS cohort_size FROM c GROUP BY cohort_day),
+       |a AS (SELECT cohort_day, day_num - cohort_day AS day_offset, count(*)::BIGINT AS n_active
+       |  FROM d JOIN c USING (user_id)
+       |  WHERE day_num - cohort_day <= $maxOffsetDays GROUP BY 1, 2)
+       |SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
+       |  round(a.n_active::DOUBLE / s.cohort_size::DOUBLE, 5) AS retention
+       |FROM a JOIN s USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin
+
   /** SemDeDup-style cell-pruned cosine pairs — twin of
     * Similarity.cellPairs: vectors meet iff they share one of their
     * `nprobe` nearest of `nlist` md5-selected IVF centroids

@@ -197,6 +197,11 @@ object SparkEntry {
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
+  // duplicated-span detection: positional n-gram size + min distinct
+  // docs for a span to count as duplicated (shared with oracle twin)
+  private[graft] val dupSpanN = 5
+  private[graft] val dupSpanMinDocs = 2L
+  private[graft] val retentionMaxOffset = 14L
   // SemDeDup cell pruning: nlist IVF cells, each vector probes its
   // nprobe nearest (shared with OraclesExt.semDedupPairs)
   private[graft] val semDedupNlist = 16
@@ -290,6 +295,13 @@ object SparkEntry {
         split.filter(col("split") === "train").drop("split"),
         split.filter(col("split") === "test").drop("split"))
         .orderBy("id_a", "id_b")
+    },
+    // §7.5 — duplicated n-gram SPAN stats (substring-dedup signal:
+    // repeated spans across docs, counted per occurrence; inverted
+    // index only, nothing quadratic).
+    "q_dup_spans" -> withTables { s =>
+      Dedup.duplicateSpanStats(s.table("documents"),
+        n = dupSpanN, minDocs = dupSpanMinDocs).orderBy("doc_id")
     },
     // Near-dup clustering + survivorship: connected components over
     // the MinHash pair graph, canonical survivor = min doc id.
@@ -626,6 +638,12 @@ object SparkEntry {
           graft.ext.ZOrder.morton2(col("user_id"), col("day_num")).as("zkey"))
         .orderBy("event_id")
     },
+    // §7.5 — cohort retention matrix (first-activity cohorts × day
+    // offsets; no distinct aggregate — input pre-distincted).
+    "q_cohort_retention" -> withTables { s =>
+      Events.cohortRetention(s.table("events"), retentionMaxOffset)
+        .orderBy("cohort_day", "day_offset")
+    },
     // §7.5 — SCD type-2 dimension history: each user's event_type
     // sequence collapsed to versioned validity intervals (one key
     // shuffle serving both windows).
@@ -748,6 +766,8 @@ object SparkEntry {
     "q_top_orders" -> topOrdersSql,
     "q_semi_anti" -> semiAntiSql,
     "q_scd2" -> OraclesExt.scd2,
+    "q_dup_spans" -> OraclesExt.dupSpans(dupSpanN, dupSpanMinDocs),
+    "q_cohort_retention" -> OraclesExt.cohortRetention(retentionMaxOffset),
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,

@@ -165,6 +165,45 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Per-document duplicated-span statistics — the data behind
+    * substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": repeated SPANS inflate
+    * memorization even when whole documents differ). For each doc:
+    * how many of its positional token n-grams also occur in at least
+    * `minDocs − 1` OTHER documents, and the fraction of positions
+    * those cover. `dup_fraction` is the curation signal (gate or
+    * clip); unlike the pairwise families nothing here is quadratic —
+    * a document with a hot boilerplate span just counts it.
+    *
+    * Plan: positional n-grams exploded (with duplicates — occurrences
+    * matter here, unlike [[shingles]]), cross-doc frequency from a
+    * (gram, doc)-distinct + gram groupBy (two uniform map-side-
+    * combined shuffles), then one gram equi-join back and per-doc
+    * roll-ups. No pair join, no window.
+    */
+  def duplicateSpanStats(df: DataFrame, n: Int = 5, minDocs: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = spread(df, textCol)
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode_outer(ngrams(col("__toks"), n)).as("gram"))
+      .filter(col("gram").isNotNull) // see ngramJaccardPairs: avoids inferred scan filter
+    val dup = grams.select("id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gram_docs"))
+      .filter(col("gram_docs") >= minDocs)
+      .select("gram")
+    val perDoc = grams.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+    val dupPerDoc = grams.join(dup, "gram")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_ngrams"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .withColumn("n_dup_ngrams", coalesce(col("n_dup_ngrams"), lit(0L)))
+      // ngrams emits >= 1 gram even for short docs (degenerate
+      // window), so the denominator is never zero
+      .select(col("id").as(idCol), col("n_ngrams"), col("n_dup_ngrams"),
+        round(col("n_dup_ngrams").cast("double") /
+          col("n_ngrams").cast("double"), 5).as("dup_fraction"))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

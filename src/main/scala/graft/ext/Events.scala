@@ -149,6 +149,37 @@ object Events {
         round(col("__delta_dec").cast("double"), 5).as("delta_value"))
   }
 
+  /** Cohort retention: users grouped by their first-activity day
+    * (the cohort), then per (cohort_day, day_offset) the count of
+    * cohort members active that day and the retention rate against
+    * the cohort's size. The standard growth-analytics matrix.
+    *
+    * Scale shape: (user, day) activity is distinct-ed in one uniform
+    * shuffle; cohort assignment is a user-keyed min + equi-join; the
+    * final roll-up needs only `count(*)` — the input is already
+    * one-row-per-(user, day) and a user has exactly one cohort, so
+    * no distinct aggregate (and no Expand) appears anywhere. Cohort
+    * sizes broadcast (one row per calendar day).
+    */
+  def cohortRetention(events: DataFrame, maxOffsetDays: Long = 14L,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val activity = events.select(col(userCol).as("user"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long").as("day_num"))
+      .distinct()
+    val cohorts = activity.groupBy("user").agg(min("day_num").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, "user")
+      .withColumn("day_offset", col("day_num") - col("cohort_day"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention", round(
+        col("n_active").cast("double") / col("cohort_size").cast("double"), 5))
+      .select("cohort_day", "day_offset", "n_active", "cohort_size", "retention")
+  }
+
   /** Type-2 slowly-changing-dimension history from an event stream:
     * collapse each key's ordered attribute sequence into versioned
     * validity intervals — one row per RUN of equal consecutive

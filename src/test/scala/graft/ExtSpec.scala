@@ -1137,6 +1137,48 @@ class ExtSpec extends AnyFunSuite {
     sharded.unpersist()
   }
 
+  // ---- duplicated spans ----
+
+  test("duplicateSpanStats counts cross-doc n-gram occurrences per doc") {
+    val df = Seq(
+      (1L, "a b c d e f"), // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e z"), // 5-grams: "a b c d e", "b c d e z"
+      (3L, "p q r s t u")) // no shared spans
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(df, n = 5, minDocs = 2L)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    assert(out(0).getDouble(3) == 0.5 && out(2).getDouble(3) == 0.0)
+    // a span repeated WITHIN one doc only is not cross-doc duplicated
+    val self = Seq((1L, "x y z w v x y z w v"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val s = Dedup.duplicateSpanStats(self, n = 5, minDocs = 2L)
+      .orderBy("doc_id").collect()
+    assert(s(0).getLong(2) == 0L, "within-doc repetition must not count")
+  }
+
+  // ---- cohort retention ----
+
+  test("cohortRetention builds the cohort x offset matrix with exact rates") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 1) =
+      new Timestamp((day.toLong * 86400L + h * 3600L) * 1000L)
+    // cohort day 0: users 1,2 (user 1 returns day 1; both return day 2)
+    // cohort day 1: user 3 (never returns)
+    val df = Seq(
+      (1L, ts(0)), (2L, ts(0)), (1L, ts(0, 5)), // dup same-day activity
+      (1L, ts(1)), (3L, ts(1)),
+      (1L, ts(2)), (2L, ts(2)))
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(df, maxOffsetDays = 14L)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5), (0L, 2L, 2L, 2L, 1.0),
+      (1L, 0L, 1L, 1L, 1.0)))
+  }
+
   // ---- SCD2 history ----
 
   test("scd2History collapses runs into chained versioned intervals") {
