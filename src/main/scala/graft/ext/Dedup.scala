@@ -501,8 +501,15 @@ object Dedup {
     val sym = materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    // the loop iterates ONLY over edge-connected nodes: a node with no
+    // incident edge is its own component by definition and its label
+    // can never change, so it has no business in the per-round joins.
+    // On a near-dup corpus the pair graph is orders of magnitude
+    // smaller than the corpus — the loop's working set scales with
+    // |edges|, not |nodes|; singletons rejoin once, after convergence.
     var labels = materialize(
-      nodes.select(col(idCol).as("id"), col(idCol).as("component")))
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -534,6 +541,8 @@ object Dedup {
       converged = next.filter(col("__moved")).limit(1).count() == 0L
       labels = next.drop("__moved")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter converged=$converged t=${System.nanoTime()/1e9}")
     }
     // min-label propagation past maxIter would silently return labels
     // that DISAGREE with the exact transitive closure (and any oracle
@@ -541,7 +550,12 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component graph diameter exceeds maxIter); raise maxIter")
-    labels
+    // singletons (no incident edge) are their own component — one
+    // anti-join pass, never part of the loop
+    labels.unionByName(
+      nodes.select(col(idCol).as("id"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 
   /** Cluster roll-up shared by every pair-graph family: components
