@@ -915,18 +915,32 @@ object OraclesExt {
     * the ::DOUBLE on each p — DuckDB numeric literals default to
     * DECIMAL, which would change the multiply).
     */
-  private def groupQuantileCtes(ps: Seq[(String, Double)]): (String, String) = {
-    def pos(p: Double) = s"${p}::DOUBLE * (n - 1)"
-    val picks = ps.flatMap { case (name, p) =>
+  private def quantilePos(p: Double) = s"${p}::DOUBLE * (n - 1)"
+
+  /** Rank-pick aggregates over a (g..., v, cnt, cum, n) relation —
+    * shared by every exact-quantile twin. */
+  private def quantilePicksSql(ps: Seq[(String, Double)]): String = {
+    def pos(p: Double) = quantilePos(p)
+    ps.flatMap { case (name, p) =>
       Seq(
         s"max(CASE WHEN cum - cnt <= floor(${pos(p)}) AND floor(${pos(p)}) <= cum - 1 THEN v END) AS lo_$name",
         s"max(CASE WHEN cum - cnt <= ceil(${pos(p)}) AND ceil(${pos(p)}) <= cum - 1 THEN v END) AS hi_$name")
     }.mkString(", ")
-    val qs = ps.map { case (name, p) =>
+  }
+
+  /** Percentile-exact interpolation projections from the picks. */
+  private def quantileProjSql(ps: Seq[(String, Double)]): String = {
+    def pos(p: Double) = quantilePos(p)
+    ps.map { case (name, p) =>
       s"""round(CASE WHEN floor(${pos(p)}) = ceil(${pos(p)}) THEN lo_$name
          |    ELSE lo_$name * (ceil(${pos(p)}) - ${pos(p)}) + hi_$name * (${pos(p)} - floor(${pos(p)})) END,
          |  5) AS $name""".stripMargin
     }.mkString(", ")
+  }
+
+  private def groupQuantileCtes(ps: Seq[(String, Double)]): (String, String) = {
+    val picks = quantilePicksSql(ps)
+    val qs = quantileProjSql(ps)
     val ctes =
       s"""vc AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS cnt
          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
@@ -942,6 +956,34 @@ object OraclesExt {
     val (ctes, qs) = groupQuantileCtes(ps)
     s"""WITH $ctes
        |SELECT g AS event_type, n, $qs FROM a ORDER BY event_type""".stripMargin
+  }
+
+  /** Weekly exact-quantile rollup from per-day value counts — twin of
+    * Sketches.dailyValueCounts + rollupQuantiles. The daily CTE is
+    * the mergeable relation; weekly counts are its per-bucket SUM,
+    * and the quantile machinery (cumsum + rank picks + interpolation)
+    * is identical to [[groupQuantiles]] over the merged counts.
+    */
+  def quantileRollup(ps: Seq[(String, Double)], daysPerBucket: Long): String = {
+    val picks = quantilePicksSql(ps)
+    val qs = quantileProjSql(ps)
+    s"""WITH daily AS (SELECT event_type,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+       |  value AS v, count(*)::BIGINT AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+       |vc AS (SELECT event_type, day_num // $daysPerBucket AS bucket_num, v,
+       |  sum(cnt)::BIGINT AS cnt FROM daily GROUP BY 1, 2, 3),
+       |tot AS (SELECT event_type, bucket_num, sum(cnt)::BIGINT AS n
+       |  FROM vc GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bucket_num, v, cnt,
+       |  sum(cnt) OVER (PARTITION BY event_type, bucket_num ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |j AS (SELECT cum.event_type, cum.bucket_num, v, cnt, cum, n
+       |  FROM cum JOIN tot USING (event_type, bucket_num)),
+       |a AS (SELECT event_type, bucket_num, n, $picks
+       |  FROM j GROUP BY event_type, bucket_num, n)
+       |SELECT event_type, bucket_num, n, $qs FROM a
+       |ORDER BY event_type, bucket_num""".stripMargin
   }
 
   /** Winsorized per-type roll-up — twin of Quantiles.winsorize +

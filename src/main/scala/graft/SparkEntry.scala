@@ -202,6 +202,8 @@ object SparkEntry {
   private[graft] val dupSpanN = 5
   private[graft] val dupSpanMinDocs = 2L
   private[graft] val retentionMaxOffset = 14L
+  // mergeable-quantile rollup granularity (shared with the oracle)
+  private[graft] val rollupDaysPerBucket = 7L
   // SemDeDup cell pruning: nlist IVF cells, each vector probes its
   // nprobe nearest (shared with OraclesExt.semDedupPairs)
   private[graft] val semDedupNlist = 16
@@ -487,6 +489,15 @@ object SparkEntry {
       graft.ext.Sketches.rollupDistinctUsers(
         graft.ext.Sketches.dailyUserSketches(s.table("events")))
         .orderBy("event_type")
+    },
+    // §7.5 — EXACT mergeable quantile rollup: per-day value-count
+    // relations (counts merge by addition — zero sketch error) rolled
+    // up to weekly quantiles with no raw-event rescan.
+    "q_quantile_rollup" -> withTables { s =>
+      graft.ext.Sketches.rollupQuantiles(
+        graft.ext.Sketches.dailyValueCounts(s.table("events")), quantilePs,
+        daysPerBucket = rollupDaysPerBucket)
+        .orderBy("event_type", "bucket_num")
     },
     // §7.5 — full-pipeline curation verdict: near-dup survivorship +
     // length + quality + repetition + OOV gates, first match wins.
@@ -839,6 +850,7 @@ object SparkEntry {
     "q_events_asof" -> OraclesExt.eventsAsof,
     "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
+    "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
     "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

@@ -88,14 +88,41 @@ object Quantiles {
     */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
+    val vc = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    quantilesFromVc(vc, Seq(groupCol), ps)
+  }
+
+  /** Quantiles from a PRE-COUNTED `(groups..., value, count)` relation
+    * — the mergeable form: value-count relations merge by addition
+    * (associative, exact), so per-partition counts (per day, per
+    * shard, per ingest batch) roll up to any coarser granularity and
+    * the quantiles computed from the merged counts are EXACTLY the
+    * quantiles of the combined raw data — the property
+    * Sketches.rollupQuantiles builds on, with zero sketch error.
+    */
+  def groupQuantilesFromCounts(counts: DataFrame, groupCols: Seq[String],
+      valueCol: String, cntCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val vc = counts.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol).cast("double").as("v"): _*)
+      .agg(sum(col(cntCol).cast(LongType)).as("cnt"))
+    quantilesFromVc(vc, groupCols, ps)
+  }
+
+  /** Shared tail of both public forms: totals, sharded cumsum, rank
+    * picks, Percentile-exact interpolation. `vc` columns: groupCols,
+    * `v` (double), `cnt` (long-compatible).
+    */
+  private def quantilesFromVc(vc: DataFrame, groupCols: Seq[String],
+      ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "quantiles must be named and in [0,1]")
-    val vc = df.where(col(valueCol).isNotNull)
-      .groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = vc.groupBy("g").agg(sum(col("cnt")).as("n"))
-    val cum = shardedCumsum(vc, Seq("g"), "v", "cnt")
-      .join(broadcast(totals), "g")
+    val gcs = groupCols.map(col)
+    val totals = vc.groupBy(gcs: _*).agg(sum(col("cnt")).as("n"))
+    val cum = shardedCumsum(vc, groupCols, "v", "cnt")
+      .join(broadcast(totals), groupCols)
     // For each p: the value at rank ⌊pos⌋ and ⌈pos⌉ via the cumulative
     // count (this row covers ranks [cum-cnt, cum-1]), then interpolate.
     def pick(rank: Column): Column =
@@ -106,7 +133,7 @@ object Quantiles {
       val higher = ceil(pos)
       Seq(pick(lower).as(s"__lo_$name"), pick(higher).as(s"__hi_$name"))
     }
-    val out = cum.groupBy("g", "n").agg(aggs.head, aggs.tail: _*)
+    val out = cum.groupBy(gcs :+ col("n"): _*).agg(aggs.head, aggs.tail: _*)
     val qCols = ps.map { case (name, p) =>
       val pos = lit(p) * (col("n") - 1).cast("double")
       val lower = floor(pos)
@@ -117,7 +144,7 @@ object Quantiles {
             col(s"__hi_$name") * (pos - lower.cast("double"))), 5)
         .as(name)
     }
-    out.select(col("g").as(groupCol) +: col("n").cast(LongType).as("n") +: qCols: _*)
+    out.select(gcs ++ (col("n").cast(LongType).as("n") +: qCols): _*)
   }
 
   /** Equi-width histogram per group: one map-only bucket projection

@@ -41,4 +41,36 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch")))
         .as("approx_distinct_users"),
         sum("n_events").as("n_events"))
+
+  /** Per-day mergeable VALUE-COUNT relations — the exact counterpart
+    * to [[dailyUserSketches]]: where HLL registers merge with bounded
+    * error, value counts merge by ADDITION with none. One map-side-
+    * combined shuffle keyed by (type, day, value); the relation's
+    * size is Σ per-day distinct values, the materialization a
+    * warehouse keeps per ingest batch.
+    */
+  def dailyValueCounts(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    events.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day_num"),
+        col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** EXACT quantiles at any coarser granularity from the daily
+    * value-count relations — no raw-event rescan and no sketch
+    * error: counts merge by addition, so the weekly (or monthly,
+    * or all-time) quantiles computed from merged counts are exactly
+    * the quantiles of the combined raw data
+    * (Quantiles.groupQuantilesFromCounts; ExtSpec asserts rollup ≡
+    * direct). This is what percentile sketches are usually accepted
+    * for — here the mergeable summary is exact.
+    */
+  def rollupQuantiles(daily: DataFrame, ps: Seq[(String, Double)],
+      keyCol: String = "event_type", daysPerBucket: Long = 7L): DataFrame =
+    Quantiles.groupQuantilesFromCounts(
+      daily.withColumn("bucket_num",
+        floor(col("day_num") / daysPerBucket).cast("long")),
+      Seq(keyCol, "bucket_num"), "v", "cnt", ps)
 }

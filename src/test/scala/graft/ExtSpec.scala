@@ -1137,6 +1137,30 @@ class ExtSpec extends AnyFunSuite {
     sharded.unpersist()
   }
 
+  // ---- mergeable exact quantiles ----
+
+  test("rollupQuantiles from daily counts equals direct weekly quantiles") {
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val rolled = graft.ext.Sketches.rollupQuantiles(
+      graft.ext.Sketches.dailyValueCounts(events), ps)
+      .orderBy("event_type", "bucket_num").collect().toSeq
+    // direct: quantiles over the raw rows keyed by the same composite
+    // bucket — merging per-day counts must lose NOTHING (exactness is
+    // the whole claim vs a percentile sketch)
+    val direct = graft.ext.Quantiles.groupQuantilesFromCounts(
+      events.where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+            .cast("long").as("bucket_num"),
+          col("value").cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("event_type", "bucket_num"), "v", "cnt", ps)
+      .orderBy("event_type", "bucket_num").collect().toSeq
+    assert(rolled.nonEmpty && rolled == direct)
+  }
+
   // ---- duplicated spans ----
 
   test("duplicateSpanStats counts cross-doc n-gram occurrences per doc") {
