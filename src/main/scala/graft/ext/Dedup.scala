@@ -63,11 +63,17 @@ object Dedup {
     * [[shingles]] and TextStats.repetitionStats — one copy of the
     * `greatest(size-n+1, 1)` degenerate-window convention, so the
     * operators and their oracle twins cannot drift apart).
+    *
+    * Implemented by the codegen'd native expression
+    * (graft.functions.WordNgrams) — identical to the composable HOF
+    * form `transform(sequence(1, greatest(size(t)-(n-1), 1)),
+    * i => concat_ws(" ", slice(t, i, n)))` on every non-null input
+    * (null arrays: see the WordNgrams scaladoc), which Catalyst can
+    * only interpret (per-window closure dispatch + a sliced array
+    * copy per window) on the hottest per-row path of the text family.
     */
   def ngrams(tokens: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(tokens, i, lit(n))))
+    graft.functions.TextExpressions.wordNgrams(tokens, n)
 
   /** Spread rows across all cores before CPU-heavy per-row work.
     * Document corpora often arrive in few large files (the test

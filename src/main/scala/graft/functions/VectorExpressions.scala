@@ -116,6 +116,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
       (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+    // word_ngrams(tokens, n) — the codegen'd shingling primitive
+    // (n must be a foldable integer literal; it parameterizes the
+    // generated loop).
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "word_ngrams(tokens, n) requires a literal n")
+        val n = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an integer literal, got $other")
+        }
+        WordNgrams(children(0), n)
+      }))
     // cosine_similarity(a, b) — composed from the native dot product;
     // the whole tree stays inside codegen.
     ext.injectFunction((

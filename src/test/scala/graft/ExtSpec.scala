@@ -1137,6 +1137,41 @@ class ExtSpec extends AnyFunSuite {
     sharded.unpersist()
   }
 
+  // ---- native word_ngrams expression ----
+
+  test("word_ngrams equals the composable HOF form on every edge case") {
+    val hof = (t: org.apache.spark.sql.Column, n: Int) =>
+      transform(
+        sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(t, i, lit(n))))
+    val df = Seq(
+      "a b c d e",  // len > n
+      "a b c",      // len == n
+      "a b",        // len < n  -> one truncated window
+      "a",          // single token
+      ""            // tokenizes to empty array -> [""]
+    ).toDF("text")
+      .withColumn("toks", TextStats.tokens(col("text")))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select(Dedup.ngrams(col("toks"), n)).collect().toSeq
+      val want = df.select(hof(col("toks"), n)).collect().toSeq
+      assert(got == want, s"native word_ngrams diverges from HOF at n=$n")
+    }
+    // the documented divergence: NULL token array -> NULL (standard
+    // propagation), where the HOF form emits [""] because `greatest`
+    // SKIPS the null from size(null) — see WordNgrams scaladoc
+    val nullToks = Seq(Tuple1(null: String)).toDF("text")
+      .withColumn("toks",
+        when(col("text").isNotNull, TextStats.tokens(col("text"))))
+    assert(nullToks.select(Dedup.ngrams(col("toks"), 2)).collect().head.isNullAt(0))
+    assert(nullToks.select(hof(col("toks"), 2)).collect()
+      .head.getSeq[String](0) == Seq(""))
+    // and it is callable from passthrough SQL via the extension
+    val sql = spark.sql(
+      "SELECT word_ngrams(array('x', 'y', 'z'), 2) AS g").collect()
+    assert(sql.head.getSeq[String](0) == Seq("x y", "y z"))
+  }
+
   // ---- mergeable exact quantiles ----
 
   test("rollupQuantiles from daily counts equals direct weekly quantiles") {
