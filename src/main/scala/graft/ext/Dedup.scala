@@ -48,6 +48,14 @@ object Dedup {
     */
   val NgramStopShingleCap: Long = 50L
 
+  /** [[connectedComponents]] collects the edge list and runs exact
+    * union-find on the driver when the graph has at most this many
+    * undirected edges (≈ 64 MB of long pairs — broadcast-class, the
+    * same size regime where Spark itself abandons shuffles). Above
+    * it, the distributed min-label-propagation loop runs instead.
+    */
+  val SmallGraphMaxEdges: Long = 4L << 20
+
   /** Distinct word n-gram shingles from a TOKEN-ARRAY column.
     *
     * The argument must be a staged attribute (see [[withShingleSet]]),
@@ -488,14 +496,27 @@ object Dedup {
     * label is the component's MINIMUM node id — deterministic, and the
     * natural canonical-survivor key for dedup.
     *
-    * Scale shape: each round is two equi-joins (edges ⋈ labels for
-    * neighbor propagation, labels ⋈ labels for the pointer jump) +
-    * one map-side-combined min-aggregate — no driver data, no
-    * collect. The pointer jump makes rounds O(log diameter) rather
-    * than O(diameter), so even long similarity chains converge in a
-    * handful of Spark jobs; `maxIter` is a safety bound, not a tuning
-    * knob. Loop state is [[materialize]]d each round — see that
-    * method for why plain `localCheckpoint` is NOT enough here.
+    * Scale shape — two regimes, switched on the MATERIALIZED edge
+    * count like Spark's own broadcast-vs-shuffle join choice:
+    *
+    *  - ≤ [[SmallGraphMaxEdges]]: the edge list is driver-collected
+    *    (id pairs only — never text or vectors) and labeled by exact
+    *    union-find with path compression. One job instead of
+    *    ~log(diameter) rounds of (2 joins + checkpoint + probe) —
+    *    near-dup pair graphs are usually this small even when the
+    *    corpus is 100 TB, because the pair graph scales with
+    *    DUPLICATES, not documents.
+    *  - above it: bounded min-label propagation — each round is two
+    *    equi-joins (edges ⋈ labels for neighbor propagation, labels ⋈
+    *    labels for the pointer jump) + one map-side-combined
+    *    min-aggregate; no driver data. The pointer jump makes rounds
+    *    O(log diameter) rather than O(diameter); `maxIter` is a
+    *    safety bound, not a tuning knob. Loop state is
+    *    [[materialize]]d each round — see that method for why plain
+    *    `localCheckpoint` is NOT enough here.
+    *
+    * Both paths assign every node the MINIMUM id reachable from it,
+    * so the regime switch can never change results.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20, idCol: String = "id",
@@ -507,6 +528,49 @@ object Dedup {
     val sym = materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    // small-graph fast path — the same size-based regime switch Spark
+    // itself applies to joins (broadcast vs shuffle). A near-dup pair
+    // graph is usually orders of magnitude smaller than the corpus;
+    // when the materialized edge list fits comfortably on the driver
+    // (≤ 4M undirected edges ≈ 64 MB of id pairs — broadcast-class),
+    // exact union-find beats ~log(diameter) distributed rounds whose
+    // per-round cost is 2 joins + a checkpoint + a convergence probe.
+    // Labels are identical by definition: both paths assign every
+    // node the MINIMUM id reachable from it. The count() reads the
+    // already-checkpointed RDD — one cheap job, no recompute.
+    val symCount = sym.count()
+    if (symCount <= 2L * SmallGraphMaxEdges) {
+      val spark = sym.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // sym holds each edge in both directions; iterating it unions
+      // every endpoint pair (direction is irrelevant to union-find)
+      sym.select(col("src"), col("dst")).as[(Long, Long)]
+        .collect().foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      // `parent` keys are exactly the non-root connected nodes; roots
+      // (component minima) label themselves via the coalesce below
+      val labeled = spark.createDataFrame(
+        parent.keysIterator.map(id => (id, find(id))).toSeq)
+        .toDF("id", "component")
+      val allConnected = sym.select(col("src").as("id")).distinct()
+      return allConnected
+        .join(labeled, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .unionByName(
+          nodes.select(col(idCol).as("id"))
+            .join(allConnected.select("id"), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("component")))
+    }
     // the loop iterates ONLY over edge-connected nodes: a node with no
     // incident edge is its own component by definition and its label
     // can never change, so it has no business in the per-round joins.

@@ -34,6 +34,13 @@ object Scratch {
         println(graft.SparkEntry.queries(q)(spark, sf)
           .queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
+      else if (sys.env.contains("SCRATCH_NOOP"))
+        // bench-identical timing: coalesce(1) would collapse a
+        // shuffle-free pipeline into ONE task and serialize it
+        time(q) {
+          graft.SparkEntry.queries(q)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+        }
       else time(q) {
         graft.SparkEntry.queries(q)(spark, sf).coalesce(1)
           .write.mode("overwrite").parquet(s"/tmp/graft_scratch/$q")
