@@ -723,6 +723,68 @@ object OraclesExt {
        |SELECT doc_id, n_tokens, n_oov, oov_rate
        |FROM oovx ORDER BY doc_id""".stripMargin
 
+  /** Deterministic Bloom-filter probe — twin of
+    * Sketches.bloomBuild/bloomProbe: identical md5-derived bit
+    * positions, 64-bit word packing via bit_or, all-k-bits-set test.
+    */
+  def bloomDedup(f: Double, mBits: Long, k: Int): String =
+    s"""WITH pos_tr AS (
+       |  SELECT (cast('0x' || substr(md5('bloom' || i || '|' || text), 1, 15) AS BIGINT) % $mBits) AS pos
+       |  FROM documents, range(0, $k) r(i)
+       |  WHERE NOT (${hashUniformSql("split")} < $f)),
+       |words AS (SELECT pos // 63 AS word_idx,
+       |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+       |  FROM pos_tr GROUP BY 1),
+       |probe AS (
+       |  SELECT doc_id, pos // 63 AS word_idx, 1::BIGINT << (pos % 63)::INT AS b
+       |  FROM (SELECT doc_id,
+       |    (cast('0x' || substr(md5('bloom' || i || '|' || text), 1, 15) AS BIGINT) % $mBits) AS pos
+       |    FROM documents, range(0, $k) r(i)
+       |    WHERE ${hashUniformSql("split")} < $f))
+       |SELECT doc_id, (count(*) FILTER (WHERE bits & b = b) = $k) AS maybe_seen
+       |FROM probe LEFT JOIN words USING (word_idx)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Count-min-sketch point estimates — twin of
+    * Sketches.cmsDailyCounts + cmsEstimate. Summing the per-day
+    * counters per (r, bucket) is arithmetically identical to counting
+    * all rows per (r, bucket), which is what this twin does directly.
+    */
+  def cmsRollup(depth: Int, width: Int, probeMax: Long): String =
+    s"""WITH counters AS (
+       |  SELECT i AS r,
+       |    (cast('0x' || substr(md5('cms' || i || '|' || user_id), 1, 15) AS BIGINT) % $width) AS bucket,
+       |    count(*)::BIGINT AS c
+       |  FROM events, range(0, $depth) r(i) GROUP BY 1, 2),
+       |pb AS (
+       |  SELECT user_id, i AS r,
+       |    (cast('0x' || substr(md5('cms' || i || '|' || user_id), 1, 15) AS BIGINT) % $width) AS bucket
+       |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < $probeMax),
+       |    range(0, $depth) r(i))
+       |SELECT user_id, min(coalesce(c, 0))::BIGINT AS est_count
+       |FROM pb LEFT JOIN counters USING (r, bucket)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Unigram-LM cross-entropy — twin of TextStats.lmCrossEntropy:
+    * identical corpus unigram counts, per-token −ln p(t) quantized to
+    * DECIMAL(18,9) (ln differs ≤1 ulp between engines, far inside the
+    * quantum), decimal sum, exact HALF-UP 5-decimal mean; zero-token
+    * docs surface with n_tokens=0, score 0.
+    */
+  val lmCrossEntropy: String =
+    s"""WITH $toksCte, $uniCte,
+       |cnt AS (SELECT g AS token, count(*)::BIGINT AS c FROM uni GROUP BY g),
+       |tot AS (SELECT sum(c)::BIGINT AS n_total FROM cnt),
+       |lp AS (SELECT token,
+       |  round(-ln(c::DOUBLE / n_total::DOUBLE), 9)::DECIMAL(18,9) AS nlp
+       |  FROM cnt CROSS JOIN tot),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  ${decAvg5Sql("nlp")} AS ce
+       |  FROM uni JOIN lp ON uni.g = lp.token GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(per.ce, 0.0) AS cross_entropy
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** BM25 keyword search — twin of Search.bm25: identical expression
     * trees (idf rounded at 5 decimals per term, per-term scores
     * quantized to DECIMAL(18,9), exact sum, integer HALF-AWAY final

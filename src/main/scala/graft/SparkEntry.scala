@@ -212,6 +212,14 @@ object SparkEntry {
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
   private[graft] val bm25B = 0.75
+  // deterministic Bloom filter: 2^17 bits / 5 hashes → fpr < 1e-5 at
+  // the test scales; constants shared with OraclesExt.bloomDedup
+  private[graft] val bloomBitsM = 1L << 17
+  private[graft] val bloomK = 5
+  // count-min sketch: depth 4 × width 512 (shared with the oracle)
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsWidth = 512
+  private[graft] val cmsProbeMax = 20L
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -422,6 +430,12 @@ object SparkEntry {
     "q_text_repetition" -> withTables { s =>
       TextStats.repetitionStats(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — CCNet-style perplexity-proxy scoring: mean −ln p(token)
+    // under the corpus's own unigram LM (vocab broadcast, one token
+    // shuffle for counts, one partially-aggregated doc roll-up).
+    "q_text_lm_score" -> withTables { s =>
+      TextStats.lmCrossEntropy(s.table("documents")).orderBy("doc_id")
+    },
     // §7.5 — best-k-per-group selection (WindowGroupLimit: skewed
     // groups never materialize more than k+ rows per task).
     "q_top_quality_per_lang" -> withTables { s =>
@@ -489,6 +503,29 @@ object SparkEntry {
       graft.ext.Sketches.rollupDistinctUsers(
         graft.ext.Sketches.dailyUserSketches(s.table("events")))
         .orderBy("event_type")
+    },
+    // §7.5 — incremental "seen before" dedup: a deterministic
+    // md5-derived Bloom filter built over the train split, probed by
+    // the test split (no false negatives; fpr documented in Sketches).
+    "q_bloom_dedup" -> withTables { s =>
+      val split = Sampling.trainTestSplit(s.table("documents"), testFraction)
+      val bloom = graft.ext.Sketches.bloomBuild(
+        split.filter(col("split") === "train"), bloomBitsM, bloomK)
+      graft.ext.Sketches.bloomProbe(
+        split.filter(col("split") === "test"), bloom, bloomBitsM, bloomK)
+        .orderBy("doc_id")
+    },
+    // §7.5 — mergeable count-min frequency sketch: per-day counter
+    // relations merged by addition, point-queried for small user ids
+    // (deterministic md5 buckets — the oracle rebuilds the identical
+    // sketch).
+    "q_cms_rollup" -> withTables { s =>
+      val ev = s.table("events")
+      graft.ext.Sketches.cmsEstimate(
+        graft.ext.Sketches.cmsDailyCounts(ev, cmsDepth, cmsWidth),
+        ev.select("user_id").where(col("user_id") < cmsProbeMax).distinct(),
+        cmsDepth, cmsWidth)
+        .orderBy("user_id")
     },
     // §7.5 — EXACT mergeable quantile rollup: per-day value-count
     // relations (counts merge by addition — zero sketch error) rolled
@@ -819,6 +856,7 @@ object SparkEntry {
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,
+    "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),
@@ -851,6 +889,8 @@ object SparkEntry {
     "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
+    "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),
+    "q_cms_rollup" -> OraclesExt.cmsRollup(cmsDepth, cmsWidth, cmsProbeMax),
     "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
     "q_topk_per_nation" -> OraclesExt.topkPerNation)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch rollups — the 100 TB pattern behind "distinct
@@ -73,4 +73,102 @@ object Sketches {
       daily.withColumn("bucket_num",
         floor(col("day_num") / daysPerBucket).cast("long")),
       Seq(keyCol, "bucket_num"), "v", "cnt", ps)
+
+  // ---- deterministic Bloom filter (incremental "seen before" dedup) ----
+
+  /** The `k` Bloom bit positions of a text value: position i is the
+    * first 60 bits of md5("bloom<i>|" + text) mod `mBits`. Every
+    * constant is derived from md5, so any engine (the DuckDB oracle
+    * included) rebuilds the IDENTICAL filter — unlike library Bloom
+    * implementations whose hash seeds are private. Map-only.
+    */
+  def bloomPositions(text: Column, mBits: Long, k: Int): Column =
+    array((0 until k).map { i =>
+      conv(substring(md5(concat(lit(s"bloom$i|"), text)), 1, 15), 16, 10)
+        .cast("long") % lit(mBits)
+    }: _*)
+
+  /** Build the filter as a SPARSE (word_idx, bits) relation: explode
+    * the k positions per document, pack into 63-BIT words with a
+    * `bit_or` aggregate (63, not 64: the max shift is then 62, which
+    * keeps the word inside a signed BIGINT on engines with checked
+    * shifts — DuckDB rejects `1::BIGINT << 63`). One map-side-combined
+    * shuffle of at most mBits/63 rows — the standard incremental-dedup
+    * materialization (build once over yesterday's corpus, probe
+    * today's crawl without rescanning yesterday). A 1-Gbit filter
+    * (≈10⁸ docs at 1% fpr with k=7) is a ~130 MB relation —
+    * broadcastable at probe time.
+    */
+  def bloomBuild(df: DataFrame, mBits: Long, k: Int,
+      textCol: String = "text"): DataFrame =
+    df.select(explode(bloomPositions(col(textCol), mBits, k)).as("pos"))
+      .select(expr("pos div 63").as("word_idx"),
+        expr("shiftleft(1L, int(pos % 63))").as("__b"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(__b)").as("bits"))
+
+  /** Probe: a document is `maybe_seen` iff ALL k of its bits are set.
+    * No false negatives ever; false positives at the standard
+    * (1−e^(−kn/m))^k rate — the caller sizes mBits for the corpus.
+    * Plan: explode k positions, equi-join the (broadcastable) filter
+    * relation on word_idx, roll up per document — the probe corpus is
+    * shuffled once, by its own id.
+    */
+  def bloomProbe(probe: DataFrame, bloom: DataFrame, mBits: Long, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    probe
+      .select(col(idCol), explode(bloomPositions(col(textCol), mBits, k)).as("pos"))
+      .select(col(idCol), expr("pos div 63").as("word_idx"),
+        expr("shiftleft(1L, int(pos % 63))").as("__b"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .groupBy(idCol)
+      .agg((count(when(col("bits").bitwiseAND(col("__b")) === col("__b"),
+        lit(1))) === lit(k)).as("maybe_seen"))
+
+  // ---- deterministic count-min sketch (mergeable frequency counts) ----
+
+  /** Count-min bucket of an item for sketch row r: first 60 bits of
+    * md5("cms<r>|" + item) mod `width` — md5-derived like
+    * [[bloomPositions]], so sketches are bit-identical on any engine.
+    */
+  def cmsBucket(item: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$r|"), item.cast("string"))), 1, 15),
+      16, 10).cast("long") % lit(width)
+
+  /** Per-day count-min sketches of item frequency: one row per
+    * (day, sketch row, bucket) with the bucket's count. Mergeable by
+    * ADDITION (counters are sums), so any coarser time rollup is one
+    * small aggregation over depth·width-row relations — the raw
+    * events are scanned exactly once, at build time.
+    */
+  def cmsDailyCounts(events: DataFrame, depth: Int, width: Int,
+      itemCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events.select(
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+        .as("day_num"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col(itemCol), r, width).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("day_num"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge daily sketches (counter addition) and answer point queries
+    * for the given items: estimate = min over the depth rows of the
+    * item's bucket counter — the classic CMS upper bound
+    * (overestimates only, by at most εN with ε=e/width at the usual
+    * depth=⌈ln 1/δ⌉). `items` must be small (each item is depth probe
+    * rows; the merged sketch is depth·width rows — both tiny).
+    */
+  def cmsEstimate(daily: DataFrame, items: DataFrame, depth: Int,
+      width: Int, itemCol: String = "user_id"): DataFrame = {
+    val merged = daily.groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val probes = items.select(col(itemCol),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col(itemCol), r, width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col(itemCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probes.join(merged, Seq("r", "bucket"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

@@ -311,6 +311,48 @@ object TextStats {
           .otherwise(lit(0.0)).as("oov_rate"))
   }
 
+  /** Unigram-LM cross-entropy quality score — the classic
+    * perplexity-proxy filter (CCNet/Gopher-style: score each document
+    * by how typical its tokens are under a language model; outliers
+    * in either direction are boilerplate or garbage). The LM here is
+    * the corpus's own unigram distribution, so the operator is fully
+    * self-contained: p(t) = count(t)/total, and a document's score is
+    * the mean negative log-probability of its tokens (lower = more
+    * typical).
+    *
+    * Determinism: the per-token −ln p(t) is quantized to a scale-9
+    * decimal, so the per-document mean is a DECIMAL sum (addition
+    * order cannot flip a digit under any partitioning) finished by
+    * the exact HALF-UP [[decAvg5]]; ln differs from DuckDB's by at
+    * most 1 ulp (~1e-16 relative), far inside the 1e-9 quantum.
+    *
+    * Scale shape: one token shuffle builds the vocabulary counts
+    * (map-side combined); the vocabulary (counts + a 1-row total) is
+    * BROADCAST back onto the token stream — the corpus is never
+    * shuffled by token a second time; the per-document roll-up
+    * shuffles one partially-aggregated row per (partition, doc).
+    * Zero-token docs surface with n_tokens=0, score 0.
+    */
+  def lmCrossEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = Dedup.spread(df, textCol)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val lp = counts.crossJoin(total)
+      .select(col("token"),
+        round(-log(col("c").cast("double") / col("n_total").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nlp"))
+    val per = toks.join(broadcast(lp), "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nt"), decAvg5(col("nlp"), count(lit(1))).as("__ce"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__ce"), lit(0.0)).as("cross_entropy"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the sorted distinct token set — exact
     *    content-set identity, robust to token order/repetition.

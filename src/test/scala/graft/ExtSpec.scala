@@ -871,6 +871,59 @@ class ExtSpec extends AnyFunSuite {
       "re-aggregated daily sketches must estimate exactly like a direct sketch")
   }
 
+  test("bloom filter: no false negatives; unrelated text ~never hits") {
+    val corpus = docs.limit(200)
+    val bloom = graft.ext.Sketches.bloomBuild(corpus, 1L << 17, 5)
+    // probing the build corpus itself must flag EVERY doc (the Bloom
+    // no-false-negative contract)
+    val self = graft.ext.Sketches.bloomProbe(corpus, bloom, 1L << 17, 5)
+      .collect()
+    assert(self.length == 200 && self.forall(_.getBoolean(1)))
+    // texts not in the corpus: at n=200, m=2^17, k=5 the fpr is ~1e-9
+    val fresh = (1L to 50L).map(i => (i, s"unseen text number $i"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Sketches.bloomProbe(fresh, bloom, 1L << 17, 5)
+      .collect()
+    assert(out.length == 50 && out.forall(!_.getBoolean(1)))
+  }
+
+  test("count-min sketch: upper bound on exact counts; daily merge ≡ direct") {
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val daily = graft.ext.Sketches.cmsDailyCounts(events, 4, 512)
+    val items = events.select("user_id").where(col("user_id") < 20).distinct()
+    val est = graft.ext.Sketches.cmsEstimate(daily, items, 4, 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = events.where(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (u, n) =>
+      assert(est(u) >= n, s"user $u: CMS $n must never underestimate")
+      assert(est(u) <= n + (math.E / 512 * events.count()).toLong + 1,
+        s"user $u: estimate ${est(u)} above the εN envelope")
+    }
+    // mergeability: summing per-day counters ≡ counting all rows
+    val direct = graft.ext.Sketches.cmsDailyCounts(
+      events.withColumn("ts", lit("1970-01-01").cast("timestamp")), 4, 512)
+    val a = graft.ext.Sketches.cmsEstimate(direct, items, 4, 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == est, "day-partitioned counters must merge to the direct sketch")
+  }
+
+  test("lmCrossEntropy: rare-token docs score higher; zero-token doc surfaces") {
+    val df = Seq(
+      (1L, "the the the the the the the the"), // all common tokens
+      (2L, "the the the the the the the zyx"), // one rare token
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.lmCrossEntropy(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out(0)._2 == 8 && out(1)._2 == 8 && out(2)._2 == 0L)
+    assert(out(1)._3 > out(0)._3, "a rare token must raise cross-entropy")
+    assert(out(2)._3 == 0.0)
+  }
+
   // ---- Full curation verdict ----
 
   test("curateFull: repetitive and high_oov gates fire in priority order") {
