@@ -1020,6 +1020,36 @@ object OraclesExt {
        |SELECT g AS event_type, n, $qs FROM a ORDER BY event_type""".stripMargin
   }
 
+  /** Tukey-fence outlier report — twin of Quantiles.tukeyOutliers:
+    * identical exact q1/q3 (shared quantile CTEs), identical IEEE
+    * fence arithmetic on the 5-decimal-rounded quantiles.
+    */
+  def tukeyOutliers(k: Double): String = {
+    val (ctes, qs) = groupQuantileCtes(Seq("__q1" -> 0.25, "__q3" -> 0.75))
+    s"""WITH $ctes,
+       |b AS (SELECT g AS event_type, $qs FROM a)
+       |SELECT e.event_type, count(*)::BIGINT AS n,
+       |  min(__q1) AS q1, min(__q3) AS q3,
+       |  sum(CASE WHEN value < __q1 - $k * (__q3 - __q1) THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       |  sum(CASE WHEN value > __q3 + $k * (__q3 - __q1) THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       |  round((sum(CASE WHEN value < __q1 - $k * (__q3 - __q1) THEN 1 ELSE 0 END) +
+       |    sum(CASE WHEN value > __q3 + $k * (__q3 - __q1) THEN 1 ELSE 0 END))::DOUBLE
+       |    / count(*)::DOUBLE, 5) AS outlier_frac
+       |FROM events e JOIN b USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Heavy-hitter skew report — twin of Skew.skewReport. */
+  def skewReport(topK: Int): String =
+    s"""WITH c AS (SELECT event_type AS key, count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c),
+       |t AS (SELECT key, cnt,
+       |  round(cnt::DOUBLE / total::DOUBLE, 5) AS share,
+       |  cast(ceil(cnt::DOUBLE * n_keys::DOUBLE / total::DOUBLE) AS BIGINT) AS salt_factor
+       |  FROM c, s ORDER BY cnt DESC, key LIMIT $topK)
+       |SELECT * FROM t ORDER BY key""".stripMargin
+
   /** Weekly exact-quantile rollup from per-day value counts — twin of
     * Sketches.dailyValueCounts + rollupQuantiles. The daily CTE is
     * the mergeable relation; weekly counts are its per-bucket SUM,

@@ -220,6 +220,9 @@ object SparkEntry {
   private[graft] val cmsDepth = 4
   private[graft] val cmsWidth = 512
   private[graft] val cmsProbeMax = 20L
+  // Tukey fence multiplier (boxplot standard) + skew-report top-k
+  private[graft] val tukeyK = 1.5
+  private[graft] val skewReportK = 5
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -625,6 +628,20 @@ object SparkEntry {
     // §7.5 — winsorization: clip each event value to its type's
     // [p5, p95] band (broadcast bounds join; data side stays map-only)
     // then roll up clip counts and the clipped decimal sum.
+    // §7.5 — Tukey boxplot fences from ONE exact quantile pass:
+    // per-group outlier counts + recommended action signal (the cheap
+    // robust-outlier report that precedes a winsorize decision).
+    "q_outliers" -> withTables { s =>
+      graft.ext.Quantiles.tukeyOutliers(s.table("events"), "event_type",
+          "value", tukeyK)
+        .orderBy("event_type")
+    },
+    // §7.5 — heavy-hitter diagnostic: which keys need salting, and by
+    // how much (the operational front door to saltedAgg/saltedJoin).
+    "q_skew_report" -> withTables { s =>
+      graft.ext.Skew.skewReport(s.table("events"), "event_type", skewReportK)
+        .orderBy("key")
+    },
     "q_winsorize" -> withTables { s =>
       graft.ext.Quantiles.winsorize(s.table("events"), "event_type", "value",
           winsorLo, winsorHi)
@@ -822,6 +839,8 @@ object SparkEntry {
     "q_forecast_revenue" -> forecastRevenueSql,
     "q_rollup_pricing" -> rollupPricingSql,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
+    "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
+    "q_skew_report" -> OraclesExt.skewReport(skewReportK),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,
     "q_range_join" -> OraclesExt.rangeJoin(valueBands),

@@ -175,6 +175,34 @@ object Quantiles {
     *
     * Appends `__lo`, `__hi`, and `clipped` columns.
     */
+  /** Tukey-fence outlier report per group: fences at q1 − k·IQR and
+    * q3 + k·IQR (k = 1.5 is the boxplot standard). ONE exact quantile
+    * pass ([[groupQuantiles]] — value counts + sharded cumsum, no
+    * per-group buffering) computes q1/q3; the fences broadcast back
+    * onto the rows, and the report is a map-side-combined count
+    * roll-up — the same two-scan shape as [[winsorize]]. The fence
+    * arithmetic is plain IEEE doubles on the 5-decimal-rounded
+    * quantiles, so any engine computes identical fences.
+    */
+  def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val bounds = groupQuantiles(df, groupCol, valueCol,
+      Seq("__q1" -> 0.25, "__q3" -> 0.75)).drop("n")
+    val v = col(valueCol).cast("double")
+    val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
+    val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__q1")).as("q1"),
+        min(col("__q3")).as("q3"),
+        sum(when(v < lo, 1L).otherwise(0L)).as("n_low"),
+        sum(when(v > hi, 1L).otherwise(0L)).as("n_high"))
+      .withColumn("outlier_frac", round(
+        (col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 5))
+  }
+
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo <= pHi, s"pLo $pLo must be <= pHi $pHi")

@@ -68,4 +68,28 @@ object Skew {
     salted.join(expanded.hint("shuffle_hash"), Seq(keyCol, "__salt"))
       .drop("__salt")
   }
+
+  /** Skew diagnostic: the top-k heavy-hitter keys with their share of
+    * all rows and a recommended salt factor (⌈key count / mean key
+    * count⌉ — how many reducers the key needs to look average). The
+    * operational companion to [[saltedAgg]]/[[saltedJoin]]: run this
+    * first to decide WHETHER and how much to salt. One map-side-
+    * combined count shuffle + a TakeOrderedAndProject over the
+    * per-key counts (never a full sort) + a broadcast 1-row total.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    counts
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("__total").cast("double"), 5)
+          .as("share"),
+        ceil(col("cnt").cast("double") * col("__n_keys").cast("double") /
+          col("__total").cast("double")).cast("long").as("salt_factor"))
+  }
 }

@@ -871,6 +871,31 @@ class ExtSpec extends AnyFunSuite {
       "re-aggregated daily sketches must estimate exactly like a direct sketch")
   }
 
+  test("tukeyOutliers: known quartiles, fences flag exactly the planted outliers") {
+    // group g: ranks over the 13 sorted values put q1 at rank 3 (=3.0)
+    // and q3 at rank 9 (=9.0); IQR 6 → fences −6/18, so only the two
+    // planted extremes are flagged
+    val rows = ((1 to 11).map(_.toDouble) ++ Seq(-100.0, 100.0))
+      .map(v => ("g", v))
+    val out = graft.ext.Quantiles.tukeyOutliers(
+      rows.toDF("k", "v"), "k", "v").collect().head
+    assert(out.getAs[Long]("n") == 13)
+    assert(out.getAs[Double]("q1") == 3.0 && out.getAs[Double]("q3") == 9.0)
+    assert(out.getAs[Long]("n_low") == 1 && out.getAs[Long]("n_high") == 1)
+  }
+
+  test("skewReport: shares and salt factors from a known distribution") {
+    // 80 'hot', 10 'a', 10 'b' → mean 33.33; hot needs ⌈80/33.3⌉=3
+    val df = (Seq.fill(80)("hot") ++ Seq.fill(10)("a") ++ Seq.fill(10)("b"))
+      .toDF("k")
+    val out = graft.ext.Skew.skewReport(df, "k", 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("hot", "a"))
+    assert(out("hot") == ((80L, 0.8, 3L)))
+    assert(out("a") == ((10L, 0.1, 1L)))
+  }
+
   test("bloom filter: no false negatives; unrelated text ~never hits") {
     val corpus = docs.limit(200)
     val bloom = graft.ext.Sketches.bloomBuild(corpus, 1L << 17, 5)
