@@ -550,9 +550,10 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      // sym holds each edge in both directions; iterating it unions
-      // every endpoint pair (direction is irrelevant to union-find)
-      sym.select(col("src"), col("dst")).as[(Long, Long)]
+      // sym holds each edge in both directions; union-find needs only
+      // one, so collect the src<dst half — half the driver transfer
+      sym.filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")).as[(Long, Long)]
         .collect().foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }

@@ -196,6 +196,29 @@ object EventStream {
       keyCol: String = "event_type"): DataFrame =
     events.join(broadcast(dim), Seq(keyCol), "left_outer")
 
+  /** Streaming maintainer of the MERGEABLE per-day value-count
+    * relation (the batch twin is Sketches.dailyValueCounts): each
+    * finalized day window appends its (type, day, value, cnt) rows,
+    * and because counts merge by ADDITION the streamed relation feeds
+    * the exact same rollups (Sketches.rollupQuantiles — weekly exact
+    * quantiles with no raw rescan) as a batch-built one. Watermarked
+    * day windows bound the state; a day's rows emit once the
+    * watermark passes its end — the standard incremental
+    * materialization loop: stream maintains the summary, batch
+    * queries roll it up.
+    */
+  def dailyValueCountsStream(events: DataFrame,
+      horizon: String = "1 day"): DataFrame =
+    events.where(col("value").isNotNull)
+      .withWatermark("ts", horizon)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"),
+        col("value").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        datediff(to_date(col("window.start")), lit("1970-01-01"))
+          .cast("long").as("day_num"),
+        col("v"), col("cnt"))
+
   /** Drain all currently-available input through a streaming query
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.

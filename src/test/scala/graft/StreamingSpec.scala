@@ -50,6 +50,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= batch.size - 2)
   }
 
+  test("streamed daily value counts merge into the batch rollup") {
+    val streamed = EventStream.dailyValueCountsStream(
+      EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runAvailableNow(spark, streamed, "stream_vc")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = graft.ext.Sketches.dailyValueCounts(spark.table("events"))
+      .select("event_type", "day_num", "v", "cnt")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+    // append mode emits a day once the watermark passes it; AvailableNow's
+    // terminal batch flushes the rest — every emitted row must be a
+    // batch row, and at most the final open day may be held back
+    assert(got.nonEmpty && got.subsetOf(batch))
+    val gotDays = got.map(_._2)
+    val batchDays = batch.map(_._2)
+    assert(batchDays.diff(gotDays).forall(_ >= batchDays.max - 1),
+      "only the trailing watermark-open day(s) may be missing")
+    // the streamed relation must roll up exactly like the batch one on
+    // the emitted days (counts merge by addition — zero error)
+    val days = gotDays
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // fresh leaf: the quantile pipeline self-joins its input, and the
+    // MemoryPlan view trips Spark's conflicting-reference resolution
+    val vcT = spark.table("stream_vc")
+    val vcFresh = spark.createDataFrame(vcT.rdd, vcT.schema)
+    val roll = rows(graft.ext.Sketches.rollupQuantiles(
+      vcFresh, Seq("p50" -> 0.5)))
+    val rollBatch = rows(graft.ext.Sketches.rollupQuantiles(
+      graft.ext.Sketches.dailyValueCounts(spark.table("events"))
+        .where(col("day_num").isin(days.toSeq: _*)), Seq("p50" -> 0.5)))
+    assert(roll == rollBatch)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // stage the same file twice: every event_id arrives twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
