@@ -625,9 +625,6 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 5).as("total"))
         .orderBy("o_orderkey")
     },
-    // §7.5 — winsorization: clip each event value to its type's
-    // [p5, p95] band (broadcast bounds join; data side stays map-only)
-    // then roll up clip counts and the clipped decimal sum.
     // §7.5 — Tukey boxplot fences from ONE exact quantile pass:
     // per-group outlier counts + recommended action signal (the cheap
     // robust-outlier report that precedes a winsorize decision).
@@ -642,6 +639,9 @@ object SparkEntry {
       graft.ext.Skew.skewReport(s.table("events"), "event_type", skewReportK)
         .orderBy("key")
     },
+    // §7.5 — winsorization: clip each event value to its type's
+    // [p5, p95] band (broadcast bounds join; data side stays map-only)
+    // then roll up clip counts and the clipped decimal sum.
     "q_winsorize" -> withTables { s =>
       graft.ext.Quantiles.winsorize(s.table("events"), "event_type", "value",
           winsorLo, winsorHi)

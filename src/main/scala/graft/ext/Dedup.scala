@@ -50,11 +50,13 @@ object Dedup {
 
   /** [[connectedComponents]] collects the edge list and runs exact
     * union-find on the driver when the graph has at most this many
-    * undirected edges (≈ 64 MB of long pairs — broadcast-class, the
-    * same size regime where Spark itself abandons shuffles). Above
-    * it, the distributed min-label-propagation loop runs instead.
+    * undirected edges. Sized for the DRIVER-HEAP footprint, not the
+    * wire bytes: 1M collected rows ≈ 50 MB transient plus a
+    * primitive-keyed LongMap of ≤ 2M entries ≈ 32 MB — comfortably
+    * broadcast-class on a default driver. Above it, the distributed
+    * min-label-propagation loop runs instead.
     */
-  val SmallGraphMaxEdges: Long = 4L << 20
+  val SmallGraphMaxEdges: Long = 1L << 20
 
   /** Distinct word n-gram shingles from a TOKEN-ARRAY column.
     *
@@ -532,9 +534,9 @@ object Dedup {
     // itself applies to joins (broadcast vs shuffle). A near-dup pair
     // graph is usually orders of magnitude smaller than the corpus;
     // when the materialized edge list fits comfortably on the driver
-    // (≤ 4M undirected edges ≈ 64 MB of id pairs — broadcast-class),
-    // exact union-find beats ~log(diameter) distributed rounds whose
-    // per-round cost is 2 joins + a checkpoint + a convergence probe.
+    // (≤ SmallGraphMaxEdges undirected edges — see its scaladoc for
+    // the heap accounting), exact union-find beats ~log(diameter)
+    // distributed rounds costing 2 joins + checkpoint + probe each.
     // Labels are identical by definition: both paths assign every
     // node the MINIMUM id reachable from it. The count() reads the
     // already-checkpointed RDD — one cheap job, no recompute.
@@ -542,7 +544,9 @@ object Dedup {
     if (symCount <= 2L * SmallGraphMaxEdges) {
       val spark = sym.sparkSession
       import spark.implicits._
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // LongMap: primitive-keyed, no per-entry boxing — the driver
+      // footprint is what sizes SmallGraphMaxEdges
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)

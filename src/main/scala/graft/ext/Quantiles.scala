@@ -175,6 +175,16 @@ object Quantiles {
     *
     * Appends `__lo`, `__hi`, and `clipped` columns.
     */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo <= pHi, s"pLo $pLo must be <= pHi $pHi")
+    val bounds = groupQuantiles(df, groupCol, valueCol,
+      Seq("__lo" -> pLo, "__hi" -> pHi)).drop("n")
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+  }
+
   /** Tukey-fence outlier report per group: fences at q1 − k·IQR and
     * q3 + k·IQR (k = 1.5 is the boxplot standard). ONE exact quantile
     * pass ([[groupQuantiles]] — value counts + sharded cumsum, no
@@ -201,15 +211,5 @@ object Quantiles {
         sum(when(v > hi, 1L).otherwise(0L)).as("n_high"))
       .withColumn("outlier_frac", round(
         (col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 5))
-  }
-
-  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
-    require(pLo <= pHi, s"pLo $pLo must be <= pHi $pHi")
-    val bounds = groupQuantiles(df, groupCol, valueCol,
-      Seq("__lo" -> pLo, "__hi" -> pHi)).drop("n")
-    df.join(broadcast(bounds), groupCol)
-      .withColumn("clipped",
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
   }
 }

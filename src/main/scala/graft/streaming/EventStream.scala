@@ -208,7 +208,16 @@ object EventStream {
     * queries roll it up.
     */
   def dailyValueCountsStream(events: DataFrame,
-      horizon: String = "1 day"): DataFrame =
+      horizon: String = "1 day"): DataFrame = {
+    // day identity must MATCH the batch twin's: the batch side buckets
+    // with session-timezone to_date(ts) while window() buckets at UTC
+    // midnights, so the two agree only under a UTC session — enforce
+    // rather than silently produce off-by-one day_nums (every entry
+    // point in this engine pins UTC; see Tables.register)
+    require(
+      events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "dailyValueCountsStream requires spark.sql.session.timeZone=UTC " +
+        "so streamed day windows match the batch dailyValueCounts days")
     events.where(col("value").isNotNull)
       .withWatermark("ts", horizon)
       .groupBy(col("event_type"), window(col("ts"), "1 day"),
@@ -218,6 +227,7 @@ object EventStream {
         datediff(to_date(col("window.start")), lit("1970-01-01"))
           .cast("long").as("day_num"),
         col("v"), col("cnt"))
+  }
 
   /** Drain all currently-available input through a streaming query
     * into an in-memory table (Trigger.AvailableNow — the batch-like
