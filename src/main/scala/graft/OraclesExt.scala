@@ -723,6 +723,29 @@ object OraclesExt {
        |SELECT doc_id, n_tokens, n_oov, oov_rate
        |FROM oovx ORDER BY doc_id""".stripMargin
 
+  /** Deterministic KMV distinct rollup — twin of
+    * Sketches.dailyKmvSketches + rollupDistinctKmv: identical md5
+    * digests, per-day bottom-k, merged bottom-k of the union, and the
+    * (k−1)/U(k) estimator with U(k) from the first 15 hex digits of
+    * the kth smallest digest (exact count below k).
+    */
+  def kmvRollup(k: Int): String =
+    s"""WITH hashed AS (SELECT DISTINCT event_type,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+       |  md5(user_id::VARCHAR) AS h FROM events),
+       |daily AS (SELECT event_type, day_num, h FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type, day_num ORDER BY h) AS r
+       |  FROM hashed) WHERE r <= $k),
+       |ranked AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+       |  FROM (SELECT DISTINCT event_type, h FROM daily))
+       |SELECT event_type,
+       |  CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+       |    ELSE round((${k - 1})::DOUBLE /
+       |      (cast('0x' || substr(max(h), 1, 15) AS BIGINT)::DOUBLE / 1152921504606846976.0), 5)
+       |  END AS approx_distinct_users
+       |FROM ranked WHERE r <= $k GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Deterministic Bloom-filter probe — twin of
     * Sketches.bloomBuild/bloomProbe: identical md5-derived bit
     * positions, 64-bit word packing via bit_or, all-k-bits-set test.

@@ -223,6 +223,8 @@ object SparkEntry {
   // Tukey fence multiplier (boxplot standard) + skew-report top-k
   private[graft] val tukeyK = 1.5
   private[graft] val skewReportK = 5
+  // KMV sketch size (shared with OraclesExt.kmvRollup)
+  private[graft] val kmvK = 256
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -505,6 +507,15 @@ object SparkEntry {
     "q_sketch_rollup" -> withTables { s =>
       graft.ext.Sketches.rollupDistinctUsers(
         graft.ext.Sketches.dailyUserSketches(s.table("events")))
+        .orderBy("event_type")
+    },
+    // §7.5 — deterministic KMV distinct rollup: md5 bottom-k per day,
+    // merged by re-ranking the union — the oracle-checkable
+    // counterpart to the HLL rollup above (identical sketch on any
+    // engine; estimate exact below k).
+    "q_kmv_rollup" -> withTables { s =>
+      graft.ext.Sketches.rollupDistinctKmv(
+        graft.ext.Sketches.dailyKmvSketches(s.table("events"), kmvK), kmvK)
         .orderBy("event_type")
     },
     // §7.5 — incremental "seen before" dedup: a deterministic
@@ -909,6 +920,7 @@ object SparkEntry {
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),
+    "q_kmv_rollup" -> OraclesExt.kmvRollup(kmvK),
     "q_cms_rollup" -> OraclesExt.cmsRollup(cmsDepth, cmsWidth, cmsProbeMax),
     "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
     "q_topk_per_nation" -> OraclesExt.topkPerNation)

@@ -74,6 +74,57 @@ object Sketches {
         floor(col("day_num") / daysPerBucket).cast("long")),
       Seq(keyCol, "bucket_num"), "v", "cnt", ps)
 
+  // ---- deterministic KMV distinct-count sketch ----
+
+  /** Per-(key, day) k-minimum-values sketch rows: the k smallest
+    * md5(user) digests per group, as a RELATION (key, day_num, h) —
+    * never a buffered array. The rank filter compiles to
+    * WindowGroupLimit, so no task holds more than ~k rows per group
+    * even on a hot key. Where HLL ([[dailyUserSketches]]) is
+    * library-opaque and oracle-unverifiable, KMV is md5-deterministic:
+    * any engine rebuilds the identical sketch, so the DuckDB twin
+    * checks it cell-exact.
+    */
+  def dailyKmvSketches(events: DataFrame, k: Int,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+    val hashed = events
+      .select(col(keyCol), day.as("day_num"),
+        md5(col(userCol).cast("string")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("day_num")).orderBy(col("h"))
+    hashed.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
+  /** Merge daily KMV sketches and estimate distinct users per key:
+    * bottom-k of the UNION of bottom-ks is the bottom-k of the union
+    * (KMV's mergeability), and the estimator is the classic
+    * (k−1)/U(k) with U(k) = the kth smallest digest mapped to a
+    * uniform in (0,1) from its first 15 hex digits. When a key has
+    * fewer than k distinct digests the sketch IS the distinct set and
+    * the count is exact. Deterministic end to end — md5 order and one
+    * IEEE division — so the oracle recomputes it bit-for-bit.
+    */
+  def rollupDistinctKmv(daily: DataFrame, k: Int,
+      keyCol: String = "event_type"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("h"))
+    val ranked = daily.select(col(keyCol), col("h")).distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+      .select(col(keyCol),
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            (conv(substring(col("__hk"), 1, 15), 16, 10).cast("double") /
+              lit(1152921504606846976.0)), 5))
+          .as("approx_distinct_users"))
+  }
+
   // ---- deterministic Bloom filter (incremental "seen before" dedup) ----
 
   /** The `k` Bloom bit positions of a text value: position i is the

@@ -871,6 +871,32 @@ class ExtSpec extends AnyFunSuite {
       "re-aggregated daily sketches must estimate exactly like a direct sketch")
   }
 
+  test("KMV rollup: merged dailies ≡ direct sketch; estimate inside the envelope") {
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val k = 256
+    val rolled = graft.ext.Sketches.rollupDistinctKmv(
+      graft.ext.Sketches.dailyKmvSketches(events, k), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // mergeability is EXACT for KMV: bottom-k of unioned per-day
+    // bottom-ks == bottom-k over the raw stream (single "day")
+    val direct = graft.ext.Sketches.rollupDistinctKmv(
+      graft.ext.Sketches.dailyKmvSketches(
+        events.withColumn("ts", lit("1970-01-01").cast("timestamp")), k), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rolled == direct)
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    exact.foreach { case (key, d) =>
+      val est = rolled(key)
+      if (d < k) assert(est == d.toDouble, s"$key: below k must be exact")
+      else assert(math.abs(est - d) / d < 0.25,
+        s"$key: estimate $est vs exact $d outside the KMV envelope")
+    }
+  }
+
   test("tukeyOutliers: known quartiles, fences flag exactly the planted outliers") {
     // group g: ranks over the 13 sorted values put q1 at rank 3 (=3.0)
     // and q3 at rank 9 (=9.0); IQR 6 → fences −6/18, so only the two
