@@ -522,7 +522,8 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20, idCol: String = "id",
-      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // materialize the (usually expensive) edge pipeline ONCE — without
     // this every round's join re-derives the full upstream candidate
     // generation (for nearDupClusters: the whole MinHash+LSH+verify
@@ -541,7 +542,7 @@ object Dedup {
     // node the MINIMUM id reachable from it. The count() reads the
     // already-checkpointed RDD — one cheap job, no recompute.
     val symCount = sym.count()
-    if (symCount <= 2L * SmallGraphMaxEdges) {
+    if (symCount <= 2L * smallGraphMaxEdges) {
       val spark = sym.sparkSession
       import spark.implicits._
       // LongMap: primitive-keyed, no per-entry boxing — the driver

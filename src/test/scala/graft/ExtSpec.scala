@@ -1104,7 +1104,10 @@ class ExtSpec extends AnyFunSuite {
     // O(log n). maxIter=10 would fail without the jump.
     val nodes = (1L to 80L).toDF("id")
     val edges = (1L until 80L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(nodes, edges, maxIter = 10)
+    // smallGraphMaxEdges = 0 forces the DISTRIBUTED loop (the default
+    // would route this tiny graph to driver union-find)
+    val cc = Dedup.connectedComponents(nodes, edges, maxIter = 10,
+      smallGraphMaxEdges = 0L)
     assert(cc.select("component").distinct().count() == 1L)
     assert(cc.agg(max("component")).head.getLong(0) == 1L,
       "every node must carry the chain's minimum id")
@@ -1137,9 +1140,16 @@ class ExtSpec extends AnyFunSuite {
       val edges =
         if (es.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
         else es.toDF("id_a", "id_b")
-      val got = Dedup.connectedComponents(nodes, edges, maxIter = 15)
+      // BOTH regimes must match the reference labeling: the default
+      // threshold routes these graphs to driver union-find; forcing
+      // smallGraphMaxEdges=0 exercises the distributed loop
+      val gotFast = Dedup.connectedComponents(nodes, edges, maxIter = 15)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"graph $i: n=$n edges=$es")
+      assert(gotFast == expected, s"graph $i (union-find): n=$n edges=$es")
+      val gotDist = Dedup.connectedComponents(nodes, edges, maxIter = 15,
+        smallGraphMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, s"graph $i (distributed): n=$n edges=$es")
     }
   }
 
