@@ -181,7 +181,7 @@ object Similarity {
     * (dims·8 bytes per exploded row) — that replaces the previous
     * candidates→distinct→two id-keyed vector-fetch joins shape, which
     * shuffled the (much larger) candidate set three times and scanned
-    * the vector relation three times; measured 2.5× faster at sf0.1
+    * the vector relation three times; measured ~2× faster at sf0.1
     * and strictly fewer stages at any scale.
     *
     * Approximate: recall < 1 by construction — a pair can disagree
