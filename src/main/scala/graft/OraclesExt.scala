@@ -68,14 +68,28 @@ object OraclesExt {
        |  FROM documents d LEFT JOIN oovagg USING (doc_id))""".stripMargin
 
   /** The Gopher-style quality blend over (toks t, documents text) —
-    * ONE copy of the expression, shared by [[curate]],
-    * [[curateFull]] and [[topQualityPerLang]] (textDocStats keeps its
-    * staged-`nc` variant, same arithmetic).
+    * ONE copy of the expression, shared by [[curate]], [[curateFull]],
+    * [[topQualityPerLang]], [[textStats]] and [[textDocStats]].
+    *
+    * Twin of TextStats.withDocStats's integer form: the blend is
+    * exactly rational and lands on .5×10⁻⁵ rounding ties where double
+    * `round` differs between engines, so the 5-decimal HALF_UP is
+    * exact integer arithmetic — (2·10⁵·num + den) // (2·den) — not a
+    * double round.
     */
-  private val qualityScoreSql =
-    """round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
-      |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
-      |    + 0.2 * (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END), 5)""".stripMargin
+  private val qualityScoreSql = {
+    val nt = "len(t)::BIGINT"
+    val nc = "length(text)::BIGINT"
+    val nstop = "len(list_filter(t, x -> x IN ('a', 'the')))::BIGINT"
+    val nalpha = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT"
+    val maxNT = s"greatest($nt, 1)"
+    val maxNC = s"greatest($nc, 1)"
+    s"""(((5 * least($nt, 100) * $maxNT * $maxNC
+       |    + least(3000 * $nstop * $maxNC, 300 * $nt * $maxNC)
+       |    + 200 * $nalpha * $maxNT) * 200000
+       |   + 1000 * $maxNT * $maxNC)
+       |  // (2000 * $maxNT * $maxNC)) / 100000.0""".stripMargin
+  }
 
   val dedupExact: String =
     """SELECT min(doc_id) AS keep_id, md5(text) AS content_md5, count(*)::BIGINT AS n_copies
@@ -492,16 +506,16 @@ object OraclesExt {
        |  JOIN documents USING (doc_id)),
        |m AS (SELECT lang, source,
        |  len(t)::BIGINT AS n_tokens,
-       |  len(t)::DOUBLE AS ntd,
        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS est_bpe,
        |  CASE WHEN len(t) > 0 THEN round((nc - (len(t)::DOUBLE - 1)) / len(t)::DOUBLE, 5) ELSE 0.0 END AS avg_token_len,
        |  CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END AS stop_raw,
-       |  CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END AS alpha_raw
+       |  CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END AS alpha_raw,
+       |  $qualityScoreSql AS quality_score
        |  FROM d),
        |m2 AS (SELECT lang, source, n_tokens, est_bpe, avg_token_len,
        |  round(stop_raw, 5) AS stopword_ratio,
        |  round(alpha_raw, 5) AS alpha_ratio,
-       |  round(0.5 * least(ntd / 100.0, 1.0) + 0.3 * least(stop_raw * 10.0, 1.0) + 0.2 * alpha_raw, 5) AS quality_score
+       |  quality_score
        |  FROM m)
        |SELECT lang, source, count(*)::BIGINT AS n_docs,
        |  sum(n_tokens)::BIGINT AS total_tokens,
@@ -526,9 +540,7 @@ object OraclesExt {
        |  round(CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END, 5) AS stopword_ratio,
        |  round(CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nc ELSE 0.0 END, 5) AS punct_ratio,
        |  round(CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END, 5) AS alpha_ratio,
-       |  round(0.5 * least(len(t)::DOUBLE / 100.0, 1.0)
-       |    + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END) * 10.0, 1.0)
-       |    + 0.2 * (CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END), 5) AS quality_score
+       |  $qualityScoreSql AS quality_score
        |FROM d ORDER BY doc_id""".stripMargin
 
   /** Language-ID by profile-token scoring — twin of TextStats.langId. */

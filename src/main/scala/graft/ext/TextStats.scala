@@ -127,12 +127,44 @@ object TextStats {
       .withColumn("stopword_ratio", round(stopRatio, 5))
       .withColumn("punct_ratio", round(punctRatio, 5))
       .withColumn("alpha_ratio", round(alphaRatio, 5))
-      .withColumn("quality_score", round(
-        lit(0.5) * least(nTokens / lit(100.0), lit(1.0)) +
-          lit(0.3) * least(stopRatio * lit(10.0), lit(1.0)) +
-          lit(0.2) * alphaRatio, 5))
-      .drop("__toks")
+      .withColumn("__qn", qualityNum(toks, t))
+      .withColumn("__qd", qualityDen(toks, t))
+      // quality_score is exactly rational — min(nT,100)/200 +
+      // min(3·nStop/nT, 3/10) + nAlpha/(5·nC) — and the blend lands
+      // exactly on .5×10⁻⁵ rounding ties (observed at sf0.1:
+      // 0.475625), where Spark's and DuckDB's double `round`
+      // disagree. So the 5-decimal HALF_UP is done in exact integer
+      // arithmetic: HALF_UP(num/den) = (2·10⁵·num + den) div (2·den)
+      // — §8.3 rule 3, same as decAvg5. Long-safe for
+      // n_tokens·n_chars < ~4.6e10 (any real document).
+      .withColumn("quality_score",
+        // integral `div`, then one exact small-integer→double division
+        // (a bare 100000.0 literal would be DECIMAL in Spark SQL and
+        // poison the column type)
+        expr("((__qn * 200000 + __qd) div (__qd * 2)) / cast(100000 as double)"))
+      .drop("__toks", "__qn", "__qd")
   }
+
+  /** Integer numerator of the quality blend over denominator
+    * [[qualityDen]]: num/den == 0.5·min(nT/100,1) +
+    * 0.3·min(10·nStop/nT,1) + 0.2·nAlpha/nC exactly (the nT=0 / nC=0
+    * guards are free: nStop=0 when nT=0 and nAlpha=0 when nC=0).
+    */
+  private def qualityNum(toks: Column, t: Column): Column = {
+    val nT = size(toks).cast("long")
+    val nC = length(t).cast("long")
+    val nStop = size(filter(toks, x => x.isin(Stopwords.map(lit): _*))).cast("long")
+    val nAlpha = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("long")
+    val maxNT = greatest(nT, lit(1L))
+    val maxNC = greatest(nC, lit(1L))
+    lit(5L) * least(nT, lit(100L)) * maxNT * maxNC +
+      least(lit(3000L) * nStop * maxNC, lit(300L) * nT * maxNC) +
+      lit(200L) * nAlpha * maxNT
+  }
+
+  private def qualityDen(toks: Column, t: Column): Column =
+    lit(1000L) * greatest(size(toks).cast("long"), lit(1L)) *
+      greatest(length(t).cast("long"), lit(1L))
 
   /** Corpus roll-up per (lang, source): doc counts and decimal-summed
     * averages of the per-doc metrics. Map-side partial aggregation →
