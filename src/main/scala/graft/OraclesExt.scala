@@ -1249,6 +1249,19 @@ object OraclesExt {
     * (ts_us, event_id) on both engines, so same-timestamp ties
     * resolve identically.
     */
+  /** Latest-state snapshot — twin of Events.latestSnapshot: one row
+    * per user, attributes of the most recent event, ties at equal
+    * timestamps broken by event_id DESC (both engines).
+    */
+  val latestState: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, ts_us, event_type, value FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val scd2: String =
     """WITH e AS (SELECT user_id, event_id, event_type,
       |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),

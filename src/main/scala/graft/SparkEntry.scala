@@ -114,6 +114,49 @@ object SparkEntry {
     * Explicit NULLS FIRST because the engines' default null order
     * differs (Spark first, DuckDB last).
     */
+  /** §2.3 — TPC-H Q5-shaped "local supplier volume": the canonical
+    * 6-table star-plus-snowflake join. The distinguishing edge is
+    * `c_nationkey = s_nationkey` — an equi-constraint between two
+    * DIMENSION keys that both arrive via the fact table, so it can
+    * only be checked after both joins. Plan shape at 100 TB: lineitem
+    * ⋈ orders ⋈ customer shuffle on their keys (the three tables that
+    * scale with data); supplier/nation/region broadcast (bounded
+    * dimension tables); the region filter prunes the nation broadcast
+    * before it reaches the probe side. Same dialect-portable SQL runs
+    * on both engines.
+    */
+  private val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      | round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 5) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** §2.4 — CUBE grouping sets: every (flag, status) margin in one
+    * pass. Spark plans ROLLUP/CUBE as a single Expand + one hash
+    * aggregate — 4× the rows into the shuffle (one per grouping set),
+    * NOT 4 scans; `grouping()` flags disambiguate data NULLs from
+    * subtotal NULLs, same as the ROLLUP twin.
+    */
+  private val cubePricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | cast(grouping(l_returnflag) AS INT) AS g_flag,
+      | cast(grouping(l_linestatus) AS INT) AS g_status,
+      | count(*) AS n_rows,
+      | round(cast(sum(cast(l_extendedprice as decimal(18,6))) as double), 5) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   private val rollupPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       | cast(grouping(l_returnflag) AS INT) AS g_flag,
@@ -278,6 +321,16 @@ object SparkEntry {
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
     "q_forecast_revenue" -> withTables { s => s.sql(forecastRevenueSql) },
     "q_rollup_pricing" -> withTables { s => s.sql(rollupPricingSql) },
+    "q_local_supplier_volume" -> withTables { s =>
+      s.sql(localSupplierVolumeSql)
+    },
+    "q_cube_pricing" -> withTables { s => s.sql(cubePricingSql) },
+    // §7.5 — latest-state snapshot over the event log (CDC "current
+    // table" read); WindowGroupLimit keeps per-key top-1 before the
+    // exchange, so the shuffle carries the snapshot, not the log.
+    "q_latest_state" -> withTables { s =>
+      Events.latestSnapshot(s.table("events")).orderBy("user_id")
+    },
     // §7.5 extensions — deduplication family over `documents`.
     "q_dedup_exact" -> withTables { s =>
       Dedup.exact(s.table("documents")).orderBy("keep_id")
@@ -849,6 +902,9 @@ object SparkEntry {
     "q_shipping_priority" -> shippingPrioritySql,
     "q_forecast_revenue" -> forecastRevenueSql,
     "q_rollup_pricing" -> rollupPricingSql,
+    "q_local_supplier_volume" -> localSupplierVolumeSql,
+    "q_cube_pricing" -> cubePricingSql,
+    "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
     "q_skew_report" -> OraclesExt.skewReport(skewReportK),

@@ -216,6 +216,35 @@ object Events {
         col("valid_to_us"), col("version"), col("is_current"))
   }
 
+  /** Latest-state snapshot: ONE row per key — the most recent event's
+    * attributes — the standard CDC/compaction read (the "current
+    * table" over an append-only change log; SCD2's `is_current` slice
+    * computed directly, without building history).
+    *
+    * Plan shape: `row_number() = 1` over (key DESC-ordered window)
+    * is recognized by Spark's WindowGroupLimit rule — each map task
+    * keeps only its per-key top-1 BEFORE the exchange, so the shuffle
+    * carries ~|keys| rows, not |events|. At a 100 TB change log with
+    * a bounded key space that pre-filter is the difference between
+    * shuffling the log and shuffling the snapshot.
+    *
+    * Determinism: ties at the same timestamp break on `idCol` DESC —
+    * same pair the oracle twin orders by.
+    */
+  def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      payload: Seq[String] = Seq("event_type", "value")): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts_us").desc, col(idCol).desc)
+    events
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .select((keyCol +: idCol +: "__ts_us" +: payload).map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol) +: col("__ts_us").as("ts_us") +:
+        payload.map(col): _*)
+  }
+
   /** As-of join: attach to every left row the LATEST right row with
     * the same key whose timestamp is <= the left row's timestamp
     * (inclusive, left-outer — unmatched left rows keep null right

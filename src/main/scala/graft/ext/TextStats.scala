@@ -372,7 +372,7 @@ object TextStats {
       .filter(col("token").isNotNull)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
-    val lp = counts.crossJoin(total)
+    val lp = counts.crossJoin(broadcast(total))
       .select(col("token"),
         round(-log(col("c").cast("double") / col("n_total").cast("double")), 9)
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nlp"))

@@ -1388,4 +1388,28 @@ class ExtSpec extends AnyFunSuite {
     val out = Events.scd2History(df).collect()
     assert(out.length == 1 && out(0).getInt(4) == 1 && out(0).getBoolean(5))
   }
+
+  // ---- Latest-state snapshot ----
+
+  test("latestSnapshot keeps one newest row per key, event_id breaks ties") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq(
+      (10L, 1L, ts(100), "A", 1.0), (11L, 1L, ts(300), "B", 2.0),
+      (12L, 1L, ts(200), "C", 3.0),
+      // user 2: two events at the SAME timestamp — higher id wins
+      (20L, 2L, ts(500), "X", 4.0), (21L, 2L, ts(500), "Y", 5.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.latestSnapshot(df).orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+      .toSeq == Seq((1L, "B", 2.0), (2L, "Y", 5.0)))
+    assert(out(0).getLong(1) == 300L * 1000000L, "ts surfaces in micros")
+  }
+
+  test("latestSnapshot plans WindowGroupLimit before the exchange") {
+    val plan = Events.latestSnapshot(docs.sparkSession.table("events"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rn=1 filter must trigger the per-partition top-1 pre-filter")
+  }
 }
