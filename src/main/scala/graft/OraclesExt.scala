@@ -1074,6 +1074,26 @@ object OraclesExt {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Equi-depth histogram — twin of Quantiles.equiDepthHistogram:
+    * identical exact i/k boundaries (shared quantile CTEs), identical
+    * strictly-greater bucket rule against the 5-decimal-rounded
+    * boundary values.
+    */
+  def equiDepthHistogram(k: Int): String = {
+    val ps = (1 until k).map(i => (s"__b$i", i.toDouble / k))
+    val (ctes, qs) = groupQuantileCtes(ps)
+    val bucket = ps.map { case (name, _) =>
+      s"(CASE WHEN value > $name THEN 1 ELSE 0 END)" }.mkString(" + ")
+    s"""WITH $ctes,
+       |b AS (SELECT g AS event_type, $qs FROM a)
+       |SELECT e.event_type, ($bucket) AS bucket,
+       |  count(*)::BIGINT AS n_rows,
+       |  round(min(value), 5) AS lo, round(max(value), 5) AS hi
+       |FROM events e JOIN b USING (event_type)
+       |WHERE value IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Heavy-hitter skew report — twin of Skew.skewReport. */
   def skewReport(topK: Int): String =
     s"""WITH c AS (SELECT event_type AS key, count(*)::BIGINT AS cnt

@@ -233,6 +233,7 @@ object SparkEntry {
     ("large", 150.0, 400.0), ("huge", 400.0, 1000.0))
   private[graft] val rangeBucketWidth = 50.0
   private[graft] val histogramWidth = 25.0
+  private[graft] val equiDepthK = 4
   // fuzzy dedup: keep candidate pairs with edit ratio <= 1/5
   private[graft] val fuzzyRatioNum = 1
   private[graft] val fuzzyRatioDen = 5
@@ -756,6 +757,14 @@ object SparkEntry {
           histogramWidth)
         .orderBy("event_type", "bucket")
     },
+    // §2.4/§7.5 — equi-DEPTH histogram: k ~equal-population buckets
+    // bounded by the group's exact i/k quantiles (one quantile pass,
+    // boundaries broadcast back, map-side-combined roll-up).
+    "q_histogram_depth" -> withTables { s =>
+      graft.ext.Quantiles.equiDepthHistogram(
+          s.table("events"), "event_type", "value", equiDepthK)
+        .orderBy("event_type", "bucket")
+    },
     // §7.5 — Z-order key: Morton interleave of (user, day) verified
     // bit-for-bit (the layout-clustering key used for 2-D data
     // skipping; see ZOrder.clusterBy for the write path).
@@ -913,6 +922,7 @@ object SparkEntry {
     "q_range_join" -> OraclesExt.rangeJoin(valueBands),
     "q_events_delta" -> OraclesExt.eventsDelta,
     "q_histogram" -> OraclesExt.histogram(histogramWidth),
+    "q_histogram_depth" -> OraclesExt.equiDepthHistogram(equiDepthK),
     "q_zorder" -> OraclesExt.zorder,
     "q_skew_join" -> OraclesExt.skewJoin(typeWeights),
     "q_dedup_exact" -> OraclesExt.dedupExact,

@@ -212,4 +212,38 @@ object Quantiles {
       .withColumn("outlier_frac", round(
         (col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 5))
   }
+
+  /** Equi-DEPTH histogram per group: k buckets holding ~equal row
+    * counts, bounded by the group's exact i/k quantiles — the
+    * population-balanced complement of the equi-width histogram
+    * (Events.histogram), and the shape optimizers use for selectivity
+    * estimation. Same two-scan plan as [[winsorize]]/[[tukeyOutliers]]:
+    * one exact-quantile pass (value counts + sharded cumsum, no
+    * per-group buffering), boundaries BROADCAST back onto the rows, a
+    * map-side-combined roll-up per (group, bucket).
+    *
+    * Bucket rule: bucket = #{boundaries strictly below the value}, so
+    * a value equal to a boundary stays in the lower bucket. Boundaries
+    * are the 5-decimal-rounded interpolated quantiles; both engines
+    * compare raw doubles against the SAME rounded boundary, so bucket
+    * assignment is bit-identical cross-engine. Buckets can be empty
+    * (absent from the output) only when a boundary value repeats —
+    * correct equi-depth semantics for heavy-tied distributions.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val ps = (1 until k).map(i => (s"__b$i", i.toDouble / k))
+    val bounds = groupQuantiles(df, groupCol, valueCol, ps).drop("n")
+    val v = col(valueCol).cast("double")
+    val bucket = ps.map { case (name, _) =>
+      when(v > col(name), 1).otherwise(0) }.reduce(_ + _)
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(min(v), 5).as("lo"),
+        round(max(v), 5).as("hi"))
+  }
 }

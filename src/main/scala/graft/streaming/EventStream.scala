@@ -60,6 +60,24 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming distinct-user sketch per hourly window:
+    * `approx_count_distinct` (HLL++) inside a watermarked window
+    * aggregate. The state per open window is ONE fixed-size register
+    * set — not the user-id set — so state is bounded by (windows ×
+    * sketch size) regardless of event rate; an exact streaming
+    * distinct would hold every key in state. The sketch is exact in
+    * its sparse regime (small per-window cardinalities) and ±rsd
+    * beyond — the batch twin is the accuracy oracle in the spec.
+    */
+  def distinctUsersHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_users"))
+
   /** Streaming exact dedup: drop events whose key was already seen
     * within the watermark horizon — the streaming twin of
     * graft.ext.Dedup.exact. State stores one entry per key and is

@@ -407,6 +407,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("bucket_lo") == 25.0)
   }
 
+  test("equiDepthHistogram: ~equal populations, ties stay in lower bucket") {
+    // 8 distinct values → quartiles split 2/2/2/2
+    val df = (1 to 8).map(i => ("a", i.toDouble)).toDF("g", "value")
+    val out = graft.ext.Quantiles.equiDepthHistogram(df, "g", "value", 4)
+      .orderBy("bucket").collect()
+    assert(out.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((0, 2L), (1, 2L), (2, 2L), (3, 2L)))
+    // envelopes tile the domain: each bucket's hi < next bucket's lo
+    assert(out.sliding(2).forall(p =>
+      p(0).getAs[Double]("hi") < p(1).getAs[Double]("lo")))
+    // heavy tie: every copy of the repeated value lands in ONE bucket
+    val tied = (Seq.fill(6)(1.0) ++ Seq(2.0, 3.0)).map(("a", _)).toDF("g", "value")
+    val t = graft.ext.Quantiles.equiDepthHistogram(tied, "g", "value", 4)
+      .orderBy("bucket").collect()
+    assert(t.head.getLong(2) == 6L, "all ties in the lowest bucket")
+    assert(t.map(_.getLong(2)).sum == 8L, "buckets partition the rows")
+  }
+
   test("morton2 interleaves bits; clusterBy gives tight per-partition envelopes") {
     // 0b0011 and 0b0101 interleave (a even, b odd) to 0b00100111
     val r = Seq((3L, 5L)).toDF("a", "b")

@@ -35,6 +35,29 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(fromCsv.collect().toSeq == docs.collect().toSeq)
   }
 
+  test("raw text lines ingest as one-document-per-line with stable ids") {
+    // the rawest corpus shape: a directory of .txt, one doc per line.
+    // spark.read.text is the entry; ids come from the deterministic
+    // (file, line-offset) pair — monotonically_increasing_id would be
+    // partitioning-dependent and is banned for ids.
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents").select("doc_id", "text")
+      .filter(!col("text").contains("\n"))
+    val txtDir = tmp("txt")
+    docs.select("text").write.mode("overwrite").text(txtDir)
+    val lines = spark.read.text(txtDir)
+    assert(lines.count() == docs.count())
+    // ingested lines carry the same multiset of contents
+    val a = lines.groupBy("value").count().orderBy("value").collect().toSeq
+    val b = docs.groupBy("text").count().orderBy("text").collect().toSeq
+    assert(a.map(r => (r.getString(0), r.getLong(1))) ==
+      b.map(r => (r.getString(0), r.getLong(1))))
+    // and the text pipeline runs on them unchanged
+    val stats = graft.ext.TextStats.withDocStats(
+      lines.select(md5(col("value")).as("doc_id"), col("value").as("text")))
+    assert(stats.count() == docs.count())
+  }
+
   test("documents round-trip through ORC with predicate pushdown") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents").orderBy("doc_id")

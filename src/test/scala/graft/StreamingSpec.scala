@@ -50,6 +50,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= batch.size - 2)
   }
 
+  test("streaming distinct-user sketch tracks the exact batch distinct") {
+    val streamed = EventStream.distinctUsersHourly(
+      EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runAvailableNow(spark, streamed, "stream_distinct")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+
+    Tables.register(spark, TestSpark.sfDir)
+    val exact = spark.table("events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct("user_id").as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // every emitted window exists in the batch result and the sketch
+    // is within HLL++ tolerance (exact in the sparse regime)
+    got.foreach { case (k, n) =>
+      assert(exact.contains(k), s"spurious window $k")
+      val e = exact(k)
+      assert(math.abs(n - e).toDouble <= math.max(1.0, 0.1 * e),
+        s"window $k: sketch $n vs exact $e")
+    }
+  }
+
   test("streamed daily value counts merge into the batch rollup") {
     val streamed = EventStream.dailyValueCountsStream(
       EventStream.readEvents(spark, eventsDir))
