@@ -851,6 +851,23 @@ object OraclesExt {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Hybrid retrieval — twin of Search.hybridRerank: the BM25 twin
+    * verbatim as the candidate stage (nested WITH), the shared
+    * normalize/dot CTEs for the rerank stage.
+    */
+  def hybridRerank(queryTerms: Seq[String], queryVecId: Long,
+      candidateK: Int, k: Int, k1: Double, b: Double): String =
+    s"""WITH cand AS (${bm25(queryTerms, candidateK, k1, b)}),
+       |$normCte,
+       |q AS (SELECT nv FROM n WHERE vec_id = $queryVecId),
+       |scored AS (SELECT cand.doc_id, cand.score AS bm25_score,
+       |  ${dotSql("c.nv", "q.nv")} AS cosine
+       |  FROM cand JOIN n c ON c.vec_id = cand.doc_id CROSS JOIN q),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (ORDER BY cosine DESC, doc_id) AS rank FROM scored)
+       |SELECT doc_id, bm25_score, cosine, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
+
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
   def topTokens(k: Int): String =
     s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

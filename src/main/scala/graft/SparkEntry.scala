@@ -256,6 +256,9 @@ object SparkEntry {
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
   private[graft] val bm25B = 0.75
+  private[graft] val hybridQueryVecId = 0L
+  private[graft] val hybridCandidateK = 50
+  private[graft] val hybridK = 10
   // deterministic Bloom filter: 2^17 bits / 5 hashes → fpr < 1e-5 at
   // the test scales; constants shared with OraclesExt.bloomDedup
   private[graft] val bloomBitsM = 1L << 17
@@ -554,6 +557,14 @@ object SparkEntry {
     "q_bm25" -> withTables { s =>
       graft.ext.Search.bm25(s.table("documents"), bm25Terms, bm25K,
         bm25K1, bm25B)
+    },
+    // §7.5 — two-stage hybrid retrieval: BM25 candidate recall over
+    // the corpus, embedding-cosine rerank over the ≤candidateK
+    // survivors (broadcast semi-join prune into the embedding scan).
+    "q_hybrid_search" -> withTables { s =>
+      graft.ext.Search.hybridRerank(s.table("documents"),
+        s.table("embeddings"), bm25Terms, hybridQueryVecId,
+        hybridCandidateK, hybridK, bm25K1, bm25B)
     },
     // §7.5 — mergeable HLL sketch rollup (approximate by construction
     // → no oracle, rows-only check like q_profile_approx; ExtSpec
@@ -962,6 +973,8 @@ object SparkEntry {
     "q_curate" -> OraclesExt.curate,
     "q_curate_full" -> OraclesExt.curateFull,
     "q_bm25" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
+    "q_hybrid_search" -> OraclesExt.hybridRerank(bm25Terms,
+      hybridQueryVecId, hybridCandidateK, hybridK, bm25K1, bm25B),
     "q_events_hourly" -> OraclesExt.eventsHourly,
     "q_events_json" ->
       """SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_bucket,

@@ -79,4 +79,46 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Hybrid retrieval: BM25 keyword recall, embedding-cosine
+    * precision — the standard two-stage pipeline (cheap lexical
+    * candidate generation over the whole corpus, expensive semantic
+    * scoring over only `candidateK` survivors).
+    *
+    * Scale shape: stage 1 is [[bm25]] (corpus-scale, term-filtered);
+    * its top-`candidateK` output is by construction a ≤candidateK-row
+    * relation, so stage 2 BROADCASTS the candidate list into the
+    * embedding scan (semi-join prune — the embedding table is never
+    * shuffled), pre-normalizes once per row, and scores each survivor
+    * with ONE dot against the broadcast query vector. No stage is
+    * ever quadratic in the corpus.
+    *
+    * @param queryVecId id of the embedding row used as the semantic
+    *   query vector (e.g. the encoded query text's row).
+    * @return (doc_id, bm25_score, cosine, rank) — top `k` by cosine
+    *   desc, doc id tie-break.
+    */
+  def hybridRerank(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, candidateK: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = bm25(docs, queryTerms, candidateK, k1, b, idCol, textCol)
+      .select(col(idCol).as(vecIdCol), col("score").as("bm25_score"))
+    val nEmb = Similarity.normalized(embeddings, vecIdCol, vecCol)
+    val q = nEmb.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).as("__qv"))
+    val w = Window.orderBy(col("cosine").desc, col(vecIdCol).asc)
+    nEmb.join(broadcast(cands), vecIdCol)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(Similarity.dot(col(vecCol), col("__qv")), 5))
+      // single-query result: the global rank window holds ≤candidateK
+      // rows (bounded by config, not data), so the one-task sort is
+      // not a scale concern
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(vecIdCol).as(idCol), col("bm25_score"), col("cosine"),
+        col("rank"))
+  }
 }

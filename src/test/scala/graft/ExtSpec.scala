@@ -863,6 +863,23 @@ class ExtSpec extends AnyFunSuite {
     assert(again == out.map(r => r.getLong(0) -> r.getDouble(2)).toMap)
   }
 
+  test("hybridRerank: only BM25 candidates survive, cosine orders them") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val emb = spark.table("embeddings")
+    val terms = Seq("spark", "window", "merge")
+    val out = graft.ext.Search.hybridRerank(
+      docs, emb, terms, queryVecId = 0L, candidateK = 50, k = 10).collect()
+    assert(out.length == 10)
+    val candidates = graft.ext.Search.bm25(docs, terms, 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet.subsetOf(candidates),
+      "rerank must not resurrect docs BM25 dropped")
+    val cosines = out.sortBy(_.getInt(3)).map(_.getDouble(2))
+    assert(cosines.sliding(2).forall(p => p(0) >= p(1)),
+      "rank follows cosine descending")
+  }
+
   // ---- Mergeable sketches ----
 
   test("HLL sketch rollup: merged daily sketches match direct sketch and near-exact") {
