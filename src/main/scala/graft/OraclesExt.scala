@@ -543,6 +543,21 @@ object OraclesExt {
        |  $qualityScoreSql AS quality_score
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Per-language score calibration — twin of Curation.calibrateScores
+    * over the quality blend: identical integer rank/count arithmetic,
+    * identical (score, doc_id) tie order.
+    */
+  val scoreCalibrate: String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, t, text FROM toks JOIN documents USING (doc_id)),
+       |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM d),
+       |r AS (SELECT doc_id, lang, quality_score,
+       |  row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+       |SELECT doc_id, lang, quality_score,
+       |  round((rk - 1)::DOUBLE / greatest(n - 1, 1)::DOUBLE, 5) AS calibrated
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Language-ID by profile-token scoring — twin of TextStats.langId. */
   val textLangId: String = {
     val values = graft.ext.TextStats.LangProfiles
@@ -573,7 +588,23 @@ object OraclesExt {
     * Sampling.hashUniform (same 8 hex digits, same exact scale).
     */
   private def hashUniformSql(salt: String): String =
-    s"cast('0x' || substr(md5('$salt|' || doc_id), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0"
+    hashUniformSqlOn(salt, "doc_id")
+
+  private def hashUniformSqlOn(salt: String, idExpr: String): String =
+    s"cast('0x' || substr(md5('$salt|' || $idExpr), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0"
+
+  /** Group-aware split — twin of Sampling.trainTestSplit keyed on the
+    * GROUP id (`source`): membership is a function of the group
+    * alone, so every document of a source lands on the same side —
+    * the leakage guard when near-identical docs cluster within a
+    * source. Same md5-uniform as the row-level split.
+    */
+  def splitBySource(testFraction: Double): String =
+    s"""WITH s AS (SELECT source,
+       |  CASE WHEN ${hashUniformSqlOn("gsplit", "source")} < $testFraction
+       |    THEN 'test' ELSE 'train' END AS split FROM documents)
+       |SELECT source, split, count(*)::BIGINT AS n_docs
+       |FROM s GROUP BY source, split ORDER BY source""".stripMargin
 
   /** Per-stratum deterministic sample — twin of
     * Sampling.stratifiedSample with the query's shared rate map.

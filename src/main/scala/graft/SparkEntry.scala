@@ -462,6 +462,16 @@ object SparkEntry {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
     },
+    // §7.5 — GROUP-aware split: membership keyed on `source`, not the
+    // row, so near-identical documents clustered within one source can
+    // never straddle train/test (the leakage mode a row-level split
+    // cannot prevent). Same operator, group id as the hash key.
+    "q_split_by_source" -> withTables { s =>
+      Sampling.trainTestSplit(s.table("documents"), testFraction,
+          idCol = "source", salt = "gsplit")
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
     // §7.5 — token-mixture rebalancing: per-stratum keep rates are
     // computed from the corpus' own token totals (K = min t_s/w_s),
     // then applied with the deterministic md5 membership.
@@ -506,6 +516,16 @@ object SparkEntry {
           .select("doc_id", "lang", "quality_score"),
         "lang", "quality_score", topQualityK)
         .orderBy("lang", "doc_id")
+    },
+    // §7.5 — per-language score calibration (explicit percent_rank):
+    // makes quality scores comparable ACROSS groups before any
+    // cross-source selection threshold is applied.
+    "q_score_calibrate" -> withTables { s =>
+      graft.ext.Curation.calibrateScores(
+        TextStats.withDocStats(s.table("documents"))
+          .select("doc_id", "lang", "quality_score"),
+        "lang", "quality_score", "doc_id")
+        .orderBy("doc_id")
     },
     // §7.5 — PII redaction audit. The corpus text is synthetic word
     // salad, so a deterministic contact string derived from doc_id is
@@ -957,6 +977,7 @@ object SparkEntry {
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
+    "q_split_by_source" -> OraclesExt.splitBySource(testFraction),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
@@ -964,6 +985,7 @@ object SparkEntry {
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
+    "q_score_calibrate" -> OraclesExt.scoreCalibrate,
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),

@@ -68,6 +68,31 @@ object Curation {
       .where(col("rank_in_group") * keepDen <= col("n_group") * keepNum)
   }
 
+  /** Per-group score calibration: quality scores from different
+    * sources/languages aren't comparable (each scorer has its own
+    * scale), so cross-source selection needs the score's RANK within
+    * its group, mapped to [0,1] — then "keep calibrated ≥ 0.8" means
+    * the same thing in every group. This is percent_rank, computed
+    * explicitly as `(rank−1)/max(n−1, 1)` from integer row_number and
+    * count so single-row groups land exactly on 0 in every engine (no
+    * 0/0 special-casing differences) and ties break on `idCol`.
+    *
+    * Plan: same single group-key shuffle as [[quantileGate]] — both
+    * windows share the partition; no per-group buffering beyond the
+    * window sort.
+    */
+  def calibrateScores(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col(scoreCol), col(idCol))))
+      .withColumn("calibrated", round(
+        (col("__rk") - 1).cast("double") /
+          greatest(col("__n") - 1, lit(1)).cast("double"), 5))
+      .drop("__n", "__rk")
+  }
+
   /** [[curateFull]] thresholds (also oracle-shared): repetition and
     * OOV gates sit at the observed tail of the test corpus so each
     * reason actually fires in the flagship query.

@@ -863,6 +863,29 @@ class ExtSpec extends AnyFunSuite {
     assert(again == out.map(r => r.getLong(0) -> r.getDouble(2)).toMap)
   }
 
+  test("calibrateScores maps each group's ranks onto [0,1], edges exact") {
+    val df = Seq(
+      ("en", 1L, 0.2), ("en", 2L, 0.8), ("en", 3L, 0.5),
+      ("fr", 4L, 0.9), // single-row group
+      ("de", 5L, 0.4), ("de", 6L, 0.4)) // tie breaks on id
+      .toDF("lang", "doc_id", "score")
+    val out = graft.ext.Curation
+      .calibrateScores(df, "lang", "score", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(3L) == 0.5 && out(2L) == 1.0)
+    assert(out(4L) == 0.0, "single-row group calibrates to 0, not NaN")
+    assert(out(5L) == 0.0 && out(6L) == 1.0, "ties resolve by id")
+  }
+
+  test("group-keyed split never straddles a source across train/test") {
+    Tables.register(spark, TestSpark.sfDir)
+    val split = graft.ext.Sampling.trainTestSplit(
+      spark.table("documents"), 0.2, idCol = "source", salt = "gsplit")
+    val sides = split.groupBy("source")
+      .agg(countDistinct("split").as("n_sides")).collect()
+    assert(sides.nonEmpty && sides.forall(_.getLong(1) == 1L))
+  }
+
   test("hybridRerank: only BM25 candidates survive, cosine orders them") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")
