@@ -78,10 +78,13 @@ object OraclesExt {
     * double round.
     */
   private val qualityScoreSql = {
-    val nt = "len(t)::BIGINT"
-    val nc = "length(text)::BIGINT"
-    val nstop = "len(list_filter(t, x -> x IN ('a', 'the')))::BIGINT"
-    val nalpha = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT"
+    // HUGEINT (int128), twin of the Spark side's decimal(38,0): the
+    // products overflow BIGINT on multi-MB documents — DuckDB would
+    // raise, Spark's long would wrap — so both engines widen first
+    val nt = "len(t)::HUGEINT"
+    val nc = "length(text)::HUGEINT"
+    val nstop = "len(list_filter(t, x -> x IN ('a', 'the')))::HUGEINT"
+    val nalpha = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::HUGEINT"
     val maxNT = s"greatest($nt, 1)"
     val maxNC = s"greatest($nc, 1)"
     s"""(((5 * least($nt, 100) * $maxNT * $maxNC
@@ -203,8 +206,10 @@ object OraclesExt {
     * split — reordered train-first.
     */
   def crossDedup(testFraction: Double): String = {
+    // membership via the shared helper — the SAME deterministic split
+    // as sampleSplit/decontam; an inline respelling could drift
     def isTest(c: String) =
-      s"(cast('0x' || substr(md5('split|' || $c), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0 < $testFraction)"
+      s"(${hashUniformSqlOn("split", c)} < $testFraction)"
     s"""WITH $minHashPairsCtes
        |SELECT CASE WHEN ${isTest("id_a")} THEN id_b ELSE id_a END AS id_a,
        |       CASE WHEN ${isTest("id_a")} THEN id_a ELSE id_b END AS id_b,

@@ -220,7 +220,12 @@ object Dedup {
           col("n_ngrams").cast("double"), 5).as("dup_fraction"))
   }
 
-  private def md5Hex(s: String): String =
+  /** Driver-side md5 hex — the ONE copy of the hash that seeds every
+    * deterministic parameter derivation (minhash affine maps,
+    * hyperplane weights); package-shared so Similarity cannot drift
+    * from it. Must agree byte-for-byte with SQL `md5()`.
+    */
+  private[ext] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

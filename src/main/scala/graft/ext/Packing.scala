@@ -50,7 +50,15 @@ object Packing {
     val rows = df.select(col(idCol), col(tokenCol))
     // phase 0: id range → deterministic contiguous shards. One
     // column-pruned scan for max(id); ids need not be dense.
-    val maxId = rows.agg(max(col(idCol)).cast("long")).head.getLong(0)
+    // max over zero rows is NULL — an empty corpus (e.g. a curation
+    // gate rejected everything upstream) must pack to an empty
+    // result, not NPE on getLong.
+    val maxIdRow = rows.agg(max(col(idCol)).cast("long")).head
+    if (maxIdRow.isNullAt(0)) {
+      return rows.select(col(idCol), col(tokenCol),
+        lit(0L).as("pack_id"), lit(0L).as("pack_offset")).limit(0)
+    }
+    val maxId = maxIdRow.getLong(0)
     val span = math.max(1L, (maxId + shards) / shards) // ceil((maxId+1)/S)
     // `div`, not `/`: Column./ is DOUBLE division, inexact past 2⁵³ —
     // tape coordinates and ids are longs and must stay exact

@@ -56,7 +56,8 @@ object Quantiles {
     * through unchanged.
     */
   private[graft] def shardedCumsum(vc: DataFrame, keyCols: Seq[String],
-      vCol: String, cntCol: String, shards: Int = 32): DataFrame = {
+      vCol: String, cntCol: String, shards: Int = 32,
+      broadcastGroups: Boolean = true): DataFrame = {
     val kc = keyCols.map(col)
     val probs = array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
     val bounds = vc.groupBy(kc: _*)
@@ -64,7 +65,18 @@ object Quantiles {
     val shardOf = (1 until shards)
       .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
       .reduce(_ + _)
-    val vcs = vc.join(broadcast(bounds), keyCols).withColumn("__shard", shardOf)
+    // The bounds/offsets relations are ONE ROW PER GROUP (×shards for
+    // offsets). `broadcastGroups` (default true) pins the broadcast
+    // hint: for bounded group domains — profiler columns, languages,
+    // event types — it keeps every per-group relation on the SAME
+    // upstream exchange, which is what lets AQE collapse the whole
+    // quantile pipeline onto one scan via ReusedExchange (removing the
+    // hints was measured to break reuse: 8 scans, +40% wall). For an
+    // UNBOUNDED caller-supplied key (per-user quantiles over 10⁸
+    // users) a forced broadcast would blow through the driver — pass
+    // broadcastGroups = false and the joins plan as plain shuffles.
+    def maybeB(df: DataFrame) = if (broadcastGroups) broadcast(df) else df
+    val vcs = vc.join(maybeB(bounds), keyCols).withColumn("__shard", shardOf)
       .drop("__bs")
     val skc = kc :+ col("__shard")
     val localCum = vcs.withColumn("__lcum", sum(col(cntCol).cast(LongType)).over(
@@ -76,7 +88,7 @@ object Quantiles {
         Window.partitionBy(kc: _*).orderBy("__shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(skc :+ col("__offset"): _*)
-    localCum.join(broadcast(offsets), keyCols :+ "__shard")
+    localCum.join(maybeB(offsets), keyCols :+ "__shard")
       .withColumn("cum", col("__lcum") + col("__offset"))
       .drop("__shard", "__lcum", "__offset")
   }
@@ -85,13 +97,21 @@ object Quantiles {
     * quantile rounded to 5 decimals.
     *
     * @param ps (columnName, p) pairs, 0 ≤ p ≤ 1.
+    * @param broadcastGroups keep the default (true) for bounded group
+    *   domains (languages, sources, event types, profiler columns) —
+    *   it pins the per-group relations to broadcast joins and lets
+    *   AQE collapse the pipeline onto one scan. Pass false when the
+    *   group key's cardinality scales with the data (per-user, per-
+    *   document): every per-group relation then plans as a plain
+    *   shuffle join and nothing is forced through the driver.
     */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      broadcastGroups: Boolean = true): DataFrame = {
     val vc = df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
-    quantilesFromVc(vc, Seq(groupCol), ps)
+    quantilesFromVc(vc, Seq(groupCol), ps, broadcastGroups)
   }
 
   /** Quantiles from a PRE-COUNTED `(groups..., value, count)` relation
@@ -104,11 +124,12 @@ object Quantiles {
     */
   def groupQuantilesFromCounts(counts: DataFrame, groupCols: Seq[String],
       valueCol: String, cntCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      broadcastGroups: Boolean = true): DataFrame = {
     val vc = counts.where(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+ col(valueCol).cast("double").as("v"): _*)
       .agg(sum(col(cntCol).cast(LongType)).as("cnt"))
-    quantilesFromVc(vc, groupCols, ps)
+    quantilesFromVc(vc, groupCols, ps, broadcastGroups)
   }
 
   /** Shared tail of both public forms: totals, sharded cumsum, rank
@@ -116,13 +137,16 @@ object Quantiles {
     * `v` (double), `cnt` (long-compatible).
     */
   private def quantilesFromVc(vc: DataFrame, groupCols: Seq[String],
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      broadcastGroups: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "quantiles must be named and in [0,1]")
     val gcs = groupCols.map(col)
     val totals = vc.groupBy(gcs: _*).agg(sum(col("cnt")).as("n"))
-    val cum = shardedCumsum(vc, groupCols, "v", "cnt")
-      .join(broadcast(totals), groupCols)
+    val totalsSide = if (broadcastGroups) broadcast(totals) else totals
+    val cum = shardedCumsum(vc, groupCols, "v", "cnt",
+        broadcastGroups = broadcastGroups)
+      .join(totalsSide, groupCols)
     // For each p: the value at rank ⌊pos⌋ and ⌈pos⌉ via the cumulative
     // count (this row covers ranks [cum-cnt, cum-1]), then interpolate.
     def pick(rank: Column): Column =
@@ -176,11 +200,12 @@ object Quantiles {
     * Appends `__lo`, `__hi`, and `clipped` columns.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
+      pLo: Double, pHi: Double,
+      broadcastGroups: Boolean = true): DataFrame = {
     require(pLo <= pHi, s"pLo $pLo must be <= pHi $pHi")
     val bounds = groupQuantiles(df, groupCol, valueCol,
-      Seq("__lo" -> pLo, "__hi" -> pHi)).drop("n")
-    df.join(broadcast(bounds), groupCol)
+      Seq("__lo" -> pLo, "__hi" -> pHi), broadcastGroups).drop("n")
+    df.join(if (broadcastGroups) broadcast(bounds) else bounds, groupCol)
       .withColumn("clipped",
         least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
   }
@@ -195,13 +220,13 @@ object Quantiles {
     * quantiles, so any engine computes identical fences.
     */
   def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5, broadcastGroups: Boolean = true): DataFrame = {
     val bounds = groupQuantiles(df, groupCol, valueCol,
-      Seq("__q1" -> 0.25, "__q3" -> 0.75)).drop("n")
+      Seq("__q1" -> 0.25, "__q3" -> 0.75), broadcastGroups).drop("n")
     val v = col(valueCol).cast("double")
     val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
     val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
-    df.join(broadcast(bounds), groupCol)
+    df.join(if (broadcastGroups) broadcast(bounds) else bounds, groupCol)
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),
@@ -231,15 +256,17 @@ object Quantiles {
     * correct equi-depth semantics for heavy-tied distributions.
     */
   def equiDepthHistogram(df: DataFrame, groupCol: String,
-      valueCol: String, k: Int): DataFrame = {
+      valueCol: String, k: Int,
+      broadcastGroups: Boolean = true): DataFrame = {
     require(k >= 2, "need at least 2 buckets")
     val ps = (1 until k).map(i => (s"__b$i", i.toDouble / k))
-    val bounds = groupQuantiles(df, groupCol, valueCol, ps).drop("n")
+    val bounds = groupQuantiles(df, groupCol, valueCol, ps,
+      broadcastGroups).drop("n")
     val v = col(valueCol).cast("double")
     val bucket = ps.map { case (name, _) =>
       when(v > col(name), 1).otherwise(0) }.reduce(_ + _)
     df.where(col(valueCol).isNotNull)
-      .join(broadcast(bounds), groupCol)
+      .join(if (broadcastGroups) broadcast(bounds) else bounds, groupCol)
       .groupBy(col(groupCol), bucket.as("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -109,9 +109,7 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("score"))
   }
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5Hex(s: String): String = Dedup.md5Hex(s)
 
   /** Deterministic hyperplane weights: plane p, dimension d →
     * uniform in [-1, 1) from the first 8 hex digits of md5("p,d").

@@ -135,13 +135,17 @@ object TextStats {
       // 0.475625), where Spark's and DuckDB's double `round`
       // disagree. So the 5-decimal HALF_UP is done in exact integer
       // arithmetic: HALF_UP(num/den) = (2·10⁵·num + den) div (2·den)
-      // — §8.3 rule 3, same as decAvg5. Long-safe for
-      // n_tokens·n_chars < ~4.6e10 (any real document).
+      // — §8.3 rule 3, same as decAvg5. num/den are decimal(38,0),
+      // NOT long: num reaches ~10⁸·n_tokens·n_chars, which wraps a
+      // long (silently, giving garbage scores) on multi-MB documents
+      // that are routine in web crawls; decimal keeps 38 exact digits
+      // and `div` on decimals is the same integral floor. The DuckDB
+      // twin runs the identical blend in HUGEINT (int128).
       .withColumn("quality_score",
         // integral `div`, then one exact small-integer→double division
         // (a bare 100000.0 literal would be DECIMAL in Spark SQL and
         // poison the column type)
-        expr("((__qn * 200000 + __qd) div (__qd * 2)) / cast(100000 as double)"))
+        expr("((__qn * cast(200000 as decimal(38,0)) + __qd) div (__qd * 2)) / cast(100000 as double)"))
       .drop("__toks", "__qn", "__qd")
   }
 
@@ -150,21 +154,27 @@ object TextStats {
     * 0.3·min(10·nStop/nT,1) + 0.2·nAlpha/nC exactly (the nT=0 / nC=0
     * guards are free: nStop=0 when nT=0 and nAlpha=0 when nC=0).
     */
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   private def qualityNum(toks: Column, t: Column): Column = {
     val nT = size(toks).cast("long")
     val nC = length(t).cast("long")
     val nStop = size(filter(toks, x => x.isin(Stopwords.map(lit): _*))).cast("long")
     val nAlpha = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("long")
-    val maxNT = greatest(nT, lit(1L))
-    val maxNC = greatest(nC, lit(1L))
-    lit(5L) * least(nT, lit(100L)) * maxNT * maxNC +
-      least(lit(3000L) * nStop * maxNC, lit(300L) * nT * maxNC) +
-      lit(200L) * nAlpha * maxNT
+    // decimal(38,0), not long: the products reach ~10³·nT·nC here and
+    // another ×2·10⁵ in the caller's rounding — far past 2⁶³ for
+    // multi-MB documents, and long multiplication wraps SILENTLY
+    val maxNT = greatest(nT, lit(1L)).cast(Dec38)
+    val maxNC = greatest(nC, lit(1L)).cast(Dec38)
+    lit(5L) * least(nT, lit(100L)).cast(Dec38) * maxNT * maxNC +
+      least(lit(3000L) * nStop.cast(Dec38) * maxNC,
+        lit(300L) * nT.cast(Dec38) * maxNC) +
+      lit(200L) * nAlpha.cast(Dec38) * maxNT
   }
 
   private def qualityDen(toks: Column, t: Column): Column =
-    lit(1000L) * greatest(size(toks).cast("long"), lit(1L)) *
-      greatest(length(t).cast("long"), lit(1L))
+    lit(1000L) * greatest(size(toks).cast("long"), lit(1L)).cast(Dec38) *
+      greatest(length(t).cast("long"), lit(1L)).cast(Dec38)
 
   /** Corpus roll-up per (lang, source): doc counts and decimal-summed
     * averages of the per-doc metrics. Map-side partial aggregation →

@@ -47,8 +47,10 @@ object Scratch {
       }
     }
     // Filtered oracle dump so `tools/selfcheck.py <sf> /tmp/graft_scratch`
-    // compares exactly the queries just written.
-    if (args.nonEmpty) {
+    // compares exactly the queries just written — only in the
+    // parquet-dump mode (explain/noop never create the directory, and
+    // the dump is meaningless without the parquet next to it).
+    if (args.nonEmpty && !explain && !sys.env.contains("SCRATCH_NOOP")) {
       def esc(s: String): String = "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case '\r' => "\\r"; case '\t' => "\\t"

@@ -239,6 +239,36 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("quality_score") > 0 && r.getAs[Double]("quality_score") <= 1)
   }
 
+  test("quality_score survives multi-MB documents (no long wrap)") {
+    // ~1M chars, ~167k tokens: num reaches ~10⁸·nT·nC ≈ 2·10¹⁹ —
+    // past Long.MaxValue. A long blend wraps to garbage; the
+    // decimal(38,0) blend must produce the exact rational.
+    val word = "abcde "
+    val big = word * 170000
+    val df = Seq((big, 1)).toDF("text", "id")
+    val r = TextStats.withDocStats(df).head
+    val nT = BigInt(r.getAs[Long]("n_tokens"))
+    val nC = BigInt(big.length)
+    val nAlpha = BigInt(170000L * 5)
+    // expected = HALF_UP(num/den) at 5 decimals, computed in BigInt
+    val num = BigInt(5) * nT.min(100) * nT * nC + BigInt(200) * nAlpha * nT
+    val den = BigInt(1000) * nT * nC
+    val expected = ((num * 200000 + den) / (den * 2)).toDouble / 100000.0
+    assert(r.getAs[Double]("quality_score") == expected,
+      "decimal blend must equal the BigInt rational")
+    assert(expected > 0 && expected <= 1)
+  }
+
+  test("packSequences returns empty on an empty corpus (no NPE)") {
+    val toks = docs.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("doc_id") < 0)
+    val out = graft.ext.Packing.packSequences(toks, 512, 8)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "pack_id", "pack_offset"))
+  }
+
   test("langId is deterministic and uses a broadcast profile join") {
     val out = TextStats.langId(spark, docs)
     val plan = out.queryExecution.executedPlan.toString
@@ -387,6 +417,22 @@ class ExtSpec extends AnyFunSuite {
           s"${a.getString(0)}.$c: ${a.getAs[Double](c)} != ${b.getAs[Double](c)}")
       }
     }
+  }
+
+  test("groupQuantiles: broadcastGroups=false (high-cardinality path) is identical") {
+    Tables.register(spark, TestSpark.sfDir)
+    val e = spark.table("events")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    val hinted = graft.ext.Quantiles.groupQuantiles(e, "event_type", "value", ps)
+      .orderBy("event_type").collect().toSeq
+    val unhinted = graft.ext.Quantiles.groupQuantiles(e, "event_type", "value", ps,
+      broadcastGroups = false).orderBy("event_type").collect().toSeq
+    assert(unhinted == hinted,
+      "the shuffle-join scale path must compute the same quantiles")
+    val plan = graft.ext.Quantiles.groupQuantiles(e, "event_type", "value", ps,
+      broadcastGroups = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") || plan.contains("AdaptiveSparkPlan"),
+      "no forced broadcast in the initial unhinted plan")
   }
 
   test("groupQuantiles: single-row and two-row group edges") {

@@ -13,11 +13,18 @@ import duckdb
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
-    names = sorted(d for d in os.listdir(a)
-                   if os.path.isdir(os.path.join(a, d)))
+    # union of BOTH listings: a query that produced output in only one
+    # run (the other crashed or skipped it) must surface as MISS, not
+    # silently shrink the compared set
+    def dirs(root):
+        return {d for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d))}
+    names = sorted(dirs(a) | dirs(b))
     con = duckdb.connect()
     bad = 0
     for n in names:
+        if not os.path.isdir(os.path.join(a, n)):
+            print(f"MISS {n}: absent in {a}"); bad += 1; continue
         if not os.path.isdir(os.path.join(b, n)):
             print(f"MISS {n}: absent in {b}"); bad += 1; continue
         try:
