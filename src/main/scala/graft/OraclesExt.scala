@@ -198,6 +198,36 @@ object OraclesExt {
       |SELECT o_orderkey, round(o_totalprice, 5) AS total
       |FROM merged ORDER BY o_orderkey""".stripMargin
 
+  /** Row-level snapshot diff — twin of Merge.snapshotDiff over the
+    * deterministically edited orders snapshot. Change detection here
+    * is direct `IS DISTINCT FROM` on the compare columns (the Spark
+    * side digest-compares internally; statuses agree because both are
+    * exact row-equality tests — no float formatting crosses engines).
+    */
+  def snapshotDiff(removedMod: Long, changedMod: Long, addedMod: Long,
+      addedOffset: Long): String =
+    s"""WITH n AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % $changedMod = 0 THEN o_totalprice + 1
+       |         ELSE o_totalprice END AS o_totalprice,
+       |    o_orderpriority
+       |  FROM orders WHERE o_orderkey % $removedMod <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + $addedOffset, o_custkey, o_orderstatus,
+       |    o_totalprice, o_orderpriority
+       |  FROM orders WHERE o_orderkey % $addedMod = 0)
+       |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       |       WHEN n.o_orderkey IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+       |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       |   OR (o.o_custkey IS DISTINCT FROM n.o_custkey)
+       |   OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+       |   OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+       |   OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+       |ORDER BY o_orderkey""".stripMargin
+
   /** Cross-corpus near-dups — twin of Dedup.crossCorpusNearDups over
     * the deterministic train/test split: per-doc signatures (and so
     * band keys and verified Jaccard) are identical whether a doc is

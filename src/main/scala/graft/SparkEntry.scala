@@ -234,6 +234,11 @@ object SparkEntry {
   private[graft] val rangeBucketWidth = 50.0
   private[graft] val histogramWidth = 25.0
   private[graft] val equiDepthK = 4
+  // snapshot-diff synthetic edit moduli (single-sourced with the oracle)
+  private[graft] val snapRemovedMod = 97L
+  private[graft] val snapChangedMod = 89L
+  private[graft] val snapAddedMod = 101L
+  private[graft] val snapAddedOffset = 100000000L
   // fuzzy dedup: keep candidate pairs with edit ratio <= 1/5
   private[graft] val fuzzyRatioNum = 1
   private[graft] val fuzzyRatioDen = 5
@@ -721,6 +726,24 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 5).as("total"))
         .orderBy("o_orderkey")
     },
+    // §7.5 — row-level snapshot diff (applyChangeSet's inverse): two
+    // snapshots in, (key, added/removed/changed) out. Digest-compare
+    // inside Spark; the oracle re-detects by direct value comparison,
+    // so no float-to-string formatting crosses engines. The "new"
+    // snapshot is derived deterministically from orders.
+    "q_snapshot_diff" -> withTables { s =>
+      import graft.ext.Merge
+      val o = s.table("orders")
+      val kept = o.filter(col("o_orderkey") % snapRemovedMod =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % snapChangedMod === 0,
+            col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+      val added = o.filter(col("o_orderkey") % snapAddedMod === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + snapAddedOffset)
+      Merge.snapshotDiff(o, kept.unionByName(added), "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
     // §7.5 — Tukey boxplot fences from ONE exact quantile pass:
     // per-group outlier counts + recommended action signal (the cheap
     // robust-outlier report that precedes a winsorize decision).
@@ -950,6 +973,8 @@ object SparkEntry {
     "q_skew_report" -> OraclesExt.skewReport(skewReportK),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,
+    "q_snapshot_diff" -> OraclesExt.snapshotDiff(snapRemovedMod,
+      snapChangedMod, snapAddedMod, snapAddedOffset),
     "q_range_join" -> OraclesExt.rangeJoin(valueBands),
     "q_events_delta" -> OraclesExt.eventsDelta,
     "q_histogram" -> OraclesExt.histogram(histogramWidth),

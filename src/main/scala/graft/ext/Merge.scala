@@ -39,4 +39,40 @@ object Merge {
     val upserts = changes.where(col(OpCol) === Upsert).drop(OpCol)
     survivors.unionByName(upserts)
   }
+
+  /** Row-level snapshot diff — [[applyChangeSet]]'s inverse: given two
+    * snapshots of a keyed table, report every key as `added` /
+    * `removed` / `changed` (unchanged rows are omitted — at 100 TB the
+    * diff is the small output, the snapshots are the big inputs). The
+    * engine-side generalization of the reference's table-diff
+    * workflow (/root/reference/aws-athena.sh:175-196 diffs PROFILES;
+    * this diffs the rows themselves).
+    *
+    * Plan: each side collapses to (key, md5 of the compare columns) —
+    * map-only projections — then ONE full-outer shuffle join on the
+    * key. Change detection compares the digests, so wide payloads
+    * never travel through the join; null compare columns are digested
+    * via a sentinel (`coalesce(col, "\\u0000null")`) so a null column can
+    * never collide with real text (no corpus string starts with NUL),
+    * and the `"\\u0001"` separator keeps ("ab","c") from colliding
+    * with ("a","bc") across adjacent columns.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def digested(df: DataFrame) = df.select(
+      col(keyCol),
+      md5(concat_ws("\u0001",
+        compareCols.map(c => coalesce(col(c).cast("string"),
+          lit("\u0000null"))): _*)).as("__h"))
+    val o = digested(oldSnap).withColumnRenamed("__h", "__ho")
+    val n = digested(newSnap).withColumnRenamed("__h", "__hn")
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(keyCol), col("status"))
+  }
 }

@@ -1493,6 +1493,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getInt(4) == 1 && out(0).getBoolean(5))
   }
 
+  test("snapshotDiff: added/removed/changed, null-aware compare") {
+    val oldS = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("id", "v")
+    val newS = Seq(
+      (1L, Some("a")),   // unchanged -> omitted
+      (2L, Some("B")),   // changed
+      (3L, Some("c")),   // null -> value = changed
+      (5L, Some("e")))   // added; 4 removed
+      .toDF("id", "v")
+    val out = graft.ext.Merge.snapshotDiff(oldS, newS, "id", Seq("v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (2L, "changed"), (3L, "changed"), (4L, "removed"), (5L, "added")))
+    // the NUL-prefixed sentinel cannot collide with any real text —
+    // even the literal strings "null" / " null" diff against a NULL
+    for (tricky <- Seq("null", " null", "")) {
+      val lit1 = Seq((1L, tricky)).toDF("id", "v")
+      val lit2 = Seq((1L, null.asInstanceOf[String])).toDF("id", "v")
+      val d = graft.ext.Merge.snapshotDiff(lit1, lit2, "id", Seq("v")).collect()
+      assert(d.length == 1 && d(0).getString(1) == "changed",
+        s"NULL must not collide with the string '$tricky'")
+    }
+  }
+
   // ---- Latest-state snapshot ----
 
   test("latestSnapshot keeps one newest row per key, event_id breaks ties") {
