@@ -684,6 +684,23 @@ object OraclesExt {
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Temperature-flattened mixture (α = 1/2) — twin of
+    * Sampling.temperatureMixture: rate = (sqrt(t) * min(sqrt(t))) / t,
+    * identical left-to-right IEEE arithmetic (sqrt is correctly
+    * rounded in both engines — the reason α is pinned to 1/2).
+    */
+  val temperatureMixture: String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, len(t)::BIGINT AS n_tokens
+       |  FROM toks JOIN documents USING (doc_id)),
+       |tot AS (SELECT lang, sum(n_tokens)::BIGINT AS tt FROM d GROUP BY lang),
+       |k AS (SELECT min(sqrt(tt::DOUBLE)) AS k FROM tot),
+       |r AS (SELECT lang, sqrt(tt::DOUBLE) * k.k / tt::DOUBLE AS rate FROM tot, k),
+       |s AS (SELECT d.lang, d.n_tokens FROM d JOIN r USING (lang)
+       |  WHERE ${hashUniformSql("temperature")} < rate)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS kept_tokens
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Held-out decontamination — twin of
     * Decontamination.contaminationReport over the deterministic
     * train/test split (same md5 membership as sampleSplit): per

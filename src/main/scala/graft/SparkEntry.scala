@@ -488,6 +488,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
         .orderBy("lang")
     },
+    // §7.5 — temperature-flattened mixture (α = 1/2): keep rates
+    // sqrt-proportional to stratum size so the largest stratum stops
+    // dominating; exact cross-engine because sqrt is the one power
+    // IEEE requires correctly rounded.
+    "q_mixture_temperature" -> withTables { s =>
+      val d = s.table("documents").withColumn("n_tokens",
+        size(TextStats.tokens(col("text"))).cast("long"))
+      Sampling.temperatureMixture(d, "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
+        .orderBy("lang")
+    },
     // §7.5 — exact corpus heavy hitters (TakeOrderedAndProject: no
     // full vocabulary sort).
     "q_top_tokens" -> withTables { s =>
@@ -1006,6 +1018,7 @@ object SparkEntry {
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
+    "q_mixture_temperature" -> OraclesExt.temperatureMixture,
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,

@@ -114,6 +114,39 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Temperature-flattened mixture (α = 1/2): down-sample each
+    * stratum toward the sqrt of its observed share — the standard
+    * "don't let the web crawl drown the small languages" rebalance
+    * (UniMax-style). Setting target weights w_s ∝ t_s^α in
+    * [[rebalanceToMixture]]'s arithmetic and using that keep rates
+    * are invariant to a common weight scale, everything collapses to
+    *
+    *   rate_s = sqrt(t_min) · sqrt(t_s) / t_s
+    *
+    * — the smallest stratum keeps everything, a stratum 100× larger
+    * keeps 10×, not 100×, as many tokens. α is FIXED at 1/2 because
+    * sqrt is the one power IEEE 754 requires correctly rounded: both
+    * engines compute bit-identical rates with no libm `pow` variance
+    * and no cross-engine normalization-sum ordering. Same plan shape
+    * as rebalanceToMixture: one stratum-total aggregate, a broadcast
+    * rate table, the shared md5 membership — fully lazy, no driver
+    * collect.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens",
+      salt: String = "temperature"): DataFrame = {
+    val totals = df.groupBy(strataCol)
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+    val kMin = totals.agg(min(sqrt(col("__t").cast("double"))).as("__k"))
+    val rates = totals.crossJoin(broadcast(kMin))
+      .select(col(strataCol),
+        (sqrt(col("__t").cast("double")) * col("__k") /
+          col("__t").cast("double")).as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Keep the k best rows per group by a score column — the
     * "highest-quality N documents per language/source" selection step.
     * Deterministic: ties are broken by ascending id, so the kept set

@@ -251,6 +251,58 @@ object EventStream {
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.
     */
+  /** Streaming CDC apply: maintain a keyed snapshot from a change
+    * stream by running [[graft.ext.Merge.applyChangeSet]] inside
+    * `foreachBatch` — the standard "change log in, current table out"
+    * composition. Each micro-batch merges into the latest snapshot
+    * version and writes the next one to `snapshotDir/v=<epoch>`;
+    * readers take the max version. Versioned directories stand in for
+    * a table format's atomic commit (Iceberg/Delta own that problem
+    * in production — the composition and the per-batch merge plan are
+    * what this operator demonstrates; batch N+1 only starts after
+    * batch N's write completes, so the version chain is consistent).
+    *
+    * Requirements: `changes` carries the snapshot payload columns plus
+    * `op` (upsert/delete); keys must be unique WITHIN a batch
+    * (applyChangeSet's contract — dedup upstream with
+    * [[latestSnapshot]]-style rn=1 if the log can repeat a key).
+    */
+  def maintainSnapshot(changes: DataFrame, snapshotDir: String,
+      keyCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.Merge
+    val spark = changes.sparkSession
+    val fs = new java.io.File(snapshotDir)
+    fs.mkdirs()
+    def latestVersion(): Option[Long] = Option(fs.list()).toSeq.flatten
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted.lastOption
+    val payloadSchema = StructType(
+      changes.schema.filterNot(_.name == Merge.OpCol))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-snapshot").toString
+    changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val base = latestVersion() match {
+          case Some(v) => spark.read.parquet(s"$snapshotDir/v=$v")
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+        }
+        Merge.applyChangeSet(base, batch.toDF(), keyCol)
+          .write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Latest snapshot version written by [[maintainSnapshot]]. */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
+    val versions = Option(new java.io.File(snapshotDir).list()).toSeq.flatten
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(versions.nonEmpty, s"no snapshot versions under $snapshotDir")
+    spark.read.parquet(s"$snapshotDir/v=${versions.max}")
+  }
+
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
       tableName: String): DataFrame = {
     // Explicit checkpoint dir: the auto-created temporary checkpoint

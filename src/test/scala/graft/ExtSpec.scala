@@ -1493,6 +1493,23 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getInt(4) == 1 && out(0).getBoolean(5))
   }
 
+  test("temperatureMixture: smallest stratum keeps all, big strata flatten") {
+    // strata sized 100 / 10000 tokens: rates 1.0 and sqrt(100·10000)/10000 = 0.1
+    val rows = (1 to 10).map(i => (i.toLong, "small", 10L)) ++
+      (11 to 110).map(i => (i.toLong, "big", 100L))
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val kept = graft.ext.Sampling.temperatureMixture(df, "lang")
+    val bySide = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide("small") == 10L, "rate 1.0 stratum keeps every doc")
+    // md5 membership at rate 0.1 over 100 docs: expect ~10, bound loosely
+    assert(bySide.getOrElse("big", 0L) > 0L && bySide("big") < 30L)
+    // deterministic: same input, same kept set
+    val again = graft.ext.Sampling.temperatureMixture(df.repartition(7), "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("snapshotDiff: added/removed/changed, null-aware compare") {
     val oldS = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),

@@ -50,6 +50,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= batch.size - 2)
   }
 
+  test("maintainSnapshot: change stream folds into the correct current table") {
+    import spark.implicits._
+    val changesDir = java.nio.file.Files
+      .createTempDirectory("graft-changes").toString
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-snap").toString
+    // three change files = three micro-batches (maxFilesPerTrigger=1);
+    // file order follows lexicographic listing, so name them b0<b1<b2
+    Seq((1L, "alice", "upsert"), (2L, "bob", "upsert"))
+      .toDF("id", "name", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b0")
+    Seq((1L, "alice2", "upsert"), (2L, "bob", "delete"))
+      .toDF("id", "name", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b1")
+    Seq((3L, "carol", "upsert"))
+      .toDF("id", "name", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    val changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(changesDir)
+    val q = EventStream.maintainSnapshot(changes, snapDir, "id")
+    q.awaitTermination(120000L)
+    val now = EventStream.readSnapshot(spark, snapDir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(now.toSeq == Seq((1L, "alice2"), (3L, "carol")),
+      "upsert+delete+insert chain must fold to the current table")
+  }
+
   test("streaming distinct-user sketch tracks the exact batch distinct") {
     val streamed = EventStream.distinctUsersHourly(
       EventStream.readEvents(spark, eventsDir))
