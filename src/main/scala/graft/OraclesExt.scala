@@ -315,6 +315,25 @@ object OraclesExt {
   private def dotSql(a: String, b: String): String =
     s"round(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])), 5)"
 
+  /** Random-projection dim reduction — twin of
+    * Similarity.randomProjection: identical md5-derived plane matrix,
+    * identical sequential-fold dots, the same interpolated 1/√outDims
+    * double (Scala Double.toString round-trips into DuckDB).
+    */
+  def randomProjection(outDims: Int, dims: Int): String = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { p =>
+      s"""round(list_sum(list_transform(list_zip(e, (SELECT w FROM planes WHERE p = $p)), z -> z[1] * z[2])) * $scale, 5) AS p$p"""
+    }.mkString(",\n|  ")
+    s"""WITH planes AS (SELECT p, list_transform(range(0, $dims),
+       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
+       |  FROM range(0, $outDims) t(p)),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       |SELECT vec_id,
+       |  $comps
+       |FROM v ORDER BY vec_id""".stripMargin
+  }
+
   /** Cosine near-dup pairs ≥ 0.4 via banded hyperplane LSH (8 bands ×
     * 2 planes, 64 dims) — twin of Similarity.thresholdPairs. Band
     * keys derive from md5-seeded hyperplanes, so both engines build

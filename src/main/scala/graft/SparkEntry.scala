@@ -421,6 +421,13 @@ object SparkEntry {
       Similarity.topK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .orderBy("query_id", "rank")
     },
+    // §7.5 — Johnson–Lindenstrauss random projection: 64-d embeddings
+    // compacted to 8-d sketches with an md5-derived constant matrix;
+    // map-only, no shuffle, bit-identical matrix in both engines.
+    "q_random_projection" -> withTables { s =>
+      Similarity.randomProjection(s.table("embeddings"), outDims = 8)
+        .orderBy("vec_id")
+    },
     "q_knn_lsh" -> withTables { s =>
       val emb = s.table("embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
@@ -1004,6 +1011,7 @@ object SparkEntry {
     "q_semdedup" -> OraclesExt.semDedupPairs(0.4, semDedupNlist, semDedupNprobe),
     "q_embedding_clusters" -> OraclesExt.embeddingClusters,
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
+    "q_random_projection" -> OraclesExt.randomProjection(outDims = 8, dims = 64),
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,

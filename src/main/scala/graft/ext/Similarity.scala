@@ -142,6 +142,36 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction: project each embedding onto `outDims` md5-derived
+    * random directions, scaled by 1/√outDims so expected pairwise
+    * distances are preserved. The cheap embedding-pipeline compactor
+    * — 64-d sketches of 1024-d vectors for coarse clustering or
+    * pre-filtering before exact scoring on the full vectors.
+    *
+    * Scale shape: the projection matrix is outDims [[planeWeights]]
+    * rows — per-OPERATOR driver constants shipped as literals (same
+    * rationale as the LSH planes: column-side md5 would re-hash the
+    * matrix per row); the projection itself is outDims codegen'd dots
+    * per row, map-only, no shuffle. Deterministic: same md5 plane
+    * family as [[lshBucket]] ⇒ same matrix in any engine, and the
+    * 1/√outDims scale is a correctly-rounded sqrt of an integer.
+    *
+    * Output: (idCol, `p0`..`p<outDims-1>` double columns) — flat
+    * scalars, not an array, so the result is directly comparable /
+    * writable by any column-oriented consumer.
+    */
+  def randomProjection(df: DataFrame, outDims: Int, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDims > 0, "outDims must be positive")
+    val v = asDouble(col(vecCol))
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { p =>
+      round(dot(v, planeWeights(p, dims)) * lit(scale), 5).as(s"p$p")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
   /** Adds the LSH `bucket` column. Map-only — no shuffle. */
   def withBucket(df: DataFrame, planes: Int, dims: Int,
       vecCol: String = "embedding"): DataFrame =

@@ -1493,6 +1493,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getInt(4) == 1 && out(0).getBoolean(5))
   }
 
+  test("randomProjection: JL scaling preserves expected norms, deterministic") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings").filter(col("vec_id") < 40)
+    val proj = graft.ext.Similarity.randomProjection(emb, outDims = 16)
+    val p = proj.collect().map(r =>
+      r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
+    val full = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // JL norm preservation: with uniform[-1,1) entries (variance 1/3)
+    // and 1/sqrt(k) scaling, E||proj||^2 = ||x||^2 / 3. The synthetic
+    // embeddings are near-uniform random, so pairwise DISTANCES
+    // concentrate and rank-order tests are noise — the norm ratio is
+    // the stable JL property to pin.
+    def n2(a: Array[Double]) = a.map(x => x * x).sum
+    val ids = full.keys.toSeq.sorted
+    val meanRatio = ids.map(id => 3.0 * n2(p(id)) / n2(full(id))).sum / ids.size
+    assert(meanRatio > 0.8 && meanRatio < 1.2,
+      s"mean 3*||proj||^2/||x||^2 = $meanRatio, expected ~1 (JL scaling)")
+    // deterministic constant matrix: same input, same sketch
+    val again = graft.ext.Similarity.randomProjection(emb.repartition(5), 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ids.forall(id => again(id) == p(id)(0)))
+  }
+
   test("temperatureMixture: smallest stratum keeps all, big strata flatten") {
     // strata sized 100 / 10000 tokens: rates 1.0 and sqrt(100·10000)/10000 = 0.1
     val rows = (1 to 10).map(i => (i.toLong, "small", 10L)) ++
