@@ -48,23 +48,26 @@ object Merge {
     * workflow (/root/reference/aws-athena.sh:175-196 diffs PROFILES;
     * this diffs the rows themselves).
     *
-    * Plan: each side collapses to (key, md5 of the compare columns) —
-    * map-only projections — then ONE full-outer shuffle join on the
-    * key. Change detection compares the digests, so wide payloads
-    * never travel through the join; null compare columns are digested
-    * via a sentinel (`coalesce(col, "\\u0000null")`) so a null column can
-    * never collide with real text (no corpus string starts with NUL),
-    * and the `"\\u0001"` separator keeps ("ab","c") from colliding
-    * with ("a","bc") across adjacent columns.
+    * Plan: each side collapses to (key, digest of the compare
+    * columns) — map-only projections — then ONE full-outer shuffle
+    * join on the key. Change detection compares the digests, so wide
+    * payloads never travel through the join. The digest is INJECTIVE
+    * over the column tuple (modulo md5 collisions): each column is
+    * md5'd individually — fixed 32-hex-char tokens, so concatenation
+    * can never re-segment across column boundaries (a separator-based
+    * scheme is stuffable by values CONTAINING the separator) — and a
+    * NULL column contributes the literal token "N", which no md5
+    * output can equal: null ≠ any string ≠ absent row, for arbitrary
+    * byte content.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
     def digested(df: DataFrame) = df.select(
       col(keyCol),
-      md5(concat_ws("\u0001",
-        compareCols.map(c => coalesce(col(c).cast("string"),
-          lit("\u0000null"))): _*)).as("__h"))
+      md5(concat_ws("",
+        compareCols.map(c => coalesce(md5(col(c).cast("string")),
+          lit("N"))): _*)).as("__h"))
     val o = digested(oldSnap).withColumnRenamed("__h", "__ho")
     val n = digested(newSnap).withColumnRenamed("__h", "__hn")
     o.join(n, Seq(keyCol), "full_outer")

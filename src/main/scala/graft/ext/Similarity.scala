@@ -164,12 +164,17 @@ object Similarity {
   def randomProjection(df: DataFrame, outDims: Int, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(outDims > 0, "outDims must be positive")
-    val v = asDouble(col(vecCol))
+    // stage the float→double conversion ONCE as a named column —
+    // inlining asDouble into each component would materialize outDims
+    // converted arrays per row (the exact per-plane-cast trap
+    // lshBucket's scaladoc documents); CollapseProject keeps a
+    // non-cheap multiply-referenced alias un-inlined
+    val staged = df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
     val scale = 1.0 / math.sqrt(outDims.toDouble)
     val comps = (0 until outDims).map { p =>
-      round(dot(v, planeWeights(p, dims)) * lit(scale), 5).as(s"p$p")
+      round(dot(col("__vd"), planeWeights(p, dims)) * lit(scale), 5).as(s"p$p")
     }
-    df.select(col(idCol) +: comps: _*)
+    staged.select(col(idCol) +: comps: _*)
   }
 
   /** Adds the LSH `bucket` column. Map-only — no shuffle. */

@@ -247,20 +247,27 @@ object EventStream {
         col("v"), col("cnt"))
   }
 
-  /** Drain all currently-available input through a streaming query
-    * into an in-memory table (Trigger.AvailableNow — the batch-like
-    * run mode used by tests and backfills), returning the result.
-    */
   /** Streaming CDC apply: maintain a keyed snapshot from a change
     * stream by running [[graft.ext.Merge.applyChangeSet]] inside
     * `foreachBatch` — the standard "change log in, current table out"
-    * composition. Each micro-batch merges into the latest snapshot
-    * version and writes the next one to `snapshotDir/v=<epoch>`;
-    * readers take the max version. Versioned directories stand in for
-    * a table format's atomic commit (Iceberg/Delta own that problem
-    * in production — the composition and the per-batch merge plan are
-    * what this operator demonstrates; batch N+1 only starts after
-    * batch N's write completes, so the version chain is consistent).
+    * composition. Each micro-batch merges into the version THIS QUERY
+    * last produced and writes the next one.
+    *
+    * Version chain: the base is tracked in the query's own state (a
+    * var captured by foreachBatch — foreachBatch batches are strictly
+    * sequential within a query), seeded from the newest complete
+    * version on disk at start. Versions strictly increase across
+    * runs, so a SECOND invocation on the same directory continues the
+    * chain instead of colliding with (or reading around) earlier
+    * runs' files — the stale-base/rerun trap of keying the base on a
+    * directory max evaluated per batch. Each version is written to a
+    * `_tmp_` path and renamed into place, so a crash mid-write leaves
+    * no half-written `v=` directory for the next run to seed from
+    * (rename is atomic on a local FS; on an object store a table
+    * format owns this commit — the composition is what this operator
+    * demonstrates). A replayed batch after a checkpoint recovery
+    * re-merges the same changes — idempotent for upsert/delete
+    * semantics, so the chain content converges.
     *
     * Requirements: `changes` carries the snapshot payload columns plus
     * `op` (upsert/delete); keys must be unique WITHIN a batch
@@ -273,23 +280,31 @@ object EventStream {
     val spark = changes.sparkSession
     val fs = new java.io.File(snapshotDir)
     fs.mkdirs()
-    def latestVersion(): Option[Long] = Option(fs.list()).toSeq.flatten
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted.lastOption
+    def versions(): Seq[Long] = Option(fs.list()).toSeq.flatten
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     val payloadSchema = StructType(
       changes.schema.filterNot(_.name == Merge.OpCol))
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ckpt-snapshot").toString
+    // the chain pointer: seeded once, advanced only by OUR completed
+    // writes — never re-derived from the directory mid-run
+    @volatile var baseVersion: Option[Long] = versions().sorted.lastOption
     changes.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val base = latestVersion() match {
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val base = baseVersion match {
           case Some(v) => spark.read.parquet(s"$snapshotDir/v=$v")
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
         }
+        val next = baseVersion.getOrElse(-1L) + 1L
+        val tmp = new java.io.File(fs, s"_tmp_v=$next")
         Merge.applyChangeSet(base, batch.toDF(), keyCol)
-          .write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val dest = new java.io.File(fs, s"v=$next")
+        require(tmp.renameTo(dest), s"could not commit snapshot $dest")
+        baseVersion = Some(next)
         ()
       }
       .start()
@@ -303,6 +318,10 @@ object EventStream {
     spark.read.parquet(s"$snapshotDir/v=${versions.max}")
   }
 
+  /** Drain all currently-available input through a streaming query
+    * into an in-memory table (Trigger.AvailableNow — the batch-like
+    * run mode used by tests and backfills), returning the result.
+    */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
       tableName: String): DataFrame = {
     // Explicit checkpoint dir: the auto-created temporary checkpoint
