@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite {
       "upsert+delete+insert chain must fold to the current table")
   }
 
+  test("maintainSnapshot: a second run on the same directory continues the chain") {
+    import spark.implicits._
+    val changesDir = java.nio.file.Files
+      .createTempDirectory("graft-changes2").toString
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-snap2").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    def run(sub: String, rows: Seq[(Long, String, String)]): Unit = {
+      Seq(rows: _*).toDF("id", "name", "op").coalesce(1)
+        .write.parquet(s"$changesDir/$sub")
+      // fresh stream + fresh checkpoint per invocation: batch ids
+      // restart at 0, which is exactly the rerun trap being pinned
+      val q = EventStream.maintainSnapshot(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(s"$changesDir/$sub"),
+        snapDir, "id")
+      q.awaitTermination(120000L)
+    }
+    run("r1", Seq((1L, "alice", "upsert"), (2L, "bob", "upsert")))
+    run("r2", Seq((2L, "bob2", "upsert"), (3L, "carol", "upsert")))
+    val now = EventStream.readSnapshot(spark, snapDir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(now.toSeq == Seq((1L, "alice"), (2L, "bob2"), (3L, "carol")),
+      "second run must merge into the FIRST run's final version")
+  }
+
   test("streaming distinct-user sketch tracks the exact batch distinct") {
     val streamed = EventStream.distinctUsersHourly(
       EventStream.readEvents(spark, eventsDir))
