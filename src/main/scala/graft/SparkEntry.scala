@@ -37,6 +37,7 @@ object SparkEntry {
   // c_acctbal goes negative — exercises the profiler's sign handling
   // in the exact display rounding against the real oracle
   private val customerNumeric = Seq("c_custkey", "c_nationkey", "c_acctbal")
+  private val eventsNumeric = Seq("event_id", "user_id", "value")
 
   /** TPC-H Q1-shaped pricing summary — ANSI SQL that parses identically
     * in Spark and DuckDB, exercising the `query`/`file` SQL-passthrough
@@ -108,12 +109,6 @@ object SparkEntry {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  /** §2.4 extension — ROLLUP grouping sets through the SQL
-    * passthrough (subtotals + grand total in one pass; Spark plans a
-    * single Expand + one shuffle, not one scan per grouping set).
-    * Explicit NULLS FIRST because the engines' default null order
-    * differs (Spark first, DuckDB last).
-    */
   /** §2.3 — TPC-H Q5-shaped "local supplier volume": the canonical
     * 6-table star-plus-snowflake join. The distinguishing edge is
     * `c_nationkey = s_nationkey` — an equi-constraint between two
@@ -141,6 +136,22 @@ object SparkEntry {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** §2.4 — CORRELATED scalar subquery (the reference's generated SQL
+    * uses uncorrelated ones, aws-athena.sh:81-100; correlation is the
+    * harder superset): each customer's most expensive order(s). Spark's
+    * RewriteCorrelatedScalarSubquery turns the per-row subquery into
+    * ONE aggregate over the subquery side + an equi-join — no
+    * per-outer-row re-execution, the plan you need at scale. Same
+    * dialect-portable SQL runs on both engines.
+    */
+  private val correlatedMaxSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | round(cast(cast(o_totalprice as decimal(18,6)) as double), 5) AS total
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** §2.4 — CUBE grouping sets: every (flag, status) margin in one
     * pass. Spark plans ROLLUP/CUBE as a single Expand + one hash
     * aggregate — 4× the rows into the shuffle (one per grouping set),
@@ -157,6 +168,12 @@ object SparkEntry {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** §2.4 extension — ROLLUP grouping sets through the SQL
+    * passthrough (subtotals + grand total in one pass; Spark plans a
+    * single Expand + one shuffle, not one scan per grouping set).
+    * Explicit NULLS FIRST because the engines' default null order
+    * differs (Spark first, DuckDB last).
+    */
   private val rollupPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       | cast(grouping(l_returnflag) AS INT) AS g_flag,
@@ -303,6 +320,12 @@ object SparkEntry {
     "q_profile_customer" -> withTables { s =>
       TableProfiler.profileTable(s, "customer")
     },
+    // §2.4 — profile over a NULL-bearing numeric column (events.value
+    // is nullable): count/distinct/sum skip nulls identically in both
+    // engines; the value-counts relation simply has no row for null.
+    "q_profile_events" -> withTables { s =>
+      TableProfiler.profileTable(s, "events")
+    },
     // §2.1/§1.1 — information_schema.columns scan with the reference's
     // conjunctive WHERE (aws-athena.sh:175-176).
     "q_infoschema_lineitem" -> withTables { s =>
@@ -334,6 +357,7 @@ object SparkEntry {
       s.sql(localSupplierVolumeSql)
     },
     "q_cube_pricing" -> withTables { s => s.sql(cubePricingSql) },
+    "q_correlated_max" -> withTables { s => s.sql(correlatedMaxSql) },
     // §7.5 — latest-state snapshot over the event log (CDC "current
     // table" read); WindowGroupLimit keeps per-key top-1 before the
     // exchange, so the shuffle carries the snapshot, not the log.
@@ -969,6 +993,7 @@ object SparkEntry {
     "q_profile_lineitem_long" -> Oracles.profileLong("lineitem", lineitemNumeric),
     "q_profile_orders" -> Oracles.profilePivot("orders", ordersNumeric),
     "q_profile_customer" -> Oracles.profilePivot("customer", customerNumeric),
+    "q_profile_events" -> Oracles.profilePivot("events", eventsNumeric),
     "q_infoschema_lineitem" -> Oracles.infoSchemaValues("lineitem", lineitemTypes),
     "q_infoschema_numeric_filter" -> Oracles.numericFilterValues("lineitem", lineitemTypes),
     "q_profile_diff" -> Oracles.profileDiff(
@@ -986,6 +1011,7 @@ object SparkEntry {
     "q_rollup_pricing" -> rollupPricingSql,
     "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_cube_pricing" -> cubePricingSql,
+    "q_correlated_max" -> correlatedMaxSql,
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
