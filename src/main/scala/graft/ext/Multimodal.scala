@@ -59,6 +59,40 @@ object Multimodal {
       .withColumn("byte_len", length(col("media")).cast("long"))
       .withColumn("checksum", md5(col("media")))
 
+  /** Magic-byte signatures for payload sniffing — the standard
+    * leading bytes of the common media containers.
+    */
+  val MagicSignatures: Seq[(String, Array[Byte])] = Seq(
+    "png" -> Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+    "jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+    "gif" -> "GIF8".getBytes("US-ASCII"),
+    "riff" -> "RIFF".getBytes("US-ASCII")) // wav/avi/webp container
+
+  /** Classify a binary payload by its magic bytes WITHOUT decoding —
+    * the cheap integrity gate against the DECLARED kind (crawled
+    * media lies about its content type constantly). Pure codegen'd
+    * prefix comparisons over the first ≤8 bytes; at 100 TB this is a
+    * map-only pass whose scan still prunes to (media-prefix, kind) —
+    * no codec, no shuffle. Unrecognized payloads → "unknown".
+    */
+  def sniffKind(media: Column): Column =
+    MagicSignatures.foldRight(lit("unknown"): Column) {
+      case ((kind, sig), acc) =>
+        when(substring(media, 1, sig.length) === lit(sig), lit(kind))
+          .otherwise(acc)
+    }
+
+  /** Adds `sniffed_kind` and a `kind_matches` audit flag (does the
+    * payload's magic agree with the declared `kind` column).
+    */
+  def withSniffedKind(assets: DataFrame,
+      declaredCol: String = "kind"): DataFrame =
+    assets
+      .withColumn("sniffed_kind", sniffKind(col("media")))
+      .withColumn("kind_matches",
+        col("sniffed_kind") === col(declaredCol))
+
   /** Split a binary payload into fixed-size chunks (the shuffle-safe
     * unit). `substring` on binary is a codegen'd byte slice.
     */

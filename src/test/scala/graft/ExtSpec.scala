@@ -290,6 +290,27 @@ class ExtSpec extends AnyFunSuite {
 
   // ---- Multimodal ----
 
+  test("sniffKind classifies magic bytes without decoding; audit flags liars") {
+    val png = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3).map(_.toByte)
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 9).map(_.toByte)
+    val wav = "RIFFxxxxWAVE".getBytes("US-ASCII")
+    val text = "just words".getBytes("UTF-8")
+    val df = Seq(
+      (1L, "image", png), (2L, "image", jpeg),
+      (3L, "audio", wav), (4L, "image", text))
+      .toDF("asset_id", "kind", "media")
+    val out = Multimodal.withSniffedKind(df).orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "png", false),   // sniffed png ≠ declared "image" label
+      (2L, "jpeg", false), (3L, "riff", false), (4L, "unknown", false)))
+    // a declared column carrying the sniffable name matches
+    val honest = Multimodal.withSniffedKind(
+      Seq((1L, "png", png)).toDF("asset_id", "kind", "media")).head
+    assert(honest.getBoolean(4))
+  }
+
   test("chunking covers the payload with bounded pieces; sampling strides") {
     val df = Seq((0L, "x" * 150)).toDF("doc_id", "text")
       .select(encode(col("text"), "UTF-8").as("media"))
