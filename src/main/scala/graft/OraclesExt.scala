@@ -198,6 +198,22 @@ object OraclesExt {
       |SELECT o_orderkey, round(o_totalprice, 5) AS total
       |FROM merged ORDER BY o_orderkey""".stripMargin
 
+  /** Magic-byte sniffing — INDEPENDENT ground truth for
+    * q_multimodal_sniff: the Spark side constructs each payload with
+    * the signature selected by doc_id and then actually sniffs the
+    * bytes; this oracle derives the expected kind straight from the
+    * same doc_id arithmetic, never touching payload bytes. Kind order
+    * must match Multimodal.MagicSignatures.
+    */
+  val multimodalSniff: String = {
+    val kinds = graft.ext.Multimodal.MagicSignatures.map(_._1)
+    val cases = kinds.zipWithIndex
+      .map { case (k, i) => s"WHEN $i THEN '$k'" }.mkString(" ")
+    s"""SELECT CASE doc_id % ${kinds.size} $cases END AS sniffed_kind,
+       |  count(*)::BIGINT AS n_assets
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Row-level snapshot diff — twin of Merge.snapshotDiff over the
     * deterministically edited orders snapshot. Change detection here
     * is direct `IS DISTINCT FROM` on the compare columns (the Spark

@@ -711,6 +711,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     // §7.5 extensions — multimodal binary-column metadata.
+    // §7.5 — magic-byte sniffing end-to-end: payloads are CONSTRUCTED
+    // with a real container signature chosen by doc_id, then the
+    // engine actually sniffs the bytes. The oracle derives the
+    // expected kind independently from doc_id — ground truth by
+    // construction, not a mirrored implementation.
+    "q_multimodal_sniff" -> withTables { s =>
+      val sigs = Multimodal.MagicSignatures.map { case (_, b) => lit(b) }
+      val media = concat(
+        element_at(array(sigs: _*), (col("doc_id") % sigs.size).cast("int") + 1),
+        encode(col("text"), "UTF-8"))
+      s.table("documents")
+        .select(Multimodal.sniffKind(media).as("sniffed_kind"))
+        .groupBy("sniffed_kind").agg(count(lit(1)).as("n_assets"))
+        .orderBy("sniffed_kind")
+    },
     "q_multimodal_meta" -> withTables { s =>
       val assets = Multimodal.withChecksums(
         Multimodal.assetTable(s.table("documents")))
@@ -1046,6 +1061,7 @@ object SparkEntry {
     "q_text_langid" -> OraclesExt.textLangId,
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
+    "q_multimodal_sniff" -> OraclesExt.multimodalSniff,
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
     "q_split_by_source" -> OraclesExt.splitBySource(testFraction),
