@@ -566,6 +566,46 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** K-means cluster profile — twin of Similarity.kmeansProfile:
+    * md5-sampled seeds, `refine` Lloyd steps (each an exact copy of
+    * the [[knnIvfRefined]] refinement block: rounded-cosine nearest
+    * assignment, DECIMAL(28,12)-exact per-dim means, renormalize),
+    * final assignment, then per-cluster size / exact HALF_UP mean
+    * cohesion ([[decAvg5Sql]]) / min cohesion.
+    */
+  def kmeansProfile(nlist: Int, refine: Int): String = {
+    // cent0 = sampled seeds; each step i reads cent{i} → cent{i+1}
+    val steps = (0 until refine).map { i =>
+      s"""a$i AS (SELECT n.vec_id, n.nv, c.centroid_id,
+         |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cent$i c),
+         |r$i AS (SELECT *, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM a$i),
+         |cells$i AS (SELECT vec_id, nv, centroid_id FROM r$i WHERE crank = 1),
+         |dimv$i AS (SELECT centroid_id, dim, nv[dim] AS v
+         |  FROM cells$i, range(1, 65) t(dim)),
+         |sums$i AS (SELECT centroid_id, dim,
+         |  sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS m
+         |  FROM dimv$i GROUP BY centroid_id, dim),
+         |mraw$i AS (SELECT centroid_id, list(m ORDER BY dim) AS mv
+         |  FROM sums$i GROUP BY centroid_id),
+         |cent${i + 1} AS (SELECT centroid_id, list_transform(mv, x -> x /
+         |  sqrt(list_sum(list_transform(mv, y -> y * y)))) AS ce FROM mraw$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |cent0 AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |$steps,
+       |af AS (SELECT n.vec_id, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cent$refine c),
+       |rf AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM af),
+       |assigned AS (SELECT vec_id, centroid_id, cscore FROM rf WHERE crank = 1)
+       |SELECT centroid_id AS cluster_id, count(*)::BIGINT AS cluster_size,
+       |  ${decAvg5Sql("cscore")} AS mean_cohesion,
+       |  min(cscore) AS min_cohesion
+       |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Corpus text statistics per (lang, source) — twin of
     * TextStats.corpusStats. Raw (unrounded) ratios feed the quality
     * blend exactly as the Spark side does.
@@ -936,6 +976,29 @@ object OraclesExt {
        |  FROM uni JOIN lp ON uni.g = lp.token GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
        |  coalesce(per.ce, 0.0) AS cross_entropy
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Per-document token-distribution Shannon entropy — twin of
+    * TextStats.tokenEntropy: per-term ln(n/c) quantized to
+    * DECIMAL(18,9), probability-weighted mean Σ c·q / n in exact
+    * integer HALF-UP arithmetic (the weighted [[decAvg5Sql]] form);
+    * zero-token docs surface with zeros.
+    */
+  val tokenEntropy: String =
+    s"""WITH $toksCte, $uniCte,
+       |cnt AS (SELECT doc_id, g AS token, count(*)::BIGINT AS c
+       |  FROM uni GROUP BY doc_id, g),
+       |terms AS (SELECT doc_id, c,
+       |  sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt),
+       |per AS (SELECT doc_id, max(n)::BIGINT AS n_tokens,
+       |  count(*)::BIGINT AS distinct_tokens,
+       |  floor((cast(sum(c * round(ln(n::DOUBLE / c::DOUBLE), 9)::DECIMAL(18,9))
+       |      * 1000000000 AS BIGINT) * 2 + max(n) * 10000)::DOUBLE
+       |    / (max(n) * 10000 * 2)::DOUBLE) / 100000.0 AS entropy_nats
+       |  FROM terms GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(per.distinct_tokens, 0)::BIGINT AS distinct_tokens,
+       |  coalesce(per.entropy_nats, 0.0) AS entropy_nats
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** BM25 keyword search — twin of Search.bm25: identical expression

@@ -274,6 +274,10 @@ object SparkEntry {
   // nprobe nearest (shared with OraclesExt.semDedupPairs)
   private[graft] val semDedupNlist = 16
   private[graft] val semDedupNprobe = 2
+  // k-means cluster profile: 16 clusters, 2 Lloyd refinements —
+  // single-sourced so the Spark query and oracle SQL cannot drift.
+  private[graft] val kmeansNlist = 16
+  private[graft] val kmeansRefine = 2
   private[graft] val bm25Terms = Seq("spark", "window", "merge")
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
@@ -469,6 +473,12 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4, refine = 1).orderBy("query_id", "rank")
     },
+    // k-means corpus-topology report (2 Lloyd steps): cluster sizes
+    // and cohesion — what cluster-balanced sampling / SemDeDup read.
+    "q_embedding_kmeans" -> withTables { s =>
+      Similarity.kmeansProfile(s.table("embeddings"),
+        nlist = kmeansNlist, refine = kmeansRefine)
+    },
     // §7.5 extensions — text analysis over `documents`.
     "q_text_stats" -> withTables { s =>
       TextStats.corpusStats(s.table("documents"))
@@ -555,6 +565,11 @@ object SparkEntry {
     // shuffle for counts, one partially-aggregated doc roll-up).
     "q_text_lm_score" -> withTables { s =>
       TextStats.lmCrossEntropy(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — within-doc token-distribution entropy (repetitive-junk
+    // signal: long-but-templated docs score near 0).
+    "q_text_entropy" -> withTables { s =>
+      TextStats.tokenEntropy(s.table("documents")).orderBy("doc_id")
     },
     // §7.5 — best-k-per-group selection (WindowGroupLimit: skewed
     // groups never materialize more than k+ rows per task).
@@ -1056,6 +1071,7 @@ object SparkEntry {
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
+    "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
     "q_text_stats" -> OraclesExt.textStats,
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
@@ -1073,6 +1089,7 @@ object SparkEntry {
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
+    "q_text_entropy" -> OraclesExt.tokenEntropy,
     "q_score_calibrate" -> OraclesExt.scoreCalibrate,
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),

@@ -426,4 +426,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** K-means cluster profile of the corpus: md5-sampled seeds
+    * ([[ivfCentroids]]) refined by `refine` deterministic Lloyd
+    * steps ([[ivfRefineOnce]]), every vector assigned to its nearest
+    * refined centroid, rolled up per cluster:
+    *
+    *  - `cluster_size` — membership count,
+    *  - `mean_cohesion` — exact HALF_UP 5-decimal mean of the
+    *    member→centroid cosine ([[graft.ext.TextStats.decAvg5]]:
+    *    quantized-input averages land on .5×10⁻⁵ ties where double
+    *    `round` is engine-dependent — SURVEY.md §8.3 rule 3),
+    *  - `min_cohesion` — the worst member (cluster spread signal).
+    *
+    * This is the corpus-topology report a curation pipeline reads
+    * before cluster-balanced sampling or SemDeDup-style pruning:
+    * undersized or low-cohesion clusters flag junk modes.
+    *
+    * Scale shape: each Lloyd step and the final assignment are one
+    * broadcast of `nlist` centroids + one map-side n·nlist score —
+    * the corpus is shuffled only by (centroid_id, dim) for the
+    * per-cell means and by centroid_id (nlist keys, map-side
+    * combined) for the roll-up. Nothing is O(n²) and the corpus
+    * never materializes on the driver.
+    */
+  def kmeansProfile(corpus: DataFrame, nlist: Int, refine: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nc = normalized(corpus, idCol, vecCol)
+    var cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    for (_ <- 0 until refine) cents = ivfRefineOnce(nc, cents, idCol, vecCol)
+    val scored = ivfAssign(nc, cents, 1, idCol, vecCol)
+      .join(broadcast(cents), "centroid_id")
+      .withColumn("cscore", round(dot(col(vecCol), col("centroid_vec")), 5))
+    scored.groupBy(col("centroid_id").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        graft.ext.TextStats.decAvg5(col("cscore"), count(lit(1)))
+          .as("mean_cohesion"),
+        min(col("cscore")).as("min_cohesion"))
+      .orderBy("cluster_id")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document corpus — the
@@ -393,6 +394,55 @@ object TextStats {
       .select(col(idCol),
         coalesce(col("__nt"), lit(0L)).as("n_tokens"),
         coalesce(col("__ce"), lit(0.0)).as("cross_entropy"))
+  }
+
+  /** Per-document Shannon entropy (nats) of the document's OWN token
+    * distribution: H = Σ (c_t/n)·ln(n/c_t) over the doc's term
+    * counts. A low-entropy document is repetitive/templated junk even
+    * when it is long — the standard quality signal that length and
+    * stopword ratios miss (a 500-token doc of one repeated word has
+    * H = 0). Complements [[repetitionStats]] (top-term fractions) with
+    * the whole-distribution summary, and [[lmCrossEntropy]] (corpus
+    * model) with the within-doc model.
+    *
+    * Cross-engine determinism (SURVEY.md §8.3): each term's ln(n/c)
+    * is quantized to DECIMAL(18,9) — ln differs ≤1 ulp between
+    * engines, far inside the quantum — then the probability-weighted
+    * mean Σ c·q / n is computed in EXACT integer arithmetic (the
+    * weighted form of [[decAvg5]]'s HALF_UP: ⌊(2su + d) / 2d⌋ with
+    * su = scale-9 units of Σ c·q, d = n·10⁴). Zero-token docs
+    * surface with zeros.
+    *
+    * Scale shape: explode → (doc, token) count [one shuffle] → a
+    * per-doc window for n [second shuffle, by doc] → the final
+    * per-doc roll-up reuses the window's partitioning (no third
+    * exchange). Nothing is collected; term-count rows, not token
+    * occurrences, cross the second shuffle.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = Dedup.spread(df, textCol)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    val counts = toks.groupBy(idCol, "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(idCol)
+    val terms = counts
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("wq", col("c") *
+        round(log(col("n").cast("double") / col("c").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+    val su = (sum(col("wq")) * lit(1000000000L)).cast("long")
+    val d = max(col("n")) * lit(10000L)
+    val per = terms.groupBy(idCol).agg(
+      max(col("n")).as("__nt"),
+      count(lit(1)).as("__dt"),
+      (floor((su * 2 + d).cast("double") / (d * 2).cast("double")) /
+        lit(100000.0)).as("__h"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__dt"), lit(0L)).as("distinct_tokens"),
+        coalesce(col("__h"), lit(0.0)).as("entropy_nats"))
   }
 
   /** Document fingerprints:

@@ -918,6 +918,28 @@ class ExtSpec extends AnyFunSuite {
     assert(again == first, "decimal-exact means must not depend on partitioning")
   }
 
+  test("kmeansProfile: clusters partition the corpus; cohesion bounds hold") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val prof = Similarity.kmeansProfile(emb, nlist = 16, refine = 2).collect()
+    assert(prof.length <= 16 && prof.nonEmpty)
+    assert(prof.map(_.getLong(1)).sum == emb.count(),
+      "every vector lands in exactly one cluster")
+    prof.foreach { r =>
+      val size = r.getLong(1)
+      val mean = r.getDouble(2)
+      val min = r.getDouble(3)
+      assert(size >= 1L)
+      assert(mean <= 1.0 + 1e-9 && min <= mean + 5e-6,
+        s"cluster ${r.getLong(0)}: mean $mean min $min")
+    }
+    // decimal-exact Lloyd means + HALF_UP roll-up → partitioning-independent
+    val again = Similarity
+      .kmeansProfile(emb.repartition(7), nlist = 16, refine = 2)
+      .collect().map(_.toSeq)
+    assert(again.toSeq == prof.map(_.toSeq).toSeq)
+  }
+
   // ---- BM25 search ----
 
   test("bm25: matched-term count and tf drive rank; non-matching docs absent") {
@@ -1109,6 +1131,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0)._2 == 8 && out(1)._2 == 8 && out(2)._2 == 0L)
     assert(out(1)._3 > out(0)._3, "a rare token must raise cross-entropy")
     assert(out(2)._3 == 0.0)
+  }
+
+  test("tokenEntropy: uniform=ln k, repeated=0, empty doc zeros") {
+    val df = Seq(
+      (1L, "a b c d"),          // uniform over 4 → H = ln 4
+      (2L, "the the the the"),  // degenerate → H = 0
+      (3L, "a a a b"),          // 3/4·ln(4/3) + 1/4·ln 4
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.tokenEntropy(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 4L, math.rint(math.log(4.0) * 1e5) / 1e5)))
+    assert(out(1) == ((2L, 4L, 1L, 0.0)))
+    val h3 = 0.75 * math.log(4.0 / 3.0) + 0.25 * math.log(4.0)
+    assert(math.abs(out(2)._4 - h3) < 1e-5 && out(2)._3 == 2L)
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
   }
 
   // ---- Full curation verdict ----
