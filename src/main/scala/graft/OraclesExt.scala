@@ -1380,6 +1380,33 @@ object OraclesExt {
        |  RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, day_num""".stripMargin
 
+  /** Gap-filled daily series — twin of Events.gapFillDaily: per-type
+    * day spine from `range(d0, d1+1)`, zero-filled counts/sums,
+    * forward-filled last observed daily total (`last_value IGNORE
+    * NULLS` over the same unbounded-preceding ROWS frame).
+    */
+  val eventsGapFill: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+       |    count(*)::BIGINT AS n_events,
+       |    sum(cast(value AS DECIMAL(18,6))) AS sum_dec
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT event_type, min(day_num) AS d0, max(day_num) AS d1
+       |  FROM daily GROUP BY 1),
+       |spine AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day_num FROM span),
+       |j AS (SELECT s.event_type, s.day_num, d.n_events, d.sum_dec
+       |  FROM spine s LEFT JOIN daily d USING (event_type, day_num))
+       |SELECT event_type, day_num,
+       |  n_events IS NOT NULL AS observed,
+       |  coalesce(n_events, 0)::BIGINT AS n_events,
+       |  round(cast(coalesce(sum_dec, 0::DECIMAL(18,6)) AS DOUBLE), 5) AS sum_value,
+       |  round(cast(last_value(sum_dec IGNORE NULLS) OVER
+       |    (PARTITION BY event_type ORDER BY day_num
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 5)
+       |    AS ffill_sum_value
+       |FROM j ORDER BY event_type, day_num""".stripMargin
+
   /** Ordered funnel — twin of Events.funnelStages via sequential
     * filtered-min CTEs (stage i's min is taken at-or-after stage
     * i-1's time; a user leaves the funnel by absence from the CTE,

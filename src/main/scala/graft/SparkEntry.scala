@@ -928,6 +928,12 @@ object SparkEntry {
       Events.rollingDaily(s.table("events"), rollingDays)
         .orderBy("event_type", "day_num")
     },
+    // §7.5 — gap-filled daily series (zero-fill + forward-fill): the
+    // hole-free spine rolling averages and baselines assume.
+    "q_events_gapfill" -> withTables { s =>
+      Events.gapFillDaily(s.table("events"))
+        .orderBy("event_type", "day_num")
+    },
     // §7.5 — ordered funnel signup → click → purchase: per-user stage
     // times (µs; a broken funnel nulls every later stage). One user
     // shuffle + order-independent min-of-filter HOFs.
@@ -1123,6 +1129,7 @@ object SparkEntry {
     "q_events_sessions" -> OraclesExt.eventsSessions,
     "q_events_asof" -> OraclesExt.eventsAsof,
     "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
+    "q_events_gapfill" -> OraclesExt.eventsGapFill,
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),

@@ -149,6 +149,45 @@ object Events {
         round(col("__delta_dec").cast("double"), 5).as("delta_value"))
   }
 
+  /** Gap-filled daily series: every calendar day inside each type's
+    * observed [min, max] span gets a row, whether or not events
+    * occurred — absent days are the thing downstream consumers
+    * (rolling averages, charting, anomaly baselines) silently get
+    * wrong when a series has holes. Counts and sums zero-fill;
+    * `ffill_sum_value` carries the most recent OBSERVED day's total
+    * forward (`last` ignoring nulls — the state-like fill);
+    * `observed` flags real vs synthesized rows.
+    *
+    * Scale shape: the raw stream collapses to one row per
+    * (type, day) first — the spine (`sequence` over each type's
+    * span, exploded) and everything after it operate on O(types ×
+    * days) rows, never on raw events. The spine join and the
+    * forward-fill window share the (type, day)-keyed layout.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__sum_dec"))
+    val spine = daily
+      .groupBy("event_type")
+      .agg(min(col("day_num")).as("__d0"), max(col("day_num")).as("__d1"))
+      .select(col("event_type"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day_num"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day_num"), "left")
+      .withColumn("__ffill_dec", last(col("__sum_dec"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("day_num"),
+        col("n_events").isNotNull.as("observed"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("__sum_dec"), lit(0).cast("decimal(18,6)"))
+          .cast("double"), 5).as("sum_value"),
+        round(col("__ffill_dec").cast("double"), 5).as("ffill_sum_value"))
+  }
+
   /** Cohort retention: users grouped by their first-activity day
     * (the cohort), then per (cohort_day, day_offset) the count of
     * cohort members active that day and the retention rate against

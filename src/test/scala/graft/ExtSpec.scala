@@ -666,6 +666,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("roll_sum_value") == 12.0)
   }
 
+  test("gapFillDaily: holes synthesized with zero-fill and forward-fill") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    val df = Seq(
+      ("a", ts(1), 10.0), ("a", ts(1), 5.0), ("a", ts(4), 2.0), // 2-day hole
+      ("b", ts(2), 7.0))                                         // single day
+      .toDF("event_type", "ts", "value")
+    val out = Events.gapFillDaily(df).orderBy("event_type", "day_num").collect()
+    assert(out.length == 5, "a spans 4 days, b spans 1")
+    val d0 = java.time.LocalDate.of(2026, 1, 1).toEpochDay
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).toSeq == (d0 to d0 + 3).toSeq)
+    // observed day: real count/sum, ffill = its own total
+    assert(a(0).getBoolean(2) && a(0).getLong(3) == 2L &&
+      a(0).getDouble(4) == 15.0 && a(0).getDouble(5) == 15.0)
+    // synthesized days: zero-filled but carrying day 1's total forward
+    for (i <- 1 to 2) {
+      assert(!a(i).getBoolean(2) && a(i).getLong(3) == 0L)
+      assert(a(i).getDouble(4) == 0.0 && a(i).getDouble(5) == 15.0)
+    }
+    assert(a(3).getBoolean(2) && a(3).getDouble(5) == 2.0)
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length == 1 && b(0).getBoolean(2) && b(0).getDouble(4) == 7.0)
+  }
+
   test("funnelStages: ordered reach, broken funnel nulls later stages") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
