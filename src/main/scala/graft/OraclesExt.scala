@@ -573,7 +573,11 @@ object OraclesExt {
     * final assignment, then per-cluster size / exact HALF_UP mean
     * cohesion ([[decAvg5Sql]]) / min cohesion.
     */
-  def kmeansProfile(nlist: Int, refine: Int): String = {
+  /** Shared CTE chain ending in `assigned(vec_id, centroid_id,
+    * cscore)` — the refined-k-means assignment both [[kmeansProfile]]
+    * and [[clusterSample]] read.
+    */
+  private def kmeansAssignCtes(nlist: Int, refine: Int): String = {
     // cent0 = sampled seeds; each step i reads cent{i} → cent{i+1}
     val steps = (0 until refine).map { i =>
       s"""a$i AS (SELECT n.vec_id, n.nv, c.centroid_id,
@@ -591,7 +595,7 @@ object OraclesExt {
          |cent${i + 1} AS (SELECT centroid_id, list_transform(mv, x -> x /
          |  sqrt(list_sum(list_transform(mv, y -> y * y)))) AS ce FROM mraw$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $normCte,
+    s"""$normCte,
        |cent0 AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
        |$steps,
@@ -599,12 +603,30 @@ object OraclesExt {
        |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cent$refine c),
        |rf AS (SELECT *, row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM af),
-       |assigned AS (SELECT vec_id, centroid_id, cscore FROM rf WHERE crank = 1)
+       |assigned AS (SELECT vec_id, centroid_id, cscore FROM rf WHERE crank = 1)""".stripMargin
+  }
+
+  def kmeansProfile(nlist: Int, refine: Int): String =
+    s"""WITH ${kmeansAssignCtes(nlist, refine)}
        |SELECT centroid_id AS cluster_id, count(*)::BIGINT AS cluster_size,
        |  ${decAvg5Sql("cscore")} AS mean_cohesion,
        |  min(cscore) AS min_cohesion
        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** Cluster-capped diversity sample — twin of
+    * Similarity.clusterSample: within each refined-k-means cluster,
+    * keep the `cap` members with the smallest md5(vec_id) (the shared
+    * deterministic-membership convention), centroid-cosine tie-break
+    * irrelevant since md5 keys are unique per id.
+    */
+  def clusterSample(nlist: Int, refine: Int, cap: Int): String =
+    s"""WITH ${kmeansAssignCtes(nlist, refine)},
+       |ranked AS (SELECT vec_id, centroid_id AS cluster_id, cscore,
+       |  row_number() OVER (PARTITION BY centroid_id
+       |    ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) AS pick
+       |  FROM assigned)
+       |SELECT vec_id, cluster_id, cscore, cast(pick AS INT) AS pick
+       |FROM ranked WHERE pick <= $cap ORDER BY vec_id""".stripMargin
 
   /** Corpus text statistics per (lang, source) — twin of
     * TextStats.corpusStats. Raw (unrounded) ratios feed the quality

@@ -278,6 +278,7 @@ object SparkEntry {
   // single-sourced so the Spark query and oracle SQL cannot drift.
   private[graft] val kmeansNlist = 16
   private[graft] val kmeansRefine = 2
+  private[graft] val clusterSampleCap = 20
   private[graft] val bm25Terms = Seq("spark", "window", "merge")
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
@@ -478,6 +479,13 @@ object SparkEntry {
     "q_embedding_kmeans" -> withTables { s =>
       Similarity.kmeansProfile(s.table("embeddings"),
         nlist = kmeansNlist, refine = kmeansRefine)
+    },
+    // cluster-capped diversity sample: ≤ cap md5-picked members per
+    // k-means cluster (cluster-balanced corpus pruning).
+    "q_cluster_sample" -> withTables { s =>
+      Similarity.clusterSample(s.table("embeddings"),
+        nlist = kmeansNlist, refine = kmeansRefine, cap = clusterSampleCap)
+        .orderBy("vec_id")
     },
     // §7.5 extensions — text analysis over `documents`.
     "q_text_stats" -> withTables { s =>
@@ -1078,6 +1086,8 @@ object SparkEntry {
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
+    "q_cluster_sample" ->
+      OraclesExt.clusterSample(kmeansNlist, kmeansRefine, clusterSampleCap),
     "q_text_stats" -> OraclesExt.textStats,
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,

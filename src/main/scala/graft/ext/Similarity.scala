@@ -451,18 +451,53 @@ object Similarity {
     * never materializes on the driver.
     */
   def kmeansProfile(corpus: DataFrame, nlist: Int, refine: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nc = normalized(corpus, idCol, vecCol)
-    var cents = ivfCentroids(nc, nlist, idCol, vecCol)
-    for (_ <- 0 until refine) cents = ivfRefineOnce(nc, cents, idCol, vecCol)
-    val scored = ivfAssign(nc, cents, 1, idCol, vecCol)
-      .join(broadcast(cents), "centroid_id")
-      .withColumn("cscore", round(dot(col(vecCol), col("centroid_vec")), 5))
-    scored.groupBy(col("centroid_id").as("cluster_id"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(corpus, nlist, refine, idCol, vecCol)
+      .groupBy(col("centroid_id").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         graft.ext.TextStats.decAvg5(col("cscore"), count(lit(1)))
           .as("mean_cohesion"),
         min(col("cscore")).as("min_cohesion"))
       .orderBy("cluster_id")
+
+  /** Refined-k-means assignment: every corpus vector with its nearest
+    * refined centroid and the (rounded) cosine to it — the shared
+    * stage behind [[kmeansProfile]] and [[clusterSample]].
+    */
+  def kmeansAssign(corpus: DataFrame, nlist: Int, refine: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nc = normalized(corpus, idCol, vecCol)
+    var cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    for (_ <- 0 until refine) cents = ivfRefineOnce(nc, cents, idCol, vecCol)
+    ivfAssign(nc, cents, 1, idCol, vecCol)
+      .join(broadcast(cents), "centroid_id")
+      .withColumn("cscore", round(dot(col(vecCol), col("centroid_vec")), 5))
+      .select(col(idCol), col("centroid_id"), col("cscore"))
+  }
+
+  /** Cluster-capped diversity sample: at most `cap` members per
+    * k-means cluster, picked by smallest md5(id) — the repo's
+    * deterministic-membership convention ([[graft.ext.Sampling]]),
+    * so the pick is reproducible on any engine and independent of
+    * partitioning. This is the cluster-balanced pruning step that
+    * keeps a corpus' coverage while cutting its bulk: an over-dense
+    * mode (boilerplate, near-dup families) contributes at most `cap`
+    * documents instead of its whole mass.
+    *
+    * Scale shape: assignment is map-side (broadcast centroids); the
+    * per-cluster pick is rank ≤ cap over a window, which Spark plans
+    * as WindowGroupLimit — each task retains at most cap+1 rows per
+    * cluster BEFORE the exchange, so a skewed mega-cluster never
+    * materializes in one task's memory.
+    */
+  def clusterSample(corpus: DataFrame, nlist: Int, refine: Int, cap: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    kmeansAssign(corpus, nlist, refine, idCol, vecCol)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= cap)
+      .select(col(idCol), col("centroid_id").as("cluster_id"),
+        col("cscore"), col("pick"))
   }
 }

@@ -964,6 +964,28 @@ class ExtSpec extends AnyFunSuite {
     assert(again.toSeq == prof.map(_.toSeq).toSeq)
   }
 
+  test("clusterSample: cap respected per cluster, picks are md5-deterministic") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val cap = 20
+    val out = Similarity.clusterSample(emb, nlist = 16, refine = 2, cap = cap)
+    val rows = out.collect()
+    val perCluster = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ <= cap))
+    // the kept set is exactly the cap smallest md5(id) of each cluster
+    val assigned = Similarity.kmeansAssign(emb, 16, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = assigned.groupBy(_._2).values.flatMap { members =>
+      members.map(_._1).sortBy(id => md5Hex(id.toString)).take(cap)
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    // rank ≤ cap over the window must plan as WindowGroupLimit
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   // ---- BM25 search ----
 
   test("bm25: matched-term count and tf drive rank; non-matching docs absent") {
