@@ -1402,6 +1402,44 @@ object OraclesExt {
        |  RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, day_num""".stripMargin
 
+  /** Data-quality constraint report — twin of Checks.report over
+    * lineitem/orders: identical null conventions (accepted-values and
+    * bounds skip nulls; FK counts null keys as orphans), exact
+    * integer counts, same check names.
+    */
+  def dataChecks(qtyLo: Double, qtyHi: Double,
+      priceLo: Double, priceHi: Double): String =
+    s"""WITH rows_all AS (
+       |SELECT 'accepted_values(l_returnflag)' AS check_name, count(*)::BIGINT AS total,
+       |  sum(CASE WHEN l_returnflag IS NOT NULL
+       |    AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)::BIGINT AS violations
+       |  FROM lineitem
+       |UNION ALL
+       |SELECT 'bounds(l_extendedprice)', count(*)::BIGINT,
+       |  sum(CASE WHEN l_extendedprice IS NOT NULL
+       |    AND (l_extendedprice::DOUBLE < $priceLo OR l_extendedprice::DOUBLE > $priceHi)
+       |    THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+       |UNION ALL
+       |SELECT 'bounds(l_quantity)', count(*)::BIGINT,
+       |  sum(CASE WHEN l_quantity IS NOT NULL
+       |    AND (l_quantity::DOUBLE < $qtyLo OR l_quantity::DOUBLE > $qtyHi)
+       |    THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+       |UNION ALL
+       |SELECT 'fk(l_orderkey->orders)', count(*)::BIGINT,
+       |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+       |    ON l.l_orderkey = o.o_orderkey
+       |UNION ALL
+       |SELECT 'not_null(l_shipdate)', count(*)::BIGINT,
+       |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+       |UNION ALL
+       |SELECT 'unique(l_orderkey,l_linenumber)', sum(n)::BIGINT,
+       |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT
+       |  FROM (SELECT count(*) AS n FROM lineitem
+       |        GROUP BY l_orderkey, l_linenumber))
+       |SELECT check_name, total, violations, violations = 0 AS passed
+       |FROM rows_all ORDER BY check_name""".stripMargin
+
   /** Gap-filled daily series — twin of Events.gapFillDaily: per-type
     * day spine from `range(d0, d1+1)`, zero-filled counts/sums,
     * forward-filled last observed daily total (`last_value IGNORE

@@ -279,6 +279,11 @@ object SparkEntry {
   private[graft] val kmeansNlist = 16
   private[graft] val kmeansRefine = 2
   private[graft] val clusterSampleCap = 20
+  // data-check bounds (shared with OraclesExt.dataChecks)
+  private[graft] val checkQtyLo = 1.0
+  private[graft] val checkQtyHi = 50.0
+  private[graft] val checkPriceLo = 0.0
+  private[graft] val checkPriceHi = 50000.0
   private[graft] val bm25Terms = Seq("spark", "window", "merge")
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
@@ -786,6 +791,21 @@ object SparkEntry {
           maxRatioNum = fuzzyRatioNum, maxRatioDen = fuzzyRatioDen)
         .orderBy("id_a", "id_b")
     },
+    // §7.5 — data-quality constraint report (validation gate before a
+    // batch is admitted): all row-local checks in ONE scan pass, key
+    // uniqueness via one keyed group-by, referential integrity via
+    // one equi-join; exact integer counts.
+    "q_data_checks" -> withTables { s =>
+      import graft.ext.Checks
+      Checks.report(s.table("lineitem"), Seq(
+        Checks.NotNull("l_shipdate"),
+        Checks.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Checks.NumericBounds("l_quantity", checkQtyLo, checkQtyHi),
+        Checks.NumericBounds("l_extendedprice", checkPriceLo, checkPriceHi),
+        Checks.UniqueKey(Seq("l_orderkey", "l_linenumber")),
+        Checks.ForeignKey(Seq("l_orderkey"), s.table("orders"),
+          Seq("o_orderkey"), "orders")))
+    },
     // §7.5 — MERGE INTO (upsert + delete change set applied to a
     // snapshot): one anti-join + union, the table-maintenance op.
     // The change set is derived deterministically from orders so both
@@ -1062,6 +1082,8 @@ object SparkEntry {
     "q_skew_report" -> OraclesExt.skewReport(skewReportK),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,
+    "q_data_checks" -> OraclesExt.dataChecks(
+      checkQtyLo, checkQtyHi, checkPriceLo, checkPriceHi),
     "q_snapshot_diff" -> OraclesExt.snapshotDiff(snapRemovedMod,
       snapChangedMod, snapAddedMod, snapAddedOffset),
     "q_range_join" -> OraclesExt.rangeJoin(valueBands),

@@ -1195,6 +1195,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("Checks.report: each constraint family counts its violations exactly") {
+    import graft.ext.Checks
+    val child = Seq(
+      (1L, Some("A"), 10.0),
+      (1L, Some("Z"), 200.0),  // dup key, bad value, out of bounds
+      (2L, None, -5.0),        // null flag (not an accepted_values violation), below lo
+      (9L, Some("N"), 50.0)    // orphan key (no parent 9)
+    ).toDF("k", "flag", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Checks.report(child, Seq(
+      Checks.NotNull("flag"),
+      Checks.AcceptedValues("flag", Seq("A", "N")),
+      Checks.NumericBounds("v", 0.0, 100.0),
+      Checks.UniqueKey(Seq("k")),
+      Checks.ForeignKey(Seq("k"), parent, Seq("pk"), "parent")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("not_null(flag)") == ((4L, 1L, false)))
+    assert(out("accepted_values(flag)") == ((4L, 1L, false)), "null is skipped")
+    assert(out("bounds(v)") == ((4L, 2L, false)))
+    assert(out("unique(k)") == ((4L, 1L, false)), "two rows share k=1")
+    assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
+  }
+
   // ---- Full curation verdict ----
 
   test("curateFull: repetitive and high_oov gates fire in priority order") {
