@@ -1023,6 +1023,32 @@ object OraclesExt {
        |  coalesce(per.entropy_nats, 0.0) AS entropy_nats
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Top-k bigram PMI — twin of TextStats.pmiBigrams: identical
+    * bigram window convention, degenerate (space-free) grams excluded
+    * from pairs and totals, ONE identically-shaped double expression
+    * for the PMI, (pmi DESC, token_a, token_b) order.
+    */
+  def pmiBigrams(minCount: Long, k: Int): String =
+    s"""WITH $toksCte,
+       |u AS (SELECT unnest(t) AS token FROM toks),
+       |cnt1 AS (SELECT token, count(*)::BIGINT AS c1 FROM u GROUP BY token),
+       |bgl AS (SELECT list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |  i -> array_to_string(t[i:i+1], ' ')) AS bgs FROM toks),
+       |bgu AS (SELECT unnest(bgs) AS g FROM bgl),
+       |cnt2 AS (SELECT g, count(*)::BIGINT AS c2 FROM bgu
+       |  WHERE contains(g, ' ') GROUP BY g),
+       |nt AS (SELECT sum(c1)::BIGINT AS n FROM cnt1),
+       |bt AS (SELECT sum(c2)::BIGINT AS b FROM cnt2),
+       |p AS (SELECT string_split(g, ' ')[1] AS token_a,
+       |  string_split(g, ' ')[2] AS token_b, c2 FROM cnt2 WHERE c2 >= $minCount)
+       |SELECT token_a, token_b, c2 AS pair_count,
+       |  round(ln(c2::DOUBLE * n::DOUBLE * n::DOUBLE /
+       |    (b::DOUBLE * a.c1::DOUBLE * bb.c1::DOUBLE)), 5) AS pmi
+       |FROM p JOIN cnt1 a ON p.token_a = a.token
+       |       JOIN cnt1 bb ON p.token_b = bb.token
+       |       CROSS JOIN nt CROSS JOIN bt
+       |ORDER BY pmi DESC, token_a, token_b LIMIT $k""".stripMargin
+
   /** BM25 keyword search — twin of Search.bm25: identical expression
     * trees (idf rounded at 5 decimals per term, per-term scores
     * quantized to DECIMAL(18,9), exact sum, integer HALF-AWAY final

@@ -279,6 +279,9 @@ object SparkEntry {
   private[graft] val kmeansNlist = 16
   private[graft] val kmeansRefine = 2
   private[graft] val clusterSampleCap = 20
+  // PMI collocations (shared with OraclesExt.pmiBigrams)
+  private[graft] val pmiMinCount = 5L
+  private[graft] val pmiK = 50
   // data-check bounds (shared with OraclesExt.dataChecks)
   private[graft] val checkQtyLo = 1.0
   private[graft] val checkQtyHi = 50.0
@@ -583,6 +586,12 @@ object SparkEntry {
     // signal: long-but-templated docs score near 0).
     "q_text_entropy" -> withTables { s =>
       TextStats.tokenEntropy(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — top-k collocations by bigram PMI (vocabulary-sized
+    // shuffles + TakeOrderedAndProject; the corpus is never joined).
+    "q_pmi_bigrams" -> withTables { s =>
+      TextStats.pmiBigrams(s.table("documents"),
+        minCount = pmiMinCount, k = pmiK)
     },
     // §7.5 — best-k-per-group selection (WindowGroupLimit: skewed
     // groups never materialize more than k+ rows per task).
@@ -1128,6 +1137,7 @@ object SparkEntry {
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
     "q_text_entropy" -> OraclesExt.tokenEntropy,
+    "q_pmi_bigrams" -> OraclesExt.pmiBigrams(pmiMinCount, pmiK),
     "q_score_calibrate" -> OraclesExt.scoreCalibrate,
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),

@@ -445,6 +445,57 @@ object TextStats {
         coalesce(col("__h"), lit(0.0)).as("entropy_nats"))
   }
 
+  /** Top-k word associations by pointwise mutual information over
+    * consecutive-token bigrams: PMI(a,b) = ln(p(a,b)/(p(a)p(b))) with
+    * p from corpus unigram/bigram counts. High-PMI pairs are the
+    * corpus' collocations — multiword terms a tokenizer-vocabulary or
+    * boilerplate-phrase analysis wants surfaced. `minCount` floors
+    * the bigram count (PMI is noise-dominated on rare pairs).
+    *
+    * Determinism: counts are exact integers; the PMI double is ONE
+    * identically-shaped expression tree (left-assoc products, one
+    * division, one ln) evaluated on integer-derived doubles — bit
+    * identical on any IEEE engine — rounded at 5 for display; the
+    * top-k order ties on (pmi DESC, token_a, token_b).
+    *
+    * Scale shape: unigram and bigram counts are two map-side-combined
+    * shuffles sized by vocabulary, not corpus; the count joins are
+    * token-keyed equi-joins between vocabulary-sized relations (the
+    * raw token stream is never joined); totals ride in as broadcast
+    * one-row relations; the top-k is TakeOrderedAndProject (nothing
+    * fully sorts).
+    */
+  def pmiBigrams(df: DataFrame, minCount: Long, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val staged = Dedup.spread(df, textCol)
+      .select(tokens(col(textCol)).as("__t"))
+    val uni = staged
+      .select(explode_outer(col("__t")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    // degenerate grams (short docs yield a truncated single-token
+    // "bigram", empty docs an empty string) carry no space → excluded
+    // from pairs AND totals on both engines
+    val bi = staged
+      .select(explode_outer(Dedup.ngrams(col("__t"), 2)).as("bg"))
+      .filter(col("bg").isNotNull && col("bg").contains(" "))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val nTot = uni.agg(sum(col("c1")).as("n"))
+    val bTot = bi.agg(sum(col("c2")).as("b"))
+    val d = (c: Column) => c.cast("double")
+    bi.filter(col("c2") >= minCount)
+      .withColumn("token_a", split(col("bg"), " ").getItem(0))
+      .withColumn("token_b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("token").as("token_a"), col("c1").as("ca")), "token_a")
+      .join(uni.select(col("token").as("token_b"), col("c1").as("cb")), "token_b")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+      .select(col("token_a"), col("token_b"), col("c2").as("pair_count"),
+        round(log(d(col("c2")) * d(col("n")) * d(col("n")) /
+          (d(col("b")) * d(col("ca")) * d(col("cb")))), 5).as("pmi"))
+      .orderBy(col("pmi").desc, col("token_a"), col("token_b"))
+      .limit(k)
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the sorted distinct token set — exact
     *    content-set identity, robust to token order/repetition.

@@ -1179,6 +1179,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2)._3 == 0.0)
   }
 
+  test("pmiBigrams: collocated pair outranks independent pair; floors apply") {
+    // "x y" always collocate (4×); "a b" co-occur once among many
+    // independent uses of a and b; "solo" appears in a 1-token doc
+    // whose degenerate gram must not count as a bigram
+    val df = Seq(
+      (1L, "x y a q1 b q2 a q3 b q4"),
+      (2L, "x y a q5 b q6 a q7 b q8"),
+      (3L, "x y a b a q9 b q10"),
+      (4L, "x y"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val out = TextStats.pmiBigrams(df, minCount = 1L, k = 100)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val m = rows.map(r => (r._1, r._2) -> r).toMap
+    assert(m.contains(("x", "y")) && m(("x", "y"))._3 == 4L)
+    assert(m.contains(("a", "b")) && m(("a", "b"))._3 == 1L)
+    assert(m(("x", "y"))._4 > m(("a", "b"))._4,
+      "perfect collocation must outscore incidental adjacency")
+    assert(!rows.exists(r => r._1 == "solo" || r._2 == "solo"),
+      "degenerate single-token gram is not a bigram")
+    // the top-k order is (pmi desc, token_a, token_b)
+    assert(rows.sortBy(r => (-r._4, r._1, r._2)).toSeq == rows.toSeq)
+  }
+
   test("tokenEntropy: uniform=ln k, repeated=0, empty doc zeros") {
     val df = Seq(
       (1L, "a b c d"),          // uniform over 4 → H = ln 4
