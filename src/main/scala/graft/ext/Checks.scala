@@ -64,17 +64,42 @@ object Checks {
     def name = s"fk(${columns.mkString(",")}->$parentName)"
   }
 
-  private def violations(c: Check): Column = c match {
-    case NotNull(col0) =>
-      sum(when(col(col0).isNull, 1L).otherwise(0L))
+  /** The row-level "this row violates c" predicate — shared by the
+    * batch [[report]] (conditional count) and the streaming-safe
+    * [[withValidation]] (per-row flags).
+    */
+  private def violatedCond(c: Check): Column = c match {
+    case NotNull(col0) => col(col0).isNull
     case AcceptedValues(col0, vs) =>
-      sum(when(col(col0).isNotNull &&
-        !col(col0).isin(vs.map(v => v: Any): _*), 1L).otherwise(0L))
+      col(col0).isNotNull && !col(col0).isin(vs.map(v => v: Any): _*)
     case NumericBounds(col0, lo, hi) =>
-      sum(when(col(col0).isNotNull &&
-        (col(col0).cast("double") < lo || col(col0).cast("double") > hi),
-        1L).otherwise(0L))
+      col(col0).isNotNull &&
+        (col(col0).cast("double") < lo || col(col0).cast("double") > hi)
     case _ => throw new IllegalArgumentException(s"not row-local: $c")
+  }
+
+  private def violations(c: Check): Column =
+    sum(when(violatedCond(c), 1L).otherwise(0L))
+
+  /** Per-row validation verdict: appends `failed_checks` (names of
+    * every violated row-local check) and `valid`. Purely map-side —
+    * no shuffle, no state — so it runs unchanged on a STREAMING
+    * DataFrame: the canonical dead-letter split is
+    * `v.filter(col("valid"))` to the main sink and
+    * `v.filter(!col("valid"))` to the quarantine sink, each with the
+    * full audit of which constraints the row broke. Only row-local
+    * checks are accepted (uniqueness/FK need cross-row state — in a
+    * stream that is a watermarked aggregation, a different operator).
+    */
+  def withValidation(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.forall {
+      case _: NotNull | _: AcceptedValues | _: NumericBounds => true
+      case _ => false
+    }, "withValidation accepts only row-local checks")
+    val flags = checks.map(c => when(violatedCond(c), lit(c.name)))
+    df.withColumn("failed_checks",
+        filter(array(flags: _*), x => x.isNotNull))
+      .withColumn("valid", size(col("failed_checks")) === 0)
   }
 
   /** Run every check; one report row per check, sorted by name. */

@@ -233,6 +233,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("withValidation splits a stream into main and dead-letter paths") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.Checks
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    // the verdict is map-only, so both routes run from one stream
+    val validated = Checks.withValidation(
+      input.toDF.toDF("id", "flag", "v"), Seq(
+        Checks.AcceptedValues("flag", Seq("A", "N")),
+        Checks.NumericBounds("v", 0.0, 100.0)))
+    def sink(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft-ckpt-$name").toString)
+        .outputMode("append").start()
+    val qMain = sink(validated.filter(col("valid")), "stream_valid")
+    val qDead = sink(validated.filter(!col("valid")), "stream_dead")
+    try {
+      input.addData((1L, "A", 10.0), (2L, "Z", 10.0), (3L, "N", 500.0),
+        (4L, "Z", -1.0))
+      qMain.processAllAvailable(); qDead.processAllAvailable()
+      assert(spark.table("stream_valid").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+      val dead = spark.table("stream_dead").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](3)).toMap
+      assert(dead.keySet == Set(2L, 3L, 4L))
+      assert(dead(2L) == Seq("accepted_values(flag)"))
+      assert(dead(3L) == Seq("bounds(v)"))
+      assert(dead(4L) == Seq("accepted_values(flag)", "bounds(v)"),
+        "every broken constraint is audited, in check order")
+    } finally { qMain.stop(); qDead.stop() }
+  }
+
   test("streaming doc dedup keys on content digest and keeps the first copy") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
