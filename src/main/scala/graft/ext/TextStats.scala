@@ -428,7 +428,13 @@ object TextStats {
     val w = Window.partitionBy(idCol)
     val terms = counts
       .withColumn("n", sum(col("c")).over(w))
-      .withColumn("wq", col("c") *
+      // the count multiplies in as DECIMAL(10,0), NOT long: long ×
+      // DECIMAL(18,9) needs precision 39 > 38, and Spark resolves the
+      // overflow by silently dropping the scale to 8 — every term
+      // would be re-rounded and the sum drifts off the oracle by
+      // ~1e-7 (caught by the sf0.1 sweep on a .5×10⁻⁵ tie, doc 4905)
+      .withColumn("wq",
+        col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0)) *
         round(log(col("n").cast("double") / col("c").cast("double")), 9)
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
     val su = (sum(col("wq")) * lit(1000000000L)).cast("long")
