@@ -1023,6 +1023,52 @@ object OraclesExt {
        |  coalesce(per.entropy_nats, 0.0) AS entropy_nats
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Per-source vocabulary growth — twin of TextStats.vocabGrowth:
+    * identical (source, token) counts, hapax = count-1 terms,
+    * single-division ratios rounded at 5.
+    */
+  val vocabGrowth: String =
+    s"""WITH t2 AS (SELECT source,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |u AS (SELECT source, unnest(t) AS token FROM t2),
+       |tc AS (SELECT source, token, count(*)::BIGINT AS c FROM u GROUP BY source, token),
+       |v AS (SELECT source, count(*)::BIGINT AS vocab, sum(c)::BIGINT AS total,
+       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+       |  FROM tc GROUP BY source),
+       |d AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source)
+       |SELECT d.source, d.n_docs,
+       |  coalesce(v.total, 0)::BIGINT AS total_tokens,
+       |  coalesce(v.vocab, 0)::BIGINT AS vocab_size,
+       |  coalesce(v.hapax, 0)::BIGINT AS hapax_count,
+       |  round(CASE WHEN coalesce(v.total, 0) > 0
+       |    THEN v.vocab::DOUBLE / v.total::DOUBLE ELSE 0.0 END, 5) AS type_token_ratio,
+       |  round(CASE WHEN coalesce(v.vocab, 0) > 0
+       |    THEN v.hapax::DOUBLE / v.vocab::DOUBLE ELSE 0.0 END, 5) AS hapax_ratio
+       |FROM d LEFT JOIN v USING (source) ORDER BY source""".stripMargin
+
+  /** Bigram-LM cross-entropy — twin of TextStats.lm2CrossEntropy:
+    * shared bigram window convention, prefix masses aggregated from
+    * the bigram counts, −ln(c2/ca) quantized to DECIMAL(18,9), exact
+    * HALF-UP per-doc mean; sub-2-token docs surface with zeros.
+    */
+  val lm2CrossEntropy: String =
+    s"""WITH $toksCte,
+       |bgl AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |  i -> array_to_string(t[i:i+1], ' ')) AS bgs FROM toks),
+       |bgu AS (SELECT doc_id, unnest(bgs) AS g FROM bgl),
+       |occ AS (SELECT doc_id, g FROM bgu WHERE contains(g, ' ')),
+       |cnt2 AS (SELECT g, count(*)::BIGINT AS c2 FROM occ GROUP BY g),
+       |pref AS (SELECT string_split(g, ' ')[1] AS a, sum(c2)::BIGINT AS ca
+       |  FROM cnt2 GROUP BY 1),
+       |lp AS (SELECT g, round(-ln(c2::DOUBLE / ca::DOUBLE), 9)::DECIMAL(18,9) AS nlp
+       |  FROM cnt2 JOIN pref ON string_split(cnt2.g, ' ')[1] = pref.a),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  ${decAvg5Sql("nlp")} AS ce
+       |  FROM occ JOIN lp USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(per.ce, 0.0) AS cross_entropy2
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Top-k bigram PMI — twin of TextStats.pmiBigrams: identical
     * bigram window convention, degenerate (space-free) grams excluded
     * from pairs and totals, ONE identically-shaped double expression

@@ -593,6 +593,16 @@ object SparkEntry {
       TextStats.pmiBigrams(s.table("documents"),
         minCount = pmiMinCount, k = pmiK)
     },
+    // §7.5 — per-source vocabulary growth (Heaps-law dashboard:
+    // templated sources stop minting new words).
+    "q_vocab_growth" -> withTables { s =>
+      TextStats.vocabGrowth(s.table("documents")).orderBy("source")
+    },
+    // §7.5 — bigram-LM cross-entropy (order-aware companion of the
+    // unigram q_text_lm_score).
+    "q_text_lm2_score" -> withTables { s =>
+      TextStats.lm2CrossEntropy(s.table("documents")).orderBy("doc_id")
+    },
     // §7.5 — best-k-per-group selection (WindowGroupLimit: skewed
     // groups never materialize more than k+ rows per task).
     "q_top_quality_per_lang" -> withTables { s =>
@@ -1138,6 +1148,8 @@ object SparkEntry {
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
     "q_text_entropy" -> OraclesExt.tokenEntropy,
     "q_pmi_bigrams" -> OraclesExt.pmiBigrams(pmiMinCount, pmiK),
+    "q_vocab_growth" -> OraclesExt.vocabGrowth,
+    "q_text_lm2_score" -> OraclesExt.lm2CrossEntropy,
     "q_score_calibrate" -> OraclesExt.scoreCalibrate,
     "q_shard" -> OraclesExt.shard(shardCount),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),

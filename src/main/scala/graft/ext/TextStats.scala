@@ -451,6 +451,87 @@ object TextStats {
         coalesce(col("__h"), lit(0.0)).as("entropy_nats"))
   }
 
+  /** Per-source corpus composition: document count, token mass,
+    * vocabulary size, hapax count (tokens occurring exactly once in
+    * the source) and the derived type-token / hapax ratios. The
+    * Heaps-law dashboard row: a source whose vocabulary barely grows
+    * with its token mass (low TTR, low hapax share) is templated or
+    * machine-generated; a natural-language source keeps minting rare
+    * words. Sources with zero tokens surface with zeros.
+    *
+    * Scale shape: one (source, token) count shuffle (map-side
+    * combined, vocabulary-sized output) collapses to one row per
+    * source; the doc counts ride a separate tiny aggregate and join
+    * on the handful of source keys. Ratios are single integer
+    * divisions rounded at 5 (tie-safe, SURVEY.md §8.3 rule 4).
+    */
+  def vocabGrowth(df: DataFrame, textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    val toks = Dedup.spread(df, textCol)
+      .select(col(groupCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    val tc = toks.groupBy(groupCol, "token").agg(count(lit(1)).as("c"))
+    val v = tc.groupBy(groupCol).agg(
+      count(lit(1)).as("__vocab"),
+      sum(col("c")).as("__total"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"))
+    df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .join(v, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("__total"), lit(0L)).as("total_tokens"),
+        coalesce(col("__vocab"), lit(0L)).as("vocab_size"),
+        coalesce(col("__hapax"), lit(0L)).as("hapax_count"),
+        round(when(coalesce(col("__total"), lit(0L)) > 0,
+          col("__vocab").cast("double") / col("__total").cast("double"))
+          .otherwise(0.0), 5).as("type_token_ratio"),
+        round(when(coalesce(col("__vocab"), lit(0L)) > 0,
+          col("__hapax").cast("double") / col("__vocab").cast("double"))
+          .otherwise(0.0), 5).as("hapax_ratio"))
+  }
+
+  /** Bigram-LM cross-entropy: per-document mean of −ln p(b|a) under
+    * the corpus' own bigram model, p(b|a) = c(ab) / c(a·) with c(a·)
+    * the mass of bigrams starting with a. The order-aware companion
+    * to [[lmCrossEntropy]]'s unigram model: a doc of common words in
+    * IMPROBABLE order scores high here but low there. No smoothing
+    * is needed — the model is trained on the corpus being scored, so
+    * every observed bigram has mass. Docs with fewer than two tokens
+    * surface with n_bigrams = 0, score 0.
+    *
+    * Determinism: −ln of the single ratio quantized to DECIMAL(18,9)
+    * (§8.3), exact HALF-UP mean via [[decAvg5]].
+    *
+    * Scale shape: bigram counts shuffle once (map-side combined,
+    * vocabulary-sized); prefix masses aggregate FROM the bigram
+    * counts (never a second corpus pass); the occurrence stream
+    * joins the scored model on the bigram key — one keyed equi-join,
+    * the same shape the unigram scorer uses.
+    */
+  def lm2CrossEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val staged = Dedup.spread(df, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val bg = staged
+      .select(col(idCol), explode_outer(Dedup.ngrams(col("__t"), 2)).as("bg"))
+      .filter(col("bg").isNotNull && col("bg").contains(" "))
+    val cnt2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val pref = cnt2
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .groupBy("a").agg(sum(col("c2")).as("ca"))
+    val lp = cnt2.withColumn("a", split(col("bg"), " ").getItem(0))
+      .join(pref, "a")
+      .select(col("bg"),
+        round(-log(col("c2").cast("double") / col("ca").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nlp"))
+    val per = bg.join(lp, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nb"), decAvg5(col("nlp"), count(lit(1))).as("__ce"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__ce"), lit(0.0)).as("cross_entropy2"))
+  }
+
   /** Top-k word associations by pointwise mutual information over
     * consecutive-token bigrams: PMI(a,b) = ln(p(a,b)/(p(a)p(b))) with
     * p from corpus unigram/bigram counts. High-PMI pairs are the

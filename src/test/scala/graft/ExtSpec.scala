@@ -1179,6 +1179,39 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2)._3 == 0.0)
   }
 
+  test("vocabGrowth: vocabulary, hapax, and ratio accounting per source") {
+    val df = Seq(
+      (1L, "a b c a", "s1"),   // s1: 6 tokens, vocab {a,b,c}, hapax {c}
+      (2L, "a b", "s1"),
+      (3L, "", "s2")).toDF("doc_id", "text", "source")
+    val out = TextStats.vocabGrowth(df).orderBy("source").collect()
+    assert(out.length == 2)
+    val s1 = out(0)
+    assert(s1.getString(0) == "s1" && s1.getLong(1) == 2L)
+    assert(s1.getLong(2) == 6L && s1.getLong(3) == 3L && s1.getLong(4) == 1L)
+    assert(s1.getDouble(5) == 0.5 && s1.getDouble(6) == math.rint(1e5 / 3) / 1e5)
+    val s2 = out(1)
+    assert(s2.getString(0) == "s2" && s2.getLong(1) == 1L &&
+      s2.getLong(2) == 0L && s2.getDouble(5) == 0.0,
+      "token-free source surfaces with zeros")
+  }
+
+  test("lm2CrossEntropy: deterministic continuations score 0; order matters") {
+    val df = Seq(
+      (1L, "x y x y x y"),  // after x always y, after y always x → H = 0
+      (2L, "p q p r"),      // after p: q or r (1/2 each) → mean over 3 bigrams
+      (3L, "solo"),         // no bigram
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.lm2CrossEntropy(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 5L, 0.0)), "fully predictable doc scores 0")
+    // doc 2 bigrams: pq, qp, pr → -ln(1/2), -ln(1), -ln(1/2) → 2ln2/3
+    val h2 = math.rint(2.0 * math.log(2.0) / 3.0 * 1e5) / 1e5
+    assert(out(1)._2 == 3L && math.abs(out(1)._3 - h2) < 2e-5)
+    assert(out(2) == ((3L, 0L, 0.0)) && out(3) == ((4L, 0L, 0.0)))
+  }
+
   test("pmiBigrams: collocated pair outranks independent pair; floors apply") {
     // "x y" always collocate (4×); "a b" co-occur once among many
     // independent uses of a and b; "solo" appears in a 1-token doc
