@@ -1539,6 +1539,38 @@ object OraclesExt {
        |    AS ffill_sum_value
        |FROM j ORDER BY event_type, day_num""".stripMargin
 
+  /** Trailing z-score anomaly flags — twin of Events.anomalyFlags:
+    * exact-decimal windowed S₁/S₂ over the prior-days RANGE frame,
+    * integer HALF-UP trailing mean, and the SAME double expression
+    * tree for the z-test.
+    */
+  def eventsAnomaly(windowDays: Int, k: Double, minDays: Int): String = {
+    val mu = "(cast(s1 AS DOUBLE) / wc::DOUBLE)"
+    val varr = s"greatest(cast(s2 AS DOUBLE) / wc::DOUBLE - $mu * $mu, 0.0)"
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+       |    count(*)::BIGINT AS n_events,
+       |    sum(cast(value AS DECIMAL(18,6))) AS sum_dec
+       |  FROM events GROUP BY 1, 2),
+       |d2 AS (SELECT event_type, day_num, n_events,
+       |  round(cast(sum_dec AS DOUBLE), 5)::DECIMAL(18,5) AS v FROM daily),
+       |st AS (SELECT *, sum(v) OVER w AS s1,
+       |  sum(v::DECIMAL(19,5) * v) OVER w AS s2,
+       |  count(*) OVER w AS wc FROM d2
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+       |    RANGE BETWEEN $windowDays PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day_num, n_events,
+       |  cast(v AS DOUBLE) AS sum_value,
+       |  wc::BIGINT AS win_days,
+       |  CASE WHEN wc > 0 THEN floor((cast(s1 * 100000 AS BIGINT) * 2 + wc)::DOUBLE
+       |    / (wc * 2)::DOUBLE) / 100000.0 ELSE 0.0 END AS mean_prior,
+       |  CASE WHEN wc > 0 THEN round(sqrt($varr), 5) ELSE 0.0 END AS std_prior,
+       |  (wc >= $minDays AND abs(cast(v AS DOUBLE) - $mu) > $k * sqrt($varr))
+       |    AS is_anomaly
+       |FROM st ORDER BY event_type, day_num""".stripMargin
+  }
+
   /** Ordered funnel — twin of Events.funnelStages via sequential
     * filtered-min CTEs (stage i's min is taken at-or-after stage
     * i-1's time; a user leaves the funnel by absence from the CTE,

@@ -279,6 +279,10 @@ object SparkEntry {
   private[graft] val kmeansNlist = 16
   private[graft] val kmeansRefine = 2
   private[graft] val clusterSampleCap = 20
+  // anomaly flags (shared with OraclesExt.eventsAnomaly)
+  private[graft] val anomalyWindowDays = 7
+  private[graft] val anomalyK = 2.0
+  private[graft] val anomalyMinDays = 3
   // PMI collocations (shared with OraclesExt.pmiBigrams)
   private[graft] val pmiMinCount = 5L
   private[graft] val pmiK = 50
@@ -981,6 +985,12 @@ object SparkEntry {
       Events.gapFillDaily(s.table("events"))
         .orderBy("event_type", "day_num")
     },
+    // §7.5 — trailing z-score spike/drop flags against the prior-week
+    // baseline (current day excluded from its own baseline).
+    "q_events_anomaly" -> withTables { s =>
+      Events.anomalyFlags(s.table("events"), anomalyWindowDays,
+        anomalyK, anomalyMinDays).orderBy("event_type", "day_num")
+    },
     // §7.5 — ordered funnel signup → click → purchase: per-user stage
     // times (µs; a broken funnel nulls every later stage). One user
     // shuffle + order-independent min-of-filter HOFs.
@@ -1184,6 +1194,8 @@ object SparkEntry {
     "q_events_asof" -> OraclesExt.eventsAsof,
     "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
     "q_events_gapfill" -> OraclesExt.eventsGapFill,
+    "q_events_anomaly" -> OraclesExt.eventsAnomaly(
+      anomalyWindowDays, anomalyK, anomalyMinDays),
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),

@@ -188,6 +188,59 @@ object Events {
         round(col("__ffill_dec").cast("double"), 5).as("ffill_sum_value"))
   }
 
+  /** Trailing z-score anomaly flags on the per-(type, day) series:
+    * each day's total is tested against the mean/σ of the PRIOR
+    * `windowDays` calendar days (the current day never contaminates
+    * its own baseline; absent days fall out of the RANGE frame).
+    * `is_anomaly` fires when at least `minDays` baseline days exist
+    * and |x − μ| > k·σ — the spike/drop detector a daily pipeline
+    * health check runs.
+    *
+    * Determinism: the windowed S₁/S₂ accumulate in EXACT decimals
+    * (order-free — a double windowed sum would depend on the
+    * engine's frame-evaluation order), `mean7` renders via the
+    * integer HALF-UP rule, and the z-test itself runs in doubles
+    * with ONE identically-shaped expression tree on both engines
+    * (identical inputs → identical IEEE results). v² stays inside
+    * DECIMAL(37,10) — no silent scale loss (SURVEY.md §8.3 rule 11).
+    *
+    * Scale shape: identical to [[rollingDaily]] — the raw stream
+    * collapses to O(types × days) rows before any window runs.
+    */
+  def anomalyFlags(events: DataFrame, windowDays: Int = 7,
+      k: Double = 2.0, minDays: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__sum_dec"))
+      .withColumn("__v",
+        round(col("__sum_dec").cast("double"), 5).cast("decimal(18,5)"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-windowDays.toLong, -1L)
+    val st = daily
+      .withColumn("__s1", sum(col("__v")).over(w))
+      .withColumn("__s2", sum(col("__v") * col("__v")).over(w))
+      .withColumn("__w", count(lit(1)).over(w))
+    val su = (col("__s1") * lit(100000L)).cast("long")
+    val mu = col("__s1").cast("double") / col("__w").cast("double")
+    val varr = greatest(
+      col("__s2").cast("double") / col("__w").cast("double") - mu * mu,
+      lit(0.0))
+    st.select(col("event_type"), col("day_num"), col("n_events"),
+      col("__v").cast("double").as("sum_value"),
+      col("__w").as("win_days"),
+      when(col("__w") > 0,
+        floor((su * 2 + col("__w")).cast("double") /
+          (col("__w") * 2).cast("double")) / lit(100000.0))
+        .otherwise(0.0).as("mean_prior"),
+      when(col("__w") > 0, round(sqrt(varr), 5)).otherwise(0.0).as("std_prior"),
+      (col("__w") >= minDays &&
+        abs(col("__v").cast("double") - mu) > lit(k) * sqrt(varr))
+        .as("is_anomaly"))
+  }
+
   /** Cohort retention: users grouped by their first-activity day
     * (the cohort), then per (cohort_day, day_offset) the count of
     * cohort members active that day and the retention rate against

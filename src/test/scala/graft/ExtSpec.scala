@@ -690,6 +690,26 @@ class ExtSpec extends AnyFunSuite {
     assert(b.length == 1 && b(0).getBoolean(2) && b(0).getDouble(4) == 7.0)
   }
 
+  test("anomalyFlags: spike fires, flat series and thin baselines do not") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    val df = ((1 to 7).map(d => ("a", ts(d), 10.0)) :+ ("a", ts(8), 100.0))
+      .toDF("event_type", "ts", "value")
+    val out = Events.anomalyFlags(df, windowDays = 7, k = 2.0, minDays = 3)
+      .orderBy("day_num").collect()
+    assert(out.length == 8)
+    // day 1: empty baseline; days 2-3: fewer than minDays prior days
+    assert(!out(0).getBoolean(7) && !out(1).getBoolean(7) && !out(2).getBoolean(7))
+    // days 4-7: flat series on a flat baseline — never anomalous
+    for (i <- 3 to 6) {
+      assert(!out(i).getBoolean(7))
+      assert(out(i).getDouble(5) == 10.0 && out(i).getDouble(6) == 0.0,
+        s"day ${i + 1}: exact flat baseline")
+    }
+    // day 8: 100 vs baseline mean 10, sigma 0 → fires
+    assert(out(7).getBoolean(7) && out(7).getDouble(5) == 10.0 &&
+      out(7).getLong(4) == 7L)
+  }
+
   test("funnelStages: ordered reach, broken funnel nulls later stages") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
