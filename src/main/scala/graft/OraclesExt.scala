@@ -1539,6 +1539,22 @@ object OraclesExt {
        |    AS ffill_sum_value
        |FROM j ORDER BY event_type, day_num""".stripMargin
 
+  /** Hopping hourly windows — twin of Events.hoppingHourly: each
+    * event expands to its two covering 30-min-aligned hour windows
+    * (s₀ = ⌊t/slide⌋·slide and s₀ − slide, both holding s ≤ t <
+    * s + 1h), matching Spark's epoch-aligned `window()` assignment.
+    */
+  val eventsHopping: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(cast(ts AS TIMESTAMP)) AS tus,
+       |  value FROM events),
+       |x AS (SELECT event_type, value,
+       |  unnest([(tus // 1800000000) * 1800000000,
+       |          (tus // 1800000000) * 1800000000 - 1800000000]) AS win_start_us
+       |  FROM e)
+       |SELECT win_start_us, event_type, count(*)::BIGINT AS n_events,
+       |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Trailing z-score anomaly flags — twin of Events.anomalyFlags:
     * exact-decimal windowed S₁/S₂ over the prior-days RANGE frame,
     * integer HALF-UP trailing mean, and the SAME double expression

@@ -985,6 +985,11 @@ object SparkEntry {
       Events.gapFillDaily(s.table("events"))
         .orderBy("event_type", "day_num")
     },
+    // §7.5 — hopping hourly windows (30-min slide): map-side 2×
+    // expansion collapsed by partial agg before the shuffle.
+    "q_events_hopping" -> withTables { s =>
+      Events.hoppingHourly(s.table("events"))
+    },
     // §7.5 — trailing z-score spike/drop flags against the prior-week
     // baseline (current day excluded from its own baseline).
     "q_events_anomaly" -> withTables { s =>
@@ -1194,6 +1199,7 @@ object SparkEntry {
     "q_events_asof" -> OraclesExt.eventsAsof,
     "q_events_rolling" -> OraclesExt.eventsRolling(rollingDays),
     "q_events_gapfill" -> OraclesExt.eventsGapFill,
+    "q_events_hopping" -> OraclesExt.eventsHopping,
     "q_events_anomaly" -> OraclesExt.eventsAnomaly(
       anomalyWindowDays, anomalyK, anomalyMinDays),
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),

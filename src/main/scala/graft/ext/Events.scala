@@ -46,6 +46,30 @@ object Events {
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Hopping (sliding) hourly windows, 30-minute slide: every event
+    * lands in TWO overlapping hour windows — the smoother the
+    * tumbling report can't give (a burst straddling an hour boundary
+    * splits across tumbling buckets but is whole in some hopping
+    * one). Uses Spark's native `window(ts, dur, slide)` generator;
+    * window starts surface as epoch MICROSECONDS (the cross-engine
+    * timestamp convention, SURVEY.md §8.3 rule 10).
+    *
+    * Scale shape: the dur/slide=2× row expansion happens map-side and
+    * is immediately collapsed by partial aggregation — the shuffle
+    * carries O(windows × types) combined rows, not 2× the stream.
+    */
+  def hoppingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5)
+          .as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+
   /** Gap-based sessionization: a session breaks when a user is idle
     * longer than `gap`. Classic lag + running-sum-of-breaks pattern —
     * two window functions over (user_id ORDER BY ts), i.e. ONE

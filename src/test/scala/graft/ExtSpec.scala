@@ -690,6 +690,22 @@ class ExtSpec extends AnyFunSuite {
     assert(b.length == 1 && b(0).getBoolean(2) && b(0).getDouble(4) == 7.0)
   }
 
+  test("hoppingHourly: every event in two windows; straddling burst whole in one") {
+    def ts(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-05 $hm:00")
+    // a burst straddling the 11:00 tumbling boundary
+    val df = Seq(("a", ts("10:50"), 1.0), ("a", ts("11:05"), 2.0))
+      .toDF("event_type", "ts", "value")
+    val out = Events.hoppingHourly(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == 4L, "each event lands in exactly 2 windows")
+    val base = ts("10:00").getTime * 1000L
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(base) == ((1L, 1.0)))
+    assert(m(base + 1800L * 1000000L) == ((2L, 3.0)),
+      "the 10:30 window holds the whole straddling burst")
+    assert(m(base + 3600L * 1000000L) == ((1L, 2.0)))
+  }
+
   test("anomalyFlags: spike fires, flat series and thin baselines do not") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
     val df = ((1 to 7).map(d => ("a", ts(d), 10.0)) :+ ("a", ts(8), 100.0))
