@@ -60,6 +60,23 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming hopping (sliding) hourly windows, 30-minute slide —
+    * the streaming twin of [[graft.ext.Events.hoppingHourly]]. Each
+    * event updates TWO overlapping window states; watermark eviction
+    * bounds the open-window count exactly as in the tumbling case
+    * (state is windows × types partial aggregates, never raw events).
+    */
+  def hoppingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming distinct-user sketch per hourly window:
     * `approx_count_distinct` (HLL++) inside a watermarked window
     * aggregate. The state per open window is ONE fixed-size register

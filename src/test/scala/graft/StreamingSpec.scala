@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= batch.size - 2)
   }
 
+  test("streaming hopping windows agree with the batch twin") {
+    val streamed = EventStream.hoppingHourly(
+      EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runAvailableNow(spark, streamed, "stream_hopping")
+      .select("win_start_us", "event_type", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = Events.hoppingHourly(spark.table("events"))
+      .select("win_start_us", "event_type", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch))
+    // the watermark may hold back up to two open (sliding) windows
+    // per event type at the tail
+    val nTypes = batch.map(_._2).toSeq.distinct.size
+    assert(got.size >= batch.size - 2 * nTypes,
+      s"held back too many windows: ${batch.size - got.size} (types=$nTypes)")
+  }
+
   test("maintainSnapshot: change stream folds into the correct current table") {
     import spark.implicits._
     val changesDir = java.nio.file.Files
