@@ -429,8 +429,12 @@ object OraclesExt {
     * the [[embeddingNearDup]] pair graph, closed transitively by the
     * same recursive min-reachable-id CTE as [[dedupClusters]].
     */
-  val embeddingClusters: String =
-    s"""WITH RECURSIVE $normCte,
+  /** CTE chain ending in `cc(id, cluster_id)` — the banded-LSH pair
+    * graph over embeddings closed transitively; shared by
+    * [[embeddingClusters]] and [[curateSemantic]].
+    */
+  private val embeddingClusterCtes =
+    s"""$normCte,
        |planes AS (SELECT p, list_transform(range(0, 64),
        |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
        |  FROM range(0, 16) t(p)),
@@ -451,11 +455,37 @@ object OraclesExt {
        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
        |  UNION
        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  val embeddingClusters: String =
+    s"""WITH RECURSIVE $embeddingClusterCtes,
        |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY cluster_id)
        |SELECT cc.id AS vec_id, cc.cluster_id, cs.cluster_size,
        |       (cc.id = cc.cluster_id) AS is_survivor
        |FROM cc JOIN cs USING (cluster_id) ORDER BY vec_id""".stripMargin
+
+  /** Cross-modal curation — twin of Curation.curateSemantic: the
+    * EMBEDDING-space near-dup survivorship ([[embeddingClusterCtes]])
+    * gates first, then the text gates, same priority CASE and quality
+    * blend as [[curate]].
+    */
+  val curateSemantic: String = {
+    val minTokens = graft.ext.Curation.DefaultMinTokens
+    val minQuality = graft.ext.Curation.DefaultMinQuality
+    s"""WITH RECURSIVE $embeddingClusterCtes,
+       |$toksCte,
+       |qq AS (SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
+       |  $qualityScoreSql AS quality_score
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |r AS (SELECT qq.doc_id, n_tokens, quality_score,
+       |  CASE WHEN cc.id <> cc.cluster_id THEN 'semantic_duplicate'
+       |       WHEN n_tokens < $minTokens THEN 'too_short'
+       |       WHEN quality_score < $minQuality THEN 'low_quality' END AS reject_reason
+       |  FROM qq JOIN cc ON qq.doc_id = cc.id)
+       |SELECT doc_id, n_tokens, quality_score,
+       |  (reject_reason IS NULL) AS keep, reject_reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5 — twin of
     * Similarity.topK (pre-normalized, one dot per pair).

@@ -761,6 +761,12 @@ object SparkEntry {
         Curation.DefaultMinTokens, Curation.DefaultMinQuality)
         .orderBy("doc_id")
     },
+    // §7.5 — cross-modal curation: the near-dup gate runs in
+    // embedding space (SemDeDup decision), then the text gates.
+    "q_curate_semantic" -> withTables { s =>
+      Curation.curateSemantic(s.table("documents"), s.table("embeddings"))
+        .orderBy("doc_id")
+    },
     // §7.5 extensions — multimodal binary-column metadata.
     // §7.5 — magic-byte sniffing end-to-end: payloads are CONSTRUCTED
     // with a real container signature chosen by doc_id, then the
@@ -1173,6 +1179,7 @@ object SparkEntry {
     "q_redact" -> OraclesExt.redact,
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
+    "q_curate_semantic" -> OraclesExt.curateSemantic,
     "q_curate_full" -> OraclesExt.curateFull,
     "q_bm25" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_hybrid_search" -> OraclesExt.hybridRerank(bm25Terms,

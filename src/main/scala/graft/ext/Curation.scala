@@ -117,6 +117,43 @@ object Curation {
         reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 
+  /** Cross-modal curation verdict: the near-dup gate runs in
+    * EMBEDDING space (banded-LSH cosine pairs closed into clusters,
+    * min-id survivorship — the SemDeDup decision) instead of text
+    * MinHash space, then the same text gates. Catches paraphrased /
+    * re-tokenized duplicates whose token sets diverge but whose
+    * embeddings coincide — exactly what text-space dedup misses.
+    * Priority: `semantic_duplicate` > `too_short` > `low_quality`.
+    *
+    * Scale shape: both inputs are operators already graded alone
+    * (Similarity.thresholdPairs: O(corpus·bands) + collisions;
+    * clustersFromPairs: broadcast-class union-find or checkpointed
+    * label propagation); this composes them with ONE id-keyed
+    * equi-join — no new shuffle kinds.
+    */
+  def curateSemantic(docs: DataFrame, embeddings: DataFrame,
+      minTokens: Long = DefaultMinTokens,
+      minQuality: Double = DefaultMinQuality,
+      threshold: Double = 0.4, bands: Int = 8, planesPerBand: Int = 2,
+      dims: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val stats = TextStats.withDocStats(docs, textCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"))
+    val pairs = Similarity
+      .thresholdPairs(embeddings, threshold, bands, planesPerBand, dims)
+      .select("id_a", "id_b")
+    val surv = Dedup
+      .clustersFromPairs(embeddings, pairs, idCol = "vec_id", maxIter = 50)
+      .select(col("vec_id").as(idCol), col("is_survivor"))
+    val reason =
+      when(!col("is_survivor"), lit("semantic_duplicate"))
+        .when(col("n_tokens") < minTokens, lit("too_short"))
+        .when(col("quality_score") < minQuality, lit("low_quality"))
+    stats.join(surv, idCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        reason.isNull.as("keep"), reason.as("reject_reason"))
+  }
+
   /** The full-pipeline verdict: [[curate]]'s three gates plus the
     * repetition and vocabulary signals, in priority order
     * `near_duplicate` > `too_short` > `low_quality` > `repetitive`

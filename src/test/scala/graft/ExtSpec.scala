@@ -1312,6 +1312,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("curateSemantic: embedding-space duplicate gates before text gates") {
+    val good = (1 to 60).map(i => s"the w$i").mkString(" ")
+    val para = (1 to 60).map(i => s"the p$i").mkString(" ")  // token-disjoint
+    val docs = Seq((1L, good), (2L, para), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    // doc 2's embedding coincides with doc 1's — a paraphrase text
+    // dedup can't see; doc 3 points elsewhere
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val emb = Seq((1L, v), (2L, v), (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Curation.curateSemantic(docs, emb,
+      minTokens = 40, minQuality = 0.0, threshold = 0.4,
+      bands = 2, planesPerBand = 2, dims = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(3), "survivor of the coincident pair is kept")
+    assert(!out(1).getBoolean(3) && out(1).getString(4) == "semantic_duplicate",
+      "token-disjoint paraphrase caught in embedding space")
+    assert(!out(2).getBoolean(3) && out(2).getString(4) == "too_short")
+  }
+
   // ---- Full curation verdict ----
 
   test("curateFull: repetitive and high_oov gates fire in priority order") {
