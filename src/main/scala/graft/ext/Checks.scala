@@ -92,6 +92,7 @@ object Checks {
     * stream that is a watermarked aggregation, a different operator).
     */
   def withValidation(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "withValidation needs at least one check")
     require(checks.forall {
       case _: NotNull | _: AcceptedValues | _: NumericBounds => true
       case _ => false
@@ -104,6 +105,7 @@ object Checks {
 
   /** Run every check; one report row per check, sorted by name. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
     val rowLocal = checks.filter {
       case _: NotNull | _: AcceptedValues | _: NumericBounds => true
       case _ => false
