@@ -97,6 +97,30 @@ class SourceSinkSpec extends AnyFunSuite {
       spark.table("events").filter(col("event_type") === types.head).count())
   }
 
+  test("schema evolution: mergeSchema unions old and new batch columns") {
+    // a data lake accretes columns batch over batch; readers must see
+    // the union schema with nulls for pre-evolution rows — without
+    // rewriting the old files
+    val dir = tmp("evolve")
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    docs.select("doc_id", "text")
+      .filter(col("doc_id") < 100L)
+      .write.mode("append").parquet(dir)
+    docs.select("doc_id", "text", "lang")  // the batch that added lang
+      .filter(col("doc_id") >= 100L)
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.sorted.sameElements(
+      Array("doc_id", "lang", "text")))
+    // pre-evolution rows read as null; post-evolution rows keep values
+    assert(merged.filter(col("doc_id") < 100L && col("lang").isNotNull)
+      .count() == 0L)
+    assert(merged.filter(col("doc_id") >= 100L && col("lang").isNull)
+      .count() == 0L)
+    assert(merged.count() == docs.count())
+  }
+
   test("writeShards materializes the shardCorpus assignment as partitioned parquet") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")
