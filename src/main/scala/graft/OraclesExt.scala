@@ -755,6 +755,15 @@ object OraclesExt {
   private def hashUniformSqlOn(salt: String, idExpr: String): String =
     s"cast('0x' || substr(md5('$salt|' || $idExpr), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0"
 
+  /** Deterministic k-fold assignment — twin of Sampling.kfold: the
+    * same first-8-md5-hex integer, mod k in exact integer arithmetic.
+    */
+  def kfold(k: Int, salt: String): String =
+    s"""SELECT doc_id, text, lang, source, n_chars,
+       |  cast(cast('0x' || substr(md5('$salt|' || doc_id), 1, 8) AS BIGINT)
+       |    % $k AS INT) AS fold
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Group-aware split — twin of Sampling.trainTestSplit keyed on the
     * GROUP id (`source`): membership is a function of the group
     * alone, so every document of a source lands on the same side —

@@ -279,6 +279,8 @@ object SparkEntry {
   private[graft] val kmeansNlist = 16
   private[graft] val kmeansRefine = 2
   private[graft] val clusterSampleCap = 20
+  // k-fold CV assignment (shared with OraclesExt.kfold)
+  private[graft] val kfoldK = 5
   // anomaly flags (shared with OraclesExt.eventsAnomaly)
   private[graft] val anomalyWindowDays = 7
   private[graft] val anomalyK = 2.0
@@ -527,6 +529,11 @@ object SparkEntry {
       Sampling.trainTestSplit(s.table("documents"), testFraction)
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
+    },
+    // §7.5 — deterministic k-fold CV assignment (integer md5 mod k;
+    // map-only, engine- and partitioning-independent folds).
+    "q_kfold" -> withTables { s =>
+      Sampling.kfold(s.table("documents"), kfoldK).orderBy("doc_id")
     },
     // §7.5 — GROUP-aware split: membership keyed on `source`, not the
     // row, so near-identical documents clustered within one source can
@@ -1158,6 +1165,7 @@ object SparkEntry {
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
+    "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
     "q_split_by_source" -> OraclesExt.splitBySource(testFraction),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),

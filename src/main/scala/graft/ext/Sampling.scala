@@ -43,6 +43,22 @@ object Sampling {
       idCol: String = "doc_id", salt: String = "sample"): DataFrame =
     df.filter(hashUniform(col(idCol), salt) < lit(fraction))
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * (first 8 md5 hex digits of salt|id) mod k — pure integer
+    * arithmetic on the shared md5 membership convention, so any
+    * engine reproduces the identical folds and membership never
+    * depends on partitioning or row order. Key `idCol` on a GROUP
+    * column (e.g. source) to make folds leakage-free the same way
+    * [[trainTestSplit]] does. Map-only: no shuffle, no state.
+    */
+  def kfold(df: DataFrame, k: Int, idCol: String = "doc_id",
+      salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold",
+      (conv(substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long") % k).cast("int"))
+  }
+
   /** Per-stratum deterministic sampling: each stratum value gets its
     * own rate (absent strata fall back to `defaultRate`) — the tool
     * for rebalancing a source/language mix into a target mixture.

@@ -1312,6 +1312,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("kfold: stable folds in range, roughly balanced, group-keyable") {
+    val df = docs
+    val out = Sampling.kfold(df, 5).select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.values.forall(f => f >= 0 && f < 5))
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size)
+    val n = out.size
+    sizes.values.foreach(s =>
+      assert(s > n / 10 && s < n * 3 / 10, s"fold badly unbalanced: $sizes"))
+    // same ids → same folds on a second call (pure function of salt|id)
+    val again = Sampling.kfold(df.repartition(7), 5)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+    // keyed on the group column, a whole source shares one fold
+    val bySource = Sampling.kfold(df, 5, idCol = "source")
+      .groupBy("source").agg(countDistinct(col("fold")).as("nf")).collect()
+    assert(bySource.forall(_.getLong(1) == 1L))
+  }
+
   test("curateSemantic: embedding-space duplicate gates before text gates") {
     val good = (1 to 60).map(i => s"the w$i").mkString(" ")
     val para = (1 to 60).map(i => s"the p$i").mkString(" ")  // token-disjoint
