@@ -1134,6 +1134,73 @@ object OraclesExt {
        |       CROSS JOIN nt CROSS JOIN bt
        |ORDER BY pmi DESC, token_a, token_b LIMIT $k""".stripMargin
 
+  /** Per-doc TF-IDF keywords — twin of TextStats.tfidfKeywords: idf =
+    * ln(N/df) quantized to DECIMAL(18,9) (ln differs ≤1 ulp, inside
+    * the quantum), ranking score tf·idf₉ EXACT decimal (tf cast
+    * DECIMAL(10,0) so scale 9 survives — SURVEY §8.3 rule 11), ties
+    * on token asc, row_number ≤ k per doc.
+    */
+  def tfidfKeywords(k: Int): String =
+    s"""WITH $toksCte, $uniCte,
+       |tf AS (SELECT doc_id, g AS token, count(*)::BIGINT AS tf
+       |  FROM uni GROUP BY doc_id, g),
+       |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       |  tf.tf::DECIMAL(10,0) *
+       |    round(ln(n_docs::DOUBLE / df::DOUBLE), 9)::DECIMAL(18,9) AS score
+       |  FROM tf JOIN dfreq USING (token) CROSS JOIN nd),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank FROM scored)
+       |SELECT doc_id, rank::INT AS rank, token, tf, df,
+       |  round(score::DOUBLE, 5) AS tfidf
+       |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** Per-user debounce roll-up — twin of Events.debounceSummary: an
+    * event survives iff first of its (user, type) key or more than
+    * the gap after its predecessor in (ts_us, event_id) order.
+    */
+  def eventsDebounce(gapSeconds: Long): String = {
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |l AS (SELECT user_id, ts_us, lag(ts_us) OVER
+       |  (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e),
+       |k AS (SELECT user_id,
+       |  (prev_us IS NULL OR ts_us - prev_us > $gapUs) AS kept FROM l)
+       |SELECT user_id, count(*)::BIGINT AS n_events,
+       |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+       |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Wide→long unpivot of lineitem's measure columns, rolled up per
+    * metric — twin of the q_unpivot Spark unpivot + groupBy.
+    */
+  val unpivotLineitem: String =
+    """WITH u AS (SELECT metric, val FROM (
+      |  UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount, l_tax
+      |  INTO NAME metric VALUE val))
+      |SELECT metric, count(*)::BIGINT AS n,
+      |  round(cast(sum(cast(val AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_val,
+      |  min(val) AS min_val, max(val) AS max_val
+      |FROM u GROUP BY metric ORDER BY metric""".stripMargin
+
+  /** Source × language wide matrix via conditional aggregation
+    * (FILTER clause ≙ Spark count(when(...))).
+    */
+  val langSourceMatrix: String =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |  count(*) FILTER (WHERE lang = 'de')::BIGINT AS n_de,
+      |  count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_en,
+      |  count(*) FILTER (WHERE lang = 'es')::BIGINT AS n_es,
+      |  count(*) FILTER (WHERE lang = 'fr')::BIGINT AS n_fr,
+      |  count(*) FILTER (WHERE lang = 'zh')::BIGINT AS n_zh,
+      |  count(*) FILTER (WHERE lang NOT IN ('de','en','es','fr','zh'))::BIGINT
+      |    AS n_other
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** BM25 keyword search — twin of Search.bm25: identical expression
     * trees (idf rounded at 5 decimals per term, per-term scores
     * quantized to DECIMAL(18,9), exact sum, integer HALF-AWAY final

@@ -174,6 +174,20 @@ object SparkEntry {
     * Explicit NULLS FIRST because the engines' default null order
     * differs (Spark first, DuckDB last).
     */
+  // §2.4 — explicit GROUPING SETS (the third grouping-set form next
+  // to ROLLUP/CUBE): per-flag and per-status marginals plus the grand
+  // total, WITHOUT the (flag, status) cross cells CUBE would add.
+  // Same passthrough text on both engines; one Expand + one shuffle.
+  private val groupingSetsPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | cast(grouping(l_returnflag) AS INT) AS g_flag,
+      | cast(grouping(l_linestatus) AS INT) AS g_status,
+      | count(*) AS n_rows,
+      | round(cast(sum(cast(l_extendedprice as decimal(18,6))) as double), 5) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   private val rollupPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       | cast(grouping(l_returnflag) AS INT) AS g_flag,
@@ -281,6 +295,10 @@ object SparkEntry {
   private[graft] val clusterSampleCap = 20
   // k-fold CV assignment (shared with OraclesExt.kfold)
   private[graft] val kfoldK = 5
+  // TF-IDF keyword extraction (shared with OraclesExt.tfidfKeywords)
+  private[graft] val tfidfK = 3
+  // debounce gap (shared with OraclesExt.eventsDebounce)
+  private[graft] val debounceGapSeconds = 60L
   // anomaly flags (shared with OraclesExt.eventsAnomaly)
   private[graft] val anomalyWindowDays = 7
   private[graft] val anomalyK = 2.0
@@ -376,7 +394,42 @@ object SparkEntry {
       s.sql(localSupplierVolumeSql)
     },
     "q_cube_pricing" -> withTables { s => s.sql(cubePricingSql) },
+    "q_grouping_sets" -> withTables { s => s.sql(groupingSetsPricingSql) },
     "q_correlated_max" -> withTables { s => s.sql(correlatedMaxSql) },
+    // §2.4 — unpivot (wide→long, the inverse of the profiler's pivot)
+    // rolled up per metric: the map-side Expand never shuffles 4× the
+    // table, partial aggregation collapses it to one row per
+    // (partition, metric) first.
+    "q_unpivot" -> withTables { s =>
+      s.table("lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("val").cast("decimal(18,6)")).cast("double"), 5)
+            .as("sum_val"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy("metric")
+    },
+    // §2.4 — conditional aggregation (FILTER-clause shape): the
+    // source × language mix matrix every corpus dashboard starts
+    // with; one map-side-combined shuffle, no pivot relation.
+    "q_lang_source_matrix" -> withTables { s =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val d = s.table("documents")
+      d.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          langs.map(l =>
+            count(when(col("lang") === l, 1)).as(s"n_$l")) :+
+            count(when(!col("lang").isin(langs: _*), 1)).as("n_other"): _*)
+        .orderBy("source")
+    },
     // §7.5 — latest-state snapshot over the event log (CDC "current
     // table" read); WindowGroupLimit keeps per-key top-1 before the
     // exchange, so the shuffle carries the snapshot, not the log.
@@ -604,6 +657,12 @@ object SparkEntry {
       TextStats.pmiBigrams(s.table("documents"),
         minCount = pmiMinCount, k = pmiK)
     },
+    // §7.5 — per-doc TF-IDF keyword extraction (exact-decimal tf·idf₉
+    // ranking, WindowGroupLimit top-k; the extraction twin of bm25).
+    "q_tfidf_keywords" -> withTables { s =>
+      TextStats.tfidfKeywords(s.table("documents"), tfidfK)
+        .orderBy("doc_id", "rank")
+    },
     // §7.5 — per-source vocabulary growth (Heaps-law dashboard:
     // templated sources stop minting new words).
     "q_vocab_growth" -> withTables { s =>
@@ -809,6 +868,12 @@ object SparkEntry {
     },
     "q_events_sessions" -> withTables { s =>
       Events.sessionSummary(s.table("events"))
+    },
+    // §7.5 — telemetry debounce: collapse same-(user,type) bursts
+    // within 60 s before any downstream count is trusted (one lag
+    // window on the sessionize key distribution).
+    "q_events_debounce" -> withTables { s =>
+      Events.debounceSummary(s.table("events"), debounceGapSeconds)
     },
     // §2.4/§7.5 — exact per-group quantiles WITHOUT per-group value
     // buffering (value-counts + cumsum + Percentile interpolation;
@@ -1122,6 +1187,7 @@ object SparkEntry {
     "q_rollup_pricing" -> rollupPricingSql,
     "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_cube_pricing" -> cubePricingSql,
+    "q_grouping_sets" -> groupingSetsPricingSql,
     "q_correlated_max" -> correlatedMaxSql,
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
@@ -1166,6 +1232,10 @@ object SparkEntry {
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
+    "q_tfidf_keywords" -> OraclesExt.tfidfKeywords(tfidfK),
+    "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
+    "q_unpivot" -> OraclesExt.unpivotLineitem,
+    "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,
     "q_split_by_source" -> OraclesExt.splitBySource(testFraction),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),

@@ -105,6 +105,42 @@ object Events {
         round(col("session_secs"), 5).as("session_secs"))
   }
 
+  /** Debounce: drop events that repeat the SAME (user, event_type)
+    * within `gapSeconds` of the immediately preceding raw event —
+    * the standard telemetry burst-collapse (double-clicks, retry
+    * storms) applied before any downstream count is trusted. An
+    * event survives iff it is the first of its key or arrives more
+    * than the gap after its predecessor; order inside a key is
+    * (ts_us, event_id) so simultaneous events debounce identically
+    * under any partitioning.
+    *
+    * Scale shape: ONE (user, type) shuffle for the lag window —
+    * identical key distribution to sessionize; per-task state is a
+    * single previous row, never a buffer.
+    */
+  def debounce(events: DataFrame, gapSeconds: Long = 60L): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byKey))
+      .withColumn("kept",
+        col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs)
+  }
+
+  /** Per-user roll-up of [[debounce]]: how much of each user's stream
+    * was burst noise — (n_events, n_kept, n_dropped).
+    */
+  def debounceSummary(events: DataFrame, gapSeconds: Long = 60L): DataFrame =
+    debounce(events, gapSeconds)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("user_id")
+
   /** Built-in variant of [[sessionize]] using `session_window` —
     * Spark's native gap-based session operator (also the streaming
     * form). Kept alongside the lag/cumsum version: the built-in is

@@ -583,6 +583,51 @@ object TextStats {
       .limit(k)
   }
 
+  /** Per-document TF-IDF keyword extraction: for every document, the
+    * top-`k` terms by tf·idf — the per-doc companion of [[topTokens]]
+    * (corpus heavy hitters) and the extraction twin of Search.bm25
+    * (which SEARCHES with the same statistics). idf = ln(N/df) over
+    * distinct-document frequency.
+    *
+    * Cross-engine determinism (SURVEY.md §8.3): idf is quantized to
+    * DECIMAL(18,9) (ln differs ≤1 ulp between engines, inside the
+    * quantum) and the ranking score tf·idf₉ is EXACT decimal — tf is
+    * cast DECIMAL(10,0) so the product keeps scale 9 (rule 11) — with
+    * ties broken on term asc, so every engine picks the identical
+    * keyword set in the identical order. The visible tfidf is
+    * round(·, 5) of the exact score.
+    *
+    * Scale shape: one (doc, token) count shuffle; df and N are
+    * vocabulary-/scalar-sized aggregates of THAT relation (the corpus
+    * is never re-tokenized) broadcast back onto it; the per-doc
+    * row_number ≤ k plans as WindowGroupLimit, so a mega-document
+    * never buffers its vocabulary in one task unbounded.
+    */
+  def tfidfKeywords(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"tfidfKeywords needs k >= 1, got $k")
+    val tf = Dedup.spread(df, textCol)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("idf9"))
+    val scored = tf.join(broadcast(idf), "token")
+      .withColumn("score",
+        col("tf").cast(org.apache.spark.sql.types.DecimalType(10, 0)) * col("idf9"))
+    val byDoc = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        round(col("score").cast("double"), 5).as("tfidf"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the sorted distinct token set — exact
     *    content-set identity, robust to token order/repetition.

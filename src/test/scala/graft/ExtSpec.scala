@@ -1312,6 +1312,47 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("debounce: bursts collapse to first, gap reopens, keys independent") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2026-01-01 00:00:00"), 10L, "click"),
+      (2L, t("2026-01-01 00:00:30"), 10L, "click"), // 30s after #1 → dropped
+      // 30s after #2: still dropped — the gap is vs the PREVIOUS RAW
+      // event, so a steady drumbeat stays collapsed
+      (3L, t("2026-01-01 00:01:00"), 10L, "click"),
+      (4L, t("2026-01-01 00:02:01"), 10L, "click"), // 61s after #3 → kept
+      (5L, t("2026-01-01 00:00:10"), 10L, "view"),  // other type → kept
+      (6L, t("2026-01-01 00:00:00"), 11L, "click"), // other user → kept
+      (7L, t("2026-01-01 00:00:00"), 11L, "click")  // same instant: event_id order → dropped
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.debounce(df, 60).select("event_id", "kept")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> true, 6L -> true, 7L -> false))
+    val sum = Events.debounceSummary(df, 60).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sum == Map(10L -> ((5L, 3L, 2L)), 11L -> ((2L, 1L, 1L))))
+  }
+
+  test("tfidf keywords: rare high-tf term outranks ubiquitous; k caps per doc") {
+    val df = Seq(
+      (1L, "rare rare rare common"),
+      (2L, "common solo"),
+      (3L, "common also")).toDF("doc_id", "text")
+    val out = TextStats.tfidfKeywords(df, 2).orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // every doc emits ≤ k rows
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    // doc 1: "rare" tf=3 df=1 → 3·round(ln 3, 9) = 3.295836867 → 3.29584;
+    // "common" df=3 → idf 0 → score 0 but still rank 2
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, "rare", 3L, 1L, 3.29584), (1L, 2, "common", 1L, 3L, 0.0)))
+    // doc 2: unique term beats the ubiquitous one
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1, "solo"), (2, "common")))
+  }
+
   test("kfold: stable folds in range, roughly balanced, group-keyable") {
     val df = docs
     val out = Sampling.kfold(df, 5).select("doc_id", "fold").collect()
