@@ -327,6 +327,88 @@ object EventStream {
       .start()
   }
 
+  /** Streaming NEAR-dup gate: the incremental-ingest twin of
+    * `Dedup.minHashNearDupPairs`. Each micro-batch's documents are
+    * MinHash-signed (the batch family's identical md5-affine
+    * signatures), band keys are probed against the ACCUMULATED
+    * signature store of previously accepted documents, and candidates
+    * whose signature agreement (matching coordinates / k — the
+    * standard MinHash Jaccard estimate) reaches `simThreshold` are
+    * quarantined; survivors are appended to the store. Within a
+    * batch, first-seen (smallest id) wins, the same survivorship rule
+    * as the batch operator.
+    *
+    * State lives in the parquet store, NOT the streaming state store:
+    * the probe is a band-key equi-join (collision-sized, never
+    * |batch|·|corpus|), so a forever-running ingest holds zero
+    * watermark state and the store scales like the corpus signature
+    * table — the shape an incremental curation pipeline needs. The
+    * verdict trail (doc_id, is_dup, best_est) is appended to
+    * `verdictDir` for audit.
+    */
+  def nearDupGateStream(docs: DataFrame, storeDir: String,
+      verdictDir: String, n: Int = 3, k: Int = 16, bands: Int = 4,
+      simThreshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.Dedup
+    val spark = docs.sparkSession
+    new java.io.File(storeDir).mkdirs()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-neardup").toString
+    val storeSchema = StructType(Seq(
+      StructField("id", LongType), StructField("bk", StringType),
+      StructField("sig", ArrayType(LongType))))
+    def readStore(): DataFrame = {
+      val files = Option(new java.io.File(storeDir).list()).toSeq.flatten
+        .filter(_.endsWith(".parquet"))
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+      else spark.read.schema(storeSchema).parquet(storeDir)
+    }
+    // agreement estimate from the two signatures riding the collision row
+    def est(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / lit(k.toDouble)
+    docs.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val sigs = Dedup.minHashSignatures(b, n, k, idCol, textCol)
+          .select(col("id"),
+            explode(Dedup.lshBandKeys(col("sig"), k, bands)).as("bk"),
+            col("sig"))
+          .localCheckpoint()
+        val store = readStore()
+        // vs the accepted corpus: any colliding stored partner ≥ threshold
+        val vsStore = sigs.as("l").join(store.as("r"), col("l.bk") === col("r.bk"))
+          .groupBy(col("l.id").as("id"))
+          .agg(max(est(col("l.sig"), col("r.sig"))).as("est"))
+          .filter(col("est") >= simThreshold)
+        // vs earlier-in-batch survivors-to-be: smaller id wins
+        val inBatch = sigs.as("l").join(sigs.as("r"),
+            col("l.bk") === col("r.bk") && col("r.id") < col("l.id"))
+          .groupBy(col("l.id").as("id"))
+          .agg(max(est(col("l.sig"), col("r.sig"))).as("est"))
+          .filter(col("est") >= simThreshold)
+        val dups = vsStore.select("id", "est")
+          .unionByName(inBatch.select("id", "est"))
+          .groupBy("id").agg(max(col("est")).as("best_est"))
+          .localCheckpoint()
+        val verdicts = sigs.select("id").distinct()
+          .join(dups, Seq("id"), "left")
+          .select(col("id").as(idCol),
+            col("best_est").isNotNull.as("is_dup"),
+            coalesce(round(col("best_est"), 5), lit(0.0)).as("best_est"))
+        verdicts.write.mode("append").parquet(verdictDir)
+        sigs.join(dups.select("id"), Seq("id"), "left_anti")
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Latest snapshot version written by [[maintainSnapshot]]. */
   def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
     val versions = Option(new java.io.File(snapshotDir).list()).toSeq.flatten

@@ -111,6 +111,52 @@ class StreamingSpec extends AnyFunSuite {
       "upsert+delete+insert chain must fold to the current table")
   }
 
+  test("nearDupGateStream: probes the accumulated store; first-seen wins in-batch") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-gate-in").toString
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-gate-store").toString
+    val verdictDir = java.nio.file.Files
+      .createTempDirectory("graft-gate-verdict").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val a = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val aNear = ((1 to 59).map(i => s"alpha$i") :+ "changed").mkString(" ")
+    val b = (1 to 60).map(i => s"beta$i").mkString(" ")
+    val c = (1 to 60).map(i => s"gamma$i").mkString(" ")
+    val d = (1 to 60).map(i => s"delta$i").mkString(" ")
+    def run(sub: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/$sub")
+      val q = EventStream.nearDupGateStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(s"$inDir/$sub"),
+        storeDir, verdictDir, simThreshold = 0.5)
+      q.awaitTermination(120000L)
+    }
+    run("r1", Seq((1L, a), (2L, b)))
+    // batch 2: 3 ≈ stored 1 (one token changed), 4 = stored 2 exactly,
+    // 5/6 identical in-batch (5 first-seen), 7 fresh
+    run("r2", Seq((3L, aNear), (4L, b), (5L, c), (6L, c), (7L, d)))
+    val verdicts = spark.read.parquet(verdictDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(2)))).toMap
+    assert(verdicts.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(!verdicts(1L)._1 && !verdicts(2L)._1, "first batch is all fresh")
+    assert(verdicts(3L)._1, "near-dup of a stored doc is quarantined")
+    assert(verdicts(4L)._1 && verdicts(4L)._2 == 1.0,
+      "exact dup of a stored doc estimates 1.0")
+    assert(!verdicts(5L)._1 && verdicts(6L)._1 && verdicts(6L)._2 == 1.0,
+      "within a batch the smaller id survives")
+    assert(!verdicts(7L)._1, "fresh content passes")
+    // the store holds signatures for exactly the accepted docs
+    val stored = spark.read.parquet(storeDir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L, 5L, 7L))
+  }
+
   test("maintainSnapshot: a second run on the same directory continues the chain") {
     import spark.implicits._
     val changesDir = java.nio.file.Files
