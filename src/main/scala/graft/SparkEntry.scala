@@ -534,6 +534,18 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4).orderBy("query_id", "rank")
     },
+    // §7.5 — the PERSISTED index twin of q_knn_ivf: build the
+    // cell-partitioned parquet index once, probe with partition
+    // pruning (only nprobe/nlist directories are scanned). Identical
+    // results to q_knn_ivf by construction → same oracle.
+    "q_knn_ivf_indexed" -> withTables { s =>
+      val emb = s.table("embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString
+      Similarity.writeIvfIndex(emb, dir, nlist = 16)
+      Similarity.ivfTopKIndexed(dir, emb.filter(col("vec_id") < 5),
+        k = 10, nprobe = 4).orderBy("query_id", "rank")
+    },
     // IVF with one deterministic Lloyd refinement of the sampled
     // seeds (decimal-exact per-dim means — partitioning-independent).
     "q_knn_ivf_refined" -> withTables { s =>
@@ -1219,6 +1231,7 @@ object SparkEntry {
     "q_random_projection" -> OraclesExt.randomProjection(outDims = 8, dims = 64),
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
+    "q_knn_ivf_indexed" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
     "q_cluster_sample" ->

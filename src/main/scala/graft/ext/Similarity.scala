@@ -404,6 +404,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Materialize an IVF index on disk: the corpus, normalized and
+    * assigned to cells, written as a parquet table PARTITIONED BY
+    * `cell`, plus the centroid table beside it. Build once, probe
+    * many times — and because cells are parquet partitions, a probe
+    * reads ONLY its nprobe/nlist directories via partition pruning
+    * ([[ivfTopKIndexed]]): the on-disk twin of [[ivfTopK]]'s
+    * equi-join, and the shape that lets a 100 TB corpus serve ANN
+    * queries without ever rescanning itself.
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String, nlist: Int,
+      refine: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val nc = normalized(corpus, idCol, vecCol)
+    var cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    for (_ <- 0 until refine)
+      cents = ivfRefineOnce(nc, cents, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(nc, cents, 1, idCol, vecCol)
+      .withColumnRenamed("centroid_id", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: identical results to [[ivfTopK]]
+    * with the same (nlist, nprobe, refine) — verified in ExtSpec —
+    * but the corpus side comes from the index, filtered to the probed
+    * cells. The probe-cell set is |queries|·nprobe ids computed
+    * driver-side (the query set is broadcast-class by contract, same
+    * as [[topK]]), so it lands in the scan as a LITERAL `cell IN
+    * (...)` partition filter — the FileScan lists only those
+    * directories; unprobed cells cost zero I/O.
+    */
+  def ivfTopKIndexed(dir: String, queries: DataFrame, k: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val nq = normalized(queries, idCol, vecCol)
+    val probes = ivfAssign(nq, cents, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"),
+        col("centroid_id").as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"),
+        col("cell").cast("long").as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: queries meet only corpus rows in
     * their own bucket (equi-join on bucket key → hash-partitioned
     * shuffle, each task scores one bucket's slice). Recall < 1 by

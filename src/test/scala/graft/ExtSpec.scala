@@ -219,6 +219,30 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("persisted IVF index: probe ≡ ivfTopK, scan prunes to probed cells") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx-spec").toString
+    Similarity.writeIvfIndex(emb, dir, nlist = 16)
+    val indexed = Similarity.ivfTopKIndexed(dir, queries, 10, 4)
+    val direct = Similarity.ivfTopK(emb, queries, 10, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == direct, "index probe must equal the in-memory IVF answer")
+    // the probe reads only the probed cells: a literal partition filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter in:\n$plan")
+    // 3 queries × nprobe 4 probe ≤ 12 of the 16 cells
+    val probed = "cell#[0-9]+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    assert(probed.exists(n => n <= 12 && n >= 1),
+      s"probed-cell IN-list missing or unpruned: $probed")
+  }
+
   test("topK broadcasts the query side (no corpus shuffle)") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")
