@@ -1175,6 +1175,24 @@ object OraclesExt {
        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Markov transition edges — twin of Events.eventTransitions:
+    * consecutive event-type pairs per user in (ts_us, event_id)
+    * order; p_next is the single integer division (safe per SURVEY
+    * §8.3 rule 4).
+    */
+  val eventTransitions: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |l AS (SELECT user_id, event_type AS to_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |    AS from_type FROM e),
+      |p AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM p GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  round(n::DOUBLE / n_from::DOUBLE, 5) AS p_next
+      |FROM p JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin
+
   /** Wide→long unpivot of lineitem's measure columns, rolled up per
     * metric — twin of the q_unpivot Spark unpivot + groupBy.
     */

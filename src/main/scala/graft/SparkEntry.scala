@@ -188,6 +188,30 @@ object SparkEntry {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // §2.5 — the ranking-window surface in one query: rank/dense_rank
+  // over a TIE-BEARING order (equal n_orders share a rank; the ≤3
+  // filter keeps whole tie groups), row_number/ntile over the fully
+  // tiebroken order (they are only deterministic under a total
+  // order). Same passthrough text on both engines.
+  private val windowRanksSql: String =
+    """WITH co AS (
+      |  SELECT c_nationkey, o_custkey, count(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey, o_custkey),
+      |r AS (
+      |  SELECT c_nationkey, o_custkey, n_orders,
+      |    cast(rank() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_orders DESC) AS INT) AS rnk,
+      |    cast(dense_rank() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_orders DESC) AS INT) AS drnk,
+      |    cast(row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_orders DESC, o_custkey) AS INT) AS rn,
+      |    cast(ntile(4) OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_orders DESC, o_custkey) AS INT) AS quartile
+      |  FROM co)
+      |SELECT * FROM r WHERE rnk <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin
+
   private val rollupPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       | cast(grouping(l_returnflag) AS INT) AS g_flag,
@@ -395,6 +419,12 @@ object SparkEntry {
     },
     "q_cube_pricing" -> withTables { s => s.sql(cubePricingSql) },
     "q_grouping_sets" -> withTables { s => s.sql(groupingSetsPricingSql) },
+    "q_window_ranks" -> withTables { s => s.sql(windowRanksSql) },
+    // §7.5 — Markov transition edges over user event streams (one
+    // user shuffle + an O(types²) roll-up).
+    "q_event_transitions" -> withTables { s =>
+      Events.eventTransitions(s.table("events"))
+    },
     "q_correlated_max" -> withTables { s => s.sql(correlatedMaxSql) },
     // §2.4 — unpivot (wide→long, the inverse of the profiler's pivot)
     // rolled up per metric: the map-side Expand never shuffles 4× the
@@ -1200,6 +1230,8 @@ object SparkEntry {
     "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_cube_pricing" -> cubePricingSql,
     "q_grouping_sets" -> groupingSetsPricingSql,
+    "q_window_ranks" -> windowRanksSql,
+    "q_event_transitions" -> OraclesExt.eventTransitions,
     "q_correlated_max" -> correlatedMaxSql,
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),

@@ -141,6 +141,34 @@ object Events {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
       .orderBy("user_id")
 
+  /** Event-type transition mining: counts of consecutive (from, to)
+    * event-type pairs per user stream — the Markov transition edges
+    * behind "what do users do next" analyses (and the event-level
+    * twin of the text family's bigram counts). Order within a user is
+    * (ts_us, event_id), so simultaneous events chain identically
+    * under any partitioning. `p_next` is the row-conditional
+    * probability of the transition given `from`.
+    *
+    * Scale shape: ONE user-keyed shuffle for the lag window, then a
+    * map-side-combined groupBy on (from, to) — O(types²) result rows.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("from_type")
+    pairs
+      .withColumn("n_from", sum(col("n")).over(w))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 5)
+          .as("p_next"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Built-in variant of [[sessionize]] using `session_window` —
     * Spark's native gap-based session operator (also the streaming
     * form). Kept alongside the lag/cumsum version: the built-in is

@@ -1336,6 +1336,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("eventTransitions: per-user chains, conditional p, streams independent") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2026-01-01 00:00:00"), 10L, "A"),
+      (2L, t("2026-01-01 00:01:00"), 10L, "B"),
+      (3L, t("2026-01-01 00:02:00"), 10L, "A"),
+      (4L, t("2026-01-01 00:00:00"), 11L, "B"),
+      (5L, t("2026-01-01 00:01:00"), 11L, "A"),
+      (6L, t("2026-01-01 00:00:00"), 12L, "A"),
+      (7L, t("2026-01-01 00:01:00"), 12L, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.eventTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // user 10: A→B, B→A; user 11: B→A; user 12: A→C. No cross-user edge.
+    assert(out == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((2L, 1.0))))
+  }
+
   test("debounce: bursts collapse to first, gap reopens, keys independent") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
