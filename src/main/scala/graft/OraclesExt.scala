@@ -391,6 +391,35 @@ object OraclesExt {
        |  round(coalesce(d.n_dup, 0)::DOUBLE / p.n_ngrams::DOUBLE, 5) AS dup_fraction
        |FROM perdoc p LEFT JOIN dupdoc d USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Substring-span removal — twin of Dedup.stripDuplicateSpans:
+    * 1-based full n-gram windows, cross-doc-hot grams (≥ minDocs
+    * documents), positions under any hot window dropped, survivors
+    * re-joined in order. Short docs pass whole; fully-boilerplate
+    * docs come back empty.
+    */
+  def stripSpans(n: Int, minDocs: Long): String =
+    s"""WITH $toksCte,
+       |p1 AS (SELECT doc_id, t,
+       |  unnest(range(1, greatest(len(t) - ${n - 1}, 0) + 1)) AS pos FROM toks),
+       |g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+${n - 1}], ' ') AS gram FROM p1),
+       |hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |  GROUP BY gram HAVING count(*) >= $minDocs),
+       |cov0 AS (SELECT doc_id, pos, unnest(range(0, $n)) AS off
+       |  FROM (SELECT DISTINCT doc_id, pos FROM g JOIN hot USING (gram))),
+       |cov AS (SELECT DISTINCT doc_id, pos + off AS cpos FROM cov0),
+       |tk AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM toks),
+       |ptok AS (SELECT doc_id, pos, t[pos] AS token FROM tk),
+       |kept AS (SELECT p.doc_id, p.pos, p.token FROM ptok p
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |    WHERE c.doc_id = p.doc_id AND c.cpos = p.pos)),
+       |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |  string_agg(token, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.t)::BIGINT AS n_tokens,
+       |  (len(d.t) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       |  coalesce(r.clean_text, '') AS clean_text
+       |FROM toks d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Cohort retention matrix — twin of Events.cohortRetention. */
   def cohortRetention(maxOffsetDays: Long): String =
     s"""WITH d AS (SELECT DISTINCT user_id,

@@ -506,6 +506,13 @@ object SparkEntry {
       Dedup.duplicateSpanStats(s.table("documents"),
         n = dupSpanN, minDocs = dupSpanMinDocs).orderBy("doc_id")
     },
+    // §7.5 — substring-dedup REWRITE: positions under cross-doc-hot
+    // n-gram windows removed, document kept (Lee et al. 2022 span
+    // removal; the surgical companion of q_dup_spans' stats).
+    "q_strip_spans" -> withTables { s =>
+      Dedup.stripDuplicateSpans(s.table("documents"),
+        n = dupSpanN, minDocs = dupSpanMinDocs).orderBy("doc_id")
+    },
     // Near-dup clustering + survivorship: connected components over
     // the MinHash pair graph, canonical survivor = min doc id.
     "q_dedup_clusters" -> withTables { s =>
@@ -1221,6 +1228,7 @@ object SparkEntry {
     "q_semi_anti" -> semiAntiSql,
     "q_scd2" -> OraclesExt.scd2,
     "q_dup_spans" -> OraclesExt.dupSpans(dupSpanN, dupSpanMinDocs),
+    "q_strip_spans" -> OraclesExt.stripSpans(dupSpanN, dupSpanMinDocs),
     "q_cohort_retention" -> OraclesExt.cohortRetention(retentionMaxOffset),
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,

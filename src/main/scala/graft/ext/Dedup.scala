@@ -220,6 +220,70 @@ object Dedup {
           col("n_ngrams").cast("double"), 5).as("dup_fraction"))
   }
 
+  /** Substring-level dedup REWRITE — the surgical counterpart of
+    * [[duplicateSpanStats]] (Lee et al. 2022: remove the repeated
+    * SPAN, keep the document). Every token position covered by a full
+    * n-gram window that occurs in ≥ `minDocs` documents is dropped;
+    * the survivors are re-joined in order. Docs shorter than `n` have
+    * no removable span and pass through whole; a doc that is pure
+    * boilerplate comes back empty (kept, auditable via `n_removed`).
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: inverted-index only — positional windows explode to
+    * O(tokens) rows, hot grams come from one (gram, doc)-distinct +
+    * one gram groupBy (both map-side combined), coverage is one gram
+    * equi-join back + an n-row offset explode, and the rebuild is one
+    * id-keyed groupBy (collect_list bounded by document length, the
+    * same bound as any per-doc op). Nothing is quadratic in corpus
+    * size; a span shared by a million documents just counts.
+    */
+  def stripDuplicateSpans(df: DataFrame, n: Int = 5, minDocs: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val staged = spread(df, textCol)
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .select(col(idCol).as("id"), col("__toks"))
+    // (id, pos, token) with 1-based positions (the oracle's list
+    // convention, SURVEY.md §8.3 rule 8)
+    val pos = staged
+      .select(col("id"), posexplode_outer(col("__toks")).as(Seq("p0", "token")))
+      .filter(col("token").isNotNull)
+      .select(col("id"), (col("p0") + 1).as("pos"), col("token"))
+    // full n-token windows with their start position; the trailing
+    // truncated windows are filtered out (pos ≤ len − n + 1)
+    val windows = transform(
+      sequence(lit(1), greatest(size(col("__toks")), lit(1))),
+      i => struct(i.as("pos"),
+        concat_ws(" ", slice(col("__toks"), i, lit(n))).as("gram")))
+    val grams = staged
+      .select(col("id"), size(col("__toks")).as("sz"),
+        explode_outer(windows).as("pg"))
+      .filter(col("pg").isNotNull && col("pg.pos") <= col("sz") - (n - 1))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val hot = grams.select("id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gd"))
+      .filter(col("gd") >= minDocs).select("gram")
+    val covered = grams.join(hot, "gram")
+      .select(col("id"),
+        explode_outer(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .filter(col("cpos").isNotNull)
+      .distinct()
+    val kept = pos.join(covered,
+      pos("id") === covered("id") && pos("pos") === covered("cpos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        // collect_list order is partition-arrival nondeterministic;
+        // sorting the (pos, token) structs restores document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("clean_text"))
+    staged.select(col("id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Driver-side md5 hex — the ONE copy of the hash that seeds every
     * deterministic parameter derivation (minhash affine maps,
     * hyperplane weights); package-shared so Similarity cannot drift

@@ -1336,6 +1336,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("stripDuplicateSpans: hot spans excised, shorts pass, boilerplate empties") {
+    val boiler = "w1 w2 w3 w4 w5" // shared 5-gram
+    val df = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),      // span mid-doc: positions 3-7 drop
+      (2L, s"$boiler v1 v2 v3"),          // span at head
+      (3L, boiler),                        // pure boilerplate → empty
+      (4L, "x1 x2 x3"),                    // shorter than n → untouched
+      (5L, "y1 y2 y3 y4 y5 y6 y7")        // unique content → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 9L, 5L, "u1 u2 u3 u4")))
+    assert(out(1) == ((2L, 8L, 5L, "v1 v2 v3")))
+    assert(out(2) == ((3L, 5L, 5L, "")))
+    assert(out(3) == ((4L, 3L, 0L, "x1 x2 x3")))
+    assert(out(4) == ((5L, 7L, 0L, "y1 y2 y3 y4 y5 y6 y7")))
+    // overlapping hot windows cover their union, not double-count:
+    // "a b a b a b" vs itself shifted — every position under some
+    // hot window goes, the remainder re-joins contiguously
+    val df2 = Seq(
+      (10L, "s1 s2 s3 s4 s5 s6 tail1 tail2"),
+      (11L, "s1 s2 s3 s4 s5 s6 other")).toDF("doc_id", "text")
+    val out2 = Dedup.stripDuplicateSpans(df2, n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // windows s1..s5 and s2..s6 are both hot → positions 1-6 covered
+    assert(out2(0) == ((10L, 6L, "tail1 tail2")))
+    assert(out2(1) == ((11L, 6L, "other")))
+  }
+
   test("eventTransitions: per-user chains, conditional p, streams independent") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
