@@ -1297,6 +1297,20 @@ object OraclesExt {
        |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
 
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
+  /** Stopword candidates — twin of TextStats.topDocFreqTokens:
+    * DOCUMENT frequency over per-doc distinct tokens, (df DESC,
+    * token) order, single safe integer division for the fraction.
+    */
+  def topDocFreqTokens(k: Int): String =
+    s"""WITH tk AS (SELECT DISTINCT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+       |SELECT token, count(*)::BIGINT AS doc_freq,
+       |  round(count(*)::DOUBLE / n_docs::DOUBLE, 5) AS df_fraction
+       |FROM tk CROSS JOIN nd GROUP BY token, n_docs
+       |ORDER BY doc_freq DESC, token LIMIT $k""".stripMargin
+
   def topTokens(k: Int): String =
     s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
        |  FROM documents)

@@ -712,6 +712,18 @@ object SparkEntry {
       TextStats.tfidfKeywords(s.table("documents"), tfidfK)
         .orderBy("doc_id", "rank")
     },
+    // §7.5 — stopword discovery: top-k tokens by DOCUMENT frequency
+    // (df axis; q_top_tokens is the occurrence axis).
+    "q_stop_candidates" -> withTables { s =>
+      TextStats.topDocFreqTokens(s.table("documents"), topTokensK)
+    },
+    // §7.5 — compression-ratio quality signal (no portable zlib in
+    // the oracle engine → rows-only check; ExtSpec owns semantics).
+    "q_compression" -> withTables { s =>
+      TextStats.withCompressionRatio(s.table("documents"))
+        .select("doc_id", "byte_len", "deflate_len", "compression_ratio")
+        .orderBy("doc_id")
+    },
     // §7.5 — per-source vocabulary growth (Heaps-law dashboard:
     // templated sources stop minting new words).
     "q_vocab_growth" -> withTables { s =>
@@ -1295,6 +1307,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
     "q_mixture_temperature" -> OraclesExt.temperatureMixture,
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
+    "q_stop_candidates" -> OraclesExt.topDocFreqTokens(topTokensK),
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,

@@ -583,6 +583,66 @@ object TextStats {
       .limit(k)
   }
 
+  /** Corpus stopword discovery: the `k` tokens with the highest
+    * DOCUMENT frequency (the df axis, vs [[topTokens]]' occurrence
+    * axis — a token repeated in one doc is a heavy hitter, a token
+    * present in every doc is a stopword). `df_fraction` is its share
+    * of documents, the number a stoplist threshold reads.
+    *
+    * Scale shape: per-doc distinct tokens (map-only), one
+    * vocabulary-sized count shuffle, TakeOrderedAndProject top-k —
+    * the vocabulary is never fully sorted.
+    */
+  def topDocFreqTokens(df: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    Dedup.spread(df, textCol)
+      .select(explode_outer(array_distinct(tokens(col(textCol)))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("doc_freq"),
+        round(col("doc_freq").cast("double") / col("n_docs").cast("double"), 5)
+          .as("df_fraction"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Per-document compression-ratio quality signal (Gopher-style):
+    * deflate(text).length / text byte length — templated/repetitive
+    * junk compresses far below natural text. zlib with fixed settings
+    * is deterministic for a given input, so the score is
+    * partition-independent; there is no SQL twin (no portable zlib in
+    * the oracle engine), so this family is spec-verified. The UDF is
+    * the honest choice here: the per-row work IS an imperative codec
+    * call, not an expression tree.
+    */
+  private val deflatedLen = udf { (s: String) =>
+    if (s == null) 0L
+    else {
+      val in = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total
+    }
+  }
+
+  /** Adds `byte_len`, `deflate_len`, `compression_ratio` (see
+    * [[deflatedLen]]); empty docs surface ratio 0.
+    */
+  def withCompressionRatio(df: DataFrame,
+      textCol: String = "text"): DataFrame =
+    df.withColumn("byte_len", octet_length(col(textCol)).cast("long"))
+      .withColumn("deflate_len", deflatedLen(col(textCol)))
+      .withColumn("compression_ratio",
+        when(col("byte_len") === 0L, 0.0).otherwise(
+          round(col("deflate_len").cast("double") /
+            col("byte_len").cast("double"), 5)))
+
   /** Per-document TF-IDF keyword extraction: for every document, the
     * top-`k` terms by tf·idf — the per-doc companion of [[topTokens]]
     * (corpus heavy hitters) and the extraction twin of Search.bm25

@@ -1336,6 +1336,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("topDocFreqTokens: df axis, not occurrence axis; fraction of docs") {
+    val df = Seq(
+      (1L, "ubiq heavy heavy heavy heavy"),
+      (2L, "ubiq solo"),
+      (3L, "ubiq other")).toDF("doc_id", "text")
+    val out = TextStats.topDocFreqTokens(df, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // "heavy" has 4 occurrences but df=1; "ubiq" df=3 wins
+    assert(out(0) == (("ubiq", 3L, 1.0)))
+    assert(out(1)._2 == 1L, "rank 2 is some df=1 token (tie on token asc)")
+    assert(out(1)._1 == "heavy")
+  }
+
+  test("compression ratio: repetitive text compresses far below diverse text") {
+    val junk = Array.fill(200)("spam").mkString(" ")
+    val varied = (1 to 200).map(i => s"tok${i * 7919 % 997}x$i").mkString(" ")
+    val df = Seq((1L, junk), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.withCompressionRatio(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("byte_len"), r.getAs[Long]("deflate_len"),
+          r.getAs[Double]("compression_ratio")))).toMap
+    assert(out(1L)._3 < 0.05, s"boilerplate must crush: ${out(1L)}")
+    assert(out(2L)._3 > 3 * out(1L)._3, "diverse text compresses much worse")
+    // deflate("") is 8 bytes of zlib framing; the ratio is gated to 0
+    assert(out(3L) == ((0L, 8L, 0.0)), "empty doc surfaces zero ratio")
+    // deterministic under repartitioning (fixed zlib settings)
+    val again = TextStats.withCompressionRatio(df.repartition(5)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("compression_ratio")).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+  }
+
   test("stripDuplicateSpans: hot spans excised, shorts pass, boilerplate empties") {
     val boiler = "w1 w2 w3 w4 w5" // shared 5-gram
     val df = Seq(
