@@ -1297,6 +1297,31 @@ object OraclesExt {
        |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
 
   /** Exact top-k corpus tokens — twin of TextStats.topTokens. */
+  /** Dataset-card corpus report — twin of q_corpus_report: scalar
+    * aggregates unioned into the same long relation (metric, value),
+    * the average in the shared exact HALF-UP form.
+    */
+  val corpusReport: String =
+    s"""WITH p AS (SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS nt,
+       |  n_chars, source, lang, md5(text) AS h FROM documents),
+       |b AS (SELECT count(*)::DOUBLE AS n_docs,
+       |  sum(nt)::DOUBLE AS total_tokens,
+       |  sum(n_chars)::DOUBLE AS total_chars,
+       |  ${decAvg5Sql("nt")} AS avg_tokens,
+       |  count(*)::BIGINT AS nn, count(DISTINCT h)::BIGINT AS nc,
+       |  count(DISTINCT source)::DOUBLE AS n_sources,
+       |  count(DISTINCT lang)::DOUBLE AS n_langs FROM p)
+       |SELECT metric, value FROM (
+       |  SELECT 'avg_tokens' AS metric, avg_tokens AS value FROM b
+       |  UNION ALL SELECT 'dup_docs', (nn - nc)::DOUBLE FROM b
+       |  UNION ALL SELECT 'n_docs', n_docs FROM b
+       |  UNION ALL SELECT 'n_langs', n_langs FROM b
+       |  UNION ALL SELECT 'n_sources', n_sources FROM b
+       |  UNION ALL SELECT 'total_chars', total_chars FROM b
+       |  UNION ALL SELECT 'total_tokens', total_tokens FROM b)
+       |ORDER BY metric""".stripMargin
+
   /** Stopword candidates — twin of TextStats.topDocFreqTokens:
     * DOCUMENT frequency over per-doc distinct tokens, (df DESC,
     * token) order, single safe integer division for the fraction.

@@ -712,6 +712,36 @@ object SparkEntry {
       TextStats.tfidfKeywords(s.table("documents"), tfidfK)
         .orderBy("doc_id", "rank")
     },
+    // §7.5 — the dataset card: one long-format corpus summary
+    // (counts, token totals, exact-dup volume, exact HALF-UP average)
+    // assembled from broadcast-class scalar aggregates — the exact
+    // distincts run as two-stage group-bys, never an Expand — and
+    // unpivoted wide→long.
+    "q_corpus_report" -> withTables { s =>
+      val d = s.table("documents")
+      val per = d.select(
+        size(TextStats.tokens(col("text"))).cast("long").as("nt"),
+        col("source"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+      val base = per.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("nt")).cast("double").as("total_tokens"),
+        sum(col("n_chars")).cast("double").as("total_chars"),
+        TextStats.decAvg5(col("nt"), count(lit(1))).as("avg_tokens"),
+        count(lit(1)).as("__n"))
+      val nSources = per.groupBy("source").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).cast("double").as("n_sources"))
+      val nLangs = per.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).cast("double").as("n_langs"))
+      val nContents = per.groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("__nc"))
+      base.crossJoin(broadcast(nSources)).crossJoin(broadcast(nLangs))
+        .crossJoin(broadcast(nContents))
+        .withColumn("dup_docs", (col("__n") - col("__nc")).cast("double"))
+        .select("n_docs", "total_tokens", "total_chars", "avg_tokens",
+          "n_sources", "n_langs", "dup_docs")
+        .unpivot(Array.empty[org.apache.spark.sql.Column], "metric", "value")
+        .orderBy("metric")
+    },
     // §7.5 — stopword discovery: top-k tokens by DOCUMENT frequency
     // (df axis; q_top_tokens is the occurrence axis).
     "q_stop_candidates" -> withTables { s =>
@@ -1308,6 +1338,7 @@ object SparkEntry {
     "q_mixture_temperature" -> OraclesExt.temperatureMixture,
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_stop_candidates" -> OraclesExt.topDocFreqTokens(topTokensK),
+    "q_corpus_report" -> OraclesExt.corpusReport,
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
