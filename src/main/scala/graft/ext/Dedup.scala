@@ -268,8 +268,13 @@ object Dedup {
         explode_outer(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
       .filter(col("cpos").isNotNull)
       .distinct()
-    val kept = pos.join(covered,
-      pos("id") === covered("id") && pos("pos") === covered("cpos"), "left_anti")
+    // covered shares pos's lineage (both derive from `staged`), so
+    // the join keys are aliased explicitly — the bare pos("id") ===
+    // covered("id") form resolves to ONE attribute and relies on
+    // Spark's self-join disambiguation heuristic
+    val kept = pos.as("p").join(covered.as("c"),
+      col("p.id") === col("c.id") && col("p.pos") === col("c.cpos"),
+      "left_anti")
     val rebuilt = kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         // collect_list order is partition-arrival nondeterministic;
