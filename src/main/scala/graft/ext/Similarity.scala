@@ -426,6 +426,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Incrementally add a batch to a [[writeIvfIndex]] index: the new
+    * vectors are assigned against the EXISTING centroids and appended
+    * into their cell directories — no rebuild, no touch of resident
+    * cells. This is the maintenance half of the on-disk ANN story
+    * (the streaming ingest gate's accepted docs land here); centroid
+    * quality degrades only as the corpus distribution drifts, at
+    * which point [[writeIvfIndex]] re-trains — the standard
+    * build/serve split.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    ivfAssign(normalized(newVectors, idCol, vecCol), cents, 1, idCol, vecCol)
+      .withColumnRenamed("centroid_id", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Probe a [[writeIvfIndex]] index: identical results to [[ivfTopK]]
     * with the same (nlist, nprobe, refine) — verified in ExtSpec —
     * but the corpus side comes from the index, filtered to the probed

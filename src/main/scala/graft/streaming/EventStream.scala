@@ -186,6 +186,61 @@ object EventStream {
       }
   }
 
+  /** One debounce verdict (streaming [[graft.ext.Events.debounce]]
+    * twin output record).
+    */
+  final case class Debounced(
+      eventId: Long, userId: Long, eventType: String, tsUs: Long,
+      kept: Boolean)
+
+  /** Per-(user, type) debounce state: the last raw event time. */
+  final case class DebounceState(lastUs: Long)
+
+  /** Streaming debounce — the stateful twin of
+    * `Events.debounce`: an event survives iff it is the first of its
+    * (user, type) key or arrives more than `gapSeconds` after the
+    * PREVIOUS RAW event of that key (a steady drumbeat stays
+    * collapsed, exactly like the batch operator). State per key is
+    * ONE long (the last seen event time) — flatMapGroupsWithState at
+    * its cheapest; a processing-time timeout retires idle keys so a
+    * forever-running ingest holds state only for active keys.
+    *
+    * Within a micro-batch, rows are ordered (tsUs, eventId) before
+    * the state fold — the batch twin's tie rule, so a replay through
+    * either engine yields identical verdicts.
+    */
+  def debounceStream(events: DataFrame, gapSeconds: Long = 60L,
+      idleTimeoutSeconds: Long = 3600L)(
+      implicit enc: SparkSession): Dataset[Debounced] = {
+    import enc.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[DebounceState, Debounced](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._4, r._1))
+            var last = state.getOption.map(_.lastUs)
+            val out = sorted.map { case (id, uid, tpe, ts) =>
+              val kept = last.forall(l => ts - l > gapUs)
+              last = Some(ts)
+              Debounced(id, uid, tpe, ts, kept)
+            }
+            last.foreach { l =>
+              state.update(DebounceState(l))
+              state.setTimeoutDuration(idleTimeoutSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream attribution join: each purchase joins every click
     * by the same user in the preceding `horizonMinutes` — the
     * watermarked STREAM×STREAM equi-join (Spark buffers both sides in

@@ -243,6 +243,27 @@ class ExtSpec extends AnyFunSuite {
       s"probed-cell IN-list missing or unpruned: $probed")
   }
 
+  test("appendToIvfIndex: no rebuild, no lost vectors, full-probe recall 1") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append-spec").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), dir)
+    // every vector lives in exactly one cell after the append
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == emb.count())
+    assert(cells.select("vec_id").distinct().count() == emb.count())
+    // probing ALL cells = recall 1: exactly the brute-force top-k
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.topK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probed = Similarity.ivfTopKIndexed(dir, queries, 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed == brute,
+      "an appended index probed at nprobe=nlist must equal brute force")
+  }
+
   test("topK broadcasts the query side (no corpus shuffle)") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")

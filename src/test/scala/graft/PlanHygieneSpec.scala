@@ -126,6 +126,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"all-pairs join in the near-dup plan:\n$plan")
   }
 
+  test("corpus report's exact distincts never plan as an Expand") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_corpus_report")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    // exactly ONE Expand is expected — the final wide→long unpivot of
+    // a single row; a corpus-sized multi-countDistinct Expand would
+    // add more
+    assert(plan.sliding("Expand".length).count(_ == "Expand") == 1,
+      s"multi-countDistinct Expand snuck into the corpus report:\n$plan")
+  }
+
   test("deterministic sampling is map-only — no exchange, no shuffle") {
     Tables.register(spark, TestSpark.sfDir)
     val df = graft.ext.Sampling.stratifiedSample(spark.table("documents"),

@@ -111,6 +111,31 @@ class StreamingSpec extends AnyFunSuite {
       "upsert+delete+insert chain must fold to the current table")
   }
 
+  test("debounceStream agrees with the batch debounce over the same files") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val streamed = EventStream.debounceStream(
+      EventStream.readEvents(spark, eventsDir), gapSeconds = 3600L)
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_debounce")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-debounce").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val got = spark.table("stream_debounce")
+      .select("eventId", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = Events.debounce(spark.table("events"), 3600L)
+      .select("event_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == batch.size)
+    assert(got == batch, "streaming verdicts must equal the batch twin's")
+    assert(got.valuesIterator.contains(false), "the stream must collapse something")
+  }
+
   test("nearDupGateStream: probes the accumulated store; first-seen wins in-batch") {
     import spark.implicits._
     val inDir = java.nio.file.Files
