@@ -1539,6 +1539,27 @@ object OraclesExt {
        |SELECT g AS event_type, n, $qs FROM a ORDER BY event_type""".stripMargin
   }
 
+  /** Token-weighted doc-length quantiles — twin of
+    * Quantiles.groupQuantilesWeighted over documents: identical
+    * value-counts machinery with per-row weights summed where counts
+    * counted; identical interpolation expression tree.
+    */
+  def weightedQuantiles(ps: Seq[(String, Double)]): String = {
+    val picks = quantilePicksSql(ps)
+    val qs = quantileProjSql(ps)
+    s"""WITH w AS (SELECT lang, n_chars::DOUBLE AS v,
+       |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS wt
+       |  FROM documents),
+       |vc AS (SELECT lang AS g, v, sum(wt)::BIGINT AS cnt FROM w
+       |  WHERE wt > 0 GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
+       |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
+       |a AS (SELECT g, n, $picks FROM j GROUP BY g, n)
+       |SELECT g AS lang, n, $qs FROM a ORDER BY lang""".stripMargin
+  }
+
   /** Tukey-fence outlier report — twin of Quantiles.tukeyOutliers:
     * identical exact q1/q3 (shared quantile CTEs), identical IEEE
     * fence arithmetic on the 5-decimal-rounded quantiles.

@@ -974,6 +974,16 @@ object SparkEntry {
         s.table("events"), "event_type", "value", quantilePs)
         .orderBy("event_type")
     },
+    // §7.5 — TOKEN-weighted doc-length quantiles per language (the
+    // median doc length of the token MASS, not the doc count); same
+    // value-counts machinery as q_group_quantiles with weights summed
+    // where counts counted.
+    "q_weighted_quantiles" -> withTables { s =>
+      val d = s.table("documents").withColumn("__w",
+        size(TextStats.tokens(col("text"))).cast("long"))
+      graft.ext.Quantiles.groupQuantilesWeighted(
+        d, "lang", "n_chars", "__w", quantilePs).orderBy("lang")
+    },
     // §7.5 — fuzzy (edit-distance) dedup: MinHash/LSH candidates
     // re-verified with Levenshtein over canonicalized text — catches
     // small in-place edits that set-Jaccard under-reports. The
@@ -1385,6 +1395,7 @@ object SparkEntry {
     "q_events_anomaly" -> OraclesExt.eventsAnomaly(
       anomalyWindowDays, anomalyK, anomalyMinDays),
     "q_group_quantiles" -> OraclesExt.groupQuantiles(quantilePs),
+    "q_weighted_quantiles" -> OraclesExt.weightedQuantiles(quantilePs),
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),
     "q_kmv_rollup" -> OraclesExt.kmvRollup(kmvK),

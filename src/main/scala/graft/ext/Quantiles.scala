@@ -114,6 +114,27 @@ object Quantiles {
     quantilesFromVc(vc, Seq(groupCol), ps, broadcastGroups)
   }
 
+  /** WEIGHTED exact per-group quantiles: integer weight w reads as
+    * "this row, repeated w times" — Spark's own `percentile(col, p,
+    * frequency)` semantics, verified bit-for-bit in ExtSpec. The
+    * training-data use: token-weighted document statistics (the
+    * median doc LENGTH of the token mass, not of the doc count — a
+    * corpus of many short docs and a few huge ones answers those two
+    * questions very differently). Same value-counts machinery as
+    * [[groupQuantiles]]: weights sum where counts counted, so cost
+    * and scale shape are identical (no per-group buffering, sharded
+    * cumsum). Zero-weight rows are excluded up front.
+    */
+  def groupQuantilesWeighted(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, ps: Seq[(String, Double)],
+      broadcastGroups: Boolean = true): DataFrame = {
+    val vc = df
+      .where(col(valueCol).isNotNull && col(weightCol).cast("long") > 0)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("cnt"))
+    quantilesFromVc(vc, Seq(groupCol), ps, broadcastGroups)
+  }
+
   /** Quantiles from a PRE-COUNTED `(groups..., value, count)` relation
     * — the mergeable form: value-count relations merge by addition
     * (associative, exact), so per-partition counts (per day, per

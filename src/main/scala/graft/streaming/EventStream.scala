@@ -241,6 +241,48 @@ object EventStream {
       }
   }
 
+  /** One emitted transition edge (streaming
+    * [[graft.ext.Events.eventTransitions]] twin output record).
+    */
+  final case class Transition(
+      userId: Long, fromType: String, toType: String, tsUs: Long)
+
+  /** Per-user transition state: the last raw event. */
+  final case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
+
+  /** Streaming Markov-edge extraction — the stateful twin of
+    * `Events.eventTransitions`: every consecutive (from, to)
+    * event-type pair in a user's stream is emitted as it happens;
+    * downstream aggregation (memory table, counter service) owns the
+    * roll-up. State per user is ONE last event; rows inside a batch
+    * fold in (tsUs, eventId) order — the batch twin's tie rule — and
+    * the state carries the chain across batches, so replays and live
+    * runs emit identical edges.
+    */
+  def transitionsStream(events: DataFrame)(
+      implicit enc: SparkSession): Dataset[Transition] = {
+    import enc.implicits._
+    events
+      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._1))
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { case (id, _, tpe, ts) =>
+            prev.foreach(p => out += Transition(userId, p.eventType, tpe, ts))
+            prev = Some(LastEvent(ts, id, tpe))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream attribution join: each purchase joins every click
     * by the same user in the preceding `horizonMinutes` — the
     * watermarked STREAM×STREAM equi-join (Spark buffers both sides in

@@ -485,6 +485,36 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("groupQuantilesWeighted equals Spark's percentile with frequency") {
+    Tables.register(spark, TestSpark.sfDir)
+    val d = spark.table("documents").withColumn("__w",
+      size(TextStats.tokens(col("text"))).cast("long"))
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+    val ours = graft.ext.Quantiles.groupQuantilesWeighted(
+      d, "lang", "n_chars", "__w", ps).orderBy("lang").collect()
+    val exact = d.filter(col("__w") > 0).groupBy("lang").agg(
+      sum(col("__w")).as("n"),
+      expr("round(percentile(cast(n_chars as double), 0.25, __w), 5)").as("p25"),
+      expr("round(percentile(cast(n_chars as double), 0.5, __w), 5)").as("p50"),
+      expr("round(percentile(cast(n_chars as double), 0.75, __w), 5)").as("p75"))
+      .orderBy("lang").collect()
+    assert(ours.length == exact.length && ours.length > 0)
+    ours.zip(exact).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1), "n must be the total WEIGHT")
+      Seq("p25", "p50", "p75").foreach { c =>
+        assert(a.getAs[Double](c) == b.getAs[Double](c),
+          s"${a.getString(0)}.$c: ${a.getAs[Double](c)} != ${b.getAs[Double](c)}")
+      }
+    }
+    // a weight-w row reads as w repeats: unrolling must agree
+    val tiny = Seq(("g", 1.0, 3L), ("g", 10.0, 1L)).toDF("grp", "v", "w")
+    val wq = graft.ext.Quantiles.groupQuantilesWeighted(
+      tiny, "grp", "v", "w", Seq("p50" -> 0.5)).head
+    // unrolled (1,1,1,10): median = 1.0
+    assert(wq.getAs[Double]("p50") == 1.0)
+  }
+
   test("groupQuantiles: broadcastGroups=false (high-cardinality path) is identical") {
     Tables.register(spark, TestSpark.sfDir)
     val e = spark.table("events")

@@ -136,6 +136,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.valuesIterator.contains(false), "the stream must collapse something")
   }
 
+  test("transitionsStream edge counts equal the batch Markov roll-up") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val streamed = EventStream.transitionsStream(
+      EventStream.readEvents(spark, eventsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_transitions")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-transitions").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val got = spark.table("stream_transitions")
+      .groupBy("fromType", "toType").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = Events.eventTransitions(spark.table("events"))
+      .select("from_type", "to_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch, "streamed edges must roll up to the batch matrix")
+  }
+
   test("nearDupGateStream: probes the accumulated store; first-seen wins in-batch") {
     import spark.implicits._
     val inDir = java.nio.file.Files
