@@ -216,6 +216,65 @@ object TextStats {
       .orderBy("lang", "source")
   }
 
+  /** The mergeable form of [[corpusStats]]: per-(lang, source) SUMS —
+    * counts, token totals, and each averaged metric as exact scale-9
+    * integer units (`su_*`, [[decAvg5]]'s numerator) — instead of the
+    * finished averages. Sums merge by addition across batches, days,
+    * or shards; [[finalizeCorpusStats]] then yields EXACTLY what
+    * [[corpusStats]] computes over the combined raw data (the same
+    * zero-error-rollup property as Sketches.dailyValueCounts). An
+    * average is NOT mergeable; its numerator is — so the state
+    * carries the numerator.
+    */
+  def corpusStatsPartial(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def su(c: Column): Column =
+      (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 9))) *
+        lit(1000000000L)).cast("long")
+    withDocStats(Dedup.spread(df, textCol), textCol)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("est_bpe_tokens")).as("total_bpe_tokens"),
+        su(col("n_tokens")).as("su_tokens"),
+        su(col("avg_token_len")).as("su_token_len"),
+        su(col("stopword_ratio")).as("su_stopword"),
+        su(col("alpha_ratio")).as("su_alpha"),
+        su(col("quality_score")).as("su_quality"))
+  }
+
+  /** Merge [[corpusStatsPartial]] relations by addition. */
+  def mergeCorpusStats(parts: DataFrame): DataFrame =
+    parts.groupBy("lang", "source").agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("total_tokens")).as("total_tokens"),
+      sum(col("total_bpe_tokens")).as("total_bpe_tokens"),
+      sum(col("su_tokens")).as("su_tokens"),
+      sum(col("su_token_len")).as("su_token_len"),
+      sum(col("su_stopword")).as("su_stopword"),
+      sum(col("su_alpha")).as("su_alpha"),
+      sum(col("su_quality")).as("su_quality"))
+
+  /** Finalize merged partials into [[corpusStats]]' exact output
+    * (identical HALF-UP expression over the merged numerators).
+    */
+  def finalizeCorpusStats(merged: DataFrame): DataFrame = {
+    def avg(suCol: String): Column = {
+      val d = col("n_docs") * lit(10000L)
+      floor((col(suCol) * 2 + d).cast("double") /
+        (d * 2).cast("double")) / lit(100000.0)
+    }
+    merged.select(
+      col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+      col("total_bpe_tokens"),
+      avg("su_tokens").as("avg_tokens"),
+      avg("su_token_len").as("avg_avg_token_len"),
+      avg("su_stopword").as("avg_stopword_ratio"),
+      avg("su_alpha").as("avg_alpha_ratio"),
+      avg("su_quality").as("avg_quality"))
+      .orderBy("lang", "source")
+  }
+
   /** Language-ID profile: (lang, token, weight) rows. Tiny —
     * broadcast-joined against the exploded token stream. Weights are
     * integers so scores are exact.

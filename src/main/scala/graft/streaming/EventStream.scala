@@ -506,6 +506,58 @@ object EventStream {
       .start()
   }
 
+  /** Streaming corpus-statistics maintenance — the statistics
+    * counterpart of [[maintainSnapshot]]: each micro-batch's docs are
+    * folded into a versioned per-(lang, source) stats table via the
+    * MERGEABLE form (`TextStats.corpusStatsPartial`: sums and exact
+    * scale-9 numerators, never finished averages — an average doesn't
+    * merge; its numerator does). [[readCorpusStats]] finalizes the
+    * latest version into EXACTLY what `TextStats.corpusStats` would
+    * compute over all docs ever ingested — without ever rescanning
+    * them. State per key is one row of longs; the raw corpus is
+    * touched once, at ingest.
+    */
+  def maintainCorpusStats(docs: DataFrame,
+      statsDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.TextStats
+    val spark = docs.sparkSession
+    val fs = new java.io.File(statsDir)
+    fs.mkdirs()
+    def versions(): Seq[Long] = Option(fs.list()).toSeq.flatten
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-corpusstats").toString
+    @volatile var baseVersion: Option[Long] = versions().sorted.lastOption
+    docs.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val part = TextStats.corpusStatsPartial(batch.toDF())
+        val merged = baseVersion match {
+          case Some(v) => TextStats.mergeCorpusStats(
+            spark.read.parquet(s"$statsDir/v=$v").unionByName(part))
+          case None => part
+        }
+        val next = baseVersion.getOrElse(-1L) + 1L
+        val tmp = new java.io.File(fs, s"_tmp_v=$next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val dest = new java.io.File(fs, s"v=$next")
+        require(tmp.renameTo(dest), s"could not commit stats $dest")
+        baseVersion = Some(next)
+        ()
+      }
+      .start()
+  }
+
+  /** Finalized view of the latest [[maintainCorpusStats]] version. */
+  def readCorpusStats(spark: SparkSession, statsDir: String): DataFrame = {
+    val versions = Option(new java.io.File(statsDir).list()).toSeq.flatten
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(versions.nonEmpty, s"no stats versions under $statsDir")
+    graft.ext.TextStats.finalizeCorpusStats(
+      spark.read.parquet(s"$statsDir/v=${versions.max}"))
+  }
+
   /** Latest snapshot version written by [[maintainSnapshot]]. */
   def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
     val versions = Option(new java.io.File(snapshotDir).list()).toSeq.flatten

@@ -159,6 +159,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, "streamed edges must roll up to the batch matrix")
   }
 
+  test("maintainCorpusStats: merged numerators finalize to the exact batch stats") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-stats-in").toString
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("graft-stats-out").toString
+    val schema = docs.schema
+    def run(sub: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      part.coalesce(1).write.parquet(s"$inDir/$sub")
+      val q = EventStream.maintainCorpusStats(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(s"$inDir/$sub"),
+        statsDir)
+      q.awaitTermination(120000L)
+    }
+    run("r1", docs.filter(col("doc_id") % 2 === 0))
+    run("r2", docs.filter(col("doc_id") % 2 === 1))
+    val got = EventStream.readCorpusStats(spark, statsDir).collect().toSeq
+    val batch = graft.ext.TextStats.corpusStats(docs).collect().toSeq
+    assert(got.nonEmpty && got == batch,
+      "two ingested halves must finalize to the one-shot batch stats, cell-exact")
+  }
+
   test("nearDupGateStream: probes the accumulated store; first-seen wins in-batch") {
     import spark.implicits._
     val inDir = java.nio.file.Files
