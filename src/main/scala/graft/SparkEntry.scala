@@ -834,6 +834,17 @@ object SparkEntry {
       graft.ext.Search.bm25(s.table("documents"), bm25Terms, bm25K,
         bm25K1, bm25B)
     },
+    // §7.5 — the PERSISTED inverted-index twin of q_bm25: postings
+    // and dfs in crc32-term-bucket partitions; the probe reads only
+    // the query terms' buckets (partition pruning), shares the exact
+    // scoring tree with bm25 → same oracle.
+    "q_bm25_indexed" -> withTables { s =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-search-index").toString
+      graft.ext.Search.writeSearchIndex(s.table("documents"), dir)
+      graft.ext.Search.bm25Indexed(s, dir, bm25Terms, bm25K,
+        bm25K1, bm25B)
+    },
     // §7.5 — two-stage hybrid retrieval: BM25 candidate recall over
     // the corpus, embedding-cosine rerank over the ≤candidateK
     // survivors (broadcast semi-join prune into the embedding scan).
@@ -1367,6 +1378,7 @@ object SparkEntry {
     "q_curate_semantic" -> OraclesExt.curateSemantic,
     "q_curate_full" -> OraclesExt.curateFull,
     "q_bm25" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
+    "q_bm25_indexed" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_hybrid_search" -> OraclesExt.hybridRerank(bm25Terms,
       hybridQueryVecId, hybridCandidateK, hybridK, bm25K1, bm25B),
     "q_events_hourly" -> OraclesExt.eventsHourly,

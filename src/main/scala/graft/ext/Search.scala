@@ -51,10 +51,24 @@ object Search {
       .filter(col("token").isin(queryTerms: _*))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__tf"))
-    // document frequency → Lucene-style smoothed idf, one row per
-    // query term; rounded at 5 decimals so a 1-ulp libm `ln`
-    // difference between engines cannot reach the summed score
-    val idf = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    // document frequency computed from the term-filtered tf relation
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    scoreMatches(tf, dfreq, lens, consts, k, k1, b, idCol)
+  }
+
+  /** The ONE BM25 scoring tree, shared by [[bm25]] and
+    * [[bm25Indexed]] so the two paths cannot drift: Lucene-smoothed
+    * idf (rounded at 5 decimals — a 1-ulp libm `ln` difference
+    * between engines cannot reach the summed score), fixed IEEE
+    * per-term expression, `decimal(18,9)` quantization, exact-integer
+    * HALF-AWAY rounding of the summed score (see TextStats.decAvg5:
+    * a double `round` can flip on the exact .5×10⁻⁵ ties that
+    * quantized sums land on). Top-k plans as TakeOrderedAndProject.
+    */
+  private def scoreMatches(tf: DataFrame, dfreq: DataFrame,
+      lens: DataFrame, consts: DataFrame, k: Int, k1: Double, b: Double,
+      idCol: String): DataFrame = {
+    val idf = dfreq
       .crossJoin(broadcast(consts))
       .select(col("token"), round(log(
         (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
@@ -64,9 +78,6 @@ object Search {
         (col("__tf").cast("double") +
           lit(k1) * (lit(1 - b) + lit(b) *
             (col("__len").cast("double") / col("__avglen"))))
-    // exact-integer HALF-AWAY rounding of the 9-decimal-quantized sum
-    // (see TextStats.decAvg5: a double `round` can flip on the exact
-    // .5×10⁻⁵ ties that quantized sums land on)
     val su = (sum(col("__s")) * lit(1000000000L)).cast("long")
     val score5 = when(su < 0, lit(-1.0)).otherwise(lit(1.0)) *
       floor((abs(su) * 2 + 10000).cast("double") / 20000.0) / lit(100000.0)
@@ -78,6 +89,72 @@ object Search {
       .agg(count(lit(1)).as("n_terms_matched"), score5.as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Term bucket for index partitioning — Spark's `crc32` and
+    * `java.util.zip.CRC32` are the same IEEE polynomial, so the
+    * driver can compute a query term's bucket without the cluster.
+    */
+  private def bucketOf(term: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes("UTF-8"))
+    c.getValue % nBuckets
+  }
+
+  /** Materialize a BM25 inverted index on disk: full postings
+    * (token, doc, tf) and the per-token document frequencies, both
+    * PARTITIONED BY a crc32 term bucket, plus per-doc lengths and the
+    * corpus constants. Build once; [[bm25Indexed]] then serves any
+    * query by reading ONLY the query terms' bucket directories —
+    * the corpus text is never re-tokenized, and at 100 TB a query
+    * touches |terms| buckets of postings instead of the corpus.
+    */
+  def writeSearchIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val staged = Dedup.spread(docs, textCol)
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+    val lens = staged.select(col(idCol),
+      size(col("__toks")).cast("long").as("__len"))
+    lens.write.mode("overwrite").parquet(s"$dir/lens")
+    lens.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__len").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("__avglen"))
+      .write.mode("overwrite").parquet(s"$dir/consts")
+    val tf = staged
+      .select(col(idCol), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("bucket", pmod(crc32(col("token")), lit(nBuckets)))
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    tf.groupBy("token", "bucket").agg(count(lit(1)).as("__df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+  }
+
+  /** Serve a BM25 query from a [[writeSearchIndex]] index: identical
+    * results to [[bm25]] over the indexed corpus (the scoring tree is
+    * literally shared), but the term lookup is a partition-pruned
+    * read — the query terms' buckets are computed driver-side and
+    * land in the scans as literal `bucket IN (...)` filters.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val buckets = queryTerms.map(bucketOf(_, nBuckets)).distinct.sorted
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(queryTerms: _*))
+      .select(col(idCol), col("token"), col("__tf"))
+    val dfreq = spark.read.parquet(s"$dir/df")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(queryTerms: _*))
+      .select(col("token"), col("__df"))
+    val lens = spark.read.parquet(s"$dir/lens")
+    val consts = spark.read.parquet(s"$dir/consts")
+    scoreMatches(tf, dfreq, lens, consts, k, k1, b, idCol)
   }
 
   /** Hybrid retrieval: BM25 keyword recall, embedding-cosine

@@ -243,6 +243,26 @@ class ExtSpec extends AnyFunSuite {
       s"probed-cell IN-list missing or unpruned: $probed")
   }
 
+  test("persisted search index: probe ≡ bm25, scans prune to term buckets") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-search-idx-spec").toString
+    graft.ext.Search.writeSearchIndex(docs, dir)
+    val terms = Seq("spark", "window", "merge")
+    val direct = graft.ext.Search.bm25(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = graft.ext.Search.bm25Indexed(spark, dir, terms, 10)
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == direct, "index probe must equal the direct BM25 ranking")
+    // both the postings and df scans carry a literal bucket filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    val filters = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN".r
+      .findAllIn(plan).length
+    assert(filters >= 2, s"expected bucket partition filters in:\n$plan")
+  }
+
   test("appendToIvfIndex: no rebuild, no lost vectors, full-probe recall 1") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")
