@@ -793,6 +793,16 @@ object OraclesExt {
        |    % $k AS INT) AS fold
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Exact-budget sample — twin of Sampling.fixedSizeSample: the n
+    * smallest md5(salt|id) rows, id tie-break.
+    */
+  def sampleFixed(n: Int, salt: String): String =
+    s"""SELECT * FROM (
+       |  SELECT doc_id, text, lang, source, n_chars
+       |  FROM documents
+       |  ORDER BY md5('$salt|' || doc_id), doc_id LIMIT $n)
+       |ORDER BY doc_id""".stripMargin
+
   /** Group-aware split — twin of Sampling.trainTestSplit keyed on the
     * GROUP id (`source`): membership is a function of the group
     * alone, so every document of a source lands on the same side —

@@ -319,6 +319,8 @@ object SparkEntry {
   private[graft] val clusterSampleCap = 20
   // k-fold CV assignment (shared with OraclesExt.kfold)
   private[graft] val kfoldK = 5
+  // exact-budget sample size (shared with OraclesExt.sampleFixed)
+  private[graft] val fixedSampleN = 100
   // TF-IDF keyword extraction (shared with OraclesExt.tfidfKeywords)
   private[graft] val tfidfK = 3
   // debounce gap (shared with OraclesExt.eventsDebounce)
@@ -636,6 +638,12 @@ object SparkEntry {
     // map-only, engine- and partitioning-independent folds).
     "q_kfold" -> withTables { s =>
       Sampling.kfold(s.table("documents"), kfoldK).orderBy("doc_id")
+    },
+    // §7.5 — exact-budget deterministic sample (reservoir stand-in:
+    // smallest-md5 pick set; TakeOrderedAndProject, no full sort).
+    "q_sample_fixed" -> withTables { s =>
+      Sampling.fixedSizeSample(s.table("documents"), fixedSampleN)
+        .orderBy("doc_id")
     },
     // §7.5 — GROUP-aware split: membership keyed on `source`, not the
     // row, so near-identical documents clustered within one source can
@@ -1347,6 +1355,7 @@ object SparkEntry {
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
+    "q_sample_fixed" -> OraclesExt.sampleFixed(fixedSampleN, "sample"),
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
     "q_tfidf_keywords" -> OraclesExt.tfidfKeywords(tfidfK),
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),

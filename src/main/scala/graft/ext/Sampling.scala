@@ -43,6 +43,25 @@ object Sampling {
       idCol: String = "doc_id", salt: String = "sample"): DataFrame =
     df.filter(hashUniform(col(idCol), salt) < lit(fraction))
 
+  /** EXACT-size deterministic sample: the `n` rows with the smallest
+    * md5(salt|id) — the deterministic stand-in for reservoir sampling
+    * (same fixed output budget, but membership is a pure function of
+    * (salt, id): any engine, any partitioning, any run picks the
+    * identical set, and growing the corpus only ever swaps members
+    * out, never reshuffles survivors' relative ranks). Plans as
+    * TakeOrderedAndProject: per-partition top-n heaps, never a full
+    * sort.
+    */
+  def fixedSizeSample(df: DataFrame, n: Int, idCol: String = "doc_id",
+      salt: String = "sample"): DataFrame = {
+    require(n >= 1, s"fixedSizeSample needs n >= 1, got $n")
+    df.withColumn("__rk",
+        md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("__rk"), col(idCol))
+      .limit(n)
+      .drop("__rk")
+  }
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * (first 8 md5 hex digits of salt|id) mod k — pure integer
     * arithmetic on the shared md5 membership convention, so any

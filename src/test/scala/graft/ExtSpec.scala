@@ -1530,6 +1530,22 @@ class ExtSpec extends AnyFunSuite {
       Seq((1, "solo"), (2, "common")))
   }
 
+  test("fixedSizeSample: exact budget, partition-independent pick set, TOAP plan") {
+    val df = docs
+    val out = Sampling.fixedSizeSample(df, 50)
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == 50)
+    val again = Sampling.fixedSizeSample(df.repartition(7), 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == ids, "membership is a pure function of (salt, id)")
+    // growing the budget only ADDS members (nested pick sets)
+    val bigger = Sampling.fixedSizeSample(df, 80)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(bigger))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "must not fully sort the corpus")
+  }
+
   test("kfold: stable folds in range, roughly balanced, group-keyable") {
     val df = docs
     val out = Sampling.kfold(df, 5).select("doc_id", "fold").collect()
