@@ -444,6 +444,55 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Remove vectors from a [[writeIvfIndex]] index WITHOUT a rebuild
+    * — the right-to-be-forgotten maintenance op. One id-filtered scan
+    * finds the affected cells; their survivors are staged to a temp
+    * table (Spark refuses to overwrite a path it is reading) and
+    * written back with DYNAMIC partition overwrite
+    * (`partitionOverwriteMode=dynamic`), so untouched cell
+    * directories keep their files byte-for-byte; a cell whose every
+    * member was deleted yields no survivor rows — dynamic overwrite
+    * would leave its stale directory, so those are dropped
+    * explicitly. At 100 TB deleting k ids rewrites O(k) cells, not
+    * the corpus.
+    */
+  def removeFromIvfIndex(ids: Seq[Long], dir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      idCol: String = "vec_id"): Unit = {
+    require(ids.nonEmpty, "nothing to remove")
+    // partition-column type inference reads `cell` back as int —
+    // normalize to long once
+    val cells = spark.read.parquet(s"$dir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val affected = cells.filter(col(idCol).isin(ids: _*))
+      .select("cell").distinct().collect().map(_.getLong(0))
+    if (affected.nonEmpty) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivf-del").toString
+      cells.filter(col("cell").isin(affected: _*))
+        .filter(!col(idCol).isin(ids: _*))
+        .write.mode("overwrite").parquet(tmp)
+      val staged = spark.read.parquet(tmp)
+      val survivorCells = staged.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells")
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      (affected.toSet -- survivorCells).foreach { c =>
+        val d = new java.io.File(s"$dir/cells/cell=$c")
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
+        d.delete()
+      }
+    }
+  }
+
   /** Probe a [[writeIvfIndex]] index: identical results to [[ivfTopK]]
     * with the same (nlist, nprobe, refine) — verified in ExtSpec —
     * but the corpus side comes from the index, filtered to the probed

@@ -284,6 +284,48 @@ class ExtSpec extends AnyFunSuite {
       "an appended index probed at nprobe=nlist must equal brute force")
   }
 
+  test("removeFromIvfIndex rewrites only affected cells; emptied cells vanish") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del-spec").toString
+    Similarity.writeIvfIndex(emb, dir, nlist = 16)
+    val cells = spark.read.parquet(s"$dir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    // victim set: every member of the smallest cell (it must vanish
+    // entirely) plus one member of the largest (partial rewrite)
+    val sizes = cells.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val smallCell = sizes.minBy(t => (t._2, t._1))._1
+    val bigCell = sizes.maxBy(t => (t._2, -t._1))._1
+    val wholeCell = cells.filter(col("cell") === smallCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val oneMore = cells.filter(col("cell") === bigCell)
+      .select("vec_id").orderBy("vec_id").limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    val victims = wholeCell ++ oneMore
+    val untouchedBefore = cells
+      .filter(!col("cell").isin(smallCell, bigCell))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    Similarity.removeFromIvfIndex(victims, dir, spark)
+    val after = spark.read.parquet(s"$dir/cells")
+    val afterIds = after.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(!afterIds.contains(_)), "victims must be gone")
+    assert(untouchedBefore.subsetOf(afterIds), "unaffected cells intact")
+    assert(after.filter(col("cell") === smallCell).count() == 0)
+    assert(!new java.io.File(s"$dir/cells/cell=$smallCell").exists(),
+      "an emptied cell's directory must be dropped")
+    // the shrunken index still serves: full-probe == brute force over
+    // the surviving corpus
+    val remaining = emb.filter(!col("vec_id").isin(victims: _*))
+    val queries = remaining.orderBy("vec_id").limit(2)
+    val brute = Similarity.topK(remaining, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probed = Similarity.ivfTopKIndexed(dir, queries, 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed == brute)
+  }
+
   test("topK broadcasts the query side (no corpus shuffle)") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")

@@ -30,6 +30,34 @@ class ProfilerPropertySpec extends AnyFunSuite {
   private def sample(i: Int): List[Double] =
     colGen.pureApply(Gen.Parameters.default, Seed(42L + i))
 
+  test("weighted quantiles == unweighted quantiles over the unrolled frame") {
+    val rowGen: Gen[List[(String, Double, Int)]] = for {
+      n <- Gen.chooseNum(1, 120)
+      xs <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.oneOf(
+          Gen.chooseNum(-20, 20).map(_.toDouble),
+          Gen.oneOf(0.0, 1.0, 0.5, -1.0))
+        w <- Gen.chooseNum(0, 4) // zero weights must vanish
+      } yield (g, v, w))
+    } yield xs
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    (1 to 6).foreach { i =>
+      val xs = rowGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      if (xs.exists(_._3 > 0)) {
+        val df = xs.toDF("g", "v", "w")
+        val weighted = graft.ext.Quantiles.groupQuantilesWeighted(
+          df, "g", "v", "w", ps).orderBy("g").collect().toSeq
+        val unrolled = xs.flatMap { case (g, v, w) => Seq.fill(w)((g, v)) }
+          .toDF("g", "v")
+        val direct = graft.ext.Quantiles.groupQuantiles(
+          unrolled, "g", "v", ps).orderBy("g").collect().toSeq
+        assert(weighted == direct,
+          s"case $i: weighted != unrolled\n$weighted\n$direct")
+      }
+    }
+  }
+
   test("profile invariants and median == percentile on generated columns") {
     (1 to 8).foreach { i =>
       val xs = sample(i)
