@@ -1425,14 +1425,18 @@ object OraclesExt {
     * [[textRepetition]] and [[vocabCoverage]] signal CTEs, same
     * priority CASE. All thresholds single-sourced from Curation.
     */
-  val curateFull: String = {
+  /** The full-pipeline verdict CTE chain (ends in `r(doc_id, …,
+    * reject_reason)`) — shared by [[curateFull]] and
+    * [[curationFunnel]] so the two cannot drift.
+    */
+  private def curationVerdictCtes: String = {
     val minTokens = graft.ext.Curation.DefaultMinTokens
     val minQuality = graft.ext.Curation.DefaultMinQuality
     val maxBigramFrac = graft.ext.Curation.DefaultMaxBigramFrac
     val minDistinctRatio = graft.ext.Curation.DefaultMinDistinctRatio
     val maxOovRate = graft.ext.Curation.DefaultMaxOovRate
     val vocabSize = graft.ext.Curation.DefaultVocabSize
-    s"""WITH RECURSIVE $minHashPairsCtes, $uniCte,
+    s"""$minHashPairsCtes, $uniCte,
        |$curationHeadCtes,
        |$repetitionCtes,
        |${vocabCtes(vocabSize)},
@@ -1446,11 +1450,35 @@ object OraclesExt {
        |       WHEN oovx.oov_rate > $maxOovRate THEN 'high_oov' END AS reject_reason
        |  FROM q JOIN cc ON q.doc_id = cc.id
        |  JOIN repx ON q.doc_id = repx.doc_id
-       |  JOIN oovx ON q.doc_id = oovx.doc_id)
+       |  JOIN oovx ON q.doc_id = oovx.doc_id)""".stripMargin
+  }
+
+  val curateFull: String =
+    s"""WITH RECURSIVE $curationVerdictCtes
        |SELECT doc_id, n_tokens, quality_score, top_bigram_frac, oov_rate,
        |  (reject_reason IS NULL) AS keep, reject_reason
        |FROM r ORDER BY doc_id""".stripMargin
-  }
+
+  /** Gate-by-gate survivor funnel — twin of Curation.funnelReport:
+    * reject_reason is the FIRST failing gate, so survivors after
+    * gate i = n_docs − Σ drops of gates ≤ i.
+    */
+  val curationFunnel: String =
+    s"""WITH RECURSIVE $curationVerdictCtes,
+       |drops AS (SELECT reject_reason AS stage, count(*)::BIGINT AS nd
+       |  FROM r WHERE reject_reason IS NOT NULL GROUP BY 1),
+       |stages(stage_idx, stage) AS (VALUES (0, 'input'),
+       |  (1, 'near_duplicate'), (2, 'too_short'), (3, 'low_quality'),
+       |  (4, 'repetitive'), (5, 'high_oov')),
+       |tot AS (SELECT count(*)::BIGINT AS n_docs FROM r),
+       |d AS (SELECT s.stage_idx, s.stage,
+       |  CASE WHEN s.stage_idx = 0 THEN 0 ELSE coalesce(drops.nd, 0) END AS n_dropped
+       |  FROM stages s LEFT JOIN drops USING (stage))
+       |SELECT d.stage_idx::INT AS stage_idx, d.stage,
+       |  d.n_dropped::BIGINT AS n_dropped,
+       |  (tot.n_docs - sum(d.n_dropped) OVER (ORDER BY d.stage_idx))::BIGINT
+       |    AS n_remaining
+       |FROM d CROSS JOIN tot ORDER BY stage_idx""".stripMargin
 
   /** Binary-asset metadata — twin of the q_multimodal_meta pipeline
     * (Multimodal.assetTable + withChecksums + chunk counts). The

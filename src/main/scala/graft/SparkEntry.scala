@@ -915,6 +915,12 @@ object SparkEntry {
     "q_curate_full" -> withTables { s =>
       Curation.curateFull(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — the pipeline dashboard: gate-by-gate survivor funnel
+    // over the same verdicts (first-failing-gate reasons walk the
+    // funnel exactly).
+    "q_curation_funnel" -> withTables { s =>
+      Curation.funnelReport(s.table("documents"))
+    },
     // §7.5 — context-length chunking: overlapping token windows per
     // doc (map-only explode; trailing runt chunks kept).
     "q_chunk" -> withTables { s =>
@@ -1386,6 +1392,7 @@ object SparkEntry {
     "q_curate" -> OraclesExt.curate,
     "q_curate_semantic" -> OraclesExt.curateSemantic,
     "q_curate_full" -> OraclesExt.curateFull,
+    "q_curation_funnel" -> OraclesExt.curationFunnel,
     "q_bm25" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_bm25_indexed" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_hybrid_search" -> OraclesExt.hybridRerank(bm25Terms,

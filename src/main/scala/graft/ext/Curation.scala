@@ -190,4 +190,40 @@ object Curation {
         col("top_bigram_frac"), col("oov_rate"),
         reason.isNull.as("keep"), reason.as("reject_reason"))
   }
+
+  /** Gate-by-gate survivor funnel over the [[curateFull]] verdicts —
+    * the pipeline dashboard: since `reject_reason` is the FIRST
+    * failing gate in priority order, the cumulative drop sum walks
+    * the funnel exactly. Output one row per stage (plus the `input`
+    * row): (stage_idx, stage, n_dropped, n_remaining).
+    *
+    * The cumsum window is global but its frame is the six-row stage
+    * list — bounded by configuration, not data (the same
+    * justification as hybridRerank's candidate window).
+    */
+  def funnelReport(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val v = curateFull(df, idCol = idCol, textCol = textCol)
+    val stages = spark.createDataFrame(Seq(
+      (0, "input"), (1, "near_duplicate"), (2, "too_short"),
+      (3, "low_quality"), (4, "repetitive"), (5, "high_oov")))
+      .toDF("stage_idx", "stage")
+    val drops = v.filter(col("reject_reason").isNotNull)
+      .groupBy(col("reject_reason").as("stage"))
+      .agg(count(lit(1)).as("nd"))
+    val tot = v.agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages.join(drops, Seq("stage"), "left")
+      .withColumn("n_dropped",
+        when(col("stage_idx") === 0, 0L).otherwise(coalesce(col("nd"), lit(0L))))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_remaining", col("n_docs") - sum(col("n_dropped")).over(w))
+      .select(col("stage_idx").cast("int").as("stage_idx"), col("stage"),
+        col("n_dropped").cast("long").as("n_dropped"),
+        col("n_remaining").cast("long").as("n_remaining"))
+      .orderBy("stage_idx")
+  }
 }

@@ -1572,6 +1572,27 @@ class ExtSpec extends AnyFunSuite {
       Seq((1, "solo"), (2, "common")))
   }
 
+  test("funnelReport: cumulative drops reconcile with the verdict relation") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val v = graft.ext.Curation.curateFull(docs).collect()
+    val funnel = graft.ext.Curation.funnelReport(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3))))
+    assert(funnel.map(_._1).toSeq == Seq("input", "near_duplicate",
+      "too_short", "low_quality", "repetitive", "high_oov"))
+    assert(funnel.head._2 == ((0L, v.length.toLong)))
+    val byReason = v.flatMap(r => Option(r.getAs[String]("reject_reason")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    funnel.tail.foreach { case (stage, (dropped, _)) =>
+      assert(dropped == byReason.getOrElse(stage, 0L), s"stage $stage")
+    }
+    // the funnel's last remaining == kept verdicts
+    assert(funnel.last._2._2 == v.count(_.getAs[Boolean]("keep")).toLong)
+    // remaining is monotone non-increasing
+    val rem = funnel.map(_._2._2)
+    assert(rem.zip(rem.tail).forall { case (a, b) => b <= a })
+  }
+
   test("fixedSizeSample: exact budget, partition-independent pick set, TOAP plan") {
     val df = docs
     val out = Sampling.fixedSizeSample(df, 50)
