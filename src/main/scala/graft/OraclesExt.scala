@@ -1214,6 +1214,32 @@ object OraclesExt {
        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Per-type daily-count linear trend — twin of Events.dailyTrend:
+    * OLS over exact integer sums, one identically-shaped double
+    * expression for slope and intercept.
+    */
+  val eventsTrend: String =
+    """WITH daily AS (SELECT event_type,
+      |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+      |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, count(*)::BIGINT AS n_days,
+      |  sum(day_num)::BIGINT AS sx, sum(n)::BIGINT AS sy,
+      |  sum(day_num * n)::BIGINT AS sxy,
+      |  sum(day_num * day_num)::BIGINT AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sy AS total_events,
+      |  CASE WHEN n_days > 1 THEN
+      |    round((n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |      (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 5)
+      |  END AS slope_per_day,
+      |  CASE WHEN n_days > 1 THEN
+      |    round((sy::DOUBLE -
+      |      ((n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |       (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) *
+      |      sx::DOUBLE) / n_days::DOUBLE, 5)
+      |  END AS intercept
+      |FROM s ORDER BY event_type""".stripMargin
+
   /** Markov transition edges — twin of Events.eventTransitions:
     * consecutive event-type pairs per user in (ts_us, event_id)
     * order; p_next is the single integer division (safe per SURVEY

@@ -427,6 +427,12 @@ object SparkEntry {
     "q_event_transitions" -> withTables { s =>
       Events.eventTransitions(s.table("events"))
     },
+    // §7.5 — per-type daily-count OLS trend (exact integer sums →
+    // one identically-shaped double expression; the "is this metric
+    // growing" dashboard row).
+    "q_events_trend" -> withTables { s =>
+      Events.dailyTrend(s.table("events"))
+    },
     "q_correlated_max" -> withTables { s => s.sql(correlatedMaxSql) },
     // §2.4 — unpivot (wide→long, the inverse of the profiler's pivot)
     // rolled up per metric: the map-side Expand never shuffles 4× the
@@ -1317,6 +1323,7 @@ object SparkEntry {
     "q_grouping_sets" -> groupingSetsPricingSql,
     "q_window_ranks" -> windowRanksSql,
     "q_event_transitions" -> OraclesExt.eventTransitions,
+    "q_events_trend" -> OraclesExt.eventsTrend,
     "q_correlated_max" -> correlatedMaxSql,
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),

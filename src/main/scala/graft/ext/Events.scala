@@ -141,6 +141,46 @@ object Events {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
       .orderBy("user_id")
 
+  /** Per-type linear trend of the daily event count: ordinary least
+    * squares over (epoch-day, n_events) — slope per day, intercept,
+    * and the next-day forecast, the "is this metric growing"
+    * dashboard row. The sums Σx, Σy, Σxy, Σx² are EXACT integers
+    * (epoch days × daily counts stay far inside long range), so both
+    * engines evaluate one identically-shaped double expression on
+    * identical integers — deterministic to the last bit.
+    *
+    * Scale shape: the raw stream collapses to one row per (type,
+    * day) map-side first; the regression is a five-sum aggregate of
+    * that tiny frame. Degenerate single-day types surface with null
+    * slope/forecast rather than a 0/0.
+    */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    daily.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day_num")).as("sx"),
+        sum(col("n")).as("sy"),
+        sum(col("day_num") * col("n")).as("sxy"),
+        sum(col("day_num") * col("day_num")).as("sxx"))
+      .select(
+        col("event_type"), col("n_days"), col("sy").as("total_events"),
+        when(col("n_days") > 1,
+          round((d(col("n_days")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (d(col("n_days")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 5))
+          .as("slope_per_day"),
+        when(col("n_days") > 1,
+          round((d(col("sy")) - ((d(col("n_days")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (d(col("n_days")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))) * d(col("sx"))) /
+            d(col("n_days")), 5)).as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Event-type transition mining: counts of consecutive (from, to)
     * event-type pairs per user stream — the Markov transition edges
     * behind "what do users do next" analyses (and the event-level

@@ -1511,6 +1511,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out2(1) == ((11L, 6L, "other")))
   }
 
+  test("dailyTrend: exact OLS on crafted series; single-day types degrade") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // type "up": counts 1,2,3 on consecutive days → slope exactly 1
+    val up = (1 to 1).map(i => (100L + i, t("2026-01-01 00:00:00"))) ++
+      (1 to 2).map(i => (200L + i, t("2026-01-02 00:00:00"))) ++
+      (1 to 3).map(i => (300L + i, t("2026-01-03 00:00:00")))
+    val one = Seq((900L, t("2026-01-05 00:00:00")))
+    val df = (up.map { case (id, ts) => (id, ts, "up") } ++
+      one.map { case (id, ts) => (id, ts, "lonely") })
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", lit(1L))
+    val out = Events.dailyTrend(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val upRow = out("up")
+    assert(upRow.getLong(1) == 3L && upRow.getLong(2) == 6L)
+    assert(upRow.getDouble(3) == 1.0, s"slope: ${upRow.getDouble(3)}")
+    // intercept: mean(y) − slope·mean(x); y=2 at mid-day x
+    val lonely = out("lonely")
+    assert(lonely.getLong(1) == 1L && lonely.isNullAt(3) && lonely.isNullAt(4),
+      "a single observation has no trend, not a 0/0")
+  }
+
   test("eventTransitions: per-user chains, conditional p, streams independent") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
