@@ -764,6 +764,42 @@ object OraclesExt {
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunk-level language mix — twin of TextStats.langIdChunks:
+    * non-overlapping chunk windows, per-chunk argmax over the shared
+    * profile, doc-level majority with (count desc, lang asc)
+    * tie-break; unscorable chunks drop out.
+    */
+  def langIdChunks(chunkTokens: Int): String = {
+    val values = graft.ext.TextStats.LangProfiles
+      .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
+    s"""WITH $toksCte,
+       |n AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks),
+       |c AS (SELECT doc_id, t, n, unnest(range(0,
+       |  CASE WHEN n > 0 THEN (n - 1) // $chunkTokens + 1 ELSE 1 END)) AS ci FROM n),
+       |ct AS (SELECT doc_id, ci,
+       |  unnest(t[(ci * $chunkTokens + 1):(ci * $chunkTokens + $chunkTokens)]) AS token
+       |  FROM c),
+       |profile AS (SELECT * FROM (VALUES $values) p(cand_lang, token, weight)),
+       |scores AS (SELECT doc_id, ci, cand_lang, sum(weight)::BIGINT AS score
+       |  FROM ct JOIN profile USING (token) GROUP BY 1, 2, 3),
+       |ranked AS (SELECT doc_id, ci, cand_lang, row_number() OVER
+       |  (PARTITION BY doc_id, ci ORDER BY score DESC, cand_lang) AS rn FROM scores),
+       |chunkpred AS (SELECT doc_id, ci, cand_lang FROM ranked WHERE rn = 1),
+       |perlang AS (SELECT doc_id, cand_lang, count(*)::BIGINT AS n_chunks_lang
+       |  FROM chunkpred GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, cand_lang, n_chunks_lang,
+       |  row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY n_chunks_lang DESC, cand_lang) AS rn,
+       |  sum(n_chunks_lang) OVER (PARTITION BY doc_id) AS n_chunks_scored,
+       |  count(*) OVER (PARTITION BY doc_id) AS n_langs_detected
+       |  FROM perlang)
+       |SELECT doc_id, n_chunks_scored::BIGINT AS n_chunks_scored,
+       |  n_langs_detected::BIGINT AS n_langs_detected,
+       |  cand_lang AS majority_lang,
+       |  (n_langs_detected > 1) AS is_mixed
+       |FROM agg WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Content fingerprint + bottom-k sketch — twin of
     * TextStats.fingerprints(k=4).
     */

@@ -321,6 +321,8 @@ object SparkEntry {
   private[graft] val kfoldK = 5
   // exact-budget sample size (shared with OraclesExt.sampleFixed)
   private[graft] val fixedSampleN = 100
+  // chunk-level language-mix window (shared with OraclesExt.langIdChunks)
+  private[graft] val langidChunkTokens = 16
   // TF-IDF keyword extraction (shared with OraclesExt.tfidfKeywords)
   private[graft] val tfidfK = 3
   // debounce gap (shared with OraclesExt.eventsDebounce)
@@ -755,6 +757,13 @@ object SparkEntry {
           "n_sources", "n_langs", "dup_docs")
         .unpivot(Array.empty[org.apache.spark.sql.Column], "metric", "value")
         .orderBy("metric")
+    },
+    // §7.5 — chunk-level language mix: per-chunk langid rolled up to
+    // a per-doc majority + is_mixed flag (the code-switching signal
+    // a whole-doc argmax hides).
+    "q_langid_chunks" -> withTables { s =>
+      TextStats.langIdChunks(s, s.table("documents"), langidChunkTokens)
+        .orderBy("doc_id")
     },
     // §7.5 — stopword discovery: top-k tokens by DOCUMENT frequency
     // (df axis; q_top_tokens is the occurrence axis).
@@ -1381,6 +1390,7 @@ object SparkEntry {
     "q_mixture_temperature" -> OraclesExt.temperatureMixture,
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_stop_candidates" -> OraclesExt.topDocFreqTokens(topTokensK),
+    "q_langid_chunks" -> OraclesExt.langIdChunks(langidChunkTokens),
     "q_corpus_report" -> OraclesExt.corpusReport,
     "q_decontam" -> OraclesExt.decontam(testFraction),
     "q_text_repetition" -> OraclesExt.textRepetition,

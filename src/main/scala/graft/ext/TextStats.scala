@@ -317,6 +317,52 @@ object TextStats {
       .select(col(idCol), col("cand_lang").as("predicted_lang"), col("score"))
   }
 
+  /** Chunk-level language ID → per-doc language-mix report: the doc
+    * is chunked ([[graft.ext.Packing.chunkDocuments]],
+    * non-overlapping so no token votes twice), each chunk is
+    * language-identified independently, and the doc-level roll-up
+    * reports how many chunks scored, how many distinct languages
+    * they landed on, the majority language (chunk-count argmax, lang
+    * asc tie-break), and the `is_mixed` flag — the code-switching /
+    * concatenated-corpus signal a whole-doc argmax hides (a doc
+    * that's 60% en / 40% fr ID's as en and the fr never surfaces).
+    * Chunks with no profile hits are unscorable and drop out, same
+    * as [[langId]]'s semantics.
+    *
+    * Scale shape: chunking is map-only; the chunk stream reuses the
+    * langId plan (broadcast profile join, (chunk, lang) partial agg);
+    * the roll-up adds one doc-keyed shuffle of per-chunk verdicts.
+    */
+  def langIdChunks(spark: SparkSession, df: DataFrame, chunkTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = graft.ext.Packing
+      .chunkDocuments(df, chunkTokens, 0, idCol, textCol)
+      // composite chunk identity; chunk_index < 1000 by construction
+      // for any doc under 1000·chunkTokens tokens (require it rather
+      // than silently alias two chunks)
+      .withColumn("__cid", col(idCol) * lit(1000L) + col("chunk_index"))
+    val pred = langId(spark,
+      chunks.select(col("__cid").as(idCol), col("chunk_text").as(textCol)),
+      idCol, textCol)
+    val perLang = pred
+      .withColumn("__doc", expr(s"$idCol div 1000").cast("long"))
+      .groupBy(col("__doc").as(idCol), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_chunks_lang"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("n_chunks_lang").desc, col("predicted_lang").asc)
+    perLang
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_chunks_scored",
+        sum(col("n_chunks_lang")).over(Window.partitionBy(idCol)))
+      .withColumn("n_langs_detected",
+        count(lit(1)).over(Window.partitionBy(idCol)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("n_chunks_scored"),
+        col("n_langs_detected"),
+        col("predicted_lang").as("majority_lang"),
+        (col("n_langs_detected") > 1).as("is_mixed"))
+  }
+
   /** Per-document repetition metrics — the Gopher-style "excessive
     * repetition" quality signals: how much of a document is its most
     * frequent token / word bigram, and how diverse its vocabulary is.

@@ -1449,6 +1449,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out("fk(k->parent)") == ((4L, 1L, false)), "k=9 is an orphan")
   }
 
+  test("langIdChunks flags code-switching docs a whole-doc argmax hides") {
+    // doc 1: first chunk votes en ("the the a"), second votes de
+    // ("window window stream"); doc 2 is pure en; doc 3 has no
+    // profile tokens at all → unscorable, absent
+    val enChunk = "the the a x1 x2 x3 x4 x5"     // 8 tokens = 1 chunk at 8
+    val deChunk = "window window stream y1 y2 y3 y4 y5"
+    val df = Seq(
+      (1L, s"$enChunk $deChunk"),
+      (2L, enChunk),
+      (3L, "zz1 zz2 zz3")).toDF("doc_id", "text")
+    val out = TextStats.langIdChunks(spark, df, chunkTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((2L, 2L, "de", true)),
+      "two chunks, two langs, majority tie broken lang-asc, mixed")
+    assert(out(2L) == ((1L, 1L, "en", false)))
+    // the whole-doc argmax on doc 1 would say just one language
+    val whole = TextStats.langId(spark, df.filter(col("doc_id") === 1))
+      .collect()
+    assert(whole.length == 1, "whole-doc view gives a single verdict")
+  }
+
   test("topDocFreqTokens: df axis, not occurrence axis; fraction of docs") {
     val df = Seq(
       (1L, "ubiq heavy heavy heavy heavy"),
