@@ -72,4 +72,38 @@ object Sharding {
       .sortWithinPartitions(col("shard_id"), col("__h"), col(idCol))
       .drop("__h")
       .write.partitionBy("shard_id").mode("overwrite").parquet(dir)
+
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * outputs — the OPTIMIZE step every streaming-append table needs
+    * (per-micro-batch appends leave a file per batch per task; scans
+    * then pay per-file open/footer costs and lose split planning).
+    * Rows are preserved exactly; file COUNT is the only thing that
+    * changes. Staged to a sibling temp dir and swapped by rename, so
+    * a crash mid-compact leaves the original intact.
+    *
+    * Returns (files before, files after). Non-partitioned dirs only
+    * (a partitioned table compacts per partition dir — call this per
+    * partition).
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"$dir is not a directory")
+    val parts = Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    val before = parts.length
+    val totalBytes = parts.map(_.length()).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new java.io.File(d.getParentFile, d.getName + "_compact_tmp")
+    val old = new java.io.File(d.getParentFile, d.getName + "_compact_old")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(d.renameTo(old), s"could not stage $dir aside")
+    require(tmp.renameTo(d), s"could not swap compacted files into $dir")
+    Option(old.listFiles()).foreach(_.foreach(_.delete()))
+    old.delete()
+    val after = Option(d.listFiles()).toSeq.flatten
+      .count(f => f.getName.endsWith(".parquet") && f.isFile)
+    (before, after)
+  }
 }

@@ -1638,6 +1638,21 @@ class ExtSpec extends AnyFunSuite {
     assert(rem.zip(rem.tail).forall { case (a, b) => b <= a })
   }
 
+  test("compactDir: many small files fold to few, rows byte-identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").resolve("t").toString
+    val df = docs
+    df.repartition(37).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    val (before, after) = graft.ext.Sharding.compactDir(spark, dir)
+    assert(before >= 30, s"fixture should start fragmented, had $before")
+    assert(after < before && after >= 1, s"$before -> $after")
+    val afterRows = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    assert(afterRows == beforeRows, "compaction must not change a single cell")
+    assert(!new java.io.File(dir + "_compact_tmp").exists())
+    assert(!new java.io.File(dir + "_compact_old").exists())
+  }
+
   test("fixedSizeSample: exact budget, partition-independent pick set, TOAP plan") {
     val df = docs
     val out = Sampling.fixedSizeSample(df, 50)
