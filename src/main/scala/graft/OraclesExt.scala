@@ -158,6 +158,148 @@ object OraclesExt {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
 
+  /** Damped PageRank over the symmetrized MinHash pair graph — twin
+    * of Graph.pageRank(iters): the same exact scale-9 integer-unit
+    * recurrence (init 10⁹//N, jump 0.15·10⁹//N, damping 85·Σ//100,
+    * per-edge contribution ru//deg), unrolled one CTE per iteration.
+    * DuckDB `//` and Spark `div` both floor positive integer
+    * division, so every round is bit-identical.
+    */
+  def pageRank(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.node, d.deg,
+         |  ((SELECT 150000000 // n FROM nc) + (85 * sum(r.ru // r.deg)) // 100)::BIGINT AS ru
+         |  FROM sym s JOIN r${i - 1} r ON s.src = r.node JOIN deg d ON s.dst = d.node
+         |  GROUP BY d.node, d.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minHashPairsCtes,
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM mh
+       |  UNION ALL SELECT id_b, id_a FROM mh),
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+       |nc AS (SELECT count(*)::BIGINT AS n FROM deg),
+       |r0 AS (SELECT node, deg, (SELECT 1000000000 // n FROM nc)::BIGINT AS ru FROM deg),
+       |$rounds
+       |SELECT node, ru AS rank_u, round(ru / 1000000000.0, 9) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Initial BPE state — word frequencies with positional character
+    * symbols: ps0(word, freq, pos, sym), pos 1-based dense. Chars via
+    * regex `.` (same BMP/no-newline semantics in Java and RE2 — the
+    * cross-engine-safe char split).
+    */
+  private val bpePs0Ctes: String =
+    s"""$toksCte, $uniCte,
+       |wf AS (SELECT g AS word, count(*)::BIGINT AS freq FROM uni GROUP BY g),
+       |sy AS (SELECT word, freq, regexp_extract_all(word, '.') AS s FROM wf),
+       |ps0 AS (SELECT word, freq, pos, s[pos] AS sym FROM
+       |  (SELECT word, freq, s, unnest(range(1, len(s) + 1)) AS pos FROM sy))""".stripMargin
+
+  /** One BPE round over ps{r-1} → ps{r}: pair counts, the (count
+    * desc, pair asc) argmax, greedy left-to-right merge replayed
+    * RELATIONALLY — consecutive match positions only occur for
+    * (a, a) runs, where greedy takes every other position from the
+    * run start (gaps-and-islands parity); chosen heads rewrite to
+    * a||b, their tails drop, positions renumber.
+    */
+  private def bpePcCte(r: Int): String = {
+    val prev = s"ps${r - 1}"
+    s"""pc$r AS (SELECT s1.sym AS a, s2.sym AS b, sum(s1.freq)::BIGINT AS n
+       |  FROM $prev s1 JOIN $prev s2
+       |    ON s1.word = s2.word AND s2.pos = s1.pos + 1
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"ps${r - 1}"
+    s"""${bpePcCte(r)},
+       |best$r AS (SELECT a, b, n FROM pc$r ORDER BY n DESC, a, b LIMIT 1),
+       |mt$r AS (SELECT s1.word, s1.pos FROM $prev s1 JOIN $prev s2
+       |    ON s1.word = s2.word AND s2.pos = s1.pos + 1
+       |  WHERE s1.sym = (SELECT a FROM best$r)
+       |    AND s2.sym = (SELECT b FROM best$r)),
+       |ch$r AS (SELECT word, pos FROM (
+       |    SELECT word, pos, row_number() OVER
+       |      (PARTITION BY word, pos - rn ORDER BY pos) AS rn2
+       |    FROM (SELECT word, pos, row_number() OVER
+       |      (PARTITION BY word ORDER BY pos) AS rn FROM mt$r))
+       |  WHERE rn2 % 2 = 1),
+       |ps$r AS (SELECT p.word, p.freq,
+       |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS pos,
+       |    CASE WHEN c1.pos IS NOT NULL
+       |      THEN (SELECT a FROM best$r) || (SELECT b FROM best$r)
+       |      ELSE p.sym END AS sym
+       |  FROM $prev p
+       |  LEFT JOIN ch$r c1 ON p.word = c1.word AND p.pos = c1.pos
+       |  LEFT JOIN ch$r c2 ON p.word = c2.word AND p.pos = c2.pos + 1
+       |  WHERE c2.pos IS NULL)""".stripMargin
+  }
+
+  /** Top-k frequency-weighted adjacent character pairs — twin of
+    * Bpe.pairCounts over the un-merged corpus.
+    */
+  def bpePairs(k: Int): String =
+    s"""WITH $bpePs0Ctes,
+       |${bpePcCte(1)}
+       |SELECT a AS sym_a, b AS sym_b, n AS pair_count
+       |FROM pc1 ORDER BY pair_count DESC, sym_a, sym_b LIMIT $k""".stripMargin
+
+  /** The first `rounds` learned BPE merges — twin of
+    * Bpe.learnMerges: each round's CTE chain replays the greedy
+    * merge of the previous round's argmax before re-counting.
+    */
+  def bpeMerges(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeRoundCtes).mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"SELECT $r AS round, a AS sym_a, b AS sym_b, n AS merge_count FROM best$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpePs0Ctes,
+       |$roundCtes
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY round""".stripMargin
+  }
+
+  /** Multinomial Naive Bayes self-train confusion matrix — twin of
+    * Classify.nbConfusion: the same Laplace-smoothed dense
+    * (token, class) grid with scale-9-quantized ln, the same exact
+    * decimal Σ tf·llh + prior scores (tf enters as DECIMAL(10,0) in
+    * both engines), the same (score desc, label asc) argmax.
+    * Zero-token documents predict NULL (NULLS FIRST to match Spark's
+    * asc-nulls-first sort).
+    */
+  val nbConfusion: String =
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |occ AS (SELECT doc_id, lang, unnest(t) AS token FROM tk),
+       |cc AS (SELECT lang AS label, token, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2),
+       |ct AS (SELECT label, sum(c)::BIGINT AS nt FROM cc GROUP BY label),
+       |vs AS (SELECT count(DISTINCT token)::BIGINT AS v FROM cc),
+       |vocab AS (SELECT DISTINCT token FROM cc),
+       |grid AS (SELECT vocab.token, ct.label,
+       |  round(ln((coalesce(cc.c, 0) + 1)::DOUBLE /
+       |    (ct.nt + (SELECT v FROM vs))::DOUBLE), 9)::DECIMAL(18,9) AS llh
+       |  FROM vocab CROSS JOIN ct
+       |  LEFT JOIN cc ON cc.token = vocab.token AND cc.label = ct.label),
+       |cd AS (SELECT lang AS label, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+       |pri AS (SELECT label,
+       |  round(ln(n_docs::DOUBLE / (SELECT sum(n_docs) FROM cd)::DOUBLE), 9)::DECIMAL(18,9) AS prior
+       |  FROM cd),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2),
+       |sc AS (SELECT tf.doc_id, g.label, sum(tf.tf::DECIMAL(10,0) * g.llh) AS s
+       |  FROM tf JOIN grid g ON tf.token = g.token GROUP BY 1, 2),
+       |tot AS (SELECT sc.doc_id, sc.label, sc.s + pri.prior AS score
+       |  FROM sc JOIN pri USING (label)),
+       |best AS (SELECT doc_id, label AS predicted,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+       |  FROM tot),
+       |pred AS (SELECT d.doc_id, d.lang AS actual, b.predicted
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, predicted FROM best WHERE rk = 1) b USING (doc_id))
+       |SELECT actual, predicted, count(*)::BIGINT AS n_docs
+       |FROM pred GROUP BY actual, predicted
+       |ORDER BY actual, predicted NULLS FIRST""".stripMargin
+
   /** Edit-distance-verified near-dups — twin of
     * Dedup.editDistanceNearDups: the same banded candidate CTE,
     * re-scored with levenshtein over the shared canonicalization
@@ -552,6 +694,68 @@ object OraclesExt {
        |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared PQ CTE chain — twin of Similarity.pqCentroids/pqEncode:
+    * codebook = the ksub rows with the smallest md5(id) (codes 0..
+    * ksub−1 in md5 order), per-subspace slices of the RAW double
+    * vectors, squared-L2 assignment from staged self-dots
+    * (xx − 2·xc + cc, one identically-shaped IEEE expression,
+    * rounded at 9, code tie-break). Ends in `pqa` (vec_id, sub,
+    * code, d, rk2 — rk2=1 rows are the code assignment) plus `ccs`
+    * (codebook with self-dots) and `sx` (sub-vectors with
+    * self-dots).
+    */
+  private def pqCtes(m: Int, ksub: Int, subDim: Int): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |rk AS (SELECT vec_id, e, row_number() OVER
+       |  (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code FROM v),
+       |samp AS (SELECT * FROM rk WHERE code < $ksub),
+       |cents AS (SELECT s.sub, samp.code,
+       |  samp.e[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS cv
+       |  FROM samp CROSS JOIN range(0, $m) s(sub)),
+       |ccs AS (SELECT sub, code, cv,
+       |  list_sum(list_transform(cv, x -> x * x)) AS cc FROM cents),
+       |sv AS (SELECT vec_id, s.sub,
+       |  e[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS xv
+       |  FROM v CROSS JOIN range(0, $m) s(sub)),
+       |sx AS (SELECT vec_id, sub, xv,
+       |  list_sum(list_transform(xv, x -> x * x)) AS xx FROM sv),
+       |dist AS (SELECT vec_id, sx.sub, ccs.code,
+       |  round(xx - 2 * list_sum(list_transform(list_zip(xv, cv),
+       |    z -> z[1] * z[2])) + ccs.cc, 9) AS d
+       |  FROM sx JOIN ccs ON sx.sub = ccs.sub),
+       |pqa AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id, sub ORDER BY d, code) AS rk2 FROM dist)""".stripMargin
+
+  /** PQ code assignment — twin of Similarity.pqEncode. */
+  def pqCodes(m: Int, ksub: Int, subDim: Int): String =
+    s"""WITH ${pqCtes(m, ksub, subDim)}
+       |SELECT vec_id, cast(sub AS INT) AS sub, cast(code AS INT) AS code,
+       |  d AS sq_dist
+       |FROM pqa WHERE rk2 = 1 ORDER BY vec_id, sub""".stripMargin
+
+  /** ADC top-k over PQ codes — twin of Similarity.pqAdcTopK: per
+    * query a dense (sub, code) lookup table of scale-9-quantized
+    * sub-distances; a vector's approximate distance is the exact
+    * DECIMAL sum of its m code lookups; rank ties break on neighbor.
+    */
+  def knnPq(m: Int, ksub: Int, subDim: Int, k: Int): String =
+    s"""WITH ${pqCtes(m, ksub, subDim)},
+       |codes AS (SELECT vec_id AS neighbor_id, sub, code
+       |  FROM pqa WHERE rk2 = 1),
+       |q AS (SELECT vec_id AS query_id, sub, xv, xx FROM sx WHERE vec_id < 5),
+       |dt AS (SELECT query_id, ccs.sub, ccs.code,
+       |  round(xx - 2 * list_sum(list_transform(list_zip(xv, cv),
+       |    z -> z[1] * z[2])) + ccs.cc, 9)::DECIMAL(18,9) AS dq
+       |  FROM q JOIN ccs ON q.sub = ccs.sub),
+       |sc AS (SELECT query_id, neighbor_id, sum(dq) AS adc
+       |  FROM codes JOIN dt USING (sub, code)
+       |  WHERE query_id <> neighbor_id GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, round(adc::DOUBLE, 5) AS adc_dist,
+       |  cast(rank AS INT) AS rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Exact-integer HALF_UP group average at 5 decimals — twin of
     * TextStats.decAvg5 (see its scaladoc for why double `round`

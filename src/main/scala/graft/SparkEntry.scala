@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.{InfoSchema, Tables}
-import graft.ext.{Curation, Decontamination, Dedup, Events, Multimodal, Packing, Sampling, Sharding, Similarity, TextStats}
+import graft.ext.{Curation, Decontamination, Dedup, Events, Graph, Multimodal, Packing, Sampling, Sharding, Similarity, TextStats}
 import graft.profile.TableProfiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -298,6 +298,13 @@ object SparkEntry {
   private[graft] val fuzzyRatioNum = 1
   private[graft] val fuzzyRatioDen = 5
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
+  private[graft] val pageRankIters = 5
+  // PQ geometry: 64 dims → 4 subspaces × 16 dims, 16-entry codebooks
+  private[graft] val pqM = 4
+  private[graft] val pqKsub = 16
+  private[graft] val pqDims = 64
+  private[graft] val bpePairsK = 20
+  private[graft] val bpeRounds = 3
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
@@ -528,6 +535,17 @@ object SparkEntry {
     "q_dedup_clusters" -> withTables { s =>
       Dedup.nearDupClusters(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — graph centrality: PageRank over the same MinHash pair
+    // graph (the within-cluster canonical-version signal; also the
+    // domain-graph crawl-prioritization shape). Exact scale-9
+    // integer-unit recurrence — bit-identical cross-engine, no double
+    // accumulation anywhere in the loop.
+    "q_pagerank" -> withTables { s =>
+      Graph.pageRank(
+        Dedup.minHashNearDupPairs(s.table("documents"))
+          .select("id_a", "id_b"),
+        iters = pageRankIters).orderBy("node")
+    },
     "q_dedup_simhash" -> withTables { s =>
       Dedup.simHashNearDupPairs(s.table("documents"), maxHamming = 3)
         .orderBy("id_a", "id_b")
@@ -600,6 +618,22 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4, refine = 1).orderBy("query_id", "rank")
     },
+    // §7.5 — product quantization: each 64-float vector compressed to
+    // m=4 codebook indices (squared-L2 assignment against the
+    // md5-sampled deterministic codebook); the long code relation is
+    // the compressed-ANN storage shape.
+    "q_pq_codes" -> withTables { s =>
+      Similarity.pqEncode(s.table("embeddings"), m = pqM, ksub = pqKsub,
+        dims = pqDims).orderBy("vec_id", "sub")
+    },
+    // ADC search over the PQ codes: per-query lookup tables, exact
+    // decimal m-term sums, ranked from codes alone (the vectors are
+    // never scanned at query time).
+    "q_knn_pq" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        m = pqM, ksub = pqKsub, dims = pqDims).orderBy("query_id", "rank")
+    },
     // k-means corpus-topology report (2 Lloyd steps): cluster sizes
     // and cohesion — what cluster-balanced sampling / SemDeDup read.
     "q_embedding_kmeans" -> withTables { s =>
@@ -626,6 +660,29 @@ object SparkEntry {
     },
     "q_text_langid" -> withTables { s =>
       TextStats.langId(s, s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — tokenizer training: frequency-weighted adjacent
+    // character-pair counts (the BPE merge-candidate relation; the
+    // corpus collapses to word frequencies first, so the heavy scan
+    // happens once).
+    "q_bpe_pairs" -> withTables { s =>
+      graft.ext.Bpe.pairCounts(graft.ext.Bpe.wordSymbols(s.table("documents")))
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(bpePairsK)
+    },
+    // The iterative half: the first N learned merges, each round
+    // re-counting after the previous argmax is greedily merged
+    // (Sennrich BPE on the vocabulary-sized state relation).
+    "q_bpe_merges" -> withTables { s =>
+      graft.ext.Bpe.learnMerges(s.table("documents"), bpeRounds)
+        .orderBy("round")
+    },
+    // §7.5 — the classifier slot: multinomial Naive Bayes trained
+    // relationally on the lang labels, self-scored, rolled up to the
+    // confusion matrix (exact decimal Σ tf·llh + prior scores).
+    "q_nb_confusion" -> withTables { s =>
+      graft.ext.Classify.nbConfusion(s.table("documents"))
+        .orderBy("actual", "predicted")
     },
     "q_text_fingerprint" -> withTables { s =>
       TextStats.fingerprints(s.table("documents")).orderBy("doc_id")
@@ -1356,6 +1413,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
     "q_cross_dedup" -> OraclesExt.crossDedup(testFraction),
     "q_dedup_clusters" -> OraclesExt.dedupClusters,
+    "q_pagerank" -> OraclesExt.pageRank(pageRankIters),
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
     "q_semdedup" -> OraclesExt.semDedupPairs(0.4, semDedupNlist, semDedupNprobe),
@@ -1366,12 +1424,17 @@ object SparkEntry {
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_knn_ivf_indexed" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
+    "q_pq_codes" -> OraclesExt.pqCodes(pqM, pqKsub, pqDims / pqM),
+    "q_knn_pq" -> OraclesExt.knnPq(pqM, pqKsub, pqDims / pqM, 10),
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
     "q_cluster_sample" ->
       OraclesExt.clusterSample(kmeansNlist, kmeansRefine, clusterSampleCap),
     "q_text_stats" -> OraclesExt.textStats,
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
+    "q_nb_confusion" -> OraclesExt.nbConfusion,
+    "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),
+    "q_bpe_merges" -> OraclesExt.bpeMerges(bpeRounds),
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,

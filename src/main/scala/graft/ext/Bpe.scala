@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) merge learning over the corpus — the
+  * tokenizer-training slot of the pipeline. A BPE vocabulary is
+  * learned by repeatedly (1) counting adjacent symbol pairs across
+  * the corpus, weighted by word frequency, and (2) merging every
+  * occurrence of the most frequent pair (greedy left-to-right within
+  * a word, the Sennrich et al. 2016 convention). The expensive part
+  * at 100 TB — the corpus scan — happens ONCE: training state is the
+  * (word, freq, symbols) relation, which is vocabulary-sized, so
+  * every merge round costs a vocabulary-sized map + one
+  * vocabulary-sized count shuffle, never a corpus rescan. That is
+  * exactly how production BPE trainers work (collapse to word
+  * frequencies first), expressed relationally.
+  *
+  * Determinism: pair counts are exact integer sums of long
+  * frequencies; the chosen merge breaks ties on (pair_count desc,
+  * sym_a asc, sym_b asc); re-segmentation is an order-fixed fold —
+  * nothing float-typed anywhere, so results are bit-identical under
+  * any partitioning and in any engine (the DuckDB twin replays the
+  * same greedy rule relationally).
+  *
+  * Character splitting uses regex `.` (both Java and RE2 exclude
+  * newline and match one BMP char) rather than `split(token, "")`,
+  * whose trailing-empty behavior differs across engines.
+  */
+object Bpe {
+
+  /** Single-char symbol array of a token. */
+  def charSymbols(word: Column): Column =
+    regexp_extract_all(word, lit("."), lit(0))
+
+  /** Corpus word frequencies with initial (character) symbol arrays:
+    * (word, freq, s). One token-keyed count shuffle over the corpus —
+    * the only corpus-sized job in BPE training.
+    */
+  def wordSymbols(df: DataFrame, textCol: String = "text"): DataFrame =
+    Dedup.spread(df, textCol)
+      .select(explode_outer(TextStats.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("s", charSymbols(col("word")))
+
+  /** Frequency-weighted adjacent-pair counts over a (word, freq, s)
+    * relation: (sym_a, sym_b, pair_count). Every adjacent position
+    * counts (overlaps included — "aaa" contributes (a,a) twice),
+    * matching the classic get_stats. Map-side explode + one
+    * pair-keyed count shuffle, both sized by the vocabulary.
+    */
+  def pairCounts(words: DataFrame): DataFrame = {
+    // sequence(1, size-1) needs size >= 2: Spark's sequence DESCENDS
+    // when start > stop, so 1-symbol words must be filtered, not
+    // clamped (the greatest(...) trick used for n-grams would emit a
+    // bogus [1, 0] here)
+    val pairs = transform(sequence(lit(1), size(col("s")) - 1),
+      i => struct(element_at(col("s"), i).as("a"),
+        element_at(col("s"), (i + 1).cast("int")).as("b")))
+    words.filter(size(col("s")) >= 2)
+      .select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum(col("freq")).as("pair_count"))
+  }
+
+  /** Merge every greedy left-to-right occurrence of (a, b) in the
+    * symbol arrays — one order-fixed `aggregate` fold per word, no
+    * shuffle (the whole round's re-segmentation is map-only).
+    * Within a run of identical symbols the leftmost pair wins and
+    * scanning resumes after it ("aaa" + (a,a) → ["aa", "a"]), and a
+    * symbol merged this round never re-merges this round — the
+    * Sennrich convention.
+    */
+  def applyMerge(words: DataFrame, a: String, b: String): DataFrame = {
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    val folded = aggregate(
+      col("s"), zero,
+      (acc, x) => {
+        val accOut = acc.getField("out")
+        val accPrev = acc.getField("prev")
+        when(accPrev === lit(a) && x === lit(b),
+          struct(concat(accOut, array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(
+            when(accPrev.isNull, accOut)
+              .otherwise(concat(accOut, array(accPrev))).as("out"),
+            x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+    words.withColumn("s", folded)
+  }
+
+  /** Learn `rounds` BPE merges: per round, count pairs, take the
+    * (count desc, pair asc) argmax — ONE driver-collected scalar row,
+    * the same posture as Packing's shard offsets — merge it
+    * everywhere, repeat on the [[Dedup.materialize]]d state. Returns
+    * (round, sym_a, sym_b, merge_count) — merge_count is the pair's
+    * frequency BEFORE the merge, the number the trainer ranked by.
+    * Stops early if no pair remains.
+    */
+  def learnMerges(df: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    var words = Dedup.materialize(wordSymbols(df, textCol))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        words = Dedup.materialize(applyMerge(words, a, b))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merge_count")
+  }
+}

@@ -624,4 +624,134 @@ object Similarity {
       .select(col(idCol), col("centroid_id").as("cluster_id"),
         col("cscore"), col("pick"))
   }
+
+  // ===================================================================
+  // Product quantization (PQ) — the vector-COMPRESSION tier: each
+  // vector becomes m small codebook indices (here 4 bytes instead of
+  // 64 floats, a 64× shrink), and approximate distances are served
+  // from the codes alone via ADC lookup tables. This is the memory
+  // story of billion-vector ANN (FAISS's IVF+PQ): the IVF family
+  // above prunes WHICH vectors a query meets; PQ shrinks WHAT is
+  // stored and scanned per meeting.
+  //
+  // Codebooks are deterministic in the repo's sampled-centroid
+  // convention (the ksub corpus rows with the smallest md5(id) — the
+  // same zero-iteration bootstrap as ivfCentroids, refined by a real
+  // k-means training job at scale). All distances are squared L2 over
+  // the RAW double-cast vectors (PQ is an L2 machine; cosine callers
+  // pre-normalize), computed from staged self-dots so each
+  // (row, centroid) pair costs one cross-dot: ‖x−c‖² = xx − 2·xc + cc
+  // — one identically-shaped IEEE expression in both engines, rounded
+  // at 9 before the argmin (tie-break on code) so assignment is
+  // bit-stable cross-engine.
+  // ===================================================================
+
+  /** Per-subspace PQ codebook: the `ksub` corpus rows with the
+    * smallest md5(id), split into `m` contiguous sub-vectors of
+    * dims/m dimensions; codes are 0..ksub−1 in md5 order. Returns
+    * (sub, code, cvec, cc) with `cc` the staged centroid self-dot.
+    */
+  def pqCentroids(corpus: DataFrame, m: Int, ksub: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val picked = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__vd"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col(idCol))
+      .limit(ksub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1)
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("__vd"), s * subDim + 1, subDim).as("cvec"))
+    }: _*)
+    picked.select(col("code"), explode(subs).as("sc"))
+      .select(col("sc.sub").as("sub"), col("code"), col("sc.cvec").as("cvec"))
+      .withColumn("cc", dot(col("cvec"), col("cvec")))
+  }
+
+  /** PQ-encode a corpus: each vector's `m` sub-vectors are assigned
+    * to their nearest codebook centroid by squared L2 (rounded at 9,
+    * code tie-break). Returns the LONG code relation
+    * (idCol, sub, code, sq_dist) — m rows per vector; `sq_dist` the
+    * per-subspace quantization error (Σ over sub = the vector's
+    * reconstruction error).
+    *
+    * Scale shape: the codebook (m·ksub rows) broadcasts; sub-vector
+    * expansion and scoring are map-side; the only exchange is the
+    * per-(id, sub) argmin window, keyed by the id the corpus is
+    * usually already partitioned on. Nothing joins corpus to corpus.
+    */
+  def pqEncode(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dims / m
+    val cents = pqCentroids(corpus, m, ksub, dims, idCol, vecCol)
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("__vd"), s * subDim + 1, subDim).as("xv"))
+    }: _*)
+    val sv = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .select(col(idCol), explode(subs).as("sx"))
+      .select(col(idCol), col("sx.sub").as("sub"), col("sx.xv").as("xv"))
+      .withColumn("xx", dot(col("xv"), col("xv")))
+    val scored = sv.join(broadcast(cents), "sub")
+      .withColumn("d",
+        round(col("xx") - lit(2.0) * dot(col("xv"), col("cvec")) + col("cc"), 9))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("d").asc, col("code").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("sub"), col("code"), col("d").as("sq_dist"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: each
+    * query precomputes its m·ksub-entry lookup table of sub-distances
+    * to every codebook centroid; a corpus vector's approximate
+    * distance is then the sum of m table lookups — the codes
+    * relation is scanned, never the vectors.
+    *
+    * Determinism: each table entry is quantized to DECIMAL(18,9), so
+    * the m-term ADC sum is exact decimal addition — bit-stable under
+    * any partitioning and engine. Rank ties break on neighbor id.
+    *
+    * Scale shape: the lookup table (|queries|·m·ksub rows) is
+    * BROADCAST onto the code relation — the corpus-sized side never
+    * shuffles for scoring; the per-query rank is a WindowGroupLimit
+    * top-k. At 100 TB the scan reads m small ints per vector instead
+    * of dims floats — the 64× I/O cut is the operator's point.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dims / m
+    val codes = pqEncode(corpus, m, ksub, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+    val cents = pqCentroids(corpus, m, ksub, dims, idCol, vecCol)
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("__vd"), s * subDim + 1, subDim).as("qv"))
+    }: _*)
+    val dtable = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__vd"))
+      .select(col("query_id"), explode(subs).as("sq"))
+      .select(col("query_id"), col("sq.sub").as("sub"), col("sq.qv").as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .join(broadcast(cents), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        round(col("qq") - lit(2.0) * dot(col("qv"), col("cvec")) + col("cc"), 9)
+          .cast(DecimalType(18, 9)).as("dq"))
+    val scored = codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dq")).as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
+  }
 }

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Tables
+import graft.ext.{Bpe, Classify, Graph, Similarity}
+
+/** Specs for the round-4 ML-adjacent pipeline operators: PageRank
+  * graph centrality, Naive Bayes classification, product
+  * quantization, and BPE merge learning.
+  */
+class PipelineMlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = {
+    Tables.register(spark, TestSpark.sfDir)
+    spark.table("embeddings")
+  }
+
+  // ---- Graph.pageRank ----
+
+  test("pageRank: single edge → both nodes hold exactly half the mass") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Graph.pageRank(pairs, iters = 5).orderBy("node").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // N=2: init 5e8 each; each round 75e6 + 85%·5e8 = 5e8 — stationary
+    assert(out.forall(_.getLong(1) == 500000000L))
+    assert(out.forall(_.getDouble(2) == 0.5))
+  }
+
+  test("pageRank: path graph centers mass; matches integer brute force") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.pageRank(pairs, iters = 5).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // reference: same integer recurrence on the driver
+    val sym = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size
+    var ru = deg.keys.map(k => k -> 1000000000L / n).toMap
+    for (_ <- 0 until 5) {
+      val sums = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ru(s) / deg(s) }.sum).toMap
+      ru = deg.keys.map(k =>
+        k -> (150000000L / n + 85L * sums.getOrElse(k, 0L) / 100L)).toMap
+    }
+    assert(got == ru.toSeq.sortBy(_._1))
+    val center = got.find(_._1 == 2L).get._2
+    assert(got.filter(_._1 != 2L).forall(_._2 < center))
+  }
+
+  test("pageRank is partitioning-independent") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val a = Graph.pageRank(pairs.repartition(1), iters = 4)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(pairs.repartition(7), iters = 4)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- Classify (Naive Bayes) ----
+
+  test("naive Bayes self-train separates distinctive vocabularies") {
+    val df = Seq(
+      (1L, "hund katze maus hund", "de"),
+      (2L, "katze hund vogel", "de"),
+      (3L, "dog cat mouse dog", "en"),
+      (4L, "cat dog bird", "en")).toDF("doc_id", "text", "lang")
+    val pred = Classify.nbPredict(df).orderBy("doc_id").collect()
+    assert(pred.forall(r => r.getString(2) == r.getString(1)))
+  }
+
+  test("naive Bayes: zero-token doc predicts NULL; class tie breaks low") {
+    val df = Seq(
+      (1L, "w w", "xx"),
+      (2L, "w w", "yy"),
+      (3L, "", "xx")).toDF("doc_id", "text", "lang")
+    val pred = Classify.nbPredict(df).orderBy("doc_id").collect()
+    // docs 1/2: both classes perfectly symmetric → exact decimal tie →
+    // lexicographically first label wins in both engines
+    assert(pred(0).getString(2) == "xx" && pred(1).getString(2) == "xx")
+    assert(pred(2).isNullAt(2))
+  }
+
+  test("naive Bayes confusion matrix counts every document once") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val cm = Classify.nbConfusion(docs)
+    assert(cm.agg(sum("n_docs")).head.getLong(0) == docs.count())
+  }
+
+  // ---- Similarity PQ ----
+
+  test("pqEncode: m codes per vector, codes in range, codebook rows self-encode") {
+    val codes = Similarity.pqEncode(emb, m = 4, ksub = 16, dims = 64)
+    val n = emb.count()
+    assert(codes.count() == 4 * n)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).isEmpty)
+    // the ksub sampled rows ARE the codebook: their sub-vectors sit at
+    // zero distance from their own centroid in every subspace
+    val sampled = emb
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(16).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val own = codes.filter(col("vec_id").isin(sampled.toSeq: _*))
+    assert(own.filter(col("sq_dist") =!= 0.0).isEmpty)
+  }
+
+  test("pqAdcTopK: dense ranks ordered by ADC, partitioning-independent") {
+    val q = emb.filter(col("vec_id") < 3)
+    val a = Similarity.pqAdcTopK(emb.repartition(1), q, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.pqAdcTopK(emb.repartition(7), q, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).toSeq == (1 to 5))
+      val dists = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(dists == dists.sorted)
+    }
+  }
+
+  // ---- Bpe ----
+
+  test("pairCounts: overlapping pairs count per position, freq-weighted") {
+    val words = Seq((1L, "aaa"), (2L, "aaa"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val pc = Bpe.pairCounts(Bpe.wordSymbols(words))
+      .orderBy("sym_a", "sym_b").collect()
+    // "aaa" ×2 → (a,a) twice per occurrence = 4; "ab" → (a,b) = 1
+    assert(pc.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("a", "a", 4L), ("a", "b", 1L)))
+  }
+
+  test("applyMerge replays greedy left-to-right byte-pair merging") {
+    def mergeRef(sym: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val raw = Seq("aaa", "abab", "aab", "baa", "xay", "", "a")
+    val df = raw.zipWithIndex.map { case (w, i) => (i.toLong, w, 1L) }
+      .toDF("id", "word", "freq")
+      .withColumn("s", Bpe.charSymbols(col("word")))
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val got = Bpe.applyMerge(df, a, b).orderBy("id")
+        .select("s").collect().map(_.getSeq[String](0))
+      val want = raw.map(w => mergeRef(w.map(_.toString), a, b))
+      assert(got.toSeq == want, s"merge ($a,$b)")
+    }
+  }
+
+  test("learnMerges: ranked rounds on a crafted corpus, early exhaustion") {
+    val df = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(df, rounds = 5).orderBy("round").collect()
+    // round 1: (a,b) ×3; round 2: (c,d) ×1; then no pairs remain
+    assert(m.length == 2)
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(3)) == ("a", "b", 3L))
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(3)) == ("c", "d", 1L))
+  }
+
+  test("learnMerges is partitioning-independent on real docs") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val a = Bpe.learnMerges(docs.repartition(1), 2).collect().toSeq.sortBy(_.getInt(0))
+    val b = Bpe.learnMerges(docs.repartition(5), 2).collect().toSeq.sortBy(_.getInt(0))
+    assert(a == b)
+  }
+}
