@@ -705,10 +705,12 @@ object OraclesExt {
     * (codebook with self-dots) and `sx` (sub-vectors with
     * self-dots).
     */
-  private def pqCtes(m: Int, ksub: Int, subDim: Int): String =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  private def pqCtes(m: Int, ksub: Int, subDim: Int,
+      vSrc: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")
+      : String =
+    s"""pv AS ($vSrc),
        |rk AS (SELECT vec_id, e, row_number() OVER
-       |  (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code FROM v),
+       |  (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code FROM pv),
        |samp AS (SELECT * FROM rk WHERE code < $ksub),
        |cents AS (SELECT s.sub, samp.code,
        |  samp.e[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS cv
@@ -717,7 +719,7 @@ object OraclesExt {
        |  list_sum(list_transform(cv, x -> x * x)) AS cc FROM cents),
        |sv AS (SELECT vec_id, s.sub,
        |  e[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS xv
-       |  FROM v CROSS JOIN range(0, $m) s(sub)),
+       |  FROM pv CROSS JOIN range(0, $m) s(sub)),
        |sx AS (SELECT vec_id, sub, xv,
        |  list_sum(list_transform(xv, x -> x * x)) AS xx FROM sv),
        |dist AS (SELECT vec_id, sx.sub, ccs.code,
@@ -756,6 +758,76 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, round(adc::DOUBLE, 5) AS adc_dist,
        |  cast(rank AS INT) AS rank
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** IVF+PQ composed search — twin of Similarity.ivfPqTopK: the
+    * knnIvf cell/probe pruning (on normalized vectors) intersected
+    * with PQ ADC scoring over codes of the SAME normalized vectors
+    * (squared L2 = 2 − 2·cos, monotone in cosine).
+    */
+  def knnIvfPq(m: Int, ksub: Int, subDim: Int, k: Int,
+      nlist: Int, nprobe: Int): String =
+    s"""WITH $normCte,
+       |${pqCtes(m, ksub, subDim, "SELECT vec_id, nv AS e FROM n")},
+       |icents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN icents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id AS neighbor_id, centroid_id
+       |  FROM ranked_a WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, centroid_id
+       |  FROM ranked_a WHERE crank <= $nprobe AND vec_id < 5),
+       |cand AS (SELECT query_id, neighbor_id
+       |  FROM cells JOIN probes USING (centroid_id)
+       |  WHERE query_id <> neighbor_id),
+       |codes AS (SELECT vec_id AS neighbor_id, sub, code
+       |  FROM pqa WHERE rk2 = 1),
+       |q2 AS (SELECT vec_id AS query_id, sub, xv, xx FROM sx WHERE vec_id < 5),
+       |dt AS (SELECT query_id, ccs.sub, ccs.code,
+       |  round(xx - 2 * list_sum(list_transform(list_zip(xv, cv),
+       |    z -> z[1] * z[2])) + ccs.cc, 9)::DECIMAL(18,9) AS dq
+       |  FROM q2 JOIN ccs ON q2.sub = ccs.sub),
+       |sc AS (SELECT c.query_id, c.neighbor_id, sum(dq) AS adc
+       |  FROM cand c JOIN codes cd USING (neighbor_id)
+       |  JOIN dt ON dt.query_id = c.query_id
+       |    AND dt.sub = cd.sub AND dt.code = cd.code
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, round(adc::DOUBLE, 5) AS adc_dist,
+       |  cast(rank AS INT) AS rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Phrase-blocklist report — twin of Curation.blocklistReport:
+    * per distinct phrase length, positional L-grams (occurrences,
+    * degenerate-window convention shared with Dedup.ngrams) joined
+    * against the phrase list; per-doc occurrence/distinct counts,
+    * sorted audit array, keep verdict. Phrases must not contain
+    * single quotes (interpolated as SQL literals).
+    */
+  def blocklist(phrases: Seq[String]): String = {
+    val byLen = phrases.distinct
+      .groupBy(_.split(" ").count(_.nonEmpty)).toSeq.sortBy(_._1)
+    val matchCtes = byLen.map { case (len, ps) =>
+      val vals = ps.sorted.map(p => s"('$p')").mkString(", ")
+      s"""m$len AS (SELECT doc_id, gram AS phrase FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${len - 1}, 1) + 1),
+         |    i -> array_to_string(t[i:i+${len - 1}], ' '))) AS gram FROM toks)
+         |  JOIN (VALUES $vals) b(phrase) ON gram = phrase)""".stripMargin
+    }.mkString(",\n")
+    val unioned = byLen.map(l => s"SELECT * FROM m${l._1}")
+      .mkString(" UNION ALL ")
+    s"""WITH $toksCte,
+       |$matchCtes,
+       |mm AS ($unioned),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS nm,
+       |  list_sort(list_distinct(list(phrase))) AS mp FROM mm GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(nm, 0)::BIGINT AS n_matches,
+       |  coalesce(len(mp), 0)::BIGINT AS n_phrases,
+       |  (coalesce(nm, 0) = 0) AS keep
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Exact-integer HALF_UP group average at 5 decimals — twin of
     * TextStats.decAvg5 (see its scaladoc for why double `round`

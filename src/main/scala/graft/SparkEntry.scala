@@ -305,6 +305,11 @@ object SparkEntry {
   private[graft] val pqDims = 64
   private[graft] val bpePairsK = 20
   private[graft] val bpeRounds = 3
+  // blocklist phrases: three lengths + a guaranteed miss (no quotes —
+  // interpolated into the oracle as SQL literals)
+  private[graft] val blocklistPhrases = Seq(
+    "vector", "table table", "slow query", "fast merge batch",
+    "purple elephant marches")
   private[graft] val vocabSize = 20
   private[graft] val chunkMaxTokens = 32
   private[graft] val chunkOverlap = 4
@@ -634,6 +639,15 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         m = pqM, ksub = pqKsub, dims = pqDims).orderBy("query_id", "rank")
     },
+    // The FAISS-style composition: IVF cells prune which vectors a
+    // query meets, PQ codes score each meeting (normalized space, so
+    // ADC L2 ranks by cosine).
+    "q_knn_ivfpq" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobe = 4, m = pqM, ksub = pqKsub, dims = pqDims)
+        .orderBy("query_id", "rank")
+    },
     // k-means corpus-topology report (2 Lloyd steps): cluster sizes
     // and cohesion — what cluster-balanced sampling / SemDeDup read.
     "q_embedding_kmeans" -> withTables { s =>
@@ -676,6 +690,17 @@ object SparkEntry {
     "q_bpe_merges" -> withTables { s =>
       graft.ext.Bpe.learnMerges(s.table("documents"), bpeRounds)
         .orderBy("round")
+    },
+    // §7.5 — content-policy gate: multi-length phrase blocklist
+    // matched exactly against the token stream (broadcast phrase
+    // relation, never a per-phrase regex scan).
+    // (the operator's sorted matched-phrase audit ARRAY stays out of
+    // the dumped columns — the hash compare is scalar-typed; the
+    // array is spec-verified in PipelineMlSpec)
+    "q_blocklist" -> withTables { s =>
+      Curation.blocklistReport(s.table("documents"), blocklistPhrases)
+        .select("doc_id", "n_matches", "n_phrases", "keep")
+        .orderBy("doc_id")
     },
     // §7.5 — the classifier slot: multinomial Naive Bayes trained
     // relationally on the lang labels, self-scored, rolled up to the
@@ -1426,6 +1451,8 @@ object SparkEntry {
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_pq_codes" -> OraclesExt.pqCodes(pqM, pqKsub, pqDims / pqM),
     "q_knn_pq" -> OraclesExt.knnPq(pqM, pqKsub, pqDims / pqM, 10),
+    "q_knn_ivfpq" -> OraclesExt.knnIvfPq(pqM, pqKsub, pqDims / pqM, 10, 16, 4),
+    "q_blocklist" -> OraclesExt.blocklist(blocklistPhrases),
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
     "q_cluster_sample" ->
       OraclesExt.clusterSample(kmeansNlist, kmeansRefine, clusterSampleCap),

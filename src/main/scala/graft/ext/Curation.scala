@@ -226,4 +226,50 @@ object Curation {
         col("n_remaining").cast("long").as("n_remaining"))
       .orderBy("stage_idx")
   }
+
+  /** Phrase-blocklist safety filter — the content-policy gate of a
+    * curation recipe (boilerplate banners, spam phrases, disallowed
+    * content markers). Phrases are multi-token, matched EXACTLY
+    * against the document's whitespace token stream: for every
+    * distinct phrase length L in the list, the document's positional
+    * L-grams (occurrences, not the distinct set — two banner hits
+    * count twice) equi-join the broadcast phrase relation. One row
+    * per document: occurrence count, distinct-phrase count, the
+    * sorted matched-phrase audit array, and the keep verdict.
+    *
+    * Scale shape: the blocklist (human-curated, thousands of rows at
+    * most) BROADCASTS; gram expansion is map-side off the staged
+    * token array ([[TextStats.tokens]] via [[Dedup.ngrams]], one
+    * expansion per distinct L); the only exchange is the per-doc
+    * roll-up of MATCH rows — sized by hits, not by the corpus token
+    * stream, because the broadcast join filters before the shuffle.
+    * Never a regex scan per phrase: 10k phrases cost 10k hash-table
+    * entries, not 10k regexp passes over 100 TB.
+    */
+  def blocklistReport(df: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byLen = phrases.distinct.groupBy(_.split(" ").count(_.nonEmpty))
+    require(!byLen.contains(0), "blank phrase in blocklist")
+    val toks = Dedup.spread(df, textCol)
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__t"))
+    val matches = byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
+      val bl = broadcast(ps.toDF("phrase"))
+      toks.select(col(idCol),
+          explode_outer(Dedup.ngrams(col("__t"), len)).as("gram"))
+        .join(bl, col("gram") === col("phrase"))
+        .select(col(idCol), col("phrase"))
+    }.reduce(_ unionAll _)
+    val agg = matches.groupBy(idCol).agg(
+      count(lit(1)).as("__nm"),
+      array_sort(collect_set(col("phrase"))).as("__mp"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nm"), lit(0L)).as("n_matches"),
+        coalesce(size(col("__mp")), lit(0)).cast("long").as("n_phrases"),
+        coalesce(col("__mp"), array().cast("array<string>")).as("matched"),
+        (coalesce(col("__nm"), lit(0L)) === 0L).as("keep"))
+  }
 }

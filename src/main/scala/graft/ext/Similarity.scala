@@ -754,4 +754,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
   }
+
+  /** IVF + PQ composed search — the full FAISS-style shape: IVF
+    * cells prune WHICH corpus vectors a query meets (equi-join on
+    * centroid_id, nprobe/nlist of the corpus per query), and PQ
+    * codes decide HOW each meeting is scored (m ADC lookups instead
+    * of a dims-float dot). Everything runs on the NORMALIZED vectors,
+    * so the ADC squared-L2 is 2 − 2·cos — monotone in cosine, making
+    * this the compressed drop-in for [[ivfTopK]]'s ranking. (Flat PQ
+    * within cells; residual encoding is the classic refinement and
+    * would slot in as a per-cell centering of [[pqEncode]]'s input.)
+    *
+    * Scale shape: candidates are generated as LIGHT (query, neighbor)
+    * id pairs from the cell join (§8.4 rule 12 — vectors never ride
+    * the join); codes attach by an id-keyed join; the broadcast
+    * lookup table and per-query WindowGroupLimit are [[pqAdcTopK]]'s.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dims / m
+    val nc = normalized(corpus, idCol, vecCol)
+    val nq = normalized(queries, idCol, vecCol)
+    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    val cells = ivfAssign(nc, cents, 1, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val probes = ivfAssign(nq, cents, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("centroid_id"))
+    val cand = cells.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val codes = pqEncode(nc, m, ksub, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+    val pqc = pqCentroids(nc, m, ksub, dims, idCol, vecCol)
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("__vd"), s * subDim + 1, subDim).as("qv"))
+    }: _*)
+    val dtable = nq
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__vd"))
+      .select(col("query_id"), explode(subs).as("sq"))
+      .select(col("query_id"), col("sq.sub").as("sub"), col("sq.qv").as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .join(broadcast(pqc), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        round(col("qq") - lit(2.0) * dot(col("qv"), col("cvec")) + col("cc"), 9)
+          .cast(DecimalType(18, 9)).as("dq"))
+    val scored = cand.join(codes, "neighbor_id")
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dq")).as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
+  }
 }

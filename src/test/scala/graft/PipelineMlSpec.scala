@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.Tables
-import graft.ext.{Bpe, Classify, Graph, Similarity}
+import graft.ext.{Bpe, Classify, Curation, Graph, Similarity}
 
 /** Specs for the round-4 ML-adjacent pipeline operators: PageRank
   * graph centrality, Naive Bayes classification, product
@@ -120,6 +120,42 @@ class PipelineMlSpec extends AnyFunSuite {
       val dists = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
       assert(dists == dists.sorted)
     }
+  }
+
+  test("ivfPqTopK: ADC values agree with the full-PQ scorer on shared pairs") {
+    val q = emb.filter(col("vec_id") < 3)
+    val nc = Similarity.normalized(emb)
+    val nq = Similarity.normalized(q)
+    // reference: ADC against the WHOLE corpus in the same normalized
+    // space (huge k → every pair scored)
+    val full = Similarity.pqAdcTopK(nc, nq, k = 100000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pruned = Similarity.ivfPqTopK(emb, q, k = 5).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+    val alt = Similarity.ivfPqTopK(emb.repartition(7), q, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(alt == pruned.sortBy(r => (r.getLong(0), r.getInt(3))).toSeq)
+  }
+
+  // ---- Curation.blocklistReport ----
+
+  test("blocklist: occurrence counts, sorted audit array, keep verdicts") {
+    val df = Seq(
+      (1L, "buy now buy now please"),
+      (2L, "all clean text here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.blocklistReport(df, Seq("buy now", "please"))
+      .orderBy("doc_id").collect()
+    // doc 1: bigram occurrences "buy now" ×2 + unigram "please" ×1
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(0).getSeq[String](3) == Seq("buy now", "please"))
+    assert(!out(0).getBoolean(4))
+    assert(out(1).getBoolean(4) && out(1).getLong(1) == 0L
+      && out(1).getSeq[String](3).isEmpty)
+    assert(out(2).getBoolean(4)) // empty doc matches nothing
   }
 
   // ---- Bpe ----

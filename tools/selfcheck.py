@@ -31,6 +31,8 @@ def norm_cell(v):
         if math.isnan(v):
             return None
         return float(v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):  # numpy array
+        return tuple(norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         v = v.item()
         return norm_cell(v)
