@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.{InfoSchema, Tables}
-import graft.ext.{Curation, Decontamination, Dedup, Events, Graph, Multimodal, Packing, Sampling, Sharding, Similarity, TextStats}
+import graft.ext.{Bucketing, Curation, Decontamination, Dedup, Events, Graph, Multimodal, Packing, Sampling, Sharding, Similarity, TextStats}
 import graft.profile.TableProfiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -933,6 +933,27 @@ object SparkEntry {
       Sharding.shardCorpus(s.table("documents"), shardCount)
         .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
     },
+    // §7.5 — bucketed-storage co-located join: both fact tables are
+    // persisted hash-clustered+sorted on the join key, so the
+    // recurring fact-to-fact join runs with ZERO exchanges and ZERO
+    // sorts (the write paid the shuffle once — the 100 TB shape for
+    // repeatedly-joined published corpora). PlanHygieneSpec asserts
+    // the exchange-free plan; the oracle only sees the join result.
+    "q_bucketed_join" -> withTables { s =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      Bucketing.writeBucketed(s.table("documents"), "documents_bkt",
+        s"$dir/documents", 8, "doc_id")
+      Bucketing.writeBucketed(s.table("embeddings"), "embeddings_bkt",
+        s"$dir/embeddings", 8, "vec_id")
+      Bucketing.coLocatedJoin(s, "documents_bkt", "embeddings_bkt",
+        "doc_id", "vec_id")
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy("lang", "label")
+    },
     // §7.5 — BM25 keyword relevance search (query-term-filtered token
     // stream; idf/constants broadcast; TakeOrderedAndProject top-k).
     "q_bm25" -> withTables { s =>
@@ -1453,6 +1474,13 @@ object SparkEntry {
     "q_knn_pq" -> OraclesExt.knnPq(pqM, pqKsub, pqDims / pqM, 10),
     "q_knn_ivfpq" -> OraclesExt.knnIvfPq(pqM, pqKsub, pqDims / pqM, 10, 16, 4),
     "q_blocklist" -> OraclesExt.blocklist(blocklistPhrases),
+    // Bucketing is invisible to results by construction: the oracle
+    // is the plain join over the unbucketed tables.
+    "q_bucketed_join" ->
+      """SELECT lang, label, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_doc_id
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
     "q_cluster_sample" ->
       OraclesExt.clusterSample(kmeansNlist, kmeansRefine, clusterSampleCap),

@@ -93,6 +93,50 @@ class PlanHygieneSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("Bucketing.coLocatedJoin: no exchange, no sort, and bucket pruning") {
+    Tables.register(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bkt-spec").toString
+    graft.ext.Bucketing.writeBucketed(spark.table("documents"),
+      "documents_bkt_spec", s"$dir/d", 8, "doc_id")
+    graft.ext.Bucketing.writeBucketed(spark.table("embeddings"),
+      "embeddings_bkt_spec", s"$dir/e", 8, "vec_id")
+    val joined = graft.ext.Bucketing.coLocatedJoin(spark,
+      "documents_bkt_spec", "embeddings_bkt_spec", "doc_id", "vec_id")
+      .select("doc_id", "lang", "label")
+    joined.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case other => other.children.flatMap(unwrap)
+      })
+    val all = unwrap(joined.queryExecution.executedPlan)
+    val smj = all.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected SMJ:\n${joined.queryExecution.executedPlan}")
+    val under = unwrap(smj.head)
+    assert(under.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"co-located join shuffles:\n${smj.head}")
+    assert(under.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"sortBy metadata unused, join re-sorts:\n${smj.head}")
+    // equality on the bucket key reads 1 of 8 buckets. The
+    // autoBucketedScan planner rule rewrites a bare filter scan into
+    // non-bucketed mode (file pruning still applies but explain hides
+    // the count); pin bucketed mode to make the assertion visible.
+    val prevAuto =
+      spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = spark.table("documents_bkt_spec")
+        .filter(col("doc_id") === 42L)
+      val scanStr = pruned.queryExecution.executedPlan.toString
+      assert(scanStr.contains("SelectedBucketsCount: 1 out of 8"),
+        s"no bucket pruning:\n$scanStr")
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("approx profile computes all 8×N sketch stats from ONE scan") {
     Tables.register(spark, TestSpark.sfDir)
     val df = graft.profile.TableProfiler.approxProfile(spark.table("lineitem"))
