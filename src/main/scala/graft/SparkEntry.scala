@@ -1333,7 +1333,7 @@ object SparkEntry {
     // prior-or-equal click. Clicks collapse to one row per (user, ts)
     // first — as-of on duplicate right timestamps is tie-dependent.
     "q_events_asof" -> withTables { s =>
-      val e = s.table("events").withColumn("ts_us", unix_micros(col("ts")))
+      val e = s.table("events").withColumn("ts_us", graft.ext.Events.epochUs(col("ts")))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
       val clicks = e.where(col("event_type") === "click")

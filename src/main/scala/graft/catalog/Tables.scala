@@ -30,21 +30,45 @@ object Tables {
 
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!registered.contains((spark, sfDir))) {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects outright; read it as raw nanos and surface a proper
-      // (microsecond) TimestampType column on the view.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as a
+      // raw long under nanosAsLong) and as TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Normalize both
+      // to a session-zoned TimestampType so every downstream
+      // unix_micros/window call analyzes regardless of which fixture
+      // generation is on disk. The NTZ→TZ cast is exact: the session
+      // timezone is pinned to UTC by every entrypoint.
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
       all.foreach { name =>
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
         val shaped =
-          if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-          else df
+          if (name == "events") normalizeEventTime(df) else df
         shaped.createOrReplaceTempView(name)
       }
       InfoSchema.register(spark, all)
       registered = Some((spark, sfDir))
+    }
+  }
+
+  /** Surface `ts` as a session-zoned `TimestampType` whatever the
+    * fixture wrote: nanos-as-long (legacy NANOS parquet), TIMESTAMP_NTZ
+    * (current MICROS isAdjustedToUTC=false parquet), or already-zoned.
+    * A schema-drift regression here once silently broke 8 event
+    * queries (round 4), so the match is exhaustive on purpose.
+    */
+  def normalizeEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer div: nanos ~1e18 exceed double's 53-bit mantissa
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts surfaced as unsupported type $other — extend Tables.normalizeEventTime")
     }
   }
 

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Batch analytics over the event stream table — tumbling-window
   * aggregation and gap-based sessionization. These are the batch
@@ -15,6 +16,15 @@ import org.apache.spark.sql.functions._
   * regardless of its native timestamp precision.
   */
 object Events {
+
+  /** Epoch microseconds from any timestamp flavor. `unix_micros` only
+    * accepts a session-zoned TimestampType; fixtures have surfaced
+    * `ts` as TIMESTAMP_NTZ in some generations (round-4 regression),
+    * so every operator converts through this helper. The cast is a
+    * no-op on TimestampType and exact on NTZ under the UTC session
+    * timezone all entrypoints pin.
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Tumbling 1-hour windows per event_type: event counts and
     * decimal-accumulated value sums. One map-side-combined shuffle on
@@ -66,7 +76,7 @@ object Events {
         count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5)
           .as("sum_value"))
-      .select(unix_micros(col("window.start")).as("win_start_us"),
+      .select(epochUs(col("window.start")).as("win_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("win_start_us", "event_type")
 
@@ -86,7 +96,7 @@ object Events {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us")
     val gapUs = gapSeconds * 1000000L
     events
-      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ts_us", epochUs(col("ts")))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_break",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
@@ -123,7 +133,7 @@ object Events {
       .orderBy("ts_us", "event_id")
     val gapUs = gapSeconds * 1000000L
     events
-      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ts_us", epochUs(col("ts")))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byKey))
       .withColumn("kept",
         col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs)
@@ -195,7 +205,7 @@ object Events {
   def eventTransitions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val pairs = events
-      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ts_us", epochUs(col("ts")))
       .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
@@ -423,7 +433,7 @@ object Events {
       idCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col("__ts_us"), col(idCol))
     val changes = events
-      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__ts_us", epochUs(col(tsCol)))
       .select(col(keyCol), col("__ts_us"), col(idCol), col(attrCol))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
       .filter(col("__prev").isNull || col(attrCol) =!= col("__prev"))
@@ -457,7 +467,7 @@ object Events {
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts_us").desc, col(idCol).desc)
     events
-      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__ts_us", epochUs(col(tsCol)))
       .select((keyCol +: idCol +: "__ts_us" +: payload).map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -559,7 +569,7 @@ object Events {
       collect_list(when(col(typeCol) === st, col("__ts_us"))).as(s"__ts_$i")
     }
     val agg = events
-      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__ts_us", epochUs(col(tsCol)))
       .groupBy(col(userCol))
       .agg(lists.head, lists.tail: _*)
     val withTimes = stages.indices.foldLeft(agg) { (df, i) =>

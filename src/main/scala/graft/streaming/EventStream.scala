@@ -20,28 +20,23 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema with `ts` pre-converted to microseconds.
-    * (The raw files carry TIMESTAMP(NANOS); the batch path handles
-    * the conversion in Tables.register — streaming reads the long and
-    * converts here.)
+  /** File-source stream of events with a proper event-time column.
+    *
+    * A file stream needs its schema up front, but the fixtures have
+    * shipped `ts` as both TIMESTAMP(NANOS) (surfacing as a raw long)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfacing as
+    * TIMESTAMP_NTZ). Rather than hard-code one generation, read the
+    * footer schema once at stream setup (a one-time driver-side
+    * metadata read, same cost class as the stream's own file listing)
+    * and normalize `ts` with the exact same rule the batch path uses
+    * (Tables.normalizeEventTime) — batch/stream parity by
+    * construction.
     */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream of events with a proper event-time column. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
-      .parquet(dir)
-      // integer div: nanos ~1e18 exceed double's 53-bit mantissa, so
-      // a floating divide here would corrupt timestamps
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.catalog.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 1-hour watermark:
@@ -74,7 +69,7 @@ object EventStream {
         count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 5).as("sum_value"))
       .select(
-        unix_micros(col("window.start")).as("win_start_us"),
+        graft.ext.Events.epochUs(col("window.start")).as("win_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Streaming distinct-user sketch per hourly window:
@@ -151,7 +146,7 @@ object EventStream {
     import enc.implicits._
     val gapUs = gapSeconds * 1000000L
     events
-      .select(col("user_id").as("userId"), unix_micros(col("ts")).as("tsUs"))
+      .select(col("user_id").as("userId"), graft.ext.Events.epochUs(col("ts")).as("tsUs"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, Session](
@@ -216,7 +211,7 @@ object EventStream {
     val gapUs = gapSeconds * 1000000L
     events
       .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+        col("event_type").as("eventType"), graft.ext.Events.epochUs(col("ts")).as("tsUs"))
       .as[(Long, Long, String, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[DebounceState, Debounced](
@@ -264,7 +259,7 @@ object EventStream {
     import enc.implicits._
     events
       .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+        col("event_type").as("eventType"), graft.ext.Events.epochUs(col("ts")).as("tsUs"))
       .as[(Long, Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[LastEvent, Transition](
