@@ -53,14 +53,30 @@ object Bench {
       // empty-schema aggregate, letting Catalyst prune every computed
       // column and EliminateSorts drop final ORDER BYs — the timed
       // plan must be the DELIVERED plan (all columns materialized).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A throwing query records an explicit "err" marker, NOT its
+      // time-to-throw — round 4 logged 8 broken queries as ~7 ms
+      // "timings", flattering the total while hiding the breakage.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        name -> Left(e.getClass.getSimpleName)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(e))  => s"\"" + k + "\":" + s"""{"err":"$e"}"""
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2.isLeft)
+    val total = results.values.collect { case Right(v) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    // Also persist to a file: the driver captures a bounded stdout tail
+    // and round 4's artifact was truncated mid-object ("parsed": null).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")), line)
+    println(line)
     spark.stop()
   }
 }

@@ -16,11 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must leave a LOUD artifact: round 4 shipped 8
+    // analysis-broken queries that were simply absent from the
+    // correctness report because this loop only printed to stderr.
+    // Every failure now lands in _errors.json next to oracle_sql.json,
+    // so "no parquet" can never read as "pass".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +45,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Exit 0 even on failures: a non-zero exit could make the driver
+    // skip the DuckDB compare for the queries that DID succeed. The
+    // red signal is _errors.json (always written, empty {} when green)
+    // plus the stderr banner.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Analysis-only drift gate over the REAL fixtures.
+  *
+  * Round 4 shipped 8 queries that failed analysis against the actual
+  * events parquet (its `ts` column changed from TIMESTAMP(NANOS) to
+  * TIMESTAMP_NTZ) while `sbt test` stayed mostly green, because the
+  * event specs build in-memory frames with `TimestampType`. This suite
+  * closes that hole: every declared query must ANALYZE against the
+  * on-disk sf0.001 tables. No execution — `.queryExecution.analyzed`
+  * resolves names and types in milliseconds per query — so any future
+  * fixture/reader/type change fails `sbt test` immediately instead of
+  * silently vanishing from the round's correctness artifact.
+  */
+class FixtureDriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("every SparkEntry query analyzes against the on-disk fixtures") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, TestSpark.sfDir).queryExecution.analyzed; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" ")}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis against ${TestSpark.sfDir}:\n  " +
+        failures.mkString("\n  "))
+  }
+
+  test("every query has an oracle or is a documented no-oracle exception") {
+    // A queries entry without an oracleSql twin gets only a weak
+    // rows>0 check from the driver; keep the exception list explicit
+    // so new queries can't silently skip the DuckDB compare.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set("q_profile_approx", "q_sketch_rollup", "q_compression")
+    assert(noOracle == documented,
+      s"undocumented oracle-less queries: ${(noOracle -- documented).toSeq.sorted.mkString(", ")}; " +
+        s"stale exceptions: ${(documented -- noOracle).toSeq.sorted.mkString(", ")}")
+  }
+}
