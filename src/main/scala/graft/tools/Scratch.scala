@@ -22,7 +22,8 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SCRATCH_SPLIT", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

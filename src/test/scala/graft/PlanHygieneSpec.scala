@@ -206,6 +206,40 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans an unpartitioned window over unbounded input") {
+    Tables.register(spark, TestSpark.sfDir)
+    // Global (empty-partitionSpec) windows serialize their input into
+    // ONE task — a scale killer unless the input is provably bounded.
+    // Every query whose plan contains one must appear here with the
+    // bound that justifies it; anything else fails the audit.
+    val boundedByConfig: Map[String, String] = Map(
+      // hybridRerank ranks ≤candidateK BM25 survivors (Search.scala)
+      "q_hybrid_search" -> "candidateK config bound",
+      // pqCentroids ranks the ksub-row sampled codebook seed set
+      // (Similarity.scala .limit(ksub) upstream of the window)
+      "q_pq_codes" -> "ksub-row codebook sample",
+      "q_knn_pq" -> "ksub-row codebook sample",
+      "q_knn_ivfpq" -> "ksub-row codebook sample",
+      // funnelReport's cumsum frame is the six-row stage list
+      "q_curation_funnel" -> "six-row stage list",
+      // forecast/trend regressions run over one row per (type, day) —
+      // collapsed map-side before the window sees it
+      "q_events_trend" -> "one row per (type, day)",
+      "q_forecast_revenue" -> "one row per day")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (wins.nonEmpty && !boundedByConfig.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unaudited global windows (add a bound or repartition): ${offenders.mkString(", ")}")
+  }
+
   test("decontamination is a pure shingle equi-join — nothing quadratic") {
     Tables.register(spark, TestSpark.sfDir)
     val plan = SparkEntry.queries("q_decontam")(spark, TestSpark.sfDir)
