@@ -260,6 +260,19 @@ object OraclesExt {
        |) ORDER BY round""".stripMargin
   }
 
+  /** Vocabulary segmentation after `rounds` learned merges — twin of
+    * Bpe.segmentVocab: the final per-round positional state ps{r} IS
+    * the tokenization of every distinct word, so the encode oracle is
+    * the merge oracle's last CTE projected as (word, pos, token).
+    */
+  def bpeEncode(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH $bpePs0Ctes,
+       |$roundCtes
+       |SELECT word, pos::BIGINT AS pos, sym AS token
+       |FROM ps$rounds ORDER BY word, pos""".stripMargin
+  }
+
   /** Multinomial Naive Bayes self-train confusion matrix — twin of
     * Classify.nbConfusion: the same Laplace-smoothed dense
     * (token, class) grid with scale-9-quantized ln, the same exact

@@ -727,6 +727,14 @@ object SparkEntry {
       graft.ext.Bpe.learnMerges(s.table("documents"), bpeRounds)
         .orderBy("round")
     },
+    // The tokenizer half: segment every vocabulary word with the
+    // learned merges — (word, pos, token) per subword piece. The
+    // corpus-level encode (docs → piece streams) rides the same final
+    // state via a broadcast join (Bpe.encode, spec-verified).
+    "q_bpe_encode" -> withTables { s =>
+      graft.ext.Bpe.segmentVocab(s.table("documents"), bpeRounds)
+        .orderBy("word", "pos")
+    },
     // §7.5 — content-policy gate: multi-length phrase blocklist
     // matched exactly against the token stream (broadcast phrase
     // relation, never a per-phrase regex scan).
@@ -1523,6 +1531,7 @@ object SparkEntry {
     "q_nb_confusion" -> OraclesExt.nbConfusion,
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),
     "q_bpe_merges" -> OraclesExt.bpeMerges(bpeRounds),
+    "q_bpe_encode" -> OraclesExt.bpeEncode(bpeRounds),
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,

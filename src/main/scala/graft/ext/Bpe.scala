@@ -105,6 +105,21 @@ object Bpe {
   def learnMerges(df: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
+    val (merges, _) = train(df, rounds, textCol)
+    import spark.implicits._
+    merges.toDF("round", "sym_a", "sym_b", "merge_count")
+  }
+
+  /** The shared training loop: learned merges plus the final (word,
+    * freq, s) state. The final state IS the tokenization of every
+    * distinct corpus word under the learned vocabulary — production
+    * BPE encoders work the same way (segment the word table once,
+    * then stream the corpus through the word→pieces map), which is
+    * why encoding costs one vocab-sized loop + one corpus join, never
+    * a per-document merge replay.
+    */
+  private def train(df: DataFrame, rounds: Int, textCol: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var words = Dedup.materialize(wordSymbols(df, textCol))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -122,7 +137,37 @@ object Bpe {
         r += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merge_count")
+    (merges.toSeq, words)
+  }
+
+  /** Tokenize the vocabulary with the merges learned in `rounds`
+    * BPE rounds: one (word, pos, token) row per subword piece, pos
+    * 1-based within the word. This exercises the learned merge table
+    * as a TOKENIZER (every piece of every word), not just a trainer.
+    */
+  def segmentVocab(df: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame =
+    train(df, rounds, textCol)._2
+      .select(col("word"), posexplode(col("s")))
+      .select(col("word"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+
+  /** Encode a corpus with the learned merges: (id, pieces) where
+    * pieces is the document's token stream with each word replaced by
+    * its BPE segmentation. The vocab segmentation is broadcast (it is
+    * vocabulary-sized) and the corpus is streamed through it map-side
+    * — the corpus is scanned once and never shuffled.
+    */
+  def encode(df: DataFrame, rounds: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pieces = train(df, rounds, textCol)._2
+      .select(col("word"), col("s").as("__pieces"))
+    df.select(col(idCol), posexplode(TextStats.tokens(col(textCol))))
+      .select(col(idCol), col("pos").as("__wpos"), col("col").as("word"))
+      .join(broadcast(pieces), "word")
+      .groupBy(idCol)
+      .agg(flatten(array_sort(collect_list(
+        struct(col("__wpos"), col("__pieces")))).getField("__pieces"))
+        .as("pieces"))
   }
 }

@@ -1503,6 +1503,26 @@ class ExtSpec extends AnyFunSuite {
     assert(again == out.view.mapValues(_._3).toMap)
   }
 
+  test("compression ratio matches independent zlib reference vectors") {
+    // Ground truth computed OUTSIDE the JVM (CPython zlib.compress,
+    // level 6, zlib wrapper) — the cross-implementation oracle the
+    // no-SQL-twin query family otherwise lacks. Both stacks wrap
+    // madler zlib with identical defaults, so the deflated LENGTHS
+    // must agree byte-for-byte.
+    val vectors = Seq(
+      ("hello world", 11L, 19L),
+      ("the quick brown fox jumps over the lazy dog", 43L, 50L),
+      ("a" * 32, 32L, 11L))
+    val df = vectors.zipWithIndex
+      .map { case ((s, _, _), i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val out = TextStats.withCompressionRatio(df).orderBy("doc_id").collect()
+    vectors.zipWithIndex.foreach { case ((s, rawLen, defLen), i) =>
+      assert(out(i).getAs[Long]("byte_len") == rawLen, s"byte_len($s)")
+      assert(out(i).getAs[Long]("deflate_len") == defLen,
+        s"deflate_len($s) != CPython zlib reference $defLen")
+    }
+  }
+
   test("stripDuplicateSpans: hot spans excised, shorts pass, boilerplate empties") {
     val boiler = "w1 w2 w3 w4 w5" // shared 5-gram
     val df = Seq(

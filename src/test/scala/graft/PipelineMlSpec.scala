@@ -209,4 +209,21 @@ class PipelineMlSpec extends AnyFunSuite {
     val b = Bpe.learnMerges(docs.repartition(5), 2).collect().toSeq.sortBy(_.getInt(0))
     assert(a == b)
   }
+
+  test("encode streams each doc through the learned vocab segmentation") {
+    // "ab ab ab cd" learns (a,b) then (c,d); encoding replays each
+    // word's final segmentation in document token order.
+    val df = Seq((1L, "ab ab ab cd"), (2L, "cd ab abc")).toDF("doc_id", "text")
+    val got = Bpe.encode(df, rounds = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+    assert(got == List(
+      1L -> List("ab", "ab", "ab", "cd"),
+      // "abc" → learned pieces: greedy (a,b) first, c untouched
+      2L -> List("cd", "ab", "ab", "c")))
+    // segmentVocab is the word-level view of the same final state
+    val seg = Bpe.segmentVocab(df, rounds = 2).orderBy("word", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(seg == List(("ab", 1L, "ab"), ("abc", 1L, "ab"), ("abc", 2L, "c"),
+      ("cd", 1L, "cd")))
+  }
 }
