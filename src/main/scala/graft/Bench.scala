@@ -52,6 +52,16 @@ object Bench {
     // typed JSON extraction (events family)
     warm.selectExpr("""from_json(concat('{"k":', id, '}'), 'k BIGINT') j""")
       .selectExpr("sum(j.k)").collect()
+    // collect_list + nested transform + array_intersect (graph family)
+    warm.selectExpr("id % 50 as g", "id as i").groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr(
+        "array_distinct(sort_array(collect_list(i)))").as("items"))
+      .selectExpr(
+        """size(flatten(transform(items, (x, ix) ->
+           transform(slice(items, ix + 2, size(items)), y -> struct(x as a, y as b))))) as np""",
+        "size(array_intersect(items, items)) as ni")
+      .agg(org.apache.spark.sql.functions.sum("np"),
+        org.apache.spark.sql.functions.sum("ni")).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not .count(): count() re-plans the query as an

@@ -258,6 +258,108 @@ object SparkEntry {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'C'
       |ORDER BY o_custkey""".stripMargin
 
+  /** §2.3/§2.4 — TPC-H Q13 shape: LEFT OUTER join with a predicate on
+    * the preserved side's PARTNER (the filter lives in the ON clause —
+    * pushed below the join, but rows it removes still surface as
+    * count 0, the semantics a WHERE would destroy), then a second
+    * aggregation over the first's result. Two shuffles: (custkey),
+    * then (c_count) — the distribution agg is over an
+    * already-collapsed customer-sized relation.
+    */
+  private val orderCountDistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** §2.4 — TPC-H Q18 shape: IN-subquery whose inner relation is
+    * itself a HAVING-filtered aggregate. Spark plans the IN as a
+    * LEFT SEMI join against the aggregated subquery — the filter
+    * collapses lineitem to qualifying order keys BEFORE the 3-table
+    * join fans out, so the expensive join runs on the rare orders
+    * only.
+    */
+  private val largeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      | round(cast(cast(o_totalprice as decimal(18,6)) as double), 5) AS total,
+      | round(cast(sum(cast(l_quantity as decimal(18,6))) as double), 5) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY total DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** §2.3 — TPC-H Q7 shape: the same dimension table joined TWICE
+    * under different roles (customer's nation vs supplier's nation) —
+    * alias resolution the single-join queries never exercise — plus a
+    * year extraction grouping. Both nation sides broadcast; the
+    * fact-side shuffles are the lineitem⋈orders⋈customer chain.
+    */
+  private val nationTradeSql: String =
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      | cast(extract(year FROM l_shipdate) as bigint) AS ship_year,
+      | round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 5) AS volume,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name <> sn.n_name
+      |GROUP BY cn.n_name, sn.n_name, ship_year
+      |ORDER BY cust_nation, supp_nation, ship_year""".stripMargin
+
+  /** §2.4 — TPC-H Q14 shape: conditional aggregation ratio (CASE
+    * inside sum). Determinism note: both sums accumulate EXACT
+    * decimals; each is cast to double once (exactly representable),
+    * and the single IEEE double division + round(5) is bit-identical
+    * across engines — never a double accumulation.
+    */
+  private val promoShareSql: String =
+    """SELECT
+      | round(cast(100.0 as double) *
+      |   cast(sum(CASE WHEN p_type = 'PROMO'
+      |     THEN cast(l_extendedprice * (1 - l_discount) as decimal(18,6))
+      |     ELSE cast(0.0 as decimal(18,6)) END) as double) /
+      |   cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 5)
+      |   AS promo_share,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""".stripMargin
+
+  /** Co-purchase triangle counting oracle — twin of
+    * Graph.coOccurrenceEdges + triangleCounts on (order, part).
+    */
+  private val triangleSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.i AS a, y.i AS b FROM items x
+      |  JOIN items y ON x.g = y.g AND x.i < y.i),
+      |t AS (
+      |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc FROM e e1
+      |  JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT node, count(*) AS n_triangles FROM (
+      |  SELECT ta AS node FROM t
+      |  UNION ALL SELECT tb FROM t
+      |  UNION ALL SELECT tc FROM t) corners
+      |GROUP BY node
+      |ORDER BY node""".stripMargin
+
   /** Sampling / packing parameters — passed to BOTH the Spark queries
     * and the OraclesExt twin builders, so the two engines cannot
     * drift (same pattern as Dedup.NgramStopShingleCap).
@@ -486,6 +588,19 @@ object SparkEntry {
       Events.dailyTrend(s.table("events"))
     },
     "q_correlated_max" -> withTables { s => s.sql(correlatedMaxSql) },
+    "q_order_count_dist" -> withTables { s => s.sql(orderCountDistSql) },
+    "q_large_orders" -> withTables { s => s.sql(largeOrdersSql) },
+    "q_nation_trade" -> withTables { s => s.sql(nationTradeSql) },
+    "q_promo_share" -> withTables { s => s.sql(promoShareSql) },
+    // §7.5 — co-purchase graph triangles: bipartite (order, part)
+    // projection → unique low→high edges → compact-forward triangle
+    // enumeration, each triangle crediting its three corners.
+    "q_copurchase_triangles" -> withTables { s =>
+      graft.ext.Graph.triangleCounts(
+        graft.ext.Graph.coOccurrenceEdges(
+          s.table("lineitem"), "l_orderkey", "l_partkey"))
+        .orderBy("node")
+    },
     // §2.4 — unpivot (wide→long, the inverse of the profiler's pivot)
     // rolled up per metric: the map-side Expand never shuffles 4× the
     // table, partial aggregation collapses it to one row per
@@ -1478,6 +1593,11 @@ object SparkEntry {
     "q_event_transitions" -> OraclesExt.eventTransitions,
     "q_events_trend" -> OraclesExt.eventsTrend,
     "q_correlated_max" -> correlatedMaxSql,
+    "q_order_count_dist" -> orderCountDistSql,
+    "q_large_orders" -> largeOrdersSql,
+    "q_nation_trade" -> nationTradeSql,
+    "q_promo_share" -> promoShareSql,
+    "q_copurchase_triangles" -> triangleSql,
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
