@@ -512,6 +512,12 @@ object SparkEntry {
       graft.ext.Search.writeSearchIndex(s.table("documents"), d)
     }
 
+  private def ivfPqIndexDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("ivfpq", sfDir) { d =>
+      Similarity.writeIvfPqIndex(s.table("embeddings"), d, nlist = 16,
+        m = pqM, ksub = pqKsub, dims = pqDims)
+    }
+
   /** Build every persisted index for `sfDir` (idempotent). Bench calls
     * this in its untimed setup, same category as view registration.
     */
@@ -519,6 +525,7 @@ object SparkEntry {
     Tables.register(spark, sfDir)
     ivfIndexDir(spark, sfDir)
     searchIndexDir(spark, sfDir)
+    ivfPqIndexDir(spark, sfDir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -798,6 +805,16 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4, m = pqM, ksub = pqKsub, dims = pqDims)
         .orderBy("query_id", "rank")
+    },
+    // The PERSISTED twin of q_knn_ivfpq: probe reads only the probed
+    // cells' CODE directories (partition pruning over m-int rows, the
+    // raw vectors never touched) — identical rows by construction →
+    // same oracle.
+    "q_knn_ivfpq_indexed" -> withTablesSf { (s, sfDir) =>
+      val emb = s.table("embeddings")
+      Similarity.ivfPqTopKIndexed(ivfPqIndexDir(s, sfDir),
+        emb.filter(col("vec_id") < 5), k = 10, nprobe = 4,
+        m = pqM, dims = pqDims).orderBy("query_id", "rank")
     },
     // k-means corpus-topology report (2 Lloyd steps): cluster sizes
     // and cohesion — what cluster-balanced sampling / SemDeDup read.
@@ -1634,6 +1651,7 @@ object SparkEntry {
     "q_pq_codes" -> OraclesExt.pqCodes(pqM, pqKsub, pqDims / pqM),
     "q_knn_pq" -> OraclesExt.knnPq(pqM, pqKsub, pqDims / pqM, 10),
     "q_knn_ivfpq" -> OraclesExt.knnIvfPq(pqM, pqKsub, pqDims / pqM, 10, 16, 4),
+    "q_knn_ivfpq_indexed" -> OraclesExt.knnIvfPq(pqM, pqKsub, pqDims / pqM, 10, 16, 4),
     "q_blocklist" -> OraclesExt.blocklist(blocklistPhrases),
     // Bucketing is invisible to results by construction: the oracle
     // is the plain join over the unbucketed tables.

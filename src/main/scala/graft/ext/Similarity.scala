@@ -723,26 +723,36 @@ object Similarity {
     * top-k. At 100 TB the scan reads m small ints per vector instead
     * of dims floats — the 64× I/O cut is the operator's point.
     */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 4, ksub: Int = 16, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Per-query ADC lookup table against a PQ codebook:
+    * (query_id, sub, code, dq) with dq the DECIMAL(18,9)-quantized
+    * squared sub-distance — the broadcast side of every ADC scoring
+    * join (|queries|·m·ksub rows).
+    */
+  private def adcTable(queries: DataFrame, codebook: DataFrame, m: Int,
+      dims: Int, idCol: String, vecCol: String): DataFrame = {
     val subDim = dims / m
-    val codes = pqEncode(corpus, m, ksub, dims, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
-    val cents = pqCentroids(corpus, m, ksub, dims, idCol, vecCol)
     val subs = array((0 until m).map { s =>
       struct(lit(s).as("sub"),
         slice(col("__vd"), s * subDim + 1, subDim).as("qv"))
     }: _*)
-    val dtable = queries
+    queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__vd"))
       .select(col("query_id"), explode(subs).as("sq"))
       .select(col("query_id"), col("sq.sub").as("sub"), col("sq.qv").as("qv"))
       .withColumn("qq", dot(col("qv"), col("qv")))
-      .join(broadcast(cents), "sub")
+      .join(broadcast(codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         round(col("qq") - lit(2.0) * dot(col("qv"), col("cvec")) + col("cc"), 9)
           .cast(DecimalType(18, 9)).as("dq"))
+  }
+
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = pqEncode(corpus, m, ksub, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+    val cents = pqCentroids(corpus, m, ksub, dims, idCol, vecCol)
+    val dtable = adcTable(queries, cents, m, dims, idCol, vecCol)
     val scored = codes.join(broadcast(dtable), Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
@@ -774,7 +784,6 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
       dims: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val subDim = dims / m
     val nc = normalized(corpus, idCol, vecCol)
     val nq = normalized(queries, idCol, vecCol)
     val cents = ivfCentroids(nc, nlist, idCol, vecCol)
@@ -788,20 +797,73 @@ object Similarity {
     val codes = pqEncode(nc, m, ksub, dims, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
     val pqc = pqCentroids(nc, m, ksub, dims, idCol, vecCol)
-    val subs = array((0 until m).map { s =>
-      struct(lit(s).as("sub"),
-        slice(col("__vd"), s * subDim + 1, subDim).as("qv"))
-    }: _*)
-    val dtable = nq
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__vd"))
-      .select(col("query_id"), explode(subs).as("sq"))
-      .select(col("query_id"), col("sq.sub").as("sub"), col("sq.qv").as("qv"))
-      .withColumn("qq", dot(col("qv"), col("qv")))
-      .join(broadcast(pqc), "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        round(col("qq") - lit(2.0) * dot(col("qv"), col("cvec")) + col("cc"), 9)
-          .cast(DecimalType(18, 9)).as("dq"))
+    val dtable = adcTable(nq, pqc, m, dims, idCol, vecCol)
     val scored = cand.join(codes, "neighbor_id")
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dq")).as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
+  }
+
+  /** Materialize a FAISS-style IVF-PQ index on disk: IVF centroids,
+    * the PQ codebook, and the corpus as PQ CODES (m small ints per
+    * vector) partitioned by IVF cell. The serving twin of
+    * [[writeIvfIndex]] for corpora whose raw vectors are too large to
+    * keep online: a probe reads only nprobe/nlist code directories
+    * (partition pruning) and each read row is m codes, not dims
+    * floats — the two prunings compose to the minimal I/O ANN shape.
+    * Centroids and codebook derive from the same normalized corpus
+    * the flat functions use, so [[ivfPqTopKIndexed]] returns
+    * bit-identical rows to [[ivfPqTopK]] with the same parameters.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int,
+      m: Int = 4, ksub: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val nc = normalized(corpus, idCol, vecCol)
+    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    pqCentroids(nc, m, ksub, dims, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val cellOf = ivfAssign(nc, cents, 1, idCol, vecCol)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    pqEncode(nc, m, ksub, dims, idCol, vecCol)
+      .select(col(idCol), col("sub"), col("code"))
+      .join(cellOf, idCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: queries are assigned to their
+    * nprobe cells against the stored centroids, the probed cells land
+    * in the scan as a literal partition filter (unprobed directories
+    * cost zero I/O), and candidates are ADC-scored from the stored
+    * codes via the stored codebook — the raw corpus is never read.
+    * Identical results to [[ivfPqTopK]] with the same parameters
+    * (verified in ExtSpec).
+    */
+  def ivfPqTopKIndexed(dir: String, queries: DataFrame, k: Int,
+      nprobe: Int, m: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val nq = normalized(queries, idCol, vecCol)
+    val probes = ivfAssign(nq, cents, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("centroid_id").as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"),
+        col("cell").cast("long").as("cell"))
+    val dtable = adcTable(nq, codebook, m, dims, idCol, vecCol)
+    val scored = codes
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(dtable), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dq")).as("__adc"))

@@ -243,6 +243,35 @@ class ExtSpec extends AnyFunSuite {
       s"probed-cell IN-list missing or unpruned: $probed")
   }
 
+  test("persisted IVF-PQ index: probe ≡ ivfPqTopK, codes-only pruned scan") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx-spec").toString
+    Similarity.writeIvfPqIndex(emb, dir, nlist = 16)
+    val indexed = Similarity.ivfPqTopKIndexed(dir, queries, 10, nprobe = 4)
+    val direct = Similarity.ivfPqTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == direct, "IVF-PQ index probe must equal the in-memory answer")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter in:\n$plan")
+    // the corpus side is scanned as CODES (id, sub, code) — the only
+    // embedding reads are the 3-row query-side scans (vec_id < 3
+    // pushed down); the stored corpus vectors do not exist in this
+    // index at all, so no scan can read them
+    assert("ReadSchema: struct<vec_id:bigint,sub:int,code:int".r
+      .findFirstIn(plan).isDefined,
+      s"expected a codes-relation scan in:\n$plan")
+    plan.linesIterator
+      .filter(_.contains("ReadSchema: struct<vec_id:bigint,embedding"))
+      .foreach(l => assert(l.contains("LessThan(vec_id,3)"),
+        s"unfiltered embedding (corpus-sized) scan in the probe: $l"))
+  }
+
   test("persisted search index: probe ≡ bm25, scans prune to term buckets") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")
