@@ -360,6 +360,33 @@ object SparkEntry {
       |GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** Association-rule oracle — twin of Graph.associationRules on the
+    * (order, part) relation; interpolates the shared
+    * assocMinSupport/assocK constants.
+    */
+  private def assocRulesSql(minSupport: Long, k: Int): String =
+    s"""WITH gi AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |n AS (SELECT count(DISTINCT g) AS ng FROM gi),
+       |it AS (SELECT i, count(*) AS item_n FROM gi GROUP BY i),
+       |pr AS (
+       |  SELECT x.i AS a, y.i AS b, count(*) AS pair_n
+       |  FROM gi x JOIN gi y ON x.g = y.g AND x.i < y.i
+       |  GROUP BY x.i, y.i
+       |  HAVING count(*) >= $minSupport),
+       |d AS (
+       |  SELECT a AS antecedent, b AS consequent, pair_n FROM pr
+       |  UNION ALL SELECT b AS antecedent, a AS consequent, pair_n FROM pr)
+       |SELECT antecedent, consequent, pair_n,
+       |  round(pair_n::DOUBLE / ng, 5) AS support,
+       |  round(pair_n::DOUBLE / ia.item_n, 5) AS confidence,
+       |  round((pair_n * ng)::DOUBLE / (ia.item_n * ic.item_n), 5) AS lift
+       |FROM d CROSS JOIN n
+       |JOIN it ia ON d.antecedent = ia.i
+       |JOIN it ic ON d.consequent = ic.i
+       |ORDER BY lift DESC, antecedent, consequent
+       |LIMIT $k""".stripMargin
+
   /** Sampling / packing parameters — passed to BOTH the Spark queries
     * and the OraclesExt twin builders, so the two engines cannot
     * drift (same pattern as Dedup.NgramStopShingleCap).
@@ -407,6 +434,9 @@ object SparkEntry {
   private[graft] val pqDims = 64
   private[graft] val bpePairsK = 20
   private[graft] val bpeRounds = 3
+  // association rules: min pair support and report size
+  private[graft] val assocMinSupport = 3L
+  private[graft] val assocK = 50
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -607,6 +637,13 @@ object SparkEntry {
         graft.ext.Graph.coOccurrenceEdges(
           s.table("lineitem"), "l_orderkey", "l_partkey"))
         .orderBy("node")
+    },
+    // §7.5 — market-basket association rules over the same bipartite
+    // relation: exact supports, one-division confidence/lift, top-k
+    // by lift with a unique (antecedent, consequent) tiebreak.
+    "q_assoc_rules" -> withTables { s =>
+      graft.ext.Graph.associationRules(s.table("lineitem"),
+        "l_orderkey", "l_partkey", assocMinSupport, assocK)
     },
     // §2.4 — unpivot (wide→long, the inverse of the profiler's pivot)
     // rolled up per metric: the map-side Expand never shuffles 4× the
@@ -1615,6 +1652,7 @@ object SparkEntry {
     "q_nation_trade" -> nationTradeSql,
     "q_promo_share" -> promoShareSql,
     "q_copurchase_triangles" -> triangleSql,
+    "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),

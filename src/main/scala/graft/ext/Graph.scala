@@ -171,4 +171,70 @@ object Graph {
     * the adjacency joins shuffle on their keys.
     */
   val BroadcastMaxEdges: Long = 8L << 20
+
+  /** Pair co-occurrence SUPPORT: how many groups contain BOTH items —
+    * the counting sibling of [[coOccurrenceEdges]] (same bounded
+    * map-side pair expansion; the group-by keeps the count instead of
+    * deduplicating).
+    */
+  def coOccurrenceSupport(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val grouped = df
+      .select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy("g")
+      .agg(array_distinct(sort_array(collect_list(col("i")))).as("items"))
+    val pairs = flatten(transform(col("items"), (x, ix) =>
+      transform(slice(col("items"), ix + 2, size(col("items"))),
+        y => struct(x.as("a"), y.as("b")))))
+    grouped.select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("pair_n"))
+  }
+
+  /** Association-rule mining over a (group, item) relation — the
+    * market-basket report (co-purchased parts, co-occurring tokens):
+    * for every ordered rule A→B whose pair support reaches
+    * `minSupport`, its support, confidence and lift, top-`k` by lift.
+    *
+    * Determinism: supports are exact longs; support and confidence
+    * are one IEEE double division each; lift is the exact integer
+    * product pair_n·N divided by ant_n·con_n (all far inside 2⁵³) in
+    * ONE double division — identical in any engine, rounded at 5 for
+    * display with (lift, antecedent, consequent) ordering.
+    *
+    * Scale shape: item supports are a map-side-combined count over
+    * the distinct (group, item) relation; pair supports come from the
+    * bounded per-group expansion; the rule join attaches two
+    * item-count relations (item-vocabulary-sized — broadcast-class
+    * for any real catalog) to the pair relation. The group count is
+    * one driver scalar, same posture as PageRank's N.
+    */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+      minSupport: Long, k: Int): DataFrame = {
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val nGroups = gi.select("g").distinct().count()
+    val itemN = gi.groupBy(col("i")).agg(count(lit(1)).as("item_n"))
+    val pairN = coOccurrenceSupport(df, groupCol, itemCol)
+      .filter(col("pair_n") >= minSupport)
+    // each unordered pair yields both directed rules
+    val directed = pairN
+      .select(col("id_a").as("antecedent"), col("id_b").as("consequent"), col("pair_n"))
+      .union(pairN
+        .select(col("id_b").as("antecedent"), col("id_a").as("consequent"), col("pair_n")))
+    directed
+      .join(broadcast(itemN.select(col("i").as("antecedent"), col("item_n").as("ant_n"))),
+        "antecedent")
+      .join(broadcast(itemN.select(col("i").as("consequent"), col("item_n").as("con_n"))),
+        "consequent")
+      .withColumn("support",
+        round(col("pair_n").cast("double") / lit(nGroups.toDouble), 5))
+      .withColumn("confidence",
+        round(col("pair_n").cast("double") / col("ant_n").cast("double"), 5))
+      .withColumn("lift",
+        round((col("pair_n") * lit(nGroups)).cast("double") /
+          (col("ant_n") * col("con_n")).cast("double"), 5))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+      .select("antecedent", "consequent", "pair_n", "support", "confidence", "lift")
+  }
 }
