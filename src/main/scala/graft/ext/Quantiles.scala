@@ -61,7 +61,7 @@ object Quantiles {
     val kc = keyCols.map(col)
     val probs = array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
     val bounds = vc.groupBy(kc: _*)
-      .agg(percentile_approx(col(vCol), probs, lit(10000)).as("__bs"))
+      .agg(percentile_approx(col(vCol), probs, lit(1000)).as("__bs"))
     val shardOf = (1 until shards)
       .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
       .reduce(_ + _)
@@ -91,6 +91,61 @@ object Quantiles {
     localCum.join(maybeB(offsets), keyCols :+ "__shard")
       .withColumn("cum", col("__lcum") + col("__offset"))
       .drop("__shard", "__lcum", "__offset")
+  }
+
+  /** Values at explicit global sort POSITIONS per key — the
+    * median-targeted specialization of [[shardedCumsum]]. The full
+    * cumsum windows EVERY (key, shard) slice because an arbitrary
+    * quantile vector may probe anywhere; a median needs exactly two
+    * positions per key, which land in at most two shards — so after
+    * the (key × shards)-row offsets are known, every other shard is
+    * PRUNED before the expensive sort-window runs (32× less window
+    * input at the profiler's shard count). Exactness is untouched:
+    * shard totals are exact counts, so the offset arithmetic and the
+    * within-shard cumsum find the same global positions the full
+    * cumsum would.
+    *
+    * @param pos one row per wanted position: keyCols + `__pos`
+    *   (0-based long rank over the key's value order, counting
+    *   multiplicity). Must be a small (broadcast-class when
+    *   `broadcastGroups`) relation — a few rows per key.
+    * @return keyCols + `__pos` + vCol: the value whose global
+    *   position range covers `__pos`.
+    */
+  private[graft] def valuesAtPositions(vc: DataFrame, keyCols: Seq[String],
+      vCol: String, cntCol: String, pos: DataFrame, shards: Int = 32,
+      broadcastGroups: Boolean = true): DataFrame = {
+    val kc = keyCols.map(col)
+    val probs = array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
+    val bounds = vc.groupBy(kc: _*)
+      .agg(percentile_approx(col(vCol), probs, lit(1000)).as("__bs"))
+    val shardOf = (1 until shards)
+      .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    def maybeB(df: DataFrame) = if (broadcastGroups) broadcast(df) else df
+    val vcs = vc.join(maybeB(bounds), keyCols).withColumn("__shard", shardOf)
+      .drop("__bs")
+    val skc = kc :+ col("__shard")
+    val offsets = vcs.groupBy(skc: _*)
+      .agg(sum(col(cntCol).cast(LongType)).as("__stot"))
+      .withColumn("__offset", coalesce(sum(col("__stot")).over(
+        Window.partitionBy(kc: _*).orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // which (key, shard) holds each wanted position
+    val picked = offsets.join(maybeB(pos), keyCols)
+      .where(col("__pos").between(col("__offset"),
+        col("__offset") + col("__stot") - 1))
+      .select((kc :+ col("__shard") :+ col("__offset") :+ col("__pos")): _*)
+    val keep = picked.select((kc :+ col("__shard")): _*).distinct()
+    val pruned = vcs.join(maybeB(keep), keyCols :+ "__shard")
+    val localCum = pruned.withColumn("__lcum",
+      sum(col(cntCol).cast(LongType)).over(
+        Window.partitionBy(skc: _*).orderBy(vCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    localCum.join(maybeB(picked), keyCols :+ "__shard")
+      .where(col("__offset") + col("__lcum") - col(cntCol).cast(LongType) <= col("__pos") &&
+        col("__pos") <= col("__offset") + col("__lcum") - 1)
+      .select((kc :+ col("__pos") :+ col(vCol)): _*)
   }
 
   /** One row per group: `(group, n, <name1>, <name2>, ...)` with each

@@ -187,8 +187,11 @@ object TableProfiler {
     */
   private def exactLong(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ci is an INT key: the value-counts relation is table-sized for
+    // near-unique columns, and hashing/shuffling an int beats a
+    // string at every exchange this plan reuses
     val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"'$i', cast(`$c` as double)" }.mkString(", ")
+      .map { case (c, i) => s"$i, cast(`$c` as double)" }.mkString(", ")
     // spread first: inputs with few row groups would otherwise run the
     // whole stack+shuffle-write in one scan task; everything downstream
     // is partitioning-independent, so this is safe (unlike the old
@@ -221,25 +224,31 @@ object TableProfiler {
           .cast(DecimalType(26, 12)) * col("cnt"))
       .groupBy("ci")
       .agg(sum("d2").as("s2"))
-    // median: cumsum over value order, Percentile-exact interpolation.
-    // The cumsum is the shared range-SHARDED two-phase prefix sum
-    // (graft.ext.Quantiles.shardedCumsum — see its scaladoc): a
+    // median: position-targeted sharded lookup, Percentile-exact
+    // interpolation. The general machinery is the range-SHARDED
+    // two-phase prefix sum (graft.ext.Quantiles.shardedCumsum — a
     // single `partitionBy(ci)` window would sort ALL distinct values
-    // of a column in ONE task, the last serial stage in the profile
-    // at corpus scale. Boundary sketch affects load balance only —
-    // the cumulative counts (and so the median) are exactly invariant
-    // to shard placement.
+    // of a column in ONE task); the median probes exactly TWO global
+    // positions per column, so Quantiles.valuesAtPositions prunes the
+    // sort-window to the one or two shards that hold them (32× less
+    // window input) after the exact shard offsets are known. Boundary
+    // sketch affects load balance only — shard totals are exact, so
+    // the probed values are identical to the full cumsum's.
     val pos = lit(0.5) * (col("n") - 1).cast(DoubleType)
     val lower = floor(pos)
     val higher = ceil(pos)
-    val cum = graft.ext.Quantiles.shardedCumsum(vc, Seq("ci"), "v", "cnt")
+    val wanted = basic.select(col("ci"), col("n"))
+      .select(col("ci"), col("n"),
+        explode(array_distinct(array(lower.cast(LongType),
+          higher.cast(LongType)))).as("__pos"))
+      .select("ci", "__pos")
+    val hits = graft.ext.Quantiles
+      .valuesAtPositions(vc, Seq("ci"), "v", "cnt", wanted)
       .join(broadcast(basic.select(col("ci"), col("n"))), "ci")
-    val med = cum.groupBy("ci", "n")
+    val med = hits.groupBy("ci", "n")
       .agg(
-        max(when(col("cum") - col("cnt") <= lower && lower <= col("cum") - 1,
-          col("v"))).as("lowv"),
-        max(when(col("cum") - col("cnt") <= higher && higher <= col("cum") - 1,
-          col("v"))).as("highv"))
+        max(when(col("__pos") === lower.cast(LongType), col("v"))).as("lowv"),
+        max(when(col("__pos") === higher.cast(LongType), col("v"))).as("highv"))
       .withColumn("median", round(
         when(lower === higher, col("lowv"))
           .otherwise(col("lowv") * (higher - pos) + col("highv") * (pos - lower)), 5))
@@ -265,11 +274,11 @@ object TableProfiler {
     // restored with a literal-range left join (count/count_distinct 0,
     // other stats null — the reference's observable empty semantics).
     val domain = df.sparkSession.range(cols.size)
-      .select(col("id").cast(StringType).as("ci"))
+      .select(col("id").cast(IntegerType).as("ci"))
     val full = domain.join(perCi, Seq("ci"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("ndist", coalesce(col("ndist"), lit(0.0)))
-    val nameMap = typedLit(cols.indices.map(i => i.toString -> cols(i)).toMap)
+    val nameMap = typedLit(cols.indices.map(i => i -> cols(i)).toMap)
     def e(label: String, value: Column) =
       struct(lit(label).as("agg_type"), value.as("result"))
     val entries = array(
