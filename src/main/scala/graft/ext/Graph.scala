@@ -93,23 +93,11 @@ object Graph {
     * dropping pairs changes the graph.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
-      itemCol: String): DataFrame = {
-    // One (group) shuffle collects each group's distinct sorted item
-    // set; the quadratic pair expansion then happens MAP-SIDE on the
-    // bounded per-group array (a self-join formulation pays an extra
-    // distinct shuffle and sort-merge pass for the same pairs). The
-    // final distinct is the only pair-sized exchange.
-    val grouped = df
-      .select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .groupBy("g")
-      .agg(array_distinct(sort_array(collect_list(col("i")))).as("items"))
-    val pairs = flatten(transform(col("items"), (x, ix) =>
-      transform(slice(col("items"), ix + 2, size(col("items"))),
-        y => struct(x.as("a"), y.as("b")))))
-    grouped.select(explode(pairs).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
-  }
+      itemCol: String): DataFrame =
+    // the support variant's groupBy is the same (a, b) exchange a
+    // distinct would be — edges are just the counted pairs minus the
+    // count (ONE expansion codepath to maintain, not two)
+    coOccurrenceSupport(df, groupCol, itemCol).select("id_a", "id_b")
 
   /** Per-node triangle participation counts over a unique (src < dst)
     * undirected edge list — the clustering-structure signal

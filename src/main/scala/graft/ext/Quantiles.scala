@@ -55,16 +55,28 @@ object Quantiles {
     * never values. Appends column `cum` (long); input columns pass
     * through unchanged.
     */
+  /** Evenly spaced probe probabilities for `shards` range shards. */
+  private def probsFor(shards: Int): Column =
+    array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
+
+  /** Chained-comparison shard index of `vCol` against the `__bs`
+    * boundary array: the count of boundaries strictly below the value
+    * (codegen'd adds, no interpreted HOF on the per-row path). Shard
+    * s holds exactly (__bs[s], __bs[s+1]] — the interval form
+    * valuesAtPositions prunes by.
+    */
+  private def shardIndex(vCol: String, shards: Int): Column =
+    (1 until shards)
+      .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+
   private[graft] def shardedCumsum(vc: DataFrame, keyCols: Seq[String],
       vCol: String, cntCol: String, shards: Int = 32,
       broadcastGroups: Boolean = true): DataFrame = {
     val kc = keyCols.map(col)
-    val probs = array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
     val bounds = vc.groupBy(kc: _*)
-      .agg(percentile_approx(col(vCol), probs, lit(1000)).as("__bs"))
-    val shardOf = (1 until shards)
-      .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
-      .reduce(_ + _)
+      .agg(percentile_approx(col(vCol), probsFor(shards), lit(1000)).as("__bs"))
+    val shardOf = shardIndex(vCol, shards)
     // The bounds/offsets relations are ONE ROW PER GROUP (×shards for
     // offsets). `broadcastGroups` (default true) pins the broadcast
     // hint: for bounded group domains — profiler columns, languages,
@@ -116,18 +128,31 @@ object Quantiles {
       vCol: String, cntCol: String, pos: DataFrame, shards: Int = 32,
       broadcastGroups: Boolean = true): DataFrame = {
     val kc = keyCols.map(col)
-    val probs = array((1 until shards).map(i => lit(i.toDouble / shards)): _*)
-    val bounds = vc.groupBy(kc: _*)
-      .agg(percentile_approx(col(vCol), probs, lit(1000)).as("__bs"))
-    val shardOf = (1 until shards)
-      .map(i => when(col(vCol) > element_at(col("__bs"), i), 1).otherwise(0))
-      .reduce(_ + _)
     def maybeB(df: DataFrame) = if (broadcastGroups) broadcast(df) else df
-    val vcs = vc.join(maybeB(bounds), keyCols).withColumn("__shard", shardOf)
-      .drop("__bs")
+    // CONSISTENCY INVARIANT: the percentile_approx boundary sketch is
+    // partition-order dependent, so it must be evaluated exactly ONCE
+    // in this DAG. It appears only on the offsets path below; the
+    // pruning side never re-derives shard assignment — it applies the
+    // boundary VALUES carried through `picked` as plain predicates,
+    // so a re-evaluated (different) sketch can never disagree with
+    // the offsets that located the positions. (shardedCumsum is
+    // immune to re-evaluation drift — there, bounds affect load
+    // balance only — but here a drifted second evaluation could prune
+    // away the shard holding a position.)
+    val bounds = vc.groupBy(kc: _*)
+      .agg(percentile_approx(col(vCol), probsFor(shards), lit(1000)).as("__bs"))
+    val vcs = vc.join(maybeB(bounds), keyCols)
+      .withColumn("__shard", shardIndex(vCol, shards))
     val skc = kc :+ col("__shard")
+    // per-(key, shard): exact total, exact offset, and the shard's
+    // value interval (__lo, __hi] from the ONE sketch evaluation —
+    // constant within the group, so min() just extracts it
     val offsets = vcs.groupBy(skc: _*)
-      .agg(sum(col(cntCol).cast(LongType)).as("__stot"))
+      .agg(sum(col(cntCol).cast(LongType)).as("__stot"),
+        min(when(col("__shard") >= 1,
+          element_at(col("__bs"), col("__shard")))).as("__lo"),
+        min(when(col("__shard") <= shards - 2,
+          element_at(col("__bs"), col("__shard") + 1))).as("__hi"))
       .withColumn("__offset", coalesce(sum(col("__stot")).over(
         Window.partitionBy(kc: _*).orderBy("__shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -135,14 +160,25 @@ object Quantiles {
     val picked = offsets.join(maybeB(pos), keyCols)
       .where(col("__pos").between(col("__offset"),
         col("__offset") + col("__stot") - 1))
-      .select((kc :+ col("__shard") :+ col("__offset") :+ col("__pos")): _*)
-    val keep = picked.select((kc :+ col("__shard")): _*).distinct()
-    val pruned = vcs.join(maybeB(keep), keyCols :+ "__shard")
+      .select((kc :+ col("__shard") :+ col("__lo") :+ col("__hi") :+
+        col("__offset") :+ col("__pos")): _*)
+    // prune raw vc by the shard's value interval — exactly the rows
+    // the offsets evaluation assigned there, because assignment is
+    // v > __bs[s] && v <= __bs[s+1] by construction
+    val keep = picked
+      .select((kc :+ col("__shard") :+ col("__lo") :+ col("__hi")): _*)
+      .distinct()
+    val pruned = vc.join(maybeB(keep), keyCols)
+      .where((col("__lo").isNull || col(vCol) > col("__lo")) &&
+        (col("__hi").isNull || col(vCol) <= col("__hi")))
     val localCum = pruned.withColumn("__lcum",
       sum(col(cntCol).cast(LongType)).over(
         Window.partitionBy(skc: _*).orderBy(vCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    localCum.join(maybeB(picked), keyCols :+ "__shard")
+    localCum.join(
+        maybeB(picked.select((kc :+ col("__shard") :+ col("__offset") :+
+          col("__pos")): _*)),
+        keyCols :+ "__shard")
       .where(col("__offset") + col("__lcum") - col(cntCol).cast(LongType) <= col("__pos") &&
         col("__pos") <= col("__offset") + col("__lcum") - 1)
       .select((kc :+ col("__pos") :+ col(vCol)): _*)

@@ -32,9 +32,26 @@ object EventStream {
     * (Tables.normalizeEventTime) — batch/stream parity by
     * construction.
     */
+  /** Contract schema of the events stream as currently generated
+    * (`ts` = parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    * TIMESTAMP_NTZ). Used only when the input directory has no
+    * footers to infer from yet — the standard start-the-stream-first
+    * deployment — so an empty directory starts cleanly and picks up
+    * files as they land.
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => RawSchema }
     graft.catalog.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema).parquet(dir))
   }

@@ -2,17 +2,24 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Analysis-only drift gate over the REAL fixtures.
+/** Plan-construction drift gate over the REAL fixtures.
   *
   * Round 4 shipped 8 queries that failed analysis against the actual
   * events parquet (its `ts` column changed from TIMESTAMP(NANOS) to
   * TIMESTAMP_NTZ) while `sbt test` stayed mostly green, because the
   * event specs build in-memory frames with `TimestampType`. This suite
-  * closes that hole: every declared query must ANALYZE against the
-  * on-disk sf0.001 tables. No execution — `.queryExecution.analyzed`
-  * resolves names and types in milliseconds per query — so any future
+  * closes that hole: every declared query must build and ANALYZE
+  * against the on-disk sf0.001 tables, so any future
   * fixture/reader/type change fails `sbt test` immediately instead of
   * silently vanishing from the round's correctness artifact.
+  *
+  * Cost note: most queries only resolve (milliseconds), but building
+  * a query is not uniformly execution-free — the persisted-index
+  * queries build their index on first touch and the graph/BPE queries
+  * materialize driver-side state — so the suite runs in tens of
+  * seconds at sf0.001, and a failure here can also mean the BUILD
+  * step broke, not only the fixtures. Both are exactly the breakages
+  * this gate exists to surface before the driver's verify run.
   */
 class FixtureDriftSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark

@@ -25,6 +25,19 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("readEvents starts on an empty input directory (contract-schema fallback)") {
+    // standard deployment order: the stream is attached BEFORE the
+    // first file lands; footer inference has nothing to read, so the
+    // contract RawSchema must kick in and normalize the same way
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-stream-empty").toString
+    val df = EventStream.readEvents(spark, empty)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+  }
+
   test("streaming tumbling windows agree with the batch twin") {
     val streamed = EventStream.tumblingHourly(
       EventStream.readEvents(spark, eventsDir))
