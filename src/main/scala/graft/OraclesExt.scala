@@ -777,7 +777,12 @@ object OraclesExt {
     * with PQ ADC scoring over codes of the SAME normalized vectors
     * (squared L2 = 2 − 2·cos, monotone in cosine).
     */
-  def knnIvfPq(m: Int, ksub: Int, subDim: Int, k: Int,
+  /** Shared IVF-PQ CTE chain ending at the ADC rank relation `r`
+    * (query_id, neighbor_id, adc, rank) — composed by [[knnIvfPq]]
+    * (plain top-k) and [[knnIvfPqRefined]] (exact-cosine rerank of
+    * the ADC candidates).
+    */
+  private def knnIvfPqCore(m: Int, ksub: Int, subDim: Int,
       nlist: Int, nprobe: Int): String =
     s"""WITH $normCte,
        |${pqCtes(m, ksub, subDim, "SELECT vec_id, nv AS e FROM n")},
@@ -807,10 +812,32 @@ object OraclesExt {
        |    AND dt.sub = cd.sub AND dt.code = cd.code
        |  GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM sc)
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM sc)""".stripMargin
+
+  def knnIvfPq(m: Int, ksub: Int, subDim: Int, k: Int,
+      nlist: Int, nprobe: Int): String =
+    s"""${knnIvfPqCore(m, ksub, subDim, nlist, nprobe)}
        |SELECT query_id, neighbor_id, round(adc::DOUBLE, 5) AS adc_dist,
        |  cast(rank AS INT) AS rank
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Two-stage compressed serving — twin of Similarity.ivfPqRefineTopK:
+    * ADC top-candidateK candidates re-scored by EXACT cosine on the
+    * normalized vectors, re-ranked, top-k.
+    */
+  def knnIvfPqRefined(m: Int, ksub: Int, subDim: Int, candidateK: Int,
+      k: Int, nlist: Int, nprobe: Int): String =
+    s"""${knnIvfPqCore(m, ksub, subDim, nlist, nprobe)},
+       |cand2 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $candidateK),
+       |re AS (SELECT c.query_id, c.neighbor_id,
+       |  round(${dotSql("qn.nv", "nn.nv")}, 5) AS score
+       |  FROM cand2 c
+       |  JOIN n qn ON qn.vec_id = c.query_id
+       |  JOIN n nn ON nn.vec_id = c.neighbor_id),
+       |rr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM re)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Phrase-blocklist report — twin of Curation.blocklistReport:
     * per distinct phrase length, positional L-grams (occurrences,

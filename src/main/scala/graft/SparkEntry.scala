@@ -428,6 +428,8 @@ object SparkEntry {
   private[graft] val fuzzyRatioDen = 5
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val pageRankIters = 5
+  // refine stage recalls 30 ADC candidates before the exact rerank
+  private[graft] val pqRefineCandidateK = 30
   // PQ geometry: 64 dims → 4 subspaces × 16 dims, 16-entry codebooks
   private[graft] val pqM = 4
   private[graft] val pqKsub = 16
@@ -841,6 +843,16 @@ object SparkEntry {
       val emb = s.table("embeddings")
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4, m = pqM, ksub = pqKsub, dims = pqDims)
+        .orderBy("query_id", "rank")
+    },
+    // ADC-candidates → exact-cosine rerank: the compressed index
+    // recalls candidateK cheaply, the raw vectors are fetched only
+    // for those ids (query-volume-shaped refine).
+    "q_knn_ivfpq_refined" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10, candidateK = pqRefineCandidateK, nlist = 16, nprobe = 4,
+        m = pqM, ksub = pqKsub, dims = pqDims)
         .orderBy("query_id", "rank")
     },
     // The PERSISTED twin of q_knn_ivfpq: probe reads only the probed
@@ -1690,6 +1702,7 @@ object SparkEntry {
     "q_knn_pq" -> OraclesExt.knnPq(pqM, pqKsub, pqDims / pqM, 10),
     "q_knn_ivfpq" -> OraclesExt.knnIvfPq(pqM, pqKsub, pqDims / pqM, 10, 16, 4),
     "q_knn_ivfpq_indexed" -> OraclesExt.knnIvfPq(pqM, pqKsub, pqDims / pqM, 10, 16, 4),
+    "q_knn_ivfpq_refined" -> OraclesExt.knnIvfPqRefined(pqM, pqKsub, pqDims / pqM, pqRefineCandidateK, 10, 16, 4),
     "q_blocklist" -> OraclesExt.blocklist(blocklistPhrases),
     // Bucketing is invisible to results by construction: the oracle
     // is the plain join over the unbucketed tables.

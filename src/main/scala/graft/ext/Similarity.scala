@@ -810,6 +810,38 @@ object Similarity {
         round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
   }
 
+  /** Two-stage compressed serving: [[ivfPqTopK]]'s ADC ranking
+    * generates `candidateK` candidates per query from codes alone,
+    * then the survivors — and ONLY the survivors — are re-scored by
+    * exact cosine against the raw vectors and re-ranked. This is the
+    * standard refine step of compressed ANN: the corpus-sized scan
+    * stays m-ints-per-vector; the dims-float reads happen for
+    * |queries|·candidateK ids, fetched by an id equi-join (§8.4 rule
+    * 12 — vectors never ride the candidate join), so refine cost is
+    * query-volume-shaped, not corpus-shaped.
+    */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      candidateK: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+      ksub: Int = 16, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must cover k=$k")
+    val cand = ivfPqTopK(corpus, queries, candidateK, nlist, nprobe, m,
+      ksub, dims, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val nc = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"))
+    val nq = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand.join(nc, "neighbor_id")
+      .join(broadcast(nq), "query_id")
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Materialize a FAISS-style IVF-PQ index on disk: IVF centroids,
     * the PQ codebook, and the corpus as PQ CODES (m small ints per
     * vector) partitioned by IVF cell. The serving twin of
