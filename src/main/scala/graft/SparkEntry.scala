@@ -360,6 +360,28 @@ object SparkEntry {
       |GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** §2.3/§2.4 — TPC-H Q10 shape: revenue lost to returned items per
+    * customer — fact-side flag filter (l_returnflag = 'R' pushed to
+    * the lineitem scan), a date-windowed orders join, the nation
+    * dimension broadcast, and a top-20 by revenue with a unique key
+    * tiebreak (TakeOrderedAndProject, never a full sort).
+    */
+  private val returnedItemsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      | round(cast(cast(c_acctbal as decimal(18,6)) as double), 5) AS acctbal,
+      | round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 5) AS revenue,
+      | count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Association-rule oracle — twin of Graph.associationRules on the
     * (order, part) relation; interpolates the shared
     * assocMinSupport/assocK constants.
@@ -631,6 +653,7 @@ object SparkEntry {
     "q_large_orders" -> withTables { s => s.sql(largeOrdersSql) },
     "q_nation_trade" -> withTables { s => s.sql(nationTradeSql) },
     "q_promo_share" -> withTables { s => s.sql(promoShareSql) },
+    "q_returned_items" -> withTables { s => s.sql(returnedItemsSql) },
     // §7.5 — co-purchase graph triangles: bipartite (order, part)
     // projection → unique low→high edges → compact-forward triangle
     // enumeration, each triangle crediting its three corners.
@@ -1663,6 +1686,7 @@ object SparkEntry {
     "q_large_orders" -> largeOrdersSql,
     "q_nation_trade" -> nationTradeSql,
     "q_promo_share" -> promoShareSql,
+    "q_returned_items" -> returnedItemsSql,
     "q_copurchase_triangles" -> triangleSql,
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,
