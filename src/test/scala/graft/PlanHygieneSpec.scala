@@ -220,6 +220,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_pq_codes" -> "ksub-row codebook sample",
       "q_knn_pq" -> "ksub-row codebook sample",
       "q_knn_ivfpq" -> "ksub-row codebook sample",
+      "q_knn_ivfpq_refined" -> "ksub-row codebook sample",
       // funnelReport's cumsum frame is the six-row stage list
       "q_curation_funnel" -> "six-row stage list",
       // forecast/trend regressions run over one row per (type, day) —
