@@ -382,6 +382,55 @@ object SparkEntry {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** §7.5 — chi-square independence report over the documents
+    * (lang, source) contingency table: per cell the observed count,
+    * the independence-expected count and the χ² contribution — the
+    * "is my corpus mix confounded" data-quality signal. All counts
+    * are exact longs; expected = rt·ct/n is ONE double division of
+    * exact integer products (far inside 2⁵³) and the contribution one
+    * fixed-shape expression — identical IEEE arithmetic in both
+    * engines. Scale shape: one (lang, source) count shuffle, two
+    * margin roll-ups of the contingency relation (cells, not rows),
+    * broadcast-class joins back.
+    */
+  private val chisqSql: String =
+    """WITH ct AS (
+      |  SELECT lang, source, count(*) AS o
+      |  FROM documents GROUP BY lang, source),
+      |tot AS (SELECT sum(o) AS n FROM ct),
+      |r AS (SELECT lang, sum(o) AS rt FROM ct GROUP BY lang),
+      |c AS (SELECT source, sum(o) AS cs FROM ct GROUP BY source)
+      |SELECT ct.lang AS lang, ct.source AS source, o AS observed,
+      | round(cast(rt * cs as double) / cast(n as double), 5) AS expected,
+      | round((cast(o as double) - cast(rt * cs as double) / cast(n as double)) *
+      |   (cast(o as double) - cast(rt * cs as double) / cast(n as double)) /
+      |   (cast(rt * cs as double) / cast(n as double)), 5) AS contrib
+      |FROM ct
+      |JOIN r ON ct.lang = r.lang
+      |JOIN c ON ct.source = c.source
+      |CROSS JOIN tot
+      |ORDER BY ct.lang, ct.source""".stripMargin
+
+  /** Poisson-bootstrap oracle — twin of Sampling.poissonBootstrap on
+    * documents.n_chars; the CDF thresholds interpolate from the SAME
+    * Sampling.PoissonCdf1 sequence the Spark side buckets with.
+    */
+  private def bootstrapSql(replicates: Int, salt: String): String = {
+    val cases = graft.ext.Sampling.PoissonCdf1.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH reps AS (SELECT unnest(range(0, $replicates)) AS rep),
+       |b AS (SELECT d.n_chars, r.rep,
+       |  cast('0x' || substr(md5('$salt|' || cast(doc_id AS VARCHAR) || ':' ||
+       |    cast(r.rep AS VARCHAR)), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0 AS u
+       |  FROM documents d CROSS JOIN reps r),
+       |w AS (SELECT rep, n_chars,
+       |  CASE $cases ELSE ${graft.ext.Sampling.PoissonCdf1.size} END AS w FROM b)
+       |SELECT rep, cast(sum(w) AS BIGINT) AS n_eff,
+       | round(cast(sum(cast(n_chars as decimal(18,6)) * w) as double) /
+       |   sum(w), 5) AS mean_v
+       |FROM w WHERE w > 0 GROUP BY rep ORDER BY rep""".stripMargin
+  }
+
   /** Association-rule oracle — twin of Graph.associationRules on the
     * (order, part) relation; interpolates the shared
     * assocMinSupport/assocK constants.
@@ -450,6 +499,7 @@ object SparkEntry {
   private[graft] val fuzzyRatioDen = 5
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val pageRankIters = 5
+  private[graft] val bootstrapReplicates = 32
   // refine stage recalls 30 ADC candidates before the exact rerank
   private[graft] val pqRefineCandidateK = 30
   // PQ geometry: 64 dims → 4 subspaces × 16 dims, 16-entry codebooks
@@ -654,6 +704,13 @@ object SparkEntry {
     "q_nation_trade" -> withTables { s => s.sql(nationTradeSql) },
     "q_promo_share" -> withTables { s => s.sql(promoShareSql) },
     "q_returned_items" -> withTables { s => s.sql(returnedItemsSql) },
+    "q_chisq_lang_source" -> withTables { s => s.sql(chisqSql) },
+    // §7.5 — streaming-bootstrap error bars: per-replicate Poisson(1)
+    // weights from md5, map-side expansion + map-side collapse.
+    "q_bootstrap_mean" -> withTables { s =>
+      graft.ext.Sampling.poissonBootstrap(s.table("documents"), "n_chars",
+        replicates = bootstrapReplicates)
+    },
     // §7.5 — co-purchase graph triangles: bipartite (order, part)
     // projection → unique low→high edges → compact-forward triangle
     // enumeration, each triangle crediting its three corners.
@@ -1687,6 +1744,8 @@ object SparkEntry {
     "q_nation_trade" -> nationTradeSql,
     "q_promo_share" -> promoShareSql,
     "q_returned_items" -> returnedItemsSql,
+    "q_chisq_lang_source" -> chisqSql,
+    "q_bootstrap_mean" -> bootstrapSql(bootstrapReplicates, "boot"),
     "q_copurchase_triangles" -> triangleSql,
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,

@@ -210,4 +210,61 @@ object Sampling {
     df.withColumn("split",
       when(hashUniform(col(idCol), salt) < lit(testFraction), lit("test"))
         .otherwise(lit("train")))
+
+  /** Poisson(λ=1) CDF thresholds for k = 0..7 (weight 8 past the
+    * tail, cumulative mass < 1e-5). Shared verbatim with the oracle
+    * SQL so both engines bucket the same uniforms identically.
+    */
+  val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Inverse-CDF Poisson(1) draw from a deterministic uniform. */
+  def poissonWeight(u: Column): Column =
+    PoissonCdf1.zipWithIndex.reverse
+      .foldLeft(lit(PoissonCdf1.size).cast("int")) {
+        case (acc, (t, k)) => when(u < lit(t), lit(k)).otherwise(acc)
+      }
+
+  /** Deterministic Poisson bootstrap: error bars for an aggregate
+    * without materializing resamples. Each (row, replicate) pair
+    * draws a Poisson(1) weight from md5(salt|id:rep) — the classic
+    * streaming-bootstrap trick (a with-replacement resample of n
+    * rows gives each row a Binomial(n, 1/n) ≈ Poisson(1) count) —
+    * and each replicate reports its weighted count and mean of
+    * `valueCol`. The spread across replicate means IS the bootstrap
+    * standard error of the corpus mean.
+    *
+    * Determinism: weights are pure column expressions of (salt, id,
+    * rep); per-replicate means are exact decimal sums with one final
+    * double division — identical rows in any engine, any
+    * partitioning.
+    *
+    * Scale shape: the ×replicates expansion happens MAP-SIDE
+    * (explode over a literal range) and collapses map-side again via
+    * partial aggregation — the shuffle carries `replicates` partial
+    * rows per task, never the expanded data. Rows with weight 0 are
+    * dropped before aggregation (≈ 37% of the expansion).
+    */
+  def poissonBootstrap(df: DataFrame, valueCol: String,
+      replicates: Int = 32, idCol: String = "doc_id",
+      salt: String = "boot"): DataFrame = {
+    df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("rep", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__u", hashUniform(
+        concat(col("__id"), lit(":"), col("rep").cast("string")), salt))
+      .withColumn("__w", poissonWeight(col("__u")))
+      .filter(col("__w") > 0)
+      .groupBy("rep")
+      .agg(
+        sum(col("__w").cast("long")).as("n_eff"),
+        round(
+          sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+            col("__w")).cast("double") /
+            sum(col("__w").cast("long")), 5).as("mean_v"))
+      .select(col("rep").cast("long").as("rep"), col("n_eff"), col("mean_v"))
+      .orderBy("rep")
+  }
 }
