@@ -95,6 +95,49 @@ class ProfilerPropertySpec extends AnyFunSuite {
     assert(p("6. median").getDouble(1) == 3.14)
   }
 
+  test("valuesAtPositions == naive sorted lookup on generated weighted frames") {
+    // the shard-pruned position lookup (round 5) must agree with the
+    // trivially-correct reference: unroll (v, cnt) to a sorted
+    // sequence and index it — for random frames, random positions,
+    // and BOTH join regimes (broadcast and shuffle)
+    val frameGen: Gen[List[(String, Double, Int)]] = for {
+      n <- Gen.chooseNum(1, 150)
+      xs <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.oneOf(
+          Gen.chooseNum(-30, 30).map(_.toDouble),
+          Gen.oneOf(0.0, 1.0, 0.5, -1.0))
+        c <- Gen.chooseNum(1, 4)
+      } yield (g, v, c))
+    } yield xs
+    for (i <- 0 until 4; bcast <- Seq(true, false)) {
+      val rows = frameGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val vc = rows.toDF("g", "v", "cnt0")
+        .groupBy("g", "v").agg(sum($"cnt0").cast("decimal(10,0)").as("cnt"))
+      val unrolled: Map[String, Vector[Double]] = rows
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.flatMap(r => Vector.fill(r._3)(r._2)).sorted.toVector
+        }
+      val posRows = unrolled.toSeq.flatMap { case (g, vs) =>
+        val wanted = Seq(0L, vs.size - 1L, vs.size / 2L,
+          (37L * (i + 1)) % vs.size).distinct
+        wanted.map(p => (g, p))
+      }
+      val pos = posRows.toDF("g", "__pos")
+      val got = graft.ext.Quantiles
+        .valuesAtPositions(vc, Seq("g"), "v", "cnt", pos, shards = 4,
+          broadcastGroups = bcast)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      posRows.foreach { case (g, p) =>
+        assert(got.get((g, p)).contains(unrolled(g)(p.toInt)),
+          s"seed=$i bcast=$bcast g=$g pos=$p: got ${got.get((g, p))}, " +
+            s"want ${unrolled(g)(p.toInt)}")
+      }
+      assert(got.size == posRows.size, s"seed=$i bcast=$bcast: extra/missing rows")
+    }
+  }
+
   test("all-null column: distinct 0, median null (value-counts path edges)") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (null, 1.0), (null, 2.0)).toDF("a", "b")
