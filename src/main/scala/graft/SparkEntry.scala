@@ -411,6 +411,35 @@ object SparkEntry {
       |CROSS JOIN tot
       |ORDER BY ct.lang, ct.source""".stripMargin
 
+  /** §7.5 — mutual information I(lang; source) from the same
+    * contingency table as the χ² report: Σ (o/n)·ln(o·n/(rt·cs)),
+    * the redundancy-between-metadata-columns signal. Counts are exact;
+    * each ln is quantized to DECIMAL(18,9) (the Naive-Bayes ln
+    * convention — engines agree to ≤1 ulp, inside the quantum), the
+    * weighted sum Σ o·lnq is exact decimal, and ONE double division
+    * + round(5) finishes. Same scale shape as q_chisq_lang_source.
+    */
+  private val miSql: String =
+    """WITH ct AS (
+      |  SELECT lang, source, count(*) AS o
+      |  FROM documents GROUP BY lang, source),
+      |tot AS (SELECT sum(o) AS n FROM ct),
+      |r AS (SELECT lang, sum(o) AS rt FROM ct GROUP BY lang),
+      |c AS (SELECT source, sum(o) AS cs FROM ct GROUP BY source),
+      |cells AS (
+      |  SELECT o, n,
+      |   cast(round(ln(cast(o as double) * cast(n as double) /
+      |     (cast(rt as double) * cast(cs as double))), 9) as decimal(18,9)) AS lnq
+      |  FROM ct
+      |  JOIN r ON ct.lang = r.lang
+      |  JOIN c ON ct.source = c.source
+      |  CROSS JOIN tot)
+      |SELECT
+      | round(cast(sum(o * lnq) as double) / cast(max(n) as double), 5)
+      |   AS mutual_information,
+      | count(*) AS n_cells
+      |FROM cells""".stripMargin
+
   /** Poisson-bootstrap oracle — twin of Sampling.poissonBootstrap on
     * documents.n_chars; the CDF thresholds interpolate from the SAME
     * Sampling.PoissonCdf1 sequence the Spark side buckets with.
@@ -705,6 +734,7 @@ object SparkEntry {
     "q_promo_share" -> withTables { s => s.sql(promoShareSql) },
     "q_returned_items" -> withTables { s => s.sql(returnedItemsSql) },
     "q_chisq_lang_source" -> withTables { s => s.sql(chisqSql) },
+    "q_mi_lang_source" -> withTables { s => s.sql(miSql) },
     // §7.5 — streaming-bootstrap error bars: per-replicate Poisson(1)
     // weights from md5, map-side expansion + map-side collapse.
     "q_bootstrap_mean" -> withTables { s =>
@@ -1745,6 +1775,7 @@ object SparkEntry {
     "q_promo_share" -> promoShareSql,
     "q_returned_items" -> returnedItemsSql,
     "q_chisq_lang_source" -> chisqSql,
+    "q_mi_lang_source" -> miSql,
     "q_bootstrap_mean" -> bootstrapSql(bootstrapReplicates, "boot"),
     "q_copurchase_triangles" -> triangleSql,
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
