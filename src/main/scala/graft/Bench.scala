@@ -63,7 +63,6 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("np"),
         org.apache.spark.sql.functions.sum("ni")).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink, not .count(): count() re-plans the query as an
       // empty-schema aggregate, letting Catalyst prune every computed
       // column and EliminateSorts drop final ORDER BYs — the timed
@@ -71,9 +70,26 @@ object Bench {
       // A throwing query records an explicit "err" marker, NOT its
       // time-to-throw — round 4 logged 8 broken queries as ~7 ms
       // "timings", flattering the total while hiding the breakage.
-      try {
+      //
+      // Each query runs TWICE and the SECOND run is what's recorded:
+      // the family warm-up above cannot cover every codegen shape the
+      // 146 queries reach (round 5's artifact carried ~5 s of
+      // first-touch Janino+C2 compile on whichever query first hit the
+      // decimal-cast SQL-aggregate family — 4 queries misreported by
+      // >2× vs steady state). The first run pays all one-time JVM
+      // cost for its exact generated classes; the second run measures
+      // PLAN cost, which is the number that projects to a
+      // long-running cluster. Queries are deterministic reads (the
+      // only writes are the prewarmed, cached index builds), so the
+      // second run executes the identical plan.
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> Right((System.nanoTime() - t0) / 1e9)
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        once()
+        name -> Right(once())
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         name -> Left(e.getClass.getSimpleName)
