@@ -110,21 +110,51 @@ object Graph {
     * equi-joins keyed on node ids (shuffle scales with wedge count,
     * the algorithm's intrinsic cost), then each triangle credits its
     * three corners via one map-side explode + count shuffle. The
-    * classic skew caveat applies: a hub node's wedge set is
-    * deg²-sized, which is the known lower bound for exact triangle
-    * enumeration — cap degrees or sample upstream if the graph has
-    * power-law hubs.
+    * classic skew caveat: a hub node's wedge set is deg²-sized — the
+    * known lower bound for exact enumeration — so `maxDegree` offers
+    * an OPT-IN cap that bounds every per-row adjacency array (and the
+    * per-task state that builds it) at the cost of counting on the
+    * degree-capped subgraph instead of the full graph.
+    *
+    * NOTE: construction is not execution-free — the edge list is
+    * checkpointed here (it feeds three join instances; without a hard
+    * materialization each alias re-runs the whole upstream edge
+    * derivation — SURVEY §8.4 rule 8), and when `broadcastAdjacency`
+    * is left None an edge `count()` job picks the join regime. Callers
+    * that must stay action-free (plan-only gates, known-size graphs)
+    * pass `broadcastAdjacency = Some(...)` to skip the probe.
+    *
+    * @param maxDegree opt-in hub cap: each node keeps only its
+    *   `maxDegree` SMALLEST forward-neighbors (deterministic under any
+    *   partitioning), applied to the edge relation itself, so the
+    *   result is exact triangle counting on that capped subgraph. On a
+    *   graph whose forward degrees are all ≤ the cap the result is
+    *   bit-identical to the uncapped run. The cap is enforced BEFORE
+    *   the adjacency arrays are collected (rank-filter window, which
+    *   Spark plans as WindowGroupLimit), so a power-law hub never
+    *   materializes a degree-sized buffer in any task.
+    * @param broadcastAdjacency Some(true)/Some(false) pins the
+    *   adjacency join regime without running the edge-count probe;
+    *   None (default) probes the materialized edge count against
+    *   [[BroadcastMaxEdges]].
     */
   def triangleCounts(pairs: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b"): DataFrame = {
-    // The edge list feeds THREE join instances; without a hard
-    // materialization each alias re-runs the whole upstream edge
-    // derivation (distinct + self-join for a co-occurrence graph).
-    // One checkpoint makes the triple self-join read a computed
-    // relation, same rule as the iterative operators (SURVEY §8.4
-    // rule 8).
-    val e = Dedup.materialize(
+      dstCol: String = "id_b", maxDegree: Int = Int.MaxValue,
+      broadcastAdjacency: Option[Boolean] = None): DataFrame = {
+    require(maxDegree >= 1, "maxDegree must be >= 1")
+    val eAll = Dedup.materialize(
       pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    // Opt-in degree cap: rank each node's forward edges by neighbor id
+    // and keep the first maxDegree. row_number ≤ k plans as
+    // WindowGroupLimit — each task retains at most k+1 rows per node
+    // BEFORE the exchange, so the cap also bounds shuffle volume per
+    // hub, not just the final array length.
+    val e = if (maxDegree == Int.MaxValue) eAll else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy("b")
+      eAll.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxDegree).drop("__r")
+    }
     // Adjacency-intersection formulation (forward variant of
     // Latapy's edge-iterator): per edge (a, b) with a<b, every
     // triangle corner is c ∈ N⁺(a) ∩ N⁺(b), found exactly once since
@@ -132,9 +162,7 @@ object Graph {
     // Σ d⁺(v)² rows between two joins (49M at sf0.1 vs 1.2M edges —
     // measured 40×); intersecting per-edge sorted neighbor arrays
     // does the same element-compares inside ONE map stage with only
-    // edge-sized relations ever shuffled or broadcast. Hub caveat as
-    // above: a power-law hub makes its N⁺ array deg-sized — cap
-    // degrees upstream if the graph has one.
+    // edge-sized relations ever shuffled or broadcast.
     val adj = e.groupBy(col("a").as("node"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     // Size-switched regime (the connectedComponents pattern): the
@@ -142,8 +170,10 @@ object Graph {
     // that fits executor memory; past the threshold fall back to
     // shuffle equi-joins — still edge-sized exchanges, never
     // wedge-sized.
+    val useBroadcast =
+      broadcastAdjacency.getOrElse(eAll.count() <= BroadcastMaxEdges)
     val side =
-      if (e.count() <= BroadcastMaxEdges) (df: DataFrame) => broadcast(df)
+      if (useBroadcast) (df: DataFrame) => broadcast(df)
       else (df: DataFrame) => df
     val tri = e
       .join(side(adj.select(col("node").as("a"), col("nbrs").as("na"))), "a")
@@ -154,11 +184,16 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Edge-count ceiling for the broadcast triangle regime: 8M edges ≈
-    * 64 MB of adjacency longs — comfortable executor memory; above it
-    * the adjacency joins shuffle on their keys.
+  /** Edge-count ceiling for the broadcast triangle regime. Sized
+    * against the DESERIALIZED executor footprint, not raw bytes: 2M
+    * edges is ~16 MB of adjacency longs serialized, but each executor
+    * holds the broadcast as row objects with per-array headers —
+    * measured JVM overhead for long-array rows is ~4-6×, so the
+    * resident copy is ~100 MB, comfortably inside a 1 GB-class
+    * executor's broadcast budget with headroom for the probe side.
+    * Above the ceiling the adjacency joins shuffle on their keys.
     */
-  val BroadcastMaxEdges: Long = 8L << 20
+  val BroadcastMaxEdges: Long = 2L << 20
 
   /** Pair co-occurrence SUPPORT: how many groups contain BOTH items —
     * the counting sibling of [[coOccurrenceEdges]] (same bounded

@@ -131,11 +131,11 @@ object Quantiles {
     def maybeB(df: DataFrame) = if (broadcastGroups) broadcast(df) else df
     // CONSISTENCY INVARIANT: the percentile_approx boundary sketch is
     // partition-order dependent, so it must be evaluated exactly ONCE
-    // in this DAG. It appears only on the offsets path below; the
-    // pruning side never re-derives shard assignment — it applies the
-    // boundary VALUES carried through `picked` as plain predicates,
-    // so a re-evaluated (different) sketch can never disagree with
-    // the offsets that located the positions. (shardedCumsum is
+    // in this DAG. It appears only on the offsets path below, and
+    // `picked` (the sole consumer of that path) is checkpointed, so
+    // the once-only guarantee is structural; the pruning side never
+    // re-derives shard assignment — it applies the boundary VALUES
+    // carried through `picked` as plain predicates. (shardedCumsum is
     // immune to re-evaluation drift — there, bounds affect load
     // balance only — but here a drifted second evaluation could prune
     // away the shard holding a position.)
@@ -156,12 +156,24 @@ object Quantiles {
       .withColumn("__offset", coalesce(sum(col("__stot")).over(
         Window.partitionBy(kc: _*).orderBy("__shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // which (key, shard) holds each wanted position
-    val picked = offsets.join(maybeB(pos), keyCols)
-      .where(col("__pos").between(col("__offset"),
-        col("__offset") + col("__stot") - 1))
-      .select((kc :+ col("__shard") :+ col("__lo") :+ col("__hi") :+
-        col("__offset") :+ col("__pos")): _*)
+    // which (key, shard) holds each wanted position. MATERIALIZED
+    // (localCheckpoint — a few rows per key, ~free): `picked` is
+    // consumed by two branches (the `keep` pruning join and the final
+    // position join), and without a hard cut single evaluation of the
+    // sketch above would hinge on exchange reuse deduplicating the
+    // shared shuffle under both consumers — planner-contingent
+    // (spark.sql.exchange.reuse=false or AQE plan divergence could run
+    // the sketch twice, and GK-sketch merge order is scheduling-
+    // dependent, so eval A's pruning intervals could disagree with
+    // eval B's offsets and prune away the shard holding a position).
+    // The checkpoint makes the once-only invariant STRUCTURAL: both
+    // branches read the same computed rows.
+    val picked = Dedup.materialize(
+      offsets.join(maybeB(pos), keyCols)
+        .where(col("__pos").between(col("__offset"),
+          col("__offset") + col("__stot") - 1))
+        .select((kc :+ col("__shard") :+ col("__lo") :+ col("__hi") :+
+          col("__offset") :+ col("__pos")): _*))
     // prune raw vc by the shard's value interval — exactly the rows
     // the offsets evaluation assigned there, because assignment is
     // v > __bs[s] && v <= __bs[s+1] by construction

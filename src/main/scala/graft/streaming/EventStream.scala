@@ -49,9 +49,21 @@ object EventStream {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Schema inference is BEST-EFFORT: any failure — empty dir
+    // (AnalysisException), corrupt footer (IOException), transient FS
+    // error wrapped in SparkException — falls back to the contract
+    // schema rather than aborting stream setup, since
+    // normalizeEventTime handles every known ts flavor from either
+    // schema source. Only fatal JVM errors propagate.
     val fileSchema =
       try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => RawSchema }
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"events schema inference failed for $dir " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "using contract RawSchema")
+        RawSchema
+      }
     graft.catalog.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema).parquet(dir))
   }

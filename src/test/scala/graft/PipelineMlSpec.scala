@@ -60,6 +60,74 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Graph.triangleCounts (hub-degree cap) ----
+
+  /** Driver brute force: triangle corner counts over a (a < b) edge
+    * list with each node's forward adjacency capped to its `cap`
+    * smallest neighbors — the exact semantics the operator promises.
+    */
+  private def bruteTriangles(edges: Seq[(Long, Long)], cap: Int): Map[Long, Long] = {
+    val capped = edges.groupBy(_._1).toSeq.flatMap { case (a, es) =>
+      es.map(_._2).sorted.take(cap).map(a -> _)
+    }
+    val adj = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- capped; c <- adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty)) {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    counts.toMap
+  }
+
+  test("triangleCounts: K4 — every node sits on 3 of the 4 triangles") {
+    val k4 = (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(k4).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts hub cap: counts the capped subgraph exactly, matches brute force") {
+    // power-law shape: hub 0 → 1..50, plus ring edges (i, i+1) closing
+    // a triangle (0, i, i+1) at every step — 49 triangles uncapped
+    val edges = (1L to 50L).map(0L -> _) ++ (1L until 50L).map(i => i -> (i + 1))
+    val df = edges.toDF("id_a", "id_b")
+    val uncapped = Graph.triangleCounts(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uncapped(0L) == 49L)
+    // cap 10: hub keeps neighbors 1..10 → ring triangles survive for
+    // i = 1..9 only; every other node's degree is under the cap
+    val capped = Graph.triangleCounts(df, maxDegree = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(0L) == 9L)
+    assert(capped == bruteTriangles(edges, 10))
+  }
+
+  test("triangleCounts hub cap: unchanged counts when all degrees are within the cap") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val df = edges.toDF("id_a", "id_b")
+    val uncapped = Graph.triangleCounts(df).orderBy("node").collect().toSeq
+    val capped = Graph.triangleCounts(df, maxDegree = 16).orderBy("node").collect().toSeq
+    assert(capped == uncapped)
+  }
+
+  test("triangleCounts hub cap plans as WindowGroupLimit — hub state bounded pre-shuffle") {
+    val df = (1L to 50L).map(0L -> _).toDF("id_a", "id_b")
+    val plan = Graph.triangleCounts(df, maxDegree = 5,
+      broadcastAdjacency = Some(true)).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"degree-cap rank filter not pushed into WindowGroupLimit:\n$plan")
+  }
+
+  test("triangleCounts: pinned broadcast regime skips the count probe and agrees") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val df = edges.toDF("id_a", "id_b")
+    val probed = Graph.triangleCounts(df).orderBy("node").collect().toSeq
+    val pinnedB = Graph.triangleCounts(df, broadcastAdjacency = Some(true))
+      .orderBy("node").collect().toSeq
+    val pinnedS = Graph.triangleCounts(df, broadcastAdjacency = Some(false))
+      .orderBy("node").collect().toSeq
+    assert(pinnedB == probed && pinnedS == probed)
+  }
+
   // ---- Classify (Naive Bayes) ----
 
   test("naive Bayes self-train separates distinctive vocabularies") {
