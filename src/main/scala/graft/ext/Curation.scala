@@ -202,23 +202,38 @@ object Curation {
     * justification as hybridRerank's candidate window).
     */
   def funnelReport(df: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // one verdict row per input doc (curateFull's per-doc relations
+    // inner-join on the id without dropping anyone), so the input df
+    // itself carries the funnel total — counting the verdict relation
+    // instead would execute the whole gate subtree (LSH dedup
+    // included) a second time just to count rows (measured ~2× the
+    // funnel's cost). A pipeline that has the verdicts MATERIALIZED
+    // passes them to [[funnelReportFrom]], where counting them is
+    // free.
+    funnelReportFrom(curateFull(df, idCol = idCol, textCol = textCol),
+      total = Some(df.agg(count(lit(1)).as("n_docs"))))
+
+  /** [[funnelReport]] over a PRECOMPUTED [[curateFull]] verdict
+    * relation — the dashboard a pipeline derives from verdicts it
+    * already computed (and typically checkpointed) for the keep/drop
+    * decision itself, instead of re-running every gate.
+    *
+    * @param total optional one-row (n_docs) relation; defaults to
+    *   counting `verdicts` (verdicts are one row per input doc).
+    */
+  def funnelReportFrom(verdicts: DataFrame,
+      total: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val v = curateFull(df, idCol = idCol, textCol = textCol)
+    val spark = verdicts.sparkSession
     val stages = spark.createDataFrame(Seq(
       (0, "input"), (1, "near_duplicate"), (2, "too_short"),
       (3, "low_quality"), (4, "repetitive"), (5, "high_oov")))
       .toDF("stage_idx", "stage")
-    val drops = v.filter(col("reject_reason").isNotNull)
+    val drops = verdicts.filter(col("reject_reason").isNotNull)
       .groupBy(col("reject_reason").as("stage"))
       .agg(count(lit(1)).as("nd"))
-    // one verdict row per input doc (curateFull's per-doc relations
-    // inner-join on the id without dropping anyone), so the funnel
-    // total counts the INPUT — referencing `v` here would execute the
-    // whole gate subtree (LSH dedup included) a second time just to
-    // count its rows (measured ~2× the funnel's cost).
-    val tot = df.agg(count(lit(1)).as("n_docs"))
+    val tot = total.getOrElse(verdicts.agg(count(lit(1)).as("n_docs")))
     val w = Window.orderBy("stage_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     stages.join(drops, Seq("stage"), "left")

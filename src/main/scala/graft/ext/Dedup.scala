@@ -560,7 +560,7 @@ object Dedup {
     * (On a real cluster prefer `checkpoint` with a durable dir for
     * executor-loss recovery; the stats reset is needed either way.)
     */
-  private[ext] def materialize(df: DataFrame): DataFrame = {
+  private[graft] def materialize(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }

@@ -576,7 +576,17 @@ object Similarity {
     */
   def kmeansProfile(corpus: DataFrame, nlist: Int, refine: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    kmeansAssign(corpus, nlist, refine, idCol, vecCol)
+    kmeansProfileFrom(kmeansAssign(corpus, nlist, refine, idCol, vecCol))
+
+  /** [[kmeansProfile]] over a PRECOMPUTED assignment (the
+    * [[kmeansAssign]] output relation) — a pipeline that derives
+    * several reports from one clustering (profile + capped sample +
+    * SemDeDup pruning) runs the centroid pipeline once and feeds this
+    * and [[clusterSampleFrom]] the shared frame, instead of paying
+    * Lloyd iterations per report.
+    */
+  def kmeansProfileFrom(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("centroid_id").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         graft.ext.TextStats.decAvg5(col("cscore"), count(lit(1)))
@@ -615,10 +625,19 @@ object Similarity {
     * materializes in one task's memory.
     */
   def clusterSample(corpus: DataFrame, nlist: Int, refine: Int, cap: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    clusterSampleFrom(kmeansAssign(corpus, nlist, refine, idCol, vecCol),
+      cap, idCol)
+
+  /** [[clusterSample]] over a PRECOMPUTED assignment — the companion
+    * of [[kmeansProfileFrom]], so one [[kmeansAssign]] run serves both
+    * the topology report and the capped pick.
+    */
+  def clusterSampleFrom(assigned: DataFrame, cap: Int,
+      idCol: String = "vec_id"): DataFrame = {
     val w = Window.partitionBy("centroid_id")
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    kmeansAssign(corpus, nlist, refine, idCol, vecCol)
+    assigned
       .withColumn("pick", row_number().over(w))
       .filter(col("pick") <= cap)
       .select(col(idCol), col("centroid_id").as("cluster_id"),
