@@ -901,6 +901,51 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Recall@k tuning curve — twin of Similarity.annRecall: the
+    * brute-force top-k truth ([[knnBruteForce]]'s shape) and, per
+    * nprobe setting, the IVF retrieval from one shared ranked
+    * assignment relation; hits counted per setting. Monotone in
+    * nprobe and exactly 1.0 at nprobe = nlist by construction.
+    */
+  def annRecall(k: Int, nlist: Int, nprobes: Seq[Int]): String = {
+    val settings = nprobes.distinct.sorted
+    val perNp = settings.map { np =>
+      s"""got$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM (SELECT p.query_id, c.neighbor_id, ${dotSql("p.qv", "c.cv")} AS score
+         |    FROM cells c JOIN probes p USING (centroid_id)
+         |    WHERE p.query_id <> c.neighbor_id AND p.crank <= $np))
+         |  WHERE rank <= $k),
+         |hit$np AS (SELECT $np AS nprobe, count(*)::BIGINT AS n_hit
+         |  FROM got$np JOIN truth USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val unioned = settings.map(np => s"SELECT * FROM hit$np").mkString(" UNION ALL ")
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id AS neighbor_id, nv AS cv, centroid_id
+       |  FROM ranked_a WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, nv AS qv, centroid_id, crank
+       |  FROM ranked_a WHERE crank <= ${settings.max} AND vec_id < 5),
+       |bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
+       |  FROM n c CROSS JOIN (SELECT vec_id, nv FROM n WHERE vec_id < 5) q
+       |  WHERE q.vec_id <> c.vec_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM bf)
+       |  WHERE rank <= $k),
+       |tc AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+       |$perNp
+       |SELECT nprobe, n_hit, n_truth,
+       |  round(n_hit::DOUBLE / n_truth::DOUBLE, 5) AS recall
+       |FROM ($unioned) CROSS JOIN tc ORDER BY nprobe""".stripMargin
+  }
+
   /** IVF with ONE deterministic Lloyd refinement — twin of
     * Similarity.ivfTopK(refine = 1): seed assignment (rounded cosine,
     * centroid-id tie-break, exactly [[Similarity.ivfAssign]]),

@@ -606,6 +606,9 @@ object SparkEntry {
   private[graft] val skewReportK = 5
   // KMV sketch size (shared with OraclesExt.kmvRollup)
   private[graft] val kmvK = 256
+  // ANN recall curve probe settings (shared with OraclesExt.annRecall);
+  // includes nprobe = nlist so the curve visibly tops out at 1.0
+  private[graft] val annRecallNprobes = Seq(1, 2, 4, 16)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -940,6 +943,15 @@ object SparkEntry {
       val emb = s.table("embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobe = 4).orderBy("query_id", "rank")
+    },
+    // §7.5 — the ANN tuning curve: recall@k of the IVF probe against
+    // the brute-force truth, per nprobe (monotone; 1.0 at nprobe =
+    // nlist by construction) — what a user reads to set the
+    // recall/cost dial.
+    "q_ann_recall" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.annRecall(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobes = annRecallNprobes)
     },
     // §7.5 — the PERSISTED index twin of q_knn_ivf: build the
     // cell-partitioned parquet index once, probe with partition
@@ -1840,6 +1852,7 @@ object SparkEntry {
     "q_random_projection" -> OraclesExt.randomProjection(outDims = 8, dims = 64),
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
+    "q_ann_recall" -> OraclesExt.annRecall(10, 16, annRecallNprobes),
     "q_knn_ivf_indexed" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_pq_codes" -> OraclesExt.pqCodes(pqM, pqKsub, pqDims / pqM),

@@ -404,6 +404,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Recall@k report: for each `nprobe` setting, the fraction of the
+    * brute-force cosine top-k the IVF probe recovers — the tuning
+    * curve an ANN user reads to pick nprobe (the recall/cost dial:
+    * each probe scans ~1/nlist more corpus). One row per setting:
+    * (nprobe, n_hit, n_truth, recall). Deterministic: both sides rank
+    * on the same rounded-score/neighbor-id order, so
+    * recall(nprobe = nlist) is exactly 1.0 (all cells probed ⇒ the
+    * candidate set IS the brute-force set) and recall is monotone
+    * nondecreasing in nprobe (probe sets are nested).
+    *
+    * NOTE: construction checkpoints the ground truth and the cell
+    * assignment (both feed every nprobe branch — without the cut each
+    * branch would re-run the brute-force scan and the corpus
+    * assignment), so building the frame runs jobs, same posture as
+    * [[graft.ext.Graph.triangleCounts]].
+    *
+    * Scale shape: the expensive relations are computed ONCE — the
+    * brute-force truth (bounded by the broadcast-class query set) and
+    * the corpus cell assignment; each nprobe branch re-scores only
+    * its probed cells and reduces to a single-row count. The final
+    * result is |nprobes| rows.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobes: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe setting")
+    val nc = normalized(corpus, idCol, vecCol)
+    val nq = normalized(queries, idCol, vecCol)
+    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    val cells = Dedup.materialize(
+      ivfAssign(nc, cents, 1, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"),
+          col("centroid_id")))
+    val truth = Dedup.materialize(
+      topK(corpus, queries, k, idCol, vecCol)
+        .select("query_id", "neighbor_id"))
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
+    nprobes.distinct.sorted.map { np =>
+      // the probe side is query-set-sized — re-assigning per setting
+      // is broadcast-class work; the shared `cells` checkpoint is
+      // what keeps the corpus from being re-assigned per branch
+      val probes = ivfAssign(nq, cents, np, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("nqv"),
+          col("centroid_id"))
+      val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(denom)
+        .select(lit(np).as("nprobe"), col("n_hit"), col("n_truth"),
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 5)
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** Materialize an IVF index on disk: the corpus, normalized and
     * assigned to cells, written as a parquet table PARTITIONED BY
     * `cell`, plus the centroid table beside it. Build once, probe

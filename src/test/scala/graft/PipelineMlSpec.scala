@@ -60,6 +60,24 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Similarity.annRecall ----
+
+  test("annRecall: monotone nondecreasing in nprobe, exactly 1.0 at nprobe = nlist") {
+    val e = emb
+    val out = Similarity.annRecall(e, e.filter(col("vec_id") < 5), k = 10,
+      nlist = 16, nprobes = Seq(1, 2, 4, 16)).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 16))
+    val recalls = out.map(_.getDouble(3)).toSeq
+    assert(recalls.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true },
+      s"recall not monotone: $recalls")
+    // nprobe = nlist probes every cell → the candidate set IS the
+    // brute-force set (identical rounded-score/neighbor-id ranking)
+    assert(recalls.last == 1.0)
+    // denominator is the same truth relation in every row
+    assert(out.map(_.getLong(2)).distinct.length == 1)
+    assert(out.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
+
   // ---- Graph.triangleCounts (hub-degree cap) ----
 
   /** Driver brute force: triangle corner counts over a (a < b) edge
