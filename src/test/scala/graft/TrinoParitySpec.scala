@@ -31,6 +31,72 @@ class TrinoParitySpec extends AnyFunSuite {
       "select my_map_agg_col from t")
   }
 
+  test("dialect: ARRAY[...] literals become array(...), subscripts survive") {
+    assert(TrinoDialect.rewriteArrayLiteral("SELECT ARRAY[1, 2, 3]") ==
+      "SELECT array(1, 2, 3)")
+    assert(TrinoDialect.rewriteArrayLiteral("SELECT ARRAY[ARRAY[1], ARRAY[2]]") ==
+      "SELECT array(array(1), array(2))")
+    // map subscript brackets are NOT array literals
+    assert(TrinoDialect.rewriteArrayLiteral("SELECT kv['c'] FROM t") ==
+      "SELECT kv['c'] FROM t")
+    // subscript INSIDE a literal, literal inside a string untouched
+    assert(TrinoDialect.rewriteArrayLiteral("SELECT ARRAY[kv['c'], 'ARRAY[x]']") ==
+      "SELECT array(kv['c'], 'ARRAY[x]')")
+    assert(TrinoDialect.rewriteArrayLiteral("SELECT my_array[1] FROM t") ==
+      "SELECT my_array[1] FROM t")
+  }
+
+  test("dialect: weighted 3-arg approx_percentile becomes percentile(x, p, w)") {
+    assert(TrinoDialect.rewriteApproxPercentile(
+      "SELECT approx_percentile(x, w, 0.5) FROM t") ==
+      "SELECT percentile(x, 0.5, w) FROM t")
+    // 1- and 2-arg forms are Spark-native: untouched
+    assert(TrinoDialect.rewriteApproxPercentile(
+      "SELECT approx_percentile(x, 0.5) FROM t") ==
+      "SELECT approx_percentile(x, 0.5) FROM t")
+    // array-percentage form untouched (parses natively after ARRAY rewrite)
+    assert(TrinoDialect.rewriteApproxPercentile(
+      "SELECT approx_percentile(x, array(0.25, 0.5)) FROM t") ==
+      "SELECT approx_percentile(x, array(0.25, 0.5)) FROM t")
+  }
+
+  test("dialect: UNNEST becomes explode, LATERAL inserted after JOIN or comma") {
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x FROM t CROSS JOIN UNNEST(a) AS u(x)") ==
+      "SELECT x FROM t CROSS JOIN LATERAL explode(a) AS u(x)")
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x FROM t, UNNEST(a) u(x)") ==
+      "SELECT x FROM t, LATERAL explode(a) u(x)")
+    // bare FROM UNNEST: plain table function, no LATERAL
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x FROM UNNEST(array(1, 2)) t(x)") ==
+      "SELECT x FROM explode(array(1, 2)) t(x)")
+    // not a call → untouched
+    assert(TrinoDialect.rewriteUnnest("SELECT unnest_count FROM t") ==
+      "SELECT unnest_count FROM t")
+  }
+
+  test("translated Athena constructs run end-to-end") {
+    Tables.register(spark, TestSpark.sfDir)
+    val qm = new QueryManager(spark)
+    // multi-percentile with a Trino array literal
+    val r1 = qm.queryTrino(
+      "SELECT approx_percentile(l_quantity, ARRAY[0.25, 0.5]) AS q FROM lineitem")
+    assert(r1.rows.size == 1 && r1.rows.head.head.nonEmpty)
+    // weighted percentile (Trino arg order)
+    val r2 = qm.queryTrino(
+      "SELECT approx_percentile(l_quantity, l_linenumber, 0.5) AS m FROM lineitem")
+    assert(r2.rows.head.head.toDouble > 0)
+    // correlated UNNEST over a constructed array
+    val r3 = qm.queryTrino(
+      "SELECT n_name, x FROM (SELECT n_name, ARRAY[n_nationkey, n_regionkey] AS a " +
+        "FROM nation WHERE n_nationkey = 0) CROSS JOIN UNNEST(a) AS u(x) ORDER BY x")
+    assert(r3.rows.size == 2)
+    // bare UNNEST of a literal array
+    val r4 = qm.queryTrino("SELECT x FROM UNNEST(ARRAY[3, 1, 2]) t(x) ORDER BY x")
+    assert(r4.rows.map(_.head) == Seq("1", "2", "3"))
+  }
+
   test("the reference's generated profile SQL runs and matches the native profiler") {
     Tables.register(spark, TestSpark.sfDir)
     val cols = TableProfiler.numericColumnsFromCatalog(spark, "lineitem")
