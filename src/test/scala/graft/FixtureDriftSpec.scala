@@ -37,6 +37,29 @@ class FixtureDriftSpec extends AnyFunSuite {
         failures.mkString("\n  "))
   }
 
+  test("events.ts VALUE round-trips through the normalized reader") {
+    // The analyze-only gate above catches TYPE drift; this pins the
+    // SEMANTICS: the first fixture row's instant, read through
+    // Tables.register → normalizeEventTime, must be the exact
+    // epoch-microsecond value the raw parquet carries (independently
+    // read via DuckDB when pinned: event_id 0 → 2024-01-01
+    // 00:09:58.778549 = 1704067798778549 µs). A reader/session-
+    // timezone/normalization change that shifts values — not just
+    // types — fails here before the oracle run. If the driver ever
+    // regenerates the fixtures, re-pin from
+    // `SELECT epoch_us(ts) FROM 'events.parquet' WHERE event_id = 0`.
+    graft.catalog.Tables.register(spark, TestSpark.sfDir)
+    val got = spark.table("events")
+      .where(org.apache.spark.sql.functions.col("event_id") === 0L)
+      .select(graft.ext.Events.epochUs(
+        org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1704067798778549L,
+      s"events.ts semantic drift: event_id=0 reads as ${got.head.getLong(0)} µs, " +
+        "expected 1704067798778549 (2024-01-01 00:09:58.778549 UTC)")
+  }
+
   test("every query has an oracle or is a documented no-oracle exception") {
     // A queries entry without an oracleSql twin gets only a weak
     // rows>0 check from the driver; keep the exception list explicit
