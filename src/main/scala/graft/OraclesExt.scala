@@ -1181,6 +1181,69 @@ object OraclesExt {
   private def hashUniformSqlOn(salt: String, idExpr: String): String =
     s"cast('0x' || substr(md5('$salt|' || $idExpr), 1, 8) AS BIGINT)::DOUBLE / 4294967296.0"
 
+  /** DSIR importance-weight CTE chain — twin of
+    * Importance.importanceWeights with target = documents in
+    * `targetLang`. Ends in `iw(doc_id, n_tokens, log_ratio)`, one row
+    * per document. Laplace-smoothed unigram LMs over the union
+    * vocabulary; per-token ln of an exact integer quotient quantized
+    * to DECIMAL(18,9); HALF-UP 5-decimal per-doc mean.
+    */
+  private def importanceCtes(targetLang: String): String =
+    s"""$toksCte,
+       |$uniCte,
+       |icr AS (SELECT g, count(*)::BIGINT AS c_raw FROM uni GROUP BY g),
+       |ict AS (SELECT g, count(*)::BIGINT AS c_tgt FROM uni
+       |  JOIN documents USING (doc_id) WHERE lang = '$targetLang' GROUP BY g),
+       |ivocab AS (SELECT coalesce(icr.g, ict.g) AS g,
+       |  coalesce(c_raw, 0)::BIGINT AS c_raw, coalesce(c_tgt, 0)::BIGINT AS c_tgt
+       |  FROM icr FULL OUTER JOIN ict ON icr.g = ict.g),
+       |iscal AS (SELECT sum(c_raw)::BIGINT AS n_raw, sum(c_tgt)::BIGINT AS n_tgt,
+       |  count(*)::BIGINT AS v FROM ivocab),
+       |ilr AS (SELECT g, round(ln(((c_tgt + 1) * (n_raw + v))::DOUBLE /
+       |    ((c_raw + 1) * (n_tgt + v))::DOUBLE), 9)::DECIMAL(18,9) AS lr
+       |  FROM ivocab CROSS JOIN iscal),
+       |iper AS (SELECT doc_id, count(*)::BIGINT AS nt, ${decAvg5Sql("lr")} AS lrm
+       |  FROM uni JOIN ilr USING (g) GROUP BY doc_id),
+       |iw AS (SELECT d.doc_id, coalesce(nt, 0)::BIGINT AS n_tokens,
+       |  coalesce(lrm, 0.0) AS log_ratio
+       |  FROM documents d LEFT JOIN iper USING (doc_id))""".stripMargin
+
+  /** Per-document importance weights — twin of q_importance_weights. */
+  def importanceWeights(targetLang: String): String =
+    s"""WITH ${importanceCtes(targetLang)}
+       |SELECT doc_id, n_tokens, log_ratio FROM iw ORDER BY doc_id""".stripMargin
+
+  /** Deterministic Gumbel top-k DSIR selection — twin of
+    * Importance.dsirResample: key = weight + Gumbel(md5-uniform),
+    * both quantized at scale 9, top-k with doc_id tie-break.
+    */
+  def dsirSample(k: Int, targetLang: String, salt: String): String =
+    s"""WITH ${importanceCtes(targetLang)},
+       |sel AS (SELECT doc_id, n_tokens, log_ratio,
+       |  round(log_ratio + round(-ln(-ln(
+       |    (cast('0x' || substr(md5('$salt|' || doc_id), 1, 8) AS BIGINT)::DOUBLE + 0.5)
+       |      / 4294967296.0)), 9), 9) AS sample_key
+       |  FROM iw)
+       |SELECT doc_id, n_tokens, log_ratio, sample_key,
+       |  cast(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT) AS rank
+       |FROM sel ORDER BY sample_key DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Deterministic training-order shuffle — twin of
+    * Sampling.shuffleOrder. The oracle computes global_pos with the
+    * NAIVE single global window, independently cross-checking the
+    * engine's two-phase offset + within-shard rank decomposition.
+    */
+  def shuffleOrder(shards: Int, salt: String): String = {
+    val span = 65536 / shards
+    s"""WITH h AS (SELECT doc_id, md5('$salt|' || doc_id) AS hh FROM documents)
+       |SELECT doc_id,
+       |  cast(cast('0x' || substr(hh, 1, 4) AS BIGINT) // $span AS INT) AS shard,
+       |  (row_number() OVER (PARTITION BY cast('0x' || substr(hh, 1, 4) AS BIGINT) // $span
+       |     ORDER BY hh, doc_id) - 1)::BIGINT AS shard_pos,
+       |  (row_number() OVER (ORDER BY hh, doc_id) - 1)::BIGINT AS global_pos
+       |FROM h ORDER BY global_pos""".stripMargin
+  }
+
   /** Deterministic k-fold assignment — twin of Sampling.kfold: the
     * same first-8-md5-hex integer, mod k in exact integer arithmetic.
     */

@@ -609,6 +609,16 @@ object SparkEntry {
   // ANN recall curve probe settings (shared with OraclesExt.annRecall);
   // includes nprobe = nlist so the curve visibly tops out at 1.0
   private[graft] val annRecallNprobes = Seq(1, 2, 4, 16)
+  // DSIR importance resampling: target = English reference slice,
+  // Gumbel top-k budget (shared with OraclesExt.importanceWeights /
+  // dsirSample)
+  private[graft] val dsirTargetLang = "en"
+  private[graft] val dsirK = 100
+  private[graft] val dsirSalt = "dsir"
+  // deterministic training-order shuffle (shared with
+  // OraclesExt.shuffleOrder)
+  private[graft] val shuffleShards = 32
+  private[graft] val shuffleSalt = "shuffle"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -690,6 +700,13 @@ object SparkEntry {
   private def curateFullVerdicts(s: SparkSession, sfDir: String): DataFrame =
     sharedFrame("curate_full", sfDir) {
       Curation.curateFull(s.table("documents"))
+    }
+
+  private def importanceWeightsShared(s: SparkSession, sfDir: String): DataFrame =
+    sharedFrame("importance", sfDir) {
+      val docs = s.table("documents")
+      graft.ext.Importance.importanceWeights(docs,
+        docs.filter(col("lang") === dsirTargetLang))
     }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1413,6 +1430,28 @@ object SparkEntry {
     "q_curation_funnel" -> withTablesSf { (s, sfDir) =>
       Curation.funnelReportFrom(curateFullVerdicts(s, sfDir))
     },
+    // §7.5 — DSIR importance weights: per-doc mean log-likelihood
+    // ratio of a Laplace-smoothed target (English slice) vs raw-pool
+    // unigram LM — the audit report behind importance resampling.
+    "q_importance_weights" -> withTablesSf { (s, sfDir) =>
+      importanceWeightsShared(s, sfDir).orderBy("doc_id")
+    },
+    // §7.5 — the selection itself: deterministic Gumbel top-k over
+    // the shared weight relation (sampling without replacement,
+    // inclusion probability increasing in the weight).
+    "q_dsir_sample" -> withTablesSf { (s, sfDir) =>
+      graft.ext.Importance.dsirResampleFrom(
+        importanceWeightsShared(s, sfDir), k = dsirK, salt = dsirSalt)
+        .orderBy("rank")
+    },
+    // §7.5 — deterministic training-order shuffle: md5 total order
+    // materialized as (shard, shard_pos, global_pos) via the
+    // two-phase offset decomposition; the oracle cross-checks with a
+    // naive global window.
+    "q_shuffle_order" -> withTables { s =>
+      Sampling.shuffleOrder(s.table("documents"), shards = shuffleShards,
+        salt = shuffleSalt).orderBy("global_pos")
+    },
     // §7.5 — context-length chunking: overlapping token windows per
     // doc (map-only explode; trailing runt chunks kept).
     "q_chunk" -> withTables { s =>
@@ -1885,6 +1924,9 @@ object SparkEntry {
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
     "q_sample_fixed" -> OraclesExt.sampleFixed(fixedSampleN, "sample"),
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
+    "q_importance_weights" -> OraclesExt.importanceWeights(dsirTargetLang),
+    "q_dsir_sample" -> OraclesExt.dsirSample(dsirK, dsirTargetLang, dsirSalt),
+    "q_shuffle_order" -> OraclesExt.shuffleOrder(shuffleShards, shuffleSalt),
     "q_tfidf_keywords" -> OraclesExt.tfidfKeywords(tfidfK),
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
     "q_unpivot" -> OraclesExt.unpivotLineitem,

@@ -62,6 +62,59 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * reproducible position in one md5-random total order — the
+    * materialized "shuffled dataset" a training run reads
+    * sequentially. Breaking source/time ordering correlations before
+    * training is standard practice, and doing it with a seeded hash
+    * (not an engine RNG) makes the order a pure function of
+    * (salt, id): any engine, any partitioning, any rerun produces the
+    * identical epoch order, and two salts give two independent
+    * epoch permutations.
+    *
+    * Returns (idCol, shard, shard_pos, global_pos): `shard` is the
+    * contiguous hash-range bucket (first 4 md5 hex digits ÷
+    * (65536/shards) — uniform, so shards balance), `shard_pos` the
+    * 0-based rank within the shard, `global_pos` the 0-based rank in
+    * the full order. Because shards are CONTIGUOUS ranges of the hash
+    * order, global_pos = shard offset + shard_pos exactly equals the
+    * rank a single global sort would assign — verified against the
+    * oracle's naive global window.
+    *
+    * Scale shape (the [[Packing.packSequences]] two-phase pattern):
+    * ONE exchange keyed by shard with a per-shard sort window — never
+    * a global single-task window; the shard offsets are a
+    * `shards`-row driver collect (config-bounded, and an eager action
+    * at construction, like packing's). `shards` sizes parallelism and
+    * driver state to the cluster, not the data.
+    */
+  def shuffleOrder(df: DataFrame, shards: Int = 32,
+      salt: String = "shuffle", idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1 && 65536 % shards == 0,
+      s"shards must divide 65536 for exact contiguous hash ranges, got $shards")
+    val span = 65536 / shards
+    val h = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val sharded = df.select(col(idCol), h.as("__h"))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(__h, 1, 4), 16, 10) as int) div $span")
+          .cast("int"))
+    val totals = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until shards).scanLeft(0L) { (acc, s) =>
+      acc + totals.getOrElse(s, 0L)
+    }
+    val offsetDf = df.sparkSession.createDataFrame(
+      (0 until shards).map(s => (s, offsets(s)))
+    ).toDF("shard", "__base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(idCol))
+    sharded.join(broadcast(offsetDf), "shard")
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("shard_pos"),
+        (col("__base") + col("shard_pos")).as("global_pos"))
+  }
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * (first 8 md5 hex digits of salt|id) mod k — pure integer
     * arithmetic on the shared md5 membership convention, so any

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.Tables
-import graft.ext.{Bpe, Classify, Curation, Graph, Similarity}
+import graft.ext.{Bpe, Classify, Curation, Graph, Importance, Sampling, Similarity}
 
 /** Specs for the round-4 ML-adjacent pipeline operators: PageRank
   * graph centrality, Naive Bayes classification, product
@@ -58,6 +58,82 @@ class PipelineMlSpec extends AnyFunSuite {
     val b = Graph.pageRank(pairs.repartition(7), iters = 4)
       .orderBy("node").collect().toSeq
     assert(a == b)
+  }
+
+  // ---- Importance (DSIR) ----
+
+  test("importanceWeights: target-like docs score above pool-like docs; empty doc is 0") {
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma"),   // target vocabulary
+      (2L, "zeta eta theta iota"),      // pool-only vocabulary
+      (3L, "")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val w = Importance.importanceWeights(raw, target).orderBy("doc_id").collect()
+    assert(w.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = w.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(1L)._2 > byId(2L)._2,
+      s"target-vocabulary doc must outscore pool-only doc: $byId")
+    assert(byId(1L)._2 > 0 && byId(2L)._2 < 0)
+    assert(byId(3L) == (0L, 0.0))
+  }
+
+  test("dsirResample: deterministic, ranked 1..k, favors heavy weights") {
+    val raw = (1L to 40L).map { i =>
+      // docs 1..20 speak the target vocabulary, 21..40 a disjoint one
+      if (i <= 20) (i, "alpha beta gamma delta alpha")
+      else (i, "zeta eta theta iota kappa")
+    }.toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val a = Importance.dsirResample(raw, target, k = 10).orderBy("rank").collect()
+    val b = Importance.dsirResample(raw, target, k = 10).orderBy("rank").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // pure function of (corpus, salt)
+    assert(a.map(_.getInt(4)).toSeq == (1 to 10))
+    // Gumbel noise spans a few units; the two weight classes differ by
+    // ~2·ln-range, so the selection must lean heavily target-like
+    val nTargetLike = a.count(_.getLong(0) <= 20L)
+    assert(nTargetLike >= 7, s"expected mostly target-like picks, got $nTargetLike/10")
+    // different salt ⇒ (almost surely) different key order
+    val c = Importance.dsirResample(raw, target, k = 10, salt = "other")
+      .orderBy("rank").collect()
+    assert(c.map(_.getDouble(3)).toSeq != a.map(_.getDouble(3)).toSeq)
+  }
+
+  // ---- Sampling.shuffleOrder ----
+
+  test("shuffleOrder: two-phase global_pos equals the naive md5 total order") {
+    val df = (0L until 300L).toDF("doc_id")
+    val got = Sampling.shuffleOrder(df, shards = 16, salt = "s1")
+      .orderBy("global_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // driver brute force: rank by (md5("s1|id"), id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1|$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = (0L until 300L).map(id => (h(id), id)).sorted.map(_._2)
+    assert(got.map(_._1).toSeq == expect)
+    assert(got.map(_._4).toSeq == (0L until 300L)) // dense 0-based positions
+    // shards are contiguous ranges of the global order
+    val shardSeq = got.map(_._2).toSeq
+    assert(shardSeq == shardSeq.sorted, "shards must be contiguous in hash order")
+    // within-shard positions are dense from 0
+    got.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length))
+    }
+  }
+
+  test("shuffleOrder is partitioning-independent and salt-sensitive") {
+    val df = (0L until 200L).toDF("doc_id")
+    val a = Sampling.shuffleOrder(df.repartition(1), shards = 8, salt = "x")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Sampling.shuffleOrder(df.repartition(7), shards = 8, salt = "x")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val c = Sampling.shuffleOrder(df, shards = 8, salt = "y")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(c != a)
   }
 
   // ---- Similarity.annRecall ----
