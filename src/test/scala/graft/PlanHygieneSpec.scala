@@ -223,6 +223,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_knn_ivfpq_refined" -> "ksub-row codebook sample",
       // funnelReport's cumsum frame is the six-row stage list
       "q_curation_funnel" -> "six-row stage list",
+      // dsirResample ranks the k already-selected rows (dsirK config)
+      "q_dsir_sample" -> "k-row selected set",
       // forecast/trend regressions run over one row per (type, day) —
       // collapsed map-side before the window sees it
       "q_events_trend" -> "one row per (type, day)",
@@ -277,6 +279,34 @@ class PlanHygieneSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab join must be broadcast:\n$plan")
+  }
+
+  test("importance weights broadcast the vocabulary ratio table onto the token stream") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val df = graft.ext.Importance.importanceWeights(docs,
+      docs.filter(col("lang") === "en"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-token ratio join must be broadcast (corpus never re-shuffled by token):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing quadratic belongs in the weight plan:\n$plan")
+  }
+
+  test("shuffleOrder exchanges once by shard — never a global sort window") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.ext.Sampling.shuffleOrder(spark.table("documents"), shards = 32)
+    val sp = df.queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"rank window must partition by shard:\n$sp")
+    val shuffles = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1,
+      s"expected at most one exchange (by shard), got ${shuffles.size}:\n$sp")
   }
 
   test("salted aggregation matches the direct aggregation exactly") {
