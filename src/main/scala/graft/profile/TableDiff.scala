@@ -48,11 +48,20 @@ object TableDiff {
     * argument) before touching the target (third), like the
     * reference's early exit.
     */
-  def diff(spark: SparkSession, baseTable: String, targetTable: String): DataFrame = {
-    val base = profileSide(spark, baseTable, "second")
-      .withColumnRenamed("result", "base_result")
-    val target = profileSide(spark, targetTable, "third")
-      .withColumnRenamed("result", "target_result")
+  def diff(spark: SparkSession, baseTable: String, targetTable: String): DataFrame =
+    diffFrom(profileSide(spark, baseTable, "second"),
+      profileSide(spark, targetTable, "third"))
+
+  /** [[diff]] over two PRECOMPUTED long profiles — the reference's
+    * actual workflow shape (profile both tables, THEN diff the
+    * results, aws-athena.sh:183-196): a pipeline that has already
+    * materialized the per-table profiles diffs them here without
+    * re-profiling. Inputs are `(column_name, agg_type, result)`
+    * relations ([[TableProfiler.profileLong]]'s shape).
+    */
+  def diffFrom(baseLong: DataFrame, targetLong: DataFrame): DataFrame = {
+    val base = baseLong.withColumnRenamed("result", "base_result")
+    val target = targetLong.withColumnRenamed("result", "target_result")
     base.join(target, Seq("column_name", "agg_type"), "full_outer")
       .withColumn("equal", col("base_result") <=> col("target_result"))
       .orderBy("column_name", "agg_type")
