@@ -41,9 +41,12 @@ object Cli {
        |
        |$prog list ... list lambda functions
        |$prog invoke [lambda function name] [json format payload] ... invoke lambda function
+       |
+       |$prog workgroups ... workgroup configuration report
        |""".stripMargin
 
-  val Commands: Set[String] = Set("query", "file", "vimdiff", "list", "invoke")
+  val Commands: Set[String] =
+    Set("query", "file", "vimdiff", "list", "invoke", "workgroups")
 
   private val Prog = "graft"
 
@@ -63,7 +66,7 @@ object Cli {
 
     // the whitelist gate, aws-athena.sh:129-132 / aws-lambda.sh:18-21
     if (!Commands.contains(command)) {
-      err.println("COMMAND is required as 1st arg: query/file/vimdiff/list/invoke")
+      err.println("COMMAND is required as 1st arg: query/file/vimdiff/list/invoke/workgroups")
       return help()
     }
 
@@ -116,6 +119,20 @@ object Cli {
       case "list" =>
         // aws-lambda.sh:38-40: one function name per line
         FunctionRegistry.withBuiltins(Some(spark)).list.foreach(out.println)
+        0
+
+      case "workgroups" =>
+        // aws-athena-workgroup.sh takes no arguments: banner, report
+        // (or the empty warning, still rc 0 — line 22-25), banner
+        out.println("--- 🛠️ Athena ワークグループ設定の確認を開始します ---")
+        out.println()
+        val registry = new graft.config.WorkGroupRegistry()
+        sys.env.get("ATHENA_WORKGROUP").filter(_ != "primary").foreach { n =>
+          registry.register(graft.config.WorkGroup(n))
+        }
+        out.println(registry.report())
+        out.println()
+        out.println("--- ✅ 設定の抽出を完了しました ---")
         0
 
       case "invoke" =>

@@ -26,7 +26,7 @@ class CliSpec extends AnyFunSuite {
   test("unknown command: whitelist error + help + rc 1 (aws-athena.sh:129-132)") {
     val (rc, _, err) = capture("bogus")
     assert(rc == 1)
-    assert(err.contains("COMMAND is required as 1st arg: query/file/vimdiff/list/invoke"))
+    assert(err.contains("COMMAND is required as 1st arg: query/file/vimdiff/list/invoke/workgroups"))
     assert(err.contains("query [query string] ... execution and get result the query"))
     assert(err.contains("invoke [lambda function name] [json format payload] ... invoke lambda function"))
   }
@@ -143,6 +143,16 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("AWS CLI Output:"))
     assert(out.contains("Lambda Response:"))
     assert(out.contains("\"HI\""))
+  }
+
+  test("workgroups renders the banner + fixed-width report choreography (aws-athena-workgroup.sh:8-58)") {
+    val (rc, out, _) = capture("workgroups")
+    assert(rc == 0)
+    assert(out.contains("--- 🛠️ Athena ワークグループ設定の確認を開始します ---"))
+    assert(out.contains("ワークグループ名"))
+    assert(out.contains("primary"))
+    assert(out.contains("設定なし (Default使用)"))
+    assert(out.contains("--- ✅ 設定の抽出を完了しました ---"))
   }
 
   test("invoke with an unknown function: error + rc 1") {
