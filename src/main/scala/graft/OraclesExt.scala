@@ -273,6 +273,27 @@ object OraclesExt {
        |FROM ps$rounds ORDER BY word, pos""".stripMargin
   }
 
+  /** Tokenizer-fertility report — twin of Bpe.fertility: per-word
+    * piece counts from the merge oracle's final segmentation, joined
+    * onto the (lang, word) occurrence stream, exact totals, one
+    * rounded double division per ratio.
+    */
+  def bpeFertility(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH $bpePs0Ctes,
+       |$roundCtes,
+       |wc AS (SELECT word, count(*)::BIGINT AS np FROM ps$rounds GROUP BY word),
+       |occ AS (SELECT lang, unnest(t) AS word FROM
+       |  (SELECT d.lang, toks.t FROM documents d JOIN toks ON d.doc_id = toks.doc_id)),
+       |agg AS (SELECT lang, count(*)::BIGINT AS n_words,
+       |  sum(np)::BIGINT AS n_pieces, sum(len(word))::BIGINT AS n_chars
+       |  FROM occ JOIN wc USING (word) GROUP BY lang)
+       |SELECT lang, n_words, n_pieces, n_chars,
+       |  round(n_pieces::DOUBLE / n_words::DOUBLE, 5) AS pieces_per_word,
+       |  round(n_chars::DOUBLE / n_pieces::DOUBLE, 5) AS chars_per_piece
+       |FROM agg ORDER BY lang""".stripMargin
+  }
+
   /** Multinomial Naive Bayes self-train confusion matrix — twin of
     * Classify.nbConfusion: the same Laplace-smoothed dense
     * (token, class) grid with scale-9-quantized ln, the same exact

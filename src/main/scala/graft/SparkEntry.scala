@@ -1088,6 +1088,12 @@ object SparkEntry {
     // The iterative half: the first N learned merges, each round
     // re-counting after the previous argmax is greedily merged
     // (Sennrich BPE on the vocabulary-sized state relation).
+    // Per-language tokenizer fertility: how many BPE pieces each
+    // language's words fragment into under the learned merges — the
+    // multilingual tokenizer-budget dial.
+    "q_bpe_fertility" -> withTables { s =>
+      graft.ext.Bpe.fertility(s.table("documents"), bpeRounds)
+    },
     "q_bpe_merges" -> withTables { s =>
       graft.ext.Bpe.learnMerges(s.table("documents"), bpeRounds)
         .orderBy("round")
@@ -1933,6 +1939,7 @@ object SparkEntry {
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),
     "q_bpe_merges" -> OraclesExt.bpeMerges(bpeRounds),
     "q_bpe_encode" -> OraclesExt.bpeEncode(bpeRounds),
+    "q_bpe_fertility" -> OraclesExt.bpeFertility(bpeRounds),
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,

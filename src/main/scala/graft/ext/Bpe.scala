@@ -152,6 +152,39 @@ object Bpe {
       .select(col("word"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("token"))
 
+  /** Tokenizer-fertility report: per group (typically language), how
+    * efficiently the learned BPE merges encode the corpus —
+    * (group, n_words, n_pieces, n_chars, pieces_per_word,
+    * chars_per_piece). Fertility (pieces per word) is THE
+    * tokenizer-quality dial a multilingual pipeline reads: a language
+    * the merge table underserves fragments into near-character pieces
+    * (fertility → word length), inflating its effective sequence
+    * length and its share of the training budget.
+    *
+    * Determinism: counts and char totals are exact longs; each ratio
+    * is one double division rounded at 5. Scale shape: the corpus
+    * token stream joins the BROADCAST vocabulary piece counts
+    * map-side (the [[encode]] posture), then one group-keyed
+    * map-side-combined aggregate — the corpus is scanned once and
+    * never shuffled by word.
+    */
+  def fertility(df: DataFrame, rounds: Int, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val pieceN = train(df, rounds, textCol)._2
+      .select(col("word"), size(col("s")).cast("long").as("__np"))
+    df.select(col(groupCol), explode(TextStats.tokens(col(textCol))).as("word"))
+      .join(broadcast(pieceN), "word")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__np")).as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 5))
+      .withColumn("chars_per_piece",
+        round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 5))
+      .orderBy(groupCol)
+  }
+
   /** Encode a corpus with the learned merges: (id, pieces) where
     * pieces is the document's token stream with each word replaced by
     * its BPE segmentation. The vocab segmentation is broadcast (it is

@@ -60,6 +60,20 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Bpe.fertility ----
+
+  test("fertility: merged-pair language encodes at 1 piece/word, unmerged at char level") {
+    // 1 round merges the most frequent pair (a,b); 'ab' words collapse
+    // to one piece while 'cd' stays two characters
+    val df = Seq((1L, "ab ab", "aa"), (2L, "cd", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val out = Bpe.fertility(df, rounds = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("aa") == ((2L, 2L, 4L, 1.0, 2.0)))
+    assert(out("bb") == ((1L, 2L, 2L, 2.0, 1.0)))
+  }
+
   // ---- Importance (DSIR) ----
 
   test("importanceWeights: target-like docs score above pool-like docs; empty doc is 0") {
