@@ -38,17 +38,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Importance {
 
-  /** Per-document importance weights: (idCol, n_tokens, log_ratio),
-    * one row per RAW document (zero-token docs surface with weight 0).
-    */
-  def importanceWeights(raw: DataFrame, target: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def toks(df: DataFrame) = Dedup.spread(df, textCol)
+  private def toks(df: DataFrame, idCol: String, textCol: String) =
+    Dedup.spread(df, textCol)
       .select(col(idCol), explode_outer(TextStats.tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull)
-    val rawToks = toks(raw)
-    val cRaw = rawToks.groupBy("token").agg(count(lit(1)).as("c_raw"))
-    val cTgt = toks(target).groupBy("token").agg(count(lit(1)).as("c_tgt"))
+
+  /** The MODEL: per-token (token, lr) log-likelihood-ratio relation
+    * from the two corpus profiles — train once (a reference pool +
+    * target pair), apply many times ([[scoreAgainst]], including to
+    * later batches or a stream the model never saw). Tokens absent
+    * from the union vocabulary score as the unseen-token ratio only
+    * implicitly (they simply don't join; [[scoreAgainst]] counts them
+    * at ratio 0 via its left join), a neutral default.
+    */
+  def tokenLogRatios(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cRaw = toks(raw, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("c_raw"))
+    val cTgt = toks(target, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("c_tgt"))
     val vocab = cRaw.join(cTgt, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("c_raw"), lit(0L)).as("c_raw"),
@@ -56,21 +64,44 @@ object Importance {
     val scalars = vocab.agg(
       sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"),
       count(lit(1)).as("v"))
-    val lr = vocab.crossJoin(broadcast(scalars))
+    vocab.crossJoin(broadcast(scalars))
       .select(col("token"),
         round(log(
           ((col("c_tgt") + 1) * (col("n_raw") + col("v"))).cast("double") /
             ((col("c_raw") + 1) * (col("n_tgt") + col("v"))).cast("double")), 9)
           .cast(DecimalType(18, 9)).as("lr"))
-    val per = rawToks.join(broadcast(lr), "token")
+  }
+
+  /** Score a document set against a PRECOMPUTED ratio model: the
+    * apply step of train-once/apply-many (new batches, streams,
+    * held-out pools). Tokens outside the model's vocabulary are
+    * counted but contribute ratio 0. Broadcast model join + one
+    * doc-keyed roll-up; stateless, so it composes per micro-batch
+    * inside `foreachBatch` for streaming ingest scoring.
+    */
+  def scoreAgainst(docs: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val per = toks(docs, idCol, textCol)
+      .join(broadcast(model), Seq("token"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("__nt"),
-        TextStats.decAvg5(col("lr"), count(lit(1))).as("__lr"))
-    raw.select(col(idCol)).join(per, Seq(idCol), "left")
+        TextStats.decAvg5(coalesce(col("lr"),
+          lit(0).cast(DecimalType(18, 9))), count(lit(1))).as("__lr"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__nt"), lit(0L)).as("n_tokens"),
         coalesce(col("__lr"), lit(0.0)).as("log_ratio"))
   }
+
+  /** Per-document importance weights: (idCol, n_tokens, log_ratio),
+    * one row per RAW document (zero-token docs surface with weight 0).
+    * Equivalent to `scoreAgainst(raw, tokenLogRatios(raw, target))` —
+    * the in-vocabulary case where the left join always hits.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreAgainst(raw, tokenLogRatios(raw, target, idCol, textCol),
+      idCol, textCol)
 
   /** DSIR selection: the `k` raw documents chosen by deterministic
     * Gumbel top-k over the importance weights — sampling WITHOUT

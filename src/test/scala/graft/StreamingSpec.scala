@@ -389,6 +389,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DSIR model scores a stream per micro-batch, identical to batch scoring") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train ONCE on reference data (pool + target)...
+    val pool = Seq((1L, "alpha beta gamma"), (2L, "zeta eta theta"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha")).toDF("doc_id", "text")
+    val model = graft.ext.Dedup.materialize(
+      graft.ext.Importance.tokenLogRatios(pool, target))
+    // ...apply to a STREAM the model never saw: scoreAgainst is a
+    // broadcast join + per-batch roll-up, stateless, so it composes
+    // inside foreachBatch (the maintainSnapshot posture)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = input.toDF.toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-dsir").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= graft.ext.Importance.scoreAgainst(batch, model)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .start()
+    try {
+      input.addData((100L, "alpha beta alpha novel"), (101L, "zeta eta"))
+      q.processAllAvailable()
+      input.addData((102L, "alpha alpha alpha"))
+      q.processAllAvailable()
+      val streamed = collected.sortBy(_._1).toSeq
+      val batchScored = graft.ext.Importance.scoreAgainst(
+        Seq((100L, "alpha beta alpha novel"), (101L, "zeta eta"),
+          (102L, "alpha alpha alpha")).toDF("doc_id", "text"), model)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batchScored, "stream scoring must equal batch scoring")
+      val byId = streamed.map(t => t._1 -> t._3).toMap
+      assert(byId(100L) > byId(101L), "target-like stream doc outscores pool-like")
+    } finally q.stop()
+  }
+
   test("withValidation splits a stream into main and dead-letter paths") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
