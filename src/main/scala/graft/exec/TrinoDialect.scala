@@ -65,11 +65,12 @@ object TrinoDialect {
     */
   def rewriteMapAgg(sql: String): String = {
     val lower = sql.toLowerCase
+    val lit = literalMask(sql)
     val out = new StringBuilder(sql.length)
     var i = 0
     while (i < sql.length) {
       val at = lower.indexOf("map_agg", i)
-      val isCall = at >= 0 &&
+      val isCall = at >= 0 && !lit(at) &&
         (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) && sql.charAt(at - 1) != '_') && {
           var j = at + "map_agg".length
           while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
@@ -159,6 +160,30 @@ object TrinoDialect {
     out.result()
   }
 
+  /** Per-character mask: true where the character sits inside a
+    * single-quoted string literal (quotes included). Lets the
+    * indexOf-driven rewrites skip matches that are DATA, not syntax —
+    * the property suite feeds literals like 'UNNEST(a)' that must
+    * survive byte-for-byte.
+    */
+  private def literalMask(sql: String): Array[Boolean] = {
+    val m = new Array[Boolean](sql.length)
+    var i = 0; var inString = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inString) {
+        m(i) = true
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            m(i + 1) = true; i += 1
+          } else inString = false
+        }
+      } else if (c == '\'') { m(i) = true; inString = true }
+      i += 1
+    }
+    m
+  }
+
   /** True iff `sql(at)` starts keyword `kw` at a word boundary on both
     * sides (case-insensitive).
     */
@@ -230,12 +255,13 @@ object TrinoDialect {
     */
   def rewriteApproxPercentile(sql: String): String = {
     val lower = sql.toLowerCase
+    val lit = literalMask(sql)
     val out = new StringBuilder(sql.length)
     var i = 0
     while (i < sql.length) {
       val at = lower.indexOf("approx_percentile", i)
       if (at < 0) { out.append(sql.substring(i)); i = sql.length }
-      else if (!isKeywordAt(sql, at, "approx_percentile")) {
+      else if (lit(at) || !isKeywordAt(sql, at, "approx_percentile")) {
         out.append(sql.substring(i, at + 17)); i = at + 17
       } else {
         var j = at + 17
@@ -276,12 +302,13 @@ object TrinoDialect {
     */
   def rewriteUnnest(sql: String): String = {
     val lower = sql.toLowerCase
+    val lit = literalMask(sql)
     val out = new StringBuilder(sql.length)
     var i = 0
     while (i < sql.length) {
       val at = lower.indexOf("unnest", i)
       if (at < 0) { out.append(sql.substring(i)); i = sql.length }
-      else if (!isKeywordAt(sql, at, "unnest") || {
+      else if (lit(at) || !isKeywordAt(sql, at, "unnest") || {
         var j = at + 6
         while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
         j >= sql.length || sql.charAt(j) != '('

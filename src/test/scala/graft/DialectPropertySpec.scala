@@ -1,0 +1,103 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exec.TrinoDialect
+
+/** Property-based invariants for the Trino→Spark text rewrites: on
+  * deterministically generated SQL-shaped inputs mixing every
+  * construct the shim touches, (1) single-quoted string literal
+  * CONTENTS survive every rewrite byte-for-byte (the cardinal rule of
+  * a text shim — data must never be rewritten as syntax), (2) each
+  * rewrite is idempotent (its output contains none of its own
+  * triggers), and (3) the full translate pipeline never throws.
+  */
+class DialectPropertySpec extends AnyFunSuite {
+
+  // fragments that exercise every scanner state
+  private val ident = Gen.oneOf("col_a", "b2", "my_array", "unnest_count",
+    "map_agg_like", "approx_percentile_ish")
+  private val literal = Gen.oneOf(
+    "'plain'", "'it''s'", "'ARRAY[1]'", "'map_agg(x)'", "'UNNEST(a)'",
+    "'approx_percentile(x, w, p)'", "'\"quoted\"'", "''")
+  private val fragment: Gen[String] = Gen.oneOf(
+    ident,
+    literal,
+    ident.map(i => s""""$i""""),           // double-quoted identifier
+    ident.map(i => s"kv['$i']"),           // map subscript
+    Gen.oneOf("ARRAY[1, 2]", "ARRAY[ARRAY[0.5], ARRAY[1.5]]"),
+    literal.map(l => s"ARRAY[$l, $l]"),
+    ident.map(i => s"map_agg($i, 'v''1')"),
+    ident.map(i => s"approx_percentile($i, 0.5)"),
+    ident.map(i => s"approx_percentile($i, w, 0.95)"),
+    ident.map(i => s"CROSS JOIN UNNEST($i) AS t(x)"),
+    ident.map(i => s", UNNEST($i) u(y)"),
+    Gen.oneOf("SELECT", "FROM t", "WHERE a = 1", "GROUP BY 1", ",", "(", ")"))
+
+  private val sqlGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 12)
+    fs <- Gen.listOfN(n, fragment)
+  } yield fs.mkString(" ")
+
+  private def sample(i: Int): String =
+    sqlGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+
+  /** The single-quoted literal contents of `sql`, in order —
+    * independent re-implementation of the scanner the shim uses.
+    */
+  private def literals(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done && i < sql.length) {
+          val c = sql.charAt(i)
+          if (c == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { done = true; i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+        out += sb.toString
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private val rewrites: Seq[(String, String => String)] = Seq(
+    "quoteIdentifiers" -> TrinoDialect.quoteIdentifiers,
+    "rewriteMapAgg" -> TrinoDialect.rewriteMapAgg,
+    "rewriteArrayLiteral" -> TrinoDialect.rewriteArrayLiteral,
+    "rewriteApproxPercentile" -> TrinoDialect.rewriteApproxPercentile,
+    "rewriteUnnest" -> TrinoDialect.rewriteUnnest,
+    "translate" -> TrinoDialect.translate)
+
+  test("string-literal contents survive every rewrite byte-for-byte") {
+    for (i <- 0 until 300; (name, fn) <- rewrites) {
+      val sql = sample(i)
+      val before = literals(sql)
+      val after = literals(fn(sql))
+      assert(after == before,
+        s"$name altered literals of <$sql>:\n  before=$before\n  after=$after")
+    }
+  }
+
+  test("each rewrite is idempotent on generated inputs") {
+    // quoteIdentifiers is excluded by design: it is not idempotent on
+    // text that contains backticks already, and the pipeline applies
+    // it exactly once, first
+    for (i <- 0 until 300; (name, fn) <- rewrites.filterNot(_._1 == "quoteIdentifiers")) {
+      val sql = sample(i)
+      val once = fn(sql)
+      assert(fn(once) == once, s"$name not idempotent on <$sql> -> <$once>")
+    }
+  }
+
+  test("translate never throws on generated inputs") {
+    for (i <- 0 until 500) TrinoDialect.translate(sample(i))
+  }
+}
