@@ -967,6 +967,64 @@ object OraclesExt {
        |FROM ($unioned) CROSS JOIN tc ORDER BY nprobe""".stripMargin
   }
 
+  /** IVF-PQ recall@k curve — twin of Similarity.annRecallPq: one
+    * shared chain for the normalized vectors, PQ codebook/codes/ADC
+    * tables and the IVF ranked assignment ([[knnIvfPqCore]]'s
+    * structure), then per-nprobe candidate joins, ADC rank, and hit
+    * counts against the brute-force truth.
+    */
+  def annRecallPq(m: Int, ksub: Int, subDim: Int, k: Int, nlist: Int,
+      nprobes: Seq[Int]): String = {
+    val settings = nprobes.distinct.sorted
+    val perNp = settings.map { np =>
+      s"""pc$np AS (SELECT p.query_id, c.neighbor_id
+         |  FROM cells c JOIN (SELECT vec_id AS query_id, centroid_id
+         |    FROM ranked_a WHERE crank <= $np AND vec_id < 5) p
+         |  USING (centroid_id) WHERE p.query_id <> c.neighbor_id),
+         |pq$np AS (SELECT c.query_id, c.neighbor_id, sum(dq) AS adc
+         |  FROM pc$np c JOIN codes cd USING (neighbor_id)
+         |  JOIN dt ON dt.query_id = c.query_id
+         |    AND dt.sub = cd.sub AND dt.code = cd.code
+         |  GROUP BY 1, 2),
+         |pg$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM pq$np)
+         |  WHERE rank <= $k),
+         |ph$np AS (SELECT $np AS nprobe, count(*)::BIGINT AS n_hit
+         |  FROM pg$np JOIN truth USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val unioned = settings.map(np => s"SELECT * FROM ph$np").mkString(" UNION ALL ")
+    s"""WITH $normCte,
+       |${pqCtes(m, ksub, subDim, "SELECT vec_id, nv AS e FROM n")},
+       |icents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN icents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id AS neighbor_id, centroid_id
+       |  FROM ranked_a WHERE crank = 1),
+       |codes AS (SELECT vec_id AS neighbor_id, sub, code
+       |  FROM pqa WHERE rk2 = 1),
+       |q2 AS (SELECT vec_id AS query_id, sub, xv, xx FROM sx WHERE vec_id < 5),
+       |dt AS (SELECT query_id, ccs.sub, ccs.code,
+       |  round(xx - 2 * list_sum(list_transform(list_zip(xv, cv),
+       |    z -> z[1] * z[2])) + ccs.cc, 9)::DECIMAL(18,9) AS dq
+       |  FROM q2 JOIN ccs ON q2.sub = ccs.sub),
+       |bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
+       |  FROM n c CROSS JOIN (SELECT vec_id, nv FROM n WHERE vec_id < 5) q
+       |  WHERE q.vec_id <> c.vec_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM bf)
+       |  WHERE rank <= $k),
+       |tc AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+       |$perNp
+       |SELECT nprobe, n_hit, n_truth,
+       |  round(n_hit::DOUBLE / n_truth::DOUBLE, 5) AS recall
+       |FROM ($unioned) CROSS JOIN tc ORDER BY nprobe""".stripMargin
+  }
+
   /** IVF with ONE deterministic Lloyd refinement — twin of
     * Similarity.ivfTopK(refine = 1): seed assignment (rounded cosine,
     * centroid-id tie-break, exactly [[Similarity.ivfAssign]]),

@@ -986,6 +986,14 @@ object SparkEntry {
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobes = annRecallNprobes)
     },
+    // The compressed sibling: ADC scoring's extra recall loss on top
+    // of cell pruning — PQ recall ≤ IVF recall at every nprobe.
+    "q_ann_recall_pq" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.annRecallPq(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobes = annRecallNprobes,
+        m = pqM, ksub = pqKsub, dims = pqDims)
+    },
     // §7.5 — the PERSISTED index twin of q_knn_ivf: build the
     // cell-partitioned parquet index once, probe with partition
     // pruning (only nprobe/nlist directories are scanned). Identical
@@ -1914,6 +1922,8 @@ object SparkEntry {
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_ann_recall" -> OraclesExt.annRecall(10, 16, annRecallNprobes),
+    "q_ann_recall_pq" -> OraclesExt.annRecallPq(pqM, pqKsub, pqDims / pqM,
+      10, 16, annRecallNprobes),
     "q_knn_ivf_indexed" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_pq_codes" -> OraclesExt.pqCodes(pqM, pqKsub, pqDims / pqM),

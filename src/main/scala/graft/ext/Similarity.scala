@@ -465,6 +465,66 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  /** [[annRecall]]'s COMPRESSED sibling: recall@k of [[ivfPqTopK]]
+    * (ADC scoring over codes) per nprobe — the curve that separates
+    * the two losses an IVF-PQ user tunes against: cell pruning
+    * (shrinks the candidate set; shared with plain IVF) and ADC
+    * quantization (misranks within it). For the same nprobe, PQ
+    * recall ≤ plain-IVF recall — IVF with exact scoring recovers
+    * every truth member present in the candidate set, PQ can misrank
+    * some out of the top-k — and unlike IVF the PQ curve need not be
+    * monotone (a new candidate can displace a true hit by ADC).
+    *
+    * Same checkpointing posture and scale shape as [[annRecall]]:
+    * cells, codes, the ADC lookup table, and the brute-force truth
+    * are computed ONCE; each nprobe branch is a pruned candidate join
+    * + m-lookup decimal sums reducing to a single hit count.
+    */
+  def annRecallPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobes: Seq[Int], m: Int = 4, ksub: Int = 16,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe setting")
+    val nc = normalized(corpus, idCol, vecCol)
+    val nq = normalized(queries, idCol, vecCol)
+    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    val cells = Dedup.materialize(
+      ivfAssign(nc, cents, 1, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("centroid_id")))
+    val codes = Dedup.materialize(
+      pqEncode(nc, m, ksub, dims, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("sub"), col("code")))
+    val dtable = Dedup.materialize(
+      adcTable(nq, pqCentroids(nc, m, ksub, dims, idCol, vecCol),
+        m, dims, idCol, vecCol))
+    val truth = Dedup.materialize(
+      topK(corpus, queries, k, idCol, vecCol)
+        .select("query_id", "neighbor_id"))
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
+    nprobes.distinct.sorted.map { np =>
+      val probes = ivfAssign(nq, cents, np, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col("centroid_id"))
+      val cand = cells.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      val scored = cand.join(codes, "neighbor_id")
+        .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("dq")).as("__adc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__adc").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(denom)
+        .select(lit(np).as("nprobe"), col("n_hit"), col("n_truth"),
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 5)
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** Materialize an IVF index on disk: the corpus, normalized and
     * assigned to cells, written as a parquet table PARTITIONED BY
     * `cell`, plus the centroid table beside it. Build once, probe

@@ -168,6 +168,25 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) <= r.getLong(2)))
   }
 
+  test("annRecallPq: ADC recall never exceeds exact-scored IVF recall at any nprobe") {
+    // identical candidate sets per nprobe; IVF's exact scoring
+    // recovers every truth member among them, ADC can misrank some out
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.annRecall(e, q, k = 10, nlist = 16,
+      nprobes = Seq(1, 4, 16)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val pq = Similarity.annRecallPq(e, q, k = 10, nlist = 16,
+      nprobes = Seq(1, 4, 16)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(pq.keySet == ivf.keySet)
+    for ((np, r) <- pq) {
+      assert(r >= 0.0 && r <= 1.0)
+      assert(r <= ivf(np) + 1e-9,
+        s"PQ recall $r exceeds IVF recall ${ivf(np)} at nprobe=$np")
+    }
+  }
+
   // ---- Graph.triangleCounts (hub-degree cap) ----
 
   /** Driver brute force: triangle corner counts over a (a < b) edge
