@@ -1617,6 +1617,46 @@ object OraclesExt {
        |  coalesce(per.ce, 0.0) AS cross_entropy
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity buckets — twin of
+    * Curation.perplexityBuckets: the [[lmCrossEntropy]] chain, then
+    * per-language EXACT tercile cutoffs via the shared
+    * value-counts + cumsum + interpolation machinery
+    * ([[quantilePicksSql]]/[[quantileProjSql]]), then the bucket CASE
+    * over the 5-decimal scores.
+    */
+  def pplBuckets: String = {
+    val ps = Seq(("p33", 1.0 / 3), ("p66", 2.0 / 3))
+    val picks = quantilePicksSql(ps)
+    val proj = quantileProjSql(ps)
+    s"""WITH $toksCte, $uniCte,
+       |cnt AS (SELECT g AS token, count(*)::BIGINT AS c FROM uni GROUP BY g),
+       |tot AS (SELECT sum(c)::BIGINT AS n_total FROM cnt),
+       |lp AS (SELECT token,
+       |  round(-ln(c::DOUBLE / n_total::DOUBLE), 9)::DECIMAL(18,9) AS nlp
+       |  FROM cnt CROSS JOIN tot),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  ${decAvg5Sql("nlp")} AS ce
+       |  FROM uni JOIN lp ON uni.g = lp.token GROUP BY doc_id),
+       |ced AS (SELECT d.doc_id, d.lang,
+       |  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(per.ce, 0.0) AS cross_entropy
+       |  FROM documents d LEFT JOIN per USING (doc_id)),
+       |qvc AS (SELECT lang AS g, cross_entropy AS v, count(*)::BIGINT AS cnt
+       |  FROM ced WHERE n_tokens > 0 GROUP BY 1, 2),
+       |qtot AS (SELECT g, sum(cnt)::BIGINT AS n FROM qvc GROUP BY g),
+       |qcum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM qvc),
+       |qj AS (SELECT qcum.g, v, cnt, cum, n FROM qcum JOIN qtot USING (g)),
+       |qa AS (SELECT g, n, $picks FROM qj GROUP BY g, n),
+       |cuts AS (SELECT g AS lang, $proj FROM qa)
+       |SELECT ced.doc_id, ced.lang, n_tokens, cross_entropy,
+       |  CASE WHEN n_tokens = 0 THEN 'empty'
+       |       WHEN cross_entropy <= p33 THEN 'head'
+       |       WHEN cross_entropy <= p66 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM ced LEFT JOIN cuts USING (lang) ORDER BY ced.doc_id""".stripMargin
+  }
+
   /** Per-document token-distribution Shannon entropy — twin of
     * TextStats.tokenEntropy: per-term ln(n/c) quantized to
     * DECIMAL(18,9), probability-weighted mean Σ c·q / n in exact

@@ -1460,6 +1460,12 @@ object SparkEntry {
     "q_curation_funnel" -> withTablesSf { (s, sfDir) =>
       Curation.funnelReportFrom(curateFullVerdicts(s, sfDir))
     },
+    // §7.5 — CCNet perplexity buckets: head/middle/tail by the
+    // document's own language's LM-score terciles (keep head, sample
+    // middle, audit tail — the Wenzek et al. split).
+    "q_ppl_buckets" -> withTables { s =>
+      Curation.perplexityBuckets(s.table("documents")).orderBy("doc_id")
+    },
     // §7.5 — DSIR importance weights: per-doc mean log-likelihood
     // ratio of a Laplace-smoothed target (English slice) vs raw-pool
     // unigram LM — the audit report behind importance resampling.
@@ -1957,6 +1963,7 @@ object SparkEntry {
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),
     "q_sample_fixed" -> OraclesExt.sampleFixed(fixedSampleN, "sample"),
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
+    "q_ppl_buckets" -> OraclesExt.pplBuckets,
     "q_importance_weights" -> OraclesExt.importanceWeights(dsirTargetLang),
     "q_dsir_sample" -> OraclesExt.dsirSample(dsirK, dsirTargetLang, dsirSalt),
     "q_shuffle_order" -> OraclesExt.shuffleOrder(shuffleShards, shuffleSalt),

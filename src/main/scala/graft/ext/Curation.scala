@@ -247,6 +247,42 @@ object Curation {
       .orderBy("stage_idx")
   }
 
+  /** CCNet-style perplexity bucketing: each document labeled
+    * head / middle / tail by its OWN language's cross-entropy
+    * terciles (Wenzek et al. 2020 — the well-known-LM-score split
+    * that lets a pipeline keep "head" data wholesale, sample
+    * "middle", and drop or audit "tail"). Per-language cutoffs
+    * matter: absolute perplexity is not comparable across languages,
+    * so a global threshold would silently starve high-entropy
+    * languages. Zero-token documents get the `empty` bucket (their
+    * score-0 would otherwise poison the head tercile).
+    *
+    * Determinism: cross-entropy is the decimal-exact
+    * [[TextStats.lmCrossEntropy]] score; tercile cutoffs are
+    * EXACT interpolated quantiles ([[Quantiles.groupQuantiles]]);
+    * bucket comparisons are between 5-decimal-exact doubles.
+    *
+    * Scale shape: the LM scoring's one token shuffle, one
+    * language-keyed quantile pass over the (lang, ce) value counts
+    * (language domain is bounded → broadcast-class cutoff relation),
+    * and a broadcast cutoff join back onto the doc relation.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val ce = TextStats.lmCrossEntropy(df, idCol, textCol)
+    val withLang = ce.join(df.select(col(idCol), col(langCol)), idCol)
+    val cuts = graft.ext.Quantiles.groupQuantiles(
+      withLang.filter(col("n_tokens") > 0), langCol, "cross_entropy",
+      Seq(("p33", 1.0 / 3), ("p66", 2.0 / 3)))
+      .select(col(langCol), col("p33"), col("p66"))
+    withLang.join(broadcast(cuts), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("n_tokens"), col("cross_entropy"),
+        when(col("n_tokens") === 0, lit("empty"))
+          .when(col("cross_entropy") <= col("p33"), lit("head"))
+          .when(col("cross_entropy") <= col("p66"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Phrase-blocklist safety filter — the content-policy gate of a
     * curation recipe (boilerplate banners, spam phrases, disallowed
     * content markers). Phrases are multi-token, matched EXACTLY

@@ -60,6 +60,27 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Curation.perplexityBuckets ----
+
+  test("perplexityBuckets: per-language terciles, typical docs head, rare-token docs tail") {
+    // lang x: 3 docs of increasingly rare vocabulary; lang y: one doc
+    // (its own tercile — buckets stay per-language); one empty doc
+    val df = Seq(
+      (1L, "the the the the", "x"),     // most typical → lowest ce
+      (2L, "the the cat sat", "x"),
+      (3L, "zyx qwv jkl pqr", "x"),     // all-hapax → highest ce
+      (4L, "solo doc here", "y"),
+      (5L, "", "x")).toDF("doc_id", "text", "lang")
+    val out = Curation.perplexityBuckets(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+    assert(out(1L)._2 == "head")
+    assert(out(3L)._2 == "tail")
+    assert(out(5L)._2 == "empty")
+    assert(out(1L)._1 < out(2L)._1 && out(2L)._1 < out(3L)._1)
+    // a single-doc language sits at its own tercile boundary → head
+    assert(out(4L)._2 == "head")
+  }
+
   // ---- Bpe.fertility ----
 
   test("fertility: merged-pair language encodes at 1 piece/word, unmerged at char level") {
