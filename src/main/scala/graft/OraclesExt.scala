@@ -549,6 +549,33 @@ object OraclesExt {
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, score FROM p2 WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-lingual bitext candidates — twin of
+    * Similarity.crossLingualPairs: the [[embeddingNearDup]] banded-LSH
+    * pair chain, language labels attached by doc-id joins, same-lang
+    * pairs dropped.
+    */
+  def crossLingualPairs(threshold: Double): String =
+    s"""WITH $normCte,
+       |planes AS (SELECT p, list_transform(range(0, 64),
+       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
+       |  FROM range(0, 16) t(p)),
+       |bits AS (SELECT vec_id, p // 2 AS band,
+       |  CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
+       |    THEN (1::BIGINT << (p % 2)) ELSE 0::BIGINT END AS bit
+       |  FROM n CROSS JOIN planes),
+       |keys AS (SELECT vec_id, band || ':' || sum(bit)::BIGINT AS bk
+       |  FROM bits GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |p2 AS (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
+       |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
+       |SELECT id_a, id_b, da.lang AS lang_a, db.lang AS lang_b, score
+       |FROM p2
+       |JOIN documents da ON p2.id_a = da.doc_id
+       |JOIN documents db ON p2.id_b = db.doc_id
+       |WHERE score >= $threshold AND da.lang <> db.lang
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Per-document duplicated-span stats — twin of
     * Dedup.duplicateSpanStats(n, minDocs): positional n-grams WITH
     * duplicates (occurrences, not the distinct shingle sets), cross-

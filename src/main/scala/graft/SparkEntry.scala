@@ -937,6 +937,14 @@ object SparkEntry {
         bands = 8, planesPerBand = 2, dims = 64)
         .orderBy("id_a", "id_b")
     },
+    // §7.5 — cross-lingual bitext mining: near-dup pairs in embedding
+    // space whose documents carry different language labels — the
+    // LASER/CCMatrix translation-candidate surface.
+    "q_bitext_mine" -> withTables { s =>
+      Similarity.crossLingualPairs(s.table("embeddings"),
+        s.table("documents"), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
     // SemDeDup-style cell-pruned pairs: the LOW-threshold companion
     // (cluster-then-compare; per-cell work bounded by nlist ∝ corpus).
     "q_semdedup" -> withTables { s =>
@@ -1964,6 +1972,7 @@ object SparkEntry {
     "q_sample_fixed" -> OraclesExt.sampleFixed(fixedSampleN, "sample"),
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
     "q_ppl_buckets" -> OraclesExt.pplBuckets,
+    "q_bitext_mine" -> OraclesExt.crossLingualPairs(0.4),
     "q_importance_weights" -> OraclesExt.importanceWeights(dsirTargetLang),
     "q_dsir_sample" -> OraclesExt.dsirSample(dsirK, dsirTargetLang, dsirSalt),
     "q_shuffle_order" -> OraclesExt.shuffleOrder(shuffleShards, shuffleSalt),

