@@ -2267,6 +2267,43 @@ object OraclesExt {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** MAD robust outliers — twin of Quantiles.madOutliers: the shared
+    * quantile machinery twice (value median, then deviation median
+    * over the 5-decimal-rounded |x − med|), then the modified-z-score
+    * cutoff k·1.4826·MAD as one identically-shaped double product.
+    */
+  def madOutliers(k: Double): String = {
+    val picks1 = quantilePicksSql(Seq("__med" -> 0.5))
+    val proj1 = quantileProjSql(Seq("__med" -> 0.5))
+    val picks2 = quantilePicksSql(Seq("__mad" -> 0.5))
+    val proj2 = quantileProjSql(Seq("__mad" -> 0.5))
+    s"""WITH vc AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
+       |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
+       |a AS (SELECT g, n, $picks1 FROM j GROUP BY g, n),
+       |medb AS (SELECT g AS event_type, $proj1 FROM a),
+       |dev AS (SELECT e.event_type, round(abs(value - __med), 5) AS dv, __med
+       |  FROM events e JOIN medb USING (event_type)),
+       |dvc AS (SELECT event_type AS g, dv AS v, count(*)::BIGINT AS cnt
+       |  FROM dev WHERE dv IS NOT NULL GROUP BY 1, 2),
+       |dtot AS (SELECT g, sum(cnt)::BIGINT AS n FROM dvc GROUP BY g),
+       |dcum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dvc),
+       |dj AS (SELECT dcum.g, v, cnt, cum, n FROM dcum JOIN dtot USING (g)),
+       |da AS (SELECT g, n, $picks2 FROM dj GROUP BY g, n),
+       |madb AS (SELECT g AS event_type, $proj2 FROM da)
+       |SELECT d.event_type, count(*)::BIGINT AS n,
+       |  min(__med) AS median, min(__mad) AS mad,
+       |  sum(CASE WHEN dv > $k * 1.4826 * __mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       |  round(sum(CASE WHEN dv > $k * 1.4826 * __mad THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE, 5) AS outlier_frac
+       |FROM dev d JOIN madb USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Equi-depth histogram — twin of Quantiles.equiDepthHistogram:
     * identical exact i/k boundaries (shared quantile CTEs), identical
     * strictly-greater bucket rule against the 5-decimal-rounded

@@ -603,6 +603,8 @@ object SparkEntry {
   private[graft] val cmsProbeMax = 20L
   // Tukey fence multiplier (boxplot standard) + skew-report top-k
   private[graft] val tukeyK = 1.5
+  // MAD modified-z-score threshold (Iglewicz–Hoaglin classic)
+  private[graft] val madK = 3.5
   private[graft] val skewReportK = 5
   // KMV sketch size (shared with OraclesExt.kmvRollup)
   private[graft] val kmvK = 256
@@ -1662,6 +1664,14 @@ object SparkEntry {
           "value", tukeyK)
         .orderBy("event_type")
     },
+    // §7.5 — MAD modified-z-score outliers: the highest-breakdown
+    // robust scale estimator (Tukey's IQR collapses at 25%
+    // contamination, MAD only past 50%).
+    "q_mad_outliers" -> withTables { s =>
+      graft.ext.Quantiles.madOutliers(s.table("events"), "event_type",
+          "value", madK)
+        .orderBy("event_type")
+    },
     // §7.5 — heavy-hitter diagnostic: which keys need salting, and by
     // how much (the operational front door to saltedAgg/saltedJoin).
     "q_skew_report" -> withTables { s =>
@@ -1914,6 +1924,7 @@ object SparkEntry {
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
+    "q_mad_outliers" -> OraclesExt.madOutliers(madK),
     "q_skew_report" -> OraclesExt.skewReport(skewReportK),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,

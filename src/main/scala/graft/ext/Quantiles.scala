@@ -362,6 +362,49 @@ object Quantiles {
         (col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 5))
   }
 
+  /** MAD (median-absolute-deviation) robust outlier report per group
+    * — the modified-z-score companion of [[tukeyOutliers]]
+    * (Iglewicz–Hoaglin): a value is flagged when
+    * |x − median| > k · 1.4826 · MAD, with 1.4826 the
+    * normal-consistency constant and k = 3.5 the classic threshold.
+    * Where Tukey's IQR fences collapse when half the data is
+    * identical (IQR 0 flags everything off the mode), MAD degrades
+    * the same way only past 50% contamination — it has the highest
+    * possible breakdown point of any scale estimator, which is why
+    * telemetry pipelines prefer it for heavy-tailed value streams.
+    *
+    * Determinism: both medians are the EXACT interpolated
+    * 5-decimal-rounded quantiles; deviations are rounded at 5 BEFORE
+    * the second quantile pass; the cutoff k·1.4826·MAD is one
+    * identically-shaped double product in both engines.
+    *
+    * Scale shape: two quantile passes (each the no-per-group-
+    * buffering value-counts machinery) + a map-side-combined roll-up
+    * — the [[tukeyOutliers]] plan with one extra broadcast-class
+    * round-trip for the deviation median.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.5, broadcastGroups: Boolean = true): DataFrame = {
+    def maybeB(b: DataFrame) = if (broadcastGroups) broadcast(b) else b
+    val med = groupQuantiles(df, groupCol, valueCol,
+      Seq("__med" -> 0.5), broadcastGroups).drop("n")
+    val devs = df.join(maybeB(med), groupCol)
+      .withColumn("__dev",
+        round(abs(col(valueCol).cast("double") - col("__med")), 5))
+    val mad = groupQuantiles(devs, groupCol, "__dev",
+      Seq("__mad" -> 0.5), broadcastGroups).drop("n")
+    devs.join(maybeB(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__med")).as("median"),
+        min(col("__mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * lit(1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac", round(
+        col("n_outliers").cast("double") / col("n").cast("double"), 5))
+  }
+
   /** Equi-DEPTH histogram per group: k buckets holding ~equal row
     * counts, bounded by the group's exact i/k quantiles — the
     * population-balanced complement of the equi-width histogram

@@ -60,6 +60,30 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Quantiles.madOutliers ----
+
+  test("madOutliers: spike flagged; constant-mode group survives where IQR collapses") {
+    import graft.ext.Quantiles
+    // group a: >50% identical values → MAD degenerates to 0 and every
+    // off-mode point is flagged (the documented breakdown boundary).
+    // group b: under half identical → MAD > 0 and only the genuine
+    // spike crosses k·1.4826·MAD.
+    val df = (Seq.fill(20)(("a", 10.0)) ++ Seq(("a", 10.5), ("a", 1000.0)) ++
+      Seq.fill(7)(("b", 5.0)) ++ Seq.fill(3)(("b", 5.1)) ++
+      Seq.fill(3)(("b", 5.2)) ++ Seq(("b", 400.0)))
+      .toDF("g", "v")
+    val out = Quantiles.madOutliers(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("a") == ((22L, 0.0, 2L)), s"MAD-0 group flags all off-mode points: $out")
+    assert(out("b")._2 > 0.0, s"diverse group keeps MAD > 0: $out")
+    assert(out("b")._3 == 1L, s"only the spike flagged in the diverse group: $out")
+    // determinism across partitionings
+    val alt = Quantiles.madOutliers(df.repartition(7), "g", "v")
+      .orderBy("g").collect().toSeq
+    assert(alt == Quantiles.madOutliers(df.repartition(1), "g", "v")
+      .orderBy("g").collect().toSeq)
+  }
+
   // ---- Sampling.splitByCluster ----
 
   test("splitByCluster: near-duplicates can never straddle the split") {
