@@ -2113,6 +2113,16 @@ object OraclesExt {
     * reject_reason is the FIRST failing gate, so survivors after
     * gate i = n_docs − Σ drops of gates ≤ i.
     */
+  /** Per-source verdict breakdown — twin of
+    * Curation.verdictBreakdown over the shared verdict chain.
+    */
+  val curationBySource: String =
+    s"""WITH RECURSIVE $curationVerdictCtes
+       |SELECT d.source, coalesce(r.reject_reason, 'kept') AS verdict,
+       |  count(*)::BIGINT AS n_docs
+       |FROM r JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
+
   val curationFunnel: String =
     s"""WITH RECURSIVE $curationVerdictCtes,
        |drops AS (SELECT reject_reason AS stage, count(*)::BIGINT AS nd
@@ -2266,6 +2276,20 @@ object OraclesExt {
        |FROM events e JOIN b USING (event_type)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Time-decayed per-user value sum — twin of Events.decayedSum:
+    * identical one-pow-per-event factor (quantized DECIMAL(18,9)),
+    * exact decimal product and sum, same future-event exclusion.
+    */
+  def decayedSum(refUs: Long, halfLifeDays: Double): String =
+    s"""SELECT user_id, count(*)::BIGINT AS n_events,
+       |  round(cast(sum(cast(value AS DECIMAL(18,6)) *
+       |    round(pow(2.0, (($refUs - epoch_us(ts))::DOUBLE / 86400000000.0)
+       |      * -1.0 / $halfLifeDays), 9)::DECIMAL(18,9)) AS DOUBLE), 5)
+       |    AS decayed_sum
+       |FROM events
+       |WHERE ts IS NOT NULL AND value IS NOT NULL AND epoch_us(ts) <= $refUs
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** MAD robust outliers — twin of Quantiles.madOutliers: the shared
     * quantile machinery twice (value median, then deviation median

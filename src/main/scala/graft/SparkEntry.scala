@@ -605,6 +605,11 @@ object SparkEntry {
   private[graft] val tukeyK = 1.5
   // MAD modified-z-score threshold (Iglewicz–Hoaglin classic)
   private[graft] val madK = 3.5
+  // decayed-feature snapshot instant (2024-02-01T00:00:00Z, past the
+  // fixture's event range) and half-life (shared with
+  // OraclesExt.decayedSum)
+  private[graft] val decayRefUs = 1706745600000000L
+  private[graft] val decayHalfLifeDays = 7.0
   private[graft] val skewReportK = 5
   // KMV sketch size (shared with OraclesExt.kmvRollup)
   private[graft] val kmvK = 256
@@ -1477,6 +1482,12 @@ object SparkEntry {
     "q_curation_funnel" -> withTablesSf { (s, sfDir) =>
       Curation.funnelReportFrom(curateFullVerdicts(s, sfDir))
     },
+    // §7.5 — per-source verdict breakdown off the same shared verdict
+    // relation: which feeds the gates are rejecting, and why.
+    "q_curation_by_source" -> withTablesSf { (s, sfDir) =>
+      Curation.verdictBreakdown(curateFullVerdicts(s, sfDir),
+        s.table("documents"), "source")
+    },
     // §7.5 — CCNet perplexity buckets: head/middle/tail by the
     // document's own language's LM-score terciles (keep head, sample
     // middle, audit tail — the Wenzek et al. split).
@@ -1504,6 +1515,13 @@ object SparkEntry {
     "q_shuffle_order" -> withTables { s =>
       Sampling.shuffleOrder(s.table("documents"), shards = shuffleShards,
         salt = shuffleSalt).orderBy("global_pos")
+    },
+    // §7.5 — recency-weighted user feature: exponentially decayed
+    // value sum at a fixed snapshot instant (reproducible feature
+    // store read; one decimal-exact key aggregate).
+    "q_decayed_sum" -> withTables { s =>
+      Events.decayedSum(s.table("events"), refUs = decayRefUs,
+        halfLifeDays = decayHalfLifeDays)
     },
     // §7.5 — context-length chunking: overlapping token windows per
     // doc (map-only explode; trailing runt chunks kept).
@@ -1925,6 +1943,7 @@ object SparkEntry {
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
     "q_mad_outliers" -> OraclesExt.madOutliers(madK),
+    "q_decayed_sum" -> OraclesExt.decayedSum(decayRefUs, decayHalfLifeDays),
     "q_skew_report" -> OraclesExt.skewReport(skewReportK),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,
@@ -2026,6 +2045,7 @@ object SparkEntry {
     "q_curate_semantic" -> OraclesExt.curateSemantic,
     "q_curate_full" -> OraclesExt.curateFull,
     "q_curation_funnel" -> OraclesExt.curationFunnel,
+    "q_curation_by_source" -> OraclesExt.curationBySource,
     "q_bm25" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_bm25_indexed" -> OraclesExt.bm25(bm25Terms, bm25K, bm25K1, bm25B),
     "q_hybrid_search" -> OraclesExt.hybridRerank(bm25Terms,

@@ -247,6 +247,23 @@ object Curation {
       .orderBy("stage_idx")
   }
 
+  /** Verdict breakdown along a corpus dimension (source, language):
+    * (dim, verdict, n_docs) with `verdict` the first-failing gate or
+    * `kept` — the per-provenance quality dashboard that tells a
+    * pipeline WHICH feeds its gates are rejecting (a source whose
+    * drop profile shifts is the earliest upstream-regression signal).
+    * Reads a PRECOMPUTED [[curateFull]] verdict relation (the
+    * [[funnelReportFrom]] reuse pattern); one id-keyed join + one
+    * contingency-sized aggregate.
+    */
+  def verdictBreakdown(verdicts: DataFrame, docs: DataFrame,
+      dimCol: String, idCol: String = "doc_id"): DataFrame =
+    verdicts.join(docs.select(col(idCol), col(dimCol)), idCol)
+      .groupBy(col(dimCol),
+        coalesce(col("reject_reason"), lit("kept")).as("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(dimCol, "verdict")
+
   /** CCNet-style perplexity bucketing: each document labeled
     * head / middle / tail by its OWN language's cross-entropy
     * terciles (Wenzek et al. 2020 — the well-known-LM-score split

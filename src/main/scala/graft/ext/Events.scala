@@ -26,6 +26,41 @@ object Events {
     */
   def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
+  /** Exponentially time-decayed per-key value sum — the feature-store
+    * staple (recency-weighted engagement / spend / activity): at the
+    * reference instant `refUs` (epoch-µs), each event at age Δ days
+    * contributes value · 2^(−Δ/halfLifeDays); events after the
+    * reference are excluded (a feature snapshot never reads the
+    * future). One row per key: (keyCol, n_events, decayed_sum).
+    *
+    * Cross-engine determinism (SURVEY.md §8.3): the decay factor is
+    * ONE pow(2, x) per event — engines differ ≤1 ulp — quantized to
+    * DECIMAL(18,9); the contribution is the EXACT decimal product
+    * value₆ · factor₉ and the per-key sum is decimal addition, so no
+    * double ever accumulates and the result is identical under any
+    * partitioning. `refUs` is an explicit parameter (not now()):
+    * feature snapshots must be reproducible.
+    *
+    * Scale shape: map-side factor computation + ONE key-partitioned
+    * map-side-combined aggregate; nothing is windowed or buffered.
+    */
+  def decayedSum(events: DataFrame, refUs: Long, halfLifeDays: Double,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val ageDays = (lit(refUs) - epochUs(col(tsCol))).cast("double") /
+      lit(86400000000.0)
+    val factor = round(pow(lit(2.0), (ageDays * lit(-1.0)) / lit(halfLifeDays)), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    events
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull &&
+        epochUs(col(tsCol)) <= refUs)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valCol).cast("decimal(18,6)") * factor).cast("double"), 5)
+          .as("decayed_sum"))
+      .orderBy(keyCol)
+  }
+
   /** Tumbling 1-hour windows per event_type: event counts and
     * decimal-accumulated value sums. One map-side-combined shuffle on
     * (window, type) — at 100 TB, partial aggregation reduces each

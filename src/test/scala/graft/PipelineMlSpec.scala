@@ -60,6 +60,43 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- Events.decayedSum ----
+
+  test("decayedSum: half-life halves a contribution; future events excluded") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val ref = 1706745600000000L // 2024-02-01T00:00:00Z
+    val day = 86400000000L
+    val df = Seq(
+      (1L, ref, 10.0),            // age 0 → factor 1
+      (1L, ref - 7 * day, 10.0),  // age = half-life → factor 0.5
+      (1L, ref + day, 99.0),      // future → excluded
+      (2L, ref - 14 * day, 8.0))  // two half-lives → 0.25
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = graft.ext.Events.decayedSum(df, ref, halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((2L, 15.0)))
+    assert(out(2L) == ((1L, 2.0)))
+    // partitioning-independence (decimal accumulation)
+    val alt = graft.ext.Events.decayedSum(df.repartition(7), ref, 7.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(alt == out)
+  }
+
+  // ---- Curation.verdictBreakdown ----
+
+  test("verdictBreakdown partitions every document into kept-or-reason per dimension") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val verdicts = Curation.curateFull(docs)
+    val out = Curation.verdictBreakdown(verdicts, docs, "source").collect()
+    assert(out.map(_.getLong(2)).sum == docs.count(), "counts must partition the corpus")
+    val verdictsSeen = out.map(_.getString(1)).toSet
+    assert(verdictsSeen.contains("kept"))
+    assert(verdictsSeen.subsetOf(Set("kept", "near_duplicate", "too_short",
+      "low_quality", "repetitive", "high_oov")))
+  }
+
   // ---- Quantiles.madOutliers ----
 
   test("madOutliers: spike flagged; constant-mode group survives where IQR collapses") {
