@@ -53,7 +53,7 @@ object Packing {
     // max over zero rows is NULL — an empty corpus (e.g. a curation
     // gate rejected everything upstream) must pack to an empty
     // result, not NPE on getLong.
-    val maxIdRow = rows.agg(max(col(idCol)).cast("long")).head
+    val maxIdRow = rows.agg(max(col(idCol)).cast("long")).head()
     if (maxIdRow.isNullAt(0)) {
       return rows.select(col(idCol), col(tokenCol),
         lit(0L).as("pack_id"), lit(0L).as("pack_offset")).limit(0)

@@ -226,7 +226,7 @@ object Sampling {
         (col("__wt") * col("__k") / col("__t").cast("double")).as("__rate"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashUniform(col(idCol), salt) < col("__rate"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Temperature-flattened mixture (α = 1/2): down-sample each
@@ -259,7 +259,7 @@ object Sampling {
           col("__t").cast("double")).as("__rate"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashUniform(col(idCol), salt) < col("__rate"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Keep the k best rows per group by a score column — the

@@ -618,7 +618,7 @@ object Similarity {
     if (affected.nonEmpty) {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ivf-del").toString
-      cells.filter(col("cell").isin(affected: _*))
+      cells.filter(col("cell").isin(affected.toIndexedSeq: _*))
         .filter(!col(idCol).isin(ids: _*))
         .write.mode("overwrite").parquet(tmp)
       val staged = spark.read.parquet(tmp)
@@ -663,7 +663,7 @@ object Similarity {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val cells = spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"),
         col("cell").cast("long").as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
@@ -1057,7 +1057,7 @@ object Similarity {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(s"$dir/codes")
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(col(idCol).as("neighbor_id"), col("sub"), col("code"),
         col("cell").cast("long").as("cell"))
     val dtable = adcTable(nq, codebook, m, dims, idCol, vecCol)

@@ -132,7 +132,7 @@ object FunctionRegistry {
     r.register("upcase_values", { json =>
       val node = mapper.readTree(json)
       val out = mapper.createObjectNode()
-      node.fields().forEachRemaining { e =>
+      node.properties().forEach { e =>
         if (e.getValue.isTextual) out.put(e.getKey, e.getValue.asText().toUpperCase)
         else out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue) // preserve type
       }
