@@ -237,6 +237,23 @@ object SparkEntry {
       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** §2.3 — ANSI NOT IN three-valued-logic semantics, the classic
+    * correctness trap: a NULL anywhere in the subquery set makes
+    * `x NOT IN (set)` UNKNOWN for every x, so the nullable-set
+    * variant returns 0 rows while the null-free variant returns many.
+    * Spark plans this as a NULL-AWARE anti join — a different
+    * physical operator from NOT EXISTS' plain LeftAnti (q_semi_anti)
+    * — and both engines must agree on the empty-vs-populated split.
+    */
+  private val notInNullSql: String =
+    """SELECT 'vs_nullable_set' AS variant, count(*) AS n_rows FROM events
+      |WHERE value NOT IN (SELECT CASE WHEN event_type = 'view' THEN value END
+      |                    FROM events)
+      |UNION ALL
+      |SELECT 'vs_nonnull_set' AS variant, count(*) AS n_rows FROM events
+      |WHERE value NOT IN (SELECT value FROM events WHERE event_type = 'view')
+      |ORDER BY variant""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -776,6 +793,7 @@ object SparkEntry {
     "q_pricing_summary" -> withTables { s => s.sql(pricingSummarySql) },
     "q_top_orders" -> withTables { s => s.sql(topOrdersSql) },
     "q_semi_anti" -> withTables { s => s.sql(semiAntiSql) },
+    "q_not_in_null" -> withTables { s => s.sql(notInNullSql) },
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
@@ -1913,6 +1931,7 @@ object SparkEntry {
     "q_pricing_summary" -> pricingSummarySql,
     "q_top_orders" -> topOrdersSql,
     "q_semi_anti" -> semiAntiSql,
+    "q_not_in_null" -> notInNullSql,
     "q_scd2" -> OraclesExt.scd2,
     "q_dup_spans" -> OraclesExt.dupSpans(dupSpanN, dupSpanMinDocs),
     "q_strip_spans" -> OraclesExt.stripSpans(dupSpanN, dupSpanMinDocs),
