@@ -254,6 +254,34 @@ object SparkEntry {
       |WHERE value NOT IN (SELECT value FROM events WHERE event_type = 'view')
       |ORDER BY variant""".stripMargin
 
+  /** §2.5 — the analytic-window surface beyond ranks: lag/lead
+    * offsets, first/nth frame values over an explicit ROWS frame, a
+    * decimal-exact moving sum, and the two distribution functions —
+    * all over NAMED windows (the `WINDOW` clause parses identically
+    * in both engines). Deterministic: the window order carries the
+    * unique o_orderkey tie-break, frames are explicit where defaults
+    * could differ, and the moving sum accumulates in decimal.
+    */
+  private val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(o_totalprice, 5) AS total,
+      |  round(lag(o_totalprice) OVER w, 5) AS prev_total,
+      |  round(lead(o_totalprice) OVER w, 5) AS next_total,
+      |  round(first_value(o_totalprice) OVER wf, 5) AS first_total,
+      |  round(nth_value(o_totalprice, 2) OVER wf, 5) AS second_total,
+      |  round(cast(sum(cast(o_totalprice AS decimal(18,6))) OVER wm AS double), 5) AS moving3_sum,
+      |  round(percent_rank() OVER w, 5) AS pct_rank,
+      |  round(cume_dist() OVER w, 5) AS cume
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wm AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -794,6 +822,7 @@ object SparkEntry {
     "q_top_orders" -> withTables { s => s.sql(topOrdersSql) },
     "q_semi_anti" -> withTables { s => s.sql(semiAntiSql) },
     "q_not_in_null" -> withTables { s => s.sql(notInNullSql) },
+    "q_window_analytics" -> withTables { s => s.sql(windowAnalyticsSql) },
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
@@ -1932,6 +1961,7 @@ object SparkEntry {
     "q_top_orders" -> topOrdersSql,
     "q_semi_anti" -> semiAntiSql,
     "q_not_in_null" -> notInNullSql,
+    "q_window_analytics" -> windowAnalyticsSql,
     "q_scd2" -> OraclesExt.scd2,
     "q_dup_spans" -> OraclesExt.dupSpans(dupSpanN, dupSpanMinDocs),
     "q_strip_spans" -> OraclesExt.stripSpans(dupSpanN, dupSpanMinDocs),
