@@ -282,6 +282,48 @@ object SparkEntry {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** §2.8 — scalar string-function breadth through the passthrough:
+    * the ANSI-portable core (case mapping, length, substring, trim,
+    * replace, pad, reverse, regexp_replace, levenshtein, concat) over
+    * a dimension table — each function must agree cell-exactly with
+    * the oracle engine. Functions with known cross-engine convention
+    * differences (initcap word rules, translate, soundex) are
+    * deliberately excluded from the portable surface.
+    */
+  private val stringFuncsSql: String =
+    """SELECT n_nationkey,
+      |  upper(n_name) AS up, lower(n_name) AS lo,
+      |  length(n_name) AS len,
+      |  substring(n_name, 2, 3) AS sub,
+      |  trim('  ' || n_name || ' ') AS trimmed,
+      |  replace(n_name, '_', '-') AS replaced,
+      |  lpad(n_name, 12, '.') AS padded,
+      |  reverse(n_name) AS rev,
+      |  regexp_replace(n_name, '[0-9]+', '#') AS digits_masked,
+      |  levenshtein(n_name, reverse(n_name)) AS lev_to_rev,
+      |  concat(n_name, ':', cast(n_regionkey AS string)) AS tagged
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** §2.8 — datetime-function breadth: ANSI EXTRACT fields,
+    * date_trunc at two granularities, date casts and their canonical
+    * string rendering — the portable core (day-of-week numbering and
+    * format() are deliberately excluded: conventions differ between
+    * engines). Every field is explicitly cast to BIGINT since EXTRACT
+    * returns different integer widths per engine.
+    */
+  private val datetimeFuncsSql: String =
+    """SELECT event_type,
+      |  cast(min(extract(YEAR FROM ts)) AS BIGINT) AS min_year,
+      |  cast(max(extract(MONTH FROM ts)) AS BIGINT) AS max_month,
+      |  cast(max(extract(DAY FROM ts)) AS BIGINT) AS max_day,
+      |  cast(max(extract(HOUR FROM ts)) AS BIGINT) AS max_hour,
+      |  cast(min(extract(MINUTE FROM ts)) AS BIGINT) AS min_minute,
+      |  count(DISTINCT cast(ts AS DATE)) AS n_days,
+      |  count(DISTINCT date_trunc('HOUR', ts)) AS n_hours,
+      |  min(cast(cast(ts AS DATE) AS string)) AS first_day,
+      |  max(cast(date_trunc('DAY', ts) AS DATE)) AS last_trunc_day
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** §2.6 — total-order sort + LIMIT (plans as TakeOrderedAndProject:
     * per-partition top-k, k-row merge on the driver — no full sort of
     * the table at any scale). Unique tie-break key for determinism.
@@ -823,6 +865,8 @@ object SparkEntry {
     "q_semi_anti" -> withTables { s => s.sql(semiAntiSql) },
     "q_not_in_null" -> withTables { s => s.sql(notInNullSql) },
     "q_window_analytics" -> withTables { s => s.sql(windowAnalyticsSql) },
+    "q_string_funcs" -> withTables { s => s.sql(stringFuncsSql) },
+    "q_datetime_funcs" -> withTables { s => s.sql(datetimeFuncsSql) },
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
@@ -1962,6 +2006,8 @@ object SparkEntry {
     "q_semi_anti" -> semiAntiSql,
     "q_not_in_null" -> notInNullSql,
     "q_window_analytics" -> windowAnalyticsSql,
+    "q_string_funcs" -> stringFuncsSql,
+    "q_datetime_funcs" -> datetimeFuncsSql,
     "q_scd2" -> OraclesExt.scd2,
     "q_dup_spans" -> OraclesExt.dupSpans(dupSpanN, dupSpanMinDocs),
     "q_strip_spans" -> OraclesExt.stripSpans(dupSpanN, dupSpanMinDocs),
