@@ -869,6 +869,60 @@ object OraclesExt {
        |  cast(rank AS INT) AS rank
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Residual IVF-PQ — twin of Similarity.ivfPqResidualTopK: residual
+    * vectors (v − cell centroid) feed the SAME pqCtes codebook/encode
+    * machinery; the ADC lookup table is keyed by (query, probed cell)
+    * since the query's residual differs per cell; scoring joins on
+    * (query, cell, sub, code).
+    */
+  def knnIvfPqResidual(m: Int, ksub: Int, subDim: Int, k: Int,
+      nlist: Int, nprobe: Int): String =
+    s"""WITH $normCte,
+       |icents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN icents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |acell AS (SELECT vec_id, nv, centroid_id FROM ranked_a WHERE crank = 1),
+       |rv AS (SELECT a.vec_id,
+       |  list_transform(list_zip(a.nv, c.ce), z -> z[1] - z[2]) AS e,
+       |  a.centroid_id
+       |  FROM acell a JOIN icents c USING (centroid_id)),
+       |${pqCtes(m, ksub, subDim, "SELECT vec_id, e FROM rv")},
+       |codes AS (SELECT p.vec_id AS neighbor_id, r.centroid_id, p.sub, p.code
+       |  FROM pqa p JOIN rv r ON p.vec_id = r.vec_id WHERE rk2 = 1),
+       |probes AS (SELECT vec_id AS query_id, nv, centroid_id
+       |  FROM ranked_a WHERE crank <= $nprobe AND vec_id < 5),
+       |qrv AS (SELECT p.query_id, p.centroid_id,
+       |  list_transform(list_zip(p.nv, c.ce), z -> z[1] - z[2]) AS qe
+       |  FROM probes p JOIN icents c USING (centroid_id)),
+       |qsv AS (SELECT query_id, centroid_id, s.sub,
+       |  qe[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS xv
+       |  FROM qrv CROSS JOIN range(0, $m) s(sub)),
+       |qsx AS (SELECT query_id, centroid_id, sub, xv,
+       |  list_sum(list_transform(xv, x -> x * x)) AS xx FROM qsv),
+       |dt AS (SELECT query_id, centroid_id, ccs.sub, ccs.code,
+       |  round(xx - 2 * list_sum(list_transform(list_zip(xv, cv),
+       |    z -> z[1] * z[2])) + ccs.cc, 9)::DECIMAL(18,9) AS dq
+       |  FROM qsx JOIN ccs ON qsx.sub = ccs.sub),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.centroid_id
+       |  FROM acell a JOIN probes p USING (centroid_id)
+       |  WHERE p.query_id <> a.vec_id),
+       |sc AS (SELECT c.query_id, c.neighbor_id, sum(dq) AS adc
+       |  FROM cand c
+       |  JOIN codes cd ON cd.neighbor_id = c.neighbor_id
+       |    AND cd.centroid_id = c.centroid_id
+       |  JOIN dt ON dt.query_id = c.query_id
+       |    AND dt.centroid_id = c.centroid_id
+       |    AND dt.sub = cd.sub AND dt.code = cd.code
+       |  GROUP BY 1, 2),
+       |r2 AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, round(adc::DOUBLE, 5) AS adc_dist,
+       |  cast(rank AS INT) AS rank
+       |FROM r2 WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Two-stage compressed serving — twin of Similarity.ivfPqRefineTopK:
     * ADC top-candidateK candidates re-scored by EXACT cosine on the
     * normalized vectors, re-ranked, top-k.

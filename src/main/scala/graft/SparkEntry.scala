@@ -1142,6 +1142,15 @@ object SparkEntry {
         nlist = 16, nprobe = 4, m = pqM, ksub = pqKsub, dims = pqDims)
         .orderBy("query_id", "rank")
     },
+    // RESIDUAL encoding — FAISS's default: PQ quantizes v − c(v)
+    // per cell, spending the codebook on fine detail; ADC tables are
+    // keyed per (query, probed cell).
+    "q_knn_ivfpq_residual" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10, nlist = 16, nprobe = 4, m = pqM, ksub = pqKsub,
+        dims = pqDims).orderBy("query_id", "rank")
+    },
     // ADC-candidates → exact-cosine rerank: the compressed index
     // recalls candidateK cheaply, the raw vectors are fetched only
     // for those ids (query-volume-shaped refine).
@@ -2070,6 +2079,8 @@ object SparkEntry {
     "q_ann_recall" -> OraclesExt.annRecall(10, 16, annRecallNprobes),
     "q_ann_recall_pq" -> OraclesExt.annRecallPq(pqM, pqKsub, pqDims / pqM,
       10, 16, annRecallNprobes),
+    "q_knn_ivfpq_residual" -> OraclesExt.knnIvfPqResidual(pqM, pqKsub,
+      pqDims / pqM, 10, 16, 4),
     "q_knn_ivf_indexed" -> OraclesExt.knnIvf,
     "q_knn_ivf_refined" -> OraclesExt.knnIvfRefined,
     "q_pq_codes" -> OraclesExt.pqCodes(pqM, pqKsub, pqDims / pqM),

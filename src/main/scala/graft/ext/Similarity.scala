@@ -978,6 +978,82 @@ object Similarity {
         round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — FAISS's default composition:
+    * instead of quantizing raw vectors, PQ quantizes each vector's
+    * residual v − c(v) against its cell centroid. WHEN the corpus has
+    * real cluster structure the coarse quantizer explains it, the
+    * residual distribution is small shared noise pooled across all
+    * cells, and the same codebook budget spends its codes on fine
+    * detail — lower reconstruction error at identical storage
+    * (spec-demonstrated on many-cluster data). The boundary is
+    * honest: on structureless (near-random) vectors, v − c can carry
+    * MORE energy than v and residual encoding loses — which is why
+    * FAISS exposes by_residual as a switch, and why this operator is
+    * the sibling of [[ivfPqTopK]], not its replacement. The price is
+    * a PER-(query, probed-cell) ADC table (the query's residual
+    * differs in every probed cell): |queries|·nprobe·m·ksub rows,
+    * still broadcast-class.
+    *
+    * Scale shape mirrors [[ivfPqTopK]]: candidates are light id
+    * pairs from the cell join; codes attach by (neighbor, cell); the
+    * keyed lookup table broadcasts; per-query WindowGroupLimit ranks.
+    * One shared residual codebook across cells (the FAISS default),
+    * trained on the md5-sampled residual rows — deterministic in the
+    * repo's sampled-centroid convention.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dims / m
+    val nc = normalized(corpus, idCol, vecCol)
+    val nq = normalized(queries, idCol, vecCol)
+    val cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    val assigned = ivfAssign(nc, cents, 1, idCol, vecCol)
+    val resid = assigned.join(broadcast(cents), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col(vecCol), col("centroid_vec"), (a, b) => a - b).as(vecCol))
+    // shared residual codebook + per-vector codes, cell label attached
+    val pqc = pqCentroids(resid, m, ksub, dims, idCol, vecCol)
+    val codes = pqEncode(resid, m, ksub, dims, idCol, vecCol)
+      .join(assigned.select(col(idCol), col("centroid_id")), idCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("sub"), col("code"))
+    // per-(query, probed cell) residuals → keyed ADC lookup table
+    val probes = ivfAssign(nq, cents, nprobe, idCol, vecCol)
+    val qresid = probes.join(broadcast(cents), "centroid_id")
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        zip_with(col(vecCol), col("centroid_vec"), (a, b) => a - b).as("qr"))
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("__vd"), s * subDim + 1, subDim).as("qv"))
+    }: _*)
+    val dtable = qresid
+      .select(col("query_id"), col("centroid_id"), asDouble(col("qr")).as("__vd"))
+      .select(col("query_id"), col("centroid_id"), explode(subs).as("sq"))
+      .select(col("query_id"), col("centroid_id"),
+        col("sq.sub").as("sub"), col("sq.qv").as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .join(broadcast(pqc), "sub")
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
+        round(col("qq") - lit(2.0) * dot(col("qv"), col("cvec")) + col("cc"), 9)
+          .cast(DecimalType(18, 9)).as("dq"))
+    val cand = assigned.select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(broadcast(probes.select(col(idCol).as("query_id"),
+        col("centroid_id"))), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = cand.join(codes, Seq("neighbor_id", "centroid_id"))
+      .join(broadcast(dtable), Seq("query_id", "centroid_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dq")).as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
+  }
+
   /** Two-stage compressed serving: [[ivfPqTopK]]'s ADC ranking
     * generates `candidateK` candidates per query from codes alone,
     * then the survivors — and ONLY the survivors — are re-scored by

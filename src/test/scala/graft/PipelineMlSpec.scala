@@ -287,6 +287,53 @@ class PipelineMlSpec extends AnyFunSuite {
       s"expected only the cross-lang pair, got ${got.toSeq}")
   }
 
+  test("residual PQ shrinks reconstruction error on CLUSTERED data") {
+    // the operator's reason to exist: when the coarse quantizer
+    // explains cell-level structure, residuals have far less variance
+    // than raw vectors, so the same codebook quantizes them more
+    // accurately. (On data with NO cluster structure — like the
+    // synthetic near-random fixture embeddings — residual v − c can
+    // carry MORE energy than v and residual encoding loses; that
+    // boundary is why FAISS exposes both by_residual modes.)
+    // 32 dense random cluster centers — MORE clusters than the ksub=16
+    // codebook can memorize, so flat PQ must leave most sub-vector
+    // directions uncovered; residuals are tiny shared-distribution
+    // noise the same codebook captures almost fully. (With FEW tight
+    // clusters flat PQ memorizes them outright and residual loses —
+    // the first version of this fixture demonstrated exactly that.)
+    val rng = new scala.util.Random(7)
+    val dims = 64
+    val centers = Array.fill(32)(Array.fill(dims)(rng.nextFloat() - 0.5f))
+    val rows = (0 until 32).flatMap { c =>
+      (0 until 8).map { i =>
+        val v = centers(c).map(_ + (rng.nextFloat() - 0.5f) * 0.04f)
+        ((c * 8 + i).toLong, v)
+      }
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val nc = Similarity.normalized(clustered)
+    val cents = Similarity.ivfCentroids(nc, 32)
+    val resid = Similarity.ivfAssign(nc, cents, 1)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("centroid_vec"), (a, b) => a - b)
+          .as("embedding"))
+    def totalErr(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqEncode(df, m = 4, ksub = 16, dims = dims)
+        .agg(sum(col("sq_dist")).cast("double")).head().getDouble(0)
+    val flatErr = totalErr(nc)
+    val residErr = totalErr(resid)
+    assert(residErr < flatErr,
+      s"residual encoding must shrink error on clustered data: $residErr >= $flatErr")
+    // the search over the fixture: k ranked rows per query, rank dense
+    val out = Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 5),
+      k = 10, nlist = 16, nprobe = 4).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("annRecallPq: ADC recall never exceeds exact-scored IVF recall at any nprobe") {
     // identical candidate sets per nprobe; IVF's exact scoring
     // recovers every truth member among them, ADC can misrank some out
