@@ -221,6 +221,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_knn_pq" -> "ksub-row codebook sample",
       "q_knn_ivfpq" -> "ksub-row codebook sample",
       "q_knn_ivfpq_refined" -> "ksub-row codebook sample",
+      "q_knn_ivfpq_residual" -> "ksub-row codebook sample",
       // funnelReport's cumsum frame is the six-row stage list
       "q_curation_funnel" -> "six-row stage list",
       // dsirResample ranks the k already-selected rows (dsirK config)
