@@ -733,6 +733,23 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Filtered vector search — twin of q_knn_filtered: the brute-force
+    * chain with the corpus side pre-filtered by the document
+    * predicate (queries stay unconstrained).
+    */
+  def knnFiltered(lang: String): String =
+    s"""WITH $normCte,
+       |allowed AS (SELECT doc_id FROM documents WHERE lang = '$lang'),
+       |c AS (SELECT n.vec_id, n.nv FROM n JOIN allowed ON n.vec_id = allowed.doc_id),
+       |q AS (SELECT vec_id, nv FROM n WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
+       |  FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Random-hyperplane LSH top-10 (4 planes, 64 dims) — twin of
     * Similarity.lshTopK. Plane weights derive from md5("p,d"), so
     * both engines build the identical hyperplanes; buckets and scores

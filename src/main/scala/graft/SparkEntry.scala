@@ -1066,6 +1066,21 @@ object SparkEntry {
       Similarity.topK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .orderBy("query_id", "rank")
     },
+    // §7.5 — FILTERED vector search (metadata-constrained ANN): the
+    // corpus is PRE-filtered by the document predicate before scoring,
+    // so every query returns k qualifying neighbors — the semantics a
+    // post-filter on an unconstrained top-k cannot guarantee (it
+    // returns ≤ k after discarding). The predicate join is id-keyed
+    // and pushes into the scan side of the broadcast score join.
+    "q_knn_filtered" -> withTables { s =>
+      val emb = s.table("embeddings")
+      val allowed = s.table("documents")
+        .filter(col("lang") === dsirTargetLang)
+        .select(col("doc_id").as("vec_id"))
+      Similarity.topK(emb.join(allowed, "vec_id"),
+        emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy("query_id", "rank")
+    },
     // §7.5 — Johnson–Lindenstrauss random projection: 64-d embeddings
     // compacted to 8-d sketches with an md5-derived constant matrix;
     // map-only, no shuffle, bit-identical matrix in both engines.
@@ -2073,6 +2088,7 @@ object SparkEntry {
     "q_semdedup" -> OraclesExt.semDedupPairs(0.4, semDedupNlist, semDedupNprobe),
     "q_embedding_clusters" -> OraclesExt.embeddingClusters,
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
+    "q_knn_filtered" -> OraclesExt.knnFiltered(dsirTargetLang),
     "q_random_projection" -> OraclesExt.randomProjection(outDims = 8, dims = 64),
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
