@@ -733,6 +733,29 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Pairwise source n-gram overlap — twin of
+    * CorpusOverlap.sourceOverlap: per-source distinct shingle sets
+    * (shared [[shCte]] convention), exact intersection counts from a
+    * shingle-keyed self-meet, one rounded Jaccard division.
+    */
+  val sourceOverlap: String =
+    s"""WITH $toksCte,
+       |$shCte,
+       |sg AS (SELECT DISTINCT dim, g FROM (
+       |  SELECT d.source AS dim, unnest(sh.s) AS g
+       |  FROM sh JOIN documents d USING (doc_id))),
+       |sizes AS (SELECT dim, count(*)::BIGINT AS n_grams FROM sg GROUP BY dim),
+       |inter AS (SELECT a.dim AS dim_a, b.dim AS dim_b, count(*)::BIGINT AS n_common
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.dim < b.dim
+       |  GROUP BY 1, 2)
+       |SELECT dim_a, dim_b, sa.n_grams AS n_a, sb.n_grams AS n_b, n_common,
+       |  round(n_common::DOUBLE / (sa.n_grams + sb.n_grams - n_common)::DOUBLE, 5)
+       |    AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.dim_a = sa.dim
+       |JOIN sizes sb ON inter.dim_b = sb.dim
+       |ORDER BY dim_a, dim_b""".stripMargin
+
   /** Filtered vector search — twin of q_knn_filtered: the brute-force
     * chain with the corpus side pre-filtered by the document
     * predicate (queries stay unconstrained).

@@ -1035,6 +1035,11 @@ object SparkEntry {
         bands = 8, planesPerBand = 2, dims = 64)
         .orderBy("id_a", "id_b")
     },
+    // §7.5 — feed-redundancy audit: pairwise n-gram Jaccard between
+    // sources (mirror/scrape detection before doc-level dedup).
+    "q_source_overlap" -> withTables { s =>
+      graft.ext.CorpusOverlap.sourceOverlap(s.table("documents"))
+    },
     // §7.5 — cross-lingual bitext mining: near-dup pairs in embedding
     // space whose documents carry different language labels — the
     // LASER/CCMatrix translation-candidate surface.
@@ -2132,6 +2137,7 @@ object SparkEntry {
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
     "q_ppl_buckets" -> OraclesExt.pplBuckets,
     "q_bitext_mine" -> OraclesExt.crossLingualPairs(0.4),
+    "q_source_overlap" -> OraclesExt.sourceOverlap,
     "q_importance_weights" -> OraclesExt.importanceWeights(dsirTargetLang),
     "q_dsir_sample" -> OraclesExt.dsirSample(dsirK, dsirTargetLang, dsirSalt),
     "q_shuffle_order" -> OraclesExt.shuffleOrder(shuffleShards, shuffleSalt),

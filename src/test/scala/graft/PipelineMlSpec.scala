@@ -270,6 +270,22 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) <= r.getLong(2)))
   }
 
+  test("sourceOverlap: mirrors score 1.0, partial overlap in between, disjoint absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", "mirror1"),
+      (2L, "alpha beta gamma delta epsilon", "mirror2"),   // exact mirror
+      (3L, "alpha beta gamma zeta eta",      "partial"),   // shares a prefix
+      (4L, "one two three four five",        "disjoint"))  // no common shingle
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.CorpusOverlap.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(out(("mirror1", "mirror2")) == 1.0)
+    val p = out(("mirror1", "partial"))
+    assert(p > 0.0 && p < 1.0, s"partial overlap must be strictly between: $p")
+    // disjoint pairs have no common shingle and are absent by design
+    assert(!out.keySet.exists(k => k._1 == "disjoint" || k._2 == "disjoint"))
+  }
+
   test("crossLingualPairs keeps only cross-language near-dups") {
     // two near-identical directions: (1,2) cross-lang, (3,4) same-lang
     val emb = Seq(
