@@ -2371,6 +2371,28 @@ object OraclesExt {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Inter-arrival gap quantiles — twin of Events.interArrivalStats:
+    * per-(user, type) lag gaps in the (ts, event_id) tie order, then
+    * the shared exact-quantile machinery per type.
+    */
+  def interArrival(ps: Seq[(String, Double)]): String = {
+    val picks = quantilePicksSql(ps)
+    val proj = quantileProjSql(ps)
+    s"""WITH gg AS (SELECT event_type,
+       |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |    (PARTITION BY user_id, event_type
+       |     ORDER BY epoch_us(ts), event_id) AS gap
+       |  FROM events WHERE ts IS NOT NULL),
+       |vc AS (SELECT event_type AS g, gap::DOUBLE AS v, count(*)::BIGINT AS cnt
+       |  FROM gg WHERE gap IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
+       |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
+       |a AS (SELECT g, n, $picks FROM j GROUP BY g, n)
+       |SELECT g AS event_type, n, $proj FROM a ORDER BY event_type""".stripMargin
+  }
+
   /** Time-decayed per-user value sum — twin of Events.decayedSum:
     * identical one-pow-per-event factor (quantized DECIMAL(18,9)),
     * exact decimal product and sum, same future-event exclusion.

@@ -1636,6 +1636,11 @@ object SparkEntry {
       Sampling.shuffleOrder(s.table("documents"), shards = shuffleShards,
         salt = shuffleSalt).orderBy("global_pos")
     },
+    // §7.5 — telemetry-health report: per-type inter-arrival gap
+    // quantiles over each user's event stream (drumbeat/stall signal).
+    "q_inter_arrival" -> withTables { s =>
+      Events.interArrivalStats(s.table("events")).orderBy("event_type")
+    },
     // §7.5 — recency-weighted user feature: exponentially decayed
     // value sum at a fixed snapshot instant (reproducible feature
     // store read; one decimal-exact key aggregate).
@@ -2068,6 +2073,8 @@ object SparkEntry {
     "q_outliers" -> OraclesExt.tukeyOutliers(tukeyK),
     "q_mad_outliers" -> OraclesExt.madOutliers(madK),
     "q_decayed_sum" -> OraclesExt.decayedSum(decayRefUs, decayHalfLifeDays),
+    "q_inter_arrival" -> OraclesExt.interArrival(
+      Seq(("p50_gap_us", 0.5), ("p90_gap_us", 0.9))),
     "q_skew_report" -> OraclesExt.skewReport(skewReportK),
     "q_dedup_fuzzy" -> OraclesExt.dedupFuzzy(fuzzyRatioNum, fuzzyRatioDen),
     "q_merge_upsert" -> OraclesExt.mergeUpsert,

@@ -26,6 +26,31 @@ object Events {
     */
   def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
+  /** Per-type inter-arrival gap quantiles — the telemetry-health
+    * report: the distribution of µs gaps between a user's successive
+    * events of each type (p50 collapse → a client started drumbeating;
+    * p90 blow-up → an ingest stall). Gaps are computed per
+    * (user, type) stream in (ts, event_id) order — the repo's
+    * debounce tie convention — and summarized per type with EXACT
+    * interpolated quantiles.
+    *
+    * Scale shape: one (user, type)-keyed lag window (each task holds
+    * one row of state per stream), then the no-per-group-buffering
+    * quantile machinery over the (type, gap) value counts.
+    */
+  def interArrivalStats(events: DataFrame,
+      ps: Seq[(String, Double)] = Seq(("p50_gap_us", 0.5), ("p90_gap_us", 0.9)),
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol, typeCol)
+      .orderBy(col("__us"), col(idCol))
+    val gaps = events.filter(col(tsCol).isNotNull)
+      .withColumn("__us", epochUs(col(tsCol)))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    graft.ext.Quantiles.groupQuantiles(gaps, typeCol, "__gap", ps)
+  }
+
   /** Exponentially time-decayed per-key value sum — the feature-store
     * staple (recency-weighted engagement / spend / activity): at the
     * reference instant `refUs` (epoch-µs), each event at age Δ days
