@@ -17,42 +17,51 @@ package graft.exec
   * Beyond the reference's own shapes, the shim also rewrites the
   * hand-written Athena constructs a real user hits first:
   *  - `ARRAY[...]` literals → `array(...)` ([[rewriteArrayLiteral]]);
-  *  - weighted `approx_percentile(x, w, p)` → `percentile(x, p, w)`
+  *  - weighted `approx_percentile(x, w, p)` and
+  *    `approx_percentile(x, w, p, accuracy)` → `percentile(x, p, w)`
   *    ([[rewriteApproxPercentile]]);
-  *  - single-array `UNNEST(a) AS t(c)` → `[LATERAL] explode`
-  *    ([[rewriteUnnest]]).
+  *  - `UNNEST` in all four Trino forms ([[rewriteUnnest]]):
+  *    single-array → `explode`, multi-array → zipped `inline`
+  *    (null-padded to the longest array, Trino's rule),
+  *    `WITH ORDINALITY` → a 1-based last ordinal column, and
+  *    `LEFT JOIN UNNEST(..) .. ON TRUE` → `LEFT JOIN LATERAL`
+  *    (Spark's lateral generator under LEFT JOIN .. ON TRUE already
+  *    emits the row-preserving null row, verified empirically);
+  *  - `TRY(CAST(x AS t))` → `try_cast(x AS t)` ([[rewriteTry]]);
+  *    bare `TRY_CAST` parses natively in Spark 3.2+ and passes
+  *    through (parity-spec'd, not rewritten);
+  *  - bare `VARCHAR` / `VARBINARY` type names → `STRING` / `BINARY`
+  *    ([[rewriteBareTypes]]; `VARCHAR(n)` parses natively).
+  *
+  * Every scanner is comment-aware: `--` line comments and
+  * slash-star block comments are masked exactly like string
+  * literals, so an
+  * apostrophe in a comment can't flip the in-string state and trigger
+  * tokens inside comments are never rewritten (ADVICE r6).
   *
   * This is a scoped text shim, not a general Trino frontend. The
-  * documented REMAINING unsupported list: multi-array UNNEST /
-  * `WITH ORDINALITY` / `LEFT JOIN UNNEST ... ON TRUE`, Trino lambda
-  * syntax (`x -> f(x)` differences are minor but untested), `TRY`/
-  * `TRY_CAST` (Spark spells it `try_cast`), `at_timezone`, and row
+  * documented REMAINING unsupported list: `TRY` around anything but a
+  * single CAST (Trino's TRY catches arbitrary scalar errors; Spark
+  * only has the try_* function family), UNNEST of a map argument in
+  * the MULTI-array form (single-map `UNNEST(m) AS t(k, v)` works via
+  * explode), Trino lambda syntax (`x -> f(x)` differences are minor
+  * but untested), `at_timezone` (Spark timestamps are not
+  * zone-carrying, so there is no faithful spelling), and row
   * constructors with field names.
   */
 object TrinoDialect {
 
   /** Replace double-quoted identifiers with backtick-quoted ones,
-    * leaving single-quoted string literals (with `''` escapes)
-    * untouched.
+    * leaving single-quoted string literals (with `''` escapes) and
+    * comments untouched.
     */
   def quoteIdentifiers(sql: String): String = {
+    val lit = literalMask(sql)
     val out = new StringBuilder(sql.length)
     var i = 0
-    var inString = false
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inString) {
-        out.append(c)
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-            out.append('\''); i += 1 // escaped quote stays inside the string
-          } else inString = false
-        }
-      } else c match {
-        case '\'' => inString = true; out.append(c)
-        case '"' => out.append('`')
-        case _ => out.append(c)
-      }
+      out.append(if (c == '"' && !lit(i)) '`' else c)
       i += 1
     }
     out.toString
@@ -60,8 +69,8 @@ object TrinoDialect {
 
   /** Rewrite every `map_agg(<args>)` call to
     * `map_from_entries(collect_list(struct(<args>)))`, with a
-    * quote-aware balanced-paren scan (arguments may contain nested
-    * calls and string literals).
+    * mask-aware balanced-paren scan (arguments may contain nested
+    * calls, string literals, and comments).
     */
   def rewriteMapAgg(sql: String): String = {
     val lower = sql.toLowerCase
@@ -83,27 +92,10 @@ object TrinoDialect {
         i = at + "map_agg".length
       } else {
         out.append(sql.substring(i, at))
-        var j = sql.indexOf('(', at) // start of the argument list
-        var depth = 0
-        var inString = false
-        var end = -1
-        while (end < 0 && j < sql.length) {
-          val c = sql.charAt(j)
-          if (inString) {
-            if (c == '\'') {
-              if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 1
-              else inString = false
-            }
-          } else c match {
-            case '\'' => inString = true
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) end = j
-            case _ =>
-          }
-          j += 1
-        }
+        val open = sql.indexOf('(', at)
+        val end = closingParen(sql, open, lit)
         require(end > 0, s"unbalanced parentheses in map_agg call at offset $at")
-        val args = sql.substring(sql.indexOf('(', at) + 1, end)
+        val args = sql.substring(open + 1, end)
         out.append(s"map_from_entries(collect_list(struct($args)))")
         i = end + 1
       }
@@ -112,19 +104,13 @@ object TrinoDialect {
   }
 
   /** Index of the `)` closing the `(` at `open`, honoring nested
-    * parens and string literals; -1 if unbalanced.
+    * parens, string literals, and comments; -1 if unbalanced.
     */
-  private def closingParen(sql: String, open: Int): Int = {
-    var j = open; var depth = 0; var inString = false
+  private def closingParen(sql: String, open: Int,
+      lit: Array[Boolean]): Int = {
+    var j = open; var depth = 0
     while (j < sql.length) {
-      val c = sql.charAt(j)
-      if (inString) {
-        if (c == '\'') {
-          if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 1
-          else inString = false
-        }
-      } else c match {
-        case '\'' => inString = true
+      if (!lit(j)) sql.charAt(j) match {
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return j
         case _ =>
@@ -134,21 +120,15 @@ object TrinoDialect {
     -1
   }
 
-  /** Split an argument list at top-level commas (quote / paren /
-    * bracket aware).
+  /** Split an argument list at top-level commas (quote / comment /
+    * paren / bracket aware).
     */
   private def splitTopLevel(args: String): Seq[String] = {
+    val lit = literalMask(args)
     val out = Seq.newBuilder[String]
-    var start = 0; var depth = 0; var inString = false; var i = 0
+    var start = 0; var depth = 0; var i = 0
     while (i < args.length) {
-      val c = args.charAt(i)
-      if (inString) {
-        if (c == '\'') {
-          if (i + 1 < args.length && args.charAt(i + 1) == '\'') i += 1
-          else inString = false
-        }
-      } else c match {
-        case '\'' => inString = true
+      if (!lit(i)) args.charAt(i) match {
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
         case ',' if depth == 0 => out += args.substring(start, i); start = i + 1
@@ -161,25 +141,50 @@ object TrinoDialect {
   }
 
   /** Per-character mask: true where the character sits inside a
-    * single-quoted string literal (quotes included). Lets the
-    * indexOf-driven rewrites skip matches that are DATA, not syntax —
-    * the property suite feeds literals like 'UNNEST(a)' that must
-    * survive byte-for-byte.
+    * single-quoted string literal (quotes included), a `--` line
+    * comment (through the newline-exclusive end), or a standard
+    * non-nesting slash-star block comment (delimiters included). Lets
+    * the indexOf-driven rewrites skip matches that are DATA or
+    * commentary, not syntax — the property suite feeds literals like
+    * 'UNNEST(a)' that must survive byte-for-byte, and a `-- don't`
+    * comment must not flip the in-string state (ADVICE r6).
+    * Backtick-quoted identifiers (the output of [[quoteIdentifiers]])
+    * are masked too, so a column literally named `varchar` or
+    * `unnest` is never treated as a keyword by later rewrites.
     */
   private def literalMask(sql: String): Array[Boolean] = {
     val m = new Array[Boolean](sql.length)
-    var i = 0; var inString = false
+    var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inString) {
-        m(i) = true
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-            m(i + 1) = true; i += 1
-          } else inString = false
+      if (c == '`') {
+        m(i) = true; i += 1
+        while (i < sql.length && sql.charAt(i) != '`') { m(i) = true; i += 1 }
+        if (i < sql.length) { m(i) = true; i += 1 }
+      } else if (c == '\'') {
+        // string literal with '' escapes
+        m(i) = true; i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          m(i) = true
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+              m(i + 1) = true; i += 1
+            } else closed = true
+          }
+          i += 1
         }
-      } else if (c == '\'') { m(i) = true; inString = true }
-      i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') { m(i) = true; i += 1 }
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        m(i) = true; m(i + 1) = true; i += 2
+        var closed = false
+        while (i < sql.length && !closed) {
+          m(i) = true
+          if (sql.charAt(i) == '/' && sql.charAt(i - 1) == '*') closed = true
+          i += 1
+        }
+      } else i += 1
     }
     m
   }
@@ -204,24 +209,18 @@ object TrinoDialect {
     * (neither is an `ARRAY[` keyword-bracket pair).
     */
   def rewriteArrayLiteral(sql: String): String = {
+    val lit = literalMask(sql)
     val out = new StringBuilder(sql.length)
     // stack entry per open '[': true = this bracket was an ARRAY[
     var stack = List.empty[Boolean]
-    var i = 0; var inString = false
+    var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inString) {
-        out.append(c)
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-            out.append('\''); i += 1
-          } else inString = false
-        }
-        i += 1
-      } else if (isKeywordAt(sql, i, "array") && {
+      if (lit(i)) { out.append(c); i += 1 }
+      else if (isKeywordAt(sql, i, "array") && !lit(i) && {
         var j = i + 5
         while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
-        j < sql.length && sql.charAt(j) == '['
+        j < sql.length && sql.charAt(j) == '[' && !lit(j)
       }) {
         out.append("array(")
         i += 5
@@ -230,7 +229,6 @@ object TrinoDialect {
         stack = true :: stack
       } else {
         c match {
-          case '\'' => inString = true; out.append(c)
           case '[' => stack = false :: stack; out.append(c)
           case ']' =>
             val isArr = stack.headOption.contains(true)
@@ -244,14 +242,16 @@ object TrinoDialect {
     out.toString
   }
 
-  /** Trino's WEIGHTED `approx_percentile(x, w, percentage)` →
+  /** Trino's WEIGHTED `approx_percentile(x, w, percentage)` and
+    * `approx_percentile(x, w, percentage, accuracy)` →
     * Spark `percentile(x, percentage, w)` (Spark's exact weighted
     * percentile — exactness is a valid implementation of "approx",
     * and Spark's own 3-arg form means (x, percentage, accuracy), so
-    * the Trino argument order cannot be passed through). The 1- and
-    * 2-argument forms (and the array-percentage form, after
-    * [[rewriteArrayLiteral]]) parse natively in Spark and pass
-    * through untouched.
+    * the Trino argument order cannot be passed through; the 4-arg
+    * form's accuracy hint is dropped, which can only IMPROVE on the
+    * requested accuracy). The 1- and 2-argument forms (and the
+    * array-percentage form, after [[rewriteArrayLiteral]]) parse
+    * natively in Spark and pass through untouched.
     */
   def rewriteApproxPercentile(sql: String): String = {
     val lower = sql.toLowerCase
@@ -269,11 +269,12 @@ object TrinoDialect {
         if (j >= sql.length || sql.charAt(j) != '(') {
           out.append(sql.substring(i, at + 17)); i = at + 17
         } else {
-          val end = closingParen(sql, j)
+          val end = closingParen(sql, j, lit)
           require(end > 0, s"unbalanced parentheses in approx_percentile at offset $at")
           val args = splitTopLevel(sql.substring(j + 1, end))
-          if (args.length == 3) {
-            // nested calls inside the swapped args still rewrite
+          if (args.length == 3 || args.length == 4) {
+            // nested calls inside the swapped args still rewrite;
+            // a 4th (accuracy) argument is dropped
             val a = args.map(rewriteApproxPercentile)
             out.append(sql.substring(i, at))
             out.append(s"percentile(${a(0)},${a(2)},${a(1)})")
@@ -291,43 +292,185 @@ object TrinoDialect {
     out.toString
   }
 
-  /** Trino `UNNEST(expr) [AS] t (c)` → Spark's `explode` table
-    * function, with `LATERAL` inserted when the call follows
-    * `CROSS JOIN` or an implicit-join comma (Spark requires the
-    * keyword for a correlated table-function reference; Trino
-    * correlates implicitly). Scope: the single-array single-column
-    * form — multi-array UNNEST, `WITH ORDINALITY`, and
-    * `LEFT JOIN UNNEST ... ON TRUE` remain on the documented
-    * unsupported list.
+  /** Trino `UNNEST(...)` → Spark's generator table functions, all
+    * four Trino forms:
+    *
+    *  - `UNNEST(a) AS t(c)` → `explode(a) AS t(c)` (also the
+    *    single-MAP form, where explode yields the same 2 columns);
+    *  - `UNNEST(a, b) AS t(x, y)` → `inline(arrays_zip(a, b))
+    *    AS t(x, y)` — arrays_zip null-pads to the longest array,
+    *    which is exactly Trino's multi-array rule;
+    *  - `... WITH ORDINALITY AS t(.., i)` → an extra zipped
+    *    `slice(sequence(0, n), 2, n)` ordinal array (1-based, LAST
+    *    column — Trino's ordering; the slice form stays empty-safe
+    *    where `sequence(1, 0)` would count down);
+    *  - `LEFT JOIN UNNEST(a) AS t(c) ON TRUE` → `LEFT JOIN LATERAL
+    *    explode(a) AS t(c) ON TRUE` — Spark's lateral generator under
+    *    a row-preserving join emits Trino's null row for empty/null
+    *    arrays, so only the LATERAL keyword needs inserting.
+    *
+    * `LATERAL` is inserted whenever the call follows a JOIN keyword
+    * or an implicit-join comma (Spark requires the keyword for a
+    * correlated table-function reference; Trino correlates
+    * implicitly).
     */
   def rewriteUnnest(sql: String): String = {
     val lower = sql.toLowerCase
     val lit = literalMask(sql)
     val out = new StringBuilder(sql.length)
+    def skipWs(k0: Int): Int = {
+      var k = k0
+      while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+      k
+    }
     var i = 0
     while (i < sql.length) {
       val at = lower.indexOf("unnest", i)
       if (at < 0) { out.append(sql.substring(i)); i = sql.length }
       else if (lit(at) || !isKeywordAt(sql, at, "unnest") || {
-        var j = at + 6
-        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
-        j >= sql.length || sql.charAt(j) != '('
+        val j = skipWs(at + 6)
+        j >= sql.length || sql.charAt(j) != '(' || lit(j)
       }) {
         out.append(sql.substring(i, at + 6)); i = at + 6
       } else {
-        out.append(sql.substring(i, at))
+        val open = skipWs(at + 6)
+        val close = closingParen(sql, open, lit)
+        require(close > 0, s"unbalanced parentheses in UNNEST at offset $at")
+        val args = splitTopLevel(sql.substring(open + 1, close))
+          .map(_.trim).map(rewriteUnnest) // nested calls still rewrite
+        // optional WITH ORDINALITY — consumed, not passed through
+        var rest = skipWs(close + 1)
+        var ordinality = false
+        if (isKeywordAt(sql, rest, "with")) {
+          val j2 = skipWs(rest + 4)
+          if (isKeywordAt(sql, j2, "ordinality")) {
+            ordinality = true
+            rest = skipWs(j2 + "ordinality".length)
+          }
+        }
         // LATERAL when preceded by a comma or a JOIN keyword
         var p = at - 1
         while (p >= 0 && Character.isWhitespace(sql.charAt(p))) p -= 1
         val needsLateral = p >= 0 && (sql.charAt(p) == ',' ||
           (p >= 3 && sql.regionMatches(true, p - 3, "join", 0, 4) &&
             isKeywordAt(sql, p - 3, "join")))
+        out.append(sql.substring(i, at))
         if (needsLateral) out.append("LATERAL ")
-        out.append("explode")
-        i = at + 6
+        if (args.length == 1 && !ordinality) {
+          out.append(s"explode(${args.head})")
+        } else {
+          val sizes = args.map(a => s"size($a)")
+          val n = if (sizes.length == 1) sizes.head
+                  else sizes.mkString("greatest(", ", ", ")")
+          val zipped =
+            if (ordinality) args :+ s"slice(sequence(0, $n), 2, $n)"
+            else args
+          out.append(s"inline(arrays_zip(${zipped.mkString(", ")}))")
+        }
+        // alias (and everything after) passes through verbatim; a
+        // single separating space replaces the consumed span
+        if (rest < sql.length && rest > close + 1) out.append(' ')
+        i = rest
       }
     }
     out.toString
+  }
+
+  /** Trino `TRY(CAST(x AS t))` / `TRY(TRY_CAST(x AS t))` →
+    * Spark `try_cast(x AS t)` — the dominant TRY idiom in hand-written
+    * Athena SQL (tolerant casts over dirty columns). TRY around any
+    * OTHER expression has no general Spark spelling (Spark's
+    * error-tolerant forms are the enumerated try_* functions) and is
+    * rejected with a clear message rather than silently mistranslated.
+    * Bare `TRY_CAST(x AS t)` parses natively in Spark and is not
+    * touched by this rewrite.
+    */
+  def rewriteTry(sql: String): String = {
+    val lower = sql.toLowerCase
+    val lit = literalMask(sql)
+    val out = new StringBuilder(sql.length)
+    def skipWs(k0: Int): Int = {
+      var k = k0
+      while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+      k
+    }
+    var i = 0
+    while (i < sql.length) {
+      val at = lower.indexOf("try", i)
+      val isCall = at >= 0 && !lit(at) && isKeywordAt(sql, at, "try") && {
+        val j = skipWs(at + 3)
+        j < sql.length && sql.charAt(j) == '(' && !lit(j)
+      }
+      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (!isCall) {
+        out.append(sql.substring(i, at + 3)); i = at + 3
+      } else {
+        val open = skipWs(at + 3)
+        val close = closingParen(sql, open, lit)
+        require(close > 0, s"unbalanced parentheses in TRY at offset $at")
+        val inner = sql.substring(open + 1, close).trim
+        val innerLower = inner.toLowerCase
+        val castPrefix =
+          if (innerLower.startsWith("cast")) Some(4)
+          else if (innerLower.startsWith("try_cast")) Some(8)
+          else None
+        val castBody = castPrefix.flatMap { pl =>
+          val innerLit = literalMask(inner)
+          val po = {
+            var k = pl
+            while (k < inner.length && Character.isWhitespace(inner.charAt(k))) k += 1
+            k
+          }
+          if (po < inner.length && inner.charAt(po) == '(' &&
+              closingParen(inner, po, innerLit) == inner.length - 1)
+            Some(inner.substring(po + 1, inner.length - 1))
+          else None
+        }
+        castBody match {
+          case Some(body) =>
+            out.append(sql.substring(i, at))
+            out.append(s"try_cast($body)")
+            i = close + 1
+          case None =>
+            throw new IllegalArgumentException(
+              s"TRY(...) is only supported around a single CAST/TRY_CAST " +
+                s"(offset $at): Spark has no general error-tolerant wrapper; " +
+                "use the try_* function family explicitly")
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Bare Trino type names with no Spark spelling: `VARCHAR` (no
+    * length) → `STRING`, `VARBINARY` → `BINARY`. `VARCHAR(n)` parses
+    * natively in Spark and is untouched (the `(`-lookahead guard).
+    */
+  def rewriteBareTypes(sql: String): String = {
+    def replaceKw(s: String, kw: String, to: String,
+        guardParen: Boolean): String = {
+      val lower = s.toLowerCase
+      val m = literalMask(s)
+      val out = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val at = lower.indexOf(kw, i)
+        if (at < 0) { out.append(s.substring(i)); i = s.length }
+        else if (m(at) || !isKeywordAt(s, at, kw) || (guardParen && {
+          var j = at + kw.length
+          while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          j < s.length && s.charAt(j) == '('
+        })) {
+          out.append(s.substring(i, at + kw.length)); i = at + kw.length
+        } else {
+          out.append(s.substring(i, at)).append(to)
+          i = at + kw.length
+        }
+      }
+      out.toString
+    }
+    replaceKw(replaceKw(sql, "varchar", "STRING", guardParen = true),
+      "varbinary", "BINARY", guardParen = false)
   }
 
   /** Resolve `catalog.schema.table` names in the engine's default
@@ -346,13 +489,16 @@ object TrinoDialect {
 
   /** Full translation for the reference's generated query shapes plus
     * the most common hand-written Athena constructs (array literals,
-    * weighted approx_percentile, single-array UNNEST).
+    * weighted approx_percentile, all four UNNEST forms, TRY(CAST),
+    * bare VARCHAR/VARBINARY).
     */
   def translate(sql: String): String =
     resolveDefaultNamespace(
-      rewriteUnnest(
-        rewriteApproxPercentile(
-          rewriteArrayLiteral(
-            rewriteMapAgg(
-              quoteIdentifiers(sql))))))
+      rewriteBareTypes(
+        rewriteTry(
+          rewriteUnnest(
+            rewriteApproxPercentile(
+              rewriteArrayLiteral(
+                rewriteMapAgg(
+                  quoteIdentifiers(sql))))))))
 }

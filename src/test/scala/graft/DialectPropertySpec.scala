@@ -33,6 +33,13 @@ class DialectPropertySpec extends AnyFunSuite {
     ident.map(i => s"approx_percentile($i, w, 0.95)"),
     ident.map(i => s"CROSS JOIN UNNEST($i) AS t(x)"),
     ident.map(i => s", UNNEST($i) u(y)"),
+    ident.map(i => s"CROSS JOIN UNNEST($i, b2) WITH ORDINALITY AS t(x, y, i)"),
+    ident.map(i => s"LEFT JOIN UNNEST($i) AS t(x) ON TRUE"),
+    ident.map(i => s"TRY(CAST($i AS BIGINT))"),
+    ident.map(i => s"TRY_CAST($i AS VARCHAR)"),
+    ident.map(i => s"CAST($i AS VARCHAR(8))"),
+    literal.map(l => s"-- comment $l UNNEST(a) map_agg(x)\n"),
+    literal.map(l => s"/* block $l ARRAY[1] TRY(x) */"),
     Gen.oneOf("SELECT", "FROM t", "WHERE a = 1", "GROUP BY 1", ",", "(", ")"))
 
   private val sqlGen: Gen[String] = for {
@@ -74,6 +81,8 @@ class DialectPropertySpec extends AnyFunSuite {
     "rewriteArrayLiteral" -> TrinoDialect.rewriteArrayLiteral,
     "rewriteApproxPercentile" -> TrinoDialect.rewriteApproxPercentile,
     "rewriteUnnest" -> TrinoDialect.rewriteUnnest,
+    "rewriteTry" -> TrinoDialect.rewriteTry,
+    "rewriteBareTypes" -> TrinoDialect.rewriteBareTypes,
     "translate" -> TrinoDialect.translate)
 
   test("string-literal contents survive every rewrite byte-for-byte") {

@@ -76,6 +76,117 @@ class TrinoParitySpec extends AnyFunSuite {
       "SELECT unnest_count FROM t")
   }
 
+  test("dialect: 4-arg weighted approx_percentile drops accuracy") {
+    assert(TrinoDialect.rewriteApproxPercentile(
+      "SELECT approx_percentile(x, w, 0.5, 0.01) FROM t") ==
+      "SELECT percentile(x, 0.5, w) FROM t")
+  }
+
+  test("dialect: comments never flip string state or trigger rewrites") {
+    // an apostrophe inside a -- comment must not mask the rest of the
+    // query as a string (ADVICE r6)
+    assert(TrinoDialect.quoteIdentifiers(
+      "select \"c\" -- don't\nfrom \"t\"") ==
+      "select `c` -- don't\nfrom `t`")
+    // trigger tokens inside comments are commentary, not syntax
+    assert(TrinoDialect.rewriteMapAgg(
+      "select 1 -- map_agg(k, v)\nfrom t") ==
+      "select 1 -- map_agg(k, v)\nfrom t")
+    assert(TrinoDialect.rewriteUnnest(
+      "select 1 /* UNNEST(a) AS t(x) */ from t") ==
+      "select 1 /* UNNEST(a) AS t(x) */ from t")
+    assert(TrinoDialect.rewriteArrayLiteral(
+      "select 1 /* ARRAY[1] */ from t -- ARRAY[2]") ==
+      "select 1 /* ARRAY[1] */ from t -- ARRAY[2]")
+    // a bracket opened in a comment must not desync the ARRAY stack
+    assert(TrinoDialect.rewriteArrayLiteral(
+      "select ARRAY[1, /* ] */ 2]") == "select array(1, /* ] */ 2)")
+  }
+
+  test("dialect: multi-array UNNEST becomes zipped inline") {
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x, y FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)") ==
+      "SELECT x, y FROM t CROSS JOIN LATERAL inline(arrays_zip(a, b)) AS u(x, y)")
+  }
+
+  test("dialect: WITH ORDINALITY adds a 1-based last ordinal column") {
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x, i FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)") ==
+      "SELECT x, i FROM t CROSS JOIN LATERAL " +
+        "inline(arrays_zip(a, slice(sequence(0, size(a)), 2, size(a)))) AS u(x, i)")
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x, y, i FROM t, UNNEST(a, b) WITH ORDINALITY AS u(x, y, i)") ==
+      "SELECT x, y, i FROM t, LATERAL inline(arrays_zip(a, b, " +
+        "slice(sequence(0, greatest(size(a), size(b))), 2, " +
+        "greatest(size(a), size(b))))) AS u(x, y, i)")
+  }
+
+  test("dialect: LEFT JOIN UNNEST ... ON TRUE keeps the join, gains LATERAL") {
+    assert(TrinoDialect.rewriteUnnest(
+      "SELECT x FROM t LEFT JOIN UNNEST(a) AS u(x) ON TRUE") ==
+      "SELECT x FROM t LEFT JOIN LATERAL explode(a) AS u(x) ON TRUE")
+  }
+
+  test("dialect: TRY(CAST) becomes try_cast; TRY_CAST passes through; other TRY rejected") {
+    assert(TrinoDialect.rewriteTry(
+      "SELECT TRY(CAST(x AS BIGINT)) FROM t") ==
+      "SELECT try_cast(x AS BIGINT) FROM t")
+    assert(TrinoDialect.rewriteTry(
+      "SELECT TRY(TRY_CAST(x AS BIGINT)) FROM t") ==
+      "SELECT try_cast(x AS BIGINT) FROM t")
+    // bare TRY_CAST is Spark-native: untouched
+    assert(TrinoDialect.rewriteTry(
+      "SELECT TRY_CAST(x AS BIGINT) FROM t") ==
+      "SELECT TRY_CAST(x AS BIGINT) FROM t")
+    // identifiers containing try are not calls
+    assert(TrinoDialect.rewriteTry("SELECT try_count FROM t") ==
+      "SELECT try_count FROM t")
+    // general TRY has no faithful Spark spelling: explicit rejection
+    val e = intercept[IllegalArgumentException] {
+      TrinoDialect.rewriteTry("SELECT TRY(1 / x) FROM t")
+    }
+    assert(e.getMessage.contains("try_*"))
+  }
+
+  test("dialect: bare VARCHAR/VARBINARY become STRING/BINARY; VARCHAR(n) survives") {
+    assert(TrinoDialect.rewriteBareTypes(
+      "SELECT CAST(x AS VARCHAR), CAST(y AS VARBINARY) FROM t") ==
+      "SELECT CAST(x AS STRING), CAST(y AS BINARY) FROM t")
+    assert(TrinoDialect.rewriteBareTypes(
+      "SELECT CAST(x AS VARCHAR(10)) FROM t") ==
+      "SELECT CAST(x AS VARCHAR(10)) FROM t")
+    // masked contexts survive
+    assert(TrinoDialect.rewriteBareTypes(
+      "SELECT 'VARCHAR' AS s, `varchar` FROM t -- VARCHAR") ==
+      "SELECT 'VARCHAR' AS s, `varchar` FROM t -- VARCHAR")
+  }
+
+  test("new Trino constructs run end-to-end") {
+    Tables.register(spark, TestSpark.sfDir)
+    val qm = new QueryManager(spark)
+    // multi-array zip: Trino null-pads to the longest array
+    val r1 = qm.queryTrino(
+      "SELECT x, y FROM (SELECT ARRAY[1, 2, 3] AS a, ARRAY[10, 20] AS b) " +
+        "CROSS JOIN UNNEST(a, b) AS u(x, y) ORDER BY x")
+    assert(r1.rows == Seq(Seq("1", "10"), Seq("2", "20"), Seq("3", "")))
+    // ordinality: 1-based, last column
+    val r2 = qm.queryTrino(
+      "SELECT x, i FROM (SELECT ARRAY[7, 8] AS a) " +
+        "CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i) ORDER BY i")
+    assert(r2.rows == Seq(Seq("7", "1"), Seq("8", "2")))
+    // LEFT JOIN UNNEST ON TRUE: the empty-array row survives as null
+    val r3 = qm.queryTrino(
+      "SELECT n, x FROM (SELECT 1 AS n, ARRAY[5] AS a UNION ALL " +
+        "SELECT 2 AS n, CAST(ARRAY[] AS ARRAY<INT>) AS a) " +
+        "LEFT JOIN UNNEST(a) AS u(x) ON TRUE ORDER BY n")
+    assert(r3.rows == Seq(Seq("1", "5"), Seq("2", "")))
+    // TRY(CAST) + bare VARCHAR: tolerant cast over a dirty value
+    val r4 = qm.queryTrino(
+      "SELECT TRY(CAST('nope' AS BIGINT)) AS a, CAST(42 AS VARCHAR) AS b, " +
+        "TRY_CAST('7' AS BIGINT) AS c")
+    assert(r4.rows == Seq(Seq("", "42", "7")))
+  }
+
   test("translated Athena constructs run end-to-end") {
     Tables.register(spark, TestSpark.sfDir)
     val qm = new QueryManager(spark)
