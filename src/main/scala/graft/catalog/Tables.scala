@@ -10,6 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet under a metastore); the registration layer is the only
   * thing that changes — every operator downstream addresses tables
   * by name through the session catalog.
+  *
+  * `sfDir` is handed to `spark.read.parquet` verbatim, so it accepts
+  * ANY Hadoop-FS URI scheme, not just local paths: pointing the
+  * engine at an object store (`s3a://bucket/prefix`, `abfs://`,
+  * `gs://`) is connector-jar + `fs.&lt;scheme&gt;.impl` configuration
+  * in stock Spark/Hadoop — zero code changes here. SourceSinkSpec
+  * proves the seam with a mock scheme (the sandbox has no cloud
+  * egress).
   */
 object Tables {
 

@@ -17,6 +17,25 @@ class SourceSinkSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$name").toString
 
+  test("tables register from a non-file URI scheme (cloud-connector seam)") {
+    // register() hands sfDir to spark.read.parquet verbatim, so ANY
+    // Hadoop-FS scheme works once its fs.<scheme>.impl is configured —
+    // the s3a://bucket/prefix deployment is config, not code. Proven
+    // here with a local-delegating mock scheme (no cloud egress in the
+    // sandbox): the scan must actually route through mockdfs://.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockdfs.impl", classOf[MockDfs].getName)
+    Tables.register(spark, s"mockdfs://${TestSpark.sfDir}")
+    val nation = spark.table("nation")
+    assert(nation.count() == 25)
+    assert(nation.inputFiles.nonEmpty &&
+      nation.inputFiles.forall(_.startsWith("mockdfs:")),
+      s"scan must route through the registered scheme, got ${nation.inputFiles.take(1).mkString}")
+    // restore the standard file-scheme views for later suites
+    Tables.register(spark, TestSpark.sfDir)
+    assert(spark.table("nation").inputFiles.forall(_.startsWith("file:")))
+  }
+
   test("documents round-trip through JSON and CSV with explicit schemas") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents").orderBy("doc_id")
