@@ -54,4 +54,45 @@ object Decontamination {
     train.join(
       contaminationReport(train, heldOut, n, idCol, textCol).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** GRADED contamination — one row per train doc (clean docs
+    * included) with the FRACTION of its distinct shingles that occur
+    * in the held-out set: `(idCol, n_shingles, n_hits, contamination,
+    * flagged)`. The binary any-hit rule ([[contaminationReport]])
+    * over-drops at web scale — a long document sharing one 3-gram
+    * with an eval question is noise, not leakage — so production
+    * pipelines (PaLM's 70%-of-8-grams rule is the published example)
+    * threshold on the OVERLAP FRACTION instead.
+    *
+    * Same scale shape as the report: the shingle set per doc is
+    * computed once and reused for both the denominator (`size`) and
+    * the equi-join numerator; nothing quadratic, hit counting is
+    * map-side combinable. The fraction is a single a/b double
+    * division (tie-safe, SURVEY §8.3 rule 4).
+    */
+  def contaminationFraction(train: DataFrame, heldOut: DataFrame,
+      n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainSh = Dedup.withShingleSet(train, n, textCol, "__sh")
+      .select(col(idCol), col("__sh"))
+    val hits = trainSh
+      .select(col(idCol), explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .join(
+        Dedup.withShingleSet(heldOut, n, textCol, "__sh")
+          .select(explode_outer(col("__sh")).as("shingle"))
+          .filter(col("shingle").isNotNull)
+          .distinct(),
+        "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    trainSh
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 5))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("contamination") >= threshold)
+  }
 }

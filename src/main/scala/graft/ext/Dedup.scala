@@ -735,4 +735,30 @@ object Dedup {
       minHashNearDupPairs(df, n, k, bands, threshold, idCol, textCol)
         .select("id_a", "id_b"),
       idCol, maxIter)
+
+  /** QUALITY-argmax representative selection — the retention policy a
+    * production dedup actually ships: [[nearDupClusters]]' min-id
+    * survivor is an arbitrary canonical choice; when a quality score
+    * exists, each near-dup cluster should keep its BEST member (the
+    * cleanest crawl of a mirrored page), not its lowest id. One row
+    * per doc: `(idCol, cluster_id, cluster_size, scoreCol, kept)` with
+    * exactly one kept=true per cluster (max score, ties to min id).
+    *
+    * Scale shape: one equi-join of the cluster assignment onto the
+    * quality frame plus a per-cluster rank window — near-dup clusters
+    * are content-bounded (a cluster IS one document's near-copies),
+    * so the window partition never degenerates; the pair-generating
+    * work upstream is the banded-LSH machinery, unchanged.
+    */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "quality_score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters
+      .join(quality.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col(scoreCol), col("kept"))
+  }
 }

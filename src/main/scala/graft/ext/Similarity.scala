@@ -727,6 +727,48 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     kmeansProfileFrom(kmeansAssign(corpus, nlist, refine, idCol, vecCol))
 
+  /** Embedding-space DRIFT report: the pairwise cosine between
+    * per-group centroid (mean) vectors, one row per unordered group
+    * pair — `(group_a, group_b, n_a, n_b, centroid_cosine)`. This is
+    * the distribution-shift monitor a training pipeline runs between
+    * crawl snapshots, sources, or label slices: a centroid cosine
+    * drifting down flags a semantic shift long before per-document
+    * metrics move.
+    *
+    * Determinism: per-dim means come from exact `decimal(28,12)`-
+    * quantized sums (the [[ivfRefineOnce]] rule — a float `avg` would
+    * be partition-order dependent); mean vectors are reassembled in
+    * dimension order via sorted structs; the cosine is one
+    * sequential-fold dot per pair over those fixed arrays.
+    *
+    * Scale shape: one posexplode + (group, dim) aggregation over the
+    * corpus (map-side combinable, dims·groups output rows), then an
+    * all-pairs join over the GROUP table only — groups are a bounded
+    * domain (sources, labels, snapshot ids), so the pair join is
+    * broadcast-class regardless of corpus size.
+    */
+  def centroidDrift(corpus: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val means = corpus
+      .select(col(groupCol).as("grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("grp"), transform(col("dm"), x => x.getField("m")).as("mv"))
+    val sized = means.join(
+      corpus.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n")),
+      "grp")
+    sized.as("l").join(sized.as("r"), col("l.grp") < col("r.grp"))
+      .select(col("l.grp").as("group_a"), col("r.grp").as("group_b"),
+        col("l.n").as("n_a"), col("r.n").as("n_b"),
+        round(dot(col("l.mv"), col("r.mv")) /
+          (sqrt(dot(col("l.mv"), col("l.mv"))) *
+            sqrt(dot(col("r.mv"), col("r.mv")))), 5).as("centroid_cosine"))
+  }
+
   /** [[kmeansProfile]] over a PRECOMPUTED assignment (the
     * [[kmeansAssign]] output relation) — a pipeline that derives
     * several reports from one clustering (profile + capped sample +
@@ -931,6 +973,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
+  }
+
+  /** Per-dimension SQ8 bounds over a NORMALIZED corpus, as ONE row of
+    * dimension-ordered arrays `(__mn, __mx)` — min/max are exact
+    * (no accumulation), so the bounds are partition-independent.
+    */
+  private def sq8Bounds(normCorpus: DataFrame, vecCol: String): DataFrame =
+    normCorpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("dmm"))
+      .select(transform(col("dmm"), x => x.getField("mn")).as("__mn"),
+        transform(col("dmm"), x => x.getField("mx")).as("__mx"))
+
+  /** Scalar-quantized (SQ8, FAISS `SQ8`-style) search: each corpus
+    * dimension is affinely quantized to an 8-bit code against the
+    * per-dim [min, max] trained on the corpus; queries stay
+    * full-precision and score ASYMMETRICALLY against the dequantized
+    * codes (`Σ q_d · (mn_d + code_d·Δ_d/255)`); the per-query top
+    * `rerank` approximate candidates are then re-scored with the
+    * exact cosine and the true top-k returned. The middle compression
+    * point between a flat scan (4 bytes/dim) and PQ (m codes per
+    * vector): 1 byte/dim, no codebook training.
+    *
+    * Determinism: bounds are exact min/max; codes are
+    * `floor(t/Δ·255 + 0.5)` on IEEE doubles (no accumulation);
+    * the approximate and exact scores are sequential-fold dots over
+    * dimension-ordered arrays; both rank ties break on neighbor id —
+    * bit-identical under any partitioning (SURVEY §8.3).
+    *
+    * Scale shape: bounds are a dims-row aggregate broadcast back as
+    * one row; scoring is a broadcast-queries map-side pass over the
+    * corpus; both rank stages are per-query WindowGroupLimit top-k.
+    * Nothing is O(n²), nothing corpus-sized shuffles. At 100 TB the
+    * codes relation (1 byte/dim) would be the persisted artifact and
+    * the exact rerank would fetch only `rerank` full vectors per
+    * query by id.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 30, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"))
+    val coded = c.crossJoin(broadcast(sq8Bounds(c, "ncv")))
+      .withColumn("__delta", zip_with(col("__mx"), col("__mn"), (x, m) => x - m))
+      .withColumn("__codes", zip_with(
+        zip_with(col("ncv"), col("__mn"), (v, m) => v - m),
+        col("__delta"),
+        (t, d) => when(d > 0, floor(t / d * lit(255.0) + lit(0.5)))
+          .otherwise(lit(0L)).cast("int")))
+      .withColumn("__dq", zip_with(
+        zip_with(col("__codes"), col("__delta"),
+          (cc, d) => cc.cast("double") * d / lit(255.0)),
+        col("__mn"), (p, m) => p + m))
+      .select(col("neighbor_id"), col("ncv"), col("__dq"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id").asc)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", dot(col("nqv"), col("__dq")))
+      .withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerank)
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
   /** IVF + PQ composed search — the full FAISS-style shape: IVF

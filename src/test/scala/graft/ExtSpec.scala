@@ -2269,4 +2269,80 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       "rn=1 filter must trigger the per-partition top-1 pre-filter")
   }
+
+  // ---- round 7 additions ----
+
+  test("keepBestPerCluster keeps exactly one member per cluster, the best one") {
+    val clusters = Dedup.nearDupClusters(docs)
+    val out = Dedup.keepBestPerCluster(clusters, TextStats.withDocStats(docs))
+    val rows = out.collect()
+    assert(rows.length == docs.count(), "one verdict row per doc")
+    // exactly one kept per cluster
+    val perCluster = rows.groupBy(_.getLong(1))
+    perCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(4)) == 1, s"cluster $cid")
+      // the kept member has the max score (ties to min id)
+      val kept = members.find(_.getBoolean(4)).get
+      val best = members.minBy(r => (-r.getDouble(3), r.getLong(0)))
+      assert(kept.getLong(0) == best.getLong(0), s"cluster $cid keeps argmax")
+    }
+    // multi-member clusters exist at this sf, else the test is vacuous
+    assert(perCluster.exists(_._2.length > 1))
+  }
+
+  test("contaminationFraction is bounded and consistent with the binary report") {
+    import graft.ext.{Decontamination, Sampling}
+    val split = Sampling.trainTestSplit(docs, 0.2)
+    val train = split.filter(col("split") === "train").drop("split")
+    val test_ = split.filter(col("split") === "test").drop("split")
+    val frac = Decontamination.contaminationFraction(train, test_, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val binary = Decontamination.contaminationReport(train, test_)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac.nonEmpty && frac.size == train.count())
+    frac.values.foreach { r =>
+      val (nSh, nHits, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHits >= 0 && nHits <= nSh, s"doc ${r.getLong(0)} hits bounded")
+      assert(c >= 0.0 && c <= 1.0, s"doc ${r.getLong(0)} fraction bounded")
+    }
+    // graded hits == binary report hits, clean docs absent from binary
+    frac.foreach { case (id, r) =>
+      assert(binary.getOrElse(id, 0L) == r.getLong(2), s"doc $id n_hits")
+    }
+  }
+
+  test("centroidDrift yields one row per unordered group pair, cosine in [-1, 1]") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val groups = emb.select("label").distinct().count()
+    val out = Similarity.centroidDrift(emb, "label").collect()
+    assert(out.length == groups * (groups - 1) / 2)
+    out.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), "unordered pairs a < b")
+      val c = r.getDouble(4)
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine $c")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
+  test("sq8TopK agrees with brute force at full-recall rerank width") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 2)
+    // rerank = whole corpus → candidate set is everything → the exact
+    // rerank must reproduce brute force bit-for-bit
+    val sq = Similarity.sq8TopK(emb, q, k = 10, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = Similarity.topK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sq == bf)
+    // and at the production rerank width, recall@10 stays high (the
+    // SQ8 quantization error is sub-1% per dim on unit vectors)
+    val sqNarrow = Similarity.sq8TopK(emb, q, k = 10, rerank = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = sqNarrow.intersect(
+      bf.map(t => (t._1, t._2))).size.toDouble / bf.size
+    assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
+  }
 }
