@@ -62,6 +62,19 @@ object Bench {
         "size(array_intersect(items, items)) as ni")
       .agg(org.apache.spark.sql.functions.sum("np"),
         org.apache.spark.sql.functions.sum("ni")).collect()
+    // Shared-frame construction, timed EXPLICITLY: the run-twice
+    // protocol below means the first (unrecorded) run of whichever
+    // query touches a shared frame would otherwise silently pay its
+    // one-time build, leaving that work attributed to no entry at all
+    // (ADVICE r6). Building them here, each under its own setup_*
+    // entry, keeps the artifact's total accounting honest while the
+    // per-query numbers still measure steady-state plan cost.
+    val sharedSetup: Seq[(String, Either[String, Double])] =
+      try SparkEntry.buildSharedFrames(spark, sfDir).map { case (n, t) => n -> Right(t) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared-frame setup FAILED: ${e.getMessage}")
+        Seq("setup_shared_frames" -> Left(e.getClass.getSimpleName))
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink, not .count(): count() re-plans the query as an
       // empty-schema aggregate, letting Catalyst prune every computed
@@ -95,11 +108,14 @@ object Bench {
         name -> Left(e.getClass.getSimpleName)
       }
     }
-    val qs = results.map {
+    val qs = (sharedSetup ++ results).map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(e))  => s"\"" + k + "\":" + s"""{"err":"$e"}"""
     }.mkString("{", ",", "}")
-    val nFailed = results.count(_._2.isLeft)
+    val nFailed = results.count(_._2.isLeft) + sharedSetup.count(_._2.isLeft)
+    // total stays query-execution time only; setup_* entries are
+    // reported per-key so the one-time cost is visible but doesn't
+    // conflate with steady-state plan cost round-over-round.
     val total = results.values.collect { case Right(v) => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""

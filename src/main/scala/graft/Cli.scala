@@ -55,10 +55,15 @@ object Cli {
     *
     * @param workDir where `vimdiff` writes its two .tsv renders and
     *   `invoke` stages its transient response file.
+    * @param env ambient environment lookup (`workgroups` reads
+    *   ATHENA_WORKGROUP, aws-athena-workgroup.sh's selection rule).
+    *   Injectable like out/err/workDir so specs can drive the
+    *   non-primary branch without mutating the JVM environment.
     */
   def run(args: Array[String], spark: SparkSession,
       out: PrintStream, err: PrintStream,
-      workDir: Path = Paths.get(".")): Int = {
+      workDir: Path = Paths.get("."),
+      env: String => Option[String] = sys.env.get): Int = {
     val command = args.headOption.getOrElse("")
     def arg(i: Int): String = if (args.length > i) args(i) else ""
 
@@ -127,7 +132,7 @@ object Cli {
         out.println("--- 🛠️ Athena ワークグループ設定の確認を開始します ---")
         out.println()
         val registry = new graft.config.WorkGroupRegistry()
-        sys.env.get("ATHENA_WORKGROUP").filter(_ != "primary").foreach { n =>
+        env("ATHENA_WORKGROUP").filter(_ != "primary").foreach { n =>
           registry.register(graft.config.WorkGroup(n))
         }
         out.println(registry.report())

@@ -624,6 +624,12 @@ object SparkEntry {
   private[graft] val pqDims = 64
   private[graft] val bpePairsK = 20
   private[graft] val bpeRounds = 3
+  // graded decontamination: flag docs whose shingle-overlap fraction
+  // with the held-out set reaches this share (PaLM-style rule)
+  private[graft] val decontamFracThreshold = 0.2
+  // SQ8 search: candidates recalled from the quantized scores before
+  // the exact rerank (3× the returned k)
+  private[graft] val sq8Rerank = 30
   // association rules: min pair support and report size
   private[graft] val assocMinSupport = 3L
   private[graft] val assocK = 50
@@ -779,29 +785,58 @@ object SparkEntry {
   // reuse cannot change results; this is exactly how a production
   // pipeline structures it (one clustering / one verdict pass, many
   // reports).
+  // Keyed by (applicationId, kind, sfDir), NOT just (kind, sfDir): the
+  // cached frame holds a localCheckpoint RDD bound to the session that
+  // built it, so a restarted/second session in the same JVM must
+  // rebuild rather than inherit a handle into a stopped SparkContext.
+  // Entries for stopped sessions are a few driver-side references
+  // each (the checkpoint blocks die with their context) — no eviction
+  // needed at this cardinality.
   private val sharedFrames =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
-  private def sharedFrame(kind: String, sfDir: String)(
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+  private def sharedFrame(s: SparkSession, kind: String, sfDir: String)(
       build: => DataFrame): DataFrame =
-    sharedFrames.getOrElseUpdate((kind, sfDir), Dedup.materialize(build))
+    sharedFrames.getOrElseUpdate(
+      (s.sparkContext.applicationId, kind, sfDir), Dedup.materialize(build))
 
   private def kmeansAssigned(s: SparkSession, sfDir: String): DataFrame =
-    sharedFrame("kmeans_assign", sfDir) {
+    sharedFrame(s, "kmeans_assign", sfDir) {
       Similarity.kmeansAssign(s.table("embeddings"),
         nlist = kmeansNlist, refine = kmeansRefine)
     }
 
   private def curateFullVerdicts(s: SparkSession, sfDir: String): DataFrame =
-    sharedFrame("curate_full", sfDir) {
+    sharedFrame(s, "curate_full", sfDir) {
       Curation.curateFull(s.table("documents"))
     }
 
   private def importanceWeightsShared(s: SparkSession, sfDir: String): DataFrame =
-    sharedFrame("importance", sfDir) {
+    sharedFrame(s, "importance", sfDir) {
       val docs = s.table("documents")
       graft.ext.Importance.importanceWeights(docs,
         docs.filter(col("lang") === dsirTargetLang))
     }
+
+  /** Force-build every shared frame for `sfDir`, returning
+    * `(name, seconds)` per build. Bench records these as explicit
+    * `setup_*` entries so the one-time construction cost (k-means
+    * assignment, curation verdicts, DSIR weights, diff profiles) is
+    * attributed in the artifact instead of hiding in an unrecorded
+    * first run (ADVICE r6).
+    */
+  def buildSharedFrames(s: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      f.queryExecution // materialize is eager; touch to be explicit
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("setup_kmeans_assign") { kmeansAssigned(s, sfDir) },
+      timed("setup_curate_full") { curateFullVerdicts(s, sfDir) },
+      timed("setup_importance") { importanceWeightsShared(s, sfDir) },
+      timed("setup_profile_long_lineitem") { profileLongShared(s, sfDir, "lineitem") },
+      timed("setup_profile_long_orders") { profileLongShared(s, sfDir, "orders") })
+  }
 
   // Long profiles shared by the DIFF composition only (the reference's
   // own workflow profiles both tables, then diffs the results —
@@ -810,7 +845,7 @@ object SparkEntry {
   // profiler operator itself.
   private def profileLongShared(s: SparkSession, sfDir: String,
       table: String): DataFrame =
-    sharedFrame(s"profile_long_$table", sfDir) {
+    sharedFrame(s, s"profile_long_$table", sfDir) {
       TableProfiler.profileLong(Tables.table(s, table))
     }
 
@@ -1011,6 +1046,17 @@ object SparkEntry {
     "q_dedup_clusters" -> withTables { s =>
       Dedup.nearDupClusters(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — QUALITY-argmax survivorship: the retention policy a
+    // production dedup ships (keep each near-dup cluster's cleanest
+    // member, not its lowest id) — one join + per-cluster rank on top
+    // of the same component machinery.
+    "q_dedup_keep_best" -> withTables { s =>
+      val docs = s.table("documents")
+      Dedup.keepBestPerCluster(
+        Dedup.nearDupClusters(docs),
+        TextStats.withDocStats(docs))
+        .orderBy("doc_id")
+    },
     // §7.5 — graph centrality: PageRank over the same MinHash pair
     // graph (the within-cluster canonical-version signal; also the
     // domain-graph crawl-prioritization shape). Exact scale-9
@@ -1191,6 +1237,21 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), k = 10, nprobe = 4,
         m = pqM, dims = pqDims).orderBy("query_id", "rank")
     },
+    // §7.5 — SQ8 scalar-quantized search: 1 byte/dim affine codes,
+    // asymmetric dequantized candidate scoring, exact top-k rerank —
+    // the middle compression point between flat scan and PQ.
+    "q_knn_sq8" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        rerank = sq8Rerank).orderBy("query_id", "rank")
+    },
+    // §7.5 — embedding-space drift monitor: pairwise cosine between
+    // per-label centroid vectors (exact decimal per-dim means; the
+    // pair join runs over the bounded group table only).
+    "q_embedding_drift" -> withTables { s =>
+      Similarity.centroidDrift(s.table("embeddings"), "label")
+        .orderBy("group_a", "group_b")
+    },
     // k-means corpus-topology report (2 Lloyd steps): cluster sizes
     // and cohesion — what cluster-balanced sampling / SemDeDup read.
     "q_embedding_kmeans" -> withTablesSf { (s, sfDir) =>
@@ -1346,6 +1407,17 @@ object SparkEntry {
       Decontamination.contaminationReport(
         split.filter(col("split") === "train").drop("split"),
         split.filter(col("split") === "test").drop("split"))
+        .orderBy("doc_id")
+    },
+    // §7.5 — GRADED decontamination: per-train-doc shingle-overlap
+    // fraction with the held-out set + threshold flag (the PaLM-style
+    // rule; the binary any-hit report over-drops long docs).
+    "q_decontam_frac" -> withTables { s =>
+      val split = Sampling.trainTestSplit(s.table("documents"), testFraction)
+      Decontamination.contaminationFraction(
+        split.filter(col("split") === "train").drop("split"),
+        split.filter(col("split") === "test").drop("split"),
+        threshold = decontamFracThreshold)
         .orderBy("doc_id")
     },
     // §7.5 — Gopher-style repetition/diversity quality signals.
@@ -2094,6 +2166,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
     "q_cross_dedup" -> OraclesExt.crossDedup(testFraction),
     "q_dedup_clusters" -> OraclesExt.dedupClusters,
+    "q_dedup_keep_best" -> OraclesExt.dedupKeepBest,
     "q_pagerank" -> OraclesExt.pageRank(pageRankIters),
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
@@ -2125,6 +2198,8 @@ object SparkEntry {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
+    "q_embedding_drift" -> OraclesExt.embeddingDrift,
+    "q_knn_sq8" -> OraclesExt.knnSq8(10, sq8Rerank),
     "q_cluster_sample" ->
       OraclesExt.clusterSample(kmeansNlist, kmeansRefine, clusterSampleCap),
     "q_text_stats" -> OraclesExt.textStats,
@@ -2163,6 +2238,8 @@ object SparkEntry {
     "q_langid_chunks" -> OraclesExt.langIdChunks(langidChunkTokens),
     "q_corpus_report" -> OraclesExt.corpusReport,
     "q_decontam" -> OraclesExt.decontam(testFraction),
+    "q_decontam_frac" ->
+      OraclesExt.decontamFrac(testFraction, decontamFracThreshold),
     "q_text_repetition" -> OraclesExt.textRepetition,
     "q_text_lm_score" -> OraclesExt.lmCrossEntropy,
     "q_text_entropy" -> OraclesExt.tokenEntropy,

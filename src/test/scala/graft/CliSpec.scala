@@ -155,6 +155,22 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("--- ✅ 設定の抽出を完了しました ---"))
   }
 
+  test("workgroups honors an injected ATHENA_WORKGROUP (non-primary branch)") {
+    // the env lookup is a run() parameter (defaulting to sys.env), so
+    // the non-primary registration path is drivable without mutating
+    // the JVM environment
+    graft.catalog.Tables.register(spark, TestSpark.sfDir)
+    val outB = new ByteArrayOutputStream()
+    val out = new PrintStream(outB, true, "UTF-8")
+    val rc = Cli.run(Array("workgroups"), spark, out, out,
+      Files.createTempDirectory("graft-cli-wg"),
+      env = Map("ATHENA_WORKGROUP" -> "analytics_team").get)
+    val rendered = outB.toString(StandardCharsets.UTF_8)
+    assert(rc == 0)
+    assert(rendered.contains("analytics_team"))
+    assert(rendered.contains("primary")) // the default group still reports
+  }
+
   test("invoke with an unknown function: error + rc 1") {
     val (rc, _, err) = capture("invoke", "no_such_fn", "{}")
     assert(rc == 1)

@@ -138,6 +138,45 @@ class ProfilerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("valuesAtPositions stays exact with exchange reuse disabled") {
+    // The boundary-sketch once-only invariant must be STRUCTURAL
+    // (picked is checkpointed), not planner-contingent: with
+    // spark.sql.exchange.reuse=false a reuse-dependent design would
+    // evaluate percentile_approx twice with scheduling-dependent GK
+    // merge orders, and the pruning intervals could disagree with the
+    // offsets, dropping the shard that holds a position. Re-run the
+    // naive-reference comparison with reuse off to prove the result
+    // doesn't hinge on exchange dedup.
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val rows = (for {
+        g <- Seq("a", "b"); i <- 0 until 60
+      } yield (g, ((i * 37) % 23 - 11).toDouble, i % 3 + 1)).toList
+      val vc = rows.toDF("g", "v", "cnt0")
+        .groupBy("g", "v").agg(sum($"cnt0").cast("decimal(10,0)").as("cnt"))
+      val unrolled: Map[String, Vector[Double]] = rows
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.flatMap(r => Vector.fill(r._3)(r._2)).sorted.toVector
+        }
+      val posRows = unrolled.toSeq.flatMap { case (g, vs) =>
+        Seq(0L, vs.size - 1L, vs.size / 2L, vs.size / 4L).distinct.map(p => (g, p))
+      }
+      for (bcast <- Seq(true, false)) {
+        val got = graft.ext.Quantiles
+          .valuesAtPositions(vc, Seq("g"), "v", "cnt",
+            posRows.toDF("g", "__pos"), shards = 4, broadcastGroups = bcast)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+          .toMap
+        posRows.foreach { case (g, p) =>
+          assert(got.get((g, p)).contains(unrolled(g)(p.toInt)),
+            s"reuse=off bcast=$bcast g=$g pos=$p")
+        }
+        assert(got.size == posRows.size, s"reuse=off bcast=$bcast: extra/missing rows")
+      }
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
   test("all-null column: distinct 0, median null (value-counts path edges)") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (null, 1.0), (null, 2.0)).toDF("a", "b")

@@ -38,6 +38,23 @@ class StreamingSpec extends AnyFunSuite {
       s"ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
   }
 
+  test("readEvents falls back to the contract schema on a corrupt footer") {
+    // a garbage .parquet (truncated/corrupt footer) makes batch
+    // inference throw a non-AnalysisException error; stream setup
+    // must still come up on RawSchema instead of aborting
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-corrupt")
+    java.nio.file.Files.write(dir.resolve("bad.parquet"),
+      "PAR1 this is not a parquet footer".getBytes("UTF-8"))
+    dir.toFile.deleteOnExit()
+    val df = EventStream.readEvents(spark, dir.toString)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet ==
+      EventStream.RawSchema.fieldNames.toSet,
+      s"must fall back to contract RawSchema, got ${df.schema.treeString}")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming tumbling windows agree with the batch twin") {
     val streamed = EventStream.tumblingHourly(
       EventStream.readEvents(spark, eventsDir))

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's t2 correctness gate.
 
-Usage: python3 tools/selfcheck.py [sfDir] [outDir]
+Usage: python3 tools/selfcheck.py [sfDir] [outDir] [--json PATH]
 
 1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
    (or run it yourself first);
@@ -9,6 +9,12 @@ Usage: python3 tools/selfcheck.py [sfDir] [outDir]
 3. runs <outDir>/oracle_sql.json's SQL in DuckDB over the same parquet
    tables;
 4. sorts columns by name, compares shape, dtypes (loosely) and values.
+
+With --json PATH, also writes a machine-readable per-query artifact:
+{"summary": {...}, "queries": {name: {rows_match, cols_match,
+cells_match, rows, err}}} — the builder commits this as
+SELFCHECK_r{N}.json so the round's correctness signal survives a
+driver-side artifact failure (round-6 CORRECTNESS_r06.json was `{}`).
 
 Exit code 0 iff every query matches.
 """
@@ -49,8 +55,14 @@ def frame_rows(df: pd.DataFrame):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = Path(argv[i + 1])
+        del argv[i:i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_dir = Path(argv[1] if len(argv) > 1 else "/tmp/graft_verify")
 
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
@@ -59,9 +71,14 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    report = {}
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "cols_match": False,
+               "cells_match": False, "rows": None, "err": None}
+        report[name] = rec
         spark_dir = out_dir / name
         if not spark_dir.exists():
+            rec["err"] = "no spark output"
             failures.append((name, "no spark output"))
             print(f"FAIL {name}: spark output missing")
             continue
@@ -70,26 +87,34 @@ def main():
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
             want = con.execute(sql).fetchdf()
         except Exception as e:
+            rec["err"] = str(e)[:500]
             failures.append((name, f"error: {e}"))
             print(f"FAIL {name}: {e}")
             continue
         g_cols, w_cols = sorted(got.columns), sorted(want.columns)
         if g_cols != w_cols:
+            rec["err"] = f"columns {g_cols} != {w_cols}"
             failures.append((name, f"columns {g_cols} != {w_cols}"))
             print(f"FAIL {name}: columns differ\n  spark={g_cols}\n  duck ={w_cols}")
             continue
+        rec["cols_match"] = True
         gr, wr = frame_rows(got), frame_rows(want)
+        rec["rows"] = len(gr)
         if len(gr) != len(wr):
+            rec["err"] = f"rows {len(gr)} != {len(wr)}"
             failures.append((name, f"rows {len(gr)} != {len(wr)}"))
             print(f"FAIL {name}: row count {len(gr)} != {len(wr)}")
             continue
+        rec["rows_match"] = True
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, wr)) if a != b]
         if bad:
+            rec["err"] = f"{len(bad)} mismatched rows"
             failures.append((name, f"{len(bad)} mismatched rows"))
             print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first:")
             for i, a, b in bad[:3]:
                 print(f"  row {i}\n   spark={a}\n   duck ={b}")
         else:
+            rec["cells_match"] = True
             print(f"OK   {name}: {len(gr)} rows, {len(g_cols)} cols")
 
     # queries with no oracle → rows-only note
@@ -98,8 +123,19 @@ def main():
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
             print(f"NOTE {d.name}: no oracle, rows={n}")
+            report[d.name] = {"rows_match": None, "cols_match": None,
+                              "cells_match": None, "rows": n,
+                              "err": None, "note": "no oracle (spec-verified)"}
 
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
+    n_pass = len(oracle) - len(failures)
+    print(f"\n{n_pass}/{len(oracle)} queries match")
+    if json_path is not None:
+        json_path.write_text(json.dumps({
+            "summary": {"oracle_queries": len(oracle), "passed": n_pass,
+                        "failed": len(failures), "sf_dir": sf_dir,
+                        "no_oracle": len(report) - len(oracle)},
+            "queries": report}, indent=1, default=str))
+        print(f"wrote {json_path}")
     sys.exit(1 if failures else 0)
 
 
