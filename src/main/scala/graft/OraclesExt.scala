@@ -2893,6 +2893,94 @@ object OraclesExt {
        |ORDER BY group_a, group_b""".stripMargin
   }
 
+  /** Per-source dedup savings — twin of Dedup.dedupSavings: the
+    * dedupClusters closure's min-id survivorship joined onto source +
+    * whitespace token counts, rolled up per source.
+    */
+  val dedupSavings: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+       |  UNION ALL SELECT id_b, id_a FROM mh),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |nt AS (SELECT doc_id, len(t)::BIGINT AS nt FROM toks),
+       |sv AS (SELECT d.source, (cc.id = cc.cluster_id) AS surv, nt.nt
+       |  FROM cc JOIN documents d ON d.doc_id = cc.id
+       |  JOIN nt ON nt.doc_id = cc.id)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN NOT surv THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  sum(nt)::BIGINT AS tokens_total,
+       |  sum(CASE WHEN NOT surv THEN nt ELSE 0 END)::BIGINT AS tokens_dropped,
+       |  CASE WHEN sum(nt) > 0
+       |    THEN round(sum(CASE WHEN NOT surv THEN nt ELSE 0 END)::DOUBLE
+       |      / sum(nt)::DOUBLE, 5)
+       |    ELSE 0.0 END AS savings_ratio
+       |FROM sv GROUP BY source ORDER BY source""".stripMargin
+
+  /** Cross-source near-dup matrix — twin of Dedup.nearDupSourceMatrix:
+    * the banded MinHash pairs joined to both endpoints' sources,
+    * canonically ordered, with the exact-integer HALF_UP mean of the
+    * 5-decimal jaccard ([[decAvg5Sql]]).
+    */
+  val nearDupSources: String =
+    s"""WITH $minHashPairsCtes,
+       |sp AS (SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b, mh.jaccard
+       |  FROM mh JOIN documents da ON mh.id_a = da.doc_id
+       |  JOIN documents db ON mh.id_b = db.doc_id)
+       |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       |  ${decAvg5Sql("jaccard")} AS avg_jaccard
+       |FROM sp GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Embedding dimension health profile — twin of
+    * Similarity.dimProfile: exact counts/min/max, DECIMAL(28,12)
+    * quantized Σv and Σv², 0-based dim to match posexplode.
+    */
+  val embeddingDims: String =
+    s"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+       |pe AS (SELECT dim, e[dim] AS x FROM v, range(1, 65) t(dim)),
+       |a AS (SELECT dim, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN x = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       |  min(x) AS mn, max(x) AS mx,
+       |  sum(x::DECIMAL(28,12))::DOUBLE AS s,
+       |  sum((x * x)::DECIMAL(28,12))::DOUBLE AS ss
+       |  FROM pe GROUP BY dim)
+       |SELECT cast(dim - 1 AS INT) AS dim, n, n_zero, mn, mx,
+       |  round(s / n::DOUBLE, 5) AS mean,
+       |  round(sqrt(greatest(0.0, (ss - s * s / n::DOUBLE) / n::DOUBLE)), 5) AS std
+       |FROM a ORDER BY dim""".stripMargin
+
+  /** Multi-probe LSH top-k — twin of Similarity.lshMultiProbeTopK:
+    * the [[knnLsh]] pipeline with the query side expanded to its own
+    * bucket plus every 1-bit-flipped bucket (masks 0 and 1&lt;&lt;p).
+    */
+  def knnLshMultiprobe(k: Int, planes: Int): String = {
+    val masks = (0L +: (0 until planes).map(p => 1L << p)).mkString(", ")
+    s"""WITH $normCte,
+       |planes AS (SELECT p, list_transform(range(0, 64),
+       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
+       |  FROM range(0, $planes) t(p)),
+       |bucketed AS (SELECT vec_id, nv,
+       |  sum(CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+       |  FROM n CROSS JOIN planes GROUP BY vec_id, nv),
+       |probes AS (SELECT vec_id, nv, xor(bucket, m)::BIGINT AS bucket
+       |  FROM (SELECT * FROM bucketed WHERE vec_id < 5)
+       |  CROSS JOIN (SELECT unnest([$masks]) AS m) masks),
+       |scored AS (SELECT probes.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("probes.nv", "c.nv")} AS score
+       |  FROM bucketed c JOIN probes
+       |    ON c.bucket = probes.bucket AND probes.vec_id <> c.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SQ8 scalar-quantized search — twin of Similarity.sq8TopK:
     * per-dim exact min/max bounds over the normalized corpus,
     * floor-rounded 8-bit codes, asymmetric dequantized scoring,

@@ -810,6 +810,15 @@ object SparkEntry {
       Curation.curateFull(s.table("documents"))
     }
 
+  // One clustering, many reports: q_dedup_keep_best and
+  // q_dedup_savings COMPOSE the cluster assignment; q_dedup_clusters
+  // keeps computing its own so the bench still measures the
+  // components operator itself (the profiler-family rule).
+  private def nearDupClustersShared(s: SparkSession, sfDir: String): DataFrame =
+    sharedFrame(s, "neardup_clusters", sfDir) {
+      Dedup.nearDupClusters(s.table("documents"))
+    }
+
   private def importanceWeightsShared(s: SparkSession, sfDir: String): DataFrame =
     sharedFrame(s, "importance", sfDir) {
       val docs = s.table("documents")
@@ -833,6 +842,7 @@ object SparkEntry {
     Seq(
       timed("setup_kmeans_assign") { kmeansAssigned(s, sfDir) },
       timed("setup_curate_full") { curateFullVerdicts(s, sfDir) },
+      timed("setup_neardup_clusters") { nearDupClustersShared(s, sfDir) },
       timed("setup_importance") { importanceWeightsShared(s, sfDir) },
       timed("setup_profile_long_lineitem") { profileLongShared(s, sfDir, "lineitem") },
       timed("setup_profile_long_orders") { profileLongShared(s, sfDir, "orders") })
@@ -1050,12 +1060,25 @@ object SparkEntry {
     // production dedup ships (keep each near-dup cluster's cleanest
     // member, not its lowest id) — one join + per-cluster rank on top
     // of the same component machinery.
-    "q_dedup_keep_best" -> withTables { s =>
+    "q_dedup_keep_best" -> withTablesSf { (s, sfDir) =>
       val docs = s.table("documents")
       Dedup.keepBestPerCluster(
-        Dedup.nearDupClusters(docs),
+        nearDupClustersShared(s, sfDir),
         TextStats.withDocStats(docs))
         .orderBy("doc_id")
+    },
+    // §7.5 — per-source dedup savings: docs/tokens dropped by
+    // survivorship and the resulting token savings ratio — the number
+    // the pipeline owner reads after a dedup run.
+    "q_dedup_savings" -> withTablesSf { (s, sfDir) =>
+      Dedup.dedupSavingsFrom(nearDupClustersShared(s, sfDir),
+        s.table("documents")).orderBy("source")
+    },
+    // §7.5 — cross-source near-dup matrix: which feeds mirror or
+    // scrape each other (pair-level sibling of q_source_overlap).
+    "q_neardup_sources" -> withTables { s =>
+      Dedup.nearDupSourceMatrix(s.table("documents"))
+        .orderBy("source_a", "source_b")
     },
     // §7.5 — graph centrality: PageRank over the same MinHash pair
     // graph (the within-cluster canonical-version signal; also the
@@ -1236,6 +1259,20 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(ivfPqIndexDir(s, sfDir),
         emb.filter(col("vec_id") < 5), k = 10, nprobe = 4,
         m = pqM, dims = pqDims).orderBy("query_id", "rank")
+    },
+    // §7.5 — embedding dimension health: per-dim count/zeros/min/max/
+    // mean/std in one corpus pass — the dead-dimension detector run
+    // before any index build.
+    "q_embedding_dims" -> withTables { s =>
+      Similarity.dimProfile(s.table("embeddings")).orderBy("dim")
+    },
+    // §7.5 — multi-probe LSH: each query also probes every
+    // 1-bit-flipped bucket, repairing recall for vectors near a
+    // hyperplane without extra tables (Lv et al., VLDB 2007).
+    "q_knn_lsh_multiprobe" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10).orderBy("query_id", "rank")
     },
     // §7.5 — SQ8 scalar-quantized search: 1 byte/dim affine codes,
     // asymmetric dequantized candidate scoring, exact top-k rerank —
@@ -2167,6 +2204,8 @@ object SparkEntry {
     "q_cross_dedup" -> OraclesExt.crossDedup(testFraction),
     "q_dedup_clusters" -> OraclesExt.dedupClusters,
     "q_dedup_keep_best" -> OraclesExt.dedupKeepBest,
+    "q_dedup_savings" -> OraclesExt.dedupSavings,
+    "q_neardup_sources" -> OraclesExt.nearDupSources,
     "q_pagerank" -> OraclesExt.pageRank(pageRankIters),
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
@@ -2199,7 +2238,9 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
     "q_embedding_drift" -> OraclesExt.embeddingDrift,
+    "q_embedding_dims" -> OraclesExt.embeddingDims,
     "q_knn_sq8" -> OraclesExt.knnSq8(10, sq8Rerank),
+    "q_knn_lsh_multiprobe" -> OraclesExt.knnLshMultiprobe(10, 4),
     "q_cluster_sample" ->
       OraclesExt.clusterSample(kmeansNlist, kmeansRefine, clusterSampleCap),
     "q_text_stats" -> OraclesExt.textStats,

@@ -761,4 +761,80 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         col(scoreCol), col("kept"))
   }
+
+  /** Per-source dedup SAVINGS report — the number the pipeline owner
+    * actually reads after a dedup run: per source, how many docs and
+    * tokens the near-dup survivorship drops, and the resulting token
+    * savings ratio. `(source, n_docs, n_dropped, tokens_total,
+    * tokens_dropped, savings_ratio)`.
+    *
+    * One id-keyed join of the cluster verdicts onto the doc token
+    * counts, then a per-source roll-up (map-side combinable, bounded
+    * output). The ratio is a single a/b division (tie-safe).
+    */
+  def dedupSavings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame =
+    dedupSavingsFrom(nearDupClusters(docs, idCol = idCol, textCol = textCol),
+      docs, idCol, textCol, sourceCol)
+
+  /** [[dedupSavings]] over a PRECOMPUTED cluster assignment (the
+    * [[nearDupClusters]] output relation) — a pipeline deriving
+    * several reports from one dedup run (savings + keep-best + the
+    * assignment itself) computes the components once and feeds the
+    * shared frame here, the same one-clustering-many-reports shape as
+    * kmeansProfileFrom.
+    */
+  def dedupSavingsFrom(clusters: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val verdicts = clusters.select(col(idCol), col("is_survivor"))
+    docs
+      .select(col(idCol), col(sourceCol),
+        size(graft.ext.TextStats.tokens(col(textCol))).cast("long")
+          .as("__nt"))
+      .join(verdicts, idCol)
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_survivor"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("__nt")).as("tokens_total"),
+        sum(when(!col("is_survivor"), col("__nt")).otherwise(0L))
+          .as("tokens_dropped"))
+      .withColumn("savings_ratio",
+        when(col("tokens_total") > 0,
+          round(col("tokens_dropped").cast("double") /
+            col("tokens_total").cast("double"), 5)).otherwise(lit(0.0)))
+  }
+
+  /** Cross-source near-dup MATRIX: for every unordered source pair,
+    * how many near-dup pairs straddle it and their mean similarity —
+    * `(source_a, source_b, n_pairs, avg_jaccard)`, within-source
+    * pairs included on the diagonal. The corpus-forensics view that
+    * surfaces which feeds mirror or scrape each other (the pair-level
+    * sibling of the shingle-set source-overlap audit).
+    *
+    * The expensive part is the banded-LSH pair mining, unchanged;
+    * this adds two id-keyed joins onto the (pair-sized) result and a
+    * bounded roll-up. avg_jaccard averages a 5-decimal-quantized
+    * input, so it uses the exact-integer HALF_UP mean
+    * ([[graft.ext.TextStats.decAvg5]], SURVEY §8.3 rule 3).
+    */
+  def nearDupSourceMatrix(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val pairs = minHashNearDupPairs(docs, n, k, bands, threshold,
+      idCol, textCol)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"),
+        col(sourceCol).as("__sa")), "id_a")
+      .join(src.select(col(idCol).as("id_b"),
+        col(sourceCol).as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.ext.TextStats.decAvg5(col("jaccard"), count(lit(1)))
+          .as("avg_jaccard"))
+  }
 }

@@ -975,6 +975,73 @@ object Similarity {
         round(col("__adc").cast("double"), 5).as("adc_dist"), col("rank"))
   }
 
+  /** Embedding-dimension HEALTH profile: one row per dimension with
+    * `(dim, n, n_zero, mn, mx, mean, std)` over the raw (double-cast)
+    * corpus vectors — the dead/collapsed-dimension detector run
+    * before any ANN index build (a dimension with std ≈ 0 wastes
+    * index bytes and, for min/max-scaled quantizers like SQ8,
+    * degenerates the code range).
+    *
+    * Determinism: min/max/counts are exact; mean and variance come
+    * from DECIMAL(28,12)-quantized sums (`Σv`, `Σv²` — each product
+    * is one IEEE double then an exact decimal quantization, so the
+    * sums are partition-independent); the visible mean/std are
+    * rounded at 5.
+    *
+    * Scale shape: one posexplode + per-dim aggregation, map-side
+    * combinable, dims output rows — a single corpus pass however
+    * large the table.
+    */
+  def dimProfile(corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val sumV = sum(col("v").cast(DecimalType(28, 12))).cast("double")
+    val sumSq = sum((col("v") * col("v")).cast(DecimalType(28, 12)))
+      .cast("double")
+    val n = count(lit(1)).cast("double")
+    corpus
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min("v").as("mn"), max("v").as("mx"),
+        round(sumV / n, 5).as("mean"),
+        round(sqrt(greatest(lit(0.0), (sumSq - sumV * sumV / n) / n)), 5)
+          .as("std"))
+  }
+
+  /** Multi-probe LSH top-k: each query probes its own sign-bit bucket
+    * PLUS every bucket at Hamming distance 1 (one flipped
+    * hyperplane) — the classic recall repair for vectors near a
+    * hyperplane, recovering most of banding's recall without extra
+    * tables (Lv et al., VLDB 2007). A corpus vector lives in exactly
+    * one bucket, so the probe join emits each (query, neighbor) pair
+    * at most once — no dedup stage.
+    *
+    * Scale shape: identical to [[lshTopK]] with a (planes+1)×
+    * broadcast-side expansion — the corpus side still scans once and
+    * joins on the bucket key; the per-query rank is a
+    * WindowGroupLimit top-k.
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = withBucket(normalized(corpus, idCol, vecCol), planes, dims, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"), col("bucket"))
+    val probeMasks = lit(0L) +: (0 until planes).map(p => lit(1L << p))
+    val q = withBucket(normalized(queries, idCol, vecCol), planes, dims, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"),
+        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(m)): _*))
+          .as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Per-dimension SQ8 bounds over a NORMALIZED corpus, as ONE row of
     * dimension-ordered arrays `(__mn, __mx)` — min/max are exact
     * (no accumulation), so the bounds are partition-independent.

@@ -2325,6 +2325,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dimProfile is one exact row per dimension") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val out = Similarity.dimProfile(emb).collect()
+    assert(out.length == 64)
+    val n = emb.count()
+    out.foreach { r =>
+      assert(r.getLong(1) == n, "every vector contributes to every dim")
+      assert(r.getDouble(3) <= r.getDouble(4), "mn <= mx")
+      assert(r.getDouble(6) >= 0.0, "std >= 0")
+      val mean = r.getDouble(5)
+      assert(mean >= r.getDouble(3) - 1e-9 && mean <= r.getDouble(4) + 1e-9,
+        s"dim ${r.getInt(0)}: mean within [mn, mx]")
+    }
+  }
+
+  test("multi-probe LSH recall is a superset of single-probe LSH") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.topK(emb, q, k = 10))
+    val single = pairs(Similarity.lshTopK(emb, q, k = 10, planes = 4, dims = 64))
+    val multi = pairs(Similarity.lshMultiProbeTopK(emb, q, k = 10))
+    def recall(s: Set[(Long, Long)]) = s.intersect(bf).size.toDouble / bf.size
+    // the probe set strictly contains the single bucket, so candidate
+    // coverage - and therefore recall against brute force - can only
+    // improve
+    assert(recall(multi) >= recall(single),
+      s"multi ${recall(multi)} < single ${recall(single)}")
+  }
+
   test("sq8TopK agrees with brute force at full-recall rerank width") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")
