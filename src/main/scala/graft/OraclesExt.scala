@@ -2893,6 +2893,40 @@ object OraclesExt {
        |ORDER BY group_a, group_b""".stripMargin
   }
 
+  /** Containment near-dup pairs — twin of Dedup.containmentPairs:
+    * the dedupNgramJaccard inverted index with Broder containment
+    * `n_common / least(n_a, n_b)` instead of symmetric Jaccard.
+    */
+  def dedupContainment(threshold: Double): String =
+    s"""WITH $toksCte, $shCte,
+       |shx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |freq AS (SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= ${graft.ext.Dedup.NgramStopShingleCap}),
+       |inv AS (SELECT doc_id, shingle FROM shx JOIN freq USING (shingle)),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |sizes AS (SELECT doc_id, len(s)::BIGINT AS n_sh FROM sh)
+       |SELECT id_a, id_b, n_common, x.n_sh AS n_a, y.n_sh AS n_b,
+       |       round(n_common::DOUBLE / least(x.n_sh, y.n_sh)::DOUBLE, 5) AS containment
+       |FROM common JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+       |WHERE round(n_common::DOUBLE / least(x.n_sh, y.n_sh)::DOUBLE, 5) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Persisted near-dup index probe — twin of
+    * Dedup.probeNearDupIndex with corpus = doc_id % 10 != 0 and
+    * batch = doc_id % 10 = 0: band keys are per-document, so the
+    * cross pairs of the full-corpus banding restricted to
+    * (corpus, batch) membership are exactly the probe's pairs.
+    */
+  val nearDupIndexProbe: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
+       |       CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS batch_id,
+       |       jaccard
+       |FROM mh
+       |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+       |ORDER BY corpus_id, batch_id""".stripMargin
+
   /** Per-source dedup savings — twin of Dedup.dedupSavings: the
     * dedupClusters closure's min-id survivorship joined onto source +
     * whitespace token counts, rolled up per source.

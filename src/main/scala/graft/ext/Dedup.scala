@@ -377,6 +377,83 @@ object Dedup {
       .distinct()
   }
 
+  /** One-sided CONTAINMENT near-dup pairs: `n_common / min(n_a, n_b)`
+    * over the same inverted shingle index as [[ngramJaccardPairs]] —
+    * the quote/excerpt detector. A short document fully embedded in a
+    * long one scores containment ≈ 1 while its Jaccard stays low
+    * (the union is dominated by the long side), so symmetric-Jaccard
+    * dedup systematically misses subsumption; containment is the
+    * standard fix (Broder's resemblance/containment pair).
+    * Output: (id_a, id_b, n_common, n_a, n_b, containment) with
+    * id_a < id_b and containment ≥ `threshold`.
+    *
+    * Same scale shape as the Jaccard family: the inverted index with
+    * the stop-shingle cap bounds the pair count by shingle
+    * collisions, never |docs|².
+    */
+  def containmentPairs(df: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = 0L): DataFrame =
+    ngramJaccardPairs(df, n, 0.0, idCol, textCol, maxDocFreq)
+      .withColumn("containment", round(col("n_common").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"), 5))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+
+  /** PERSISTED near-dup index: the corpus's band keys and shingle
+    * sets written once at ingest, so a NEW batch probes for near-dups
+    * without re-signaturing the corpus — the incremental-ingest
+    * sibling of [[minHashNearDupPairs]] (and the near-dup counterpart
+    * of the Bloom exact-dedup gate). Layout: `dir/bands`
+    * (id, bk) and `dir/shingles` (id, sh).
+    *
+    * At 100 TB the bands relation is k-hashes-per-doc small and the
+    * probe is one band-keyed equi-join (batch side broadcastable for
+    * typical ingest batches); the shingle sets are fetched only for
+    * candidate pairs via the id-keyed verify join.
+    */
+  def writeNearDupIndex(docs: DataFrame, dir: String, n: Int = 3,
+      k: Int = 16, bands: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val sigs = minHashSignatures(docs, n, k, idCol, textCol)
+    sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    withShingleSet(docs, n, textCol, "sh")
+      .select(col(idCol).as("id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Probe a [[writeNearDupIndex]] index with a new batch: exact-
+    * Jaccard-verified (corpus_id, batch_id, jaccard) pairs. The
+    * batch's signatures/shingles are computed here (it is new data);
+    * the corpus side comes entirely from the index.
+    */
+  def probeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val idxBands = spark.read.parquet(s"$dir/bands")
+    val idxSh = spark.read.parquet(s"$dir/shingles")
+    val bBands = minHashSignatures(batch, n, k, idCol, textCol)
+      .select(col("id").as("batch_id"),
+        explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+    val cand = idxBands.join(broadcast(bBands), "bk")
+      .select(col("id").as("corpus_id"), col("batch_id"))
+      .distinct()
+    val bSh = withShingleSet(batch, n, textCol, "sh")
+      .select(col(idCol).as("batch_id"), col("sh").as("sh_b"))
+    cand
+      .join(idxSh.select(col("id").as("corpus_id"), col("sh").as("sh_a")),
+        "corpus_id")
+      .join(broadcast(bSh), "batch_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 5))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "batch_id", "jaccard")
+  }
+
   def minHashNearDupPairs(df: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -2325,6 +2325,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted near-dup index probe equals the cross-restricted full pairing") {
+    // band keys are per-document, so probing an index built from the
+    // corpus slice with the batch slice must give exactly the full
+    // corpus's verified pairs restricted to (corpus, batch) membership
+    val d = docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    Dedup.writeNearDupIndex(d.filter(col("doc_id") % 10 =!= 0), dir)
+    val probe = Dedup.probeNearDupIndex(spark, dir,
+      d.filter(col("doc_id") % 10 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minHashNearDupPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      .map(p => if (p._1 % 10 == 0) (p._2, p._1, p._3) else (p._1, p._2, p._3))
+      .toSet
+    assert(probe == full)
+    assert(probe.nonEmpty, "fixture must contain cross near-dups")
+  }
+
+  test("containment dominates jaccard on every shared pair") {
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.0,
+      maxDocFreq = Dedup.NgramStopShingleCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.0,
+      maxDocFreq = Dedup.NgramStopShingleCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(cont.keySet == jac.keySet)
+    cont.foreach { case (k, c) =>
+      assert(c >= jac(k) - 1e-9, s"pair $k: containment $c < jaccard ${jac(k)}")
+      assert(c <= 1.0 + 1e-9)
+    }
+  }
+
   test("dimProfile is one exact row per dimension") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")
