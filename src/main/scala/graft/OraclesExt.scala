@@ -644,6 +644,37 @@ object OraclesExt {
        |  round(a.n_active::DOUBLE / s.cohort_size::DOUBLE, 5) AS retention
        |FROM a JOIN s USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Cumulative distinct-user growth — twin of Events.userGrowth:
+    * per first-activity day, new users and the running total.
+    */
+  val userGrowth: String =
+    s"""WITH fs AS (SELECT user_id,
+       |  min(date_diff('day', DATE '1970-01-01', cast(ts AS DATE)))::BIGINT AS day_num
+       |  FROM events GROUP BY user_id),
+       |nw AS (SELECT day_num, count(*)::BIGINT AS n_new_users FROM fs GROUP BY day_num)
+       |SELECT day_num, n_new_users,
+       |  sum(n_new_users) OVER (ORDER BY day_num
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+       |FROM nw ORDER BY day_num""".stripMargin
+
+  /** First-touch attribution — twin of Events.firstTouchAttribution:
+    * each purchase joined to its user's earliest click at or before
+    * the purchase instant, whole-microsecond arithmetic throughout.
+    */
+  val firstTouch: String =
+    s"""WITH conv AS (SELECT event_id, user_id,
+       |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |ft AS (SELECT user_id, min(epoch_us(cast(ts AS TIMESTAMP))) AS first_touch_us
+       |  FROM events WHERE event_type = 'click' GROUP BY user_id)
+       |SELECT conv.event_id, conv.user_id, conv.ts_us, conv.value,
+       |  CASE WHEN ft.first_touch_us <= conv.ts_us THEN ft.first_touch_us END
+       |    AS first_touch_us,
+       |  CASE WHEN ft.first_touch_us <= conv.ts_us
+       |    THEN conv.ts_us - ft.first_touch_us END AS us_since_first_touch
+       |FROM conv LEFT JOIN ft USING (user_id)
+       |ORDER BY event_id""".stripMargin
+
   /** SemDeDup-style cell-pruned cosine pairs — twin of
     * Similarity.cellPairs: vectors meet iff they share one of their
     * `nprobe` nearest of `nlist` md5-selected IVF centroids

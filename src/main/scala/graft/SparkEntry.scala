@@ -2037,6 +2037,18 @@ object SparkEntry {
       Events.cohortRetention(s.table("events"), retentionMaxOffset)
         .orderBy("cohort_day", "day_offset")
     },
+    // §7.5 — cumulative distinct-user growth curve (one user-keyed
+    // min; the running sum spans one row per calendar day).
+    "q_user_growth" -> withTables { s =>
+      Events.userGrowth(s.table("events")).orderBy("day_num")
+    },
+    // §7.5 — FIRST-touch attribution: each purchase joined to its
+    // user's earliest prior click (complement of q_events_asof's
+    // last-touch); one user-keyed min + one equi-join, no window.
+    "q_events_attribution" -> withTables { s =>
+      Events.firstTouchAttribution(s.table("events"))
+        .orderBy("event_id")
+    },
     // §7.5 — SCD type-2 dimension history: each user's event_type
     // sequence collapsed to versioned validity intervals (one key
     // shuffle serving both windows).
@@ -2184,6 +2196,8 @@ object SparkEntry {
     "q_dup_spans" -> OraclesExt.dupSpans(dupSpanN, dupSpanMinDocs),
     "q_strip_spans" -> OraclesExt.stripSpans(dupSpanN, dupSpanMinDocs),
     "q_cohort_retention" -> OraclesExt.cohortRetention(retentionMaxOffset),
+    "q_user_growth" -> OraclesExt.userGrowth,
+    "q_events_attribution" -> OraclesExt.firstTouch,
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,

@@ -39,15 +39,19 @@ package graft.exec
   * apostrophe in a comment can't flip the in-string state and trigger
   * tokens inside comments are never rewritten (ADVICE r6).
   *
+  * Trino's lambda syntax (`x -> f(x)`, `(s, x) -> s + x`) parses
+  * natively in Spark with the same core function names
+  * (filter/transform/reduce) — parity-spec'd passthrough, no rewrite.
+  *
   * This is a scoped text shim, not a general Trino frontend. The
   * documented REMAINING unsupported list: `TRY` around anything but a
   * single CAST (Trino's TRY catches arbitrary scalar errors; Spark
   * only has the try_* function family), UNNEST of a map argument in
   * the MULTI-array form (single-map `UNNEST(m) AS t(k, v)` works via
-  * explode), Trino lambda syntax (`x -> f(x)` differences are minor
-  * but untested), `at_timezone` (Spark timestamps are not
-  * zone-carrying, so there is no faithful spelling), and row
-  * constructors with field names.
+  * explode), Trino-only lambda-function NAMES (`any_match`/
+  * `none_match` — Spark spells them `exists`/`NOT exists`),
+  * `at_timezone` (Spark timestamps are not zone-carrying, so there
+  * is no faithful spelling), and row constructors with field names.
   */
 object TrinoDialect {
 

@@ -470,6 +470,62 @@ object Events {
       .select("cohort_day", "day_offset", "n_active", "cohort_size", "retention")
   }
 
+  /** Cumulative distinct-user growth curve: per first-activity day,
+    * the new-user count and the running total of users seen so far —
+    * the classic growth report. `(day_num, n_new_users, cum_users)`.
+    *
+    * Scale shape: first-seen day is one user-keyed min (map-side
+    * combined); the cumulative sum runs over ONE ROW PER CALENDAR DAY
+    * — a domain bounded by time, not data size, so the global window
+    * is safe (the q_events_trend precedent; whitelisted in the
+    * global-window audit with that bound).
+    */
+  def userGrowth(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstSeen = events
+      .groupBy(col(userCol).as("user"))
+      .agg(min(datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long"))
+        .as("day_num"))
+    firstSeen.groupBy("day_num").agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users",
+        sum(col("n_new_users")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("day_num")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+  }
+
+  /** FIRST-touch attribution: each conversion event joined to its
+    * user's EARLIEST touch event at or before the conversion — the
+    * complement of [[asofJoin]]'s last-touch semantics (marketing
+    * attribution's two canonical models). One row per conversion:
+    * `(event_id, user_id, ts_us, value, first_touch_us,
+    * us_since_first_touch)`, touch columns null when the user has no
+    * prior touch.
+    *
+    * Scale shape: a user's first touch is a single user-keyed min
+    * (map-side combined, one row per user), then one equi-join onto
+    * the conversion stream — no window, no range join, nothing
+    * pair-shaped. Ties inside the min don't exist (epoch-µs min is a
+    * value, not a row pick).
+    */
+  def firstTouchAttribution(events: DataFrame,
+      conversionType: String = "purchase",
+      touchType: String = "click",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col("event_id"), col(userCol), epochUs(col(tsCol)).as("ts_us"),
+        col("value"))
+    val firstTouch = events.filter(col("event_type") === touchType)
+      .groupBy(col(userCol))
+      .agg(min(epochUs(col(tsCol))).as("first_touch_us"))
+    conv.join(firstTouch, Seq(userCol), "left")
+      .select(col("event_id"), col(userCol), col("ts_us"), col("value"),
+        when(col("first_touch_us") <= col("ts_us"), col("first_touch_us"))
+          .as("first_touch_us"),
+        when(col("first_touch_us") <= col("ts_us"),
+          col("ts_us") - col("first_touch_us")).as("us_since_first_touch"))
+  }
+
   /** Type-2 slowly-changing-dimension history from an event stream:
     * collapse each key's ordered attribute sequence into versioned
     * validity intervals — one row per RUN of equal consecutive

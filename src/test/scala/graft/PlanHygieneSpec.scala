@@ -229,7 +229,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       // forecast/trend regressions run over one row per (type, day) —
       // collapsed map-side before the window sees it
       "q_events_trend" -> "one row per (type, day)",
-      "q_forecast_revenue" -> "one row per day")
+      "q_forecast_revenue" -> "one row per day",
+      // userGrowth's cumulative sum spans one row per calendar day
+      "q_user_growth" -> "one row per day")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {

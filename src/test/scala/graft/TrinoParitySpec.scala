@@ -161,6 +161,20 @@ class TrinoParitySpec extends AnyFunSuite {
       "SELECT 'VARCHAR' AS s, `varchar` FROM t -- VARCHAR")
   }
 
+  test("dialect: Trino lambda syntax passes through untouched and runs") {
+    // Trino and Spark share the arrow lambda grammar AND the core
+    // higher-order function names — passthrough, not rewrite
+    val sql = "SELECT filter(ARRAY[1, 2, 3, 4], x -> x > 2) AS f, " +
+      "transform(ARRAY[10, 20], x -> x * 2) AS t, " +
+      "reduce(ARRAY[1, 2, 3], 0, (s, x) -> s + x, s -> s) AS r"
+    val translated = TrinoDialect.translate(sql)
+    assert(translated.contains("x -> x > 2"), "lambda body untouched")
+    Tables.register(spark, TestSpark.sfDir)
+    val qm = new QueryManager(spark)
+    val rows = qm.queryTrino(sql).rows
+    assert(rows.head(2) == "6", s"reduce result: ${rows.head}")
+  }
+
   test("new Trino constructs run end-to-end") {
     Tables.register(spark, TestSpark.sfDir)
     val qm = new QueryManager(spark)
