@@ -48,10 +48,11 @@ package graft.exec
   * single CAST (Trino's TRY catches arbitrary scalar errors; Spark
   * only has the try_* function family), UNNEST of a map argument in
   * the MULTI-array form (single-map `UNNEST(m) AS t(k, v)` works via
-  * explode), Trino-only lambda-function NAMES (`any_match`/
-  * `none_match` — Spark spells them `exists`/`NOT exists`),
-  * `at_timezone` (Spark timestamps are not zone-carrying, so there
-  * is no faithful spelling), and row constructors with field names.
+  * explode), `at_timezone` (Spark timestamps are not zone-carrying,
+  * so there is no faithful spelling), and row constructors with
+  * field names. The Trino-only lambda-predicate names any_match /
+  * all_match / none_match rewrite to exists / forall / NOT exists
+  * ([[rewriteMatchFns]]).
   */
 object TrinoDialect {
 
@@ -446,6 +447,49 @@ object TrinoDialect {
     out.toString
   }
 
+  /** Trino's lambda-predicate function NAMES → Spark's:
+    * `any_match(a, f)` → `exists(a, f)`, `all_match(a, f)` →
+    * `forall(a, f)`, `none_match(a, f)` → `(NOT exists(a, f))` —
+    * the lambda bodies themselves pass through (shared grammar).
+    */
+  def rewriteMatchFns(sql: String): String = {
+    def renameCall(s: String, from: String, to: String,
+        negate: Boolean): String = {
+      val lower = s.toLowerCase
+      val lit = literalMask(s)
+      val out = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val at = lower.indexOf(from, i)
+        val isCall = at >= 0 && !lit(at) && isKeywordAt(s, at, from) && {
+          var j = at + from.length
+          while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          j < s.length && s.charAt(j) == '(' && !lit(j)
+        }
+        if (at < 0) { out.append(s.substring(i)); i = s.length }
+        else if (!isCall) {
+          out.append(s.substring(i, at + from.length)); i = at + from.length
+        } else if (!negate) {
+          out.append(s.substring(i, at)).append(to)
+          i = at + from.length
+        } else {
+          val open = s.indexOf('(', at)
+          val close = closingParen(s, open, lit)
+          require(close > 0, s"unbalanced parentheses in $from at offset $at")
+          out.append(s.substring(i, at))
+          out.append(s"(NOT $to${s.substring(open, close + 1)})")
+          i = close + 1
+        }
+      }
+      out.toString
+    }
+    renameCall(
+      renameCall(
+        renameCall(sql, "any_match", "exists", negate = false),
+        "all_match", "forall", negate = false),
+      "none_match", "exists", negate = true)
+  }
+
   /** Bare Trino type names with no Spark spelling: `VARCHAR` (no
     * length) → `STRING`, `VARBINARY` → `BINARY`. `VARCHAR(n)` parses
     * natively in Spark and is untouched (the `(`-lookahead guard).
@@ -498,11 +542,12 @@ object TrinoDialect {
     */
   def translate(sql: String): String =
     resolveDefaultNamespace(
-      rewriteBareTypes(
-        rewriteTry(
-          rewriteUnnest(
-            rewriteApproxPercentile(
-              rewriteArrayLiteral(
-                rewriteMapAgg(
-                  quoteIdentifiers(sql))))))))
+      rewriteMatchFns(
+        rewriteBareTypes(
+          rewriteTry(
+            rewriteUnnest(
+              rewriteApproxPercentile(
+                rewriteArrayLiteral(
+                  rewriteMapAgg(
+                    quoteIdentifiers(sql)))))))))
 }

@@ -307,6 +307,60 @@ object EventStream {
       }
   }
 
+  /** An attributed conversion (streaming first-touch output record).
+    * Touch fields are None when the user had no click at or before
+    * the purchase instant — the batch twin's null row.
+    */
+  final case class AttributedConversion(
+      eventId: Long, userId: Long, tsUs: Long, value: Double,
+      firstTouchUs: Option[Long], usSinceFirstTouch: Option[Long])
+
+  /** Per-user running first-click instant (one long of state). */
+  final case class FirstTouchState(firstClickUs: Long)
+
+  /** Streaming FIRST-touch attribution — the stateful twin of
+    * `Events.firstTouchAttribution`: state per user is the running
+    * minimum click instant; every purchase emits attributed to it as
+    * it arrives. Rows inside a batch fold in (tsUs, click-first,
+    * eventId) order — clicks at the same microsecond as a purchase
+    * attribute it, matching the batch twin's `<=` rule — and the
+    * state carries the first touch across batches, so a replay emits
+    * exactly the batch rows. State per key is ONE long: unlike the
+    * windowed stream-stream join ([[attributionJoin]], the LAST-touch
+    * horizon model), first-touch needs no buffering and no watermark
+    * to stay bounded at any scale.
+    */
+  def firstTouchStream(events: DataFrame)(
+      implicit enc: SparkSession): Dataset[AttributedConversion] = {
+    import enc.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        graft.ext.Events.epochUs(col("ts")).as("tsUs"), col("value"))
+      .as[(Long, Long, String, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[FirstTouchState, AttributedConversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, String, Long, Double)],
+            state: GroupState[FirstTouchState]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (r._4, if (r._3 == "click") 0 else 1, r._1))
+          var first = state.getOption.map(_.firstClickUs)
+          val out = Seq.newBuilder[AttributedConversion]
+          sorted.foreach { case (id, _, tpe, ts, v) =>
+            if (tpe == "click") {
+              if (first.forall(ts < _)) first = Some(ts)
+            } else {
+              out += AttributedConversion(id, userId, ts, v,
+                first, first.map(ts - _))
+            }
+          }
+          first.foreach(f => state.update(FirstTouchState(f)))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream attribution join: each purchase joins every click
     * by the same user in the preceding `horizonMinutes` — the
     * watermarked STREAM×STREAM equi-join (Spark buffers both sides in

@@ -166,6 +166,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.valuesIterator.contains(false), "the stream must collapse something")
   }
 
+  test("firstTouchStream rows equal the batch first-touch attribution") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val streamed = EventStream.firstTouchStream(
+      EventStream.readEvents(spark, eventsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_firsttouch")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-firsttouch").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    q.stop()
+    def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = spark.table("stream_firsttouch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        optLong(r, 4), optLong(r, 5))).toSet
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = Events.firstTouchAttribution(spark.table("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        optLong(r, 4), optLong(r, 5))).toSet
+    assert(got == batch, "streamed attribution must equal the batch rows")
+    assert(batch.exists(_._5.isDefined) && batch.exists(_._5.isEmpty),
+      "fixture must exercise both attributed and unattributed purchases")
+  }
+
   test("transitionsStream edge counts equal the batch Markov roll-up") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val streamed = EventStream.transitionsStream(

@@ -175,6 +175,31 @@ class TrinoParitySpec extends AnyFunSuite {
     assert(rows.head(2) == "6", s"reduce result: ${rows.head}")
   }
 
+  test("dialect: any_match/all_match/none_match rename to Spark's predicates") {
+    assert(TrinoDialect.rewriteMatchFns(
+      "SELECT any_match(a, x -> x > 1) FROM t") ==
+      "SELECT exists(a, x -> x > 1) FROM t")
+    assert(TrinoDialect.rewriteMatchFns(
+      "SELECT all_match(a, x -> x > 1) FROM t") ==
+      "SELECT forall(a, x -> x > 1) FROM t")
+    assert(TrinoDialect.rewriteMatchFns(
+      "SELECT none_match(a, x -> x > 1) FROM t") ==
+      "SELECT (NOT exists(a, x -> x > 1)) FROM t")
+    // not calls / masked: untouched
+    assert(TrinoDialect.rewriteMatchFns("SELECT any_match_col FROM t") ==
+      "SELECT any_match_col FROM t")
+    assert(TrinoDialect.rewriteMatchFns("SELECT 'any_match(a, f)' s") ==
+      "SELECT 'any_match(a, f)' s")
+    // end-to-end through the engine
+    Tables.register(spark, TestSpark.sfDir)
+    val qm = new QueryManager(spark)
+    val r = qm.queryTrino(
+      "SELECT any_match(ARRAY[1, 2], x -> x = 2) AS a, " +
+        "all_match(ARRAY[1, 2], x -> x > 0) AS b, " +
+        "none_match(ARRAY[1, 2], x -> x > 5) AS c")
+    assert(r.rows == Seq(Seq("true", "true", "true")))
+  }
+
   test("new Trino constructs run end-to-end") {
     Tables.register(spark, TestSpark.sfDir)
     val qm = new QueryManager(spark)
