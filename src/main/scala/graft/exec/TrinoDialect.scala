@@ -49,10 +49,13 @@ package graft.exec
   * only has the try_* function family), UNNEST of a map argument in
   * the MULTI-array form (single-map `UNNEST(m) AS t(k, v)` works via
   * explode), `at_timezone` (Spark timestamps are not zone-carrying,
-  * so there is no faithful spelling), and row constructors with
-  * field names. The Trino-only lambda-predicate names any_match /
-  * all_match / none_match rewrite to exists / forall / NOT exists
-  * ([[rewriteMatchFns]]).
+  * so there is no faithful spelling), and Trino's paren-style
+  * ARRAY/MAP TYPE syntax inside a ROW type (`ROW(x ARRAY(int))`).
+  * The Trino-only lambda-predicate names any_match / all_match /
+  * none_match rewrite to exists / forall / NOT exists
+  * ([[rewriteMatchFns]]); `ROW` constructors and `CAST(.. AS
+  * ROW(..))` types rewrite to struct / STRUCT&lt;&gt;
+  * ([[rewriteRow]]).
   */
 object TrinoDialect {
 
@@ -447,6 +450,73 @@ object TrinoDialect {
     out.toString
   }
 
+  /** Trino `ROW` → Spark, both positions:
+    *
+    *  - constructor `ROW(a, b)` → `struct(a, b)`;
+    *  - type `AS ROW(name T, ...)` (inside CAST) →
+    *    `AS STRUCT<name: T, ...>`, recursing into nested row types.
+    *
+    * Position is decided by the preceding keyword: a `ROW(` directly
+    * after `AS` is a type, anywhere else it is the constructor —
+    * exactly where Trino's grammar allows each.
+    */
+  def rewriteRow(sql: String): String = {
+    val lower = sql.toLowerCase
+    val lit = literalMask(sql)
+    def convertType(t: String): String = {
+      // inside a type, every row(...) is a nested row TYPE
+      val tl = t.toLowerCase
+      val at = tl.indexOf("row")
+      if (at < 0) t
+      else if (!isKeywordAt(t, at, "row") || {
+        var j = at + 3
+        while (j < t.length && Character.isWhitespace(t.charAt(j))) j += 1
+        j >= t.length || t.charAt(j) != '('
+      }) t.substring(0, at + 3) + convertType(t.substring(at + 3))
+      else {
+        val open = t.indexOf('(', at)
+        val close = closingParen(t, open, literalMask(t))
+        require(close > 0, "unbalanced parentheses in ROW type")
+        val fields = splitTopLevel(t.substring(open + 1, close)).map { f =>
+          val ft = f.trim
+          val sp = ft.indexWhere(Character.isWhitespace)
+          require(sp > 0, s"ROW type field needs 'name type': <$ft>")
+          s"${ft.substring(0, sp)}: ${convertType(ft.substring(sp + 1).trim)}"
+        }
+        t.substring(0, at) + s"STRUCT<${fields.mkString(", ")}>" +
+          convertType(t.substring(close + 1))
+      }
+    }
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val at = lower.indexOf("row", i)
+      val isCall = at >= 0 && !lit(at) && isKeywordAt(sql, at, "row") && {
+        var j = at + 3
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+        j < sql.length && sql.charAt(j) == '(' && !lit(j)
+      }
+      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (!isCall) {
+        out.append(sql.substring(i, at + 3)); i = at + 3
+      } else {
+        // type position iff the previous keyword is AS
+        var p = at - 1
+        while (p >= 0 && Character.isWhitespace(sql.charAt(p))) p -= 1
+        val isType = p >= 1 && isKeywordAt(sql, p - 1, "as")
+        val open = sql.indexOf('(', at)
+        val close = closingParen(sql, open, lit)
+        require(close > 0, s"unbalanced parentheses in ROW at offset $at")
+        out.append(sql.substring(i, at))
+        if (isType) out.append(convertType(sql.substring(at, close + 1)))
+        else // nested ROW constructors in the args still rewrite
+          out.append(s"struct(${rewriteRow(sql.substring(open + 1, close))})")
+        i = close + 1
+      }
+    }
+    out.toString
+  }
+
   /** Trino's lambda-predicate function NAMES → Spark's:
     * `any_match(a, f)` → `exists(a, f)`, `all_match(a, f)` →
     * `forall(a, f)`, `none_match(a, f)` → `(NOT exists(a, f))` —
@@ -544,10 +614,11 @@ object TrinoDialect {
     resolveDefaultNamespace(
       rewriteMatchFns(
         rewriteBareTypes(
-          rewriteTry(
-            rewriteUnnest(
-              rewriteApproxPercentile(
-                rewriteArrayLiteral(
-                  rewriteMapAgg(
-                    quoteIdentifiers(sql)))))))))
+          rewriteRow(
+            rewriteTry(
+              rewriteUnnest(
+                rewriteApproxPercentile(
+                  rewriteArrayLiteral(
+                    rewriteMapAgg(
+                      quoteIdentifiers(sql))))))))))
 }

@@ -36,6 +36,9 @@ class DialectPropertySpec extends AnyFunSuite {
     ident.map(i => s"CROSS JOIN UNNEST($i, b2) WITH ORDINALITY AS t(x, y, i)"),
     ident.map(i => s"LEFT JOIN UNNEST($i) AS t(x) ON TRUE"),
     ident.map(i => s"TRY(CAST($i AS BIGINT))"),
+    ident.map(i => s"ROW($i, 1)"),
+    ident.map(i => s"CAST(ROW($i) AS ROW(x BIGINT, y VARCHAR))"),
+    ident.map(i => s"any_match($i, x -> x > 1)"),
     ident.map(i => s"TRY_CAST($i AS VARCHAR)"),
     ident.map(i => s"CAST($i AS VARCHAR(8))"),
     literal.map(l => s"-- comment $l UNNEST(a) map_agg(x)\n"),
@@ -82,6 +85,8 @@ class DialectPropertySpec extends AnyFunSuite {
     "rewriteApproxPercentile" -> TrinoDialect.rewriteApproxPercentile,
     "rewriteUnnest" -> TrinoDialect.rewriteUnnest,
     "rewriteTry" -> TrinoDialect.rewriteTry,
+    "rewriteRow" -> TrinoDialect.rewriteRow,
+    "rewriteMatchFns" -> TrinoDialect.rewriteMatchFns,
     "rewriteBareTypes" -> TrinoDialect.rewriteBareTypes,
     "translate" -> TrinoDialect.translate)
 

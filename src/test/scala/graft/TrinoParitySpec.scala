@@ -200,6 +200,31 @@ class TrinoParitySpec extends AnyFunSuite {
     assert(r.rows == Seq(Seq("true", "true", "true")))
   }
 
+  test("dialect: ROW constructors and ROW types become struct/STRUCT") {
+    assert(TrinoDialect.rewriteRow("SELECT ROW(1, 'a') r") ==
+      "SELECT struct(1, 'a') r")
+    assert(TrinoDialect.rewriteRow("SELECT ROW(1, ROW(2)) r") ==
+      "SELECT struct(1, struct(2)) r")
+    assert(TrinoDialect.rewriteRow(
+      "SELECT CAST(ROW(1, 'a') AS ROW(x BIGINT, y VARCHAR)) r") ==
+      "SELECT CAST(struct(1, 'a') AS STRUCT<x: BIGINT, y: VARCHAR>) r")
+    assert(TrinoDialect.rewriteRow(
+      "SELECT CAST(ROW(1) AS ROW(x ROW(z BIGINT))) r") ==
+      "SELECT CAST(struct(1) AS STRUCT<x: STRUCT<z: BIGINT>>) r")
+    // window frames and row_number are not ROW calls
+    assert(TrinoDialect.rewriteRow(
+      "sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)") ==
+      "sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
+    assert(TrinoDialect.rewriteRow("SELECT row_number() OVER (ORDER BY x)") ==
+      "SELECT row_number() OVER (ORDER BY x)")
+    // end-to-end: named-row cast + field access, bare VARCHAR in the type
+    Tables.register(spark, TestSpark.sfDir)
+    val qm = new QueryManager(spark)
+    val r = qm.queryTrino(
+      "SELECT CAST(ROW(7, 'hi') AS ROW(x BIGINT, y VARCHAR)).x AS x")
+    assert(r.rows == Seq(Seq("7")))
+  }
+
   test("new Trino constructs run end-to-end") {
     Tables.register(spark, TestSpark.sfDir)
     val qm = new QueryManager(spark)
