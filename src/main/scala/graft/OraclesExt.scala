@@ -644,6 +644,51 @@ object OraclesExt {
        |  round(a.n_active::DOUBLE / s.cohort_size::DOUBLE, 5) AS retention
        |FROM a JOIN s USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** RFM segmentation — twin of Events.rfmScores: per-user recency
+    * (whole-µs vs corpus max) / frequency / decimal-summed monetary,
+    * quintile thresholds from the shared exact-quantile machinery
+    * over each metric's GLOBAL distribution (constant group), then
+    * strict-inequality scores 1–5.
+    */
+  val eventsRfm: String = {
+    val ps = Seq("q20" -> 0.2, "q40" -> 0.4, "q60" -> 0.6, "q80" -> 0.8)
+    val picks = quantilePicksSql(ps)
+    val qs = quantileProjSql(ps)
+    def thr(metric: String): String =
+      s"""vc_$metric AS (SELECT 1 AS g, $metric::DOUBLE AS v, count(*)::BIGINT AS cnt
+         |  FROM m GROUP BY 2),
+         |tot_$metric AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc_$metric GROUP BY g),
+         |cum_$metric AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc_$metric),
+         |j_$metric AS (SELECT cum_$metric.g, v, cnt, cum, n
+         |  FROM cum_$metric JOIN tot_$metric USING (g)),
+         |a_$metric AS (SELECT g, n, $picks FROM j_$metric GROUP BY g, n),
+         |t_$metric AS (SELECT $qs FROM a_$metric)""".stripMargin
+    def scoreHigher(c: String, t: String): String =
+      s"(1 + ${ps.map { case (name, _) =>
+        s"CASE WHEN m.$c > $t.$name THEN 1 ELSE 0 END" }.mkString(" + ")})::INT"
+    def scoreLower(c: String, t: String): String =
+      s"(1 + ${ps.map { case (name, _) =>
+        s"CASE WHEN m.$c < $t.$name THEN 1 ELSE 0 END" }.mkString(" + ")})::INT"
+    s"""WITH pu AS (SELECT user_id,
+       |  max(epoch_us(cast(ts AS TIMESTAMP))) AS last_us,
+       |  count(*)::BIGINT AS n_events,
+       |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS total_value
+       |  FROM events GROUP BY user_id),
+       |ref AS (SELECT max(epoch_us(cast(ts AS TIMESTAMP))) AS r FROM events),
+       |m AS (SELECT user_id, (ref.r - last_us)::BIGINT AS recency_us,
+       |  n_events, total_value FROM pu, ref),
+       |${thr("recency_us")},
+       |${thr("n_events")},
+       |${thr("total_value")}
+       |SELECT m.user_id, m.recency_us, m.n_events, m.total_value,
+       |  ${scoreLower("recency_us", "tr")} AS r_score,
+       |  ${scoreHigher("n_events", "tf")} AS f_score,
+       |  ${scoreHigher("total_value", "tm")} AS m_score
+       |FROM m, t_recency_us tr, t_n_events tf, t_total_value tm
+       |ORDER BY m.user_id""".stripMargin
+  }
+
   /** Cumulative distinct-user growth — twin of Events.userGrowth:
     * per first-activity day, new users and the running total.
     */

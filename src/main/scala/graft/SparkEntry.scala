@@ -2042,6 +2042,13 @@ object SparkEntry {
     "q_user_growth" -> withTables { s =>
       Events.userGrowth(s.table("events")).orderBy("day_num")
     },
+    // §7.5 — RFM segmentation scored by exact-quantile thresholds:
+    // no ntile, no global window — the quintile boundaries come from
+    // the range-sharded exact quantile operator and each user scores
+    // by threshold comparison.
+    "q_events_rfm" -> withTables { s =>
+      Events.rfmScores(s.table("events")).orderBy("user_id")
+    },
     // §7.5 — FIRST-touch attribution: each purchase joined to its
     // user's earliest prior click (complement of q_events_asof's
     // last-touch); one user-keyed min + one equi-join, no window.
@@ -2198,6 +2205,7 @@ object SparkEntry {
     "q_cohort_retention" -> OraclesExt.cohortRetention(retentionMaxOffset),
     "q_user_growth" -> OraclesExt.userGrowth,
     "q_events_attribution" -> OraclesExt.firstTouch,
+    "q_events_rfm" -> OraclesExt.eventsRfm,
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_shipping_priority" -> shippingPrioritySql,

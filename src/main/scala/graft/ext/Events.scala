@@ -526,6 +526,60 @@ object Events {
           col("ts_us") - col("first_touch_us")).as("us_since_first_touch"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary), the classic
+    * user-value report, scored SCALE-SAFELY: each metric's quintile
+    * boundaries come from the exact distributed quantile operator
+    * (range-sharded two-phase — [[graft.ext.Quantiles]]), then each
+    * user's score is a threshold comparison — no ntile, no global
+    * window, no total sort anywhere. One row per user:
+    * `(user_id, recency_us, n_events, total_value, r_score, f_score,
+    * m_score)`, scores 1–5 with 5 best (most recent / most frequent /
+    * highest spend).
+    *
+    * Determinism: recency is whole-µs arithmetic against the corpus
+    * max instant; total_value is a decimal(18,6) sum (rule 2);
+    * thresholds are the exact Percentile-interpolated quantiles
+    * rounded at 5; scores are strict-inequality counts against those
+    * thresholds — identical in any engine, any partitioning. Ties AT
+    * a boundary fall to the lower score on both sides by the same
+    * comparison.
+    */
+  def rfmScores(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(epochUs(col(tsCol))).as("__last_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 5)
+          .as("total_value"))
+    val ref = events.agg(max(epochUs(col(tsCol))).as("__ref"))
+    val metrics = perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_us", col("__ref") - col("__last_us"))
+      .drop("__ref", "__last_us")
+    val ps = Seq("q20" -> 0.2, "q40" -> 0.4, "q60" -> 0.6, "q80" -> 0.8)
+    def thresholds(c: String): DataFrame =
+      graft.ext.Quantiles.groupQuantiles(
+        metrics.select(lit(1).as("__g"), col(c)), "__g", c, ps)
+        .select(ps.map { case (name, _) => col(name).as(s"__${c}_$name") }: _*)
+    def scoreHigher(c: String): Column =
+      ps.map { case (name, _) =>
+        when(col(c) > col(s"__${c}_$name"), 1).otherwise(0)
+      }.reduce(_ + _) + lit(1)
+    def scoreLower(c: String): Column =
+      ps.map { case (name, _) =>
+        when(col(c) < col(s"__${c}_$name"), 1).otherwise(0)
+      }.reduce(_ + _) + lit(1)
+    metrics
+      .crossJoin(broadcast(thresholds("recency_us")))
+      .crossJoin(broadcast(thresholds("n_events")))
+      .crossJoin(broadcast(thresholds("total_value")))
+      .select(col(userCol), col("recency_us"), col("n_events"),
+        col("total_value"),
+        scoreLower("recency_us").as("r_score"),
+        scoreHigher("n_events").as("f_score"),
+        scoreHigher("total_value").as("m_score"))
+  }
+
   /** Type-2 slowly-changing-dimension history from an event stream:
     * collapse each key's ordered attribute sequence into versioned
     * validity intervals — one row per RUN of equal consecutive
