@@ -231,7 +231,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_events_trend" -> "one row per (type, day)",
       "q_forecast_revenue" -> "one row per day",
       // userGrowth's cumulative sum spans one row per calendar day
-      "q_user_growth" -> "one row per day")
+      "q_user_growth" -> "one row per day",
+      // rfm's constant threshold group is folded out of the window's
+      // partitionSpec by the optimizer; the remaining global frame is
+      // the sharded-cumsum SHARD-OFFSET pass — one row per shard
+      // (32, config-bounded), the two-phase prefix-sum design
+      "q_events_rfm" -> "32-row shard-offset frame (constant group)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
