@@ -3126,4 +3126,154 @@ object OraclesExt {
        |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM ex)
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Exact tie-corrected ROC AUC per source — twin of Eval.aucByGroup
+    * over the quality blend vs the is-`targetLang` label: identical
+    * value-count grid, identical ×2 integer numerator (HUGEINT, the
+    * DECIMAL(38,0) twin), one identical double division per group.
+    */
+  def auc(targetLang: String): String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, source, lang, t, text FROM toks
+       |  JOIN documents USING (doc_id)),
+       |q AS (SELECT source, lang, $qualityScoreSql AS s FROM d),
+       |sc AS (SELECT source, s,
+       |  sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END)::BIGINT AS np,
+       |  (count(*) - sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END))::BIGINT AS nq
+       |  FROM q GROUP BY source, s),
+       |cum AS (SELECT source, s, np, nq,
+       |  coalesce(sum(nq) OVER (PARTITION BY source ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb FROM sc)
+       |SELECT source, sum(np)::BIGINT AS n_pos, sum(nq)::BIGINT AS n_neg,
+       |  CASE WHEN sum(np) > 0 AND sum(nq) > 0 THEN
+       |    round(sum(np::HUGEINT * (qb::HUGEINT * 2 + nq::HUGEINT))::DOUBLE /
+       |      (sum(np)::DOUBLE * sum(nq)::DOUBLE * 2.0), 5) END AS auc
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- logistic regression (twin of graft.ext.LogReg) ----
+
+  /** Feature CTEs ending in `feat(doc_id, lang, y, x1..x4)` — the
+    * DECIMAL-quantized projection LogReg.features builds (length ramp
+    * + the 5-decimal doc-stat ratios). MATERIALIZED: every GD round
+    * references it (the bpeEncode lesson — un-materialized chained
+    * CTEs re-derive exponentially).
+    */
+  private def logregFeatCtes(targetLang: String): String =
+    s"""$toksCte,
+       |d AS (SELECT doc_id, lang, t, text, length(text)::DOUBLE AS nc FROM toks
+       |  JOIN documents USING (doc_id)),
+       |feat AS MATERIALIZED (SELECT doc_id, lang,
+       |  (CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END)::DECIMAL(10,7) AS y,
+       |  round(least(len(t), 100)::DOUBLE / 100.0, 5)::DECIMAL(8,5) AS x1,
+       |  round(CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN ('a', 'the')))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END, 5)::DECIMAL(8,5) AS x2,
+       |  round(CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nc ELSE 0.0 END, 5)::DECIMAL(8,5) AS x3,
+       |  round(CASE WHEN nc > 0 THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / nc ELSE 0.0 END, 5)::DECIMAL(8,5) AS x4
+       |  FROM d)""".stripMargin
+
+  /** One unrolled GD round r: weights CTE w{r-1} → scored p{r} →
+    * gradient g{r} → w{r}. Shapes mirror LogReg.trainStates term for
+    * term (quantized sigmoid, exact decimal gradient sums, one double
+    * update expression per weight re-quantized at 9).
+    */
+  private def logregRoundCtes(r: Int, lr: Double): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT f.*, $prev.*,
+       |  least(greatest(round(1.0 / (1.0 + exp(-((w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4)::DOUBLE))), 7), 0.0000001), 0.9999999)::DECIMAL(10,7) AS p
+       |  FROM feat f CROSS JOIN $prev),
+       |g$r AS (SELECT count(*)::BIGINT AS n,
+       |  sum(p - y) AS g0, sum((p - y) * x1) AS g1, sum((p - y) * x2) AS g2,
+       |  sum((p - y) * x3) AS g3, sum((p - y) * x4) AS g4,
+       |  sum(round(-(y::DOUBLE * ln(p::DOUBLE) +
+       |    (1.0 - y::DOUBLE) * ln(1.0 - p::DOUBLE)), 7)::DECIMAL(18,7)) AS lsum
+       |  FROM p$r),
+       |w$r AS MATERIALIZED (SELECT
+       |  round($prev.w0::DOUBLE - $lr * (g0::DOUBLE / n::DOUBLE), 9)::DECIMAL(18,9) AS w0,
+       |  round($prev.w1::DOUBLE - $lr * (g1::DOUBLE / n::DOUBLE), 9)::DECIMAL(18,9) AS w1,
+       |  round($prev.w2::DOUBLE - $lr * (g2::DOUBLE / n::DOUBLE), 9)::DECIMAL(18,9) AS w2,
+       |  round($prev.w3::DOUBLE - $lr * (g3::DOUBLE / n::DOUBLE), 9)::DECIMAL(18,9) AS w3,
+       |  round($prev.w4::DOUBLE - $lr * (g4::DOUBLE / n::DOUBLE), 9)::DECIMAL(18,9) AS w4,
+       |  round(lsum::DOUBLE / n::DOUBLE, 6) AS loss
+       |  FROM g$r CROSS JOIN $prev)""".stripMargin
+  }
+
+  private def logregCtes(targetLang: String, iters: Int, lr: Double): String = {
+    val zero = "w0 AS (SELECT 0.0::DECIMAL(18,9) AS w0, 0.0::DECIMAL(18,9) AS w1, " +
+      "0.0::DECIMAL(18,9) AS w2, 0.0::DECIMAL(18,9) AS w3, 0.0::DECIMAL(18,9) AS w4)"
+    val rounds = (1 to iters).map(logregRoundCtes(_, lr)).mkString(",\n")
+    s"${logregFeatCtes(targetLang)},\n$zero,\n$rounds"
+  }
+
+  /** GD training trace — twin of LogReg.train. */
+  def logregTrain(targetLang: String, iters: Int, lr: Double): String = {
+    val rows = (1 to iters).map { r =>
+      s"SELECT $r AS iter, w0::DOUBLE AS w_bias, w1::DOUBLE AS w_len, " +
+        s"w2::DOUBLE AS w_stop, w3::DOUBLE AS w_punct, w4::DOUBLE AS w_alpha, " +
+        s"loss FROM w$r"
+    }.mkString(" UNION ALL ")
+    s"WITH ${logregCtes(targetLang, iters, lr)}\n$rows ORDER BY iter"
+  }
+
+  /** Final-model application per language — twin of
+    * LogReg.predictByGroup (same unrolled training, one scoring pass
+    * with the round-`iters` weights).
+    */
+  def logregPredict(targetLang: String, iters: Int, lr: Double): String =
+    s"""WITH ${logregCtes(targetLang, iters, lr)},
+       |sc AS (SELECT f.lang,
+       |  least(greatest(round(1.0 / (1.0 + exp(-((w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4)::DOUBLE))), 7), 0.0000001), 0.9999999)::DECIMAL(10,7) AS p
+       |  FROM feat f CROSS JOIN w$iters)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos,
+       |  round(sum(p)::DOUBLE / count(*)::DOUBLE, 5) AS avg_p
+       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-cluster simplified silhouette — twin of
+    * Similarity.kmeansSilhouette: the shared refined-k-means chain's
+    * final scoring kept at crank ≤ 2, pivoted per point, the
+    * (b−a)/max(a,b) cosine-distance form rounded at 5, exact HALF_UP
+    * decimal means per cluster.
+    */
+  def kmeansSilhouette(nlist: Int, refine: Int): String =
+    s"""WITH ${kmeansAssignCtes(nlist, refine)},
+       |top2 AS (SELECT vec_id,
+       |  max(CASE WHEN crank = 1 THEN centroid_id END) AS cluster_id,
+       |  max(CASE WHEN crank = 1 THEN cscore END) AS c1,
+       |  max(CASE WHEN crank = 2 THEN cscore END) AS c2
+       |  FROM rf WHERE crank <= 2 GROUP BY vec_id),
+       |sil AS (SELECT cluster_id,
+       |  CASE WHEN greatest(1.0 - c1, 1.0 - c2) > 0
+       |    THEN round(((1.0 - c2) - (1.0 - c1)) / greatest(1.0 - c1, 1.0 - c2), 5)
+       |    ELSE 0.0 END AS s
+       |  FROM top2)
+       |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+       |  ${decAvg5Sql("s")} AS mean_silhouette,
+       |  min(s) AS min_silhouette
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-document boilerplate contamination — twin of
+    * TextStats.boilerplateReport: distinct bigram shingles (the
+    * Jaccard family's degenerate-window convention), per-(source,
+    * shingle) document frequency, integer cross-multiplied percent
+    * threshold, per-doc fraction.
+    */
+  def boilerplate(n: Int, minDocPct: Int): String = {
+    val hi = n - 1 // window end offset: t[i : i+n-1] is an n-gram
+    s"""WITH $toksCte,
+       |sh2 AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(range(1, greatest(len(t) - $hi, 1) + 1),
+       |    i -> array_to_string(t[i:i+$hi], ' '))) AS s
+       |  FROM toks JOIN documents USING (doc_id)),
+       |inv AS (SELECT source, doc_id, unnest(s) AS shingle FROM sh2),
+       |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+       |bp AS (SELECT source, shingle FROM
+       |  (SELECT source, shingle, count(*)::BIGINT AS df FROM inv GROUP BY 1, 2)
+       |  JOIN nd USING (source) WHERE df * 100 >= n_docs * $minDocPct),
+       |per AS (SELECT i.source, i.doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate
+       |  FROM inv i LEFT JOIN bp b ON i.source = b.source AND i.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, source, n_shingles, n_boilerplate,
+       |  round(n_boilerplate::DOUBLE / n_shingles::DOUBLE, 5) AS boilerplate_frac
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
 }

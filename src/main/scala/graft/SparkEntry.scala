@@ -722,6 +722,16 @@ object SparkEntry {
   // OraclesExt.shuffleOrder)
   private[graft] val shuffleShards = 32
   private[graft] val shuffleSalt = "shuffle"
+  // logistic-regression quality classifier: full-batch GD rounds +
+  // learning rate (shared with OraclesExt.logregTrain/logregPredict)
+  private[graft] val logregIters = 3
+  private[graft] val logregLr = 1.0
+  // boilerplate template detector: bigram shingles, ≥20% of a
+  // source's docs (shared with OraclesExt.boilerplate; 2/20 chosen so
+  // the fixture corpus actually crosses the bar — 2-gram df tops out
+  // at 32% per source at sf0.01, 3-gram at 12%)
+  private[graft] val boilerplateN = 2
+  private[graft] val boilerplateMinDocPct = 20
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1323,6 +1333,15 @@ object SparkEntry {
     "q_embedding_kmeans" -> withTablesSf { (s, sfDir) =>
       Similarity.kmeansProfileFrom(kmeansAssigned(s, sfDir))
     },
+    // Cluster-quality companion: per-cluster simplified silhouette
+    // (own vs runner-up centroid distance) — computes its own Lloyd
+    // pipeline because it needs the top-2 scores the shared
+    // assignment deliberately drops (and the bench then measures the
+    // whole operator, the profiler-family rule).
+    "q_kmeans_silhouette" -> withTables { s =>
+      Similarity.kmeansSilhouette(s.table("embeddings"),
+        nlist = kmeansNlist, refine = kmeansRefine)
+    },
     // cluster-capped diversity sample: ≤ cap md5-picked members per
     // k-means cluster (cluster-balanced corpus pruning). Shares the
     // checkpointed assignment with q_embedding_kmeans — the centroid
@@ -1394,8 +1413,42 @@ object SparkEntry {
       graft.ext.Classify.nbConfusion(s.table("documents"))
         .orderBy("actual", "predicted")
     },
+    // §7.5 — the discriminative classifier slot: relational full-batch
+    // GD logistic regression over the per-doc quality features (the
+    // fastText-filter role), one aggregate pass per iteration,
+    // bit-stable decimal gradients (LogReg scaladoc).
+    "q_logreg" -> withTables { s =>
+      graft.ext.LogReg.train(s.table("documents"),
+        col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr)
+        .orderBy("iter")
+    },
+    // ...and the trained model applied back per language slice: how
+    // many docs the is-English classifier flags at p ≥ 0.5 per lang.
+    "q_logreg_predict" -> withTables { s =>
+      graft.ext.LogReg.predictByGroup(s.table("documents"),
+        col("lang") === dsirTargetLang, "lang", iters = logregIters,
+        lr = logregLr).orderBy("lang")
+    },
+    // §7.5 — classifier/score evaluation: exact tie-corrected ROC AUC
+    // of the quality score against the is-English label, per source
+    // (does the gate's score actually separate what it claims?).
+    "q_auc" -> withTables { s =>
+      graft.ext.Eval.aucByGroup(
+        TextStats.withDocStats(s.table("documents")),
+        "source", col("lang") === dsirTargetLang, col("quality_score"))
+        .orderBy("source")
+    },
     "q_text_fingerprint" -> withTables { s =>
       TextStats.fingerprints(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — CCNet-style boilerplate/template detection: bigram
+    // shingles appearing in ≥20% of a source's documents, reported as
+    // a per-doc contamination fraction (inverted-index plan — the
+    // n-gram dedup family's shape, nothing pairwise).
+    "q_boilerplate" -> withTables { s =>
+      TextStats.boilerplateReport(s.table("documents"),
+        n = boilerplateN, minDocPct = boilerplateMinDocPct)
+        .orderBy("doc_id")
     },
     // §7.5 extensions — deterministic sampling (membership is a pure
     // function of (salt, id): reproducible under any partitioning).
@@ -2290,6 +2343,7 @@ object SparkEntry {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embedding_kmeans" -> OraclesExt.kmeansProfile(kmeansNlist, kmeansRefine),
+    "q_kmeans_silhouette" -> OraclesExt.kmeansSilhouette(kmeansNlist, kmeansRefine),
     "q_embedding_drift" -> OraclesExt.embeddingDrift,
     "q_embedding_dims" -> OraclesExt.embeddingDims,
     "q_knn_sq8" -> OraclesExt.knnSq8(10, sq8Rerank),
@@ -2300,6 +2354,10 @@ object SparkEntry {
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
     "q_nb_confusion" -> OraclesExt.nbConfusion,
+    "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
+    "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),
+    "q_auc" -> OraclesExt.auc(dsirTargetLang),
+    "q_boilerplate" -> OraclesExt.boilerplate(boilerplateN, boilerplateMinDocPct),
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),
     "q_bpe_merges" -> OraclesExt.bpeMerges(bpeRounds),
     "q_bpe_encode" -> OraclesExt.bpeEncode(bpeRounds),

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classifier / score evaluation over corpus-scale relations — the
+  * measurement half of the quality-filter loop (a pipeline that
+  * trains a quality classifier, reweights by DSIR, or gates on a
+  * score needs AUC-class evidence that the score actually separates
+  * what it claims to). Reference scope: the reference delegates all
+  * SQL to Athena (/root/reference/aws-athena.sh:140) and has no ML
+  * surface; this module is part of the §7.5 training-data extension.
+  */
+object Eval {
+
+  private val Dec38 = DecimalType(38, 0)
+
+  /** Exact tie-corrected ROC AUC of `score` against boolean `label`,
+    * one row per `groupCol` value: (groupCol, n_pos, n_neg, auc).
+    *
+    * Mann–Whitney over score VALUE COUNTS, not ranks: for each
+    * distinct score v with p_v positives, q_v negatives and Q<(v)
+    * negatives strictly below, AUC = Σ p_v·(Q<(v) + q_v/2) /
+    * (n_pos·n_neg) — ties contribute the half-credit term exactly.
+    * The numerator is kept ×2 in integer arithmetic (2·Q< + q_v, no
+    * fractional halves) and divided once at the end, so the only
+    * float op is a single exact-integer→double division per group —
+    * bit-identical on any engine and any partitioning. A group with
+    * no positives (or no negatives) has undefined AUC → NULL, never a
+    * silent 0 or divide-by-zero.
+    *
+    * Scale shape: one (group, score) map-side-combined aggregation
+    * collapses the corpus to its score GRID — for the repo's
+    * 5-decimal-quantized scores that is ≤ 10⁵ rows per group however
+    * many documents exist, so the per-group cumulative window runs
+    * over a grid-bounded relation (same bound class as the exact
+    * quantile machinery's value-counts frame), and the final roll-up
+    * is one row per group. The corpus itself is scanned once and
+    * never sorted globally.
+    *
+    * Numerator width: p_v·(2·Q< + q_v) summed over the grid is
+    * O(n_pos·n_neg) ≤ n²/4 — past 2⁶³ for n ≳ 6·10⁹ rows per group,
+    * which a 100 TB corpus exceeds, so the products run in
+    * DECIMAL(38,0) (the quality-blend rule: long multiplication wraps
+    * silently).
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, label: Column,
+      score: Column): DataFrame = {
+    val sc = df
+      .select(col(groupCol).as("__g"), score.as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("__g", "__s")
+      .agg(sum(col("__y")).as("__np"),
+        (count(lit(1)) - sum(col("__y"))).as("__nq"))
+    // negatives strictly below each score value; the window is
+    // per-group over the grid-bounded value-counts frame
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sc.withColumn("__qb", coalesce(sum(col("__nq")).over(w), lit(0L)))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__np")).as("n_pos"), sum(col("__nq")).as("n_neg"),
+        sum(col("__np").cast(Dec38) *
+          (col("__qb").cast(Dec38) * lit(2) + col("__nq").cast(Dec38)))
+          .as("__num2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")
+              * lit(2.0)), 5))
+          .as("auc"))
+  }
+}

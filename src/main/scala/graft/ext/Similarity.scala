@@ -769,6 +769,69 @@ object Similarity {
             sqrt(dot(col("r.mv"), col("r.mv")))), 5).as("centroid_cosine"))
   }
 
+  /** Per-cluster simplified (centroid) silhouette of the refined
+    * k-means clustering — the cluster-QUALITY report that tells a
+    * curation pipeline whether its clusters are real structure or
+    * arbitrary partitions before it trusts cluster-balanced sampling
+    * / SemDeDup pruning: s ≈ 1 means members sit far closer to their
+    * own centroid than to any other, s ≤ 0 means the assignment is no
+    * better than the runner-up.
+    *
+    * Simplified silhouette (Hruschka et al.): distances to CENTROIDS
+    * stand in for mean pairwise member distances — a(i) = d(i, own
+    * centroid), b(i) = min over other centroids, s(i) = (b−a)/max(a,b).
+    * The full formula's per-pair term is O(n²) per cluster and
+    * unusable at corpus scale; the centroid form is the standard
+    * large-n surrogate and needs exactly the scores k-means already
+    * computes. Distances are cosine distance 1 − cos over normalized
+    * vectors; with the top-2 centroid cosines c₁ ≥ c₂ per point,
+    * s = ((1−c₂) − (1−c₁)) / max(1−c₁, 1−c₂) — computed from the same
+    * 5-decimal-rounded cscores as the assignment itself, rounded at 5,
+    * then aggregated per cluster with the exact HALF_UP decimal mean
+    * (the `decAvg5` rule: quantized inputs land on .5×10⁻⁵ ties where
+    * double `round` is engine-dependent).
+    *
+    * Both-centroids-coincident (max(a,b) = 0) yields s = 0 by
+    * convention, never a divide-by-zero.
+    *
+    * Scale shape: identical to [[kmeansProfile]] — Lloyd steps are
+    * broadcast-assign + per-cell means; the silhouette pass is ONE
+    * extra broadcast scoring of the corpus where the top-2 pick is a
+    * per-point pivot (single map-side-combinable groupBy on the id —
+    * no self-join, no pair blowup), and the roll-up shuffles one row
+    * per cluster.
+    */
+  def kmeansSilhouette(corpus: DataFrame, nlist: Int, refine: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nlist >= 2, "silhouette needs at least 2 clusters")
+    val nc = normalized(corpus, idCol, vecCol)
+    var cents = ivfCentroids(nc, nlist, idCol, vecCol)
+    for (_ <- 0 until refine) cents = ivfRefineOnce(nc, cents, idCol, vecCol)
+    val scored = nc.join(broadcast(cents))
+      .withColumn("cscore", round(dot(col(vecCol), col("centroid_vec")), 5))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val top2 = scored
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 2)
+      .groupBy(col(idCol))
+      .agg(max(when(col("crank") === 1, col("centroid_id"))).as("cluster_id"),
+        max(when(col("crank") === 1, col("cscore"))).as("__c1"),
+        max(when(col("crank") === 2, col("cscore"))).as("__c2"))
+    val a = lit(1.0) - col("__c1")
+    val b = lit(1.0) - col("__c2")
+    top2
+      .withColumn("__sil",
+        when(greatest(a, b) > 0, round((b - a) / greatest(a, b), 5))
+          .otherwise(lit(0.0)))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        graft.ext.TextStats.decAvg5(col("__sil"), count(lit(1)))
+          .as("mean_silhouette"),
+        min(col("__sil")).as("min_silhouette"))
+      .orderBy("cluster_id")
+  }
+
   /** [[kmeansProfile]] over a PRECOMPUTED assignment (the
     * [[kmeansAssign]] output relation) — a pipeline that derives
     * several reports from one clustering (profile + capped sample +

@@ -812,4 +812,56 @@ object TextStats {
       md5(concat_ws(" ", array_sort(toks))).as("fingerprint"),
       concat_ws("", slice(hashes, 1, k)).as("bottomk_sketch"))
   }
+
+  /** Per-document boilerplate contamination report — the CCNet-style
+    * template detector: a word n-gram is BOILERPLATE within a source
+    * when it appears in at least `minDocPct`% of that source's
+    * documents (navigation chrome, license banners, scraper
+    * artifacts are exactly the shingles whole sources repeat).
+    * Returns (idCol, groupCol, n_shingles, n_boilerplate,
+    * boilerplate_frac) — one row per document; a high frac marks a
+    * document that is mostly its source's template.
+    *
+    * The threshold is an integer PERCENT compared cross-multiplied
+    * (100·df ≥ pct·n_docs) — no float threshold for engines to
+    * disagree on at the boundary.
+    *
+    * Scale shape: the same inverted shingle index as the n-gram
+    * dedup family — distinct shingles explode to (source, doc,
+    * shingle) postings once; document frequency is a
+    * map-side-combined count per (source, shingle); the boilerplate
+    * set is a FRACTION bound (≤ 100/pct · n_docs_in_group shingles
+    * can clear a pct% bar only if postings allow — the set is
+    * postings/(pct·n_docs/100)-bounded, collapsing as the corpus
+    * grows); the flag rejoins the postings shingle-keyed. Per-doc
+    * roll-ups are map-side combinable. Nothing is pairwise, nothing
+    * is O(n²), and the per-source doc counts broadcast (group domain
+    * is bounded).
+    */
+  def boilerplateReport(df: DataFrame, n: Int = 2, minDocPct: Int = 20,
+      groupCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocPct >= 1 && minDocPct <= 100, "minDocPct must be in [1,100]")
+    val inv = Dedup.withShingleSet(df, n, textCol, "__sh")
+      .select(col(groupCol).as("__g"), col(idCol),
+        explode_outer(col("__sh")).as("__shingle"))
+      .filter(col("__shingle").isNotNull)
+    val nDocs = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n_docs"))
+    // shingles are distinct per doc (withShingleSet), so the posting
+    // count per (group, shingle) IS the document frequency
+    val bp = inv.groupBy("__g", "__shingle")
+      .agg(count(lit(1)).as("__df"))
+      .join(broadcast(nDocs), "__g")
+      .filter(col("__df") * 100 >= col("__n_docs") * minDocPct)
+      .select(col("__g"), col("__shingle"), lit(1L).as("__is_bp"))
+    inv.join(bp, Seq("__g", "__shingle"), "left")
+      .groupBy(col("__g"), col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__is_bp"), lit(0L))).as("n_boilerplate"))
+      .select(col(idCol), col("__g").as(groupCol), col("n_shingles"),
+        col("n_boilerplate"),
+        round(col("n_boilerplate").cast("double") /
+          col("n_shingles").cast("double"), 5).as("boilerplate_frac"))
+  }
 }

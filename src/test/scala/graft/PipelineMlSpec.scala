@@ -603,4 +603,147 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(seg == List(("ab", 1L, "ab"), ("abc", 1L, "ab"), ("abc", 2L, "c"),
       ("cd", 1L, "cd")))
   }
+
+  // ---- Eval.aucByGroup ----
+
+  test("aucByGroup: separation → 1, inversion → 0, all-ties → 0.5, one-class → NULL") {
+    val rows = Seq(
+      // g1: positives strictly above negatives
+      ("g1", true, 0.9), ("g1", true, 0.8), ("g1", false, 0.2), ("g1", false, 0.1),
+      // g2: the score ranks the positive LAST
+      ("g2", true, 0.1), ("g2", false, 0.9),
+      // g3: everyone tied — half credit exactly
+      ("g3", true, 0.5), ("g3", false, 0.5),
+      // g4: no negatives — AUC undefined
+      ("g4", true, 0.7), ("g4", true, 0.3)
+    ).toDF("src", "lbl", "s")
+    val got = graft.ext.Eval.aucByGroup(rows, "src", col("lbl"), col("s"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(("g1", 2L, 2L, Some(1.0)), ("g2", 1L, 1L, Some(0.0)),
+      ("g3", 1L, 1L, Some(0.5)), ("g4", 2L, 0L, None)))
+  }
+
+  test("aucByGroup: mixed ties match the rank-sum formula; partitioning-independent") {
+    // pos at {0.8, 0.5}, neg at {0.5, 0.2}: pairs = 4, wins = 2 (0.8
+    // beats both) + 1 (0.5 vs 0.2) + 0.5 (0.5 tie) = 3.5 → 0.875
+    val rows = Seq(("g", true, 0.8), ("g", true, 0.5), ("g", false, 0.5),
+      ("g", false, 0.2)).toDF("src", "lbl", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Eval.aucByGroup(df, "src", col("lbl"), col("s")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(rows) == Seq((2L, 2L, 0.875)))
+    assert(run(rows.repartition(7)) == run(rows.repartition(1)))
+  }
+
+  // ---- LogReg ----
+
+  test("logreg: from-zero first loss is ln 2; loss decreases; stopword weight separates") {
+    // en docs are stopword-dense, others stopword-free — linearly
+    // separable on x2, so GD must push w_stop up and the loss down
+    val docs = (0L until 8L).map { i =>
+      if (i % 2 == 0) (i, "the a the a the data", "en")
+      else (i, "data spark merge join sort scan", "de")
+    }.toDF("doc_id", "text", "lang")
+    val trace = graft.ext.LogReg.train(docs, col("lang") === "en", iters = 3)
+      .orderBy("iter").collect()
+    assert(trace.length == 3)
+    assert(trace(0).getDouble(6) == 0.693147) // round(ln 2, 6)
+    val losses = trace.map(_.getDouble(6)).toSeq
+    assert(losses == losses.sorted.reverse && losses.distinct == losses)
+    assert(trace(2).getAs[Double]("w_stop") > 0)
+  }
+
+  test("logreg is partitioning-independent on real docs") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val a = graft.ext.LogReg.train(docs.repartition(1), col("lang") === "en")
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    val b = graft.ext.LogReg.train(docs.repartition(13), col("lang") === "en")
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    assert(a == b)
+  }
+
+  test("logreg predictByGroup: every doc counted once, probabilities in (0,1)") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val got = graft.ext.LogReg.predictByGroup(docs, col("lang") === "en", "lang")
+      .collect()
+    assert(got.map(_.getLong(1)).sum == docs.count())
+    got.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  // ---- Similarity.kmeansSilhouette ----
+
+  test("kmeansSilhouette: two tight far-apart clusters score near 1, sizes partition n") {
+    // axis-aligned bumps: cosine within a bump ≈ 1, across ≈ 0.
+    // Membership by PARITY so the two md5-smallest ids (6 and 9 — the
+    // deterministic seed picks) start one in each bump.
+    val vecs = (0L until 12L).map { i =>
+      val a = i % 2 == 0
+      val v = Array(0f, 0f, 0f, 0f)
+      v(if (a) 0 else 2) = 1f
+      v(if (a) 1 else 3) = 0.05f * (1 + (i % 3)) // within-bump jitter
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansSilhouette(vecs, nlist = 2, refine = 2).collect()
+    assert(out.map(_.getLong(1)).sum == 12L)
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0.5, s"mean_silhouette low: $r")
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("kmeansSilhouette on fixture embeddings: bounded, every vector counted") {
+    val out = Similarity.kmeansSilhouette(emb, nlist = 16, refine = 2).collect()
+    assert(out.map(_.getLong(1)).sum == emb.count())
+    out.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(3) <= r.getDouble(2))
+    }
+  }
+
+  // ---- TextStats.boilerplateReport ----
+
+  test("boilerplate: source-frequent bigram flagged, rare-elsewhere not; frac exact") {
+    import graft.ext.TextStats
+    val docs = Seq(
+      // srcA: "terms of" in 3/4 docs (75%); every other bigram unique
+      (0L, "terms of alpha beta", "srcA"), (1L, "terms of gamma delta", "srcA"),
+      (2L, "terms of", "srcA"), (3L, "epsilon zeta eta", "srcA"),
+      // srcB: "terms of" appears once in 4 docs (25% < 50%)
+      (4L, "terms of theta iota", "srcB"), (5L, "kappa lambda", "srcB"),
+      (6L, "mu nu xi", "srcB"), (7L, "omicron pi", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.boilerplateReport(docs, n = 2, minDocPct = 50)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc 2 is ONLY the template bigram → fully boilerplate
+    assert(out(2) == ((2L, 1L, 1L, 1.0)))
+    // docs 0, 1 carry the template + 2 unique bigrams
+    assert(out(0) == ((0L, 3L, 1L, 0.33333)))
+    assert(out(1) == ((1L, 3L, 1L, 0.33333)))
+    // clean doc in srcA, and ALL of srcB (template below threshold there)
+    assert(out(3)._3 == 0L)
+    assert((4 to 7).forall(i => out(i)._3 == 0L))
+  }
+
+  test("boilerplate: integer percent threshold is a ≥ bar, per-source doc counts") {
+    import graft.ext.TextStats
+    // bigram in exactly 2 of 4 docs = 50%
+    val docs = Seq(
+      (0L, "shared pair one", "s"), (1L, "shared pair two", "s"),
+      (2L, "three four", "s"), (3L, "five six", "s")
+    ).toDF("doc_id", "text", "source")
+    def flagged(pct: Int): Long =
+      TextStats.boilerplateReport(docs, n = 2, minDocPct = pct)
+        .agg(sum("n_boilerplate")).collect()(0).getLong(0)
+    assert(flagged(50) == 2L) // the two "shared pair" postings
+    assert(flagged(51) == 0L) // strict bar just above: nothing clears
+  }
 }
