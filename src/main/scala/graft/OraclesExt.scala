@@ -3250,6 +3250,114 @@ object OraclesExt {
        |  min(s) AS min_silhouette
        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** K-fold cross-validated Naive Bayes — twin of Classify.nbCrossVal:
+    * identical md5 fold keys, one count pass with fold as a grouping
+    * key, training counts / totals / vocabulary / priors by
+    * global-minus-fold subtraction, quantized log terms, exact decimal
+    * scores, (score desc, label) argmax. MATERIALIZED on the
+    * multiply-referenced relations (f×3, tok×2, cf×4, gtok×2 — DuckDB
+    * inlines CTEs by default and would re-derive each).
+    */
+  def nbCrossVal(k: Int): String =
+    s"""WITH f AS MATERIALIZED (SELECT doc_id, lang,
+       |  cast(cast('0x' || substr(md5('fold|' || doc_id), 1, 8) AS BIGINT)
+       |    % $k AS INT) AS fold,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, fold, lang AS label, unnest(t) AS token FROM f),
+       |cf AS MATERIALIZED (SELECT fold, label, token, count(*)::BIGINT AS c
+       |  FROM tok GROUP BY 1, 2, 3),
+       |cg AS MATERIALIZED (SELECT label, token, sum(c)::BIGINT AS cg FROM cf GROUP BY 1, 2),
+       |ntg AS (SELECT label, sum(cg)::BIGINT AS ntg FROM cg GROUP BY 1),
+       |ntf AS (SELECT fold, label, sum(c)::BIGINT AS ntf FROM cf GROUP BY 1, 2),
+       |folds AS (SELECT DISTINCT fold FROM f),
+       |nt_train AS (SELECT folds.fold, ntg.label,
+       |  ntg.ntg - coalesce(ntf.ntf, 0) AS nt_train
+       |  FROM folds CROSS JOIN ntg
+       |  LEFT JOIN ntf ON ntf.fold = folds.fold AND ntf.label = ntg.label),
+       |tpf AS MATERIALIZED (SELECT fold, token, sum(c)::BIGINT AS cft FROM cf GROUP BY 1, 2),
+       |gtok AS MATERIALIZED (SELECT token, sum(cft)::BIGINT AS gt FROM tpf GROUP BY 1),
+       |vall AS (SELECT count(*)::BIGINT AS v_all FROM gtok),
+       |nexcl AS (SELECT fold, count(*)::BIGINT AS n_excl
+       |  FROM tpf JOIN gtok USING (token) WHERE cft = gt GROUP BY 1),
+       |vtrain AS (SELECT folds.fold, v_all - coalesce(n_excl, 0) AS v_train
+       |  FROM folds CROSS JOIN vall
+       |  LEFT JOIN nexcl ON nexcl.fold = folds.fold),
+       |dfl AS MATERIALIZED (SELECT fold, lang AS label, count(*)::BIGINT AS nd
+       |  FROM f GROUP BY 1, 2),
+       |ndg AS (SELECT label, sum(nd)::BIGINT AS ndg FROM dfl GROUP BY 1),
+       |ndtot AS (SELECT fold,
+       |  (SELECT sum(nd) FROM dfl) - sum(nd) AS nd_train_tot FROM dfl GROUP BY fold),
+       |priors AS (SELECT folds.fold, ndg.label,
+       |  round(ln((ndg.ndg - coalesce(dfl.nd, 0))::DOUBLE /
+       |    ndtot.nd_train_tot::DOUBLE), 9)::DECIMAL(18,9) AS prior
+       |  FROM folds CROSS JOIN ndg
+       |  LEFT JOIN dfl ON dfl.fold = folds.fold AND dfl.label = ndg.label
+       |  JOIN ndtot ON ndtot.fold = folds.fold),
+       |labels AS (SELECT DISTINCT lang AS label FROM documents),
+       |grid AS MATERIALIZED (SELECT g.token, l.label, cg.cg FROM gtok g
+       |  CROSS JOIN labels l
+       |  LEFT JOIN cg ON cg.token = g.token AND cg.label = l.label),
+       |tfr AS MATERIALIZED (SELECT doc_id, fold, token, count(*)::BIGINT AS tf
+       |  FROM tok GROUP BY 1, 2, 3),
+       |sc AS (SELECT tfr.doc_id, tfr.fold, grid.label,
+       |  sum(tfr.tf::DECIMAL(10,0) *
+       |    round(ln((coalesce(grid.cg, 0) - coalesce(cf.c, 0) + 1)::DOUBLE /
+       |      (nt_train.nt_train + vtrain.v_train)::DOUBLE), 9)::DECIMAL(18,9)) AS s
+       |  FROM tfr JOIN grid ON grid.token = tfr.token
+       |  LEFT JOIN cf ON cf.fold = tfr.fold AND cf.label = grid.label
+       |    AND cf.token = tfr.token
+       |  JOIN nt_train ON nt_train.fold = tfr.fold AND nt_train.label = grid.label
+       |  JOIN vtrain ON vtrain.fold = tfr.fold
+       |  GROUP BY 1, 2, 3),
+       |scored AS (SELECT sc.doc_id, sc.fold, sc.label, sc.s + priors.prior AS score
+       |  FROM sc JOIN priors ON priors.fold = sc.fold AND priors.label = sc.label),
+       |best AS (SELECT doc_id, label AS predicted FROM (SELECT doc_id, label, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+       |  FROM scored) WHERE rk = 1)
+       |SELECT f.fold, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN best.predicted = f.lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |  round(sum(CASE WHEN best.predicted = f.lang THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE, 5) AS accuracy
+       |FROM f LEFT JOIN best USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Embedding-space cluster outliers — twin of
+    * Similarity.clusterOutliersFrom over the shared k-means
+    * assignment: exact decimal moments, one double mean/std
+    * expression per cluster, rounded z, lower-tail filter.
+    */
+  def clusterOutliers(nlist: Int, refine: Int, zThresh: Double): String =
+    s"""WITH ${kmeansAssignCtes(nlist, refine)},
+       |st AS (SELECT centroid_id, count(*)::BIGINT AS n,
+       |  sum(cscore::DECIMAL(18,9)) AS s1,
+       |  sum(cscore::DECIMAL(18,9) * cscore::DECIMAL(18,9)) AS s2
+       |  FROM assigned GROUP BY 1),
+       |ms AS (SELECT centroid_id, s1::DOUBLE / n AS mean,
+       |  sqrt(greatest((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / n, 0.0)) AS std
+       |  FROM st)
+       |SELECT a.vec_id, a.centroid_id AS cluster_id, a.cscore,
+       |  round((a.cscore - ms.mean) / ms.std, 5) AS z
+       |FROM assigned a JOIN ms USING (centroid_id)
+       |WHERE ms.std > 0 AND round((a.cscore - ms.mean) / ms.std, 5) <= -$zThresh
+       |ORDER BY vec_id""".stripMargin
+
+  /** Top-k 3-step event paths — twin of Events.eventPaths: two leads
+    * over the (ts_us, event_id) user window, count, deterministic
+    * (n desc, path) top-k.
+    */
+  def eventPaths(k: Int): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |l AS (SELECT event_type AS step1,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS step2,
+       |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS step3
+       |  FROM e),
+       |p AS (SELECT step1, step2, step3, count(*)::BIGINT AS n_paths
+       |  FROM l WHERE step3 IS NOT NULL GROUP BY 1, 2, 3)
+       |SELECT step1, step2, step3, n_paths FROM p
+       |ORDER BY n_paths DESC, step1, step2, step3 LIMIT $k""".stripMargin
+
   /** Per-document boilerplate contamination — twin of
     * TextStats.boilerplateReport: distinct bigram shingles (the
     * Jaccard family's degenerate-window convention), per-(source,

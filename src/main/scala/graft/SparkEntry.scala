@@ -732,6 +732,14 @@ object SparkEntry {
   // at 32% per source at sf0.01, 3-gram at 12%)
   private[graft] val boilerplateN = 2
   private[graft] val boilerplateMinDocPct = 20
+  // embedding cluster-outlier z bar (shared with
+  // OraclesExt.clusterOutliers; 1.5 chosen against the fixture's
+  // measured z distribution — a 2.0 bar returns ZERO rows at sf0.01,
+  // making the oracle check vacuous: 1.5 yields 11/7/33 outliers at
+  // sf0.001/0.01/0.1)
+  private[graft] val outlierZ = 1.5
+  // top-k 3-step event paths (shared with OraclesExt.eventPaths)
+  private[graft] val eventPathsK = 20
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -947,6 +955,12 @@ object SparkEntry {
     // user shuffle + an O(types²) roll-up).
     "q_event_transitions" -> withTables { s =>
       Events.eventTransitions(s.table("events"))
+    },
+    // ...and the sequence-mining big sibling: which concrete 3-step
+    // journeys dominate (funnel discovery; top-k plans as
+    // TakeOrderedAndProject).
+    "q_event_paths" -> withTables { s =>
+      Events.eventPaths(s.table("events"), k = eventPathsK)
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -1342,6 +1356,13 @@ object SparkEntry {
       Similarity.kmeansSilhouette(s.table("embeddings"),
         nlist = kmeansNlist, refine = kmeansRefine)
     },
+    // Junk-mode detector off the SAME shared assignment (one Lloyd
+    // pipeline per suite, many reports): members ≥2σ below their
+    // cluster's mean cohesion.
+    "q_embedding_outliers" -> withTablesSf { (s, sfDir) =>
+      Similarity.clusterOutliersFrom(kmeansAssigned(s, sfDir), outlierZ)
+        .orderBy("vec_id")
+    },
     // cluster-capped diversity sample: ≤ cap md5-picked members per
     // k-means cluster (cluster-balanced corpus pruning). Shares the
     // checkpointed assignment with q_embedding_kmeans — the centroid
@@ -1412,6 +1433,13 @@ object SparkEntry {
     "q_nb_confusion" -> withTables { s =>
       graft.ext.Classify.nbConfusion(s.table("documents"))
         .orderBy("actual", "predicted")
+    },
+    // §7.5 — the honest classifier number: k-fold cross-validated NB
+    // accuracy, all K leave-one-fold-out models trained from ONE count
+    // pass (fold as a grouping key; training stats by global-minus-
+    // fold subtraction).
+    "q_nb_cv" -> withTables { s =>
+      graft.ext.Classify.nbCrossVal(s.table("documents"), k = kfoldK)
     },
     // §7.5 — the discriminative classifier slot: relational full-batch
     // GD logistic regression over the per-doc quality features (the
@@ -2354,6 +2382,9 @@ object SparkEntry {
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
     "q_nb_confusion" -> OraclesExt.nbConfusion,
+    "q_nb_cv" -> OraclesExt.nbCrossVal(kfoldK),
+    "q_embedding_outliers" -> OraclesExt.clusterOutliers(kmeansNlist, kmeansRefine, outlierZ),
+    "q_event_paths" -> OraclesExt.eventPaths(eventPathsK),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),
     "q_auc" -> OraclesExt.auc(dsirTargetLang),

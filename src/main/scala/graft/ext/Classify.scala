@@ -114,4 +114,116 @@ object Classify {
     nbPredict(df, labelCol, idCol, textCol)
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** K-fold cross-validated Naive Bayes accuracy — the HONEST version
+    * of [[nbConfusion]]'s self-train smoke: every document is scored
+    * by a model whose training never saw its fold. Returns one row per
+    * fold: (fold, n_docs, n_correct, accuracy).
+    *
+    * == The leave-one-fold-out trick ==
+    * K separate trainings would scan the corpus K times. Instead the
+    * fold is a GROUPING KEY: token counts aggregate once per (fold,
+    * label, token), and fold f's training counts are the SUBTRACTION
+    * global − fold_f — likewise the per-(fold, label) token totals,
+    * per-fold training vocabulary (total distinct minus
+    * fold-exclusive tokens) and doc-count priors. One corpus scan
+    * trains all K models exactly.
+    *
+    * Determinism: the Laplace-smoothed log-likelihoods and log-priors
+    * are quantized to DECIMAL(18,9) like [[nbTokenLikelihoods]]; doc
+    * scores are exact decimal Σ tf·llh + prior; argmax tie-breaks
+    * (score desc, label asc). Zero-token docs predict NULL (counted,
+    * never correct) — the [[nbPredict]] convention.
+    *
+    * Scale shape: everything is either token-keyed (counts, the
+    * scoring join against the vocab×classes grid — C rows per token)
+    * or bounded (per-(fold, label) totals: K·C rows, broadcast; the
+    * label domain itself). The corpus shuffles once by (fold, label,
+    * token) for counts and once by (doc, token) for tf — the
+    * [[nbPredict]] plan with one extra bounded dimension.
+    */
+  def nbCrossVal(df: DataFrame, k: Int = 5, labelCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val folded = Sampling.kfold(df.select(col(idCol), col(labelCol),
+      col(textCol)), k, idCol)
+    val toks = Dedup.spread(folded, textCol)
+      .select(col(idCol), col("fold"), col(labelCol).as("label"),
+        explode_outer(TextStats.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    // one count pass; everything else is algebra over its roll-ups
+    val cf = toks.groupBy("fold", "label", "token").agg(count(lit(1)).as("c"))
+    val cg = cf.groupBy("label", "token").agg(sum(col("c")).as("cg"))
+    // per-(fold, label) TRAINING token totals = global(label) − fold's
+    val ntg = cg.groupBy("label").agg(sum(col("cg")).as("ntg"))
+    val ntf = cf.groupBy("fold", "label").agg(sum(col("c")).as("ntf"))
+    val folds = folded.select("fold").distinct()
+    val ntTrain = folds.crossJoin(ntg)
+      .join(ntf, Seq("fold", "label"), "left")
+      .select(col("fold"), col("label"),
+        (col("ntg") - coalesce(col("ntf"), lit(0L))).as("nt_train"))
+    // per-fold training vocabulary: distinct tokens minus the ones
+    // exclusive to the held-out fold
+    val tokPerFold = cf.groupBy("fold", "token").agg(sum(col("c")).as("cft"))
+    val gTok = tokPerFold.groupBy("token").agg(sum(col("cft")).as("gt"))
+    val vAll = gTok.agg(count(lit(1)).as("v_all"))
+    val nExcl = tokPerFold.join(gTok, "token")
+      .filter(col("cft") === col("gt"))
+      .groupBy("fold").agg(count(lit(1)).as("n_excl"))
+    val vTrain = folds.crossJoin(broadcast(vAll))
+      .join(nExcl, Seq("fold"), "left")
+      .select(col("fold"),
+        (col("v_all") - coalesce(col("n_excl"), lit(0L))).as("v_train"))
+    // per-(fold, label) training doc counts → log-priors
+    val docsFL = folded.groupBy(col("fold"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val ndg = docsFL.groupBy("label").agg(sum(col("nd")).as("ndg"))
+    val ndTrainTot = docsFL.groupBy("fold").agg(sum(col("nd")).as("nd_fold"))
+      .crossJoin(broadcast(docsFL.agg(sum(col("nd")).as("nd_all"))))
+      .select(col("fold"), (col("nd_all") - col("nd_fold")).as("nd_train_tot"))
+    val priors = folds.crossJoin(ndg)
+      .join(docsFL, Seq("fold", "label"), "left")
+      .join(broadcast(ndTrainTot), "fold")
+      .select(col("fold"), col("label"),
+        round(log((col("ndg") - coalesce(col("nd"), lit(0L))).cast("double") /
+          col("nd_train_tot").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("prior"))
+    // dense vocab × classes grid (the nbTokenLikelihoods convention:
+    // scoring stays a plain equi-join, no missing-key fallback), one
+    // per fold via the bounded (fold, label) denominators
+    val labels = df.select(col(labelCol).as("label")).distinct()
+    val grid = gTok.select("token").crossJoin(broadcast(labels))
+      .join(cg, Seq("token", "label"), "left")
+    // per-doc term frequencies, scored against the doc's OWN fold grid
+    val tf = toks.groupBy(col(idCol), col("fold"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = tf.join(grid, Seq("token"))
+      .join(cf.withColumnRenamed("c", "c_fold"), Seq("fold", "label", "token"), "left")
+      .join(broadcast(ntTrain), Seq("fold", "label"))
+      .join(broadcast(vTrain), Seq("fold"))
+      .withColumn("__llh",
+        round(log((coalesce(col("cg"), lit(0L)) - coalesce(col("c_fold"), lit(0L))
+          + lit(1L)).cast("double") /
+          (col("nt_train") + col("v_train")).cast("double")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col(idCol), col("fold"), col("label"))
+      .agg(sum(col("tf").cast(DecimalType(10, 0)) * col("__llh")).as("s"))
+      .join(broadcast(priors), Seq("fold", "label"))
+      .select(col(idCol), col("fold"), col("label"),
+        (col("s") + col("prior")).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    val best = scores.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("predicted"))
+    folded.select(col(idCol), col("fold"), col(labelCol).as("actual"))
+      .join(best, Seq(idCol), "left")
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 5)
+          .as("accuracy"))
+      .orderBy("fold")
+  }
 }

@@ -279,6 +279,34 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top-k frequent 3-step event paths — the sequence-mining big
+    * sibling of [[eventTransitions]]' Markov bigrams: which concrete
+    * three-event journeys dominate (the funnel-DISCOVERY relation;
+    * the funnel operator then measures a chosen one). Per-user
+    * time-ordered trigrams via two leads over the (ts_us, event_id)
+    * tie-broken user window, counted map-side-combined, top-k by
+    * (count desc, path asc).
+    *
+    * Scale shape: the window is user-partitioned (bounded per-user
+    * state, no global sort); trigram expansion is 1 row per event
+    * (not 3 — each event starts at most one path); the count shuffle
+    * is keyed by the path-type domain (|event_types|³ at worst,
+    * domain-bounded); top-k plans as TakeOrderedAndProject.
+    */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("ts_us", epochUs(col("ts")))
+      .withColumn("__e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("__e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("__e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("__e2").as("step2"),
+        col("__e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Built-in variant of [[sessionize]] using `session_window` —
     * Spark's native gap-based session operator (also the streaming
     * form). Kept alongside the lag/cumsum version: the built-in is

@@ -848,6 +848,48 @@ object Similarity {
         min(col("cscore")).as("min_cohesion"))
       .orderBy("cluster_id")
 
+  /** Embedding-space outlier report off a PRECOMPUTED k-means
+    * assignment: vectors whose cosine-to-own-centroid sits `zThresh`
+    * standard deviations BELOW their cluster's mean cohesion —
+    * the junk-mode detector (mislabeled content, encoder failures,
+    * adversarial inserts show up as points their own cluster holds at
+    * arm's length). Returns (vec_id, cluster_id, cscore, z), z
+    * rounded at 5, most-negative first per cluster ordering left to
+    * the caller.
+    *
+    * Determinism: per-cluster moments come from EXACT decimal sums of
+    * the 5-decimal-quantized cscores (Σx at scale 9, Σx² at scale 18
+    * — a float sum would be partition-order dependent); mean/variance
+    * then one identically-shaped double expression per cluster, so
+    * both engines compute the identical z. A zero-variance cluster
+    * (all members equidistant) has no outliers by construction
+    * (std > 0 filter), never a divide-by-zero.
+    *
+    * Scale shape: one map-side-combined moment aggregate (one row per
+    * cluster, broadcast back), one map-side z per member, one filter.
+    * Output is tail-bounded (≈ z-tail fraction of the corpus), and
+    * composing the SHARED assignment means the Lloyd pipeline is paid
+    * once per suite, not per report.
+    */
+  def clusterOutliersFrom(assigned: DataFrame, zThresh: Double = 2.0,
+      idCol: String = "vec_id"): DataFrame = {
+    val x = col("cscore").cast(DecimalType(18, 9))
+    val stats = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n"))
+      .withColumn("__var",
+        greatest((col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") / col("__n"))
+          / col("__n"), lit(0.0)))
+      .select(col("centroid_id"), col("__mean"), sqrt(col("__var")).as("__std"))
+    assigned.join(broadcast(stats), "centroid_id")
+      .filter(col("__std") > 0)
+      .withColumn("z", round((col("cscore") - col("__mean")) / col("__std"), 5))
+      .filter(col("z") <= -zThresh)
+      .select(col(idCol), col("centroid_id").as("cluster_id"),
+        col("cscore"), col("z"))
+  }
+
   /** Refined-k-means assignment: every corpus vector with its nearest
     * refined centroid and the (rounded) cosine to it — the shared
     * stage behind [[kmeansProfile]] and [[clusterSample]].

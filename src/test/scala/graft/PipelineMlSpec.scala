@@ -746,4 +746,92 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(flagged(50) == 2L) // the two "shared pair" postings
     assert(flagged(51) == 0L) // strict bar just above: nothing clears
   }
+
+  // ---- Classify.nbCrossVal ----
+
+  test("nbCrossVal: disjoint vocabularies → perfect accuracy in every fold") {
+    // 9 docs per label, k=3: each fold's training still holds both
+    // vocabularies, so every held-out doc classifies correctly
+    val docs = (0L until 18L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta alpha gamma", "en")
+      else (i, "uno dos tres uno", "es")
+    }.toDF("doc_id", "text", "lang")
+    val out = Classify.nbCrossVal(docs, k = 3).collect()
+    assert(out.map(_.getInt(0)).toSet == Set(0, 1, 2))
+    assert(out.map(_.getLong(1)).sum == 18L)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), s"imperfect fold: $r")
+      assert(r.getDouble(3) == 1.0)
+    }
+  }
+
+  test("nbCrossVal: zero-token doc counted, never correct; corpus partitioned") {
+    val docs = Seq(
+      (0L, "alpha beta", "en"), (1L, "alpha gamma", "en"), (2L, "", "en"),
+      (3L, "uno dos", "es"), (4L, "uno tres", "es"), (5L, "dos tres", "es")
+    ).toDF("doc_id", "text", "lang")
+    val out = Classify.nbCrossVal(docs, k = 2).collect()
+    assert(out.map(_.getLong(1)).sum == 6L)
+    // the empty doc's fold has at least one never-correct member
+    assert(out.map(r => r.getLong(1) - r.getLong(2)).sum >= 1L)
+  }
+
+  test("nbCrossVal is partitioning-independent on real docs") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val a = Classify.nbCrossVal(docs.repartition(1), k = 5)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    val b = Classify.nbCrossVal(docs.repartition(11), k = 5)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    assert(a == b)
+  }
+
+  // ---- Similarity.clusterOutliersFrom ----
+
+  test("clusterOutliers: far member flagged, tight cluster silent, σ=0 cluster skipped") {
+    val assigned = (
+      // cluster 1: nine members at 0.9, one stray at 0.1 → z ≈ −3
+      (0L until 9L).map(i => (i, 1L, 0.9)) ++ Seq((9L, 1L, 0.1)) ++
+      // cluster 2: all at 0.8 — zero variance, no outliers possible
+      (10L until 14L).map(i => (i, 2L, 0.8))
+    ).toDF("vec_id", "centroid_id", "cscore")
+    val out = Similarity.clusterOutliersFrom(assigned, zThresh = 2.0).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 9L && out(0).getLong(1) == 1L)
+    assert(out(0).getDouble(3) == -3.0) // (0.1−0.82)/0.24 exactly
+  }
+
+  test("clusterOutliers: threshold is on the ROUNDED z; partitioning-independent") {
+    val assigned = ((0L until 9L).map(i => (i, 1L, 0.9)) ++ Seq((9L, 1L, 0.1)))
+      .toDF("vec_id", "centroid_id", "cscore")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.clusterOutliersFrom(df, zThresh = 3.0).collect()
+        .map(_.toSeq).toSeq
+    // z = −3.0 exactly: the ≤ −3.0 bar keeps it
+    assert(run(assigned).length == 1)
+    assert(run(assigned.repartition(7)) == run(assigned.repartition(1)))
+  }
+
+  // ---- Events.eventPaths ----
+
+  test("eventPaths: per-user trigrams counted, ranked, tie-broken, capped") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2026-01-01 10:01:00"), 1L, "cart"),
+      (3L, t("2026-01-01 10:02:00"), 1L, "buy"),
+      (4L, t("2026-01-01 10:03:00"), 1L, "view"),
+      (5L, t("2026-01-01 11:00:00"), 2L, "view"),
+      (6L, t("2026-01-01 11:01:00"), 2L, "cart"),
+      (7L, t("2026-01-01 11:02:00"), 2L, "buy")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ext.Events.eventPaths(events, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // view→cart→buy twice (both users); cart→buy→view once (user 1);
+    // never a cross-user path
+    assert(out == Seq(("view", "cart", "buy", 2L), ("cart", "buy", "view", 1L)))
+    // k caps the list
+    assert(graft.ext.Events.eventPaths(events, k = 1).count() == 1L)
+  }
 }
