@@ -3213,19 +3213,70 @@ object OraclesExt {
     s"WITH ${logregCtes(targetLang, iters, lr)}\n$rows ORDER BY iter"
   }
 
+  /** The quantized-clamped sigmoid under a weights CTE — ONE copy of
+    * the scoring expression shared by every final-model oracle twin.
+    */
+  private val logregPExpr: String =
+    "least(greatest(round(1.0 / (1.0 + exp(-((w0 + w1 * x1 + w2 * x2 + " +
+      "w3 * x3 + w4 * x4)::DOUBLE))), 7), 0.0000001), 0.9999999)::DECIMAL(10,7)"
+
   /** Final-model application per language — twin of
     * LogReg.predictByGroup (same unrolled training, one scoring pass
     * with the round-`iters` weights).
     */
   def logregPredict(targetLang: String, iters: Int, lr: Double): String =
     s"""WITH ${logregCtes(targetLang, iters, lr)},
-       |sc AS (SELECT f.lang,
-       |  least(greatest(round(1.0 / (1.0 + exp(-((w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4)::DOUBLE))), 7), 0.0000001), 0.9999999)::DECIMAL(10,7) AS p
+       |sc AS (SELECT f.lang, $logregPExpr AS p
        |  FROM feat f CROSS JOIN w$iters)
        |SELECT lang, count(*)::BIGINT AS n_docs,
        |  sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos,
        |  round(sum(p)::DOUBLE / count(*)::DOUBLE, 5) AS avg_p
        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** PR/F1 curve over the score grid — twin of LogReg.prCurve:
+    * 4-decimal grid collapse, descending cumulative counts, the same
+    * raw-division → round-at-5 shapes.
+    */
+  def logregPrCurve(targetLang: String, iters: Int, lr: Double): String = {
+    val prec = "n_true_pos::DOUBLE / n_pred_pos::DOUBLE"
+    val rec = "n_true_pos::DOUBLE / np_all::DOUBLE"
+    s"""WITH ${logregCtes(targetLang, iters, lr)},
+       |sc AS (SELECT round(($logregPExpr)::DOUBLE, 4) AS threshold,
+       |  y::BIGINT AS yy FROM feat f CROSS JOIN w$iters),
+       |g AS (SELECT threshold, count(*)::BIGINT AS n, sum(yy)::BIGINT AS np
+       |  FROM sc GROUP BY 1),
+       |tot AS (SELECT sum(np)::BIGINT AS np_all FROM g),
+       |c AS (SELECT threshold,
+       |  sum(n) OVER (ORDER BY threshold DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred_pos,
+       |  sum(np) OVER (ORDER BY threshold DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_true_pos
+       |  FROM g)
+       |SELECT threshold, n_pred_pos, n_true_pos,
+       |  round($prec, 5) AS "precision",
+       |  round($rec, 5) AS recall,
+       |  CASE WHEN ($prec) + ($rec) > 0
+       |    THEN round(2.0 * ($prec) * ($rec) / (($prec) + ($rec)), 5)
+       |    ELSE 0.0 END AS f1
+       |FROM c CROSS JOIN tot ORDER BY threshold DESC""".stripMargin
+  }
+
+  /** Reliability bins — twin of LogReg.calibrationBins. */
+  def logregCalibration(targetLang: String, iters: Int, lr: Double,
+      nBins: Int): String =
+    s"""WITH ${logregCtes(targetLang, iters, lr)},
+       |sc AS (SELECT $logregPExpr AS p, y::BIGINT AS yy
+       |  FROM feat f CROSS JOIN w$iters),
+       |b AS (SELECT cast(least(floor(p::DOUBLE * $nBins), ${nBins - 1}) AS INT)
+       |  AS bin, p, yy FROM sc),
+       |g AS (SELECT bin, count(*)::BIGINT AS n_docs, sum(p) AS sp,
+       |  sum(yy)::BIGINT AS np FROM b GROUP BY 1)
+       |SELECT bin, n_docs,
+       |  round(sp::DOUBLE / n_docs::DOUBLE, 5) AS avg_p,
+       |  round(np::DOUBLE / n_docs::DOUBLE, 5) AS frac_pos,
+       |  round(abs(sp::DOUBLE / n_docs::DOUBLE - np::DOUBLE / n_docs::DOUBLE), 5)
+       |    AS gap
+       |FROM g ORDER BY bin""".stripMargin
 
   /** Per-cluster simplified silhouette — twin of
     * Similarity.kmeansSilhouette: the shared refined-k-means chain's

@@ -732,6 +732,8 @@ object SparkEntry {
   // at 32% per source at sf0.01, 3-gram at 12%)
   private[graft] val boilerplateN = 2
   private[graft] val boilerplateMinDocPct = 20
+  // classifier reliability bins (shared with OraclesExt.logregCalibration)
+  private[graft] val calibrationBins = 10
   // embedding cluster-outlier z bar (shared with
   // OraclesExt.clusterOutliers; 1.5 chosen against the fixture's
   // measured z distribution — a 2.0 bar returns ZERO rows at sf0.01,
@@ -1456,6 +1458,18 @@ object SparkEntry {
       graft.ext.LogReg.predictByGroup(s.table("documents"),
         col("lang") === dsirTargetLang, "lang", iters = logregIters,
         lr = logregLr).orderBy("lang")
+    },
+    // ...its PR/F1 curve over the 4-decimal score grid (the
+    // operating-point picker; grid-bounded global cumsum)...
+    "q_logreg_pr" -> withTables { s =>
+      graft.ext.LogReg.prCurve(s.table("documents"),
+        col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr)
+    },
+    // ...and its reliability (calibration) bins — the ECE ingredients.
+    "q_logreg_calibration" -> withTables { s =>
+      graft.ext.LogReg.calibrationBins(s.table("documents"),
+        col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr,
+        nBins = calibrationBins)
     },
     // §7.5 — classifier/score evaluation: exact tie-corrected ROC AUC
     // of the quality score against the is-English label, per source
@@ -2387,6 +2401,8 @@ object SparkEntry {
     "q_event_paths" -> OraclesExt.eventPaths(eventPathsK),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),
+    "q_logreg_pr" -> OraclesExt.logregPrCurve(dsirTargetLang, logregIters, logregLr),
+    "q_logreg_calibration" -> OraclesExt.logregCalibration(dsirTargetLang, logregIters, logregLr, calibrationBins),
     "q_auc" -> OraclesExt.auc(dsirTargetLang),
     "q_boilerplate" -> OraclesExt.boilerplate(boilerplateN, boilerplateMinDocPct),
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),

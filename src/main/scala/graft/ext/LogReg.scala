@@ -147,6 +147,79 @@ object LogReg {
         } :+ col("loss"): _*)
   }
 
+  /** Precision/recall/F1 curve of the trained model over its SCORE
+    * GRID: one row per distinct 4-decimal score value, read as "what
+    * the gate gets if it keeps everything scoring ≥ this threshold" —
+    * (threshold, n_pred_pos, n_true_pos, precision, recall, f1). The
+    * operating-point picker for a quality gate: [[predictByGroup]]
+    * fixes 0.5; this shows every choice at once.
+    *
+    * Scale shape: the corpus collapses map-side to ≤ 10⁴+1 grid rows
+    * (4-decimal probabilities in [0,1]); the descending cumulative
+    * window runs over THAT bounded relation, never the corpus — the
+    * exact-quantile value-counts bound class (audited with that bound
+    * in PlanHygieneSpec). Counts are exact integers; the only float
+    * ops are the final per-row divisions, identically shaped in the
+    * oracle.
+    */
+  def prCurve(docs: DataFrame, label: Column, iters: Int = 3,
+      lr: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, wFinal) = trainStates(docs, label, iters, lr, idCol, textCol)
+    val grid = features(docs, label, idCol, textCol)
+      .crossJoin(broadcast(wFinal))
+      .select(round(sigmoidQ(zExpr).cast("double"), 4).as("threshold"),
+        col("y").cast("long").as("__y"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val tot = grid.agg(sum(col("__np")).as("__np_all"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val prec = col("n_true_pos").cast("double") / col("n_pred_pos").cast("double")
+    val rec = col("n_true_pos").cast("double") / col("__np_all").cast("double")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_pred_pos", sum(col("__n")).over(w))
+      .withColumn("n_true_pos", sum(col("__np")).over(w))
+      .select(col("threshold"), col("n_pred_pos"), col("n_true_pos"),
+        round(prec, 5).as("precision"), round(rec, 5).as("recall"),
+        when(prec + rec > 0, round(lit(2.0) * prec * rec / (prec + rec), 5))
+          .otherwise(lit(0.0)).as("f1"))
+      .orderBy(col("threshold").desc)
+  }
+
+  /** Reliability (calibration) bins of the trained model: decile bins
+    * of the predicted probability — (bin, n_docs, avg_p, frac_pos,
+    * gap), gap = |mean prediction − observed rate| per bin. The ECE
+    * ingredients; a well-calibrated gate has small gaps, and a quality
+    * threshold chosen on miscalibrated scores filters something other
+    * than what it claims.
+    *
+    * One map-side-combined aggregate over the bounded bin domain;
+    * mean predictions from exact decimal sums.
+    */
+  def calibrationBins(docs: DataFrame, label: Column, iters: Int = 3,
+      lr: Double = 1.0, nBins: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, wFinal) = trainStates(docs, label, iters, lr, idCol, textCol)
+    val avgRaw = col("__sp").cast("double") / col("n_docs").cast("double")
+    val fracRaw = col("__np").cast("double") / col("n_docs").cast("double")
+    features(docs, label, idCol, textCol)
+      .crossJoin(broadcast(wFinal))
+      .withColumn("__p", sigmoidQ(zExpr))
+      .select(least(floor(col("__p").cast("double") * nBins),
+        lit(nBins - 1L)).cast("int").as("bin"),
+        col("__p"), col("y").cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__np"))
+      .select(col("bin"), col("n_docs"),
+        round(avgRaw, 5).as("avg_p"), round(fracRaw, 5).as("frac_pos"),
+        round(abs(avgRaw - fracRaw), 5).as("gap"))
+      .orderBy("bin")
+  }
+
   /** Apply the trained model back to the corpus, rolled up per
     * `groupCol`: (groupCol, n_docs, n_pred_pos, avg_p) — how many
     * documents the classifier flags at p ≥ 0.5 and the exact-decimal

@@ -873,21 +873,35 @@ object Similarity {
     */
   def clusterOutliersFrom(assigned: DataFrame, zThresh: Double = 2.0,
       idCol: String = "vec_id"): DataFrame = {
-    val x = col("cscore").cast(DecimalType(18, 9))
-    val stats = assigned.groupBy("centroid_id")
-      .agg(count(lit(1)).as("__n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
-      .withColumn("__mean", col("__s1").cast("double") / col("__n"))
-      .withColumn("__var",
-        greatest((col("__s2").cast("double") -
-          col("__s1").cast("double") * col("__s1").cast("double") / col("__n"))
-          / col("__n"), lit(0.0)))
-      .select(col("centroid_id"), col("__mean"), sqrt(col("__var")).as("__std"))
+    val stats = clusterStatsFrom(assigned).select(
+      col("cluster_id").as("centroid_id"), col("mean_cohesion").as("__mean"),
+      col("std_cohesion").as("__std"))
     assigned.join(broadcast(stats), "centroid_id")
       .filter(col("__std") > 0)
       .withColumn("z", round((col("cscore") - col("__mean")) / col("__std"), 5))
       .filter(col("z") <= -zThresh)
       .select(col(idCol), col("centroid_id").as("cluster_id"),
         col("cscore"), col("z"))
+  }
+
+  /** Per-cluster cohesion moments off a precomputed assignment:
+    * (cluster_id, n, mean_cohesion, std_cohesion) — the persistable
+    * MODEL half of the outlier detector (an ingest gate scores new
+    * vectors against these without touching the training corpus).
+    * Exact decimal Σx/Σx², one identically-shaped double mean/std
+    * expression per cluster — deterministic under any partitioning.
+    */
+  def clusterStatsFrom(assigned: DataFrame): DataFrame = {
+    val x = col("cscore").cast(DecimalType(18, 9))
+    assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
+      .withColumn("__mean", col("__s1").cast("double") / col("n"))
+      .withColumn("__var",
+        greatest((col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") / col("n"))
+          / col("n"), lit(0.0)))
+      .select(col("centroid_id").as("cluster_id"), col("n"),
+        col("__mean").as("mean_cohesion"), sqrt(col("__var")).as("std_cohesion"))
   }
 
   /** Refined-k-means assignment: every corpus vector with its nearest

@@ -502,6 +502,63 @@ object EventStream {
       .start()
   }
 
+  /** Streaming embedding-quality ingest gate — the stream twin of
+    * `Similarity.clusterOutliersFrom`'s decision. Each incoming vector
+    * is scored against the TRAINED model (k-means centroids +
+    * per-cluster cohesion moments from `Similarity.clusterStatsFrom`),
+    * assigned with the batch assigner's exact argmax tie-break
+    * (cscore desc, centroid_id asc), z-scored against its cluster's
+    * moments, and emitted with an `accepted` verdict (rejected when
+    * std > 0 and z ≤ −zThresh — the batch outlier predicate).
+    *
+    * The model is collected to DRIVER literals: both inputs are
+    * nlist-bounded relations (the documented bounded-collect class),
+    * which is what makes the gate STATELESS — pure per-row
+    * expressions, no stream-static join, no state store, append-mode
+    * clean at any throughput. Retraining is rebuilding the literal
+    * and restarting the query: the standard model-rollout pattern for
+    * ingest-time scoring.
+    *
+    * Returns (idCol, cluster_id, cscore, z, accepted); z is NULL for
+    * a zero-variance cluster (no outlier is definable there — the
+    * batch convention).
+    */
+  def outlierGateStream(vecs: DataFrame, centroids: DataFrame,
+      stats: DataFrame, zThresh: Double = 1.5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.ext.Similarity
+    val st = stats
+      .select(col("cluster_id").cast("long"), col("mean_cohesion"),
+        col("std_cohesion"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val cents = centroids
+      .select(col("centroid_id").cast("long"),
+        Similarity.asDouble(col("centroid_vec")).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val model = array(cents.map { case (cid, cv) =>
+      val (m, s) = st.getOrElse(cid, (0.0, 0.0))
+      struct(lit(cid).as("cid"), typedLit(cv).as("cv"),
+        lit(m).as("mean"), lit(s).as("std"))
+    }: _*)
+    val scored = vecs
+      .withColumn("__vd", Similarity.asDouble(col(vecCol)))
+      .withColumn("__nrm", sqrt(Similarity.dot(col("__vd"), col("__vd"))))
+      .withColumn("__nv", transform(col("__vd"), x => x / col("__nrm")))
+      // lexicographic max over (cscore, −cid, …): highest score, then
+      // LOWEST centroid id — exactly ivfAssign's (desc, asc) order
+      .withColumn("__best", array_max(transform(model, c =>
+        struct(round(Similarity.dot(col("__nv"), c.getField("cv")), 5).as("cs"),
+          (-c.getField("cid")).as("negid"),
+          c.getField("mean").as("mean"), c.getField("std").as("std")))))
+      .withColumn("z",
+        when(col("__best.std") > 0,
+          round((col("__best.cs") - col("__best.mean")) / col("__best.std"), 5)))
+    scored.select(col(idCol), (-col("__best.negid")).as("cluster_id"),
+      col("__best.cs").as("cscore"), col("z"),
+      (col("z").isNull || col("z") > -zThresh).as("accepted"))
+  }
+
   /** Streaming NEAR-dup gate: the incremental-ingest twin of
     * `Dedup.minHashNearDupPairs`. Each micro-batch's documents are
     * MinHash-signed (the batch family's identical md5-affine

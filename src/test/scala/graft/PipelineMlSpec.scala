@@ -655,6 +655,39 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(trace(2).getAs[Double]("w_stop") > 0)
   }
 
+  test("logreg prCurve: separable corpus → perfect top operating point, recall reaches 1") {
+    val docs = (0L until 8L).map { i =>
+      if (i % 2 == 0) (i, "the a the a the data", "en")
+      else (i, "data spark merge join sort scan", "de")
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.ext.LogReg.prCurve(docs, col("lang") === "en", iters = 3)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // two feature profiles → two grid rows; en scores higher (w_stop > 0)
+    assert(out.length == 2)
+    assert(out(0)._1 > out(1)._1)
+    assert(out(0) == ((out(0)._1, 4L, 4L, 1.0, 1.0, 1.0)))
+    assert(out(1)._2 == 8L && out(1)._3 == 4L && out(1)._4 == 0.5)
+    assert(out(1)._5 == 1.0) // keeping everything recalls everything
+    // cumulative counts never decrease as the threshold loosens
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+  }
+
+  test("logreg calibrationBins: bins partition the corpus, gap is |avg_p − frac_pos|") {
+    val docs = (0L until 8L).map { i =>
+      if (i % 2 == 0) (i, "the a the a the data", "en")
+      else (i, "data spark merge join sort scan", "de")
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.ext.LogReg.calibrationBins(docs, col("lang") === "en",
+      iters = 3).collect()
+    assert(out.map(_.getLong(1)).sum == 8L)
+    out.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      val gap = math.abs(r.getDouble(2) - r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - gap) < 2e-5, s"gap mismatch: $r")
+    }
+  }
+
   test("logreg is partitioning-independent on real docs") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")

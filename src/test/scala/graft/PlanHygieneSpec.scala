@@ -236,7 +236,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // partitionSpec by the optimizer; the remaining global frame is
       // the sharded-cumsum SHARD-OFFSET pass — one row per shard
       // (32, config-bounded), the two-phase prefix-sum design
-      "q_events_rfm" -> "32-row shard-offset frame (constant group)")
+      "q_events_rfm" -> "32-row shard-offset frame (constant group)",
+      // prCurve's cumulative runs over the 4-decimal score GRID —
+      // ≤ 10⁴+1 rows however large the corpus (LogReg.prCurve scaladoc)
+      "q_logreg_pr" -> "4-decimal score grid (≤ 10001 rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {

@@ -635,4 +635,50 @@ class StreamingSpec extends AnyFunSuite {
     // with the whole file in one batch, all intermediate sessions close.
     assert(got.forall(_.getAs[Long]("nEvents") > 0))
   }
+
+  test("outlierGateStream verdicts equal the batch cluster-outlier decision") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    // the trained model: the batch pipeline's own centroids + moments
+    val nc = Similarity.normalized(emb)
+    var cents = Similarity.ivfCentroids(nc, 16)
+    for (_ <- 0 until 2) cents = Similarity.ivfRefineOnce(nc, cents)
+    val assigned = Similarity.kmeansAssign(emb, nlist = 16, refine = 2)
+    val stats = Similarity.clusterStatsFrom(assigned)
+    // stream the same vectors through the stateless gate
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    input.addData(rows: _*)
+    val gated = EventStream.outlierGateStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, stats, zThresh = 1.5)
+    val q = gated.writeStream
+      .format("memory").queryName("stream_outlier_gate")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-outlier").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val got = spark.table("stream_outlier_gate").collect()
+    assert(got.length == rows.length, "every ingested vector gets a verdict")
+    // rejected (id, z) pairs ≡ the batch outlier relation
+    val rejected = got.filterNot(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val batchOutliers = Similarity.clusterOutliersFrom(assigned, zThresh = 1.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(rejected == batchOutliers,
+      "stream rejections must equal the batch outlier set")
+    assert(batchOutliers.nonEmpty, "fixture must exercise the reject path")
+    // cluster assignment agrees vector-for-vector with the batch assigner
+    val gotAssign = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchAssign = assigned.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotAssign == batchAssign)
+  }
 }
