@@ -856,6 +856,15 @@ object SparkEntry {
         docs.filter(col("lang") === dsirTargetLang))
     }
 
+  // One training run, many reports: q_logreg keeps paying the full GD
+  // (the bench measures the operator); predict / PR / calibration
+  // score against the shared 1-row weights frame.
+  private def logregWeightsShared(s: SparkSession, sfDir: String): DataFrame =
+    sharedFrame(s, "logreg_weights", sfDir) {
+      graft.ext.LogReg.finalWeights(s.table("documents"),
+        col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr)
+    }
+
   /** Force-build every shared frame for `sfDir`, returning
     * `(name, seconds)` per build. Bench records these as explicit
     * `setup_*` entries so the one-time construction cost (k-means
@@ -875,7 +884,8 @@ object SparkEntry {
       timed("setup_neardup_clusters") { nearDupClustersShared(s, sfDir) },
       timed("setup_importance") { importanceWeightsShared(s, sfDir) },
       timed("setup_profile_long_lineitem") { profileLongShared(s, sfDir, "lineitem") },
-      timed("setup_profile_long_orders") { profileLongShared(s, sfDir, "orders") })
+      timed("setup_profile_long_orders") { profileLongShared(s, sfDir, "orders") },
+      timed("setup_logreg_weights") { logregWeightsShared(s, sfDir) })
   }
 
   // Long profiles shared by the DIFF composition only (the reference's
@@ -1454,21 +1464,21 @@ object SparkEntry {
     },
     // ...and the trained model applied back per language slice: how
     // many docs the is-English classifier flags at p ≥ 0.5 per lang.
-    "q_logreg_predict" -> withTables { s =>
-      graft.ext.LogReg.predictByGroup(s.table("documents"),
-        col("lang") === dsirTargetLang, "lang", iters = logregIters,
-        lr = logregLr).orderBy("lang")
+    "q_logreg_predict" -> withTablesSf { (s, sfDir) =>
+      graft.ext.LogReg.predictByGroupFrom(s.table("documents"),
+        col("lang") === dsirTargetLang, "lang",
+        logregWeightsShared(s, sfDir)).orderBy("lang")
     },
     // ...its PR/F1 curve over the 4-decimal score grid (the
     // operating-point picker; grid-bounded global cumsum)...
-    "q_logreg_pr" -> withTables { s =>
-      graft.ext.LogReg.prCurve(s.table("documents"),
-        col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr)
+    "q_logreg_pr" -> withTablesSf { (s, sfDir) =>
+      graft.ext.LogReg.prCurveFrom(s.table("documents"),
+        col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir))
     },
     // ...and its reliability (calibration) bins — the ECE ingredients.
-    "q_logreg_calibration" -> withTables { s =>
-      graft.ext.LogReg.calibrationBins(s.table("documents"),
-        col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr,
+    "q_logreg_calibration" -> withTablesSf { (s, sfDir) =>
+      graft.ext.LogReg.calibrationBinsFrom(s.table("documents"),
+        col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir),
         nBins = calibrationBins)
     },
     // §7.5 — classifier/score evaluation: exact tie-corrected ROC AUC

@@ -130,6 +130,17 @@ object LogReg {
     (trace, w)
   }
 
+  /** The trained model alone: the 1-row (w0..w4 DECIMAL(18,9)) frame
+    * after `iters` updates — what a pipeline persists and what the
+    * report family ([[predictByGroupFrom]], [[prCurveFrom]],
+    * [[calibrationBinsFrom]]) scores against, so ONE training run
+    * serves every downstream report (the suite's shared-frame rule).
+    */
+  def finalWeights(docs: DataFrame, label: Column, iters: Int = 3,
+      lr: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    trainStates(docs, label, iters, lr, idCol, textCol)._2
+
   /** Full-batch GD training trace: one row per iteration —
     * (iter, w_bias, w_len, w_stop, w_punct, w_alpha, loss), weights
     * AFTER that iteration's update (as doubles — DECIMAL(18,9)→double
@@ -164,8 +175,13 @@ object LogReg {
     */
   def prCurve(docs: DataFrame, label: Column, iters: Int = 3,
       lr: Double = 1.0, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val (_, wFinal) = trainStates(docs, label, iters, lr, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    prCurveFrom(docs, label,
+      finalWeights(docs, label, iters, lr, idCol, textCol), idCol, textCol)
+
+  /** [[prCurve]] against a PRECOMPUTED weights frame. */
+  def prCurveFrom(docs: DataFrame, label: Column, wFinal: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val grid = features(docs, label, idCol, textCol)
       .crossJoin(broadcast(wFinal))
       .select(round(sigmoidQ(zExpr).cast("double"), 4).as("threshold"),
@@ -201,8 +217,15 @@ object LogReg {
     */
   def calibrationBins(docs: DataFrame, label: Column, iters: Int = 3,
       lr: Double = 1.0, nBins: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    calibrationBinsFrom(docs, label,
+      finalWeights(docs, label, iters, lr, idCol, textCol), nBins,
+      idCol, textCol)
+
+  /** [[calibrationBins]] against a PRECOMPUTED weights frame. */
+  def calibrationBinsFrom(docs: DataFrame, label: Column,
+      wFinal: DataFrame, nBins: Int = 10, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val (_, wFinal) = trainStates(docs, label, iters, lr, idCol, textCol)
     val avgRaw = col("__sp").cast("double") / col("n_docs").cast("double")
     val fracRaw = col("__np").cast("double") / col("n_docs").cast("double")
     features(docs, label, idCol, textCol)
@@ -228,8 +251,14 @@ object LogReg {
     */
   def predictByGroup(docs: DataFrame, label: Column, groupCol: String,
       iters: Int = 3, lr: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    predictByGroupFrom(docs, label, groupCol,
+      finalWeights(docs, label, iters, lr, idCol, textCol), idCol, textCol)
+
+  /** [[predictByGroup]] against a PRECOMPUTED weights frame. */
+  def predictByGroupFrom(docs: DataFrame, label: Column, groupCol: String,
+      wFinal: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val (_, wFinal) = trainStates(docs, label, iters, lr, idCol, textCol)
     featuresKeeping(docs, label, Seq(groupCol), idCol, textCol)
       .crossJoin(broadcast(wFinal))
       .withColumn("__p", sigmoidQ(zExpr))
