@@ -3409,6 +3409,51 @@ object OraclesExt {
        |SELECT step1, step2, step3, n_paths FROM p
        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT $k""".stripMargin
 
+  /** Per-class discriminative tokens — twin of
+    * TextStats.discriminativeTokens: distinct-token postings, bounded
+    * contingency roll-ups, the identical left-associated double χ²
+    * expression, rank over the ROUNDED statistic.
+    */
+  def discriminativeTokens(k: Int): String = {
+    val det = "(a::DOUBLE * (n_all::DOUBLE - n_label::DOUBLE - (df::DOUBLE - a::DOUBLE)) - " +
+      "(df::DOUBLE - a::DOUBLE) * (n_label::DOUBLE - a::DOUBLE))"
+    s"""WITH $toksCte,
+       |pres AS (SELECT d.lang AS label, unnest(list_distinct(t.t)) AS token
+       |  FROM toks t JOIN documents d USING (doc_id)),
+       |atl AS (SELECT label, token, count(*)::BIGINT AS a FROM pres GROUP BY 1, 2),
+       |dft AS (SELECT token, sum(a)::BIGINT AS df FROM atl GROUP BY 1),
+       |nl AS (SELECT lang AS label, count(*)::BIGINT AS n_label
+       |  FROM documents GROUP BY 1),
+       |na AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+       |sc AS (SELECT label, token, a,
+       |  round(n_all::DOUBLE * $det * $det /
+       |    (df::DOUBLE * (n_all::DOUBLE - df::DOUBLE) * n_label::DOUBLE *
+       |      (n_all::DOUBLE - n_label::DOUBLE)), 5) AS chi2
+       |  FROM atl JOIN dft USING (token) JOIN nl USING (label) CROSS JOIN na
+       |  WHERE n_all > df AND n_all > n_label),
+       |r AS (SELECT label, token, a, chi2, row_number() OVER
+       |  (PARTITION BY label ORDER BY chi2 DESC, token) AS rank FROM sc)
+       |SELECT label, cast(rank AS INT) AS rank, token, a AS n_docs_with, chi2
+       |FROM r WHERE rank <= $k ORDER BY label, rank""".stripMargin
+  }
+
+  /** Per-pack fill report — twin of Packing.packEfficiency over the
+    * packSequences coordinates.
+    */
+  def packEfficiency(budget: Long): String =
+    s"""WITH $toksCte,
+       |c AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |  (sum(len(t)) OVER (ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t))::BIGINT AS s
+       |  FROM toks),
+       |p AS (SELECT doc_id, n_tokens, (s // $budget)::BIGINT AS pack_id,
+       |  (s % $budget)::BIGINT AS pack_offset FROM c)
+       |SELECT pack_id, count(*)::BIGINT AS n_docs_started,
+       |  sum(n_tokens)::BIGINT AS tokens_started,
+       |  sum(CASE WHEN pack_offset + n_tokens > $budget THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_straddlers
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-document boilerplate contamination — twin of
     * TextStats.boilerplateReport: distinct bigram shingles (the
     * Jaccard family's degenerate-window convention), per-(source,

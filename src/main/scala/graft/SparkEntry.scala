@@ -734,6 +734,8 @@ object SparkEntry {
   private[graft] val boilerplateMinDocPct = 20
   // classifier reliability bins (shared with OraclesExt.logregCalibration)
   private[graft] val calibrationBins = 10
+  // χ² feature selection top-k (shared with OraclesExt.discriminativeTokens)
+  private[graft] val tokenChisqK = 10
   // embedding cluster-outlier z bar (shared with
   // OraclesExt.clusterOutliers; 1.5 chosen against the fixture's
   // measured z distribution — a 2.0 bar returns ZERO rows at sf0.01,
@@ -1906,6 +1908,22 @@ object SparkEntry {
       Packing.packSequences(toks, budget = packBudget, shards = 32)
         .orderBy("doc_id")
     },
+    // ...and its fill dashboard: docs/tokens started per pack +
+    // boundary straddlers (one pack-keyed roll-up on the map-only
+    // packer output).
+    "q_pack_efficiency" -> withTables { s =>
+      val toks = s.table("documents").select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      Packing.packEfficiency(
+        Packing.packSequences(toks, budget = packBudget, shards = 32),
+        budget = packBudget)
+    },
+    // §7.5 — χ² token feature selection: each language's most
+    // label-dependent tokens (the featurization relation a quality /
+    // domain classifier reads).
+    "q_token_chisq" -> withTables { s =>
+      TextStats.discriminativeTokens(s.table("documents"), k = tokenChisqK)
+    },
     // §7.5 — the end-to-end keep/drop curation verdict (near-dup
     // survivorship > length gate > quality gate, with audit reasons).
     "q_curate" -> withTables { s =>
@@ -2439,6 +2457,8 @@ object SparkEntry {
     "q_split_by_source" -> OraclesExt.splitBySource(testFraction),
     "q_split_by_cluster" -> OraclesExt.splitByCluster(testFraction, "csplit"),
     "q_pack_sequences" -> OraclesExt.packSequences(packBudget),
+    "q_pack_efficiency" -> OraclesExt.packEfficiency(packBudget),
+    "q_token_chisq" -> OraclesExt.discriminativeTokens(tokenChisqK),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
     "q_mixture_temperature" -> OraclesExt.temperatureMixture,

@@ -88,6 +88,27 @@ object Packing {
         (col("__start") % budget).as("pack_offset"))
   }
 
+  /** Per-pack fill report off [[packSequences]]'s tape coordinates:
+    * (pack_id, n_docs_started, tokens_started, n_straddlers) — how
+    * many documents START in each pack, the token mass they bring,
+    * and how many run past the pack boundary (the trainer's
+    * split-or-mask workload). The packing-efficiency dashboard: a
+    * pack list whose tokens_started wanders far from `budget` or
+    * whose straddler count spikes flags a pathological document-length
+    * distribution before a training run discovers it.
+    *
+    * One map-side-combined roll-up keyed by pack_id on top of the
+    * packer's map-only output — no new shuffle shape.
+    */
+  def packEfficiency(packed: DataFrame, budget: Long,
+      tokenCol: String = "n_tokens"): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs_started"),
+        sum(col(tokenCol).cast("long")).as("tokens_started"),
+        sum(when(col("pack_offset") + col(tokenCol) > budget, 1L)
+          .otherwise(0L)).as("n_straddlers"))
+      .orderBy("pack_id")
+
   /** Split each document into fixed-size token windows with overlap —
     * the context-length chunking step that precedes packing when
     * single documents exceed the window. Chunk i covers token offsets

@@ -813,6 +813,64 @@ object TextStats {
       concat_ws("", slice(hashes, 1, k)).as("bottomk_sketch"))
   }
 
+  /** Per-class discriminative tokens by χ² feature selection: for
+    * each label, the k tokens whose document-level presence is most
+    * dependent on the label — (label, rank, token, n_docs_with,
+    * chi2). The featurization step a quality/domain classifier reads
+    * (and a fast corpus-drift probe: a label's top discriminators
+    * changing between snapshots flags content shift).
+    *
+    * Per (token, label) the 2×2 presence contingency is derived from
+    * THREE bounded roll-ups of one distinct-token posting pass:
+    * a = docs of the label containing the token, df = all docs
+    * containing it, n_label / n docs margins. χ² = n(ad−bc)² /
+    * ((a+b)(c+d)(a+c)(b+d)) — exact longs cast once, one fixed-shape
+    * double expression (the q_chisq_lang_source convention), rounded
+    * at 5 with (chi2 desc, token) rank ≤ k planning as
+    * WindowGroupLimit. Degenerate margins (token in every doc, label
+    * covering every doc) are filtered identically in the oracle —
+    * their χ² is undefined, not zero.
+    *
+    * Scale shape: postings explode once (distinct per doc); the
+    * (label, token) aggregate is map-side combined and
+    * vocab×C-bounded; margins broadcast; nothing pairwise.
+    */
+  def discriminativeTokens(df: DataFrame, k: Int = 10,
+      labelCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pres = Dedup.spread(df, textCol)
+      .withColumn("__toks", array_distinct(tokens(col(textCol))))
+      .select(col(labelCol).as("label"),
+        explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+    val atl = pres.groupBy("label", "token").agg(count(lit(1)).as("a"))
+    val dft = atl.groupBy("token").agg(sum(col("a")).as("df"))
+    val nl = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val nAll = df.agg(count(lit(1)).as("n_all"))
+    val aD = col("a").cast("double")
+    val dfD = col("df").cast("double")
+    val nlD = col("n_label").cast("double")
+    val nD = col("n_all").cast("double")
+    val bD = dfD - aD
+    val cD = nlD - aD
+    val dD = nD - nlD - bD
+    val det = aD * dD - bD * cD
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("chi2").desc, col("token").asc)
+    atl.join(dft, "token")
+      .join(broadcast(nl), "label")
+      .crossJoin(broadcast(nAll))
+      .filter(col("n_all") > col("df") && col("n_all") > col("n_label"))
+      .withColumn("chi2",
+        round(nD * det * det / (dfD * (nD - dfD) * nlD * (nD - nlD)), 5))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("token"),
+        col("a").as("n_docs_with"), col("chi2"))
+      .orderBy("label", "rank")
+  }
+
   /** Per-document boilerplate contamination report — the CCNet-style
     * template detector: a word n-gram is BOILERPLATE within a source
     * when it appears in at least `minDocPct`% of that source's

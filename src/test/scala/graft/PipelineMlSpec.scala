@@ -780,6 +780,49 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(flagged(51) == 0L) // strict bar just above: nothing clears
   }
 
+  // ---- TextStats.discriminativeTokens ----
+
+  test("discriminativeTokens: class-exclusive tokens outrank shared ones") {
+    import graft.ext.TextStats
+    val docs = (0L until 12L).map { i =>
+      // "shared" is in every doc (degenerate margin → filtered out);
+      // "alpha"/"beta" are en-exclusive, "uno" es-exclusive;
+      // "mixed" appears in both classes (weak signal)
+      if (i % 2 == 0) (i, "shared alpha beta mixed", "en")
+      else (i, "shared uno " + (if (i % 4 == 1) "mixed" else "dos"), "es")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextStats.discriminativeTokens(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val en = out.filter(_._1 == "en")
+    // perfectly separating tokens take the top ranks
+    assert(Set("alpha", "beta").contains(en(0)._3))
+    assert(en.map(_._3).toSet.intersect(Set("alpha", "beta")) == Set("alpha", "beta"))
+    // the everywhere-token never appears (undefined χ², filtered)
+    assert(!out.exists(_._3 == "shared"))
+    // χ² within a label is non-increasing down the ranks
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val chis = rows.sortBy(_._2).map(_._5).toSeq
+      assert(chis == chis.sorted.reverse)
+    }
+  }
+
+  // ---- Packing.packEfficiency ----
+
+  test("packEfficiency: rollup conserves docs and tokens, flags exactly the straddlers") {
+    import graft.ext.Packing
+    // budget 10; docs 7+7 tokens: doc 0 fills [0,7), doc 1 [7,14) —
+    // doc 1 straddles the pack-0 boundary; pack 1 starts nobody... so
+    // add doc 2 (5 tokens, [14,19)) starting inside pack 1.
+    val toks = Seq((0L, 7L), (1L, 7L), (2L, 5L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packEfficiency(
+      Packing.packSequences(toks, budget = 10L, shards = 4), budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 (offset 7 + len 7 > 10) straddles; doc 2 (offset 4 + 5) fits
+    assert(out.toSeq == Seq((0L, 2L, 14L, 1L), (1L, 1L, 5L, 0L)))
+    assert(out.map(_._2).sum == 3L && out.map(_._3).sum == 19L)
+  }
+
   // ---- Classify.nbCrossVal ----
 
   test("nbCrossVal: disjoint vocabularies → perfect accuracy in every fold") {
