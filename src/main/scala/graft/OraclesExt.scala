@@ -3393,6 +3393,52 @@ object OraclesExt {
        |WHERE ms.std > 0 AND round((a.cscore - ms.mean) / ms.std, 5) <= -$zThresh
        |ORDER BY vec_id""".stripMargin
 
+  /** U-shaped multi-touch attribution — twin of
+    * Events.uShapedAttribution: the same forward as-of union
+    * (first_value ignore-nulls over CURRENT ROW → FOLLOWING), journey
+    * windows, and 40/20/40 weight CASE in the identical order.
+    */
+  def uShapedAttribution(conversionType: String, touchType: String): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+       |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |t AS (SELECT user_id, event_id AS touch_id, ts_us AS touch_us
+       |  FROM e WHERE event_type = '$touchType'),
+       |c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_us, value
+       |  FROM e WHERE event_type = '$conversionType'),
+       |u AS (SELECT user_id, touch_us AS ts, 0 AS side, touch_id, touch_us,
+       |    NULL::BIGINT AS cid FROM t
+       |  UNION ALL SELECT user_id, conv_us, 1, NULL, NULL, conv_id FROM c),
+       |m AS (SELECT *, first_value(cid IGNORE NULLS) OVER
+       |  (PARTITION BY user_id ORDER BY ts, side
+       |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS j FROM u),
+       |jny AS (SELECT user_id, touch_id, touch_us, j AS conv_id
+       |  FROM m WHERE side = 0 AND j IS NOT NULL),
+       |p AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS nt,
+       |  row_number() OVER (PARTITION BY conv_id ORDER BY touch_us, touch_id)
+       |    AS pos FROM jny)
+       |SELECT p.conv_id, p.user_id, p.touch_id AS touch_event_id,
+       |  nt::BIGINT AS n_touches, cast(pos AS INT) AS position,
+       |  round(c.value * CASE WHEN nt = 1 THEN 1.0 WHEN nt = 2 THEN 0.5
+       |    WHEN pos = 1 OR pos = nt THEN 0.4
+       |    ELSE 0.2 / (nt - 2) END, 5) AS credit
+       |FROM p JOIN c USING (conv_id) ORDER BY conv_id, position""".stripMargin
+
+  /** DAU / trailing-window distinct actives — twin of
+    * Events.activeUsers: dedup (user, day), bounded day explode,
+    * per-day counts, one ratio division.
+    */
+  def activeUsers(windowDays: Int): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id AS u,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num
+       |  FROM events WHERE ts IS NOT NULL),
+       |dau AS (SELECT day_num, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+       |wx AS (SELECT DISTINCT u, day_num + d AS day_num
+       |  FROM ud, range(0, $windowDays) t(d)),
+       |wau AS (SELECT day_num, count(*)::BIGINT AS wau FROM wx GROUP BY 1)
+       |SELECT day_num, dau, wau,
+       |  round(dau::DOUBLE / wau::DOUBLE, 5) AS stickiness
+       |FROM dau JOIN wau USING (day_num) ORDER BY day_num""".stripMargin
+
   /** Top-k 3-step event paths — twin of Events.eventPaths: two leads
     * over the (ts_us, event_id) user window, count, deterministic
     * (n desc, path) top-k.

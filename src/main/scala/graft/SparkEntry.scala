@@ -744,6 +744,8 @@ object SparkEntry {
   private[graft] val outlierZ = 1.5
   // top-k 3-step event paths (shared with OraclesExt.eventPaths)
   private[graft] val eventPathsK = 20
+  // trailing active-user window (shared with OraclesExt.activeUsers)
+  private[graft] val wauWindowDays = 7
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -975,6 +977,18 @@ object SparkEntry {
     // TakeOrderedAndProject).
     "q_event_paths" -> withTables { s =>
       Events.eventPaths(s.table("events"), k = eventPathsK)
+    },
+    // U-shaped multi-touch attribution: 40/20/40 credit across each
+    // conversion's journey touches (forward as-of, journey-bounded
+    // windows).
+    "q_attrib_ushape" -> withTables { s =>
+      Events.uShapedAttribution(s.table("events"))
+        .orderBy("conv_id", "position")
+    },
+    // DAU / trailing-7-day actives / stickiness — rolling DISTINCT
+    // via bounded day-explode, never a distinct-over-window.
+    "q_active_users" -> withTables { s =>
+      Events.activeUsers(s.table("events"), windowDays = wauWindowDays)
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -2427,6 +2441,8 @@ object SparkEntry {
     "q_nb_cv" -> OraclesExt.nbCrossVal(kfoldK),
     "q_embedding_outliers" -> OraclesExt.clusterOutliers(kmeansNlist, kmeansRefine, outlierZ),
     "q_event_paths" -> OraclesExt.eventPaths(eventPathsK),
+    "q_attrib_ushape" -> OraclesExt.uShapedAttribution("purchase", "click"),
+    "q_active_users" -> OraclesExt.activeUsers(wauWindowDays),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),
     "q_logreg_pr" -> OraclesExt.logregPrCurve(dsirTargetLang, logregIters, logregLr),

@@ -279,6 +279,105 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * multi-touch complement of [[firstTouchAttribution]]: each
+    * conversion's value is credited across the touches of its
+    * JOURNEY (the touches whose next conversion it is — non-
+    * overlapping journeys by construction) with the classic 40/20/40
+    * split: first and last touch 40% each, middles sharing 20%; a
+    * 2-touch journey splits 50/50, a single touch takes all.
+    * Returns one row per credited touch: (conv_id, userCol,
+    * touch_event_id, n_touches, position, credit).
+    *
+    * Journey assignment is a FORWARD as-of: the [[asofJoin]] union
+    * trick with the frame reversed (first conversion at-or-after the
+    * touch, via first_value-ignore-nulls over CURRENT ROW →
+    * UNBOUNDED FOLLOWING on the user timeline) — one user-keyed
+    * window, no touch×conversion join. Position/count windows are
+    * keyed by conversion — bounded by a single journey's touches, so
+    * a hyperactive user never concentrates a partition beyond one
+    * journey.
+    */
+  def uShapedAttribution(events: DataFrame,
+      conversionType: String = "purchase", touchType: String = "click",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col(userCol), col("event_id").as("conv_id"),
+        epochUs(col(tsCol)).as("conv_us"), col("value"))
+    val touch = events.filter(col("event_type") === touchType)
+      .select(col(userCol), col("event_id").as("touch_id"),
+        epochUs(col(tsCol)).as("touch_us"))
+    val convStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id",
+        org.apache.spark.sql.types.LongType)))
+    val l = touch.select(col(userCol).as("__key"), col("touch_us").as("__ts"),
+      lit(0).as("__side"), struct(col("touch_id"), col("touch_us")).as("__t"),
+      lit(null).cast(convStruct).as("__c"))
+    val r = conv.select(col(userCol).as("__key"), col("conv_us").as("__ts"),
+      lit(1).as("__side"), lit(null).cast(org.apache.spark.sql.types
+        .StructType(Seq(
+          org.apache.spark.sql.types.StructField("touch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("touch_us",
+            org.apache.spark.sql.types.LongType)))).as("__t"),
+      struct(col("conv_id")).as("__c"))
+    // same-instant touch belongs to the conversion: side 0 sorts first
+    val wf = Window.partitionBy("__key").orderBy("__ts", "__side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val journeys = l.unionByName(r)
+      .withColumn("__j", first(col("__c"), ignoreNulls = true).over(wf))
+      .where(col("__side") === 0 && col("__j").isNotNull)
+      .select(col("__key").as(userCol), col("__t.touch_id").as("touch_id"),
+        col("__t.touch_us").as("touch_us"), col("__j.conv_id").as("conv_id"))
+    val wj = Window.partitionBy("conv_id")
+    val wpos = Window.partitionBy("conv_id").orderBy("touch_us", "touch_id")
+    val m = col("n_touches")
+    val weight = when(m === 1, lit(1.0)).when(m === 2, lit(0.5))
+      .when(col("position") === 1 || col("position") === m, lit(0.4))
+      .otherwise(lit(0.2) / (m - lit(2)))
+    journeys
+      .withColumn("n_touches", count(lit(1)).over(wj))
+      .withColumn("position", row_number().over(wpos))
+      .join(conv.select(col("conv_id"), col("value")), "conv_id")
+      .select(col("conv_id"), col(userCol), col("touch_id").as("touch_event_id"),
+        col("n_touches"), col("position"),
+        round(col("value") * weight, 5).as("credit"))
+  }
+
+  /** Daily active users with a trailing `windowDays` rolling distinct
+    * count and the DAU/WAU stickiness ratio — the engagement
+    * dashboard relation. Rolling DISTINCT is the trap here: a naive
+    * distinct-over-window is unsupported/unbounded; instead each
+    * (user, active-day) pair — deduplicated first — CONTRIBUTES
+    * map-side to the `windowDays` calendar days it keeps the user
+    * active in (a bounded explode), and WAU is a plain per-day
+    * distinct count. Shuffles are keyed by (user, day) and day;
+    * nothing holds more than a day's users.
+    *
+    * Returns (day_num, dau, wau, stickiness) for days with activity
+    * (epoch-day BIGINT, the module's day convention).
+    */
+  def activeUsers(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .distinct()
+    val dau = ud.groupBy("day_num").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("day_num"),
+        col("day_num") + lit(windowDays - 1).cast("long"))).as("day_num"))
+      .distinct()
+      .groupBy("day_num").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day_num")
+      .select(col("day_num"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 5)
+          .as("stickiness"))
+      .orderBy("day_num")
+  }
+
   /** Top-k frequent 3-step event paths — the sequence-mining big
     * sibling of [[eventTransitions]]' Markov bigrams: which concrete
     * three-event journeys dominate (the funnel-DISCOVERY relation;

@@ -780,6 +780,49 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(flagged(51) == 0L) // strict bar just above: nothing clears
   }
 
+  // ---- Events.uShapedAttribution / activeUsers ----
+
+  test("uShapedAttribution: 40/20/40 over journeys, singles and pairs special-cased") {
+    import graft.ext.Events
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1, journey 1: three clicks then a 10.0 purchase
+      (1L, t(1), 1L, "click", 0.0), (2L, t(2), 1L, "click", 0.0),
+      (3L, t(3), 1L, "click", 0.0), (4L, t(4), 1L, "purchase", 10.0),
+      // user 1, journey 2: one click, one 5.0 purchase
+      (5L, t(5), 1L, "click", 0.0), (6L, t(6), 1L, "purchase", 5.0),
+      // user 1: a dangling click after the last purchase — unattributed
+      (7L, t(7), 1L, "click", 0.0),
+      // user 2: two clicks, one 8.0 purchase → 50/50
+      (8L, t(1), 2L, "click", 0.0), (9L, t(2), 2L, "click", 0.0),
+      (10L, t(3), 2L, "purchase", 8.0),
+      // user 3: purchase with no touches → no credited rows
+      (11L, t(1), 3L, "purchase", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.uShapedAttribution(events)
+      .orderBy("conv_id", "position").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4),
+        r.getDouble(5))).toSeq
+    assert(out == Seq(
+      (4L, 1L, 3L, 1, 4.0), (4L, 2L, 3L, 2, 2.0), (4L, 3L, 3L, 3, 4.0),
+      (6L, 5L, 1L, 1, 5.0),
+      (10L, 8L, 2L, 1, 4.0), (10L, 9L, 2L, 2, 4.0)))
+    // full value conserved per credited journey
+    assert(out.filter(_._1 == 4L).map(_._5).sum == 10.0)
+  }
+
+  test("activeUsers: trailing window carries users forward; only active days reported") {
+    import graft.ext.Events
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 10:00:00"), 2L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.activeUsers(events, windowDays = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // day 1: dau 1, wau 1; day 2: dau 1, wau 2 (user 1 still in window)
+    assert(out == Seq((1L, 1L, 1.0), (1L, 2L, 0.5)))
+  }
+
   // ---- TextStats.discriminativeTokens ----
 
   test("discriminativeTokens: class-exclusive tokens outrank shared ones") {
