@@ -2337,6 +2337,24 @@ object OraclesExt {
       |  md5(substr(text, 1, 64)) AS head_chunk_md5
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** Chunk-level CAS dedup — twin of Multimodal.chunkDedup: the
+    * asset payload is UTF-8 text (pure ASCII in the fixtures), so
+    * byte chunks mirror as character slices; one digest-keyed
+    * aggregate, duplicated chunks only.
+    */
+  def chunkDedup(chunkSize: Int): String =
+    s"""WITH ch AS (SELECT doc_id AS asset_id,
+       |  unnest(list_transform(range(1,
+       |    cast(ceil(length(text) / ${chunkSize}.0) AS BIGINT) + 1),
+       |    i -> text[((i - 1) * $chunkSize + 1):((i - 1) * $chunkSize + $chunkSize)]))
+       |    AS c
+       |  FROM documents)
+       |SELECT md5(c) AS chunk_md5, count(*)::BIGINT AS n_copies,
+       |  count(DISTINCT asset_id)::BIGINT AS n_assets,
+       |  min(asset_id)::BIGINT AS keep_asset_id,
+       |  min(length(c))::BIGINT AS chunk_bytes
+       |FROM ch GROUP BY 1 HAVING count(*) >= 2 ORDER BY chunk_md5""".stripMargin
+
   /** Hourly tumbling windows — twin of Events.tumblingHourlyExact. */
   val eventsHourly: String =
     """SELECT cast(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,

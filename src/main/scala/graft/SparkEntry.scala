@@ -1967,6 +1967,12 @@ object SparkEntry {
         .groupBy("sniffed_kind").agg(count(lit(1)).as("n_assets"))
         .orderBy("sniffed_kind")
     },
+    // Chunk-level content-addressable dedup across binary assets (the
+    // CAS sizing report; digest-keyed shuffle only).
+    "q_chunk_dedup" -> withTables { s =>
+      Multimodal.chunkDedup(Multimodal.assetTable(s.table("documents")))
+        .orderBy("chunk_md5")
+    },
     "q_multimodal_meta" -> withTables { s =>
       val assets = Multimodal.withChecksums(
         Multimodal.assetTable(s.table("documents")))
@@ -2455,6 +2461,7 @@ object SparkEntry {
     "q_bpe_fertility" -> OraclesExt.bpeFertility(bpeRounds),
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
+    "q_chunk_dedup" -> OraclesExt.chunkDedup(64),
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),
     "q_sample_split" -> OraclesExt.sampleSplit(testFraction),

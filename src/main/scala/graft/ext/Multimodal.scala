@@ -101,6 +101,30 @@ object Multimodal {
       sequence(lit(0), ceil(length(media).cast("double") / chunkSize).cast("int") - 1),
       i => media.substr(i * chunkSize + lit(1), lit(chunkSize)))
 
+  /** Chunk-level content-addressable dedup report: the duplicated
+    * `chunkSize`-byte pieces across the whole asset corpus —
+    * (chunk_md5, n_copies, n_assets, keep_asset_id, chunk_bytes),
+    * n_copies ≥ 2 only. This is the CAS-storage sizing relation: a
+    * blob store keyed on chunk digests stores each listed chunk once
+    * and saves (n_copies−1)·chunk_bytes; identical intros/outros/
+    * padding across assets (the multimodal analogue of boilerplate)
+    * surface here without any pairwise comparison.
+    *
+    * Scale shape: explode is ×(bytes/chunkSize) map-side; the only
+    * shuffle keys on the chunk DIGEST (uniform however skewed the
+    * content), map-side combined. Copies of a chunk are bytewise
+    * identical, so min(length) is exact, not a sample.
+    */
+  def chunkDedup(assets: DataFrame, chunkSize: Int = 64): DataFrame =
+    assets
+      .select(col("asset_id"), explode(chunk(col("media"), chunkSize)).as("__c"))
+      .groupBy(md5(col("__c")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("asset_id")).as("n_assets"),
+        min(col("asset_id")).as("keep_asset_id"),
+        min(length(col("__c"))).cast("long").as("chunk_bytes"))
+      .filter(col("n_copies") >= 2)
+
   /** Frame sampling: keep every `step`-th chunk (for video: every
     * n-th frame; for audio: strided windows). Pure array ops.
     */

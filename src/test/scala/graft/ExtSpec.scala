@@ -426,6 +426,21 @@ class ExtSpec extends AnyFunSuite {
 
   // ---- Multimodal ----
 
+  test("chunkDedup: shared chunks reported once with exact copy counts, unique ones silent") {
+    // 8-byte chunks: assets 1/2 share their first chunk ("AAAAAAAA"),
+    // asset 3 is unique; asset 1's identical chunk appearing twice
+    // WITHIN the asset counts both copies but one distinct asset
+    val df = Seq(
+      (1L, "AAAAAAAAssssssssAAAAAAAA".getBytes("UTF-8")),
+      (2L, "AAAAAAAAtttttttt".getBytes("UTF-8")),
+      (3L, "zzzzzzzzyyyyyyyy".getBytes("UTF-8"))
+    ).toDF("asset_id", "media")
+    val out = Multimodal.chunkDedup(df, chunkSize = 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 1)
+    assert(out(0) == ((3L, 2L, 1L, 8L))) // 3 copies, 2 assets, keep 1, 8 bytes
+  }
+
   test("sniffKind classifies magic bytes without decoding; audit flags liars") {
     val png = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
       0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3).map(_.toByte)
