@@ -3441,6 +3441,36 @@ object OraclesExt {
        |    ELSE 0.2 / (nt - 2) END, 5) AS credit
        |FROM p JOIN c USING (conv_id) ORDER BY conv_id, position""".stripMargin
 
+  /** Per-campaign session reach — twin of Events.campaignOverlap.
+    * The bucket expansion is a PLAN device; row semantics are the
+    * plain interval-overlap theta join this SQL spells directly
+    * (pairs identical by the canonical-bucket exactly-once rule).
+    */
+  def campaignOverlap(campaigns: Seq[(Int, Long, Long)],
+      gapSeconds: Long): String = {
+    val values = campaigns
+      .map { case (id, lo, hi) => s"($id, ${lo}::BIGINT, ${hi}::BIGINT)" }
+      .mkString(", ")
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH e AS (SELECT user_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |l AS (SELECT user_id, ts_us,
+       |  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e),
+       |b AS (SELECT user_id, ts_us,
+       |  CASE WHEN prev_us IS NULL OR ts_us - prev_us > $gapUs THEN 1 ELSE 0 END AS is_break FROM l),
+       |s AS (SELECT user_id, ts_us, sum(is_break) OVER
+       |  (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b),
+       |sess AS (SELECT user_id, min(ts_us)::BIGINT AS start_us,
+       |  (max(ts_us) + 1)::BIGINT AS end_x_us FROM s GROUP BY user_id, session_seq),
+       |camp AS (SELECT * FROM (VALUES $values) c(campaign_id, c_lo_us, c_hi_us)),
+       |ov AS (SELECT campaign_id, user_id,
+       |  least(end_x_us, c_hi_us) - greatest(start_us, c_lo_us) AS d
+       |  FROM sess JOIN camp ON start_us < c_hi_us AND c_lo_us < end_x_us)
+       |SELECT campaign_id, count(*)::BIGINT AS n_sessions,
+       |  count(DISTINCT user_id)::BIGINT AS n_users,
+       |  sum(d)::BIGINT AS total_overlap_us
+       |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DAU / trailing-window distinct actives — twin of
     * Events.activeUsers: dedup (user, day), bounded day explode,
     * per-day counts, one ratio division.

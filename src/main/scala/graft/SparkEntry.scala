@@ -746,6 +746,15 @@ object SparkEntry {
   private[graft] val eventPathsK = 20
   // trailing active-user window (shared with OraclesExt.activeUsers)
   private[graft] val wauWindowDays = 7
+  // campaign windows over the fixture's Jan-2024 event range, half-open
+  // [lo, hi) in epoch-µs at day granularity (day 19723 = 2024-01-01;
+  // shared with OraclesExt.campaignOverlap)
+  private[graft] val campaignWindows: Seq[(Int, Long, Long)] = {
+    val dayUs = 86400000000L
+    Seq((1, 19725L, 19730L), (2, 19732L, 19735L),
+      (3, 19737L, 19745L), (4, 19747L, 19751L))
+      .map { case (id, lo, hi) => (id, lo * dayUs, hi * dayUs) }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -989,6 +998,11 @@ object SparkEntry {
     // via bounded day-explode, never a distinct-over-window.
     "q_active_users" -> withTables { s =>
       Events.activeUsers(s.table("events"), windowDays = wauWindowDays)
+    },
+    // Per-campaign session reach via the bucketed interval-overlap
+    // join (equi-join on day buckets — never |sessions|·|campaigns|).
+    "q_campaign_overlap" -> withTables { s =>
+      Events.campaignOverlap(s.table("events"), campaignWindows)
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -2449,6 +2463,7 @@ object SparkEntry {
     "q_event_paths" -> OraclesExt.eventPaths(eventPathsK),
     "q_attrib_ushape" -> OraclesExt.uShapedAttribution("purchase", "click"),
     "q_active_users" -> OraclesExt.activeUsers(wauWindowDays),
+    "q_campaign_overlap" -> OraclesExt.campaignOverlap(campaignWindows, 1800L),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),
     "q_logreg_pr" -> OraclesExt.logregPrCurve(dsirTargetLang, logregIters, logregLr),

@@ -175,6 +175,59 @@ object Events {
         round(col("session_secs"), 5).as("session_secs"))
   }
 
+  /** Raw session INTERVALS — the [[sessionize]] chain kept in µs
+    * coordinates: (user_id, session_seq, n_events, start_us, end_us),
+    * end inclusive (the last event's instant). The input relation of
+    * interval analytics ([[campaignOverlap]]).
+    */
+  def sessionIntervals(events: DataFrame,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("ts_us", epochUs(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
+  /** Per-campaign session reach: which user sessions overlap each
+    * campaign window, rolled up — (campaign_id, n_sessions, n_users,
+    * total_overlap_us). Sessions meet campaigns through the bucketed
+    * interval-overlap join ([[RangeJoin.intervalOverlapBucketed]]):
+    * session intervals become half-open `[start, end+1)` (so a
+    * single-event session still counts inside a window), both sides
+    * expand into day buckets, and the join is an EQUI-join on the
+    * bucket — never a nested-loop over |sessions|·|campaigns|.
+    * Overlap durations are whole-µs integer arithmetic.
+    */
+  def campaignOverlap(events: DataFrame,
+      campaigns: Seq[(Int, Long, Long)],
+      bucketUs: Long = 86400000000L,
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(campaigns.nonEmpty, "need at least one campaign window")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val camp = campaigns.toDF("campaign_id", "c_lo_us", "c_hi_us")
+    val sess = sessionIntervals(events, gapSeconds)
+      .select(col("user_id"), col("start_us"),
+        (col("end_us") + lit(1L)).as("end_x_us"))
+    RangeJoin.intervalOverlapBucketed(sess, camp,
+      "start_us", "end_x_us", "c_lo_us", "c_hi_us", bucketUs)
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("end_x_us"), col("c_hi_us")) -
+          greatest(col("start_us"), col("c_lo_us"))).as("total_overlap_us"))
+      .orderBy("campaign_id")
+  }
+
   /** Debounce: drop events that repeat the SAME (user, event_type)
     * within `gapSeconds` of the immediately preceding raw event —
     * the standard telemetry burst-collapse (double-clicks, retry

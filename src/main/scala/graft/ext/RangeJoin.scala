@@ -24,6 +24,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval-OVERLAP join of two half-open interval relations on
+    * integer coordinates: one output row per (left, right) pair with
+    * `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅`. The general form of [[bucketed]]
+    * (a point is a width-1 interval): both sides expand into the
+    * integer buckets they overlap, the equi-join runs on the bucket,
+    * and each qualifying pair is emitted EXACTLY ONCE — from the
+    * canonical bucket holding the overlap's start, `greatest(lLo,
+    * rLo) div width`, a bucket both intervals necessarily occupy — so
+    * no distinct pass is needed after the join.
+    *
+    * Coordinates are integral (µs, days, byte offsets) and all bucket
+    * arithmetic is integer `div` — exact past 2⁵³ where double
+    * division is not. Expansion is interval-length/width rows per
+    * input row; pick `width` near the typical interval length so both
+    * blow-up and per-bucket candidate lists stay small.
+    */
+  def intervalOverlapBucketed(left: DataFrame, right: DataFrame,
+      lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    def expand(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bucket", explode(sequence(
+        expr(s"`$lo` div $width"),
+        // hi exclusive ⇒ the last occupied bucket is (hi−1) div width
+        expr(s"(`$hi` - 1) div $width"))))
+    expand(left, lLoCol, lHiCol)
+      .join(expand(right, rLoCol, rHiCol), Seq("__bucket"))
+      .where(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
+      .where(col("__bucket") ===
+        expr(s"greatest(`$lLoCol`, `$rLoCol`) div $width"))
+      .drop("__bucket")
+  }
+
   /** Inner range join of `facts.valueCol` into `bands[loCol, hiCol)`.
     * `bucketWidth` trades dimension blow-up (small width ⇒ more
     * expanded rows) against probe selectivity (large width ⇒ more

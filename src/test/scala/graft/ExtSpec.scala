@@ -748,6 +748,25 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("intervalOverlapBucketed: exactly-once pairs equal the theta join") {
+    val left = Seq((1L, 0L, 250L), (2L, 90L, 110L), (3L, 400L, 410L))
+      .toDF("lid", "l_lo", "l_hi")
+    val right = Seq((10L, 100L, 300L), (20L, 0L, 50L), (30L, 240L, 260L))
+      .toDF("rid", "r_lo", "r_hi")
+    val got = graft.ext.RangeJoin.intervalOverlapBucketed(left, right,
+      "l_lo", "l_hi", "r_lo", "r_hi", width = 100L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // interval 1 shares buckets 1 AND 2 with interval 10 — the
+    // canonical-bucket rule must still emit the pair exactly once
+    assert(got == Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L)))
+    val plain = left.join(right,
+      col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == plain)
+  }
+
   test("dailyDelta: first day null, deltas reconstruct the series") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-02-$day%02d 01:00:00")
     val df = Seq(("a", ts(1), 1.0), ("a", ts(2), 5.0), ("a", ts(2), 2.0), ("a", ts(4), 10.0))
