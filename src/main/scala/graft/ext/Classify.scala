@@ -150,8 +150,15 @@ object Classify {
       .select(col(idCol), col("fold"), col(labelCol).as("label"),
         explode_outer(TextStats.tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull)
-    // one count pass; everything else is algebra over its roll-ups
-    val cf = toks.groupBy("fold", "label", "token").agg(count(lit(1)).as("c"))
+    // ONE corpus-wide count aggregation — every later relation (cf,
+    // tf, vocab, totals) is algebra over its roll-ups. cf and tf both
+    // descend from `base`'s exchange, so AQE plans a ReusedExchange
+    // instead of re-scanning/re-tokenizing the corpus per consumer
+    // (label rides along: it is functionally dependent on the doc).
+    val base = toks.groupBy(col(idCol), col("fold"), col("label"), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cf = base.groupBy("fold", "label", "token")
+      .agg(sum(col("__cnt")).as("c"))
     val cg = cf.groupBy("label", "token").agg(sum(col("c")).as("cg"))
     // per-(fold, label) TRAINING token totals = global(label) − fold's
     val ntg = cg.groupBy("label").agg(sum(col("cg")).as("ntg"))
@@ -194,8 +201,8 @@ object Classify {
     val grid = gTok.select("token").crossJoin(broadcast(labels))
       .join(cg, Seq("token", "label"), "left")
     // per-doc term frequencies, scored against the doc's OWN fold grid
-    val tf = toks.groupBy(col(idCol), col("fold"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = base.select(col(idCol), col("fold"), col("token"),
+      col("__cnt").as("tf"))
     val scores = tf.join(grid, Seq("token"))
       .join(cf.withColumnRenamed("c", "c_fold"), Seq("fold", "label", "token"), "left")
       .join(broadcast(ntTrain), Seq("fold", "label"))
