@@ -3168,6 +3168,32 @@ object OraclesExt {
        |      (sum(np)::DOUBLE * sum(nq)::DOUBLE * 2.0), 5) END AS auc
        |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source KS drift vs the rest of the corpus — twin of
+    * Eval.ksDriftByGroup over the quality blend: dense grid×groups
+    * CDFs, identical double difference shapes, max then round.
+    */
+  val ksDrift: String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, source, t, text FROM toks JOIN documents USING (doc_id)),
+       |q AS (SELECT source AS g, $qualityScoreSql AS s FROM d),
+       |sc AS (SELECT g, s, count(*)::BIGINT AS c FROM q GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT s FROM sc),
+       |gs AS (SELECT DISTINCT g FROM sc),
+       |f AS (SELECT gs.g, grid.s, coalesce(sc.c, 0) AS c
+       |  FROM gs CROSS JOIN grid LEFT JOIN sc ON sc.g = gs.g AND sc.s = grid.s),
+       |cs AS (SELECT g, s, sum(c) OVER (PARTITION BY g ORDER BY s
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s FROM f),
+       |tot AS (SELECT s, sum(c)::BIGINT AS ct FROM sc GROUP BY 1),
+       |cg AS (SELECT s, sum(ct) OVER (ORDER BY s
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g FROM tot),
+       |ns AS (SELECT g, sum(c)::BIGINT AS n_s FROM sc GROUP BY 1),
+       |na AS (SELECT sum(c)::BIGINT AS n FROM sc)
+       |SELECT g AS source, max(n_s)::BIGINT AS n_docs,
+       |  round(max(abs(cum_s::DOUBLE / n_s::DOUBLE -
+       |    (cum_g - cum_s)::DOUBLE / (n - n_s)::DOUBLE)), 5) AS ks
+       |FROM cs JOIN cg USING (s) JOIN ns USING (g) CROSS JOIN na
+       |WHERE n > n_s GROUP BY g ORDER BY source""".stripMargin
+
   // ---- logistic regression (twin of graft.ext.LogReg) ----
 
   /** Feature CTEs ending in `feat(doc_id, lang, y, x1..x4)` — the

@@ -1511,6 +1511,14 @@ object SparkEntry {
         col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir),
         nBins = calibrationBins)
     },
+    // ...and the distributional alarm: per-source two-sample KS of
+    // the quality score against the rest of the corpus (shape drift
+    // the mean can't see; grid-bounded CDFs).
+    "q_ks_drift" -> withTables { s =>
+      graft.ext.Eval.ksDriftByGroup(
+        TextStats.withDocStats(s.table("documents")),
+        "source", col("quality_score"))
+    },
     // §7.5 — classifier/score evaluation: exact tie-corrected ROC AUC
     // of the quality score against the is-English label, per source
     // (does the gate's score actually separate what it claims?).
@@ -2469,6 +2477,7 @@ object SparkEntry {
     "q_logreg_pr" -> OraclesExt.logregPrCurve(dsirTargetLang, logregIters, logregLr),
     "q_logreg_calibration" -> OraclesExt.logregCalibration(dsirTargetLang, logregIters, logregLr, calibrationBins),
     "q_auc" -> OraclesExt.auc(dsirTargetLang),
+    "q_ks_drift" -> OraclesExt.ksDrift,
     "q_boilerplate" -> OraclesExt.boilerplate(boilerplateN, boilerplateMinDocPct),
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),
     "q_bpe_merges" -> OraclesExt.bpeMerges(bpeRounds),

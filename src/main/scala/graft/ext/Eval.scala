@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{abs => fabs, _}
 import org.apache.spark.sql.types.DecimalType
 
 /** Classifier / score evaluation over corpus-scale relations — the
@@ -70,5 +70,57 @@ object Eval {
             (col("n_pos").cast("double") * col("n_neg").cast("double")
               * lit(2.0)), 5))
           .as("auc"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic of `score`, each
+    * group AGAINST THE REST of the corpus: (groupCol, n_docs, ks),
+    * ks = max over the score grid of |CDF_group − CDF_rest| rounded
+    * at 5. The distribution-shift alarm a pipeline runs per source /
+    * per snapshot: a source whose quality distribution detaches from
+    * the corpus (new scraper, template change, spam wave) shows up as
+    * a KS spike long before its mean moves — and unlike the mean, KS
+    * sees shape changes that leave averages untouched.
+    *
+    * Scale shape: the corpus collapses map-side to its (group, score)
+    * value grid; the dense grid×groups frame is bounded (score grid ≤
+    * 10⁵ for 5-decimal scores × a bounded group domain); per-group
+    * CDFs are partitioned windows over it, and the corpus-wide CDF is
+    * ONE global window over the grid alone (grid-bounded — audited).
+    * All counts are exact integers; each CDF difference is one
+    * fixed-shape double expression, and max over independent doubles
+    * is partition-order-free.
+    */
+  def ksDriftByGroup(df: DataFrame, groupCol: String,
+      score: Column): DataFrame = {
+    val sc = df.select(col(groupCol).as("__g"), score.as("__s"))
+      .groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
+    val grid = sc.select("__s").distinct()
+    val groups = sc.select("__g").distinct()
+    val full = groups.crossJoin(grid)
+      .join(sc, Seq("__g", "__s"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val ws = Window.partitionBy("__g").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumG = sc.groupBy("__s").agg(sum(col("__c")).as("__ct"))
+      .withColumn("__cum_g", sum(col("__ct")).over(wg))
+      .select("__s", "__cum_g")
+    val ns = sc.groupBy("__g").agg(sum(col("__c")).as("__n_s"))
+    val nAll = sc.agg(sum(col("__c")).as("__n"))
+    full
+      .withColumn("__cum_s", sum(col("__c")).over(ws))
+      .join(cumG, "__s")
+      .join(broadcast(ns), "__g")
+      .crossJoin(broadcast(nAll))
+      .where(col("__n") > col("__n_s"))
+      .withColumn("__diff", fabs(
+        col("__cum_s").cast("double") / col("__n_s").cast("double") -
+          (col("__cum_g") - col("__cum_s")).cast("double") /
+            (col("__n") - col("__n_s")).cast("double")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n_s")).as("n_docs"),
+        round(max(col("__diff")), 5).as("ks"))
+      .orderBy(groupCol)
   }
 }

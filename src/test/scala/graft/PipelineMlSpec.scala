@@ -637,6 +637,22 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(run(rows.repartition(7)) == run(rows.repartition(1)))
   }
 
+  test("ksDrift: disjoint distributions hit 1.0, matching shape scores its hand value") {
+    val rows = Seq(
+      ("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 1.0), ("C", 3.0)
+    ).toDF("src", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Eval.ksDriftByGroup(df, "src", col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = run(rows)
+    // hand CDFs over grid {1,2,3,4}: A=(.5,1,1,1) vs rest
+    // (.25,.25,.75,1) → .75; B=(0,0,.5,1) vs (.5,.75,1,1) → .75;
+    // C=(.5,.5,1,1) vs the uniform (.25,.5,.75,1) → .25
+    assert(got == Seq(("A", 2L, 0.75), ("B", 2L, 0.75), ("C", 2L, 0.25)))
+    assert(run(rows.repartition(7)) == run(rows.repartition(1)))
+  }
+
   // ---- LogReg ----
 
   test("logreg: from-zero first loss is ln 2; loss decreases; stopword weight separates") {

@@ -239,7 +239,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_events_rfm" -> "32-row shard-offset frame (constant group)",
       // prCurve's cumulative runs over the 4-decimal score GRID —
       // ≤ 10⁴+1 rows however large the corpus (LogReg.prCurve scaladoc)
-      "q_logreg_pr" -> "4-decimal score grid (≤ 10001 rows)")
+      "q_logreg_pr" -> "4-decimal score grid (≤ 10001 rows)",
+      // ksDrift's corpus-wide CDF is one global cumsum over the
+      // 5-decimal score grid alone (Eval.ksDriftByGroup scaladoc)
+      "q_ks_drift" -> "5-decimal score grid (≤ 100001 rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
