@@ -3437,6 +3437,26 @@ object OraclesExt {
        |WHERE ms.std > 0 AND round((a.cscore - ms.mean) / ms.std, 5) <= -$zThresh
        |ORDER BY vec_id""".stripMargin
 
+  /** Neyman allocation — twin of Sampling.neymanAllocation over
+    * events.value per event_type: exact decimal moments, the same
+    * double σ/weight/floor shapes.
+    */
+  def neymanAllocation(budget: Long): String =
+    s"""WITH st AS (SELECT event_type,
+       |  count(*)::BIGINT AS n_rows,
+       |  sum(value::DECIMAL(18,6)) AS s1,
+       |  sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS s2
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |w AS (SELECT event_type, n_rows,
+       |  sqrt(greatest((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_rows)
+       |    / n_rows, 0.0)) AS std
+       |  FROM st),
+       |ws AS (SELECT event_type, n_rows, std, n_rows::DOUBLE * std AS wt FROM w),
+       |tot AS (SELECT sum(wt) AS wsum FROM ws)
+       |SELECT event_type, n_rows, round(std, 5) AS sigma,
+       |  cast(floor(${budget}.0 * (wt / wsum)) AS BIGINT) AS n_alloc
+       |FROM ws CROSS JOIN tot WHERE wsum > 0 ORDER BY event_type""".stripMargin
+
   /** U-shaped multi-touch attribution — twin of
     * Events.uShapedAttribution: the same forward as-of union
     * (first_value ignore-nulls over CURRENT ROW → FOLLOWING), journey

@@ -746,6 +746,8 @@ object SparkEntry {
   private[graft] val eventPathsK = 20
   // trailing active-user window (shared with OraclesExt.activeUsers)
   private[graft] val wauWindowDays = 7
+  // Neyman eval-budget (shared with OraclesExt.neymanAllocation)
+  private[graft] val neymanBudget = 1000L
   // campaign windows over the fixture's Jan-2024 event range, half-open
   // [lo, hi) in epoch-µs at day granularity (day 19723 = 2024-01-01;
   // shared with OraclesExt.campaignOverlap)
@@ -1542,6 +1544,13 @@ object SparkEntry {
     },
     // §7.5 extensions — deterministic sampling (membership is a pure
     // function of (salt, id): reproducible under any partitioning).
+    // Variance-optimal eval-budget allocation across strata (Neyman):
+    // how many labeled rows each event_type deserves from a fixed
+    // budget, n_h ∝ N_h·σ_h.
+    "q_neyman_alloc" -> withTables { s =>
+      Sampling.neymanAllocation(s.table("events"), "event_type",
+        "value", budget = neymanBudget)
+    },
     "q_sample_stratified" -> withTables { s =>
       Sampling.stratifiedSample(s.table("documents"), "lang",
         stratifiedRates, stratifiedDefaultRate)
@@ -2471,6 +2480,7 @@ object SparkEntry {
     "q_event_paths" -> OraclesExt.eventPaths(eventPathsK),
     "q_attrib_ushape" -> OraclesExt.uShapedAttribution("purchase", "click"),
     "q_active_users" -> OraclesExt.activeUsers(wauWindowDays),
+    "q_neyman_alloc" -> OraclesExt.neymanAllocation(neymanBudget),
     "q_campaign_overlap" -> OraclesExt.campaignOverlap(campaignWindows, 1800L),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),

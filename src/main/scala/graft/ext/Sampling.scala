@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling and selection operators for training-data
   * curation — pipeline extensions (SURVEY.md §7.5; the reference has
@@ -150,6 +151,45 @@ object Sampling {
     * column (e.g. source) to make folds leakage-free the same way
     * [[trainTestSplit]] does. Map-only: no shuffle, no state.
     */
+  /** Neyman (variance-optimal) sample allocation: how to spend a
+    * fixed labeling/eval budget across strata — n_h ∝ N_h·σ_h, the
+    * allocation minimizing the stratified mean's variance. The
+    * eval-set design relation: a pipeline that quality-samples
+    * uniformly overpays on homogeneous strata and starves volatile
+    * ones; this says exactly how many rows each stratum deserves.
+    * Returns (stratumCol, n_rows, sigma, n_alloc), n_alloc =
+    * floor(budget·weight) (Σ ≤ budget; the remainder is the caller's
+    * tie-break policy).
+    *
+    * Determinism: per-stratum moments from exact DECIMAL(18,6) sums
+    * (rule 2 — a raw double sum would be partition-order dependent);
+    * σ and the allocation are one fixed-shape double expression per
+    * stratum. Scale shape: one map-side-combined moment aggregate to
+    * a stratum-domain-bounded frame; the weight total is a broadcast
+    * 1-row cross.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val x = col(valueCol).cast(DecimalType(18, 6))
+    val st = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("__s1"),
+        sum(x * x).as("__s2"))
+      .withColumn("__std", sqrt(greatest(
+        (col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") /
+            col("n_rows")) / col("n_rows"), lit(0.0))))
+      .withColumn("__w", col("n_rows").cast("double") * col("__std"))
+    st.crossJoin(broadcast(st.agg(sum(col("__w")).as("__wsum"))))
+      .where(col("__wsum") > 0)
+      .select(col(stratumCol), col("n_rows"),
+        round(col("__std"), 5).as("sigma"),
+        floor(lit(budget.toDouble) * (col("__w") / col("__wsum")))
+          .cast("long").as("n_alloc"))
+      .orderBy(stratumCol)
+  }
+
   def kfold(df: DataFrame, k: Int, idCol: String = "doc_id",
       salt: String = "fold"): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")

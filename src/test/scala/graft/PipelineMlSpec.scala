@@ -726,6 +726,23 @@ class PipelineMlSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Sampling.neymanAllocation ----
+
+  test("neymanAllocation: budget follows N_h·σ_h, constant strata get zero") {
+    val rows = (
+      Seq.fill(4)(("A", 10.0)) ++ Seq(("B", 0.0), ("B", 20.0)) ++
+        Seq(("C", 0.0), ("C", 0.0), ("C", 20.0), ("C", 20.0))
+    ).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "event_type", "value")
+    val out = graft.ext.Sampling.neymanAllocation(rows, "event_type",
+      "value", budget = 60L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // weights: A 4·0 = 0, B 2·10 = 20, C 4·10 = 40 → 0 / 20 / 40 of 60
+    assert(out.toSeq == Seq(("A", 4L, 0.0, 0L), ("B", 2L, 10.0, 20L),
+      ("C", 4L, 10.0, 40L)))
+    assert(out.map(_._4).sum <= 60L)
+  }
+
   // ---- Similarity.kmeansSilhouette ----
 
   test("kmeansSilhouette: two tight far-apart clusters score near 1, sizes partition n") {
