@@ -3437,6 +3437,67 @@ object OraclesExt {
        |WHERE ms.std > 0 AND round((a.cscore - ms.mean) / ms.std, 5) <= -$zThresh
        |ORDER BY vec_id""".stripMargin
 
+  /** FPR-calibrated gate thresholds — twin of Eval.gateThresholds
+    * over the quality blend vs is-`targetLang`: identical grid
+    * cumulatives, α cross, min-threshold pick, joined-back rates.
+    */
+  def gateThresholds(targetLang: String, alphas: Seq[Double]): String = {
+    val values = alphas.map(a => s"(${a}::DOUBLE)").mkString(", ")
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, t, text FROM toks JOIN documents USING (doc_id)),
+       |q AS (SELECT lang, $qualityScoreSql AS s FROM d),
+       |sc AS (SELECT s,
+       |  sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END)::BIGINT AS np,
+       |  (count(*) - sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END))::BIGINT AS nq
+       |  FROM q GROUP BY s),
+       |tot AS (SELECT sum(np)::BIGINT AS np_all, sum(nq)::BIGINT AS nq_all FROM sc),
+       |c AS (SELECT s,
+       |  sum(np) OVER (ORDER BY s DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+       |  sum(nq) OVER (ORDER BY s DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+       |  FROM sc),
+       |r AS (SELECT s, cq::DOUBLE / nq_all::DOUBLE AS fpr,
+       |  cp::DOUBLE / np_all::DOUBLE AS tpr FROM c CROSS JOIN tot),
+       |av AS (SELECT * FROM (VALUES $values) a(alpha)),
+       |best AS (SELECT alpha, min(s) AS threshold
+       |  FROM r CROSS JOIN av WHERE fpr <= alpha GROUP BY alpha)
+       |SELECT alpha, threshold, round(r.fpr, 5) AS fpr, round(r.tpr, 5) AS tpr
+       |FROM best JOIN r ON r.s = best.threshold ORDER BY alpha""".stripMargin
+  }
+
+  /** Per-type daily-count autocorrelation — twin of
+    * Events.dailyAutocorrelation: densified day grid, quantized
+    * deviations, exact decimal lag sums.
+    */
+  def dailyAutocorrelation(lags: Seq[Int]): String = {
+    val lagCols = lags.map(k =>
+      s"lag(dev, $k) OVER (PARTITION BY event_type ORDER BY day_num) AS dev$k")
+      .mkString(", ")
+    val rCols = lags.map(k =>
+      s"CASE WHEN sum(dev * dev) > 0 THEN round(sum(dev * dev$k)::DOUBLE / sum(dev * dev)::DOUBLE, 5) END AS r_lag$k")
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT event_type,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num
+       |  FROM events WHERE ts IS NOT NULL),
+       |daily AS (SELECT event_type, day_num, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+       |spans AS (SELECT event_type, min(day_num) AS d0, max(day_num) AS d1
+       |  FROM daily GROUP BY 1),
+       |dense AS (SELECT event_type,
+       |  d0 + unnest(range(0, d1 - d0 + 1)) AS day_num FROM spans),
+       |dn AS (SELECT dense.event_type, dense.day_num, coalesce(daily.n, 0) AS n
+       |  FROM dense LEFT JOIN daily USING (event_type, day_num)),
+       |st AS (SELECT event_type, count(*)::BIGINT AS n_days, sum(n)::BIGINT AS tot
+       |  FROM dn GROUP BY 1),
+       |dv AS (SELECT dn.event_type, st.n_days, day_num,
+       |  round(n::DOUBLE - tot::DOUBLE / n_days, 6)::DECIMAL(18,6) AS dev
+       |  FROM dn JOIN st USING (event_type)),
+       |lg AS (SELECT event_type, n_days, dev, $lagCols FROM dv)
+       |SELECT event_type, n_days,
+       |  $rCols
+       |FROM lg GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   /** Neyman allocation — twin of Sampling.neymanAllocation over
     * events.value per event_type: exact decimal moments, the same
     * double σ/weight/floor shapes.

@@ -748,6 +748,9 @@ object SparkEntry {
   private[graft] val wauWindowDays = 7
   // Neyman eval-budget (shared with OraclesExt.neymanAllocation)
   private[graft] val neymanBudget = 1000L
+  // gate FPR targets + periodicity lags (shared with the oracles)
+  private[graft] val gateAlphas = Seq(0.01, 0.05, 0.10)
+  private[graft] val autocorrLags = Seq(1, 7)
   // campaign windows over the fixture's Jan-2024 event range, half-open
   // [lo, hi) in epoch-µs at day granularity (day 19723 = 2024-01-01;
   // shared with OraclesExt.campaignOverlap)
@@ -1005,6 +1008,11 @@ object SparkEntry {
     // join (equi-join on day buckets — never |sessions|·|campaigns|).
     "q_campaign_overlap" -> withTables { s =>
       Events.campaignOverlap(s.table("events"), campaignWindows)
+    },
+    // Seasonality check for the forecaster family: per-type lag-1/7
+    // autocorrelation of the DENSIFIED daily counts.
+    "q_event_periodicity" -> withTables { s =>
+      Events.dailyAutocorrelation(s.table("events"), lags = autocorrLags)
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -1512,6 +1520,14 @@ object SparkEntry {
       graft.ext.LogReg.calibrationBinsFrom(s.table("documents"),
         col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir),
         nBins = calibrationBins)
+    },
+    // ...the operating-point DECISION: the most permissive threshold
+    // admitting ≤ α junk, per target FPR (grid-bounded cumulatives).
+    "q_gate_threshold" -> withTables { s =>
+      graft.ext.Eval.gateThresholds(
+        TextStats.withDocStats(s.table("documents")),
+        col("lang") === dsirTargetLang, col("quality_score"),
+        alphas = gateAlphas)
     },
     // ...and the distributional alarm: per-source two-sample KS of
     // the quality score against the rest of the corpus (shape drift
@@ -2488,6 +2504,8 @@ object SparkEntry {
     "q_logreg_calibration" -> OraclesExt.logregCalibration(dsirTargetLang, logregIters, logregLr, calibrationBins),
     "q_auc" -> OraclesExt.auc(dsirTargetLang),
     "q_ks_drift" -> OraclesExt.ksDrift,
+    "q_gate_threshold" -> OraclesExt.gateThresholds(dsirTargetLang, gateAlphas),
+    "q_event_periodicity" -> OraclesExt.dailyAutocorrelation(autocorrLags),
     "q_boilerplate" -> OraclesExt.boilerplate(boilerplateN, boilerplateMinDocPct),
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),
     "q_bpe_merges" -> OraclesExt.bpeMerges(bpeRounds),

@@ -72,6 +72,56 @@ object Eval {
           .as("auc"))
   }
 
+  /** FPR-calibrated gate thresholds: for each target false-positive
+    * rate α, the most permissive score threshold whose keep-set
+    * admits at most α of the negatives — (alpha, threshold, fpr,
+    * tpr). The operating-point SELECTION step (where [[aucByGroup]]
+    * measures and the PR curve displays, this DECIDES): "keep
+    * everything scoring ≥ threshold and at most α junk slips
+    * through", with the true-positive rate that choice buys. An α
+    * finer than the negative grid can resolve (every candidate
+    * threshold already exceeds it) yields no row rather than a wrong
+    * one.
+    *
+    * Scale shape: the (score, label) corpus collapses map-side to its
+    * value grid; the descending cumulative is one global window over
+    * the grid alone (grid-bounded, audited); the α domain is a
+    * literal handful crossed against grid-bounded candidates. Counts
+    * exact; fpr/tpr are fixed-shape double divisions.
+    */
+  def gateThresholds(df: DataFrame, label: Column, score: Column,
+      alphas: Seq[Double] = Seq(0.01, 0.05, 0.10)): DataFrame = {
+    require(alphas.nonEmpty, "need at least one target alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = df.select(score.as("__s"),
+      when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("__s")
+      .agg(sum(col("__y")).as("__np"),
+        (count(lit(1)) - sum(col("__y"))).as("__nq"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = sc.agg(sum(col("__np")).as("__np_all"),
+      sum(col("__nq")).as("__nq_all"))
+    val rows = sc
+      .withColumn("__cp", sum(col("__np")).over(w))
+      .withColumn("__cq", sum(col("__nq")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__s"),
+        (col("__cq").cast("double") / col("__nq_all").cast("double"))
+          .as("__fpr"),
+        (col("__cp").cast("double") / col("__np_all").cast("double"))
+          .as("__tpr"))
+    val av = alphas.toDF("alpha")
+    val best = rows.crossJoin(broadcast(av))
+      .where(col("__fpr") <= col("alpha"))
+      .groupBy("alpha").agg(min(col("__s")).as("threshold"))
+    best.join(rows, best("threshold") === rows("__s"))
+      .select(col("alpha"), col("threshold"),
+        round(col("__fpr"), 5).as("fpr"), round(col("__tpr"), 5).as("tpr"))
+      .orderBy("alpha")
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic of `score`, each
     * group AGAINST THE REST of the corpus: (groupCol, n_docs, ks),
     * ks = max over the score grid of |CDF_group − CDF_rest| rounded

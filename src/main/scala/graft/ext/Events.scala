@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 /** Batch analytics over the event stream table — tumbling-window
   * aggregation and gap-based sessionization. These are the batch
@@ -429,6 +429,62 @@ object Events {
         round(col("dau").cast("double") / col("wau").cast("double"), 5)
           .as("stickiness"))
       .orderBy("day_num")
+  }
+
+  /** Per-type daily-count AUTOCORRELATION at the given lags — the
+    * periodicity detector: r₇ ≈ 1 on a metric with weekly rhythm, r₁
+    * high on momentum/trend, both ≈ 0 on noise. The seasonality
+    * check a forecaster ([[q_forecast_revenue]]'s OLS) needs before
+    * trusting a linear fit. Returns (event_type, n_days,
+    * r_lag<k>...) with NULL for a constant series (autocorrelation
+    * undefined, never a divide-by-zero).
+    *
+    * The day series is DENSIFIED first (gap days are real zeros — a
+    * sparse series would silently autocorrelate only active days).
+    * Determinism: counts are exact; the per-day deviation is
+    * quantized at 6 → DECIMAL(18,6) so the lag products and squares
+    * sum EXACTLY (a raw double Σ would be partition-order dependent);
+    * one double division per (type, lag) at the end. Scale: day grids
+    * are date-range-bounded; windows are type-partitioned.
+    */
+  def dailyAutocorrelation(events: DataFrame,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .agg(count(lit(1)).as("__n"))
+    // densify: every day in the type's [min, max] range, zeros filled
+    val spans = daily.groupBy("event_type")
+      .agg(min(col("day_num")).as("__d0"), max(col("day_num")).as("__d1"))
+    val dense = spans
+      .select(col("event_type"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day_num"))
+      .join(daily, Seq("event_type", "day_num"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("__n")).as("__tot"))
+      .withColumn("__mu", col("__tot").cast("double") / col("n_days"))
+    val byDay = Window.partitionBy("event_type").orderBy("day_num")
+    val dev = dense.join(broadcast(stats), "event_type")
+      .withColumn("__dev",
+        round(col("__n").cast("double") - col("__mu"), 6)
+          .cast(DecimalType(18, 6)))
+    val lagged = lags.foldLeft(dev) { (d, k) =>
+      d.withColumn(s"__dev_l$k", lag(col("__dev"), k).over(byDay))
+    }
+    val aggs = sum(col("__dev") * col("__dev")).as("__den") +:
+      lags.map(k => sum(col("__dev") * col(s"__dev_l$k")).as(s"__num$k"))
+    val rCols = lags.map { k =>
+      when(col("__den") > 0,
+        round(col(s"__num$k").cast("double") / col("__den").cast("double"), 5))
+        .as(s"r_lag$k")
+    }
+    lagged.groupBy(col("event_type"), col("n_days"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type") +: col("n_days") +: rCols: _*)
+      .orderBy("event_type")
   }
 
   /** Top-k frequent 3-step event paths — the sequence-mining big

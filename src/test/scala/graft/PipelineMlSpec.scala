@@ -653,6 +653,38 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(run(rows.repartition(7)) == run(rows.repartition(1)))
   }
 
+  test("gateThresholds: most permissive threshold under each FPR bar, rates exact") {
+    val rows = Seq(
+      (true, 0.9), (true, 0.8), (false, 0.7), (true, 0.3),
+      (false, 0.2), (false, 0.1), (false, 0.05)
+    ).toDF("lbl", "s")
+    val got = graft.ext.Eval.gateThresholds(rows, col("lbl"), col("s"),
+      alphas = Seq(0.1, 0.3)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // α=0.1: only thresholds ≥ 0.8 keep zero of the 4 negatives →
+    // pick 0.8 (fpr 0, tpr 2/3); α=0.3: 0.3 admits 1 negative (0.25)
+    // and recalls every positive
+    assert(got.toSeq == Seq((0.1, 0.8, 0.0, 0.66667), (0.3, 0.3, 0.25, 1.0)))
+  }
+
+  test("dailyAutocorrelation: alternating series hits its hand value, constant → NULL") {
+    import graft.ext.Events
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2026-03-$day%02d 12:00:00")
+    // type a: daily counts 1,3,1,3,1,3 (period 2); type b: constant 2
+    val rows = (1 to 6).flatMap { d =>
+      val ka = if (d % 2 == 0) 3 else 1
+      (1 to ka).map(i => (d * 100L + i, t(d), 1L, "a", 0.0)) ++
+        (1 to 2).map(i => (d * 100L + 50 + i, t(d), 1L, "b", 0.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.dailyAutocorrelation(rows, lags = Seq(1, 2)).collect()
+    val a = out.find(_.getString(0) == "a").get
+    // dev = ±1, den 6; lag1 Σ = −5 → −0.83333; lag2 Σ = 4 → 0.66667
+    assert(a.getLong(1) == 6L)
+    assert(a.getDouble(2) == -0.83333 && a.getDouble(3) == 0.66667)
+    val b = out.find(_.getString(0) == "b").get
+    assert(b.isNullAt(2) && b.isNullAt(3)) // zero-variance series
+  }
+
   // ---- LogReg ----
 
   test("logreg: from-zero first loss is ln 2; loss decreases; stopword weight separates") {

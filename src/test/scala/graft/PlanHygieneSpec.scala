@@ -242,7 +242,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_logreg_pr" -> "4-decimal score grid (≤ 10001 rows)",
       // ksDrift's corpus-wide CDF is one global cumsum over the
       // 5-decimal score grid alone (Eval.ksDriftByGroup scaladoc)
-      "q_ks_drift" -> "5-decimal score grid (≤ 100001 rows)")
+      "q_ks_drift" -> "5-decimal score grid (≤ 100001 rows)",
+      // gateThresholds' descending cumulative runs over the same
+      // score grid (Eval.gateThresholds scaladoc)
+      "q_gate_threshold" -> "5-decimal score grid (≤ 100001 rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
