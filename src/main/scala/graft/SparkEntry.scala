@@ -74,6 +74,53 @@ object SparkEntry {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** §2.3/§2.4 — TPC-H Q8-shaped market-share query: the 6-join
+    * snowflake (lineitem→orders→customer→nation→region +
+    * supplier→nation) with a conditional share per year. Fraction
+    * from TWO exact decimal sums, one double division (rule 2);
+    * the year pinned to BIGINT in both engines. The two `nation`
+    * scans resolve independently (self-join through different keys).
+    */
+  private val marketShareSql: String =
+    """SELECT o_year,
+      | round(cast(sum(CASE WHEN nation = 'NATION_2' THEN volume
+      |   ELSE cast(0 as decimal(18,6)) END) as double) /
+      |  cast(sum(volume) as double), 5) AS mkt_share
+      |FROM (
+      |  SELECT cast(extract(year from o_orderdate) as bigint) AS o_year,
+      |   cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) AS volume,
+      |   n2.n_name AS nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |) t
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** §2.4 — TPC-H Q15-shaped top supplier: a derived revenue view
+    * probed by an uncorrelated scalar-max subquery; exact decimal
+    * revenue so the max-equality is bit-stable (a double revenue
+    * could tie-break differently per engine).
+    */
+  private val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |   cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))
+      |     as decimal(18,6)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= date '1995-01-01' AND l_shipdate < date '1995-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      | round(cast(total_revenue as double), 5) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** §2.3/§2.4 — TPC-H Q3-shaped shipping-priority query through the
     * SQL passthrough: 3-table join with selective predicates on BOTH
     * fact and dimension sides (all pushed to the scans), decimal-exact
@@ -972,6 +1019,8 @@ object SparkEntry {
     "q_datetime_funcs" -> withTables { s => s.sql(datetimeFuncsSql) },
     "q_set_ops" -> withTables { s => s.sql(setOpsSql) },
     "q_revenue_by_nation" -> withTables { s => s.sql(revenueByNationSql) },
+    "q_market_share" -> withTables { s => s.sql(marketShareSql) },
+    "q_top_supplier" -> withTables { s => s.sql(topSupplierSql) },
     "q_shipping_priority" -> withTables { s => s.sql(shippingPrioritySql) },
     "q_forecast_revenue" -> withTables { s => s.sql(forecastRevenueSql) },
     "q_rollup_pricing" -> withTables { s => s.sql(rollupPricingSql) },
@@ -2398,6 +2447,8 @@ object SparkEntry {
     "q_events_rfm" -> OraclesExt.eventsRfm,
     "q_set_ops" -> setOpsSql,
     "q_revenue_by_nation" -> revenueByNationSql,
+    "q_market_share" -> marketShareSql,
+    "q_top_supplier" -> topSupplierSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_forecast_revenue" -> forecastRevenueSql,
     "q_rollup_pricing" -> rollupPricingSql,
