@@ -3322,6 +3322,27 @@ object OraclesExt {
        |    AS gap
        |FROM g ORDER BY bin""".stripMargin
 
+  /** Per-source trained-classifier AUC — twin of LogReg.aucFrom:
+    * same unrolled training, the quantized score grid per source,
+    * the shared ×2-integer AUC numerator.
+    */
+  def logregAuc(targetLang: String, iters: Int, lr: Double): String =
+    s"""WITH ${logregCtes(targetLang, iters, lr)},
+       |q AS (SELECT d2.source, $logregPExpr AS s, f.y
+       |  FROM feat f CROSS JOIN w$iters JOIN documents d2 USING (doc_id)),
+       |sc AS (SELECT source, s,
+       |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+       |  (count(*) - sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))::BIGINT AS nq
+       |  FROM q GROUP BY source, s),
+       |cum AS (SELECT source, s, np, nq,
+       |  coalesce(sum(nq) OVER (PARTITION BY source ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb FROM sc)
+       |SELECT source, sum(np)::BIGINT AS n_pos, sum(nq)::BIGINT AS n_neg,
+       |  CASE WHEN sum(np) > 0 AND sum(nq) > 0 THEN
+       |    round(sum(np::HUGEINT * (qb::HUGEINT * 2 + nq::HUGEINT))::DOUBLE /
+       |      (sum(np)::DOUBLE * sum(nq)::DOUBLE * 2.0), 5) END AS auc
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-cluster simplified silhouette — twin of
     * Similarity.kmeansSilhouette: the shared refined-k-means chain's
     * final scoring kept at crank ≤ 2, pivoted per point, the

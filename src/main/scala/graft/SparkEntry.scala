@@ -1570,6 +1570,13 @@ object SparkEntry {
         col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir),
         nBins = calibrationBins)
     },
+    // ...the per-slice separation check for the trained model itself
+    // (one easy source can carry an aggregate AUC).
+    "q_logreg_auc" -> withTablesSf { (s, sfDir) =>
+      graft.ext.LogReg.aucFrom(s.table("documents"),
+        col("lang") === dsirTargetLang, "source",
+        logregWeightsShared(s, sfDir)).orderBy("source")
+    },
     // ...the operating-point DECISION: the most permissive threshold
     // admitting ≤ α junk, per target FPR (grid-bounded cumulatives).
     "q_gate_threshold" -> withTables { s =>
@@ -2556,6 +2563,7 @@ object SparkEntry {
     "q_auc" -> OraclesExt.auc(dsirTargetLang),
     "q_ks_drift" -> OraclesExt.ksDrift,
     "q_gate_threshold" -> OraclesExt.gateThresholds(dsirTargetLang, gateAlphas),
+    "q_logreg_auc" -> OraclesExt.logregAuc(dsirTargetLang, logregIters, logregLr),
     "q_event_periodicity" -> OraclesExt.dailyAutocorrelation(autocorrLags),
     "q_boilerplate" -> OraclesExt.boilerplate(boilerplateN, boilerplateMinDocPct),
     "q_bpe_pairs" -> OraclesExt.bpePairs(bpePairsK),

@@ -243,6 +243,21 @@ object LogReg {
       .orderBy("bin")
   }
 
+  /** Exact per-group ROC AUC of the trained model
+    * ([[Eval.aucByGroup]] over the quantized scores) — does the
+    * classifier actually SEPARATE within each slice, or does one
+    * easy source carry the aggregate number. Same grid-bounded plan
+    * as the quality-score AUC.
+    */
+  def aucFrom(docs: DataFrame, label: Column, groupCol: String,
+      wFinal: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Eval.aucByGroup(
+      featuresKeeping(docs, label, Seq(groupCol), idCol, textCol)
+        .crossJoin(broadcast(wFinal))
+        .withColumn("__p", sigmoidQ(zExpr)),
+      groupCol, col("y") === lit(1), col("__p"))
+
   /** Apply the trained model back to the corpus, rolled up per
     * `groupCol`: (groupCol, n_docs, n_pred_pos, avg_p) — how many
     * documents the classifier flags at p ≥ 0.5 and the exact-decimal
