@@ -3519,6 +3519,33 @@ object OraclesExt {
        |FROM lg GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** A/B assignment + SRM report — twin of Sampling.abSrmReport over
+    * events.user_id: identical md5-bucket fraction, identical
+    * cumulative-bound CASE order, identical χ² shapes.
+    */
+  def abSrm(variants: Seq[(String, Double)], salt: String): String = {
+    val cum = variants.map(_._2).scanLeft(0.0)(_ + _).tail.init :+ 1.0
+    val cases = variants.map(_._1).zip(cum).init
+      .map { case (n, hi) => s"WHEN f < $hi THEN '$n'" }.mkString(" ")
+    val values = variants
+      .map { case (n, w) => s"('$n', ${w}::DOUBLE)" }.mkString(", ")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (SELECT cast(cast('0x' || substr(md5('$salt|' || user_id), 1, 8)
+       |  AS BIGINT) AS DOUBLE) / 4294967296.0 AS f FROM u),
+       |v AS (SELECT CASE $cases ELSE '${variants.last._1}' END AS variant FROM a),
+       |c AS (SELECT variant, count(*)::BIGINT AS n_units FROM v GROUP BY 1),
+       |w AS (SELECT * FROM (VALUES $values) t(variant, expected_frac)),
+       |tot AS (SELECT sum(n_units)::BIGINT AS n FROM c)
+       |SELECT w.variant, coalesce(c.n_units, 0)::BIGINT AS n_units,
+       |  w.expected_frac,
+       |  round(coalesce(c.n_units, 0)::DOUBLE / n::DOUBLE, 5) AS observed_frac,
+       |  round((coalesce(c.n_units, 0)::DOUBLE - expected_frac * n::DOUBLE) *
+       |    (coalesce(c.n_units, 0)::DOUBLE - expected_frac * n::DOUBLE) /
+       |    (expected_frac * n::DOUBLE), 5) AS chi2_contrib
+       |FROM w LEFT JOIN c USING (variant) CROSS JOIN tot
+       |ORDER BY variant""".stripMargin
+  }
+
   /** Neyman allocation — twin of Sampling.neymanAllocation over
     * events.value per event_type: exact decimal moments, the same
     * double σ/weight/floor shapes.

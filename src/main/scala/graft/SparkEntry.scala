@@ -795,6 +795,10 @@ object SparkEntry {
   private[graft] val wauWindowDays = 7
   // Neyman eval-budget (shared with OraclesExt.neymanAllocation)
   private[graft] val neymanBudget = 1000L
+  // A/B allocation (shared with OraclesExt.abSrm)
+  private[graft] val abVariants: Seq[(String, Double)] =
+    Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25))
+  private[graft] val abSalt = "exp1"
   // gate FPR targets + periodicity lags (shared with the oracles)
   private[graft] val gateAlphas = Seq(0.01, 0.05, 0.10)
   private[graft] val autocorrLags = Seq(1, 7)
@@ -1616,6 +1620,11 @@ object SparkEntry {
     },
     // §7.5 extensions — deterministic sampling (membership is a pure
     // function of (salt, id): reproducible under any partitioning).
+    // Deterministic A/B bucketing + the sample-ratio-mismatch health
+    // check (md5-salted weighted allocation over distinct users).
+    "q_ab_srm" -> withTables { s =>
+      Sampling.abSrmReport(s.table("events"), "user_id", abVariants, abSalt)
+    },
     // Variance-optimal eval-budget allocation across strata (Neyman):
     // how many labeled rows each event_type deserves from a fixed
     // budget, n_h ∝ N_h·σ_h.
@@ -2555,6 +2564,7 @@ object SparkEntry {
     "q_attrib_ushape" -> OraclesExt.uShapedAttribution("purchase", "click"),
     "q_active_users" -> OraclesExt.activeUsers(wauWindowDays),
     "q_neyman_alloc" -> OraclesExt.neymanAllocation(neymanBudget),
+    "q_ab_srm" -> OraclesExt.abSrm(abVariants, abSalt),
     "q_campaign_overlap" -> OraclesExt.campaignOverlap(campaignWindows, 1800L),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),

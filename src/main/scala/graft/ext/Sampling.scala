@@ -190,6 +190,60 @@ object Sampling {
       .orderBy(stratumCol)
   }
 
+  /** Deterministic A/B experiment assignment + the SRM health check:
+    * every distinct unit lands in a variant by salted md5 bucket
+    * (weighted allocation), and the report is the per-variant
+    * sample-ratio-mismatch evidence — (variant, n_units,
+    * expected_frac, observed_frac, chi2_contrib). Σ chi2_contrib
+    * against χ²(k−1) is the standard SRM alarm: a mismatched ratio
+    * means broken bucketing/logging, and every downstream metric of
+    * that experiment is garbage. Assignment is a pure function of
+    * (salt, unit) — reproducible across engines, runs and
+    * partitionings, the [[bernoulliSample]] membership convention.
+    *
+    * Scale shape: one distinct on the unit key, one map-side bucket
+    * expression, one variant-domain-bounded roll-up; expected counts
+    * from a broadcast 1-row total.
+    */
+  def abSrmReport(df: DataFrame, unitCol: String,
+      variants: Seq[(String, Double)], salt: String): DataFrame = {
+    require(variants.nonEmpty && variants.forall(_._2 > 0),
+      "variant weights must be positive")
+    require(math.abs(variants.map(_._2).sum - 1.0) < 1e-9,
+      "variant weights must sum to 1")
+    // cumulative upper bounds; the last is forced to 1.0 so no unit
+    // can fall through on float accumulation
+    val cum = variants.map(_._2).scanLeft(0.0)(_ + _).tail
+      .init :+ 1.0
+    val frac = conv(substring(md5(concat_ws("|", lit(salt),
+      col(unitCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    // innermost-out fold: the FIRST (lowest) matching bound wins
+    val assigned = df.select(col(unitCol)).distinct()
+      .withColumn("variant",
+        variants.map(_._1).zip(cum).reverse
+          .foldLeft(lit(variants.last._1)) { case (rest, (name, hi)) =>
+            when(frac < hi, lit(name)).otherwise(rest)
+          })
+    val counts = assigned.groupBy("variant").agg(count(lit(1)).as("n_units"))
+    val wdf = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      variants.toDF("variant", "expected_frac")
+    }
+    val tot = counts.agg(sum(col("n_units")).as("__n"))
+    val exp = col("expected_frac") * col("__n").cast("double")
+    wdf.join(counts, Seq("variant"), "left")
+      .withColumn("n_units", coalesce(col("n_units"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("variant"), col("n_units"), col("expected_frac"),
+        round(col("n_units").cast("double") / col("__n").cast("double"), 5)
+          .as("observed_frac"),
+        round((col("n_units").cast("double") - exp) *
+          (col("n_units").cast("double") - exp) / exp, 5).as("chi2_contrib"))
+      .orderBy("variant")
+  }
+
   def kfold(df: DataFrame, k: Int, idCol: String = "doc_id",
       salt: String = "fold"): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")

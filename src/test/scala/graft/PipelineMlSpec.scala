@@ -758,6 +758,32 @@ class PipelineMlSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Sampling.abSrmReport ----
+
+  test("abSrm: every unit assigned once, weights respected, duplicates collapse") {
+    import graft.ext.Sampling
+    // duplicate unit rows must not double-count (assignment is per
+    // distinct unit)
+    val rows = ((0L until 2000L) ++ (0L until 500L)).toDF("user_id")
+    val out = Sampling.abSrmReport(rows, "user_id",
+      Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25)), "exp1")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == 2000L)
+    // md5 buckets are uniform: observed within ±5 points of expected
+    out.foreach { r => assert(math.abs(r._4 - r._3) < 0.05, s"skewed: $r") }
+    // reassignment is bit-stable (pure function of salt and unit)
+    val again = Sampling.abSrmReport(rows.repartition(7), "user_id",
+      Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25)), "exp1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq == out.map(r => (r._1, r._2)).toSeq)
+    // a different salt shifts the split
+    val salted = Sampling.abSrmReport(rows, "user_id",
+      Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25)), "exp2")
+      .collect().map(_.getLong(1))
+    assert(salted.toSeq != out.map(_._2).toSeq)
+  }
+
   // ---- Sampling.neymanAllocation ----
 
   test("neymanAllocation: budget follows N_h·σ_h, constant strata get zero") {
