@@ -604,6 +604,66 @@ class PipelineMlSpec extends AnyFunSuite {
       ("cd", 1L, "cd")))
   }
 
+  test("property: aucByGroup equals brute-force pair counting") {
+    import org.scalacheck.{Gen, rng}
+    val gen: Gen[List[(Boolean, Double)]] = for {
+      n <- Gen.chooseNum(2, 60)
+      xs <- Gen.listOfN(n, for {
+        y <- Gen.oneOf(true, false)
+        // a coarse grid forces ties (the half-credit branch)
+        s <- Gen.chooseNum(0, 10).map(_ / 10.0)
+      } yield (y, s))
+    } yield xs
+    (1 to 8).foreach { i =>
+      val xs = gen.pureApply(Gen.Parameters.default, rng.Seed(11L + i))
+      val df = xs.toDF("y", "s").withColumn("g", lit("g"))
+      val row = graft.ext.Eval.aucByGroup(df, "g", col("y"), col("s"))
+        .collect()(0)
+      val pos = xs.filter(_._1).map(_._2)
+      val neg = xs.filterNot(_._1).map(_._2)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val wins2 = (for { p <- pos; q <- neg } yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        // the operator's exact arithmetic shape: ×2 numerator, one
+        // double division, HALF_UP at 5
+        val want = BigDecimal(wins2.toDouble /
+          (pos.size.toDouble * neg.size.toDouble * 2.0))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(row.getDouble(3) == want, s"seed $i")
+      } else assert(row.isNullAt(3), s"seed $i")
+    }
+  }
+
+  test("property: intervalOverlapBucketed equals the theta join at any width") {
+    import org.scalacheck.{Gen, rng}
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      xs <- Gen.listOfN(n, for {
+        lo <- Gen.chooseNum(0, 200)
+        len <- Gen.chooseNum(1, 80)
+      } yield (lo.toLong, (lo + len).toLong))
+    } yield xs
+    (1 to 4).foreach { i =>
+      val ls = gen.pureApply(Gen.Parameters.default, rng.Seed(3L + i))
+        .zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+      val rs = gen.pureApply(Gen.Parameters.default, rng.Seed(103L + i))
+        .zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+      val left = ls.toDF("lid", "l_lo", "l_hi")
+      val right = rs.toDF("rid", "r_lo", "r_hi")
+      val want = (for {
+        (li, llo, lhi) <- ls; (ri, rlo, rhi) <- rs
+        if llo < rhi && rlo < lhi
+      } yield (li, ri)).sorted
+      Seq(1L, 7L, 64L, 1000L).foreach { w =>
+        val got = graft.ext.RangeJoin.intervalOverlapBucketed(left, right,
+          "l_lo", "l_hi", "r_lo", "r_hi", w)
+          .select("lid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+        assert(got == want, s"seed $i width $w")
+      }
+    }
+  }
+
   // ---- Eval.aucByGroup ----
 
   test("aucByGroup: separation → 1, inversion → 0, all-ties → 0.5, one-class → NULL") {
