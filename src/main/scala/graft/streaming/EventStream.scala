@@ -265,6 +265,60 @@ object EventStream {
       }
   }
 
+  /** One silence alert (heartbeat-monitor output record). */
+  final case class SilenceAlert(
+      eventType: String, lastSeenUs: Long, nSeen: Long)
+
+  /** Per-type heartbeat state (public: encoder codegen). */
+  final case class HeartbeatState(lastSeenUs: Long, nSeen: Long)
+
+  /** Heartbeat / silence monitor: emits a [[SilenceAlert]] when an
+    * event TYPE produces nothing for `silenceSeconds` of EVENT time —
+    * the pipeline-health alarm for a dead producer, broken ingest
+    * topic, or upstream schema change that silently filtered a
+    * stream. Event-time timeouts (not processing-time): silence is
+    * judged against the WATERMARK, so the alert is deterministic,
+    * replayable, and fires in backfills exactly where it fired live —
+    * a processing-time monitor would depend on wall-clock luck.
+    *
+    * State per key is two longs; an alerted key's state is removed
+    * (re-arming on its next event), so the state store is bounded by
+    * the live type domain. Requires a watermark on `tsCol` upstream.
+    */
+  def heartbeatStream(events: DataFrame, silenceSeconds: Long = 3600L,
+      watermarkDelay: String = "10 minutes")(
+      implicit enc: SparkSession): Dataset[SilenceAlert] = {
+    import enc.implicits._
+    val silenceMs = silenceSeconds * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked ts COLUMN must survive into the grouped
+      // Dataset — event-time timeouts read its watermark metadata
+      .select(col("event_type"), col("ts"),
+        graft.ext.Events.epochUs(col("ts")).as("tsUs"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HeartbeatState, SilenceAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[HeartbeatState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SilenceAlert(key, st.lastSeenUs, st.nSeen))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(HeartbeatState(0L, 0L))
+            val last = math.max(prev.lastSeenUs, batch.map(_._3).max)
+            state.update(HeartbeatState(last, prev.nSeen + batch.size))
+            // silence deadline in EVENT time: fires when the watermark
+            // passes last-seen + silence
+            state.setTimeoutTimestamp(last / 1000L + silenceMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One emitted transition edge (streaming
     * [[graft.ext.Events.eventTransitions]] twin output record).
     */

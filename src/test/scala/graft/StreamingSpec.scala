@@ -506,6 +506,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally { qMain.stop(); qDead.stop() }
   }
 
+  test("heartbeatStream: silent type alerts once at its event-time deadline, live type stays quiet") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val streamed = EventStream.heartbeatStream(
+      input.toDF.toDF("ts", "event_type"), silenceSeconds = 3600L)
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_heartbeat")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-heartbeat").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((ts("2026-01-01 10:00:00"), "a"),
+        (ts("2026-01-01 10:05:00"), "a"), (ts("2026-01-01 10:00:00"), "b"))
+      q.processAllAvailable()
+      assert(spark.table("stream_heartbeat").count() == 0L,
+        "no alert while the watermark is inside every deadline")
+      // b keeps beating; the watermark (12:30 − 10 min) passes a's
+      // 11:05 deadline → exactly one alert, for a
+      input.addData((ts("2026-01-01 12:30:00"), "b"))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 12:31:00"), "b"))
+      q.processAllAvailable()
+      val alerts = spark.table("stream_heartbeat").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(alerts.toSeq == Seq(
+        ("a", ts("2026-01-01 10:05:00").getTime * 1000L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming doc dedup keys on content digest and keeps the first copy") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
