@@ -3519,6 +3519,69 @@ object OraclesExt {
        |FROM lg GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** Markov removal-effect attribution — twin of
+    * Attribution.markovRemovalEffects: identical journey windows,
+    * identical round-9 probabilities, and the SAME `iters` unrolled
+    * quantized value-iteration rounds (exact decimal products/sums,
+    * HALF_UP at 9 each round — the trajectory, not just the limit, is
+    * the contract). MATERIALIZED per round (the bpeEncode lesson);
+    * each round's state is a (scenarios+1)×states relation, dozens of
+    * rows.
+    */
+  def markovAttribution(conversionType: String, iters: Int): String = {
+    val zero = "0.0::DECIMAL(18,9)"
+    val rounds = (1 to iters).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT sc.sc, p.f AS s,
+         |  round(sum(p.p * (CASE WHEN p.t = sc.sc THEN $zero
+         |    WHEN p.t = 'CONV' THEN 1.0::DECIMAL(18,9)
+         |    WHEN p.t = 'NULL' THEN $zero
+         |    ELSE coalesce(xp.x, $zero) END)), 9)::DECIMAL(18,9) AS x
+         |  FROM scen sc CROSS JOIN p
+         |  LEFT JOIN x${r - 1} xp ON xp.sc = sc.sc AND xp.s = p.t
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id,
+       |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,
+       |  CASE WHEN event_type = '$conversionType' THEN 'CONV'
+       |    ELSE event_type END AS st FROM events),
+       |w AS (SELECT user_id, event_id, ts_us, st,
+       |  lag(st) OVER u AS prev_st,
+       |  coalesce(sum(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END) OVER
+       |    (u ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid,
+       |  lead(st) OVER u AS next_st
+       |  FROM e WINDOW u AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |w2 AS (SELECT *, coalesce(lag(jid) OVER
+       |  (PARTITION BY user_id ORDER BY ts_us, event_id), 0) AS prev_jid FROM w),
+       |tr AS (
+       |  SELECT prev_st AS f, st AS t FROM w2
+       |    WHERE prev_st IS NOT NULL AND prev_jid = jid
+       |  UNION ALL SELECT 'START', st FROM w2
+       |    WHERE prev_st IS NULL OR prev_jid <> jid
+       |  UNION ALL SELECT st, 'NULL' FROM w2
+       |    WHERE next_st IS NULL AND st <> 'CONV'),
+       |tm AS MATERIALIZED (SELECT f, t, count(*)::BIGINT AS n FROM tr GROUP BY 1, 2),
+       |tt AS (SELECT f, sum(n)::BIGINT AS tot FROM tm GROUP BY 1),
+       |p AS MATERIALIZED (SELECT f, t,
+       |  round(n::DOUBLE / tot::DOUBLE, 9)::DECIMAL(18,9) AS p
+       |  FROM tm JOIN tt USING (f)),
+       |scen AS MATERIALIZED (SELECT 'BASE' AS sc
+       |  UNION ALL SELECT DISTINCT f FROM tm WHERE f <> 'START'),
+       |states AS (SELECT DISTINCT f AS s FROM tm),
+       |x0 AS MATERIALIZED (SELECT sc, s, $zero AS x FROM scen CROSS JOIN states),
+       |$rounds,
+       |base AS (SELECT x FROM x$iters WHERE sc = 'BASE' AND s = 'START'),
+       |rm AS (SELECT sc AS channel, x FROM x$iters
+       |  WHERE sc <> 'BASE' AND s = 'START'),
+       |re AS (SELECT channel,
+       |  round(1.0 - rm.x::DOUBLE / base.x::DOUBLE, 9)::DECIMAL(18,9) AS re
+       |  FROM rm CROSS JOIN base WHERE base.x > 0),
+       |tot2 AS (SELECT sum(re) AS t2 FROM re)
+       |SELECT channel, round(re::DOUBLE, 5) AS removal_effect,
+       |  CASE WHEN t2 > 0 THEN round(re::DOUBLE / t2::DOUBLE, 5) END
+       |    AS attribution_share
+       |FROM re CROSS JOIN tot2 ORDER BY channel""".stripMargin
+  }
+
   /** A/B assignment + SRM report — twin of Sampling.abSrmReport over
     * events.user_id: identical md5-bucket fraction, identical
     * cumulative-bound CASE order, identical χ² shapes.

@@ -795,6 +795,10 @@ object SparkEntry {
   private[graft] val wauWindowDays = 7
   // Neyman eval-budget (shared with OraclesExt.neymanAllocation)
   private[graft] val neymanBudget = 1000L
+  // Markov-attribution value-iteration rounds (shared with
+  // OraclesExt.markovAttribution — the quantized trajectory is the
+  // cross-engine contract)
+  private[graft] val markovIters = 60
   // A/B allocation (shared with OraclesExt.abSrm)
   private[graft] val abVariants: Seq[(String, Double)] =
     Seq(("control", 0.5), ("treat_a", 0.25), ("treat_b", 0.25))
@@ -1044,6 +1048,13 @@ object SparkEntry {
     // TakeOrderedAndProject).
     "q_event_paths" -> withTables { s =>
       Events.eventPaths(s.table("events"), k = eventPathsK)
+    },
+    // ...and the data-driven attribution member: Markov removal
+    // effects (relational journey transitions; the bounded-matrix
+    // solve replays as 60 quantized rounds in both engines).
+    "q_attrib_markov" -> withTables { s =>
+      graft.ext.Attribution.markovRemovalEffects(s.table("events"),
+        iters = markovIters)
     },
     // U-shaped multi-touch attribution: 40/20/40 credit across each
     // conversion's journey touches (forward as-of, journey-bounded
@@ -2565,6 +2576,7 @@ object SparkEntry {
     "q_active_users" -> OraclesExt.activeUsers(wauWindowDays),
     "q_neyman_alloc" -> OraclesExt.neymanAllocation(neymanBudget),
     "q_ab_srm" -> OraclesExt.abSrm(abVariants, abSalt),
+    "q_attrib_markov" -> OraclesExt.markovAttribution("purchase", markovIters),
     "q_campaign_overlap" -> OraclesExt.campaignOverlap(campaignWindows, 1800L),
     "q_logreg" -> OraclesExt.logregTrain(dsirTargetLang, logregIters, logregLr),
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),

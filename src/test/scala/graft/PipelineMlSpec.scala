@@ -931,6 +931,45 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(flagged(51) == 0L) // strict bar just above: nothing clears
   }
 
+  // ---- Attribution (Markov removal effects) ----
+
+  test("markov attribution: converting channel takes all, dead-end channel none") {
+    import graft.ext.Attribution
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, t(1), 1L, "click"), (2L, t(2), 1L, "purchase"),
+      (3L, t(1), 2L, "view"),
+      (4L, t(1), 3L, "click"), (5L, t(2), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Attribution.markovRemovalEffects(events).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // every conversion flows through click; view only dead-ends
+    assert(out == Seq(("click", 1.0, 1.0), ("view", 0.0, 0.0)))
+  }
+
+  test("markov journeys: conversions segment a user's stream, tails absorb to NULL") {
+    import graft.ext.Attribution
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, t(1), 1L, "click"), (2L, t(2), 1L, "purchase"),
+      (3L, t(3), 1L, "view") // second journey, unconverted
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val tm = Attribution.journeyTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(tm == Set(("START", "click", 1L), ("click", "CONV", 1L),
+      ("START", "view", 1L), ("view", "NULL", 1L)))
+  }
+
+  test("markov attribution is partitioning-independent on real events") {
+    Tables.register(spark, TestSpark.sfDir)
+    val ev = spark.table("events")
+    val a = graft.ext.Attribution.markovRemovalEffects(ev.repartition(1))
+      .collect().map(_.toSeq).toSeq
+    val b = graft.ext.Attribution.markovRemovalEffects(ev.repartition(13))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   // ---- Events.uShapedAttribution / activeUsers ----
 
   test("uShapedAttribution: 40/20/40 over journeys, singles and pairs special-cased") {
