@@ -931,6 +931,76 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(flagged(51) == 0L) // strict bar just above: nothing clears
   }
 
+  test("property: boilerplateReport equals brute-force doc-frequency thresholding") {
+    import org.scalacheck.{Gen, rng}
+    import graft.ext.TextStats
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen: Gen[List[(String, String)]] = for {
+      n <- Gen.chooseNum(2, 30)
+      xs <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("s1", "s2")
+        k <- Gen.chooseNum(1, 6)
+        ws <- Gen.listOfN(k, word)
+      } yield (src, ws.mkString(" ")))
+    } yield xs
+    (1 to 5).foreach { i =>
+      val docs = gen.pureApply(Gen.Parameters.default, rng.Seed(5L + i))
+        .zipWithIndex.map { case ((src, txt), j) => (j.toLong, txt, src) }
+      val pct = 40
+      val got = TextStats.boilerplateReport(
+        docs.toDF("doc_id", "text", "source"), n = 2, minDocPct = pct)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      // brute force: distinct bigrams per doc (degenerate-window rule),
+      // df per source, integer percent bar
+      def shingles(t: String): Set[String] = {
+        val ts = t.split(" ").filter(_.nonEmpty)
+        if (ts.length < 2) Set(ts.mkString(" "))
+        else ts.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val bySrc = docs.groupBy(_._3)
+      val bp: Map[String, Set[String]] = bySrc.map { case (src, ds) =>
+        val df = ds.flatMap(d => shingles(d._2).toSeq).groupBy(identity)
+          .map { case (s, o) => s -> o.size }
+        src -> df.filter { case (_, c) => c * 100 >= ds.size * pct }.keySet
+      }
+      docs.foreach { case (id, txt, src) =>
+        val sh = shingles(txt)
+        val want = (sh.size.toLong, sh.count(bp(src)).toLong)
+        assert(got(id) == want, s"seed $i doc $id")
+      }
+    }
+  }
+
+  test("property: uShaped credit conserves each journey's full value") {
+    import org.scalacheck.{Gen, rng}
+    import graft.ext.Events
+    val gen: Gen[List[(Long, Int, String, Double)]] = for {
+      n <- Gen.chooseNum(3, 40)
+      xs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1, 4)
+        m <- Gen.chooseNum(0, 59)
+        tp <- Gen.frequency(3 -> Gen.const("click"), 1 -> Gen.const("purchase"))
+        v <- Gen.chooseNum(1, 50).map(_.toDouble)
+      } yield (u.toLong, m, tp, v))
+    } yield xs
+    (1 to 5).foreach { i =>
+      val raw = gen.pureApply(Gen.Parameters.default, rng.Seed(21L + i))
+        .zipWithIndex.map { case ((u, m, tp, v), j) =>
+          (j.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00"),
+            u, tp, v)
+        }
+      val df = raw.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = Events.uShapedAttribution(df).collect()
+        .map(r => (r.getLong(0), r.getDouble(5)))
+      val byConv = out.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+      val values = raw.filter(_._4 == "purchase").map(r => r._1 -> r._5).toMap
+      byConv.foreach { case (conv, credited) =>
+        assert(math.abs(credited - values(conv)) < 1e-4,
+          s"seed $i conv $conv: $credited vs ${values(conv)}")
+      }
+    }
+  }
+
   // ---- Attribution (Markov removal effects) ----
 
   test("markov attribution: converting channel takes all, dead-end channel none") {
