@@ -1001,6 +1001,36 @@ class PipelineMlSpec extends AnyFunSuite {
     }
   }
 
+  test("property: activeUsers equals brute-force rolling distinct") {
+    import org.scalacheck.{Gen, rng}
+    import graft.ext.Events
+    val gen: Gen[List[(Long, Int)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      xs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1, 5)
+        d <- Gen.chooseNum(1, 20)
+      } yield (u.toLong, d))
+    } yield xs
+    (1 to 5).foreach { i =>
+      val raw = gen.pureApply(Gen.Parameters.default, rng.Seed(31L + i))
+      val df = raw.zipWithIndex.map { case ((u, d), j) =>
+        (j.toLong, java.sql.Timestamp.valueOf(f"2026-01-$d%02d 09:00:00"), u,
+          "view", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = Events.activeUsers(df, windowDays = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val base = java.time.LocalDate.of(2026, 1, 1).toEpochDay - 1
+      val ud = raw.map { case (u, d) => (u, base + d) }.distinct
+      val want = ud.map(_._2).distinct.sorted.map { day =>
+        (day,
+          ud.count(_._2 == day).toLong,
+          ud.filter(x => x._2 <= day && x._2 > day - 3).map(_._1)
+            .distinct.size.toLong)
+      }
+      assert(got == want, s"seed $i")
+    }
+  }
+
   // ---- Attribution (Markov removal effects) ----
 
   test("markov attribution: converting channel takes all, dead-end channel none") {
