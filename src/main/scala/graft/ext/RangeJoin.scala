@@ -34,11 +34,15 @@ object RangeJoin {
     * rLo) div width`, a bucket both intervals necessarily occupy — so
     * no distinct pass is needed after the join.
     *
-    * Coordinates are integral (µs, days, byte offsets) and all bucket
-    * arithmetic is integer `div` — exact past 2⁵³ where double
-    * division is not. Expansion is interval-length/width rows per
-    * input row; pick `width` near the typical interval length so both
-    * blow-up and per-bucket candidate lists stay small.
+    * Coordinates are integral AND non-negative (µs, days, byte
+    * offsets) and all bucket arithmetic is integer `div` — exact past
+    * 2⁵³ where double division is not. (Non-negative matters: SQL
+    * `div` truncates toward zero, so a negative `lo` could bucket one
+    * step off its floor and miss the canonical emission — shift
+    * negative domains before joining.) Expansion is
+    * interval-length/width rows per input row; pick `width` near the
+    * typical interval length so both blow-up and per-bucket candidate
+    * lists stay small.
     */
   def intervalOverlapBucketed(left: DataFrame, right: DataFrame,
       lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
