@@ -3792,4 +3792,178 @@ object OraclesExt {
        |  round(n_boilerplate::DOUBLE / n_shingles::DOUBLE, 5) AS boilerplate_frac
        |FROM per ORDER BY doc_id""".stripMargin
   }
+
+  /** Exact heavy hitters — twin of Stats.heavyHitters. The oracle is
+    * the brute-force definition (full token group-by + integer
+    * threshold); the Spark side's Misra–Gries pass only prunes WORK,
+    * so both must produce the identical set.
+    */
+  def heavyHitters(capacity: Int): String =
+    s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) AS token FROM documents),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM tk)
+       |SELECT token, count(*)::BIGINT AS n_occurrences
+       |FROM tk CROSS JOIN tot GROUP BY token, n
+       |HAVING count(*) * ${capacity + 1} > n
+       |ORDER BY n_occurrences DESC, token""".stripMargin
+
+  /** Lorenz/Gini — twin of Stats.lorenzGini over per-customer order
+    * totals: identical value-counts grid, rank-sum contribution
+    * v·c·(2C+c−n) in exact decimal/integer arithmetic, range-end
+    * decile ⌈cum·10/n⌉, one rounded float division per cell. The
+    * oracle's plain cumulative window IS the single-sort shape the
+    * Spark side's sharded cumsum exists to avoid.
+    */
+  val giniRevenue: String =
+    """WITH rev AS (SELECT o_custkey,
+      |  sum(o_totalprice::DECIMAL(18,6))::DECIMAL(18,6) AS v
+      |  FROM orders GROUP BY 1),
+      |vc AS (SELECT v, count(*)::BIGINT AS c FROM rev GROUP BY 1),
+      |tot AS (SELECT sum(c)::BIGINT AS n, sum(v * c) AS sx FROM vc),
+      |cm AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cum FROM vc),
+      |ct AS (SELECT v, c, cum, cum - c AS below, n, sx
+      |  FROM cm CROSS JOIN tot),
+      |nm AS (SELECT sum(v * (c * (2 * below + c - n))) AS gnum,
+      |  max(n) AS n2, max(sx) AS sx2 FROM ct),
+      |gn AS (SELECT round(gnum::DOUBLE / (n2::DOUBLE * sx2::DOUBLE), 5)
+      |  AS gini FROM nm),
+      |dc AS (SELECT ((cum * 10 + n - 1) // n)::INT AS decile, c, v, sx FROM ct),
+      |pd AS (SELECT decile, sum(c)::BIGINT AS n_rows, sum(v * c) AS dx,
+      |  max(sx) AS sx FROM dc GROUP BY 1)
+      |SELECT decile, n_rows,
+      |  round(dx::DOUBLE / sx::DOUBLE, 5) AS value_share,
+      |  round((sum(dx) OVER (ORDER BY decile))::DOUBLE / sx::DOUBLE, 5)
+      |    AS cum_value_share,
+      |  gini
+      |FROM pd CROSS JOIN gn ORDER BY decile""".stripMargin
+
+  /** Benford first-digit audit — twin of Stats.benfordReport: same
+    * cent-quantized integer digit extraction, the same 9-decimal
+    * quantization of log₁₀(1+1/d) BEFORE the chi-square composition.
+    */
+  val benfordOrders: String =
+    """WITH d AS (SELECT substr(cast(cast(round(o_totalprice * 100) AS BIGINT)
+      |    AS VARCHAR), 1, 1)::INT AS digit FROM orders),
+      |c AS (SELECT digit, count(*)::BIGINT AS n FROM d
+      |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+      |tot AS (SELECT sum(n)::BIGINT AS nn FROM c),
+      |g AS (SELECT unnest(range(1, 10))::INT AS digit),
+      |e AS (SELECT g.digit, coalesce(c.n, 0)::BIGINT AS n, nn,
+      |  round(log10(1.0 + 1.0 / g.digit::DOUBLE), 9) AS ef
+      |  FROM g LEFT JOIN c USING (digit) CROSS JOIN tot)
+      |SELECT digit, n,
+      |  round(n::DOUBLE / nn::DOUBLE, 5) AS observed_frac,
+      |  ef AS expected_frac,
+      |  round((n::DOUBLE - ef * nn::DOUBLE) * (n::DOUBLE - ef * nn::DOUBLE)
+      |    / (ef * nn::DOUBLE), 5) AS chi2_contrib
+      |FROM e ORDER BY digit""".stripMargin
+
+  /** CUSUM changepoint — twin of Stats.cusumChangepoint: the
+    * all-integer scaled statistic Σ(cᵢ·D − T) and its argmax day set.
+    */
+  val cusumDaily: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |  count(*)::BIGINT AS n_events FROM events GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS d, sum(n_events)::BIGINT AS t
+      |  FROM daily),
+      |cs AS (SELECT day, n_events,
+      |  (sum(n_events * d - t) OVER (ORDER BY day))::BIGINT AS cusum_scaled
+      |  FROM daily CROSS JOIN tot),
+      |mx AS (SELECT max(abs(cusum_scaled)) AS m FROM cs)
+      |SELECT day, n_events, cusum_scaled,
+      |  (abs(cusum_scaled) = m) AS is_changepoint
+      |FROM cs CROSS JOIN mx ORDER BY day""".stripMargin
+
+  /** Kaplan–Meier — twin of Stats.kaplanMeier: same first-start /
+    * first-qualifying-end per unit, censoring at the corpus horizon,
+    * events-and-censorings-leave-after-t risk sets, and the
+    * ln-quantized DECIMAL(18,9) survival accumulation.
+    */
+  def kaplanMeier(startType: String, endType: String): String =
+    s"""WITH st AS (SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = '$startType' GROUP BY 1),
+       |en AS (SELECT user_id, ts AS te FROM events
+       |  WHERE event_type = '$endType'),
+       |hz AS (SELECT max(ts) AS tmax FROM events),
+       |fe AS (SELECT st.user_id, t0,
+       |  min(CASE WHEN te >= t0 THEN te END) AS tc
+       |  FROM st LEFT JOIN en ON st.user_id = en.user_id GROUP BY 1, 2),
+       |dur AS (SELECT CASE WHEN tc IS NOT NULL
+       |    THEN datediff('day', CAST(t0 AS DATE), CAST(tc AS DATE))
+       |    ELSE datediff('day', CAST(t0 AS DATE), CAST(tmax AS DATE))
+       |  END::INT AS t, (tc IS NOT NULL) AS ev FROM fe CROSS JOIN hz),
+       |grid AS (SELECT t,
+       |  sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_events,
+       |  sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS n_censored
+       |  FROM dur GROUP BY 1),
+       |nt AS (SELECT count(*)::BIGINT AS n FROM dur),
+       |rk AS (SELECT t, n_events, n_censored,
+       |  (n - coalesce(sum(n_events + n_censored) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+       |    AS n_at_risk
+       |  FROM grid CROSS JOIN nt),
+       |lf AS (SELECT t, n_at_risk, n_events, n_censored,
+       |  CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0::DECIMAL(18,9)
+       |    ELSE round(ln((n_at_risk - n_events)::DOUBLE /
+       |      n_at_risk::DOUBLE), 9)::DECIMAL(18,9) END AS f,
+       |  CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS dd FROM rk)
+       |SELECT t, n_at_risk, n_events, n_censored,
+       |  CASE WHEN max(dd) OVER (ORDER BY t) = 1 THEN 0.0
+       |    ELSE round(exp((sum(f) OVER (ORDER BY t))::DOUBLE), 5)
+       |  END AS survival
+       |FROM lf ORDER BY t""".stripMargin
+
+  /** CUPED — twin of Stats.cupedReport: the abSrm md5 bucket
+    * convention, per-unit pre/post sums pinned to DECIMAL(18,6),
+    * cross-products in DECIMAL(38,12), and the identical IEEE double
+    * dag for θ, ρ² and the adjusted means (the ROUNDED θ and grand
+    * mean feed mean_adj, exactly as the Spark side composes them).
+    */
+  def cuped(splitTs: String, variants: Seq[(String, Double)],
+      salt: String): String = {
+    val cum = variants.map(_._2).scanLeft(0.0)(_ + _).tail.init :+ 1.0
+    val cases = variants.map(_._1).zip(cum).init
+      .map { case (nm, hi) => s"WHEN f < $hi THEN '$nm'" }.mkString(" ")
+    s"""WITH per AS (SELECT user_id,
+       |  sum((CASE WHEN ts < TIMESTAMP '$splitTs' THEN value ELSE 0.0
+       |    END)::DECIMAL(18,6))::DECIMAL(18,6) AS x,
+       |  sum((CASE WHEN ts >= TIMESTAMP '$splitTs' THEN value ELSE 0.0
+       |    END)::DECIMAL(18,6))::DECIMAL(18,6) AS y
+       |  FROM events GROUP BY 1),
+       |a AS (SELECT x, y,
+       |  CASE $cases ELSE '${variants.last._1}' END AS variant FROM (
+       |  SELECT x, y, cast(cast('0x' || substr(md5('$salt|' || user_id), 1, 8)
+       |    AS BIGINT) AS DOUBLE) / 4294967296.0 AS f FROM per)),
+       |g AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+       |  sum(x::DECIMAL(19,6) * y::DECIMAL(19,6)) AS sxy,
+       |  sum(x::DECIMAL(19,6) * x::DECIMAL(19,6)) AS sxx,
+       |  sum(y::DECIMAL(19,6) * y::DECIMAL(19,6)) AS syy FROM a),
+       |gl AS (SELECT
+       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+       |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 5) AS theta,
+       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+       |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+       |    ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+       |     (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 5)
+       |    AS var_reduction,
+       |  round(sx::DOUBLE / n::DOUBLE, 5) AS mx FROM g),
+       |arm AS (SELECT variant, count(*)::BIGINT AS n_units,
+       |  sum(x) AS ax, sum(y) AS ay FROM a GROUP BY 1)
+       |SELECT variant, n_units,
+       |  round(ay::DOUBLE / n_units::DOUBLE, 5) AS mean_post,
+       |  round(ay::DOUBLE / n_units::DOUBLE -
+       |    theta * (ax::DOUBLE / n_units::DOUBLE - mx), 5) AS mean_adj,
+       |  theta, var_reduction
+       |FROM arm CROSS JOIN gl ORDER BY variant""".stripMargin
+  }
+
+  /** k-anonymity audit — twin of Stats.kAnonymity over customer
+    * quasi-identifiers with the banded-balance sensitive column.
+    */
+  def kAnonymity(k: Int): String =
+    s"""SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_size,
+       |  count(DISTINCT floor(c_acctbal / 1000))::BIGINT AS l_diversity,
+       |  (count(*) < $k) AS at_risk
+       |FROM customer GROUP BY 1, 2
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

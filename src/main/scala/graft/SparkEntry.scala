@@ -816,6 +816,16 @@ object SparkEntry {
       .map { case (id, lo, hi) => (id, lo * dayUs, hi * dayUs) }
   }
 
+  // Stats-module parameters (shared with the OraclesExt twins).
+  // Heavy-hitter sketch capacity: exact results above frequency
+  // 1/(capacity+1) — 33⁻¹ ≈ 3% clears the fixture's ~3.5% top token.
+  private[graft] val hhCapacity = 32
+  private[graft] val kAnonK = 5
+  // CUPED pre/post split over the fixture's Jan-2024 event range
+  private[graft] val cupedSplitTs = "2024-01-16 00:00:00"
+  private[graft] val kmStartType = "signup"
+  private[graft] val kmEndType = "purchase"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     Tables.register(spark, "/root/testdata/sf0.001")
@@ -2443,6 +2453,54 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select("n_name", "c_custkey", "c_name", "revenue", "rank")
         .orderBy("n_name", "rank")
+    },
+    // §7.5 — sketch-pruned EXACT heavy hitters: per-partition
+    // Misra–Gries candidates (guaranteed superset above frequency
+    // 1/(cap+1)), broadcast-semi-join recount, integer threshold. The
+    // sketch bounds the shuffle; the answer is partition-independent.
+    "q_heavy_hitters" -> withTables { s =>
+      graft.ext.Stats.heavyHitters(s.table("documents"), "text", hhCapacity)
+    },
+    // Lorenz/Gini revenue concentration over per-customer order
+    // totals — exact rank sums from the two-phase sharded cumsum (no
+    // global sort task), decimal arithmetic to one rounded division.
+    "q_gini_revenue" -> withTables { s =>
+      graft.ext.Stats.lorenzGini(
+        s.table("orders").groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("revenue")),
+        "revenue")
+    },
+    // Benford first-digit audit of order amounts: integer-exact digit
+    // extraction (cent-quantized rendering, no log/pow edge), 9-row
+    // chi-square frame.
+    "q_benford" -> withTables { s =>
+      graft.ext.Stats.benfordReport(s.table("orders"), "o_totalprice")
+    },
+    // CUSUM mean-shift changepoint over the daily event-count series
+    // — all-integer statistic (scaled by the day count), argmax day(s)
+    // flagged.
+    "q_cusum" -> withTables { s =>
+      graft.ext.Stats.cusumChangepoint(s.table("events"), "ts")
+    },
+    // Kaplan–Meier signup→purchase conversion curve with right
+    // censoring at the corpus horizon — duration-grid-bounded
+    // windows, ln-quantized exact survival accumulation.
+    "q_kaplan_meier" -> withTables { s =>
+      graft.ext.Stats.kaplanMeier(s.table("events"), kmStartType, kmEndType)
+    },
+    // CUPED variance-reduced experiment readout on the q_ab_srm
+    // buckets: θ from exact decimal moments, per-arm adjusted means.
+    "q_cuped" -> withTables { s =>
+      graft.ext.Stats.cupedReport(s.table("events"), "user_id", "value",
+        "ts", cupedSplitTs, abVariants, abSalt)
+    },
+    // k-anonymity / l-diversity audit of customer quasi-identifiers
+    // (nation × market segment; sensitive = account-balance band).
+    "q_k_anonymity" -> withTables { s =>
+      graft.ext.Stats.kAnonymity(
+        s.table("customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", kAnonK)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2679,5 +2737,12 @@ object SparkEntry {
     "q_kmv_rollup" -> OraclesExt.kmvRollup(kmvK),
     "q_cms_rollup" -> OraclesExt.cmsRollup(cmsDepth, cmsWidth, cmsProbeMax),
     "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
-    "q_topk_per_nation" -> OraclesExt.topkPerNation)
+    "q_topk_per_nation" -> OraclesExt.topkPerNation,
+    "q_heavy_hitters" -> OraclesExt.heavyHitters(hhCapacity),
+    "q_gini_revenue" -> OraclesExt.giniRevenue,
+    "q_benford" -> OraclesExt.benfordOrders,
+    "q_cusum" -> OraclesExt.cusumDaily,
+    "q_kaplan_meier" -> OraclesExt.kaplanMeier(kmStartType, kmEndType),
+    "q_cuped" -> OraclesExt.cuped(cupedSplitTs, abVariants, abSalt),
+    "q_k_anonymity" -> OraclesExt.kAnonymity(kAnonK))
 }

@@ -1,0 +1,439 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{abs => fabs, _}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Distribution / population statistics over corpus-scale relations:
+  * sketch-pruned heavy hitters, Lorenz/Gini concentration,
+  * Benford-law data-quality scoring, CUSUM changepoint localization,
+  * Kaplan–Meier survival, CUPED experiment variance reduction and a
+  * k-anonymity privacy audit. Reference scope: the reference
+  * delegates all SQL to Athena (/root/reference/aws-athena.sh:140)
+  * and has no statistics surface; this module is part of the §7.5
+  * training-data extension — the measurement toolkit a pipeline needs
+  * BEFORE it commits 100 TB to a mixture (who dominates the corpus,
+  * did ingest drift, which experiment arm actually moved the metric).
+  *
+  * House exactness rule throughout: integer/decimal arithmetic all
+  * the way to one final float division (or a per-term
+  * `round(ln …, 9)` quantization before an exact decimal sum), so
+  * every output is a pure function of the DATA — bit-identical on any
+  * engine and any partitioning.
+  */
+object Stats {
+
+  private val Dec186 = DecimalType(18, 6)
+  private val Dec189 = DecimalType(18, 9)
+  private val Dec380 = DecimalType(38, 0)
+
+  // ---------------------------------------------------------------
+  // Heavy hitters: Misra–Gries candidates + exact recount
+  // ---------------------------------------------------------------
+
+  /** One Misra–Gries pass over a partition's token stream with
+    * `capacity` counters, emitting the surviving candidate keys
+    * (count field 0) plus ONE sentinel row (`""`, partitionTokens) —
+    * the empty string can never be a real token (the tokenizer drops
+    * it), so the sentinel rides the same relation and the total needs
+    * no second scan.
+    *
+    * Retention guarantee (the classic one): any token with partition
+    * count > n_p/(capacity+1) survives, because each decrement round
+    * consumes `capacity`+1 units of stream mass (the arriving token
+    * plus one from each resident counter), so at most
+    * n_p/(capacity+1) rounds occur and a heavier token cannot reach
+    * zero. Amortized O(1) per token: a round costs O(capacity) and at
+    * most n_p/(capacity+1) rounds fire.
+    */
+  private[graft] def misraGries(it: Iterator[String],
+      capacity: Int): Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var seen = 0L
+    while (it.hasNext) {
+      val t = it.next()
+      seen += 1L
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < capacity => m.update(t, 1L)
+        case None =>
+          // decrement-all over a snapshot (no mutation mid-iteration)
+          m.toArray.foreach { case (k, c) =>
+            if (c == 1L) m.remove(k) else m.update(k, c - 1L)
+          }
+      }
+    }
+    m.keysIterator.map((_, 0L)) ++ Iterator(("", seen))
+  }
+
+  /** Exact heavy hitters above frequency 1/(capacity+1): (token,
+    * n_occurrences) for every token whose exact corpus count
+    * satisfies count·(capacity+1) > N, (count DESC, token) order.
+    *
+    * The scalable two-pass shape (the reason this is not just
+    * `q_top_tokens`): pass 1 is a per-partition Misra–Gries sketch —
+    * per-partition candidates UNION to a guaranteed superset of every
+    * global heavy hitter (pigeonhole: C > N/(cap+1) forces
+    * C_p > n_p/(cap+1) in at least one partition, where MG retains
+    * it). Pass 2 recounts ONLY the candidates (a broadcast semi-join;
+    * ≤ capacity × partitions keys regardless of vocabulary size) and
+    * applies the exact integer threshold. The final set is therefore
+    * a pure function of the data — the sketch affects WORK, never the
+    * answer — and no shuffle ever carries the full vocabulary.
+    * Candidate keys and the token total are two filters over the SAME
+    * aggregated sketch relation, so the exchange is planned once and
+    * reused.
+    */
+  def heavyHitters(df: DataFrame, textCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = Dedup.spread(df, textCol)
+      .select(explode(TextStats.tokens(col(textCol))).as("token"))
+    val sketch = toks.as[String]
+      .mapPartitions(it => misraGries(it, capacity))
+      .toDF("token", "__pn")
+      .groupBy("token").agg(sum(col("__pn")).as("__pn"))
+    val cands = sketch.filter(col("token") =!= "").select("token")
+    val total = sketch.filter(col("token") === "")
+      .agg(sum(col("__pn")).as("__total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * lit(capacity + 1L) > col("__total"))
+      .select(col("token"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+  }
+
+  // ---------------------------------------------------------------
+  // Lorenz curve / Gini concentration
+  // ---------------------------------------------------------------
+
+  /** Concentration report of a positive value distribution: one row
+    * per rank-decile (1 = smallest values) with (decile, n_rows,
+    * value_share, cum_value_share) plus the exact Gini coefficient
+    * repeated on every row — the "what fraction of revenue do the top
+    * 10% hold" card, and the inequality scalar in one result.
+    *
+    * Exact with NO global sort: the input collapses to a value-counts
+    * grid, [[Quantiles.shardedCumsum]] supplies each distinct value's
+    * global cumulative count via the two-phase range-sharded prefix
+    * sum (32-row offset pass; boundary placement provably cannot
+    * change the cumsum), and the Gini rank sum needs only per-VALUE
+    * arithmetic from there: rows holding value v with count c and C
+    * rows strictly below contribute Σ(2r−n−1)·v = v·c·(2C+c−n)
+    * exactly, summed in DECIMAL(38,6). A value's rows share one rank
+    * range, so its decile is the range-END decile ⌈cum·D/n⌉ —
+    * deterministic under ties by construction. One float division per
+    * output cell, rounded to 5 decimals.
+    *
+    * Width: the decimal rank-sum factor c·(2C+c−n) runs in
+    * DECIMAL(38,0) — long multiplication would wrap near n ≈ 2³², and
+    * 100 TB of rows is past that.
+    */
+  def lorenzGini(df: DataFrame, valueCol: String,
+      deciles: Int = 10): DataFrame = {
+    require(deciles >= 2, s"need >= 2 deciles, got $deciles")
+    val vc = df.select(col(valueCol).cast(Dec186).as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__g", lit(0))
+    val cum = Quantiles.shardedCumsum(vc, Seq("__g"), "__v", "__c")
+    val tot = vc.agg(sum(col("__c")).as("__n"),
+      sum(col("__v") * col("__c").cast(Dec380)).as("__sx"))
+    val contrib = cum.crossJoin(broadcast(tot))
+      .withColumn("__below", col("cum") - col("__c"))
+      .withColumn("__num", col("__v") * (col("__c").cast(Dec380) *
+        (col("__below") * 2 + col("__c") - col("__n")).cast(Dec380)))
+      .withColumn("decile",
+        expr(s"(cum * $deciles + __n - 1) div __n").cast("int"))
+    val gini = contrib
+      .agg(sum(col("__num")).as("__gnum"), max(col("__n")).as("__n2"),
+        max(col("__sx")).as("__sx2"))
+      .select(round(col("__gnum").cast("double") /
+        (col("__n2").cast("double") * col("__sx2").cast("double")), 5)
+        .as("gini"))
+    val perDecile = contrib.groupBy("decile")
+      .agg(sum(col("__c")).as("n_rows"),
+        sum(col("__v") * col("__c").cast(Dec380)).as("__dx"),
+        max(col("__sx")).as("__sx"))
+    // bounded global window: exactly `deciles` rows by construction
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("value_share",
+        round(col("__dx").cast("double") / col("__sx").cast("double"), 5))
+      .withColumn("cum_value_share",
+        round(sum(col("__dx")).over(w).cast("double") /
+          col("__sx").cast("double"), 5))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_rows"), col("value_share"),
+        col("cum_value_share"), col("gini"))
+      .orderBy("decile")
+  }
+
+  // ---------------------------------------------------------------
+  // Benford first-digit data-quality test
+  // ---------------------------------------------------------------
+
+  /** First-significant-digit distribution of a positive amount column
+    * against Benford's law: (digit, n, observed_frac, expected_frac,
+    * chi2_contrib) for digits 1–9 — the classic fabricated-or-
+    * truncated-amounts smoke alarm for a financial fact table.
+    *
+    * Digit extraction is integer-exact: amounts are cent-quantized
+    * (round(x·100) as long — scaling by 10² never changes the leading
+    * significant digit) and the digit is the first character of the
+    * integer's decimal rendering, so no log/pow float edge can
+    * misclassify values sitting on a power of ten. The expected
+    * probability log₁₀(1+1/d) is quantized per-digit to 9 decimals
+    * BEFORE any arithmetic (the OraclesExt ln-quantization rule), so
+    * the chi-square composition runs on identical doubles in any
+    * engine. Counts are one map-side-combined 9-group aggregation;
+    * everything downstream is a 9-row frame.
+    */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cents = round(col(valueCol) * 100).cast(LongType)
+    val counts = df
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val tot = counts.agg(sum(col("n")).as("__N"))
+    val e = round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 9)
+    val expN = e * col("__N").cast("double")
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__N").cast("double"), 5)
+          .as("observed_frac"),
+        e.as("expected_frac"),
+        round((col("n").cast("double") - expN) *
+          (col("n").cast("double") - expN) / expN, 5).as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
+  // ---------------------------------------------------------------
+  // CUSUM changepoint localization
+  // ---------------------------------------------------------------
+
+  /** Cumulative-sum changepoint scan over the daily event-count
+    * series: (day, n_events, cusum_scaled, is_changepoint), where
+    * cusum_scaled(k) = Σ_{i≤k} (cᵢ·D − T) = D·Σ(cᵢ − mean) — the
+    * plain CUSUM statistic scaled by the day count D so it stays in
+    * EXACT integer arithmetic (no float mean, no drift by evaluation
+    * order). The flagged day(s) are the argmax of |cusum|: the
+    * maximum-likelihood single-changepoint location for a mean shift
+    * (Page 1954's statistic; ties flag every maximizer — a
+    * deterministic set, not a pick).
+    *
+    * Scale shape: one map-side-combined day roll-up collapses the
+    * stream to its calendar grid; the cumulative window and argmax
+    * join run over one-row-per-day input (bounded: thousands of rows
+    * for years of data), with totals cross-joined from broadcast
+    * 1-row frames.
+    */
+  def cusumChangepoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.select(to_date(col(tsCol)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(count(lit(1)).as("__d"), sum(col("n_events")).as("__t"))
+    // bounded global window: one row per calendar day
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled",
+        sum(col("n_events") * col("__d") - col("__t")).over(w))
+    val mx = cs.agg(max(fabs(col("cusum_scaled"))).as("__mx"))
+    cs.crossJoin(broadcast(mx))
+      .select(col("day"), col("n_events"), col("cusum_scaled"),
+        (fabs(col("cusum_scaled")) === col("__mx")).as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------
+  // Kaplan–Meier survival
+  // ---------------------------------------------------------------
+
+  /** Kaplan–Meier estimate of time-to-conversion: per user, the
+    * duration in days from their first `startType` event to their
+    * first `endType` event AT OR AFTER it; users who never convert
+    * are right-CENSORED at the corpus horizon (max ts) — exactly the
+    * survival-analysis treatment that a naive "average days to
+    * purchase over converters" gets wrong (it silently drops the
+    * non-converters and biases the curve optimistic). Output: one row
+    * per distinct duration day t — (t, n_at_risk, n_events,
+    * n_censored, survival) with S(t) = Π_{t'≤t} (1 − d_t'/r_t').
+    *
+    * Determinism: each factor ln((r−d)/r) is quantized to 9 decimals
+    * and cumulated in exact DECIMAL(18,9) (the OraclesExt
+    * ln-quantization rule), with a single exp + round(5) at the end;
+    * if the risk set ever empties exactly (r = d), survival is pinned
+    * to 0.0 from that day on rather than fed to ln(0). Convention:
+    * events and censorings AT t both leave the risk set after t.
+    *
+    * Scale shape: per-user firsts are map-side-combined min
+    * aggregations; the join of start-users to end events is keyed on
+    * the unit; everything after collapses to the day-duration grid
+    * (bounded by the study span — one row per distinct day count), so
+    * the cumulative windows never see corpus-sized input. The horizon
+    * is a broadcast 1-row frame.
+    */
+  def kaplanMeier(ev: DataFrame, startType: String, endType: String,
+      typeCol: String = "event_type", unitCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val starts = ev.filter(col(typeCol) === startType)
+      .groupBy(col(unitCol)).agg(min(col(tsCol)).as("__t0"))
+    val ends = ev.filter(col(typeCol) === endType)
+      .select(col(unitCol), col(tsCol).as("__te"))
+    val horizon = ev.agg(max(col(tsCol)).as("__tmax"))
+    val firstEnd = starts.join(ends, Seq(unitCol), "left")
+      .withColumn("__teq", when(col("__te") >= col("__t0"), col("__te")))
+      .groupBy(col(unitCol), col("__t0"))
+      .agg(min(col("__teq")).as("__tc"))
+    val dur = firstEnd.crossJoin(broadcast(horizon))
+      .select(
+        when(col("__tc").isNotNull,
+          datediff(to_date(col("__tc")), to_date(col("__t0"))))
+          .otherwise(datediff(to_date(col("__tmax")), to_date(col("__t0"))))
+          .as("t"),
+        col("__tc").isNotNull.as("__ev"))
+    val grid = dur.groupBy("t").agg(
+      sum(when(col("__ev"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(!col("__ev"), 1L).otherwise(0L)).as("n_censored"))
+    val nTot = dur.agg(count(lit(1)).as("__n"))
+    // bounded global windows: one row per distinct duration day
+    val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val incl = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(nTot))
+      .withColumn("n_at_risk", col("__n") - coalesce(
+        sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+      // the r = d row would feed ln(0): its factor is pinned to 0 and
+      // the __dead flag pins survival to 0.0 from that row on instead
+      .withColumn("__lf", when(col("n_events") === 0L ||
+          col("n_events") === col("n_at_risk"), lit(0d).cast(Dec189))
+        .otherwise(round(log((col("n_at_risk") - col("n_events"))
+          .cast("double") / col("n_at_risk").cast("double")), 9)
+          .cast(Dec189)))
+      .withColumn("__dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(incl))
+      .withColumn("survival", when(col("__dead") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("__lf")).over(incl).cast("double")), 5)))
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+      .orderBy("t")
+  }
+
+  // ---------------------------------------------------------------
+  // CUPED variance reduction
+  // ---------------------------------------------------------------
+
+  /** CUPED-adjusted experiment readout (Deng et al. 2013): per
+    * variant, the post-period metric mean and its covariate-adjusted
+    * version ŷ_a − θ·(x̄_a − x̄), where x is each unit's PRE-period
+    * metric, θ = cov(x,y)/var(x) fitted on ALL units pooled, plus the
+    * achieved variance-reduction factor ρ² — the standard trick that
+    * makes an A/B test read as if it had 1/(1−ρ²)× the traffic.
+    * Output: (variant, n_units, mean_post, mean_adj, theta,
+    * var_reduction), variant order.
+    *
+    * Buckets are the [[Sampling.abSrmReport]] convention — the first
+    * 8 md5 hex digits of (salt|unit) as a uniform fraction against
+    * cumulative weight bounds — so assignment is a pure function of
+    * (salt, unit) on any engine. Moments run as EXACT decimal sums
+    * (per-unit pre/post sums in DECIMAL(18,6), cross-products in
+    * DECIMAL(38,12)); θ and every mean are then a fixed dag of IEEE
+    * double ops over those exact inputs, rounded once to 5 decimals.
+    * Scale shape: one unit-keyed aggregation over the event stream,
+    * then variant-domain-bounded roll-ups; nothing after the first
+    * groupBy exceeds (variants+1) rows.
+    */
+  def cupedReport(ev: DataFrame, unitCol: String, valueCol: String,
+      tsCol: String, splitTs: String,
+      variants: Seq[(String, Double)], salt: String): DataFrame = {
+    require(variants.nonEmpty && variants.forall(_._2 > 0),
+      "variant weights must be positive")
+    val cut = lit(splitTs).cast("timestamp")
+    // per-unit sums pinned back to DECIMAL(18,6): keeps the
+    // cross-product widths at (18,6)² → (37,12), inside BOTH engines'
+    // exact-decimal multiply range (DuckDB silently converts a >38-
+    // width decimal product to DOUBLE — the exactness contract dies
+    // there, not in Spark)
+    val per = ev.groupBy(col(unitCol)).agg(
+      sum(when(col(tsCol) < cut, col(valueCol)).otherwise(lit(0.0))
+        .cast(Dec186)).cast(Dec186).as("__x"),
+      sum(when(col(tsCol) >= cut, col(valueCol)).otherwise(lit(0.0))
+        .cast(Dec186)).cast(Dec186).as("__y"))
+    val cumB = variants.map(_._2).scanLeft(0.0)(_ + _).tail.init :+ 1.0
+    val frac = conv(substring(md5(concat_ws("|", lit(salt),
+      col(unitCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    val assigned = per.withColumn("variant",
+      variants.map(_._1).zip(cumB).reverse
+        .foldLeft(lit(variants.last._1)) { case (rest, (name, hi)) =>
+          when(frac < hi, lit(name)).otherwise(rest)
+        })
+    val g = assigned.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum((col("__x") * col("__x")).cast(DecimalType(38, 12))).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(DecimalType(38, 12))).as("__sxy"),
+      sum((col("__y") * col("__y")).cast(DecimalType(38, 12))).as("__syy"))
+    val n = col("__n").cast("double")
+    val covXY = n * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val varX = n * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val varY = n * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    val global = g.select(
+      round(covXY / varX, 5).as("theta"),
+      round(covXY * covXY / (varX * varY), 5).as("var_reduction"),
+      round(col("__sx").cast("double") / n, 5).as("__mx"))
+    assigned.groupBy("variant").agg(count(lit(1)).as("n_units"),
+      sum(col("__x")).as("__ax"), sum(col("__y")).as("__ay"))
+      .crossJoin(broadcast(global))
+      .select(col("variant"), col("n_units"),
+        round(col("__ay").cast("double") / col("n_units").cast("double"), 5)
+          .as("mean_post"),
+        round(col("__ay").cast("double") / col("n_units").cast("double") -
+          col("theta") * (col("__ax").cast("double") /
+            col("n_units").cast("double") - col("__mx")), 5).as("mean_adj"),
+        col("theta"), col("var_reduction"))
+      .orderBy("variant")
+  }
+
+  // ---------------------------------------------------------------
+  // k-anonymity audit
+  // ---------------------------------------------------------------
+
+  /** k-anonymity / l-diversity audit of a table against a
+    * quasi-identifier set: one row per equivalence class with
+    * (quasiCols…, class_size, l_diversity, at_risk) — classes
+    * smaller than k re-identify their members by the quasi-identifier
+    * combination alone, and classes with one distinct sensitive value
+    * leak it even at size ≥ k. The release-gate check a
+    * training-data pipeline runs BEFORE shipping a table derived from
+    * user data.
+    *
+    * Exact and one-pass: a single map-side-combined aggregation on
+    * the quasi-identifier key (count + exact distinct of the
+    * sensitive column per class — bounded by class size, no
+    * Expand-based multi-distinct since there is one distinct
+    * aggregate). Deterministic class order.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(quasiCols.map(col): _*)
+  }
+}

@@ -243,6 +243,13 @@ class PlanHygieneSpec extends AnyFunSuite {
       // ksDrift's corpus-wide CDF is one global cumsum over the
       // 5-decimal score grid alone (Eval.ksDriftByGroup scaladoc)
       "q_ks_drift" -> "5-decimal score grid (≤ 100001 rows)",
+      // lorenzGini: the constant-group sharded-cumsum offset pass
+      // (32 rows) + the decile cumsum (exactly `deciles` rows)
+      "q_gini_revenue" -> "32-row shard offsets + 10-row decile frame",
+      // cusum/KM windows run over the calendar-day / duration-day
+      // grid — one row per day however large the event stream
+      "q_cusum" -> "one row per calendar day",
+      "q_kaplan_meier" -> "one row per duration day",
       // gateThresholds' descending cumulative runs over the same
       // score grid (Eval.gateThresholds scaladoc)
       "q_gate_threshold" -> "5-decimal score grid (≤ 100001 rows)")

@@ -1,0 +1,230 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Stats
+
+/** Specs for the Stats module: Misra–Gries heavy hitters, Lorenz/
+  * Gini, Benford, CUSUM, Kaplan–Meier, CUPED and k-anonymity. The
+  * recurring shape: brute-force the definition on the driver, then
+  * assert the distributed operator matches it bit-for-bit under more
+  * than one partitioning.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+
+  // ---- Misra–Gries / heavy hitters ----
+
+  test("misraGries retains every token above the n/(cap+1) guarantee") {
+    // skewed stream: token i appears 2^(9-i) times, shuffled
+    val stream = scala.util.Random.shuffle(
+      (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(s"t$i")).toList)
+    val n = stream.size
+    for (cap <- Seq(2, 5, 17)) {
+      val kept = Stats.misraGries(stream.iterator, cap).toList
+      val (sentinel, cands) = kept.partition(_._1 == "")
+      assert(sentinel == List(("", n.toLong)), "sentinel must carry the count")
+      assert(cands.size <= cap, "summary can never exceed its capacity")
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustKeep = exact.collect {
+        case (t, c) if c.toLong * (cap + 1) > n => t
+      }.toSet
+      assert(mustKeep.subsetOf(cands.map(_._1).toSet),
+        s"cap=$cap dropped a guaranteed heavy hitter")
+    }
+  }
+
+  test("heavyHitters equals brute force and ignores partitioning") {
+    // vocabulary far above capacity so the sketch actually prunes
+    val docs = (0 until 200).map { i =>
+      val heavy = if (i % 2 == 0) "alpha alpha beta" else "alpha gamma"
+      s"$heavy rare${i} rare${i % 97} x${i % 53}"
+    }.toDF("text")
+    val exact = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 8
+    val want = exact.filter { case (_, c) => c * (cap + 1) > n }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    for (parts <- Seq(1, 7)) {
+      val got = Stats.heavyHitters(docs.repartition(parts), "text", cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(got == want, s"parts=$parts: sketch changed the ANSWER")
+    }
+  }
+
+  // ---- Lorenz / Gini ----
+
+  test("lorenzGini matches the brute-force rank formula") {
+    val vals = Seq(1.0, 1.0, 2.0, 4.0, 4.0, 8.0, 20.0, 20.0, 20.0, 120.0)
+    val df = vals.toDF("v")
+    val rows = Stats.lorenzGini(df, "v").collect()
+    // brute force on the driver: sorted ranks, Σ(2r−n−1)x / (nΣx)
+    val sorted = vals.sorted
+    val nn = sorted.size
+    val sx = sorted.sum
+    val gini = sorted.zipWithIndex
+      .map { case (x, i) => (2.0 * (i + 1) - nn - 1) * x }.sum / (nn * sx)
+    assert(rows.forall(r =>
+      math.abs(r.getDouble(4) - gini) < 1e-5), "gini off the definition")
+    // shares accumulate to exactly 1 and the decile sizes cover n
+    assert(rows.map(_.getLong(1)).sum == nn)
+    assert(rows.last.getDouble(3) == 1.0)
+    val cums = rows.map(_.getDouble(3)).toSeq
+    assert(cums == cums.sorted, "cumulative share must be monotone")
+  }
+
+  test("lorenzGini is partitioning-independent") {
+    val df = (1 to 500).map(i => ((i * i) % 997 + 1).toDouble).toDF("v")
+    val a = Stats.lorenzGini(df.repartition(1), "v").collect().toSeq
+    val b = Stats.lorenzGini(df.repartition(13), "v").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- Benford ----
+
+  test("benfordReport extracts first significant digits exactly") {
+    val df = Seq(1.00, 19.99, 123.45, 999.99, 0.05, 2.50, 21.0, 30000.0)
+      .toDF("amt")
+    val got = Stats.benfordReport(df, "amt").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // leading digits: 1, 1, 1, 9, 5, 2, 2, 3 (0.05 → 5 cents → digit 5)
+    assert(got(1) == 3 && got(2) == 2 && got(3) == 1 &&
+      got(5) == 1 && got(9) == 1)
+    assert((2 to 9).filterNot(Set(2, 3, 5, 9)).forall(got(_) == 0L))
+  }
+
+  test("benford chi2 is ~0 on a perfect Benford sample") {
+    // counts proportional to log10(1+1/d) out of 1000
+    val counts = (1 to 9).map(d =>
+      d -> math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt)
+    val df = counts.flatMap { case (d, c) =>
+      Seq.fill(c)(d * 100.0) }.toDF("amt")
+    val rows = Stats.benfordReport(df, "amt").collect()
+    assert(rows.map(_.getDouble(4)).sum < 1.0,
+      "chi2 should be tiny when observed ≈ expected")
+  }
+
+  // ---- CUSUM ----
+
+  test("cusumChangepoint localizes a mean shift and telescopes to zero") {
+    // 10 days at 5 events/day then 10 days at 15 — shift after day 10
+    val events = ((1 to 10).flatMap(d => Seq.fill(5)(ts(d))) ++
+      (11 to 20).flatMap(d => Seq.fill(15)(ts(d)))).toDF("ts")
+    val rows = Stats.cusumChangepoint(events, "ts").collect()
+    assert(rows.length == 20)
+    // the scaled cusum telescopes: last value is exactly 0
+    assert(rows.last.getLong(2) == 0L)
+    val flagged = rows.filter(_.getBoolean(3)).map(_.getDate(0).toString)
+    assert(flagged.toSeq == Seq("2024-01-10"),
+      s"changepoint should be the last pre-shift day, got $flagged")
+  }
+
+  // ---- Kaplan–Meier ----
+
+  private val evSchema = Seq("user_id", "event_type", "ts")
+
+  test("kaplanMeier matches the hand-computed curve with censoring") {
+    val ev = Seq(
+      (1L, "signup", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "signup", ts(1)), (2L, "purchase", ts(3)),
+      (3L, "signup", ts(1)),
+      (4L, "signup", ts(1)),
+      // horizon-setting unrelated event at day 6
+      (5L, "click", ts(6))).toDF(evSchema: _*)
+    val rows = Stats.kaplanMeier(ev, "signup", "purchase")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // t=1: risk 4, 1 event → S=0.75; t=2: risk 3, 1 event → S=0.5;
+    // t=5: risk 2, censored 2 → S stays 0.5
+    assert(rows.toSeq == Seq(
+      (1, 4L, 1L, 0L, 0.75),
+      (2, 3L, 1L, 0L, 0.5),
+      (5, 2L, 0L, 2L, 0.5)))
+  }
+
+  test("kaplanMeier pins survival to 0 when the risk set empties") {
+    val ev = Seq(
+      (1L, "signup", ts(1)), (1L, "purchase", ts(4)),
+      (2L, "signup", ts(1)), (2L, "purchase", ts(4))).toDF(evSchema: _*)
+    val rows = Stats.kaplanMeier(ev, "signup", "purchase").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 2L && rows.head.getLong(2) == 2L)
+    assert(rows.head.getDouble(4) == 0.0, "r=d must yield S=0, not ln(0)")
+  }
+
+  test("kaplanMeier ignores pre-signup purchases") {
+    val ev = Seq(
+      (1L, "purchase", ts(1)), // before signup — must not count
+      (1L, "signup", ts(3)), (1L, "purchase", ts(5)),
+      (2L, "signup", ts(3))).toDF(evSchema: _*)
+    val rows = Stats.kaplanMeier(ev, "signup", "purchase")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    // u1 converts at t=2 (day5−day3); u2 censored at t=2 (horizon day5)
+    assert(rows.toSeq == Seq((2, 1L, 1L)))
+  }
+
+  // ---- CUPED ----
+
+  test("cupedReport reproduces the closed-form theta and shrinks variance") {
+    // y strongly correlated with x: user u has pre value u, post 2u+noise
+    val ev = (1 to 40).flatMap { u =>
+      Seq((u.toLong, ts(5), u.toDouble),
+        (u.toLong, ts(20), 2.0 * u + (u % 3))) }
+      .toDF("user_id", "ts", "value")
+    val out = Stats.cupedReport(ev, "user_id", "value", "ts",
+      "2024-01-16 00:00:00", Seq(("a", 0.5), ("b", 0.5)), "s")
+      .collect()
+    // driver-side closed form over the same exact per-user sums
+    val xs = (1 to 40).map(_.toDouble)
+    val ys = (1 to 40).map(u => 2.0 * u + (u % 3))
+    val n = xs.size.toDouble
+    val covXY = n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum
+    val varX = n * xs.map(a => a * a).sum - xs.sum * xs.sum
+    val varY = n * ys.map(a => a * a).sum - ys.sum * ys.sum
+    val theta = covXY / varX
+    val rho2 = covXY * covXY / (varX * varY)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(4) - theta) < 1e-4)
+      assert(math.abs(r.getDouble(5) - rho2) < 1e-4)
+      assert(r.getDouble(5) > 0.99, "near-linear y~x must report ρ²≈1")
+    }
+    assert(out.map(_.getLong(1)).sum == 40L)
+  }
+
+  test("cupedReport is partitioning-independent") {
+    val ev = (1 to 60).flatMap { u =>
+      Seq((u.toLong, ts(3), (u % 7).toDouble),
+        (u.toLong, ts(25), (u % 5) * 3.0)) }
+      .toDF("user_id", "ts", "value")
+    def run(p: Int) = Stats.cupedReport(ev.repartition(p), "user_id",
+      "value", "ts", "2024-01-16 00:00:00",
+      Seq(("a", 0.5), ("b", 0.5)), "s").collect().toSeq
+    assert(run(1) == run(11))
+  }
+
+  // ---- k-anonymity ----
+
+  test("kAnonymity flags small equivalence classes and counts diversity") {
+    val df = Seq(
+      ("US", "A", 1), ("US", "A", 2), ("US", "A", 2),
+      ("US", "B", 1),
+      ("DE", "A", 3), ("DE", "A", 3)).toDF("country", "seg", "sens")
+    val rows = Stats.kAnonymity(df, Seq("country", "seg"), "sens", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(rows == Seq(
+      ("DE", "A", 2L, 1L, true),
+      ("US", "A", 3L, 2L, false),
+      ("US", "B", 1L, 1L, true)))
+  }
+}
