@@ -81,9 +81,17 @@ object Stats {
     * applies the exact integer threshold. The final set is therefore
     * a pure function of the data — the sketch affects WORK, never the
     * answer — and no shuffle ever carries the full vocabulary.
-    * Candidate keys and the token total are two filters over the SAME
-    * aggregated sketch relation, so the exchange is planned once and
-    * reused.
+    *
+    * The sketch relation is consumed ONCE: the token total (the
+    * sentinel rows' sum) is attached to every candidate row by a
+    * global window over the aggregated sketch — a frame bounded at
+    * capacity × partitions + 1 rows by construction, never the
+    * corpus — so the recount's inner join delivers both the candidate
+    * pruning and the threshold operand in one broadcast. (The naive
+    * two-filters-over-one-frame shape re-executes the Misra–Gries
+    * pass per consumer: object-typed MapPartitions subtrees do not
+    * canonicalize equal, so AQE cannot reuse their exchanges —
+    * measured on the final adaptive plan.)
     */
   def heavyHitters(df: DataFrame, textCol: String,
       capacity: Int): DataFrame = {
@@ -92,16 +100,17 @@ object Stats {
     import spark.implicits._
     val toks = Dedup.spread(df, textCol)
       .select(explode(TextStats.tokens(col(textCol))).as("token"))
-    val sketch = toks.as[String]
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cands = toks.as[String]
       .mapPartitions(it => misraGries(it, capacity))
       .toDF("token", "__pn")
       .groupBy("token").agg(sum(col("__pn")).as("__pn"))
-    val cands = sketch.filter(col("token") =!= "").select("token")
-    val total = sketch.filter(col("token") === "")
-      .agg(sum(col("__pn")).as("__total"))
-    toks.join(broadcast(cands), Seq("token"), "left_semi")
-      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
-      .crossJoin(broadcast(total))
+      .withColumn("__total", sum(col("__pn")).over(all))
+      .filter(col("token") =!= "")
+      .select("token", "__total")
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token", "__total").agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") * lit(capacity + 1L) > col("__total"))
       .select(col("token"), col("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc)

@@ -243,6 +243,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       // ksDrift's corpus-wide CDF is one global cumsum over the
       // 5-decimal score grid alone (Eval.ksDriftByGroup scaladoc)
       "q_ks_drift" -> "5-decimal score grid (≤ 100001 rows)",
+      // heavyHitters: total-attachment window over the aggregated
+      // Misra–Gries sketch — ≤ capacity × partitions + 1 rows
+      "q_heavy_hitters" -> "capacity×partitions sketch frame",
       // lorenzGini: the constant-group sharded-cumsum offset pass
       // (32 rows) + the decile cumsum (exactly `deciles` rows)
       "q_gini_revenue" -> "32-row shard offsets + 10-row decile frame",
