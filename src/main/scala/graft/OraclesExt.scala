@@ -3957,6 +3957,81 @@ object OraclesExt {
        |FROM arm CROSS JOIN gl ORDER BY variant""".stripMargin
   }
 
+  /** Isotonic calibration — twin of Eval.isotonicCalibration over the
+    * quality blend vs the is-English label: identical integer bin
+    * assignment (5-decimal score quantization, s₅·bins div 10⁵), the
+    * same minimax f(i) = max_{j≤i} min_{k≥i} mean(j..k) over the
+    * cumulative-bin frame, one int/int double division per mean.
+    */
+  def isotonicCalibration(targetLang: String, bins: Int): String =
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, t, text FROM toks JOIN documents USING (doc_id)),
+       |q AS (SELECT lang, $qualityScoreSql AS qs FROM d),
+       |g0 AS (SELECT least((round(qs * 100000)::BIGINT * $bins) // 100000,
+       |    ${bins - 1}) AS bin,
+       |  CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END AS y FROM q),
+       |b AS (SELECT bin, count(*)::BIGINT AS w, sum(y)::BIGINT AS s
+       |  FROM g0 GROUP BY 1),
+       |c AS (SELECT bin, w, s, sum(w) OVER (ORDER BY bin)::BIGINT AS cw,
+       |  sum(s) OVER (ORDER BY bin)::BIGINT AS cs FROM b),
+       |p AS (SELECT l.bin AS j, l.cw - l.w AS pw, l.cs - l.s AS ps,
+       |  r.bin AS k, r.cw AS kw, r.cs AS ks
+       |  FROM c l JOIN c r ON l.bin <= r.bin),
+       |m AS (SELECT j, k, (ks - ps)::DOUBLE / (kw - pw)::DOUBLE AS mean
+       |  FROM p),
+       |t3 AS (SELECT i.bin AS i, m.j, m.mean FROM m JOIN c i
+       |  ON m.j <= i.bin AND i.bin <= m.k),
+       |f1 AS (SELECT i, j, min(mean) AS mn FROM t3 GROUP BY 1, 2),
+       |f2 AS (SELECT i, max(mn) AS fit FROM f1 GROUP BY 1)
+       |SELECT c.bin::INT AS bin, c.w AS n,
+       |  round(c.s::DOUBLE / c.w::DOUBLE, 5) AS frac_pos,
+       |  round(f2.fit, 5) AS calibrated
+       |FROM c JOIN f2 ON c.bin = f2.i ORDER BY bin""".stripMargin
+
+  /** Closed-form OLS — twin of Stats.olsRegression over lineitem
+    * (price ~ quantity + discount per return flag): exact decimal
+    * moments with (19,6)-prewidened products, the identical IEEE
+    * double dag for the centered moments, Cramer solve and R².
+    */
+  val olsLineitem: String =
+    """WITH g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+      |  sum(l_quantity::DECIMAL(18,6)) AS s1,
+      |  sum(l_discount::DECIMAL(18,6)) AS s2,
+      |  sum(l_extendedprice::DECIMAL(18,6)) AS sy,
+      |  sum((l_quantity::DECIMAL(18,6))::DECIMAL(19,6) *
+      |      (l_quantity::DECIMAL(18,6))::DECIMAL(19,6)) AS s11,
+      |  sum((l_discount::DECIMAL(18,6))::DECIMAL(19,6) *
+      |      (l_discount::DECIMAL(18,6))::DECIMAL(19,6)) AS s22,
+      |  sum((l_quantity::DECIMAL(18,6))::DECIMAL(19,6) *
+      |      (l_discount::DECIMAL(18,6))::DECIMAL(19,6)) AS s12,
+      |  sum((l_quantity::DECIMAL(18,6))::DECIMAL(19,6) *
+      |      (l_extendedprice::DECIMAL(18,6))::DECIMAL(19,6)) AS s1y,
+      |  sum((l_discount::DECIMAL(18,6))::DECIMAL(19,6) *
+      |      (l_extendedprice::DECIMAL(18,6))::DECIMAL(19,6)) AS s2y,
+      |  sum((l_extendedprice::DECIMAL(18,6))::DECIMAL(19,6) *
+      |      (l_extendedprice::DECIMAL(18,6))::DECIMAL(19,6)) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_returnflag, n,
+      |  n::DOUBLE * s11::DOUBLE - s1::DOUBLE * s1::DOUBLE AS sqq,
+      |  n::DOUBLE * s22::DOUBLE - s2::DOUBLE * s2::DOUBLE AS sdd,
+      |  n::DOUBLE * s12::DOUBLE - s1::DOUBLE * s2::DOUBLE AS sqd,
+      |  n::DOUBLE * s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE AS sqy,
+      |  n::DOUBLE * s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE AS sdy,
+      |  n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS syyc,
+      |  s1::DOUBLE AS s1d, s2::DOUBLE AS s2d, sy::DOUBLE AS syd,
+      |  n::DOUBLE AS nd FROM g),
+      |k AS (SELECT *, sqq * sdd - sqd * sqd AS det FROM c),
+      |b AS (SELECT *, (sqy * sdd - sdy * sqd) / det AS b1,
+      |  (sdy * sqq - sqy * sqd) / det AS b2 FROM k)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN det <> 0 AND syyc <> 0
+      |    THEN round((syd - b1 * s1d - b2 * s2d) / nd, 5) END AS b0,
+      |  CASE WHEN det <> 0 AND syyc <> 0 THEN round(b1, 5) END AS b1,
+      |  CASE WHEN det <> 0 AND syyc <> 0 THEN round(b2, 5) END AS b2,
+      |  CASE WHEN det <> 0 AND syyc <> 0
+      |    THEN round((b1 * sqy + b2 * sdy) / syyc, 5) END AS r2
+      |FROM b ORDER BY l_returnflag""".stripMargin
+
   /** k-anonymity audit — twin of Stats.kAnonymity over customer
     * quasi-identifiers with the banded-balance sensitive column.
     */

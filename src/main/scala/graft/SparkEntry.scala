@@ -823,6 +823,7 @@ object SparkEntry {
   private[graft] val kAnonK = 5
   // CUPED pre/post split over the fixture's Jan-2024 event range
   private[graft] val cupedSplitTs = "2024-01-16 00:00:00"
+  private[graft] val isotonicBins = 50
   private[graft] val kmStartType = "signup"
   private[graft] val kmEndType = "purchase"
 
@@ -2501,6 +2502,21 @@ object SparkEntry {
         s.table("customer").withColumn("bal_band",
           floor(col("c_acctbal") / 1000).cast("long")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", kAnonK)
+    },
+    // Isotonic probability calibration of the quality blend against
+    // the is-English label — the minimax (relational, loop-free) PAV
+    // solution over bin-bounded frames.
+    "q_isotonic" -> withTables { s =>
+      graft.ext.Eval.isotonicCalibration(
+        TextStats.withDocStats(s.table("documents")),
+        col("lang") === dsirTargetLang, col("quality_score"),
+        isotonicBins)
+    },
+    // Closed-form per-group OLS (price ~ quantity + discount): one
+    // moment aggregation per group, Cramer-rule solve on the group row.
+    "q_ols" -> withTables { s =>
+      graft.ext.Stats.olsRegression(s.table("lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity", "l_discount")
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2744,5 +2760,7 @@ object SparkEntry {
     "q_cusum" -> OraclesExt.cusumDaily,
     "q_kaplan_meier" -> OraclesExt.kaplanMeier(kmStartType, kmEndType),
     "q_cuped" -> OraclesExt.cuped(cupedSplitTs, abVariants, abSalt),
-    "q_k_anonymity" -> OraclesExt.kAnonymity(kAnonK))
+    "q_k_anonymity" -> OraclesExt.kAnonymity(kAnonK),
+    "q_isotonic" -> OraclesExt.isotonicCalibration(dsirTargetLang, isotonicBins),
+    "q_ols" -> OraclesExt.olsLineitem)
 }

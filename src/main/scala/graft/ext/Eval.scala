@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{abs => fabs, _}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Classifier / score evaluation over corpus-scale relations — the
   * measurement half of the quality-filter loop (a pipeline that
@@ -172,5 +172,75 @@ object Eval {
       .agg(max(col("__n_s")).as("n_docs"),
         round(max(col("__diff")), 5).as("ks"))
       .orderBy(groupCol)
+  }
+
+  /** Isotonic (monotone non-decreasing) probability calibration of a
+    * [0,1] score against a boolean label, fitted over `bins`
+    * equal-width score bins: (bin, n, frac_pos, calibrated). Platt /
+    * linear recalibration assumes a sigmoid shape; the isotonic fit
+    * is the nonparametric one that makes "score 0.8 means 80%" TRUE
+    * whenever the ranking is sane, which is exactly what a curation
+    * gate needs before thresholding on a probability.
+    *
+    * The fit uses the minimax characterization of isotonic
+    * regression — f(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k)
+    * (= the pool-adjacent-violators solution) — rather than the
+    * sequential PAV sweep: every (j,i,k) triple is independent, so
+    * the whole fit is three relational operators (a ≤-join of the
+    * cumulative-bin frame with itself, a min, a max) with NO
+    * driver-side loop and no iteration. All frames are bounded at
+    * `bins` rows (the corpus collapses to bins in one
+    * map-side-combined pass) — the triple join is ≤ bins³/6 rows of
+    * integers whatever the corpus size, and both sides of it are
+    * broadcast.
+    *
+    * Determinism: bin assignment is exact integer arithmetic on the
+    * 5-decimal score quantization (score·10⁵ rounds to an exact
+    * long; bin = s₅·bins div 10⁵ — no float-edge misbinning at bin
+    * boundaries); bin means are single int/int double divisions, and
+    * min/max over a shared set of doubles is engine-independent.
+    */
+  def isotonicCalibration(df: DataFrame, label: Column, score: Column,
+      bins: Int = 50): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    val b = df
+      .select(round(score * 100000).cast(LongType).as("__s5"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .select(expr(s"least((__s5 * $bins) div 100000L, ${bins - 1}L)")
+        .as("bin"), col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("__w"), sum(col("__y")).as("__s"))
+    // bounded global window: ≤ `bins` rows by construction
+    val wnd = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // EAGER: the cumulative-bin frame has four consumers (both join
+    // sides, the center bin list, and the output row); materializing
+    // its ≤ `bins` rows runs the corpus scan exactly once — without
+    // it, AQE's exchange reuse recovers only two of the four
+    // (measured: 2 FileScans in the final plan), and each missed
+    // reuse is a full corpus re-scan at 100 TB.
+    val c = Dedup.materialize(
+      b.withColumn("__cw", sum(col("__w")).over(wnd))
+        .withColumn("__cs", sum(col("__s")).over(wnd)))
+    val lft = c.select(col("bin").as("__j"),
+      (col("__cw") - col("__w")).as("__pw"),
+      (col("__cs") - col("__s")).as("__ps"))
+    val rgt = c.select(col("bin").as("__k"), col("__cw").as("__kw"),
+      col("__cs").as("__ks"))
+    val ctr = c.select(col("bin").as("__i"))
+    val pairs = lft.join(broadcast(rgt), col("__j") <= col("__k"))
+      .withColumn("__mean", (col("__ks") - col("__ps")).cast("double") /
+        (col("__kw") - col("__pw")).cast("double"))
+    val fit = pairs
+      .join(broadcast(ctr), col("__j") <= col("__i") &&
+        col("__i") <= col("__k"))
+      .groupBy("__i", "__j").agg(min(col("__mean")).as("__mn"))
+      .groupBy("__i").agg(max(col("__mn")).as("__fit"))
+    c.join(fit, col("bin") === col("__i"))
+      .select(col("bin").cast("int").as("bin"), col("__w").as("n"),
+        round(col("__s").cast("double") / col("__w").cast("double"), 5)
+          .as("frac_pos"),
+        round(col("__fit"), 5).as("calibrated"))
+      .orderBy("bin")
   }
 }

@@ -417,6 +417,61 @@ object Stats {
   }
 
   // ---------------------------------------------------------------
+  // Closed-form OLS (two predictors)
+  // ---------------------------------------------------------------
+
+  /** Per-group ordinary least squares y ~ b0 + b1·x1 + b2·x2 via the
+    * closed-form normal equations: (group, n, b0, b1, b2, r2). The
+    * regression an analyst reaches for first — here as ONE
+    * map-side-combined moment aggregation per group (n, Σx, Σy and
+    * the five cross-moments), then a fixed Cramer-rule solve on the
+    * group row. Nothing iterates and nothing is ever wider than one
+    * row per group, however many rows the fact table has.
+    *
+    * Determinism: every moment is an exact DECIMAL sum (operands
+    * pre-widened to (19,6) so both engines' decimal multiply stays
+    * exact); the centered second moments, determinant and
+    * coefficients are then a fixed dag of IEEE double ops over those
+    * exact inputs, rounded once at the output. Groups where the
+    * centered system is singular (constant predictor, or n too small)
+    * return NULL coefficients rather than a division artifact.
+    */
+  def olsRegression(df: DataFrame, groupCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame = {
+    val d196 = DecimalType(19, 6)
+    def dec(c: String) = col(c).cast(Dec186).cast(d196)
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x1Col)).as("__s1"), sum(dec(x2Col)).as("__s2"),
+        sum(dec(yCol)).as("__sy"),
+        sum(dec(x1Col) * dec(x1Col)).as("__s11"),
+        sum(dec(x2Col) * dec(x2Col)).as("__s22"),
+        sum(dec(x1Col) * dec(x2Col)).as("__s12"),
+        sum(dec(x1Col) * dec(yCol)).as("__s1y"),
+        sum(dec(x2Col) * dec(yCol)).as("__s2y"),
+        sum(dec(yCol) * dec(yCol)).as("__syy"))
+    val n = col("n").cast("double")
+    def m(c: String) = col(c).cast("double")
+    val sqq = n * m("__s11") - m("__s1") * m("__s1")
+    val sdd = n * m("__s22") - m("__s2") * m("__s2")
+    val sqd = n * m("__s12") - m("__s1") * m("__s2")
+    val sqy = n * m("__s1y") - m("__s1") * m("__sy")
+    val sdy = n * m("__s2y") - m("__s2") * m("__sy")
+    val syy = n * m("__syy") - m("__sy") * m("__sy")
+    val det = sqq * sdd - sqd * sqd
+    val b1 = (sqy * sdd - sdy * sqd) / det
+    val b2 = (sdy * sqq - sqy * sqd) / det
+    val b0 = (m("__sy") - b1 * m("__s1") - b2 * m("__s2")) / n
+    val ok = det =!= 0.0 && syy =!= 0.0
+    g.select(col(groupCol), col("n"),
+      when(ok, round(b0, 5)).as("b0"),
+      when(ok, round(b1, 5)).as("b1"),
+      when(ok, round(b2, 5)).as("b2"),
+      when(ok, round((b1 * sqy + b2 * sdy) / syy, 5)).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  // ---------------------------------------------------------------
   // k-anonymity audit
   // ---------------------------------------------------------------
 

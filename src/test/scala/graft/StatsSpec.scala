@@ -212,6 +212,83 @@ class StatsSpec extends AnyFunSuite {
     assert(run(1) == run(11))
   }
 
+  // ---- isotonic calibration ----
+
+  test("isotonicCalibration matches the driver-side PAV sweep") {
+    // scores correlated with labels but with violations to pool
+    val rows = (0 until 400).map { i =>
+      val s = (i % 100) / 100.0
+      val y = (i * 37 % 100) < (s * 80 + 10)
+      (s, y)
+    }
+    val df = rows.toDF("score", "label")
+    val got = graft.ext.Eval.isotonicCalibration(df, col("label"),
+      col("score"), bins = 20).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    // driver PAV over the same integer-binned data
+    val binned = rows.groupBy { case (s, _) =>
+      math.min(math.round(s * 100000) * 20 / 100000, 19).toInt }
+    val ordered = binned.toSeq.sortBy(_._1).map { case (b, rs) =>
+      (b, rs.size.toLong, rs.count(_._2).toLong) }
+    // pool-adjacent-violators with weighted means
+    case class Blk(w: Long, s: Long, bins: List[Int]) {
+      def mean: Double = s.toDouble / w.toDouble
+    }
+    val pooled = ordered.foldLeft(List.empty[Blk]) { case (acc, (b, w, s)) =>
+      var st = Blk(w, s, List(b)) :: acc
+      while (st.lengthCompare(2) >= 0 && st(1).mean >= st.head.mean) {
+        val a :: bb :: rest = st: @unchecked
+        st = Blk(a.w + bb.w, a.s + bb.s, bb.bins ++ a.bins) :: rest
+      }
+      st
+    }.reverse
+    val want = pooled.flatMap(bl => bl.bins.map(b => b ->
+      math.round(bl.mean * 100000) / 100000.0)).toMap
+    got.foreach { case (b, _, cal) =>
+      assert(math.abs(cal - want(b)) < 2e-5,
+        s"bin $b: minimax $cal vs PAV ${want(b)}")
+    }
+    // the fit is monotone non-decreasing in the bin
+    val cals = got.sortBy(_._1).map(_._3).toSeq
+    assert(cals == cals.sorted, "isotonic fit must be monotone")
+    // and preserves the total positive mass (within rounding)
+    val mass = got.map { case (_, n, cal) => n * cal }.sum
+    assert(math.abs(mass - rows.count(_._2)) < 0.1)
+  }
+
+  // ---- OLS ----
+
+  test("olsRegression recovers exact linear coefficients with R²=1") {
+    val df = (1 to 100).map { i =>
+      val x1 = (i % 10).toDouble; val x2 = (i % 7).toDouble
+      ("g", 2.0 + 3.0 * x1 - 4.0 * x2, x1, x2)
+    }.toDF("grp", "y", "x1", "x2")
+    val r = Stats.olsRegression(df, "grp", "y", "x1", "x2").collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(2) == 2.0 && r.head.getDouble(3) == 3.0 &&
+      r.head.getDouble(4) == -4.0 && r.head.getDouble(5) == 1.0)
+  }
+
+  test("olsRegression returns NULLs for a singular design") {
+    val df = (1 to 50).map(i => ("g", i.toDouble, 5.0, 5.0))
+      .toDF("grp", "y", "x1", "x2") // constant predictors → det = 0
+    val r = Stats.olsRegression(df, "grp", "y", "x1", "x2").collect()
+    assert(r.head.isNullAt(2) && r.head.isNullAt(3) &&
+      r.head.isNullAt(4) && r.head.isNullAt(5))
+  }
+
+  test("olsRegression is partitioning-independent") {
+    val df = (1 to 300).map { i =>
+      (s"g${i % 3}", (i % 13).toDouble + 0.5 * (i % 5),
+        (i % 13).toDouble, (i % 5).toDouble) }
+      .toDF("grp", "y", "x1", "x2")
+    val a = Stats.olsRegression(df.repartition(1), "grp", "y", "x1", "x2")
+      .collect().toSeq
+    val b = Stats.olsRegression(df.repartition(17), "grp", "y", "x1", "x2")
+      .collect().toSeq
+    assert(a == b)
+  }
+
   // ---- k-anonymity ----
 
   test("kAnonymity flags small equivalence classes and counts diversity") {
