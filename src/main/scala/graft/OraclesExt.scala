@@ -4032,6 +4032,66 @@ object OraclesExt {
       |    THEN round((b1 * sqy + b2 * sdy) / syyc, 5) END AS r2
       |FROM b ORDER BY l_returnflag""".stripMargin
 
+  /** Zone-map skipping report — twin of ZOrder.skippingReport over
+    * events (user_id × day_num): identical pair roll-up, packed
+    * linear / Morton keys (the SAME ZOrder.SpreadSteps chain),
+    * range-end file rule ⌈cum·F/n⌉, md5-least probe selection, and
+    * the interval-hit replay. The oracle's plain cumulative windows
+    * are the single-sort shape the Spark side's sharded cumsum
+    * avoids.
+    */
+  def skippingReport(files: Int, probes: Int): String = {
+    def spread(e: String): String =
+      graft.ext.ZOrder.SpreadSteps.foldLeft(s"($e & 65535)") {
+        case (acc, (sh, m)) => s"((($acc | ($acc << $sh)) & $m))"
+      }
+    s"""WITH p AS (SELECT user_id AS a,
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS b,
+       |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+       |k AS (SELECT a, b, c,
+       |  (((a & 65535) << 16) | (b & 65535)) AS klin,
+       |  (${spread("a")} | (${spread("b")} << 1)) AS kz FROM p),
+       |tot AS (SELECT sum(c)::BIGINT AS n FROM k),
+       |cl AS (SELECT a, b,
+       |  (((sum(c) OVER (ORDER BY klin))::BIGINT * $files + n - 1) // n)::INT
+       |    AS f FROM k CROSS JOIN tot),
+       |cz AS (SELECT a, b,
+       |  (((sum(c) OVER (ORDER BY kz))::BIGINT * $files + n - 1) // n)::INT
+       |    AS f FROM k CROSS JOIN tot),
+       |z AS (SELECT 'linear' AS layout, f, min(a) AS amin, max(a) AS amax,
+       |    min(b) AS bmin, max(b) AS bmax FROM cl GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zorder', f, min(a), max(a), min(b), max(b)
+       |    FROM cz GROUP BY 2),
+       |pr AS (
+       |  (SELECT 'a_only' AS probe_class, pa, NULL::BIGINT AS pb FROM
+       |    (SELECT DISTINCT a AS pa FROM k)
+       |    ORDER BY md5('probe|' || pa::VARCHAR), pa LIMIT $probes)
+       |  UNION ALL
+       |  (SELECT 'b_only', NULL::BIGINT, pb FROM
+       |    (SELECT DISTINCT b AS pb FROM k)
+       |    ORDER BY md5('probe|' || pb::VARCHAR), pb LIMIT $probes)
+       |  UNION ALL
+       |  (SELECT 'point', pa, pb FROM
+       |    (SELECT DISTINCT a AS pa, b AS pb FROM k)
+       |    ORDER BY md5('probe|' || pa::VARCHAR || '|' || pb::VARCHAR),
+       |      pa, pb LIMIT $probes)),
+       |hits AS (SELECT layout, probe_class,
+       |  sum(CASE WHEN (pa IS NULL OR (pa BETWEEN amin AND amax))
+       |    AND (pb IS NULL OR (pb BETWEEN bmin AND bmax))
+       |    THEN 1 ELSE 0 END)::BIGINT AS scanned
+       |  FROM z CROSS JOIN pr GROUP BY 1, 2),
+       |nf AS (SELECT layout, count(*)::BIGINT AS n_files FROM z GROUP BY 1),
+       |np AS (SELECT probe_class, count(*)::BIGINT AS n_probes
+       |  FROM pr GROUP BY 1)
+       |SELECT layout, probe_class, n_files, n_probes,
+       |  round(scanned::DOUBLE / n_probes::DOUBLE, 5) AS avg_files_scanned,
+       |  round(scanned::DOUBLE / (n_probes * n_files)::DOUBLE, 5)
+       |    AS scan_frac
+       |FROM hits JOIN nf USING (layout) JOIN np USING (probe_class)
+       |ORDER BY layout, probe_class""".stripMargin
+  }
+
   /** k-anonymity audit — twin of Stats.kAnonymity over customer
     * quasi-identifiers with the banded-balance sensitive column.
     */

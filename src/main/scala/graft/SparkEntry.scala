@@ -824,6 +824,9 @@ object SparkEntry {
   // CUPED pre/post split over the fixture's Jan-2024 event range
   private[graft] val cupedSplitTs = "2024-01-16 00:00:00"
   private[graft] val isotonicBins = 50
+  // skipping report layout/probe sizing (shared with the oracle twin)
+  private[graft] val skipFiles = 64
+  private[graft] val skipProbes = 50
   private[graft] val kmStartType = "signup"
   private[graft] val kmEndType = "purchase"
 
@@ -2517,6 +2520,16 @@ object SparkEntry {
     "q_ols" -> withTables { s =>
       graft.ext.Stats.olsRegression(s.table("lineitem"), "l_returnflag",
         "l_extendedprice", "l_quantity", "l_discount")
+    },
+    // Zone-map skipping effectiveness: linear vs z-order file layouts
+    // replayed against per-dimension / point probe workloads — the
+    // measured version of the OPTIMIZE...ZORDER decision. One corpus
+    // scan; everything downstream is file/probe-bounded.
+    "q_skipping" -> withTables { s =>
+      graft.ext.ZOrder.skippingReport(
+        s.table("events").withColumn("day_num",
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")),
+        "user_id", "day_num", skipFiles, skipProbes)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2762,5 +2775,6 @@ object SparkEntry {
     "q_cuped" -> OraclesExt.cuped(cupedSplitTs, abVariants, abSalt),
     "q_k_anonymity" -> OraclesExt.kAnonymity(kAnonK),
     "q_isotonic" -> OraclesExt.isotonicCalibration(dsirTargetLang, isotonicBins),
-    "q_ols" -> OraclesExt.olsLineitem)
+    "q_ols" -> OraclesExt.olsLineitem,
+    "q_skipping" -> OraclesExt.skippingReport(skipFiles, skipProbes))
 }

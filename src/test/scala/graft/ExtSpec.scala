@@ -711,6 +711,34 @@ class ExtSpec extends AnyFunSuite {
     assert(spans.forall { case (sa, sb, _) => math.min(sa, sb) <= 32 })
   }
 
+  test("skippingReport: z-order skips on BOTH dimensions, linear only on the lead") {
+    // uniform 32×32 grid — the canonical layout-comparison setting
+    val grid = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b))
+      .toDF("a", "b")
+    val rows = graft.ext.ZOrder.skippingReport(grid, "a", "b",
+      files = 16, probes = 20).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // linear: lead-column probes touch few files, secondary probes ALL
+    assert(rows(("linear", "a_only")) <= 2.0)
+    assert(rows(("linear", "b_only")) == 16.0)
+    // z-order: both dimensions prune to ~sqrt(files) blocks
+    assert(rows(("zorder", "a_only")) <= 8.0)
+    assert(rows(("zorder", "b_only")) <= 8.0)
+    assert(rows(("zorder", "b_only")) < rows(("linear", "b_only")))
+    // every probe comes from the data, so it must hit >= 1 file
+    rows.values.foreach(v => assert(v >= 1.0))
+  }
+
+  test("skippingReport is partitioning-independent") {
+    val grid = (for (a <- 0L until 20L; b <- 0L until 20L) yield (a, b))
+      .toDF("a", "b")
+    val x = graft.ext.ZOrder.skippingReport(grid.repartition(1), "a", "b",
+      files = 8, probes = 10).collect().toSeq
+    val y = graft.ext.ZOrder.skippingReport(grid.repartition(9), "a", "b",
+      files = 8, probes = 10).collect().toSeq
+    assert(x == y)
+  }
+
   test("compaction sizes output files from actual bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
     val in = s"$dir/in"; val out = s"$dir/out"
