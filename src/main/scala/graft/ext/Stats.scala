@@ -47,22 +47,28 @@ object Stats {
     * zero. Amortized O(1) per token: a round costs O(capacity) and at
     * most n_p/(capacity+1) rounds fire.
     */
+  /** One Misra–Gries counter update (shared by the batch pass and the
+    * streaming shard state): count the arrival, admit below capacity,
+    * else decrement-all (over a snapshot — no mutation mid-iteration).
+    */
+  private[graft] def mgUpdate(m: scala.collection.mutable.HashMap[String, Long],
+      t: String, capacity: Int): Unit =
+    m.get(t) match {
+      case Some(c) => m.update(t, c + 1L)
+      case None if m.size < capacity => m.update(t, 1L)
+      case None =>
+        m.toArray.foreach { case (k, c) =>
+          if (c == 1L) m.remove(k) else m.update(k, c - 1L)
+        }
+    }
+
   private[graft] def misraGries(it: Iterator[String],
       capacity: Int): Iterator[(String, Long)] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     var seen = 0L
     while (it.hasNext) {
-      val t = it.next()
+      mgUpdate(m, it.next(), capacity)
       seen += 1L
-      m.get(t) match {
-        case Some(c) => m.update(t, c + 1L)
-        case None if m.size < capacity => m.update(t, 1L)
-        case None =>
-          // decrement-all over a snapshot (no mutation mid-iteration)
-          m.toArray.foreach { case (k, c) =>
-            if (c == 1L) m.remove(k) else m.update(k, c - 1L)
-          }
-      }
     }
     m.keysIterator.map((_, 0L)) ++ Iterator(("", seen))
   }

@@ -759,6 +759,65 @@ object EventStream {
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.
     */
+  /** One streaming heavy-hitter summary row: the shard's current
+    * Misra–Gries counter for a token, plus the shard's total token
+    * count (monotone — readers keep the rows with the max
+    * `shardTokens` per shard as the latest summary).
+    */
+  final case class HhCand(
+      shard: Int, token: String, estimate: Long, shardTokens: Long)
+
+  /** Per-shard Misra–Gries state: the counter map + tokens seen. */
+  final case class MgShardState(counts: Map[String, Long], seen: Long)
+
+  /** Streaming bounded-state heavy hitters — the ingest-time twin of
+    * [[graft.ext.Stats.heavyHitters]]. Tokens route to `shards` hash
+    * shards; each shard's state is ONE Misra–Gries summary, so the
+    * total state is ≤ shards × capacity counters however much text
+    * flows through — the property that makes a forever-running
+    * vocabulary monitor possible, where an exact streaming
+    * `groupBy(token)` would hold the whole (unbounded) vocabulary in
+    * state.
+    *
+    * Guarantee (same pigeonhole as the batch twin, sharper because a
+    * token's occurrences ALL land in its one hash shard): any token
+    * whose true count since stream start exceeds
+    * shardTokens/(capacity+1) of its shard is present in that shard's
+    * summary, and every global heavy hitter above frequency
+    * 1/(capacity+1) is a fortiori present. Counter values are lower
+    * bounds, under-counting by at most shardTokens/(capacity+1).
+    * After each micro-batch the shard emits its full current summary
+    * (Update mode); the batch operator remains the exact oracle — the
+    * stream is the always-on alarm, not the ledger.
+    */
+  def heavyHittersStream(docs: DataFrame, capacity: Int,
+      shards: Int = 64, textCol: String = "text")(
+      implicit enc: SparkSession): Dataset[HhCand] = {
+    import enc.implicits._
+    require(capacity >= 1 && shards >= 1, s"bad capacity/shards")
+    docs
+      .select(explode(graft.ext.TextStats.tokens(col(textCol))).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(shards)).cast("int")
+        .as("shard"), col("token"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgShardState, HhCand](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[(Int, String)],
+            state: GroupState[MgShardState]) =>
+          val st = state.getOption.getOrElse(MgShardState(Map.empty, 0L))
+          val m = scala.collection.mutable.HashMap
+            .newBuilder[String, Long].addAll(st.counts).result()
+          var seen = st.seen
+          rows.foreach { case (_, t) =>
+            graft.ext.Stats.mgUpdate(m, t, capacity)
+            seen += 1L
+          }
+          state.update(MgShardState(m.toMap, seen))
+          m.iterator.map { case (t, c) => HhCand(shard, t, c, seen) }
+      }
+  }
+
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
       tableName: String): DataFrame = {
     // Explicit checkpoint dir: the auto-created temporary checkpoint

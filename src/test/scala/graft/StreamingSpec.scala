@@ -569,6 +569,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: bounded shard state, no heavy hitter ever missed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val cap = 4
+    val nShards = 8
+    val streamed = EventStream.heavyHittersStream(
+      input.toDF.toDF("text"), capacity = cap, shards = nShards)
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_hh")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-hh").toString)
+      .outputMode("update")
+      .start()
+    try {
+      // two micro-batches: the MG state must carry across them
+      val batch1 = Seq.fill(30)("the") ++ (1 to 40).map(i => s"w$i")
+      val batch2 = Seq.fill(25)("the") ++ Seq.fill(20)("of") ++
+        (41 to 80).map(i => s"w$i")
+      input.addData(batch1.mkString(" "))
+      q.processAllAvailable()
+      input.addData(batch2.mkString(" "))
+      q.processAllAvailable()
+      val all = spark.table("stream_hh").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // latest summary per shard = the rows at its max shardTokens
+      val latest = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val mx = rows.map(_._4).max
+        rows.filter(_._4 == mx).toSeq
+      }
+      // per-shard summaries never exceed the capacity
+      latest.groupBy(_._1).foreach { case (sh, rows) =>
+        assert(rows.size <= cap, s"shard $sh summary exceeded capacity")
+      }
+      // brute force over the full stream
+      val toks = (batch1 ++ batch2)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      val heavies = exact.collect {
+        case (t, c) if c * (cap + 1) > n => t
+      }.toSet
+      assert(heavies.nonEmpty, "test needs at least one true heavy hitter")
+      val kept = latest.map(_._2).toSet
+      assert(heavies.subsetOf(kept),
+        s"missed heavy hitters: ${heavies -- kept}")
+      // counters are lower bounds and within the per-shard MG error
+      latest.foreach { case (_, t, est, seen) =>
+        assert(est <= exact(t), s"$t over-counted")
+        assert(est >= exact(t) - seen / (cap + 1) - 1,
+          s"$t under-counted past the MG bound")
+      }
+    } finally q.stop()
+  }
+
   test("watermark drops late data and finalizes windows exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
