@@ -4092,6 +4092,127 @@ object OraclesExt {
        |ORDER BY layout, probe_class""".stripMargin
   }
 
+  /** Log-rank test — twin of Stats.logRank: same md5 cohorts, same
+    * first-start / first-qualifying-end durations and censoring, the
+    * 9-decimal-quantized hypergeometric expectation/variance terms
+    * summed in exact decimal.
+    */
+  def logRank(startType: String, endType: String, salt: String,
+      split: Double): String =
+    s"""WITH st AS (SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = '$startType' GROUP BY 1),
+       |en AS (SELECT user_id, ts AS te FROM events
+       |  WHERE event_type = '$endType'),
+       |hz AS (SELECT max(ts) AS tmax FROM events),
+       |fe AS (SELECT st.user_id, t0,
+       |  min(CASE WHEN te >= t0 THEN te END) AS tc
+       |  FROM st LEFT JOIN en ON st.user_id = en.user_id GROUP BY 1, 2),
+       |dur AS (SELECT
+       |  CASE WHEN cast(cast('0x' || substr(md5('$salt|' || user_id), 1, 8)
+       |      AS BIGINT) AS DOUBLE) / 4294967296.0 < $split
+       |    THEN 'a' ELSE 'b' END AS g,
+       |  CASE WHEN tc IS NOT NULL
+       |    THEN datediff('day', CAST(t0 AS DATE), CAST(tc AS DATE))
+       |    ELSE datediff('day', CAST(t0 AS DATE), CAST(tmax AS DATE))
+       |  END::INT AS t, (tc IS NOT NULL) AS ev FROM fe CROSS JOIN hz),
+       |grid AS (SELECT t,
+       |  sum(CASE WHEN ev AND g = 'a' THEN 1 ELSE 0 END)::BIGINT AS da,
+       |  sum(CASE WHEN ev AND g = 'b' THEN 1 ELSE 0 END)::BIGINT AS db,
+       |  sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS xa,
+       |  sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT AS xb
+       |  FROM dur GROUP BY 1),
+       |tots AS (SELECT
+       |  sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS na0,
+       |  sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT AS nb0 FROM dur),
+       |rk0 AS (SELECT t, da, db,
+       |  na0 - coalesce(sum(xa) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+       |  nb0 - coalesce(sum(xb) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb,
+       |  na0, nb0 FROM grid CROSS JOIN tots),
+       |rk AS (SELECT *, na + nb AS n, da + db AS d FROM rk0
+       |  WHERE da + db > 0 AND na > 0 AND nb > 0),
+       |terms AS (SELECT da, db, na0, nb0,
+       |  round(d::DOUBLE * na::DOUBLE / n::DOUBLE, 9)::DECIMAL(18,9) AS e,
+       |  CASE WHEN n > 1 THEN round(d::DOUBLE * na::DOUBLE * nb::DOUBLE *
+       |      (n - d)::DOUBLE / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE),
+       |      9)::DECIMAL(18,9)
+       |    ELSE 0::DECIMAL(18,9) END AS v FROM rk),
+       |agg AS (SELECT sum(da)::BIGINT AS d_a, sum(db)::BIGINT AS d_b,
+       |  sum(e) AS se, sum(v) AS sv, max(na0) AS n_a, max(nb0) AS n_b
+       |  FROM terms)
+       |SELECT n_a, n_b, d_a, d_b,
+       |  round(se::DOUBLE, 5) AS expected_a,
+       |  CASE WHEN sv > 0 THEN round((d_a::DOUBLE - se::DOUBLE) *
+       |    (d_a::DOUBLE - se::DOUBLE) / sv::DOUBLE, 5) END AS chi2
+       |FROM agg""".stripMargin
+
+  /** Difference-in-differences — twin of Stats.diffInDiff: md5
+    * cohorts, pre/post split, exact decimal cell sums, identical
+    * mean/DiD composition.
+    */
+  def diffInDiff(splitTs: String, salt: String, split: Double): String =
+    s"""WITH cells AS (SELECT
+       |  CASE WHEN cast(cast('0x' || substr(md5('$salt|' || user_id), 1, 8)
+       |      AS BIGINT) AS DOUBLE) / 4294967296.0 < $split
+       |    THEN 'control' ELSE 'treat' END AS cohort,
+       |  CASE WHEN ts < TIMESTAMP '$splitTs' THEN 'pre' ELSE 'post'
+       |    END AS period,
+       |  value::DECIMAL(18,6) AS v FROM events),
+       |g AS (SELECT cohort, period, count(*)::BIGINT AS n_events,
+       |  sum(v) AS s FROM cells GROUP BY 1, 2),
+       |did AS (SELECT round(
+       |  max(CASE WHEN cohort = 'treat' AND period = 'post'
+       |    THEN s::DOUBLE / n_events::DOUBLE END) -
+       |  max(CASE WHEN cohort = 'treat' AND period = 'pre'
+       |    THEN s::DOUBLE / n_events::DOUBLE END) -
+       |  (max(CASE WHEN cohort = 'control' AND period = 'post'
+       |    THEN s::DOUBLE / n_events::DOUBLE END) -
+       |   max(CASE WHEN cohort = 'control' AND period = 'pre'
+       |    THEN s::DOUBLE / n_events::DOUBLE END)), 5) AS did FROM g)
+       |SELECT cohort, period, n_events,
+       |  round(s::DOUBLE / n_events::DOUBLE, 5) AS mean_value, did
+       |FROM g CROSS JOIN did ORDER BY cohort, period""".stripMargin
+
+  /** A/B power / MDE — twin of Stats.abPower: the abSrm bucket
+    * convention, exact decimal per-unit sums and second moments, the
+    * identical pooled-variance / MDE double dag with the shared
+    * normal-quantile literals.
+    */
+  def abPower(variants: Seq[(String, Double)], salt: String): String = {
+    val cum = variants.map(_._2).scanLeft(0.0)(_ + _).tail.init :+ 1.0
+    val cases = variants.map(_._1).zip(cum).init
+      .map { case (nm, hi) => s"WHEN f < $hi THEN '$nm'" }.mkString(" ")
+    val control = variants.head._1
+    val zSum = "2.801585219" // 1.959963985 + 0.841621234, shared literal
+    s"""WITH per AS (SELECT user_id,
+       |  sum(value::DECIMAL(18,6))::DECIMAL(18,6) AS y
+       |  FROM events GROUP BY 1),
+       |a AS (SELECT y, CASE $cases ELSE '${variants.last._1}' END AS variant
+       |  FROM (SELECT y,
+       |    cast(cast('0x' || substr(md5('$salt|' || user_id), 1, 8)
+       |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS f FROM per)),
+       |arms AS (SELECT variant, count(*)::BIGINT AS n, sum(y) AS s,
+       |  sum(y::DECIMAL(19,6) * y::DECIMAL(19,6)) AS ss FROM a GROUP BY 1),
+       |c AS (SELECT n AS n_control, s AS cs, ss AS css FROM arms
+       |  WHERE variant = '$control'),
+       |v AS (SELECT variant, n, s, ss, n_control, cs, css,
+       |  ((css::DOUBLE - cs::DOUBLE * cs::DOUBLE / n_control::DOUBLE) +
+       |   (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)) /
+       |    (n_control + n - 2)::DOUBLE AS sp2,
+       |  cs::DOUBLE / n_control::DOUBLE AS mc
+       |  FROM arms CROSS JOIN c WHERE variant <> '$control'),
+       |m AS (SELECT variant, n_control, n, mc, sp2,
+       |  $zSum * sqrt(sp2 * (1.0 / n_control::DOUBLE + 1.0 / n::DOUBLE))
+       |    AS mde FROM v)
+       |SELECT variant, n_control, n AS n_variant,
+       |  round(mc, 5) AS mean_control,
+       |  round(sqrt(sp2), 5) AS sd_pooled,
+       |  round(mde, 5) AS mde_abs,
+       |  round(mde / mc, 5) AS mde_rel
+       |FROM m ORDER BY variant""".stripMargin
+  }
+
   /** k-anonymity audit — twin of Stats.kAnonymity over customer
     * quasi-identifiers with the banded-balance sensitive column.
     */

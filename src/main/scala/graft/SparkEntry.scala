@@ -2530,6 +2530,23 @@ object SparkEntry {
         s.table("events").withColumn("day_num",
           datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")),
         "user_id", "day_num", skipFiles, skipProbes)
+    },
+    // Log-rank test: did the md5 cohort change WHEN users convert —
+    // the censoring-aware hypothesis test beside the KM curve.
+    "q_logrank" -> withTables { s =>
+      graft.ext.Stats.logRank(s.table("events"), kmStartType, kmEndType,
+        abSalt)
+    },
+    // Difference-in-differences over the 2×2 cohort × pre/post design.
+    "q_did" -> withTables { s =>
+      graft.ext.Stats.diffInDiff(s.table("events"), "user_id", "value",
+        "ts", cupedSplitTs, abSalt)
+    },
+    // Minimum detectable effect per experiment arm (α=0.05, 80%
+    // power) — the could-this-test-even-see-it check.
+    "q_ab_power" -> withTables { s =>
+      graft.ext.Stats.abPower(s.table("events"), "user_id", "value",
+        abVariants, abSalt)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2776,5 +2793,8 @@ object SparkEntry {
     "q_k_anonymity" -> OraclesExt.kAnonymity(kAnonK),
     "q_isotonic" -> OraclesExt.isotonicCalibration(dsirTargetLang, isotonicBins),
     "q_ols" -> OraclesExt.olsLineitem,
-    "q_skipping" -> OraclesExt.skippingReport(skipFiles, skipProbes))
+    "q_skipping" -> OraclesExt.skippingReport(skipFiles, skipProbes),
+    "q_logrank" -> OraclesExt.logRank(kmStartType, kmEndType, abSalt, 0.5),
+    "q_did" -> OraclesExt.diffInDiff(cupedSplitTs, abSalt, 0.5),
+    "q_ab_power" -> OraclesExt.abPower(abVariants, abSalt))
 }

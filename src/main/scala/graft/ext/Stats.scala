@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{abs => fabs, _}
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -342,6 +342,209 @@ object Stats {
       .select(col("t"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("survival"))
       .orderBy("t")
+  }
+
+  // ---------------------------------------------------------------
+  // Log-rank test (two-cohort survival comparison)
+  // ---------------------------------------------------------------
+
+  /** Log-rank test comparing time-to-conversion between two md5
+    * cohorts (frac < split → `cohortA`): ONE summary row (n_a, n_b,
+    * d_a, d_b, expected_a, chi2) — "did the treatment actually change
+    * WHEN users convert", the hypothesis test that belongs next to
+    * the [[kaplanMeier]] curve (comparing the curves by eye is not a
+    * test, and comparing mean durations ignores censoring).
+    *
+    * Statistic: at each distinct event time t, observed events in A
+    * vs the hypergeometric expectation e_t = d·n_A/n and variance
+    * v_t = d·(n_A/n)·(n_B/n)·(n−d)/(n−1); χ² = (Σ(d_A−e))²/Σv ~ χ²₁
+    * under H₀. Per-term e_t and v_t are quantized to 9 decimals and
+    * summed in exact DECIMAL — float sums over the duration grid
+    * would be addition-order-dependent, the same trap the ln-
+    * quantization rule exists for. Everything upstream (risk sets,
+    * event counts) is integer on the day-duration grid; one rounded
+    * division at the end.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — per-unit firsts,
+    * unit-keyed join, then a duration-grid-bounded frame; the cohort
+    * dimension multiplies the grid by 2, nothing more.
+    */
+  def logRank(ev: DataFrame, startType: String, endType: String,
+      salt: String, split: Double = 0.5, typeCol: String = "event_type",
+      unitCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(split > 0 && split < 1, s"split must be in (0,1): $split")
+    val starts = ev.filter(col(typeCol) === startType)
+      .groupBy(col(unitCol)).agg(min(col(tsCol)).as("__t0"))
+    val ends = ev.filter(col(typeCol) === endType)
+      .select(col(unitCol), col(tsCol).as("__te"))
+    val horizon = ev.agg(max(col(tsCol)).as("__tmax"))
+    val frac = conv(substring(md5(concat_ws("|", lit(salt),
+      col(unitCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    val dur = starts.join(ends, Seq(unitCol), "left")
+      .withColumn("__teq", when(col("__te") >= col("__t0"), col("__te")))
+      .groupBy(col(unitCol), col("__t0"))
+      .agg(min(col("__teq")).as("__tc"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(frac < split, lit("a")).otherwise(lit("b")).as("__g"),
+        when(col("__tc").isNotNull,
+          datediff(to_date(col("__tc")), to_date(col("__t0"))))
+          .otherwise(datediff(to_date(col("__tmax")), to_date(col("__t0"))))
+          .as("t"),
+        col("__tc").isNotNull.as("__ev"))
+    val grid = dur.groupBy("t").agg(
+      sum(when(col("__ev") && col("__g") === "a", 1L).otherwise(0L))
+        .as("da"),
+      sum(when(col("__ev") && col("__g") === "b", 1L).otherwise(0L))
+        .as("db"),
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).as("xa"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).as("xb"))
+    val tots = dur.groupBy().agg(
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__na0"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__nb0"))
+    // risk sets from the departures strictly before t (grid-bounded)
+    val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val rk = grid.crossJoin(broadcast(tots))
+      .withColumn("na", col("__na0") -
+        coalesce(sum(col("xa")).over(before), lit(0L)))
+      .withColumn("nb", col("__nb0") -
+        coalesce(sum(col("xb")).over(before), lit(0L)))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("d", col("da") + col("db"))
+      .filter(col("d") > 0 && col("na") > 0 && col("nb") > 0)
+      .withColumn("__e", round(col("d").cast("double") *
+        col("na").cast("double") / col("n").cast("double"), 9)
+        .cast(Dec189))
+      .withColumn("__v", when(col("n") > 1,
+        round(col("d").cast("double") * col("na").cast("double") *
+          col("nb").cast("double") * (col("n") - col("d")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - 1).cast("double")), 9).cast(Dec189))
+        .otherwise(lit(0d).cast(Dec189)))
+    rk.agg(sum(col("da")).as("d_a"), sum(col("db")).as("d_b"),
+      sum(col("__e")).as("__se"), sum(col("__v")).as("__sv"),
+      max(col("__na0")).as("n_a"), max(col("__nb0")).as("n_b"))
+      .select(col("n_a"), col("n_b"), col("d_a"), col("d_b"),
+        round(col("__se").cast("double"), 5).as("expected_a"),
+        when(col("__sv") > 0,
+          round((col("d_a").cast("double") - col("__se").cast("double")) *
+            (col("d_a").cast("double") - col("__se").cast("double")) /
+            col("__sv").cast("double"), 5)).as("chi2"))
+  }
+
+  // ---------------------------------------------------------------
+  // Difference-in-differences
+  // ---------------------------------------------------------------
+
+  /** Difference-in-differences readout over the 2×2 (cohort ×
+    * pre/post) design: one row per cell — (cohort, period, n_events,
+    * mean_value, did) with the DiD effect
+    * (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    * repeated on every row. The estimator that separates "the
+    * treatment moved the metric" from "the metric moved for
+    * everyone" when assignment is a cohort, not a coin flip per
+    * event. Cohorts are the md5 convention (frac < split → control).
+    *
+    * Exactness: per-cell sums in DECIMAL(18,6), counts integer, four
+    * double divisions and three subtractions composed identically in
+    * both engines, rounded once. One map-side-combined aggregation
+    * to a 4-row frame; the DiD scalar is a broadcast 1-row join.
+    */
+  def diffInDiff(ev: DataFrame, unitCol: String, valueCol: String,
+      tsCol: String, splitTs: String, salt: String,
+      split: Double = 0.5): DataFrame = {
+    val cut = lit(splitTs).cast("timestamp")
+    val frac = conv(substring(md5(concat_ws("|", lit(salt),
+      col(unitCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    val cells = ev.select(
+      when(frac < split, lit("control")).otherwise(lit("treat"))
+        .as("cohort"),
+      when(col(tsCol) < cut, lit("pre")).otherwise(lit("post"))
+        .as("period"),
+      col(valueCol).cast(Dec186).as("__v"))
+      .groupBy("cohort", "period")
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("__s"))
+      .withColumn("mean_value",
+        round(col("__s").cast("double") / col("n_events").cast("double"), 5))
+    def cell(c: String, p: String) = max(when(col("cohort") === c &&
+      col("period") === p, col("__s").cast("double") /
+        col("n_events").cast("double")))
+    val did = cells.agg(
+      round(cell("treat", "post") - cell("treat", "pre") -
+        (cell("control", "post") - cell("control", "pre")), 5).as("did"))
+    cells.crossJoin(broadcast(did))
+      .select(col("cohort"), col("period"), col("n_events"),
+        col("mean_value"), col("did"))
+      .orderBy("cohort", "period")
+  }
+
+  // ---------------------------------------------------------------
+  // A/B power / minimum detectable effect
+  // ---------------------------------------------------------------
+
+  /** Experiment power readout: for each non-control variant of the
+    * [[Sampling.abSrmReport]] bucketing, the minimum detectable
+    * effect on the per-unit post metric at α = 0.05 (two-sided) and
+    * 80% power — (variant, n_control, n_variant, mean_control,
+    * sd_pooled, mde_abs, mde_rel). The "could this test even have
+    * seen the effect you hoped for" check that should run BEFORE a
+    * null result is read as no effect.
+    *
+    * MDE = (z_{α/2} + z_β)·√(s²_pooled·(1/n_c + 1/n_v)) with the
+    * standard normal constants as shared literals. Variances come
+    * from exact decimal moments (the CUPED widening discipline); the
+    * final expression is a fixed IEEE dag (√ is correctly rounded in
+    * both engines), rounded once. One unit-keyed aggregation, then
+    * variant-domain-bounded roll-ups.
+    */
+  def abPower(ev: DataFrame, unitCol: String, valueCol: String,
+      variants: Seq[(String, Double)], salt: String): DataFrame = {
+    require(variants.size >= 2, "need a control and at least one variant")
+    // z_{0.025} + z_{0.80}, pre-summed as ONE shared literal so both
+    // engines parse the identical double (a Scala-side sum could
+    // differ from the oracle's parsed literal in the last ulp)
+    val zSum = 2.801585219
+    val per = ev.groupBy(col(unitCol))
+      .agg(sum(col(valueCol).cast(Dec186)).cast(Dec186).as("__y"))
+    val cumB = variants.map(_._2).scanLeft(0.0)(_ + _).tail.init :+ 1.0
+    val frac = conv(substring(md5(concat_ws("|", lit(salt),
+      col(unitCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    val arms = per.withColumn("variant",
+      variants.map(_._1).zip(cumB).reverse
+        .foldLeft(lit(variants.last._1)) { case (rest, (name, hi)) =>
+          when(frac < hi, lit(name)).otherwise(rest)
+        })
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__s"),
+        sum((col("__y") * col("__y")).cast(DecimalType(38, 12)))
+          .as("__ss"))
+    val control = variants.head._1
+    val c = arms.filter(col("variant") === control)
+      .select(col("n").as("n_control"), col("__s").as("__cs"),
+        col("__ss").as("__css"))
+    def ssq(nC: Column, sC: Column, ssC: Column): Column =
+      ssC.cast("double") - sC.cast("double") * sC.cast("double") /
+        nC.cast("double")
+    arms.filter(col("variant") =!= control)
+      .crossJoin(broadcast(c))
+      .withColumn("__sp2",
+        (ssq(col("n_control"), col("__cs"), col("__css")) +
+          ssq(col("n"), col("__s"), col("__ss"))) /
+          (col("n_control") + col("n") - 2).cast("double"))
+      .withColumn("__mc",
+        col("__cs").cast("double") / col("n_control").cast("double"))
+      .withColumn("__mde", lit(zSum) * sqrt(col("__sp2") *
+        (lit(1.0) / col("n_control").cast("double") +
+          lit(1.0) / col("n").cast("double"))))
+      .select(col("variant"), col("n_control"), col("n").as("n_variant"),
+        round(col("__mc"), 5).as("mean_control"),
+        round(sqrt(col("__sp2")), 5).as("sd_pooled"),
+        round(col("__mde"), 5).as("mde_abs"),
+        round(col("__mde") / col("__mc"), 5).as("mde_rel"))
+      .orderBy("variant")
   }
 
   // ---------------------------------------------------------------

@@ -253,6 +253,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       // grid — one row per day however large the event stream
       "q_cusum" -> "one row per calendar day",
       "q_kaplan_meier" -> "one row per duration day",
+      "q_logrank" -> "one row per duration day",
       // skippingReport: the constant-group sharded-cumsum offset
       // passes (32 rows per layout) — the two-phase prefix-sum design
       "q_skipping" -> "32-row shard-offset frames (constant group)",

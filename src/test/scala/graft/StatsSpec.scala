@@ -289,6 +289,88 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- log-rank / DiD / power ----
+
+  /** Driver-side replica of the md5 bucket fraction (Sampling
+    * convention): first 8 hex digits of md5(salt|unit) / 2³².
+    */
+  private def mdFrac(salt: String, unit: Long): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt|$unit".getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+  }
+
+  test("logRank: no cohort difference gives chi2 = 0; a real shift is loud") {
+    val users = (1L to 40L)
+    val (ca, cb) = users.partition(u => mdFrac("s", u) < 0.5)
+    assert(ca.nonEmpty && cb.nonEmpty)
+    // one shared conversion time: O = E exactly and the hypergeometric
+    // variance is zero (d = n), so chi2 is NULL — undefined, not a
+    // fabricated 0/0
+    val same = users.flatMap(u =>
+      Seq((u, "signup", ts(1)), (u, "purchase", ts(3))))
+      .toDF(evSchema: _*)
+    val r0 = graft.ext.Stats.logRank(same, "signup", "purchase", "s")
+      .collect().head
+    assert(r0.getLong(0) == ca.size && r0.getLong(1) == cb.size)
+    assert(r0.getDouble(4) == r0.getLong(2).toDouble,
+      "expected events must equal observed when behavior is identical")
+    assert(r0.isNullAt(5), "zero-variance design must yield NULL chi2")
+    // cohort a converts at day 1, cohort b at day 9 → large chi2
+    val shifted = users.flatMap { u =>
+      val d = if (mdFrac("s", u) < 0.5) 2 else 10
+      Seq((u, "signup", ts(1)), (u, "purchase", ts(d)))
+    }.toDF(evSchema: _*)
+    val r1 = graft.ext.Stats.logRank(shifted, "signup", "purchase", "s")
+      .collect().head
+    assert(r1.getDouble(5) > 10.0,
+      s"a 8-day shift must be significant, got chi2=${r1.getDouble(5)}")
+  }
+
+  test("diffInDiff recovers a constructed treatment effect exactly") {
+    val users = (1L to 60L)
+    val ev = users.flatMap { u =>
+      val treat = mdFrac("s", u) >= 0.5
+      val pre = 10.0
+      val post = if (treat) 17.0 else 12.0 // common trend +2, effect +5
+      Seq((u, ts(5), pre), (u, ts(20), post))
+    }.toDF("user_id", "ts", "value")
+    val rows = graft.ext.Stats.diffInDiff(ev, "user_id", "value", "ts",
+      "2024-01-16 00:00:00", "s").collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getDouble(4) == 5.0,
+      s"did must isolate the +5 effect, got ${r.getDouble(4)}"))
+    val means = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(3)).toMap
+    assert(means(("control", "pre")) == 10.0 &&
+      means(("control", "post")) == 12.0 &&
+      means(("treat", "post")) == 17.0)
+  }
+
+  test("abPower matches the closed-form MDE on constructed arms") {
+    val users = (1L to 200L)
+    val ev = users.map(u => (u, ts(10), (u % 10).toDouble))
+      .toDF("user_id", "ts", "value")
+    val variants = Seq(("control", 0.5), ("treat_a", 0.5))
+    val out = graft.ext.Stats.abPower(ev, "user_id", "value",
+      variants, "s").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // driver-side closed form over the same per-user values
+    val byArm = users.groupBy(u =>
+      if (mdFrac("s", u) < 0.5) "control" else "treat_a")
+      .view.mapValues(_.map(u => (u % 10).toDouble).toSeq).toMap
+    val (cs, ts_) = (byArm("control"), byArm("treat_a"))
+    assert(r.getLong(1) == cs.size && r.getLong(2) == ts_.size)
+    def ssq(v: Seq[Double]) = v.map(x => x * x).sum - math.pow(v.sum, 2) / v.size
+    val sp2 = (ssq(cs) + ssq(ts_)) / (cs.size + ts_.size - 2)
+    val mde = 2.801585219 * math.sqrt(sp2 * (1.0 / cs.size + 1.0 / ts_.size))
+    assert(math.abs(r.getDouble(5) - mde) < 1e-4,
+      s"mde ${r.getDouble(5)} vs closed form $mde")
+    assert(r.getDouble(6) > 0 && r.getDouble(4) > 0)
+  }
+
   // ---- k-anonymity ----
 
   test("kAnonymity flags small equivalence classes and counts diversity") {
