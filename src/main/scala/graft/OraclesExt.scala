@@ -4213,6 +4213,66 @@ object OraclesExt {
        |FROM m ORDER BY variant""".stripMargin
   }
 
+  /** Funnel hop-latency quantiles — twin of Events.funnelLatency:
+    * same first-i / first-(i+1)-at-or-after-it per-user µs durations,
+    * the shared exact interpolated-quantile expression tree.
+    */
+  def funnelLatency(stages: Seq[String],
+      ps: Seq[(String, Double)]): String = {
+    val picks = quantilePicksSql(ps)
+    val qs = quantileProjSql(ps)
+    val pairCtes = stages.zip(stages.tail).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"""d$i AS (SELECT '${i + 1}_${a}_to_$b' AS g,
+           |  (epoch_us(t1) - epoch_us(t0))::DOUBLE AS v FROM (
+           |  SELECT s.user_id, s.t0, min(e.ts) AS t1
+           |  FROM (SELECT user_id, min(ts) AS t0 FROM events
+           |        WHERE event_type = '$a' GROUP BY 1) s
+           |  JOIN events e ON e.user_id = s.user_id
+           |    AND e.event_type = '$b' AND e.ts >= s.t0
+           |  GROUP BY 1, 2))""".stripMargin
+    }
+    val union = stages.indices.init
+      .map(i => s"SELECT * FROM d$i").mkString(" UNION ALL ")
+    s"""WITH ${pairCtes.mkString(",\n")},
+       |durs AS ($union),
+       |vc AS (SELECT g, v, count(*)::BIGINT AS cnt FROM durs GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(cnt)::BIGINT AS n FROM vc GROUP BY g),
+       |cum AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |j AS (SELECT cum.g, v, cnt, cum, n FROM cum JOIN tot USING (g)),
+       |a AS (SELECT g, n, $picks FROM j GROUP BY g, n)
+       |SELECT g AS stage_pair, n, $qs FROM a ORDER BY stage_pair""".stripMargin
+  }
+
+  /** Theil–Sen daily trend — twin of Events.theilSen: identical
+    * pairwise slopes over the (type, day) grid, lower-median
+    * positional picks, residual median intercept from the UNROUNDED
+    * slope.
+    */
+  val theilSen: String =
+    """WITH daily AS (SELECT event_type,
+      |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS d,
+      |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+      |p AS (SELECT l.event_type, (r.c - l.c)::DOUBLE / (r.d - l.d)::DOUBLE
+      |    AS s
+      |  FROM daily l JOIN daily r ON l.event_type = r.event_type
+      |    AND r.d > l.d),
+      |sp AS (SELECT event_type, s AS slope FROM (
+      |  SELECT event_type, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM p)
+      |  WHERE rn = (n - 1) // 2 + 1),
+      |res AS (SELECT d.event_type, slope,
+      |  d.c::DOUBLE - slope * d.d::DOUBLE AS r
+      |  FROM daily d JOIN sp USING (event_type)),
+      |fin AS (SELECT event_type, slope, r,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS nd FROM res)
+      |SELECT event_type, nd AS n_days, round(slope, 5) AS slope,
+      |  round(r, 5) AS intercept
+      |FROM fin WHERE rn = (nd - 1) // 2 + 1 ORDER BY event_type""".stripMargin
+
   /** k-anonymity audit — twin of Stats.kAnonymity over customer
     * quasi-identifiers with the banded-balance sensitive column.
     */

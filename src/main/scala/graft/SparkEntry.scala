@@ -2547,6 +2547,18 @@ object SparkEntry {
     "q_ab_power" -> withTables { s =>
       graft.ext.Stats.abPower(s.table("events"), "user_id", "value",
         abVariants, abSalt)
+    },
+    // Funnel hop latency: exact per-stage-pair quantiles of first-i
+    // to first-(i+1)-after-it µs — how LONG each hop takes, beside
+    // the funnel's who-converts counts.
+    "q_funnel_latency" -> withTables { s =>
+      Events.funnelLatency(s.table("events"), funnelStageNames,
+        quantilePs)
+    },
+    // Theil–Sen robust daily trend per type — the slope one outlier
+    // day cannot drag (pairwise-median over the bounded day grid).
+    "q_theil_sen" -> withTables { s =>
+      Events.theilSen(s.table("events"))
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2796,5 +2808,7 @@ object SparkEntry {
     "q_skipping" -> OraclesExt.skippingReport(skipFiles, skipProbes),
     "q_logrank" -> OraclesExt.logRank(kmStartType, kmEndType, abSalt, 0.5),
     "q_did" -> OraclesExt.diffInDiff(cupedSplitTs, abSalt, 0.5),
-    "q_ab_power" -> OraclesExt.abPower(abVariants, abSalt))
+    "q_ab_power" -> OraclesExt.abPower(abVariants, abSalt),
+    "q_funnel_latency" -> OraclesExt.funnelLatency(funnelStageNames, quantilePs),
+    "q_theil_sen" -> OraclesExt.theilSen)
 }

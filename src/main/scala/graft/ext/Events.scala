@@ -999,4 +999,88 @@ object Events {
         TextStats.decAvg5(col("session_secs"), count(lit(1)))
           .as("avg_session_secs"))
       .orderBy("user_id")
+
+  /** Funnel transition-latency quantiles: for each ADJACENT stage
+    * pair, the distribution of per-user µs from the user's first
+    * stage-i event to their first stage-(i+1) event at or after it —
+    * (stage_pair, n, p25, p50, p90, p99). The funnel report counts
+    * who converts; this measures how LONG each hop takes, which is
+    * where the drop-off usually hides.
+    *
+    * Shape: one first-event aggregation per upstream stage, a
+    * unit-keyed join to the downstream stage's events (shuffle sized
+    * by the stage cardinalities, never a cross product), then the
+    * whole duration relation feeds the exact per-group quantile
+    * machinery ([[Quantiles.groupQuantiles]] — sharded cumsum, no
+    * per-group buffering). Durations are whole µs (exact in a
+    * double far past any real latency).
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(stages.size >= 2, "need at least two funnel stages")
+    val durs = stages.zip(stages.tail).zipWithIndex.map {
+      case ((a, b), i) =>
+        val ta = events.filter(col("event_type") === a)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__t0"))
+        val tb = events.filter(col("event_type") === b)
+          .select(col("user_id"), col("ts").as("__te"))
+        ta.join(tb, Seq("user_id"))
+          .filter(col("__te") >= col("__t0"))
+          .groupBy(col("user_id"), col("__t0"))
+          .agg(min(col("__te")).as("__t1"))
+          .select(lit(s"${i + 1}_${a}_to_$b").as("stage_pair"),
+            (epochUs(col("__t1")) - epochUs(col("__t0"))).as("dur_us"))
+    }.reduce(_.unionByName(_))
+    Quantiles.groupQuantiles(durs, "stage_pair", "dur_us", ps)
+      .orderBy("stage_pair")
+  }
+
+  /** Theil–Sen robust daily trend per event type: (event_type,
+    * n_days, slope, intercept) where slope is the LOWER MEDIAN of all
+    * pairwise day-count slopes and intercept the lower median of
+    * c − slope·d — the regression line one outlier day cannot drag,
+    * where the least-squares trend (q_events_trend) follows it.
+    *
+    * Bounded by construction: the corpus collapses to one row per
+    * (type, day) map-side, so the pairwise self-join is ≤ days²/2
+    * rows per type (a year is ~66k pairs) — joined on the TYPE key,
+    * planned as an equi-join plus filter, never a nested loop over
+    * events. Medians are positional picks (row_number at
+    * (n−1) div 2) over type-partitioned windows on those bounded
+    * frames — deterministic under slope ties because only the VALUE
+    * at the position is emitted, and equal slopes are equal values.
+    * The intercept uses the UNROUNDED slope; one round(5) per output.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("__d"))
+      .groupBy("event_type", "__d").agg(count(lit(1)).as("__c"))
+    val l = daily.select(col("event_type"), col("__d").as("__d1"),
+      col("__c").as("__c1"))
+    val r = daily.select(col("event_type"), col("__d").as("__d2"),
+      col("__c").as("__c2"))
+    val slopes = l.join(r, Seq("event_type"))
+      .filter(col("__d2") > col("__d1"))
+      .withColumn("__s", (col("__c2") - col("__c1")).cast("double") /
+        (col("__d2") - col("__d1")).cast("double"))
+    val bySlope = Window.partitionBy("event_type").orderBy("__s")
+    val slopePick = slopes
+      .withColumn("__rn", row_number().over(bySlope))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("__rn") === expr("(__n - 1) div 2 + 1"))
+      .select(col("event_type"), col("__s").as("__slope"))
+    val resid = daily.join(slopePick, Seq("event_type"))
+      .withColumn("__r", col("__c").cast("double") -
+        col("__slope") * col("__d").cast("double"))
+    val byResid = Window.partitionBy("event_type").orderBy("__r")
+    resid
+      .withColumn("__rn", row_number().over(byResid))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("__rn") === expr("(__nd - 1) div 2 + 1"))
+      .select(col("event_type"), col("__nd").as("n_days"),
+        round(col("__slope"), 5).as("slope"),
+        round(col("__r"), 5).as("intercept"))
+      .orderBy("event_type")
+  }
 }
