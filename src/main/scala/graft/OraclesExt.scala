@@ -4213,6 +4213,35 @@ object OraclesExt {
        |FROM m ORDER BY variant""".stripMargin
   }
 
+  /** Label-propagation communities — twin of Graph.labelPropagation
+    * over the co-purchase graph: identical symmetric edge relation,
+    * self-vote, (count DESC, label ASC) tie rule, and the SAME fixed
+    * round count unrolled as CTEs (the markovIters convention — the
+    * quantized trajectory is the contract, not the fixpoint).
+    */
+  def labelPropagation(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"l${r - 1}"
+      s"""v$r AS (SELECT node, label, count(*)::BIGINT AS c FROM (
+         |  SELECT s.n AS node, l.label FROM sym s JOIN $prev l ON s.m = l.node
+         |  UNION ALL SELECT node, label FROM $prev) GROUP BY 1, 2),
+         |l$r AS (SELECT node, label FROM (SELECT node, label,
+         |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |  FROM v$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |e AS (SELECT DISTINCT x.i AS a, y.i AS b FROM items x
+       |  JOIN items y ON x.g = y.g AND x.i < y.i),
+       |sym AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT n AS node, n AS label FROM sym),
+       |$rounds,
+       |sz AS (SELECT label, count(*)::BIGINT AS community_size
+       |  FROM l$iters GROUP BY 1)
+       |SELECT node, label AS community, community_size
+       |FROM l$iters JOIN sz USING (label) ORDER BY node""".stripMargin
+  }
+
   /** Funnel hop-latency quantiles — twin of Events.funnelLatency:
     * same first-i / first-(i+1)-at-or-after-it per-user µs durations,
     * the shared exact interpolated-quantile expression tree.

@@ -662,6 +662,9 @@ object SparkEntry {
   private[graft] val fuzzyRatioDen = 5
   private[graft] val funnelStageNames = Seq("signup", "click", "purchase")
   private[graft] val pageRankIters = 5
+  // label-propagation rounds (shared with OraclesExt.labelPropagation
+  // — the quantized trajectory is the cross-engine contract)
+  private[graft] val lpaIters = 4
   private[graft] val bootstrapReplicates = 32
   // refine stage recalls 30 ADC candidates before the exact rerank
   private[graft] val pqRefineCandidateK = 30
@@ -2559,6 +2562,14 @@ object SparkEntry {
     // day cannot drag (pairwise-median over the bounded day grid).
     "q_theil_sen" -> withTables { s =>
       Events.theilSen(s.table("events"))
+    },
+    // Label-propagation communities over the co-purchase graph —
+    // fixed synchronous rounds (the quantized-trajectory contract),
+    // one label row of state per node per round.
+    "q_communities" -> withTables { s =>
+      graft.ext.Graph.labelPropagation(
+        graft.ext.Graph.coOccurrenceEdges(
+          s.table("lineitem"), "l_orderkey", "l_partkey"), lpaIters)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2810,5 +2821,6 @@ object SparkEntry {
     "q_did" -> OraclesExt.diffInDiff(cupedSplitTs, abSalt, 0.5),
     "q_ab_power" -> OraclesExt.abPower(abVariants, abSalt),
     "q_funnel_latency" -> OraclesExt.funnelLatency(funnelStageNames, quantilePs),
-    "q_theil_sen" -> OraclesExt.theilSen)
+    "q_theil_sen" -> OraclesExt.theilSen,
+    "q_communities" -> OraclesExt.labelPropagation(lpaIters))
 }

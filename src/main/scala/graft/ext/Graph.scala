@@ -78,6 +78,55 @@ object Graph {
       round(col("ru") / lit(1000000000.0), 9).as("rank"))
   }
 
+  /** Label-propagation communities over a unique (a < b) undirected
+    * edge list, SYNCHRONOUS with a fixed round count: every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors PLUS its own current
+    * label (the self-vote keeps isolated-ish nodes stable), ties
+    * broken by the smallest label. Returns (node, community,
+    * community_size), node order.
+    *
+    * The fixed round count IS the cross-engine contract (the
+    * markovIters convention): raw LPA can oscillate on bipartite-ish
+    * structures under synchronous updates, so "the labeling after R
+    * quantized rounds" is the well-defined deterministic object, not
+    * the fixpoint. Each round is one label join + one
+    * map-side-combined (node, label) vote count + one node-partitioned
+    * top-1 window (WindowGroupLimit shape) — state is exactly one
+    * label row per node, and rounds are checkpointed
+    * ([[Dedup.materialize]], the pageRank posture) so the plan does
+    * not grow with R. NOTE: construction is therefore not
+    * execution-free, exactly like [[pageRank]].
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 4,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym = Dedup.materialize(
+      pairs.select(col(srcCol).as("n"), col(dstCol).as("m"))
+        .union(pairs.select(col(dstCol).as("n"), col(srcCol).as("m"))))
+    var labels = Dedup.materialize(
+      sym.select(col("n").as("node")).distinct()
+        .withColumn("label", col("node")))
+    for (_ <- 0 until iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("__m"), col("label")),
+          col("m") === col("__m"))
+        .select(col("n").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node", "label").agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("__c").desc, col("label").asc)
+      labels = Dedup.materialize(votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("node", "label"))
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("node")
+  }
+
   /** Co-occurrence edge list: unique (a < b) item pairs that share at
     * least one group — the projection of the bipartite (group, item)
     * relation onto items (co-purchased parts, co-cited docs,

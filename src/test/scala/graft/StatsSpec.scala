@@ -416,6 +416,47 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- label propagation ----
+
+  /** Driver replica of the synchronous LPA round (self-vote, count
+    * DESC / label ASC tie rule).
+    */
+  private def lpaBrute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until iters) {
+      lab = nodes.map { n =>
+        val votes = (sym.filter(_._1 == n).map(m => lab(m._2)) :+ lab(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation: triangle and pendant edge settle to two communities") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.ext.Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L)))
+  }
+
+  test("labelPropagation matches the driver replica and ignores partitioning") {
+    val raw = (1 to 60).flatMap(i =>
+      Seq((i.toLong, ((i * 7) % 60 + 1).toLong),
+        (i.toLong, ((i * 13) % 60 + 1).toLong)))
+      .filter { case (a, b) => a < b }.distinct
+    val want = lpaBrute(raw, 4)
+    for (parts <- Seq(1, 9)) {
+      val got = graft.ext.Graph.labelPropagation(
+        raw.toDF("id_a", "id_b").repartition(parts), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"parts=$parts diverged from the driver replica")
+    }
+  }
+
   // ---- k-anonymity ----
 
   test("kAnonymity flags small equivalence classes and counts diversity") {
