@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Graph centrality over candidate-pair graphs — the ranking
   * companion of [[Dedup.connectedComponents]]' clustering.
