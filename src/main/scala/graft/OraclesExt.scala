@@ -3641,11 +3641,12 @@ object OraclesExt {
        |  FROM e WHERE event_type = '$touchType'),
        |c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_us, value
        |  FROM e WHERE event_type = '$conversionType'),
-       |u AS (SELECT user_id, touch_us AS ts, 0 AS side, touch_id, touch_us,
-       |    NULL::BIGINT AS cid FROM t
-       |  UNION ALL SELECT user_id, conv_us, 1, NULL, NULL, conv_id FROM c),
+       |u AS (SELECT user_id, touch_us AS ts, 0 AS side, touch_id AS tie,
+       |    touch_id, touch_us, NULL::BIGINT AS cid FROM t
+       |  UNION ALL SELECT user_id, conv_us, 1, conv_id, NULL, NULL, conv_id
+       |    FROM c),
        |m AS (SELECT *, first_value(cid IGNORE NULLS) OVER
-       |  (PARTITION BY user_id ORDER BY ts, side
+       |  (PARTITION BY user_id ORDER BY ts, side, tie
        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS j FROM u),
        |jny AS (SELECT user_id, touch_id, touch_us, j AS conv_id
        |  FROM m WHERE side = 0 AND j IS NOT NULL),

@@ -185,11 +185,17 @@ object TrinoDialect {
       } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') { m(i) = true; i += 1 }
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // the closing '*' must sit INSIDE the comment body (index >=
+        // open+2) — otherwise '/*/' would match the opener's own '*'
+        // as the close and mis-mask everything after an unterminated
+        // comment
+        val bodyStart = i + 2
         m(i) = true; m(i + 1) = true; i += 2
         var closed = false
         while (i < sql.length && !closed) {
           m(i) = true
-          if (sql.charAt(i) == '/' && sql.charAt(i - 1) == '*') closed = true
+          if (sql.charAt(i) == '/' && i - 1 >= bodyStart &&
+            sql.charAt(i - 1) == '*') closed = true
           i += 1
         }
       } else i += 1

@@ -364,18 +364,23 @@ object Events {
       org.apache.spark.sql.types.StructField("conv_id",
         org.apache.spark.sql.types.LongType)))
     val l = touch.select(col(userCol).as("__key"), col("touch_us").as("__ts"),
-      lit(0).as("__side"), struct(col("touch_id"), col("touch_us")).as("__t"),
+      lit(0).as("__side"), col("touch_id").as("__tie"),
+      struct(col("touch_id"), col("touch_us")).as("__t"),
       lit(null).cast(convStruct).as("__c"))
     val r = conv.select(col(userCol).as("__key"), col("conv_us").as("__ts"),
-      lit(1).as("__side"), lit(null).cast(org.apache.spark.sql.types
+      lit(1).as("__side"), col("conv_id").as("__tie"),
+      lit(null).cast(org.apache.spark.sql.types
         .StructType(Seq(
           org.apache.spark.sql.types.StructField("touch_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("touch_us",
             org.apache.spark.sql.types.LongType)))).as("__t"),
       struct(col("conv_id")).as("__c"))
-    // same-instant touch belongs to the conversion: side 0 sorts first
-    val wf = Window.partitionBy("__key").orderBy("__ts", "__side")
+    // same-instant touch belongs to the conversion: side 0 sorts
+    // first. __tie (the event_id) makes the order total — two
+    // conversions by one user at the same microsecond would otherwise
+    // assign journeys partition/engine-dependently.
+    val wf = Window.partitionBy("__key").orderBy("__ts", "__side", "__tie")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val journeys = l.unionByName(r)
       .withColumn("__j", first(col("__c"), ignoreNulls = true).over(wf))

@@ -312,8 +312,16 @@ object EventStream {
             val last = math.max(prev.lastSeenUs, batch.map(_._3).max)
             state.update(HeartbeatState(last, prev.nSeen + batch.size))
             // silence deadline in EVENT time: fires when the watermark
-            // passes last-seen + silence
-            state.setTimeoutTimestamp(last / 1000L + silenceMs)
+            // passes last-seen + silence; clamped above the current
+            // watermark — a key whose last-seen lags the watermark by
+            // more than the silence window (backfill, late data) would
+            // otherwise set an at-or-below-watermark deadline, which
+            // Spark rejects with IllegalArgumentException and kills
+            // the streaming query. The clamped deadline fires on the
+            // next watermark advance — the earliest legal moment.
+            val deadlineMs = last / 1000L + silenceMs
+            state.setTimeoutTimestamp(
+              math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
       }

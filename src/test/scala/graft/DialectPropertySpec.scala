@@ -114,4 +114,70 @@ class DialectPropertySpec extends AnyFunSuite {
   test("translate never throws on generated inputs") {
     for (i <- 0 until 500) TrinoDialect.translate(sample(i))
   }
+
+  test("'/*/' does not close its own block comment") {
+    // the closing '*/' must not overlap the opener: in '/*/' the
+    // opener's '*' is NOT a valid close, so everything after it is
+    // still comment text and no rewrite may fire inside
+    val sql = "SELECT a /*/ map_agg(k, v) x */, map_agg(k2, v2) FROM t"
+    val out = TrinoDialect.rewriteMapAgg(sql)
+    assert(out.contains("/*/ map_agg(k, v) x */"),
+      s"in-comment call must stay untouched: <$out>")
+    assert(!out.contains("map_agg(k2"),
+      s"outside-comment call must be rewritten: <$out>")
+  }
+
+  test("unterminated block comment masks the whole tail") {
+    val sql = "SELECT a /*/ map_agg(k, v) trailing"
+    assert(TrinoDialect.rewriteMapAgg(sql) == sql,
+      "nothing after an unterminated '/*' may be rewritten")
+    val sql2 = "SELECT a /* map_agg(k, v)"
+    assert(TrinoDialect.rewriteMapAgg(sql2) == sql2)
+  }
+
+  test("combined constructs in one query: comment + literal + lambda + UNNEST + ROW") {
+    // user-facing passthrough door: one realistic query mixing every
+    // scanner state at once must translate with literals intact and
+    // each construct rewritten exactly where it is live
+    val sql =
+      """SELECT /* ARRAY[9] 'not''data' map_agg(a,b) */ d."key",
+        |  any_match(xs, x -> x > 1) AS hit, -- TRY(zap) UNNEST(q)
+        |  TRY(CAST(ROW(d.v, 'it''s /* not a comment */') AS ROW(a BIGINT, b VARCHAR))),
+        |  approx_percentile(d.v, 0.5)
+        |FROM t CROSS JOIN UNNEST(t.arr) WITH ORDINALITY AS d ("key", v, i)
+        |WHERE d."key" <> 'UNNEST(arr) -- not a comment'""".stripMargin
+    val out = TrinoDialect.translate(sql)
+    assert(literals(out) == literals(sql),
+      s"literal contents changed:\n  in =${literals(sql)}\n  out=${literals(out)}")
+    assert(out.contains("/* ARRAY[9] 'not''data' map_agg(a,b) */"),
+      s"block comment must survive untouched: <$out>")
+    assert(out.contains("-- TRY(zap) UNNEST(q)"),
+      s"line comment must survive untouched: <$out>")
+    assert(!out.contains("CROSS JOIN UNNEST"),
+      s"live UNNEST must be rewritten: <$out>")
+    assert(TrinoDialect.translate(out) == out, "translate idempotent on the mix")
+  }
+
+  test("combined constructs: map subscript + nested ARRAY + quoted idents + comments interleaved") {
+    val sql =
+      """SELECT kv['with -- dashes'], ARRAY[ARRAY['/*'], ARRAY['*/']],
+        |  "select" /* 'lit' */ , map_agg("from", kv['k'])
+        |FROM t WHERE "select" IN ('a', 'b''c')""".stripMargin
+    val out = TrinoDialect.translate(sql)
+    assert(literals(out) == literals(sql))
+    assert(out.contains("/* 'lit' */"))
+    assert(TrinoDialect.translate(out) == out)
+  }
+
+  test("combined constructs: lambda inside TRY inside filter with literal decoys") {
+    val sql = "SELECT TRY(any_match(xs, x -> x like '%TRY(%')) FROM t " +
+      "WHERE note = 'any_match(a, x -> true)' /* any_match(b, y -> y) */"
+    val out = TrinoDialect.translate(sql)
+    assert(literals(out) == literals(sql))
+    assert(out.contains("'any_match(a, x -> true)'"),
+      s"literal decoy must survive: <$out>")
+    assert(out.contains("/* any_match(b, y -> y) */"),
+      s"comment decoy must survive: <$out>")
+    assert(TrinoDialect.translate(out) == out)
+  }
 }

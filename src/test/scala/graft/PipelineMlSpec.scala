@@ -1101,6 +1101,24 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 4L).map(_._5).sum == 10.0)
   }
 
+  test("uShapedAttribution: same-microsecond conversions tie-break on event_id") {
+    import graft.ext.Events
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // two purchases by one user at the SAME instant: the journey
+    // assignment must be a total order — the lower conv event_id wins
+    // the preceding touches (window tie-break), deterministically
+    // across partitions/engines
+    val events = Seq(
+      (1L, t(1), 1L, "click", 0.0),
+      (3L, t(2), 1L, "purchase", 10.0), (2L, t(2), 1L, "purchase", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.uShapedAttribution(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4),
+        r.getDouble(5))).toSeq
+    assert(out == Seq((2L, 1L, 1L, 1, 6.0)),
+      "the lower-event_id conversion owns the journey; the other gets none")
+  }
+
   test("activeUsers: trailing window carries users forward; only active days reported") {
     import graft.ext.Events
     val events = Seq(

@@ -540,6 +540,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heartbeatStream: backfill key whose deadline is already past the watermark does not kill the query") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val streamed = EventStream.heartbeatStream(
+      input.toDF.toDF("ts", "event_type"), silenceSeconds = 3600L)
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_heartbeat_backfill")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-heartbeat-bf").toString)
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: the live key drives the watermark to 19:50
+      input.addData((ts("2026-01-01 20:00:00"), "live"))
+      q.processAllAvailable()
+      // batch 2: a backfilled key whose event time (12:00) lags the
+      // watermark (19:50) by far more than the 1h silence window —
+      // an unclamped deadline (13:00) is at/below the watermark and
+      // setTimeoutTimestamp would throw, killing the query. The clamp
+      // sets it just past the watermark instead.
+      input.addData((ts("2026-01-01 12:00:00"), "back"))
+      q.processAllAvailable()
+      // batch 3+: the watermark advances — the query must still be
+      // alive, and if the backfill row reached the state function its
+      // clamped deadline fires now
+      input.addData((ts("2026-01-01 21:30:00"), "live"))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 21:31:00"), "live"))
+      q.processAllAvailable()
+      assert(q.isActive, "clamped deadline must not kill the query")
+      assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("streaming doc dedup keys on content digest and keeps the first copy") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
