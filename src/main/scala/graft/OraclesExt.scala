@@ -3292,15 +3292,18 @@ object OraclesExt {
        |tot AS (SELECT sum(np)::BIGINT AS np_all FROM g),
        |c AS (SELECT threshold,
        |  sum(n) OVER (ORDER BY threshold DESC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred_pos,
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    AS n_pred_pos,
        |  sum(np) OVER (ORDER BY threshold DESC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_true_pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    AS n_true_pos
        |  FROM g)
        |SELECT threshold, n_pred_pos, n_true_pos,
        |  round($prec, 5) AS "precision",
        |  round($rec, 5) AS recall,
-       |  CASE WHEN ($prec) + ($rec) > 0
-       |    THEN round(2.0 * ($prec) * ($rec) / (($prec) + ($rec)), 5)
+       |  CASE WHEN n_true_pos > 0
+       |    THEN round(2.0 * n_true_pos::DOUBLE
+       |      / (n_pred_pos + np_all)::DOUBLE, 5)
        |    ELSE 0.0 END AS f1
        |FROM c CROSS JOIN tot ORDER BY threshold DESC""".stripMargin
   }

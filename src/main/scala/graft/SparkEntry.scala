@@ -340,14 +340,14 @@ object SparkEntry {
   private val stringFuncsSql: String =
     """SELECT n_nationkey,
       |  upper(n_name) AS up, lower(n_name) AS lo,
-      |  length(n_name) AS len,
+      |  cast(length(n_name) AS BIGINT) AS len,
       |  substring(n_name, 2, 3) AS sub,
       |  trim('  ' || n_name || ' ') AS trimmed,
       |  replace(n_name, '_', '-') AS replaced,
       |  lpad(n_name, 12, '.') AS padded,
       |  reverse(n_name) AS rev,
       |  regexp_replace(n_name, '[0-9]+', '#') AS digits_masked,
-      |  levenshtein(n_name, reverse(n_name)) AS lev_to_rev,
+      |  cast(levenshtein(n_name, reverse(n_name)) AS BIGINT) AS lev_to_rev,
       |  concat(n_name, ':', cast(n_regionkey AS string)) AS tagged
       |FROM nation ORDER BY n_nationkey""".stripMargin
 

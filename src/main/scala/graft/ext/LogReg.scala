@@ -195,12 +195,16 @@ object LogReg {
         org.apache.spark.sql.expressions.Window.currentRow)
     val prec = col("n_true_pos").cast("double") / col("n_pred_pos").cast("double")
     val rec = col("n_true_pos").cast("double") / col("__np_all").cast("double")
+    // f1 = 2pr/(p+r) collapses algebraically to 2·tp/(pp+np_all): one
+    // division instead of a multi-term rational blend (float-tie safe).
+    val f1 = lit(2.0) * col("n_true_pos").cast("double") /
+      (col("n_pred_pos") + col("__np_all")).cast("double")
     grid.crossJoin(broadcast(tot))
       .withColumn("n_pred_pos", sum(col("__n")).over(w))
       .withColumn("n_true_pos", sum(col("__np")).over(w))
       .select(col("threshold"), col("n_pred_pos"), col("n_true_pos"),
         round(prec, 5).as("precision"), round(rec, 5).as("recall"),
-        when(prec + rec > 0, round(lit(2.0) * prec * rec / (prec + rec), 5))
+        when(col("n_true_pos") > 0, round(f1, 5))
           .otherwise(lit(0.0)).as("f1"))
       .orderBy(col("threshold").desc)
   }

@@ -133,6 +133,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgrams(children(0), n)
       }))
+    // log_bucket_median(x, alpha) — deterministic mergeable quantile
+    // sketch (DDSketch bucket layout); alpha parameterizes the bucket
+    // base, so it must be a foldable literal.
+    ext.injectFunction((
+      new FunctionIdentifier("log_bucket_median"),
+      new ExpressionInfo(classOf[LogBucketMedianAgg].getName, "log_bucket_median"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "log_bucket_median(x, alpha) requires a literal alpha")
+        val alpha = children(1).eval() match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case i: Int => i.toDouble
+          case other => throw new IllegalArgumentException(
+            s"log_bucket_median alpha must be a numeric literal, got $other")
+        }
+        // numeric inputs are welcome: cast to double here (the
+        // aggregate itself is monomorphic on DOUBLE)
+        LogBucketMedianAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          children(0), org.apache.spark.sql.types.DoubleType), alpha)
+      }))
     // cosine_similarity(a, b) — composed from the native dot product;
     // the whole tree stays inside codegen.
     ext.injectFunction((

@@ -339,13 +339,22 @@ object TableProfiler {
   /** 100 TB-path profile: sketch-based count_distinct and median
     * (constant memory per column, associative merge), everything else
     * identical. Not oracle-checked (approximate by construction).
+    *
+    * The median sketch is [[graft.functions.LogBucketMedianAgg]]
+    * (log-bucket histogram, merge = count addition) rather than
+    * `percentile_approx`, whose GK-summary compression depends on
+    * partition merge ORDER — with it, `6. median` was the one output
+    * in the whole engine that changed under a different
+    * `local[k]`; the log-bucket sketch is deterministic under any
+    * partitioning AND keeps the relative-error guarantee (α = 0.005).
     */
   def approxProfile(df: DataFrame): DataFrame = {
     val cols = numericColumns(df.schema)
     require(cols.nonEmpty, "no numeric columns to profile")
     val one = aggRow(df, cols,
       c => approx_count_distinct(col(c)).cast(DoubleType),
-      c => round(percentile_approx(col(c), lit(0.5), lit(10000)).cast(DoubleType), 5))
+      c => round(graft.functions.QuantileSketch.logBucketMedian(col(c))
+        .cast(DoubleType), 5))
     // Wide 8×N output straight from the one-row aggregate: explode an
     // 8-entry struct array (one struct per statistic row) instead of
     // stack(64) → groupBy → pivot → first. The pivot round-trip

@@ -313,12 +313,18 @@ object EventStream {
             state.update(HeartbeatState(last, prev.nSeen + batch.size))
             // silence deadline in EVENT time: fires when the watermark
             // passes last-seen + silence; clamped above the current
-            // watermark — a key whose last-seen lags the watermark by
-            // more than the silence window (backfill, late data) would
-            // otherwise set an at-or-below-watermark deadline, which
-            // Spark rejects with IllegalArgumentException and kills
-            // the streaming query. The clamped deadline fires on the
-            // next watermark advance — the earliest legal moment.
+            // watermark. The reachable hazard: late-event FILTERING
+            // uses the previous batch's watermark, but
+            // setTimeoutTimestamp validates against the batch's
+            // EVICTION watermark — so a backfill row that clears the
+            // filter while the same batch advances the watermark past
+            // its natural deadline (lastSeen + silence) would set an
+            // at-or-below-watermark deadline, which Spark rejects with
+            // IllegalArgumentException and kills the streaming query.
+            // The clamped deadline fires on the next watermark
+            // advance — the earliest legal moment. (Rows below the
+            // filtering watermark never reach this function at all —
+            // standard late-data drop.)
             val deadlineMs = last / 1000L + silenceMs
             state.setTimeoutTimestamp(
               math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))

@@ -169,8 +169,16 @@ class DialectPropertySpec extends AnyFunSuite {
     assert(TrinoDialect.translate(out) == out)
   }
 
-  test("combined constructs: lambda inside TRY inside filter with literal decoys") {
-    val sql = "SELECT TRY(any_match(xs, x -> x like '%TRY(%')) FROM t " +
+  test("combined constructs: general TRY rejected; lambda + decoys translate") {
+    // Documented contract (TrinoParitySpec "other TRY rejected",
+    // TrinoDialect.rewriteTry): TRY(...) is only supported around a
+    // single CAST/TRY_CAST — a lambda body must raise, not mistranslate.
+    val bad = "SELECT TRY(any_match(xs, x -> x like '%z%')) FROM t"
+    val err = intercept[IllegalArgumentException](TrinoDialect.translate(bad))
+    assert(err.getMessage.contains("TRY"))
+    // TRY( appearing only inside literals/comments must NOT trip the
+    // rejection, and the decoys must survive translation verbatim.
+    val sql = "SELECT any_match(xs, x -> x like '%TRY(%') FROM t " +
       "WHERE note = 'any_match(a, x -> true)' /* any_match(b, y -> y) */"
     val out = TrinoDialect.translate(sql)
     assert(literals(out) == literals(sql))

@@ -556,25 +556,49 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append")
       .start()
     try {
-      // batch 1: the live key drives the watermark to 19:50
-      input.addData((ts("2026-01-01 20:00:00"), "live"))
+      // batch 1: a quiet start — watermark lands at 10:55
+      input.addData((ts("2026-01-01 11:05:00"), "live"))
       q.processAllAvailable()
-      // batch 2: a backfilled key whose event time (12:00) lags the
-      // watermark (19:50) by far more than the 1h silence window —
-      // an unclamped deadline (13:00) is at/below the watermark and
-      // setTimeoutTimestamp would throw, killing the query. The clamp
-      // sets it just past the watermark instead.
-      input.addData((ts("2026-01-01 12:00:00"), "back"))
+      // batch 2: a backfilled key (12:00) arrives TOGETHER with a live
+      // event (20:00). 12:00 is above the late-event watermark
+      // (10:55), so the row reaches the state function — but the same
+      // batch drives the watermark toward 19:50, far past the
+      // backfill's natural deadline (13:00). An unclamped
+      // setTimeoutTimestamp at/below the watermark throws and kills
+      // the query; the clamp sets it just past the watermark instead.
+      input.addData((ts("2026-01-01 12:00:00"), "back"),
+        (ts("2026-01-01 20:00:00"), "live"))
       q.processAllAvailable()
-      // batch 3+: the watermark advances — the query must still be
-      // alive, and if the backfill row reached the state function its
-      // clamped deadline fires now
+      // batch 3+: the watermark advances — the clamped deadline must
+      // both keep the query alive AND actually fire
       input.addData((ts("2026-01-01 21:30:00"), "live"))
       q.processAllAvailable()
       input.addData((ts("2026-01-01 21:31:00"), "live"))
       q.processAllAvailable()
       assert(q.isActive, "clamped deadline must not kill the query")
       assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+      // the clamped deadline must actually FIRE once the watermark
+      // advances: a SilenceAlert for the backfilled key, carrying its
+      // true last-seen time (12:00) and count
+      val alerts = spark.sql(
+        "SELECT lastSeenUs, nSeen FROM stream_heartbeat_backfill " +
+        "WHERE eventType = 'back'").collect()
+      assert(alerts.length == 1,
+        s"backfilled key must emit exactly one silence alert, got ${alerts.length}")
+      assert(alerts(0).getLong(0) == ts("2026-01-01 12:00:00").getTime * 1000L,
+        "alert must carry the backfilled key's true last-seen time")
+      assert(alerts(0).getLong(1) == 1L)
+      // a backfill row BELOW the late-event watermark is a different
+      // story: the engine drops it before the state function (standard
+      // late-data semantics), so it must produce no state and no alert
+      input.addData((ts("2026-01-01 12:30:00"), "ancient"))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 23:59:00"), "live"))
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(spark.sql(
+        "SELECT * FROM stream_heartbeat_backfill WHERE eventType = 'ancient'")
+        .isEmpty, "late-dropped backfill row must not create heartbeat state")
     } finally q.stop()
   }
 

@@ -10,6 +10,12 @@ Usage: python3 tools/selfcheck.py [sfDir] [outDir] [--json PATH]
    tables;
 4. sorts columns by name, compares shape, dtypes (loosely) and values.
 
+With --strict-types, additionally DESCRIBEs both sides in DuckDB and
+compares column types exactly (after a small equivalence map) — this
+catches HUGEINT-vs-BIGINT style drift that the driver's type-sensitive
+hash flags but loose pandas comparison normalizes away (the round-8
+q_logreg_pr lesson).
+
 With --json PATH, also writes a machine-readable per-query artifact:
 {"summary": {...}, "queries": {name: {rows_match, cols_match,
 cells_match, rows, err}}} — the builder commits this as
@@ -49,6 +55,28 @@ def norm_cell(v):
     return v
 
 
+# DuckDB type spellings considered identical for the strict-type check.
+# Keep this list SHORT and justified: every entry is a representation
+# the parquet round-trip itself makes unavoidable, not a value drift.
+_TYPE_EQUIV = {
+    # Spark writes TIMESTAMP_NTZ / int96-free micros; DuckDB spells
+    # both plain TIMESTAMP vs TIMESTAMP WITH TIME ZONE depending on
+    # the isAdjustedToUTC flag. Values are compared cell-wise anyway.
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+}
+
+
+def _norm_type(t: str) -> str:
+    t = t.strip().upper()
+    return _TYPE_EQUIV.get(t, t)
+
+
+def duck_types(con, describable: str):
+    """column -> normalized DuckDB type via DESCRIBE (binds, no exec)."""
+    rows = con.execute(f"DESCRIBE {describable}").fetchall()
+    return {r[0]: _norm_type(r[1]) for r in rows}
+
+
 def frame_rows(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
     return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
@@ -61,6 +89,9 @@ def main():
         i = argv.index("--json")
         json_path = Path(argv[i + 1])
         del argv[i:i + 2]
+    strict_types = "--strict-types" in argv
+    if strict_types:
+        argv.remove("--strict-types")
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     out_dir = Path(argv[1] if len(argv) > 1 else "/tmp/graft_verify")
 
@@ -98,6 +129,21 @@ def main():
             print(f"FAIL {name}: columns differ\n  spark={g_cols}\n  duck ={w_cols}")
             continue
         rec["cols_match"] = True
+        if strict_types:
+            try:
+                gt = duck_types(
+                    con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+                wt = duck_types(con, f"({sql})")
+                drift = {c: (gt[c], wt[c]) for c in gt
+                         if c in wt and gt[c] != wt[c]}
+            except Exception as e:  # DESCRIBE itself failed
+                drift = {"<describe>": ("?", str(e)[:120])}
+            if drift:
+                rec["err"] = f"type drift {drift}"
+                failures.append((name, f"type drift {drift}"))
+                print(f"FAIL {name}: type drift (spark, duck): {drift}")
+                continue
+            rec["types_match"] = True
         gr, wr = frame_rows(got), frame_rows(want)
         rec["rows"] = len(gr)
         if len(gr) != len(wr):
