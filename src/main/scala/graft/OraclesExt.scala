@@ -310,8 +310,13 @@ object OraclesExt {
     * Zero-token documents predict NULL (NULLS FIRST to match Spark's
     * asc-nulls-first sort).
     */
-  val nbConfusion: String =
-    s"""WITH tk AS (SELECT doc_id, lang,
+  /** CTE chain of the NB self-train scorer, ending in
+    * `pred(doc_id, actual, predicted)` — shared by [[nbConfusion]]
+    * and [[labelAgreement]] so the smoothing/argmax conventions have
+    * exactly one SQL copy.
+    */
+  private val nbPredCtes: String =
+    s"""tk AS (SELECT doc_id, lang,
        |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
        |occ AS (SELECT doc_id, lang, unnest(t) AS token FROM tk),
        |cc AS (SELECT lang AS label, token, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2),
@@ -335,12 +340,71 @@ object OraclesExt {
        |best AS (SELECT doc_id, label AS predicted,
        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
        |  FROM tot),
-       |pred AS (SELECT d.doc_id, d.lang AS actual, b.predicted
+       |pred AS MATERIALIZED (SELECT d.doc_id, d.lang AS actual, b.predicted
        |  FROM documents d
-       |  LEFT JOIN (SELECT doc_id, predicted FROM best WHERE rk = 1) b USING (doc_id))
+       |  LEFT JOIN (SELECT doc_id, predicted FROM best WHERE rk = 1) b USING (doc_id))""".stripMargin
+
+  val nbConfusion: String =
+    s"""WITH $nbPredCtes
        |SELECT actual, predicted, count(*)::BIGINT AS n_docs
        |FROM pred GROUP BY actual, predicted
        |ORDER BY actual, predicted NULLS FIRST""".stripMargin
+
+  /** Cohen's kappa between the NB self-train labels and the profile-
+    * token language-ID heuristic — twin of Classify.labelAgreement:
+    * the same inner join over docs both labelers scored, the same
+    * integer identity kappa = (n·agree − Σ r·c)/(n² − Σ r·c) with
+    * DECIMAL(38,0) products, three single divisions rounded at 5.
+    */
+  val labelAgreement: String = {
+    val values = graft.ext.TextStats.LangProfiles
+      .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
+    s"""WITH $nbPredCtes,
+       |lid_toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+       |lid_profile AS (SELECT * FROM (VALUES $values) p(cand_lang, token, weight)),
+       |lid_scores AS (SELECT doc_id, cand_lang, sum(weight)::BIGINT AS score
+       |  FROM lid_toks JOIN lid_profile USING (token) GROUP BY 1, 2),
+       |lid_rank AS (SELECT doc_id, cand_lang, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM lid_scores),
+       |heur AS (SELECT doc_id, cand_lang AS heur_lang FROM lid_rank WHERE rn = 1),
+       |cm AS MATERIALIZED (SELECT p.predicted AS nb_lang, h.heur_lang,
+       |  count(*)::BIGINT AS c
+       |  FROM pred p JOIN heur h USING (doc_id)
+       |  WHERE p.predicted IS NOT NULL GROUP BY 1, 2),
+       |tot2 AS (SELECT sum(c)::BIGINT AS n,
+       |  sum(CASE WHEN nb_lang = heur_lang THEN c ELSE 0 END)::BIGINT AS n_agree
+       |  FROM cm),
+       |rt AS (SELECT nb_lang AS l, sum(c)::BIGINT AS r FROM cm GROUP BY 1),
+       |ctt AS (SELECT heur_lang AS l, sum(c)::BIGINT AS cl FROM cm GROUP BY 1),
+       |pe AS (SELECT coalesce(sum(r::DECIMAL(38,0) * cl::DECIMAL(38,0)),
+       |  0)::DECIMAL(38,0) AS pe_num FROM rt JOIN ctt USING (l))
+       |SELECT n AS n_docs, n_agree,
+       |  round(n_agree::DOUBLE / n::DOUBLE, 5) AS po,
+       |  round(pe_num::DOUBLE / (n::DECIMAL(38,0) * n)::DOUBLE, 5) AS pe,
+       |  CASE WHEN (n::DECIMAL(38,0) * n - pe_num) > 0
+       |    THEN round((n::DECIMAL(38,0) * n_agree - pe_num)::DOUBLE
+       |      / (n::DECIMAL(38,0) * n - pe_num)::DOUBLE, 5)
+       |    ELSE 0.0 END AS kappa
+       |FROM tot2 CROSS JOIN pe""".stripMargin
+  }
+
+  /** Per-doc n-gram novelty — twin of TextStats.ngramNovelty: the
+    * shared 3-gram shingle convention, posting count = doc frequency
+    * (shingles distinct per doc), novelty = df==1 fraction in ONE
+    * division rounded at 5.
+    */
+  val ngramNovelty: String =
+    s"""WITH $toksCte,
+       |$shCte,
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+       |dfreq AS (SELECT g, count(*)::BIGINT AS df FROM ex GROUP BY g),
+       |per AS (SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+       |  FROM ex e JOIN dfreq d ON e.g = d.g GROUP BY e.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  round(n_novel::DOUBLE / n_shingles::DOUBLE, 5) AS novelty
+       |FROM per ORDER BY doc_id""".stripMargin
 
   /** Edit-distance-verified near-dups — twin of
     * Dedup.editDistanceNearDups: the same banded candidate CTE,

@@ -1519,6 +1519,18 @@ object SparkEntry {
     "q_text_langid" -> withTables { s =>
       TextStats.langId(s, s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — per-doc n-gram novelty (inverted-index df==1 fraction):
+    // the freshness axis of curation, complementing boilerplate/span
+    // dedup which score what is SHARED.
+    "q_ngram_novelty" -> withTables { s =>
+      TextStats.ngramNovelty(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — label QA: Cohen's kappa between the NB self-train labels
+    // and the profile-token language-ID heuristic (chance-corrected
+    // agreement of two independent automatic labelers).
+    "q_label_kappa" -> withTables { s =>
+      graft.ext.Classify.labelAgreement(s, s.table("documents"))
+    },
     // §7.5 — tokenizer training: frequency-weighted adjacent
     // character-pair counts (the BPE merge-candidate relation; the
     // corpus collapses to word frequencies first, so the heavy scan
@@ -2695,6 +2707,8 @@ object SparkEntry {
     "q_text_stats" -> OraclesExt.textStats,
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
+    "q_ngram_novelty" -> OraclesExt.ngramNovelty,
+    "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,
     "q_nb_cv" -> OraclesExt.nbCrossVal(kfoldK),
     "q_embedding_outliers" -> OraclesExt.clusterOutliers(kmeansNlist, kmeansRefine, outlierZ),

@@ -233,4 +233,56 @@ object Classify {
           .as("accuracy"))
       .orderBy("fold")
   }
+
+  /** Chance-corrected agreement (Cohen's kappa) between two automatic
+    * labelers: the Naive Bayes self-train prediction and the profile-
+    * token language-ID heuristic (TextStats.langId), over the docs
+    * BOTH could label. One row: (n_docs, n_agree, po, pe, kappa) —
+    * the label-QA number for pipelines that gate on machine labels
+    * (raw agreement po flatters whenever one label dominates; kappa
+    * subtracts the agreement two INDEPENDENT labelers with these
+    * marginals would reach by luck, pe).
+    *
+    * Determinism (SURVEY.md §8.3): the confusion matrix is integer
+    * counts; marginal products accumulate in DECIMAL(38,0) (exact,
+    * and n² overflows BIGINT past ~3e9 docs), so po, pe and kappa
+    * are each ONE division of exact operands, rounded at 5. Kappa in
+    * particular is computed from the INTEGER identity
+    * (n·agree − Σ r·c) / (n² − Σ r·c), never from the float blend
+    * (po − pe)/(1 − pe).
+    *
+    * Scale shape: both labelers are the existing one-token-shuffle
+    * plans; the join is doc-keyed; the confusion matrix is bounded by
+    * the label-domain square, so everything after it is driver-light
+    * 1-row arithmetic kept relational (broadcast cross of two 1-row
+    * frames).
+    */
+  def labelAgreement(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, labelCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val nb = nbPredict(df, labelCol, idCol, textCol)
+      .filter(col("predicted").isNotNull)
+      .select(col(idCol), col("predicted").as("nb_lang"))
+    val heur = TextStats.langId(spark, df, idCol, textCol)
+      .select(col(idCol), col("predicted_lang").as("heur_lang"))
+    val cm = nb.join(heur, idCol)
+      .groupBy("nb_lang", "heur_lang").agg(count(lit(1)).as("c"))
+    val tot = cm.agg(sum(col("c")).as("n"),
+      sum(when(col("nb_lang") === col("heur_lang"), col("c"))
+        .otherwise(lit(0L))).as("n_agree"))
+    val peNum = cm.groupBy(col("nb_lang").as("l")).agg(sum(col("c")).as("r"))
+      .join(cm.groupBy(col("heur_lang").as("l")).agg(sum(col("c")).as("cl")), "l")
+      .agg(coalesce(sum(col("r").cast(dec) * col("cl").cast(dec)), lit(0).cast(dec))
+        .as("pe_num"))
+    val n2 = col("n").cast(dec) * col("n").cast(dec)
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n").as("n_docs"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 5).as("po"),
+        round(col("pe_num").cast("double") / n2.cast("double"), 5).as("pe"),
+        when(n2 - col("pe_num") > 0,
+          round((col("n").cast(dec) * col("n_agree").cast(dec) - col("pe_num"))
+            .cast("double") / (n2 - col("pe_num")).cast("double"), 5))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
 }

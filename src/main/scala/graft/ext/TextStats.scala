@@ -922,4 +922,42 @@ object TextStats {
         round(col("n_boilerplate").cast("double") /
           col("n_shingles").cast("double"), 5).as("boilerplate_frac"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * word n-grams that occur in NO other document —
+    * (doc_id, n_shingles, n_novel, novelty). The memorization /
+    * freshness axis of curation: boilerplate and span-dedup find what
+    * is SHARED; novelty scores what is not, so a sampler can favor
+    * documents that add n-grams the corpus does not already have (or
+    * down-weight near-templated docs whose novelty ≈ 0).
+    *
+    * Scale shape — CHEAPER than the [[boilerplateReport]] inverted
+    * index: a novelty shingle (df == 1) has exactly one posting, so
+    * `min(doc_id)` in the df aggregate already names its owner — no
+    * join back onto the corpus-scale postings relation at all. Two
+    * map-side-combined aggregates over the postings (per-doc shingle
+    * counts; per-shingle df + owner) and one DOC-keyed join of two
+    * per-doc frames. Nothing is pairwise, and the only shingle-keyed
+    * shuffle is the df count itself.
+    *
+    * Determinism: integer counts; ONE double division, rounded at 5.
+    */
+  def ngramNovelty(df: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val inv = Dedup.withShingleSet(df, n, textCol, "__sh")
+      .select(col(idCol), explode_outer(col("__sh")).as("__shingle"))
+      .filter(col("__shingle").isNotNull)
+    val perDoc = inv.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = inv.groupBy("__shingle")
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner").as(idCol))
+      .agg(count(lit(1)).as("__n_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("__n_novel"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 5).as("novelty"))
+  }
 }

@@ -2480,4 +2480,50 @@ class ExtSpec extends AnyFunSuite {
       bf.map(t => (t._1, t._2))).size.toDouble / bf.size
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
+
+  test("ngramNovelty: duplicated docs score 0, a unique doc scores 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),   // exact pair: zero novelty
+      (3L, "x y z w q"),                      // fully unique: novelty 1
+      (4L, "a b c v1 v2 v3")                  // shares 'a b c' only
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextStats.ngramNovelty(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // 5 tokens -> 3 distinct trigrams per doc; doc 4: 6 tokens -> 4
+    assert(out(0) == (1L, 3L, 0L, 0.0))
+    assert(out(1) == (2L, 3L, 0L, 0.0))
+    assert(out(2) == (3L, 3L, 3L, 1.0))
+    // doc 4's 'a b c' occurs in docs 1/2 too -> 3 of 4 novel
+    assert(out(3) == (4L, 4L, 3L, 0.75))
+  }
+
+  test("labelAgreement: kappa equals the hand-computed chance-corrected value") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val nb = graft.ext.Classify.nbPredict(docs)
+      .filter(col("predicted").isNotNull)
+      .select(col("doc_id"), col("predicted")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heur = graft.ext.TextStats.langId(spark, docs)
+      .select(col("doc_id"), col("predicted_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val both = nb.keySet.intersect(heur.keySet).toSeq
+    val n = both.size.toLong
+    assert(n > 0, "labelers must overlap on some docs")
+    val agree = both.count(d => nb(d) == heur(d)).toLong
+    val rows = both.groupBy(nb).view.mapValues(_.size.toLong).toMap
+    val cols = both.groupBy(heur).view.mapValues(_.size.toLong).toMap
+    val peNum = rows.map { case (l, r) => r * cols.getOrElse(l, 0L) }.sum
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.ext.Classify.labelAgreement(spark, docs).collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == agree)
+    assert(got.getDouble(2) == r5(agree.toDouble / n))
+    assert(got.getDouble(3) == r5(peNum.toDouble / (n.toDouble * n)))
+    assert(got.getDouble(4) ==
+      r5((n.toDouble * agree - peNum) / (n.toDouble * n - peNum)))
+    assert(got.getDouble(4) >= -1.0 && got.getDouble(4) <= 1.0)
+  }
 }
