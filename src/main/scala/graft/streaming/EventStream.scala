@@ -507,6 +507,37 @@ object EventStream {
         col("v"), col("cnt"))
   }
 
+  /** Streaming windowed value-quantile monitor: per (window,
+    * event_type), the event count and the DETERMINISTIC approximate
+    * median of `value` via the log-bucket sketch
+    * ([[graft.functions.LogBucketMedianAgg]], registered by
+    * GraftExtensions) — the latency/size-percentile dashboard shape.
+    *
+    * Why this aggregate and not percentile_approx: streaming
+    * aggregation MERGES partial buffers across micro-batches through
+    * the state store, so a merge-order-dependent sketch (GK) makes
+    * the reported percentile depend on batch arrival boundaries; the
+    * log-bucket sketch merges by bucket-count addition, so a window's
+    * finalized median is identical however its events were split
+    * into batches — and equals the batch computation over the same
+    * rows (the spec's pin). State per open (window, type) group is
+    * one serialized bucket map, bounded by distinct buckets (≤ ~145k
+    * worst-case over the double range, a few hundred in practice);
+    * watermarked windows bound the group count.
+    */
+  def valueQuantileStream(events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      alpha: Double = 0.005): DataFrame =
+    events.where(col("value").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.functions.QuantileSketch.logBucketMedian(
+          col("value").cast("double"), alpha), 5).as("median_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("median_value"))
+
   /** Streaming CDC apply: maintain a keyed snapshot from a change
     * stream by running [[graft.ext.Merge.applyChangeSet]] inside
     * `foreachBatch` — the standard "change log in, current table out"

@@ -386,6 +386,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(roll == rollBatch)
   }
 
+  test("valueQuantileStream: batch-split arrivals finalize to the batch median") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val streamed = EventStream.valueQuantileStream(
+      input.toDF.toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_vq")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-vq").toString)
+      .outputMode("append")
+      .start()
+    // one 10:00 window's events arrive split across THREE micro-batches
+    // (the state-store merge path); a later event closes the window
+    val all = Seq(1.0, 10.0, 100.0, 1000.0, 5.0, 50.0, 500.0)
+    try {
+      input.addData((ts("2026-01-01 10:00:10"), "lat", all(0)),
+        (ts("2026-01-01 10:10:00"), "lat", all(1)))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 10:20:00"), "lat", all(2)),
+        (ts("2026-01-01 10:30:00"), "lat", all(3)),
+        (ts("2026-01-01 10:40:00"), "lat", all(4)))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 10:50:00"), "lat", all(5)),
+        (ts("2026-01-01 10:55:00"), "lat", all(6)))
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 12:00:00"), "lat", 7.0)) // close 10:00
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT n_events, median_value FROM stream_vq " +
+        "WHERE event_type = 'lat' AND hour(window_start) = 10").collect()
+      assert(got.length == 1, "the 10:00 window must finalize exactly once")
+      // batch twin: the SAME aggregate over the same 7 rows in one go
+      val batch = all.map(v => (ts("2026-01-01 10:30:00"), "lat", v))
+        .toDF("ts", "event_type", "value")
+        .agg(org.apache.spark.sql.functions.round(
+          graft.functions.QuantileSketch.logBucketMedian(col("value")), 5))
+        .collect()(0).getDouble(0)
+      assert(got(0).getLong(0) == 7L)
+      assert(got(0).getDouble(1) == batch,
+        s"streamed median ${got(0).getDouble(1)} != batch $batch — " +
+          "the sketch merge must not depend on batch boundaries")
+      // sanity: the true median of the 7 values is 50
+      assert(math.abs(got(0).getDouble(1) - 50.0) <= 0.005 * 50.0)
+    } finally q.stop()
+  }
+
+  test("valueQuantileStream over the event files equals the batch windows") {
+    val streamed = EventStream.valueQuantileStream(
+      EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runAvailableNow(spark, streamed, "stream_vq_file")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = spark.table("events").where(col("value").isNotNull)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.round(
+          graft.functions.QuantileSketch.logBucketMedian(
+            col("value").cast("double")), 5).as("median_value"))
+      .select(col("window.start"), col("event_type"), col("n_events"),
+        col("median_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // append mode may hold back trailing watermark-open windows; all
+    // emitted rows must match the batch computation EXACTLY
+    assert(got.nonEmpty && got.subsetOf(batch),
+      s"streamed windows must be batch windows; extras: ${got.diff(batch).take(3)}")
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // stage the same file twice: every event_id arrives twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
