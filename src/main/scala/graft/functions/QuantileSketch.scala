@@ -29,12 +29,14 @@ final class LogBucketSketch(
   def total: Long = zero + pos.valuesIterator.sum + neg.valuesIterator.sum
 }
 
-/** `log_bucket_median(x, alpha)` — deterministic approximate median
-  * with a relative-error guarantee of `alpha` (bucket boundaries at
-  * γ^k, γ = (1+α)/(1−α); any stored value is reported within α·|v|).
+/** `log_bucket_quantile(x, alpha, q)` — deterministic approximate
+  * quantile with a relative-error guarantee of `alpha` (bucket
+  * boundaries at γ^k, γ = (1+α)/(1−α); any stored value is reported
+  * within α·|v|). `log_bucket_median(x, alpha)` is the q = 0.5
+  * special case.
   *
   * Why not `percentile_approx`: its Greenwald-Khanna summary
-  * compresses as a function of merge ORDER, so the reported median
+  * compresses as a function of merge ORDER, so the reported quantile
   * can differ between runs with different partition counts — the
   * profiler's approx path was the single documented
   * partitioning-dependent output. This sketch's state is a bucket
@@ -43,21 +45,26 @@ final class LogBucketSketch(
   * at α = 0.005, a few hundred for real columns), independent of row
   * count — the 100 TB-safe shape.
   *
-  * Median convention: interpolated like the exact profiler — the
-  * lower-middle bucket estimate for odd n, the mean of the two middle
-  * bucket estimates for even n. Nulls and NaNs are ignored (SQL
-  * aggregate convention); all-null input yields NULL.
+  * Rank convention — Spark `Percentile`'s continuous interpolation,
+  * applied to bucket estimates: position p = q·(n−1) (0-based over
+  * the sorted multiset), result = est(⌊p⌋)·(1−g) + est(⌈p⌉)·g with
+  * g = p − ⌊p⌋. At q = 0.5 this is the exact profiler's median
+  * convention (lower middle for odd n, mean of the two middles for
+  * even n). Nulls and NaNs are ignored (SQL aggregate convention);
+  * all-null input yields NULL.
   */
-case class LogBucketMedianAgg(
+case class LogBucketQuantileAgg(
     child: Expression,
     alpha: Double,
+    q: Double,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[LogBucketSketch] {
 
   require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+  require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
   require(child.dataType == DoubleType,
-    s"log_bucket_median child must be DOUBLE (the registry builder " +
+    s"log_bucket_quantile child must be DOUBLE (the registry builder " +
       s"casts), got ${child.dataType.simpleString}")
 
   private val gamma: Double = (1.0 + alpha) / (1.0 - alpha)
@@ -107,8 +114,10 @@ case class LogBucketMedianAgg(
     // bucket = larger magnitude = smaller value), zeros, positives by
     // ascending bucket. Keys are sorted here, so the walk — and the
     // result — is independent of hash-map iteration order.
-    val lowRank = (n + 1L) / 2L
-    val highRank = n / 2L + 1L
+    val pos = q * (n - 1L).toDouble // 0-based continuous position
+    val lowRank = math.floor(pos).toLong + 1L
+    val highRank = math.ceil(pos).toLong + 1L
+    val g = pos - math.floor(pos)
     var low = Double.NaN
     var high = Double.NaN
     var cum = 0L
@@ -125,7 +134,7 @@ case class LogBucketMedianAgg(
     visit(0.0, buf.zero)
     buf.pos.keysIterator.toArray.sortInPlace()
       .foreach(k => visit(estimate(k), buf.pos(k)))
-    (low + high) / 2.0
+    low * (1.0 - g) + high * g
   }
 
   override def serialize(buf: LogBucketSketch): Array[Byte] = {
@@ -151,14 +160,15 @@ case class LogBucketMedianAgg(
     buf
   }
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): LogBucketMedianAgg =
+  override def withNewMutableAggBufferOffset(newOffset: Int): LogBucketQuantileAgg =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): LogBucketMedianAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): LogBucketQuantileAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): LogBucketMedianAgg =
+      newChildren: IndexedSeq[Expression]): LogBucketQuantileAgg =
     copy(child = newChildren.head)
-  override def prettyName: String = "log_bucket_median"
+  override def prettyName: String =
+    if (q == 0.5) "log_bucket_median" else "log_bucket_quantile"
 }
 
 object QuantileSketch {
@@ -171,4 +181,12 @@ object QuantileSketch {
   def logBucketMedian(x: Column, alpha: Double = 0.005): Column =
     org.apache.spark.sql.functions.call_function(
       "log_bucket_median", x, org.apache.spark.sql.functions.lit(alpha))
+
+  /** Column wrapper: deterministic approximate quantile q (relative
+    * error ≤ alpha) — `log_bucket_quantile(v, 0.005, 0.99)` from SQL.
+    */
+  def logBucketQuantile(x: Column, alpha: Double, q: Double): Column =
+    org.apache.spark.sql.functions.call_function(
+      "log_bucket_quantile", x, org.apache.spark.sql.functions.lit(alpha),
+      org.apache.spark.sql.functions.lit(q))
 }

@@ -133,27 +133,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgrams(children(0), n)
       }))
-    // log_bucket_median(x, alpha) — deterministic mergeable quantile
-    // sketch (DDSketch bucket layout); alpha parameterizes the bucket
-    // base, so it must be a foldable literal.
+    // log_bucket_median(x, alpha) / log_bucket_quantile(x, alpha, q)
+    // — deterministic mergeable quantile sketch (DDSketch bucket
+    // layout); alpha and q parameterize the bucket base and the rank,
+    // so they must be foldable literals.
+    def numLit(e: Expression, what: String): Double = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval() match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$what must be a numeric literal, got $other")
+      }
+    }
+    // numeric inputs are welcome: cast to double at build (the
+    // aggregate itself is monomorphic on DOUBLE)
+    def asDouble(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.DoubleType)
     ext.injectFunction((
       new FunctionIdentifier("log_bucket_median"),
-      new ExpressionInfo(classOf[LogBucketMedianAgg].getName, "log_bucket_median"),
+      new ExpressionInfo(classOf[LogBucketQuantileAgg].getName, "log_bucket_median"),
       (children: Seq[Expression]) => {
-        require(children.length == 2 && children(1).foldable,
-          "log_bucket_median(x, alpha) requires a literal alpha")
-        val alpha = children(1).eval() match {
-          case d: Double => d
-          case f: Float => f.toDouble
-          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-          case i: Int => i.toDouble
-          case other => throw new IllegalArgumentException(
-            s"log_bucket_median alpha must be a numeric literal, got $other")
-        }
-        // numeric inputs are welcome: cast to double here (the
-        // aggregate itself is monomorphic on DOUBLE)
-        LogBucketMedianAgg(org.apache.spark.sql.catalyst.expressions.Cast(
-          children(0), org.apache.spark.sql.types.DoubleType), alpha)
+        require(children.length == 2,
+          "log_bucket_median(x, alpha) takes two arguments")
+        LogBucketQuantileAgg(asDouble(children(0)),
+          numLit(children(1), "log_bucket_median alpha"), q = 0.5)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("log_bucket_quantile"),
+      new ExpressionInfo(classOf[LogBucketQuantileAgg].getName, "log_bucket_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "log_bucket_quantile(x, alpha, q) takes three arguments")
+        LogBucketQuantileAgg(asDouble(children(0)),
+          numLit(children(1), "log_bucket_quantile alpha"),
+          numLit(children(2), "log_bucket_quantile q"))
       }))
     // cosine_similarity(a, b) — composed from the native dot product;
     // the whole tree stays inside codegen.

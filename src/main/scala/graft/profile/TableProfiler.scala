@@ -340,7 +340,7 @@ object TableProfiler {
     * (constant memory per column, associative merge), everything else
     * identical. Not oracle-checked (approximate by construction).
     *
-    * The median sketch is [[graft.functions.LogBucketMedianAgg]]
+    * The median sketch is [[graft.functions.LogBucketQuantileAgg]]
     * (log-bucket histogram, merge = count addition) rather than
     * `percentile_approx`, whose GK-summary compression depends on
     * partition merge ORDER — with it, `6. median` was the one output

@@ -510,7 +510,7 @@ object EventStream {
   /** Streaming windowed value-quantile monitor: per (window,
     * event_type), the event count and the DETERMINISTIC approximate
     * median of `value` via the log-bucket sketch
-    * ([[graft.functions.LogBucketMedianAgg]], registered by
+    * ([[graft.functions.LogBucketQuantileAgg]], registered by
     * GraftExtensions) — the latency/size-percentile dashboard shape.
     *
     * Why this aggregate and not percentile_approx: streaming

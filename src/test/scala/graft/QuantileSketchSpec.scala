@@ -99,4 +99,39 @@ class QuantileSketchSpec extends AnyFunSuite {
       .agg(logBucketMedian(col("v"), alpha)).collect()(0).getDouble(0)
     assert(math.abs(m - 3.0) <= alpha * 3.0)
   }
+
+  test("log_bucket_quantile: arbitrary q within alpha of the exact quantile") {
+    import graft.functions.QuantileSketch.logBucketQuantile
+    val gen = new scala.util.Random(11)
+    val xs = Seq.tabulate(2000)(_ => math.exp(gen.nextGaussian() * 3))
+    val sorted = xs.sorted.toIndexedSeq
+    def exactQ(q: Double): Double = {
+      // Spark Percentile continuous interpolation on the sorted multiset
+      val pos = q * (sorted.length - 1)
+      val lo = sorted(pos.toInt)
+      val hi = sorted(math.ceil(pos).toInt)
+      val g = pos - math.floor(pos)
+      lo * (1 - g) + hi * g
+    }
+    val df = xs.toDF("v").repartition(9)
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val got = df.agg(logBucketQuantile(col("v"), alpha, q))
+        .collect()(0).getDouble(0)
+      val want = exactQ(q)
+      assert(math.abs(got - want) <= alpha * want + 1e-12,
+        s"q=$q: got $got want $want")
+    }
+    // q=0.5 IS log_bucket_median (same rank convention, same value)
+    val viaMedian = df.agg(logBucketMedian(col("v"), alpha)).collect()(0).getDouble(0)
+    val viaQ = df.agg(logBucketQuantile(col("v"), alpha, 0.5)).collect()(0).getDouble(0)
+    assert(viaMedian == viaQ)
+    // p99 from SQL, partitioning-invariant
+    xs.toDF("v").createOrReplaceTempView("lbq_t")
+    val sql1 = spark.sql(
+      "SELECT log_bucket_quantile(v, 0.005, 0.99) AS p FROM lbq_t")
+      .collect()(0).getDouble(0)
+    val sql2 = xs.toDF("v").repartition(31)
+      .agg(logBucketQuantile(col("v"), alpha, 0.99)).collect()(0).getDouble(0)
+    assert(sql1 == sql2, "p99 must be partitioning-invariant")
+  }
 }
