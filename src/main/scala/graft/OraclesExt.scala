@@ -389,6 +389,40 @@ object OraclesExt {
        |FROM tot2 CROSS JOIN pe""".stripMargin
   }
 
+  /** Per-source length-bias audit — twin of Stats.spearmanByGroup
+    * over (n_chars, quality_score): the same doubled average ranks
+    * from the DISTINCT-value domain (r2 = 2·(cum − c) + c + 1, an
+    * integer), the same single-division
+    * rho = (2n(n²−1) − 3·Σ(r2x−r2y)²) / (2n(n²−1)) in exact
+    * HUGEINT/DECIMAL(38,0) arithmetic.
+    */
+  val lengthBias: String =
+    s"""WITH $toksCte,
+       |q AS MATERIALIZED (SELECT d.doc_id, d.source, d.n_chars,
+       |  $qualityScoreSql AS y
+       |  FROM documents d JOIN toks USING (doc_id)),
+       |xc AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c FROM q GROUP BY 1, 2),
+       |xr AS (SELECT source, v,
+       |  2 * (sum(c) OVER (PARTITION BY source ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS r2
+       |  FROM xc),
+       |yc AS (SELECT source, y AS v, count(*)::BIGINT AS c FROM q GROUP BY 1, 2),
+       |yr AS (SELECT source, v,
+       |  2 * (sum(c) OVER (PARTITION BY source ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS r2
+       |  FROM yc),
+       |j AS (SELECT q.source, xr.r2 AS rx2, yr.r2 AS ry2
+       |  FROM q JOIN xr ON q.source = xr.source AND q.n_chars = xr.v
+       |  JOIN yr ON q.source = yr.source AND q.y = yr.v),
+       |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum((rx2 - ry2)::HUGEINT * (rx2 - ry2)::HUGEINT) AS s4 FROM j GROUP BY 1)
+       |SELECT source, n_docs,
+       |  CASE WHEN n_docs > 1 THEN
+       |    round((2 * n_docs::HUGEINT * (n_docs::HUGEINT * n_docs - 1) - 3 * s4)::DOUBLE
+       |      / (2 * n_docs::HUGEINT * (n_docs::HUGEINT * n_docs - 1))::DOUBLE, 5)
+       |  ELSE NULL END AS spearman_rho
+       |FROM a ORDER BY source""".stripMargin
+
   /** Per-doc n-gram novelty — twin of TextStats.ngramNovelty: the
     * shared 3-gram shingle convention, posting count = doc frequency
     * (shingles distinct per doc), novelty = df==1 fraction in ONE

@@ -1525,6 +1525,14 @@ object SparkEntry {
     "q_ngram_novelty" -> withTables { s =>
       TextStats.ngramNovelty(s.table("documents")).orderBy("doc_id")
     },
+    // §7.5 — length-bias audit: per-source Spearman rank correlation
+    // between document length and the quality score (a gate trained
+    // on a length-confounded score silently filters short docs).
+    "q_length_bias" -> withTables { s =>
+      graft.ext.Stats.spearmanByGroup(
+        TextStats.withDocStats(s.table("documents")),
+        "source", "n_chars", "quality_score").orderBy("source")
+    },
     // §7.5 — label QA: Cohen's kappa between the NB self-train labels
     // and the profile-token language-ID heuristic (chance-corrected
     // agreement of two independent automatic labelers).
@@ -2708,6 +2716,7 @@ object SparkEntry {
     "q_text_docstats" -> OraclesExt.textDocStats,
     "q_text_langid" -> OraclesExt.textLangId,
     "q_ngram_novelty" -> OraclesExt.ngramNovelty,
+    "q_length_bias" -> OraclesExt.lengthBias,
     "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,
     "q_nb_cv" -> OraclesExt.nbCrossVal(kfoldK),

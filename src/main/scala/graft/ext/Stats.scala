@@ -709,4 +709,56 @@ object Stats {
       .withColumn("at_risk", col("class_size") < k)
       .orderBy(quasiCols.map(col): _*)
   }
+
+  /** Per-group Spearman rank correlation between two columns —
+    * (group, n_docs, spearman_rho) via the classic 1 − 6Σd²/(n(n²−1))
+    * on AVERAGE ranks (ties share the mean of their rank run; no tie
+    * correction term — a defined, deterministic statistic, documented
+    * as such). The pipeline use: the length-bias audit — quality
+    * classifiers notoriously correlate with document length, and a
+    * gate trained on a length-confounded score silently filters short
+    * documents; rho per source quantifies that confound before the
+    * gate ships.
+    *
+    * Exactness (§8.3): the average rank is kept DOUBLED —
+    * r2 = 2·(cum − c) + c + 1, an INTEGER — so d² sums as the integer
+    * S4 = Σ(r2x − r2y)² = 4Σd² in DECIMAL(38,0), and
+    * rho = (2n(n²−1) − 3·S4) / (2n(n²−1)) is ONE division of exact
+    * operands (no 1 − x float subtraction after a division).
+    *
+    * Scale shape: ranks come from the DISTINCT-value domain (counts
+    * per (group, value), window cumsum over distinct values — the
+    * exactLong convention; never a row-domain rank window), joined
+    * back value-keyed; the final roll-up is map-side combinable.
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"), col(yCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def doubledRanks(vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("__g")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("__g"), col(vCol)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .select(col("__g"), col(vCol),
+          (lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+            .as(out))
+    }
+    val n = col("n_docs").cast(Dec380)
+    val den = (n * (n * n - 1)) * 2
+    base
+      .join(doubledRanks("__x", "__rx2"), Seq("__g", "__x"))
+      .join(doubledRanks("__y", "__ry2"), Seq("__g", "__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        // widen BEFORE squaring: the doubled-rank diff reaches 2n, so
+        // its square wraps a long past ~1.5e9 rows
+        sum((col("__rx2") - col("__ry2")).cast(Dec380) *
+          (col("__rx2") - col("__ry2")).cast(Dec380)).as("__s4"))
+      .select(col("__g").as(groupCol), col("n_docs"),
+        when(col("n_docs") > 1,
+          round((den - col("__s4") * 3).cast("double") / den.cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("spearman_rho"))
+  }
 }

@@ -472,4 +472,27 @@ class StatsSpec extends AnyFunSuite {
       ("US", "A", 3L, 2L, false),
       ("US", "B", 1L, 1L, true)))
   }
+
+  test("spearmanByGroup: monotone ±1, hand-computed ties, singleton NULL") {
+    val df = Seq(
+      // group "up": y strictly increasing with x -> rho = 1
+      ("up", 1L, 10.0), ("up", 2L, 20.0), ("up", 3L, 30.0), ("up", 4L, 40.0),
+      // group "down": y strictly decreasing with x -> rho = -1
+      ("down", 1L, 9.0), ("down", 2L, 7.0), ("down", 3L, 5.0),
+      // group "tie": x = (1,2,2,4), y = (1,3,2,4)
+      //   avg ranks x: 1, 2.5, 2.5, 4 ; y: 1, 3, 2, 4
+      //   d = (0, -.5, .5, 0), sum d^2 = 0.5 -> rho = 1 - 3/ (4*15) = 0.95
+      ("tie", 1L, 1.0), ("tie", 2L, 3.0), ("tie", 2L, 2.0), ("tie", 4L, 4.0),
+      // singleton group: rho undefined -> NULL
+      ("one", 5L, 5.0)
+    ).toDF("g", "x", "y")
+    val rows = Stats.spearmanByGroup(df, "g", "x", "y").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq(
+      ("down", 3L, Some(-1.0)),
+      ("one", 1L, None),
+      ("tie", 4L, Some(0.95)),
+      ("up", 4L, Some(1.0))))
+  }
 }
