@@ -389,6 +389,41 @@ object OraclesExt {
        |FROM tot2 CROSS JOIN pe""".stripMargin
   }
 
+  /** Zipf-law fit per source — twin of TextStats.zipfFit: the same
+    * scale-9 ln quantization, exact decimal moments, and the SAME
+    * double expression tree for slope / intercept / r² (the
+    * olsRegression convention — identical ops on identical operands
+    * give identical doubles).
+    */
+  def zipfFit(topV: Int): String =
+    s"""WITH $toksCte,
+       |$uniCte,
+       |cnt AS (SELECT d.source, uni.g AS token, count(*)::BIGINT AS c
+       |  FROM uni JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |rk AS (SELECT source, token, c, row_number() OVER
+       |  (PARTITION BY source ORDER BY c DESC, token) AS rk FROM cnt),
+       |f AS (SELECT source,
+       |  round(ln(rk::DOUBLE), 9)::DECIMAL(18,9) AS x,
+       |  round(ln(c::DOUBLE), 9)::DECIMAL(18,9) AS y
+       |  FROM rk WHERE rk <= $topV),
+       |m AS (SELECT source, count(*)::BIGINT AS n,
+       |  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+       |  sum(x*x) AS sxx, sum(y*y) AS syy FROM f GROUP BY 1),
+       |e AS (SELECT source, n,
+       |  n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covxy,
+       |  n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varx,
+       |  n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vary,
+       |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM m)
+       |SELECT source, n AS n_tokens_fit,
+       |  CASE WHEN n > 1 AND varx <> 0 AND vary <> 0
+       |    THEN round(covxy / varx, 5) END AS slope,
+       |  CASE WHEN n > 1 AND varx <> 0 AND vary <> 0
+       |    THEN round((syd - (covxy / varx) * sxd) / n::DOUBLE, 5)
+       |    END AS intercept,
+       |  CASE WHEN n > 1 AND varx <> 0 AND vary <> 0
+       |    THEN round(covxy * covxy / (varx * vary), 5) END AS r2
+       |FROM e ORDER BY source""".stripMargin
+
   /** Per-source length-bias audit — twin of Stats.spearmanByGroup
     * over (n_chars, quality_score): the same doubled average ranks
     * from the DISTINCT-value domain (r2 = 2·(cum − c) + c + 1, an

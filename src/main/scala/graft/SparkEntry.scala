@@ -673,6 +673,7 @@ object SparkEntry {
   private[graft] val pqKsub = 16
   private[graft] val pqDims = 64
   private[graft] val bpePairsK = 20
+  private[graft] val zipfTopV = 500
   private[graft] val bpeRounds = 3
   // graded decontamination: flag docs whose shingle-overlap fraction
   // with the held-out set reaches this share (PaLM-style rule)
@@ -1524,6 +1525,13 @@ object SparkEntry {
     // dedup which score what is SHARED.
     "q_ngram_novelty" -> withTables { s =>
       TextStats.ngramNovelty(s.table("documents")).orderBy("doc_id")
+    },
+    // §7.5 — corpus health: Zipf-law fit of the top-V token
+    // frequencies per source (slope ≈ −1 for natural text; shallow
+    // slopes or collapsed r² flag templated/machine text).
+    "q_zipf_fit" -> withTables { s =>
+      TextStats.zipfFit(s.table("documents"), topV = zipfTopV)
+        .orderBy("source")
     },
     // §7.5 — length-bias audit: per-source Spearman rank correlation
     // between document length and the quality score (a gate trained
@@ -2717,6 +2725,7 @@ object SparkEntry {
     "q_text_langid" -> OraclesExt.textLangId,
     "q_ngram_novelty" -> OraclesExt.ngramNovelty,
     "q_length_bias" -> OraclesExt.lengthBias,
+    "q_zipf_fit" -> OraclesExt.zipfFit(zipfTopV),
     "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,
     "q_nb_cv" -> OraclesExt.nbCrossVal(kfoldK),

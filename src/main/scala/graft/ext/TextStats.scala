@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over a document corpus — the
   * training-data-pipeline extension surface (SURVEY.md §7.5; the
@@ -921,6 +922,61 @@ object TextStats {
         col("n_boilerplate"),
         round(col("n_boilerplate").cast("double") /
           col("n_shingles").cast("double"), 5).as("boilerplate_frac"))
+  }
+
+  /** Zipf-law fit per source: the log-log OLS line through the top-V
+    * token (rank, frequency) points — (source, n_tokens_fit, slope,
+    * intercept, r2). Natural corpora obey freq ∝ rank^s with
+    * s ≈ −1; a source whose slope is far shallower (templated /
+    * machine-generated text repeats a small vocabulary uniformly) or
+    * whose r² collapses (mixed scripts, binary junk) fails the
+    * corpus-health check before it pollutes a mixture.
+    *
+    * Determinism (§8.3): ln(rank) and ln(freq) are quantized at scale
+    * 9 (the NB-llh rule — engine ln differs ≤ 1 ulp, far inside the
+    * quantum), moments are EXACT decimal sums, and the slope /
+    * intercept / r² formulas are the olsRegression fixed expression
+    * tree over those exact moments — identical doubles on any engine
+    * and partitioning.
+    *
+    * Scale shape: one (source, token) count shuffle (map-side
+    * combined, vocabulary-sized); the rank window is top-V-capped per
+    * source (WindowGroupLimit pushes the cap below the sort), so
+    * everything after the count is bounded by |sources|·V rows.
+    */
+  def zipfFit(df: DataFrame, topV: Int = 500, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topV >= 2, s"topV must be >= 2, got $topV")
+    val cnt = Dedup.spread(df, textCol)
+      .select(col(groupCol).as("__g"),
+        explode_outer(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__c").desc, col("__tok").asc)
+    val dec = DecimalType(18, 9)
+    val pts = cnt.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topV)
+      .select(col("__g"),
+        round(log(col("__rk").cast("double")), 9).cast(dec).as("__x"),
+        round(log(col("__c").cast("double")), 9).cast(dec).as("__y"))
+    val m = pts.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_tokens_fit"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n_tokens_fit").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covXY = n * d("__sxy") - d("__sx") * d("__sy")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val slope = covXY / varX
+    val ok = col("n_tokens_fit") > 1 && varX =!= 0.0 && varY =!= 0.0
+    m.select(col("__g").as(groupCol), col("n_tokens_fit"),
+      when(ok, round(slope, 5)).as("slope"),
+      when(ok, round((d("__sy") - slope * d("__sx")) / n, 5)).as("intercept"),
+      when(ok, round(covXY * covXY / (varX * varY), 5)).as("r2"))
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct

@@ -2481,6 +2481,27 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("zipfFit: power-law corpus recovers slope near -1; uniform counts degenerate to NULL") {
+    import spark.implicits._
+    // one source with freq(i) = 600/i (a Zipf law), one with uniform
+    // frequencies (log-freq constant -> varY = 0 -> fit undefined)
+    val zipfText = (1 to 50).flatMap(i => Seq.fill(600 / i)(s"w$i")).mkString(" ")
+    val flatText = (1 to 30).flatMap(i => Seq.fill(5)(s"u$i")).mkString(" ")
+    val docs = Seq((1L, "zipf", zipfText), (2L, "flat", flatText))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.TextStats.zipfFit(docs, topV = 50).orderBy("source")
+      .collect()
+    val flat = out(0)
+    assert(flat.getString(0) == "flat" && flat.getLong(1) == 30L)
+    assert(flat.isNullAt(2) && flat.isNullAt(3) && flat.isNullAt(4),
+      "uniform frequencies have zero log-freq variance -> NULL fit")
+    val zipf = out(1)
+    assert(zipf.getString(0) == "zipf" && zipf.getLong(1) == 50L)
+    assert(zipf.getDouble(2) > -1.2 && zipf.getDouble(2) < -0.8,
+      s"slope ${zipf.getDouble(2)} should be near -1")
+    assert(zipf.getDouble(4) > 0.95, s"r2 ${zipf.getDouble(4)} should be high")
+  }
+
   test("ngramNovelty: duplicated docs score 0, a unique doc scores 1") {
     import spark.implicits._
     val docs = Seq(
