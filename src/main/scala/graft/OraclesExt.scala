@@ -158,6 +158,36 @@ object OraclesExt {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
 
+  /** LSH banding precision/recall audit — twin of Dedup.lshStageAudit:
+    * the shared banding CTE chain's `cand` vs the capped exact-Jaccard
+    * truth (the [[dedupNgramJaccard]] conventions), pair-joined; two
+    * single divisions. cand/truth are MATERIALIZED (each has two
+    * consumers — the DuckDB CTE-inlining blowup class).
+    */
+  val lshAudit: String =
+    s"""WITH $minHashPairsCtes,
+       |c2 AS MATERIALIZED (SELECT id_a, id_b FROM cand),
+       |freq AS (SELECT shingle FROM shx GROUP BY shingle
+       |  HAVING count(*) <= ${graft.ext.Dedup.NgramStopShingleCap}),
+       |inv AS (SELECT doc_id, shingle FROM shx JOIN freq USING (shingle)),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |sizes AS (SELECT doc_id, len(s)::BIGINT AS n_sh FROM sh),
+       |truth AS MATERIALIZED (SELECT id_a, id_b FROM common
+       |  JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+       |  WHERE round(n_common::DOUBLE / (x.n_sh + y.n_sh - n_common)::DOUBLE, 5) >= 0.8),
+       |agg AS (SELECT
+       |  (SELECT count(*)::BIGINT FROM truth) AS n_true,
+       |  (SELECT count(*)::BIGINT FROM c2) AS n_candidates,
+       |  (SELECT count(*)::BIGINT FROM c2 JOIN truth USING (id_a, id_b)) AS n_hits)
+       |SELECT n_true, n_candidates, n_hits,
+       |  CASE WHEN n_candidates > 0
+       |    THEN round(n_hits::DOUBLE / n_candidates::DOUBLE, 5) END AS "precision",
+       |  CASE WHEN n_true > 0
+       |    THEN round(n_hits::DOUBLE / n_true::DOUBLE, 5) END AS recall
+       |FROM agg""".stripMargin
+
   /** Damped PageRank over the symmetrized MinHash pair graph — twin
     * of Graph.pageRank(iters): the same exact scale-9 integer-unit
     * recurrence (init 10⁹//N, jump 0.15·10⁹//N, damping 85·Σ//100,

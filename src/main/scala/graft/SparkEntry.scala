@@ -1192,6 +1192,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s.table("documents"), n = 3, threshold = 0.8,
         maxDocFreq = Dedup.NgramStopShingleCap).orderBy("id_a", "id_b")
     },
+    // §7.5 — the dedup-stage trust number: precision/recall of LSH
+    // banding candidates vs the exact-Jaccard truth relation.
+    "q_lsh_audit" -> withTables { s =>
+      Dedup.lshStageAudit(s.table("documents"))
+    },
     "q_dedup_minhash_lsh" -> withTables { s =>
       Dedup.minHashNearDupPairs(s.table("documents"), n = 3, k = 16,
         bands = 4, threshold = 0.8).orderBy("id_a", "id_b")
@@ -2674,6 +2679,7 @@ object SparkEntry {
     "q_dedup_exact" -> OraclesExt.dedupExact,
     "q_dedup_normalized" -> OraclesExt.dedupNormalized,
     "q_dedup_ngram_jaccard" -> OraclesExt.dedupNgramJaccard,
+    "q_lsh_audit" -> OraclesExt.lshAudit,
     "q_dedup_minhash_lsh" -> OraclesExt.dedupMinHashLsh,
     "q_cross_dedup" -> OraclesExt.crossDedup(testFraction),
     "q_dedup_clusters" -> OraclesExt.dedupClusters,

@@ -470,6 +470,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH STAGE audit: precision/recall of the banding candidate
+    * generator against the exact-Jaccard truth relation — one row
+    * (n_true, n_candidates, n_hits, precision, recall). The number a
+    * dedup pipeline must publish before anyone trusts its recall:
+    * banding with k/bands trades a known collision probability curve
+    * for the all-pairs cost, and this measures where the corpus
+    * actually lands on it (recall = probability a true ≥ τ pair
+    * collided in some band; precision = how much verify work the
+    * candidates waste).
+    *
+    * Truth = [[ngramJaccardPairs]] with the repo's stop-shingle cap
+    * (the q_dedup_ngram_jaccard convention); candidates =
+    * [[bandedCandidates]] pre-verification. Counts are integers; the
+    * two ratios are single divisions rounded at 5 (NULL when the
+    * denominator is empty). Both inputs are established bounded
+    * shapes (inverted-index truth, collision-sized candidates); the
+    * audit joins them pair-keyed and rolls up to one row.
+    */
+  def lshStageAudit(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cand = bandedCandidates(df, n, k, bands, idCol, textCol)
+    val truth = ngramJaccardPairs(df, n, threshold, idCol, textCol,
+      maxDocFreq = NgramStopShingleCap).select("id_a", "id_b")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = cand.join(truth, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits").cast("double") /
+            col("n_candidates").cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("precision"),
+        when(col("n_true") > 0,
+          round(col("n_hits").cast("double") /
+            col("n_true").cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("recall"))
+  }
+
   /** Edit-distance-verified near-dups: the MinHash/LSH candidate set
     * re-scored with Levenshtein distance over the CANONICALIZED text
     * ([[TextStats.normalizeText]]) — the verifier of choice when the

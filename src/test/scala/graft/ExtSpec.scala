@@ -2481,6 +2481,24 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("lshStageAudit: identical pair always collides (recall 1 on this corpus)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // identical: true pair, same bands
+      (3L, "completely different words one two three four five six seven"),
+      (4L, "another unrelated document about spark catalyst tungsten codegen")
+    ).toDF("doc_id", "text")
+    val r = graft.ext.Dedup.lshStageAudit(docs).collect()(0)
+    val (nTrue, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue == 1L, "exactly the identical pair is a true >= 0.8 pair")
+    assert(nHits <= nCand && nHits <= nTrue)
+    // identical docs share every band key -> the candidate set MUST
+    // contain the true pair -> recall is exactly 1
+    assert(r.getDouble(4) == 1.0, s"recall ${r.getDouble(4)} must be 1.0")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("zipfFit: power-law corpus recovers slope near -1; uniform counts degenerate to NULL") {
     import spark.implicits._
     // one source with freq(i) = 600/i (a Zipf law), one with uniform
