@@ -1784,6 +1784,38 @@ object OraclesExt {
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Data-constrained epoch plan — twin of Sampling.epochPlan: the
+    * same ppm integer weights, HUGEINT `//` targets, max-repeat cap
+    * and two single divisions.
+    */
+  def epochPlan(weights: Map[String, Double], budgetTokens: Long,
+      maxRepeats: Int): String = {
+    val values = weights.toSeq.sorted
+      .map { case (s, w) => s"('$s', ${math.round(w * 1000000L)})" }
+      .mkString(", ")
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, lang, len(t)::BIGINT AS n_tokens
+       |  FROM toks JOIN documents USING (doc_id)),
+       |tot AS (SELECT lang, sum(n_tokens)::BIGINT AS corpus_tokens
+       |  FROM d GROUP BY lang),
+       |w AS (SELECT * FROM (VALUES $values) w(lang, ppm)),
+       |p AS (SELECT tot.lang, corpus_tokens,
+       |  (($budgetTokens)::HUGEINT * ppm // 1000000)::BIGINT AS target_tokens
+       |  FROM tot JOIN w USING (lang)),
+       |k AS (SELECT lang, corpus_tokens, target_tokens,
+       |  least(target_tokens::HUGEINT,
+       |    corpus_tokens::HUGEINT * $maxRepeats)::BIGINT AS kept FROM p)
+       |SELECT lang, corpus_tokens, target_tokens,
+       |  CASE WHEN corpus_tokens > 0 THEN
+       |    round(target_tokens::DOUBLE / corpus_tokens::DOUBLE, 5)
+       |  END AS repeats_needed,
+       |  CASE WHEN corpus_tokens > 0 THEN
+       |    round(kept::DOUBLE / corpus_tokens::DOUBLE, 5)
+       |  END AS epochs,
+       |  (target_tokens - kept)::BIGINT AS deficit_tokens
+       |FROM k ORDER BY lang""".stripMargin
+  }
+
   /** Temperature-flattened mixture (α = 1/2) — twin of
     * Sampling.temperatureMixture: rate = (sqrt(t) * min(sqrt(t))) / t,
     * identical left-to-right IEEE arithmetic (sqrt is correctly

@@ -674,6 +674,8 @@ object SparkEntry {
   private[graft] val pqDims = 64
   private[graft] val bpePairsK = 20
   private[graft] val zipfTopV = 500
+  private[graft] val epochBudgetTokens = 200000L
+  private[graft] val epochMaxRepeats = 4
   private[graft] val bpeRounds = 3
   // graded decontamination: flag docs whose shingle-overlap fraction
   // with the held-out set reaches this share (PaLM-style rule)
@@ -1742,6 +1744,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
         .orderBy("lang")
     },
+    // §7.5 — data-constrained epoch planner: budget·weight targets
+    // vs corpus size, repeat-capped (the repeats dimension the
+    // rebalancers lack — re-weight or find more data when deficit>0).
+    "q_epoch_plan" -> withTables { s =>
+      val d = s.table("documents").withColumn("n_tokens",
+        size(TextStats.tokens(col("text"))).cast("long"))
+      Sampling.epochPlan(d, "lang", mixtureWeights,
+        budgetTokens = epochBudgetTokens, maxRepeats = epochMaxRepeats)
+        .orderBy("lang")
+    },
     // §7.5 — temperature-flattened mixture (α = 1/2): keep rates
     // sqrt-proportional to stratum size so the largest stratum stops
     // dominating; exact cross-engine because sqrt is the one power
@@ -2782,6 +2794,8 @@ object SparkEntry {
     "q_token_chisq" -> OraclesExt.discriminativeTokens(tokenChisqK),
     "q_chunk" -> OraclesExt.chunkDocs(chunkMaxTokens, chunkOverlap),
     "q_mixture_rebalance" -> OraclesExt.mixtureRebalance(mixtureWeights),
+    "q_epoch_plan" -> OraclesExt.epochPlan(mixtureWeights,
+      epochBudgetTokens, epochMaxRepeats),
     "q_mixture_temperature" -> OraclesExt.temperatureMixture,
     "q_top_tokens" -> OraclesExt.topTokens(topTokensK),
     "q_stop_candidates" -> OraclesExt.topDocFreqTokens(topTokensK),

@@ -323,6 +323,61 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Data-constrained mixture planner (the repeats dimension the
+    * rebalancers lack — Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": when a stratum's corpus is
+    * smaller than its budget share, you REPEAT it, up to a utility
+    * cliff around ~4 epochs). Per stratum:
+    * (corpus_tokens, target_tokens = budget·weight, repeats_needed =
+    * target/corpus, epochs = the max-repeat-capped achievable rate,
+    * deficit_tokens = target that cannot be met even at the cap —
+    * the signal to re-weight or go find more data).
+    *
+    * Exactness: weights enter as INTEGER parts-per-million
+    * (math.round(w·10⁶) — driver-side, deterministic), targets are
+    * DECIMAL(38,0) integer division (budget·ppm div 10⁶ — the product
+    * wraps a long once budget ≥ ~10¹³), the two rates are single
+    * divisions rounded at 5.
+    *
+    * Scale shape: one map-side-combined token total per stratum, then
+    * bounded-domain arithmetic (|strata| rows) against broadcast
+    * literal weights. A stratum with no weight fails AT EXECUTION via
+    * raise_error, naming it (the [[rebalanceToMixture]] convention).
+    */
+  def epochPlan(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], budgetTokens: Long, maxRepeats: Int,
+      tokensCol: String = "n_tokens"): DataFrame = {
+    import df.sparkSession.implicits._
+    require(budgetTokens > 0 && maxRepeats >= 1)
+    val dec = DecimalType(38, 0)
+    val w = weights.toSeq.sortBy(_._1)
+      .map { case (s, d) => (s, math.round(d * 1000000L)) }
+      .toDF(strataCol, "__ppm")
+    val totals = df.groupBy(strataCol)
+      .agg(sum(col(tokensCol).cast("long")).as("corpus_tokens"))
+      .join(broadcast(w), Seq(strataCol), "left")
+      .withColumn("__ppm", when(col("__ppm").isNotNull, col("__ppm"))
+        .otherwise(raise_error(
+          concat(lit("no target weight for stratum: "), col(strataCol)))))
+    totals
+      // integral `div` (SQL expr — the Column API has no integer
+      // division), twin of the oracle's HUGEINT `//`
+      .withColumn("target_tokens",
+        expr(s"cast((cast($budgetTokens as decimal(38,0)) * __ppm) div 1000000 as long)"))
+      .withColumn("__kept", least(col("target_tokens").cast(dec),
+        col("corpus_tokens").cast(dec) * lit(maxRepeats)).cast("long"))
+      .select(col(strataCol), col("corpus_tokens"), col("target_tokens"),
+        when(col("corpus_tokens") > 0,
+          round(col("target_tokens").cast("double") /
+            col("corpus_tokens").cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("repeats_needed"),
+        when(col("corpus_tokens") > 0,
+          round(col("__kept").cast("double") /
+            col("corpus_tokens").cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("epochs"),
+        (col("target_tokens") - col("__kept")).as("deficit_tokens"))
+  }
+
   /** Temperature-flattened mixture (α = 1/2): down-sample each
     * stratum toward the sqrt of its observed share — the standard
     * "don't let the web crawl drown the small languages" rebalance

@@ -2481,6 +2481,31 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("epochPlan: targets, repeat cap and deficit on a hand-built corpus") {
+    import spark.implicits._
+    // strata: "big" 1000 tokens, "small" 100 tokens; budget 2000,
+    // weights 50/50 -> target 1000 each; cap 4 epochs
+    val docs = Seq(
+      ("big", 600L), ("big", 400L), ("small", 100L)
+    ).toDF("lang", "n_tokens")
+    val out = graft.ext.Sampling.epochPlan(docs, "lang",
+      Map("big" -> 0.5, "small" -> 0.5), budgetTokens = 2000L,
+      maxRepeats = 4).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out(0) == ("big", 1000L, 1000L, 1.0, 1.0, 0L))
+    // small: target 1000 over 100 tokens = 10 epochs needed, capped
+    // at 4 -> kept 400, deficit 600
+    assert(out(1) == ("small", 100L, 1000L, 10.0, 4.0, 600L))
+    // unknown stratum raises, naming it
+    val err = intercept[Exception] {
+      Seq(("xx", 10L)).toDF("lang", "n_tokens")
+        .transform(d => graft.ext.Sampling.epochPlan(d, "lang",
+          Map("big" -> 1.0), 100L, 2)).collect()
+    }
+    assert(err.getMessage.contains("xx"))
+  }
+
   test("lshStageAudit: identical pair always collides (recall 1 on this corpus)") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
