@@ -2255,6 +2255,30 @@ object OraclesExt {
       |  round(n::DOUBLE / n_from::DOUBLE, 5) AS p_next
       |FROM p JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin
 
+  /** Conditional transition entropy — twin of
+    * Events.transitionEntropy: the same pair construction as
+    * [[eventTransitions]], scale-9 quantized ln of the single-division
+    * probability, exact decimal Σ n·llh, one final division.
+    */
+  val transitionEntropy: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |l AS (SELECT user_id, event_type AS to_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |    AS from_type FROM e),
+      |p AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM l
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM p GROUP BY 1),
+      |x AS (SELECT p.from_type, t.n_from, p.n,
+      |  round(ln(p.n::DOUBLE / t.n_from::DOUBLE), 9)::DECIMAL(18,9) AS llh
+      |  FROM p JOIN t USING (from_type)),
+      |a AS (SELECT from_type, any_value(n_from) AS n_from,
+      |  count(*)::BIGINT AS n_out_types,
+      |  sum(n::DECIMAL(10,0) * llh) AS s FROM x GROUP BY 1)
+      |SELECT from_type, n_from::BIGINT AS n_from, n_out_types,
+      |  round((-s)::DOUBLE / n_from::DOUBLE, 5) AS entropy_nats
+      |FROM a ORDER BY from_type""".stripMargin
+
   /** Wide→long unpivot of lineitem's measure columns, rolled up per
     * metric — twin of the q_unpivot Spark unpivot + groupBy.
     */

@@ -1063,6 +1063,11 @@ object SparkEntry {
     "q_event_transitions" -> withTables { s =>
       Events.eventTransitions(s.table("events"))
     },
+    // §7.5 — behavior predictability: conditional next-event entropy
+    // per from-state (low = templated/bot flows; drift alarm).
+    "q_transition_entropy" -> withTables { s =>
+      Events.transitionEntropy(s.table("events"))
+    },
     // ...and the sequence-mining big sibling: which concrete 3-step
     // journeys dominate (funnel discovery; top-k plans as
     // TakeOrderedAndProject).
@@ -2656,6 +2661,7 @@ object SparkEntry {
     "q_grouping_sets" -> groupingSetsPricingSql,
     "q_window_ranks" -> windowRanksSql,
     "q_event_transitions" -> OraclesExt.eventTransitions,
+    "q_transition_entropy" -> OraclesExt.transitionEntropy,
     "q_events_trend" -> OraclesExt.eventsTrend,
     "q_correlated_max" -> correlatedMaxSql,
     "q_order_count_dist" -> orderCountDistSql,

@@ -332,6 +332,47 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Conditional transition entropy per from-state — how predictable
+    * the NEXT event is given the current one: (from_type, n_from,
+    * n_out_types, entropy_nats). Low entropy = near-deterministic
+    * follow-up (bot traffic, templated flows); a rising entropy on a
+    * previously-predictable state is a behavior-drift alarm the raw
+    * transition matrix hides in 2500 cells.
+    *
+    * Determinism (§8.3): ln(n/n_from) is a single division then a
+    * scale-9 quantized ln (the NB-llh rule), the numerator is the
+    * EXACT decimal Σ n·llh, and entropy is ONE division of exact
+    * operands, rounded at 5.
+    *
+    * Scale shape: the [[eventTransitions]] user-window pair shuffle,
+    * then everything is on the bounded (from, to) domain.
+    */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = events
+      .withColumn("ts_us", epochUs(col("ts")))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("from_type")
+    val dec109 = org.apache.spark.sql.types.DecimalType(10, 0)
+    val dec189 = org.apache.spark.sql.types.DecimalType(18, 9)
+    pairs
+      .withColumn("n_from", sum(col("n")).over(w))
+      .withColumn("__llh",
+        round(log(col("n").cast("double") / col("n_from").cast("double")), 9)
+          .cast(dec189))
+      .groupBy(col("from_type"))
+      .agg(first(col("n_from")).as("n_from"),
+        count(lit(1)).as("n_out_types"),
+        sum(col("n").cast(dec109) * col("__llh")).as("__s"))
+      .select(col("from_type"), col("n_from"), col("n_out_types"),
+        round((-col("__s")).cast("double") / col("n_from").cast("double"), 5)
+          .as("entropy_nats"))
+      .orderBy("from_type")
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the
     * multi-touch complement of [[firstTouchAttribution]]: each
     * conversion's value is credited across the touches of its

@@ -2481,6 +2481,27 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("transitionEntropy: deterministic successor = 0, fair coin = ln 2") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: A B A C  -> from A: {B, C} (fair coin), from B: {A}, from C: end
+    // user 2: A B A C  -> doubles every count, same distribution
+    val rows = for {
+      (u, off) <- Seq((1L, 0), (2L, 100))
+      (i, t) <- Seq("A", "B", "A", "C").zipWithIndex.map(_.swap)
+    } yield (off + i.toLong, ts(s"2026-01-01 10:0${i}:00"), u, t, 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.transitionEntropy(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // from A: 4 transitions, 2 successors, H = ln 2 (quantized at 9,
+    // rounded at 5 -> 0.69315)
+    assert(out("A") == ((4L, 2L, 0.69315)))
+    // from B: always -> A, H = 0
+    assert(out("B") == ((2L, 1L, -0.0)) || out("B") == ((2L, 1L, 0.0)))
+    assert(!out.contains("C"), "terminal state has no outgoing transitions")
+  }
+
   test("epochPlan: targets, repeat cap and deficit on a hand-built corpus") {
     import spark.implicits._
     // strata: "big" 1000 tokens, "small" 100 tokens; budget 2000,
