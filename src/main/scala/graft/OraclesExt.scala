@@ -561,6 +561,32 @@ object OraclesExt {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Perceptual (dHash) near-dup pairs — twin of
+    * Multimodal.phashNearDupPairs over the synthetic asset payloads
+    * (UTF-8 text, pure ASCII in the fixtures, so byte samples mirror
+    * as character slices and byte order as the default binary
+    * collation): the same floor((j·(len−1))/64) sample grid, '0'/'1'
+    * bitstring, 4×16 band join and position-wise Hamming verify.
+    */
+  val phashNearDup: String =
+    s"""WITH h AS MATERIALIZED (SELECT doc_id AS id,
+       |  array_to_string(list_transform(range(0, 64), i -> CASE WHEN
+       |    substr(text, floor(((i + 1) * (length(text) - 1))::DOUBLE / 64)::INT + 1, 1)
+       |    > substr(text, floor((i * (length(text) - 1))::DOUBLE / 64)::INT + 1, 1)
+       |    THEN '1' ELSE '0' END), '') AS ph
+       |  FROM documents WHERE length(text) > 64),
+       |b AS (SELECT id, ph, unnest(range(0, 4)) AS pos FROM h),
+       |bk AS (SELECT id, ph, pos, substr(ph, (pos * 16)::INT + 1, 16) AS bk FROM b),
+       |cand AS MATERIALIZED (SELECT DISTINCT l.id AS id_a, l.ph AS ph_a,
+       |  r.id AS id_b, r.ph AS ph_b
+       |  FROM bk l JOIN bk r ON l.pos = r.pos AND l.bk = r.bk AND l.id < r.id),
+       |v AS (SELECT id_a, id_b,
+       |  len(list_filter(range(1, 65), i ->
+       |    substr(ph_a, i::INT, 1) <> substr(ph_b, i::INT, 1)))::BIGINT AS hamming
+       |  FROM cand)
+       |SELECT id_a, id_b, hamming FROM v WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Row-level snapshot diff — twin of Merge.snapshotDiff over the
     * deterministically edited orders snapshot. Change detection here
     * is direct `IS DISTINCT FROM` on the compare columns (the Spark

@@ -2163,6 +2163,12 @@ object SparkEntry {
       Multimodal.chunkDedup(Multimodal.assetTable(s.table("documents")))
         .orderBy("chunk_md5")
     },
+    // Perceptual (dHash) near-dup pairs over binary payloads: banded
+    // Hamming join (collision-sized, never all-pairs) + exact verify.
+    "q_phash_neardup" -> withTables { s =>
+      Multimodal.phashNearDupPairs(Multimodal.assetTable(s.table("documents")))
+        .orderBy("id_a", "id_b")
+    },
     "q_multimodal_meta" -> withTables { s =>
       val assets = Multimodal.withChecksums(
         Multimodal.assetTable(s.table("documents")))
@@ -2777,6 +2783,7 @@ object SparkEntry {
     "q_bpe_fertility" -> OraclesExt.bpeFertility(bpeRounds),
     "q_text_fingerprint" -> OraclesExt.textFingerprint,
     "q_multimodal_meta" -> OraclesExt.multimodalMeta,
+    "q_phash_neardup" -> OraclesExt.phashNearDup,
     "q_chunk_dedup" -> OraclesExt.chunkDedup(64),
     "q_multimodal_sniff" -> OraclesExt.multimodalSniff,
     "q_sample_stratified" -> OraclesExt.sampleStratified(stratifiedRates, stratifiedDefaultRate),

@@ -125,6 +125,73 @@ object Multimodal {
         min(length(col("__c"))).cast("long").as("chunk_bytes"))
       .filter(col("n_copies") >= 2)
 
+  /** Difference-hash bitstring of a binary payload: sample `bits`+1
+    * strided bytes, bit i = 1 iff sample(i+1) > sample(i) — the dHash
+    * construction (on a real image this runs over the resized
+    * grayscale grid; here it runs over the payload bytes, which keeps
+    * every downstream piece — banding, Hamming verify — production
+    * real while the codec is stubbed). Represented as a '0'/'1'
+    * STRING of length `bits`: portable to any engine (a 64-bit
+    * integer hash hits sign/overflow asymmetries at bit 63), directly
+    * band-sliceable with substring, and Hamming distance is a
+    * position-wise compare. Pure codegen'd byte slices; empty
+    * payloads hash to all-zeros.
+    */
+  def dhashBits(media: Column, bits: Int = 64): Column = {
+    val len = length(media)
+    // stride position floor((j·(len−1))/bits): double floor-division —
+    // exact below 2^53, and the oracle mirrors the identical form
+    def sampleAt(j: Column): Column =
+      media.substr(
+        floor((j * (len - 1)).cast("double") / lit(bits)).cast("int") + 1,
+        lit(1))
+    concat_ws("", transform(sequence(lit(0), lit(bits - 1)),
+      i => when(sampleAt(i + 1) > sampleAt(i), lit("1")).otherwise(lit("0"))))
+  }
+
+  /** Perceptual near-duplicate pairs over binary payloads:
+    * (id_a, id_b, hamming ≤ maxHamming) via banded dHash — the image
+    * near-dup shape. With `bands` bands of 64/bands bits, any pair
+    * within Hamming distance < bands shares at least one identical
+    * band (pigeonhole), so candidates come from an equi-join on
+    * (band_index, band_bits) — collision-sized, never all-pairs —
+    * and only candidates pay the 64-position verify.
+    *
+    * Determinism: byte comparisons and integer positions only; the
+    * verify is an exact position count. Requires maxHamming < bands
+    * (the pigeonhole guarantee; a larger radius needs more bands).
+    */
+  def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, bits: Int = 64): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
+    require(bits % bands == 0, "bands must divide bits")
+    val bandLen = bits / bands
+    // a payload shorter than bits+1 bytes can't fill the sample grid
+    // (its hash degenerates toward all-zeros and false-pairs every
+    // other short payload) — out of the perceptual contract
+    val h = assets.filter(length(col("media")) > bits)
+      .select(col("asset_id").as("id"),
+        dhashBits(col("media"), bits).as("ph"))
+    val banded = h.select(col("id"), col("ph"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => col("ph").substr(b * bandLen + 1, lit(bandLen)))))
+      .select(col("id"), col("ph"), col("pos"), col("col").as("bk"))
+    val cand = banded.as("l")
+      .join(banded.as("r"), col("l.pos") === col("r.pos") &&
+        col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.ph").as("ph_a"),
+        col("r.id").as("id_b"), col("r.ph").as("ph_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        size(filter(sequence(lit(1), lit(bits)), i =>
+          col("ph_a").substr(i, lit(1)) =!= col("ph_b").substr(i, lit(1))))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling: keep every `step`-th chunk (for video: every
     * n-th frame; for audio: strided windows). Pure array ops.
     */

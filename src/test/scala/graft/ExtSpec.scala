@@ -2481,6 +2481,30 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("phashNearDupPairs: identical = 0, one-byte edit small, short excluded") {
+    import spark.implicits._
+    val a = "abcdefghij" * 13            // 130 bytes, > 64-sample grid
+    val b = a.updated(10, 'z')           // one sampled byte changed:
+                                         // flips at most 2 comparisons
+    val far = "zyxw" * 40
+    val docs = Seq(
+      (1L, a, "en", "s1", a.length.toLong),
+      (2L, a, "en", "s1", a.length.toLong),
+      (3L, b, "en", "s1", b.length.toLong),
+      (4L, "short", "en", "s1", 5L),     // under the sample grid: out
+      (5L, far, "en", "s1", far.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = graft.ext.Multimodal.phashNearDupPairs(
+      graft.ext.Multimodal.assetTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical payloads must pair at distance 0")
+    assert(pairs.get((1L, 3L)).exists(h => h >= 0L && h <= 2L),
+      s"one-byte edit must stay within 2 flipped comparisons: $pairs")
+    assert(pairs((1L, 3L)) == pairs((2L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "short payloads are out of the perceptual contract")
+  }
+
   test("transitionEntropy: deterministic successor = 0, fair coin = ln 2") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
