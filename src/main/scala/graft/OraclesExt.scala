@@ -2281,6 +2281,36 @@ object OraclesExt {
       |  round(n::DOUBLE / n_from::DOUBLE, 5) AS p_next
       |FROM p JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin
 
+  /** k-core by unrolled peeling — twin of Graph.kCore over the
+    * co-purchase edge relation: the same fixed `rounds` peels, each
+    * an alive-restricted degree count (MATERIALIZED per round — the
+    * chained-CTE blowup class), then in-core degrees of the final
+    * survivors.
+    */
+  def kCore(k: Int, rounds: Int): String = {
+    def deg(rel: String): String =
+      s"""(SELECT node, count(*)::BIGINT AS dg FROM (
+         |    SELECT a AS node FROM $rel UNION ALL SELECT b FROM $rel) u
+         |  GROUP BY node)""".stripMargin
+    val peels = (2 to rounds).map { i =>
+      s"""e$i AS (SELECT e.a, e.b FROM e
+         |  JOIN a${i - 1} x ON e.a = x.node JOIN a${i - 1} y ON e.b = y.node),
+         |a$i AS MATERIALIZED (SELECT node FROM ${deg(s"e$i")} d
+         |  WHERE dg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.i AS a, y.i AS b FROM items x
+       |  JOIN items y ON x.g = y.g AND x.i < y.i),
+       |a1 AS MATERIALIZED (SELECT node FROM ${deg("e")} d WHERE dg >= $k),
+       |$peels,
+       |ef AS (SELECT e.a, e.b FROM e
+       |  JOIN a$rounds x ON e.a = x.node JOIN a$rounds y ON e.b = y.node)
+       |SELECT node, dg AS core_degree FROM ${deg("ef")} d
+       |ORDER BY node""".stripMargin
+  }
+
   /** Conditional transition entropy — twin of
     * Events.transitionEntropy: the same pair construction as
     * [[eventTransitions]], scale-9 quantized ln of the single-division

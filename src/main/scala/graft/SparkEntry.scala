@@ -676,6 +676,8 @@ object SparkEntry {
   private[graft] val zipfTopV = 500
   private[graft] val epochBudgetTokens = 200000L
   private[graft] val epochMaxRepeats = 4
+  private[graft] val kCoreK = 4
+  private[graft] val kCoreRounds = 10
   private[graft] val bpeRounds = 3
   // graded decontamination: flag docs whose shingle-overlap fraction
   // with the held-out set reaches this share (PaLM-style rule)
@@ -1130,6 +1132,16 @@ object SparkEntry {
       graft.ext.Graph.triangleCounts(
         graft.ext.Graph.coOccurrenceEdges(
           s.table("lineitem"), "l_orderkey", "l_partkey"))
+        .orderBy("node")
+    },
+    // §7.5 — k-core density backbone of the co-purchase graph
+    // (iterative peeling; single-shot degree thresholds miss chains
+    // of high-degree nodes hanging off the core).
+    "q_kcore" -> withTables { s =>
+      graft.ext.Graph.kCore(
+        graft.ext.Graph.coOccurrenceEdges(
+          s.table("lineitem"), "l_orderkey", "l_partkey"),
+        k = kCoreK, rounds = kCoreRounds)
         .orderBy("node")
     },
     // §7.5 — market-basket association rules over the same bipartite
@@ -2679,6 +2691,7 @@ object SparkEntry {
     "q_mi_lang_source" -> miSql,
     "q_bootstrap_mean" -> bootstrapSql(bootstrapReplicates, "boot"),
     "q_copurchase_triangles" -> triangleSql,
+    "q_kcore" -> OraclesExt.kCore(kCoreK, kCoreRounds),
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),

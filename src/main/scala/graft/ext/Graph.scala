@@ -142,6 +142,49 @@ object Graph {
     * upstream — deliberately not applied silently here, since
     * dropping pairs changes the graph.
     */
+  /** k-core decomposition by ITERATIVE PEELING, `rounds` unrolled
+    * rounds: repeatedly drop nodes whose degree in the surviving
+    * subgraph is < k, then report each survivor with its in-core
+    * degree — (node, core_degree). The density backbone: a node in
+    * the k-core sits in a subgraph where EVERYONE has ≥ k neighbors
+    * (duplicate cliques, co-purchase cores, boilerplate hubs), which
+    * single-shot degree thresholds miss (a chain of high-degree nodes
+    * hanging off a core peels away round by round).
+    *
+    * The round count is FIXED (both engines unroll the same `rounds`
+    * peels — the attrib_markov convention), so results are a pure
+    * function of (edges, k, rounds) whether or not the peel has
+    * converged; on graphs whose peel converges within `rounds` (the
+    * spec asserts it on its graph) the output IS the k-core.
+    *
+    * Scale shape: per round, two node-keyed semijoins restrict the
+    * edge list and one map-side-combined count recomputes degrees;
+    * the survivor set is [[Dedup.materialize]]d every round (fresh
+    * leaf — §8.4 rule 15) so the plan never grows. Work per round is
+    * |surviving edges|, monotonically shrinking.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 10,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val edges = Dedup.materialize(
+      pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    def restrict(alive: DataFrame): DataFrame =
+      edges
+        .join(alive.select(col("node").as("a")), Seq("a"))
+        .join(alive.select(col("node").as("b")), Seq("b"))
+    var alive = Dedup.materialize(
+      degrees(edges).filter(col("degree") >= k).select("node"))
+    for (_ <- 2 to rounds)
+      alive = Dedup.materialize(
+        degrees(restrict(alive)).filter(col("degree") >= k).select("node"))
+    degrees(restrict(alive))
+      .select(col("node"), col("degree").as("core_degree"))
+  }
+
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame =
     // the support variant's groupBy is the same (a, b) exchange a

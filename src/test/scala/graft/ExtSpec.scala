@@ -2481,6 +2481,24 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("kCore: iterative peel prunes chains a single-shot threshold keeps") {
+    import spark.implicits._
+    // triangle {1,2,3} with a chain 3-4-5 hanging off it; k=2:
+    // node 4 starts at degree 2 (a single-shot threshold keeps it),
+    // but the peel removes 5 (deg 1), then 4, leaving the triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = graft.ext.Graph.kCore(edges, k = 2, rounds = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // fixpoint: extra rounds change nothing
+    val more = graft.ext.Graph.kCore(edges, k = 2, rounds = 9)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(more == out)
+    // k above the densest core empties the result
+    assert(graft.ext.Graph.kCore(edges, k = 3, rounds = 5).isEmpty)
+  }
+
   test("phashNearDupPairs: identical = 0, one-byte edit small, short excluded") {
     import spark.implicits._
     val a = "abcdefghij" * 13            // 130 bytes, > 64-sample grid
