@@ -804,6 +804,80 @@ object EventStream {
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.
     */
+  /** One per-(doc, word-shard) novelty partial: how many of the doc's
+    * shingle positions routed to this shard, and how many were UNSET
+    * in the shard's filter at the start of the micro-batch. Sum the
+    * partials per doc (a plain batch roll-up over the sink — the
+    * dailyValueCounts composition) for the doc's novelty rate.
+    */
+  final case class NoveltyPartial(
+      docId: Long, shard: Int, nPositions: Long, nNovel: Long)
+
+  /** Per-shard novelty-filter state: sparse 63-bit words. */
+  final case class NoveltyShardState(words: Map[Long, Long])
+
+  /** Streaming corpus-novelty monitor — "is today's crawl adding
+    * anything, or re-fetching what we have?" — as a bounded-state
+    * ingest gate. Each doc's distinct 3-gram shingles hash to ONE
+    * Bloom position each (k = 1: position novelty is then decidable
+    * inside a single word shard — a k-bit membership probe would
+    * span shards; at k = 1 the filter is a novelty RATE meter with
+    * the standard ~n/m false-"seen" rate, not a dedup verdict), the
+    * position's 63-bit word routes to a hash shard, and each shard
+    * keeps its words as state: TOTAL state across shards is ≤
+    * mBits/63 words forever, however much text flows through.
+    *
+    * Probe semantics are BATCH-GRANULAR: every row tests the filter
+    * as it stood at the START of its micro-batch, then the batch's
+    * bits are folded in — no dependence on row order inside the
+    * batch (the determinism trap of probe-as-you-go), and the
+    * streamed result equals the batch twin ([[graft.ext.Sketches]]
+    * bloomBuild/k=1 probe over the earlier batches) exactly — the
+    * spec's pin.
+    */
+  def noveltyGateStream(docs: DataFrame, mBits: Long = 1L << 20,
+      shards: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id")(
+      implicit enc: SparkSession): Dataset[NoveltyPartial] = {
+    import enc.implicits._
+    require(shards >= 1 && mBits >= 63)
+    val pos = element_at(
+      graft.ext.Sketches.bloomPositions(col(textCol), mBits, 1), 1)
+    docs
+      .withColumn("__sh",
+        graft.ext.Dedup.shingles(graft.ext.TextStats.tokens(col(textCol)), 3))
+      .select(col(idCol).as("docId"), explode_outer(col("__sh")).as(textCol))
+      .filter(col(textCol).isNotNull)
+      .select(col("docId"), pos.as("__p"))
+      .select(col("docId"), expr("__p div 63").as("wordIdx"),
+        expr("shiftleft(1L, int(__p % 63))").as("bit"))
+      .withColumn("shard", pmod(col("wordIdx"), lit(shards.toLong)).cast("int"))
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[NoveltyShardState, NoveltyPartial](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[(Long, Long, Long, Int)],
+            state: GroupState[NoveltyShardState]) =>
+          val words = state.getOption.map(_.words).getOrElse(Map.empty)
+          val batch = rows.toSeq
+          // probe against the BATCH-START filter (order-free), keyed
+          // per doc; sort for a deterministic output row order
+          val perDoc = batch.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (doc, rs) =>
+              val novel = rs.count { case (_, w, b, _) =>
+                (words.getOrElse(w, 0L) & b) != b
+              }
+              NoveltyPartial(doc, shard, rs.size.toLong, novel.toLong)
+          }
+          // then fold the whole batch in
+          val updated = batch.foldLeft(words) { case (m, (_, w, b, _)) =>
+            m.updated(w, m.getOrElse(w, 0L) | b)
+          }
+          state.update(NoveltyShardState(updated))
+          perDoc.iterator
+      }
+  }
+
   /** One streaming heavy-hitter summary row: the shard's current
     * Misra–Gries counter for a token, plus the shard's total token
     * count (monotone — readers keep the rows with the max

@@ -462,6 +462,57 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed windows must be batch windows; extras: ${got.diff(batch).take(3)}")
   }
 
+  test("noveltyGateStream: batch-start probe equals the bloom(k=1) batch twin") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mBits = 1L << 20
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamed = EventStream.noveltyGateStream(
+      input.toDF.toDF("doc_id", "text"), mBits = mBits, shards = 4)
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_novelty")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-novelty").toString)
+      .outputMode("append")
+      .start()
+    val aDocs = Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven")
+    val bDocs = Seq(3L -> "alpha beta gamma delta epsilon zeta", // = doc 1
+      4L -> "alpha beta gamma NEW words here now",               // overlaps doc 1
+      5L -> "entirely fresh vocabulary nothing shared at all")
+    // the same position pipeline as the stream, in batch
+    def positions(docs: Seq[(Long, String)]) = docs.toDF("doc_id", "text")
+      .withColumn("__sh", graft.ext.Dedup.shingles(
+        graft.ext.TextStats.tokens(col("text")), 3))
+      .select(col("doc_id"), explode(col("__sh")).as("text"))
+      .select(col("doc_id"), element_at(
+        graft.ext.Sketches.bloomPositions(col("text"), mBits, 1), 1).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    try {
+      input.addData(aDocs: _*); q.processAllAvailable()
+      input.addData(bDocs: _*); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT docId, sum(nPositions), sum(nNovel) FROM stream_novelty " +
+        "GROUP BY docId").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // batch A probes an empty filter: everything novel
+      for ((d, _) <- aDocs) assert(got(d)._1 == got(d)._2, s"doc $d")
+      // batch B probes exactly batch A's bits
+      val aBits = positions(aDocs).map(_._2).toSet
+      val bPos = positions(bDocs).groupBy(_._1)
+      for ((d, _) <- bDocs) {
+        val ps = bPos(d).map(_._2)
+        assert(got(d)._1 == ps.length.toLong, s"doc $d positions")
+        assert(got(d)._2 == ps.count(p => !aBits.contains(p)).toLong,
+          s"doc $d novelty must equal the batch twin")
+      }
+      // the exact-copy doc has NO novel positions (no false negatives)
+      assert(got(3L)._2 == 0L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // stage the same file twice: every event_id arrives twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
