@@ -304,6 +304,30 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"rank filter not pushed into WindowGroupLimit:\n$plan")
   }
 
+  test("zipf fit caps the per-source rank window as WindowGroupLimit") {
+    Tables.register(spark, TestSpark.sfDir)
+    val plan = SparkEntry.queries("q_zipf_fit")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-V rank filter not pushed below the sort:\n$plan")
+  }
+
+  test("ngram novelty joins per-doc frames, never postings against postings") {
+    Tables.register(spark, TestSpark.sfDir)
+    val df = graft.ext.TextStats.ngramNovelty(spark.table("documents"))
+    // the only join in the plan must key on the DOC id (two per-doc
+    // aggregates) — a shingle-keyed join-back of the corpus-scale
+    // postings would show a join on __shingle
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(joins.nonEmpty && joins.forall(_.contains("doc_id")),
+      s"novelty must join doc-keyed frames only, got keys: $joins")
+  }
+
   test("vocab coverage broadcasts the vocabulary — corpus never shuffled by token") {
     Tables.register(spark, TestSpark.sfDir)
     val df = graft.ext.TextStats.vocabCoverage(spark.table("documents"), 20)
