@@ -528,9 +528,14 @@ object TrinoDialect {
     * `forall(a, f)`, `none_match(a, f)` → `(NOT exists(a, f))` —
     * the lambda bodies themselves pass through (shared grammar).
     */
-  def rewriteMatchFns(sql: String): String = {
-    def renameCall(s: String, from: String, to: String,
-        negate: Boolean): String = {
+  /** Rename every CALL of function `from` to `to` (call = the name
+    * followed by `(` outside literals/comments, not a substring of a
+    * longer identifier); with `negate`, additionally wrap the call as
+    * `(NOT to(...))`. The shared engine of [[rewriteMatchFns]] and
+    * [[rewriteScalarFns]].
+    */
+  private def renameCall(s: String, from: String, to: String,
+      negate: Boolean): String = {
       val lower = s.toLowerCase
       val lit = literalMask(s)
       val out = new StringBuilder(s.length)
@@ -558,13 +563,34 @@ object TrinoDialect {
         }
       }
       out.toString
-    }
+  }
+
+  def rewriteMatchFns(sql: String): String =
     renameCall(
       renameCall(
         renameCall(sql, "any_match", "exists", negate = false),
         "all_match", "forall", negate = false),
       "none_match", "exists", negate = true)
-  }
+
+  /** Trino scalar/aggregate function names whose Spark equivalent has
+    * IDENTICAL argument order and semantics — a pure rename, one pair
+    * per line. Names that LOOK renameable but are not stay out:
+    * `contains` (Trino array-contains vs Spark string-contains),
+    * `codepoint` (non-BMP), `to_unixtime` (double vs long),
+    * `date_diff` (argument reorder, not a rename).
+    */
+  private val ScalarRenames: Seq[(String, String)] = Seq(
+    "approx_distinct" -> "approx_count_distinct",
+    "strpos" -> "instr",
+    "arbitrary" -> "any_value",
+    "json_extract_scalar" -> "get_json_object",
+    "levenshtein_distance" -> "levenshtein",
+    "starts_with" -> "startswith")
+
+  def rewriteScalarFns(sql: String): String =
+    ScalarRenames.foldLeft(sql) { case (s, (from, to)) =>
+      renameCall(s, from, to, negate = false)
+    }
 
   /** Bare Trino type names with no Spark spelling: `VARCHAR` (no
     * length) → `STRING`, `VARBINARY` → `BINARY`. `VARCHAR(n)` parses
@@ -618,6 +644,7 @@ object TrinoDialect {
     */
   def translate(sql: String): String =
     resolveDefaultNamespace(
+      rewriteScalarFns(
       rewriteMatchFns(
         rewriteBareTypes(
           rewriteRow(
@@ -626,5 +653,5 @@ object TrinoDialect {
                 rewriteApproxPercentile(
                   rewriteArrayLiteral(
                     rewriteMapAgg(
-                      quoteIdentifiers(sql))))))))))
+                      quoteIdentifiers(sql)))))))))))
 }

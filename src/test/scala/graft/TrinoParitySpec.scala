@@ -127,6 +127,33 @@ class TrinoParitySpec extends AnyFunSuite {
       "SELECT x FROM t LEFT JOIN LATERAL explode(a) AS u(x) ON TRUE")
   }
 
+  test("dialect: same-semantics scalar fns rename; decoys untouched; executes in Spark") {
+    assert(TrinoDialect.rewriteScalarFns(
+      "SELECT approx_distinct(x), strpos(s, 'a'), arbitrary(y), " +
+        "json_extract_scalar(j, '$.k'), levenshtein_distance(a, b), " +
+        "starts_with(s, 'p') FROM t") ==
+      "SELECT approx_count_distinct(x), instr(s, 'a'), any_value(y), " +
+        "get_json_object(j, '$.k'), levenshtein(a, b), " +
+        "startswith(s, 'p') FROM t")
+    // decoys: literal content, longer identifiers, no-paren names
+    assert(TrinoDialect.rewriteScalarFns(
+      "SELECT my_strpos(s), strpos_count, 'strpos(x)' FROM t") ==
+      "SELECT my_strpos(s), strpos_count, 'strpos(x)' FROM t")
+    // idempotent: Spark spellings are not themselves rename sources
+    val once = TrinoDialect.rewriteScalarFns("SELECT strpos(s, 'a') FROM t")
+    assert(TrinoDialect.rewriteScalarFns(once) == once)
+    // end-to-end through a live session: the translated SQL runs and
+    // agrees with hand-written Spark SQL
+    val spark = TestSpark.spark
+    val got = spark.sql(TrinoDialect.translate(
+      "SELECT strpos('hello', 'll') AS p, " +
+        "levenshtein_distance('kitten', 'sitting') AS d, " +
+        "starts_with('spark', 'sp') AS b, " +
+        "json_extract_scalar('{\"k\": \"v\"}', '$.k') AS j")).collect()(0)
+    assert(got.getInt(0) == 3 && got.getInt(1) == 3)
+    assert(got.getBoolean(2) && got.getString(3) == "v")
+  }
+
   test("dialect: TRY(CAST) becomes try_cast; TRY_CAST passes through; other TRY rejected") {
     assert(TrinoDialect.rewriteTry(
       "SELECT TRY(CAST(x AS BIGINT)) FROM t") ==
