@@ -488,6 +488,44 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** Mann–Whitney U rank-sum test — twin of Stats.mannWhitney over
+    * n_chars between two sources: the same doubled-U integer
+    * (2U_A = Σ cA·(2·cumB(<v) + cB) over the distinct-value grid),
+    * the same tie-corrected σ² = nA·nB·(n³−n−T)/(12·n·(n−1)) as ONE
+    * exact-over-exact division before one sqrt, z and rank-biserial
+    * each a single double division rounded at 5.
+    */
+  def mannWhitney(groupA: String, groupB: String): String =
+    s"""WITH vc AS (SELECT n_chars AS v,
+       |  sum(CASE WHEN source = '$groupA' THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |  sum(CASE WHEN source = '$groupB' THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM documents WHERE source IN ('$groupA', '$groupB') GROUP BY 1),
+       |cum AS (SELECT v, ca, cb,
+       |  (sum(cb) OVER (ORDER BY v
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb) AS cbb
+       |  FROM vc),
+       |a AS (SELECT
+       |  sum(ca::HUGEINT * (2 * cbb::HUGEINT + cb)) AS u2a,
+       |  sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+       |  sum((ca + cb)::HUGEINT * (ca + cb) * (ca + cb) - (ca + cb)) AS tie
+       |  FROM cum),
+       |e AS (SELECT *,
+       |  n_a::HUGEINT * n_b * ((n_a + n_b)::HUGEINT * (n_a + n_b) * (n_a + n_b)
+       |    - (n_a + n_b) - tie) AS var_num,
+       |  (n_a + n_b)::HUGEINT * (n_a + n_b - 1) * 12 AS var_den
+       |  FROM a)
+       |SELECT '$groupA' AS group_a, '$groupB' AS group_b, n_a, n_b,
+       |  u2a::DOUBLE / 2.0 AS u_a,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND var_num > 0
+       |    THEN round((u2a - n_a::HUGEINT * n_b)::DOUBLE
+       |      / (sqrt(var_num::DOUBLE / var_den::DOUBLE) * 2.0), 5)
+       |  END AS z,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN round((u2a - n_a::HUGEINT * n_b)::DOUBLE
+       |      / (n_a::HUGEINT * n_b)::DOUBLE, 5)
+       |  END AS rank_biserial
+       |FROM e""".stripMargin
+
   /** Per-doc n-gram novelty — twin of TextStats.ngramNovelty: the
     * shared 3-gram shingle convention, posting count = doc frequency
     * (shingles distinct per doc), novelty = df==1 fraction in ONE
@@ -2310,6 +2348,38 @@ object OraclesExt {
        |SELECT node, dg AS core_degree FROM ${deg("ef")} d
        |ORDER BY node""".stripMargin
   }
+
+  /** Resource-allocation link prediction — twin of
+    * Graph.linkPrediction over the co-purchase edges: the same
+    * degree-capped adjacency (maxDegree smallest neighbors), the
+    * same round(1/deg, 9)::DECIMAL(18,9) weights summed exactly,
+    * anti-join against the UNCAPPED edge list, top-k by (exact score
+    * desc, ids).
+    */
+  def linkPrediction(k: Int, maxDegree: Int): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.i AS a, y.i AS b FROM items x
+       |  JOIN items y ON x.g = y.g AND x.i < y.i),
+       |und AS (SELECT a AS node, b AS nbr FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |capped AS MATERIALIZED (SELECT node, nbr FROM (
+       |  SELECT node, nbr,
+       |    row_number() OVER (PARTITION BY node ORDER BY nbr) AS r
+       |  FROM und) WHERE r <= $maxDegree),
+       |wz AS (SELECT node AS z,
+       |  round(1.0 / count(*)::DOUBLE, 9)::DECIMAL(18,9) AS w
+       |  FROM capped GROUP BY node),
+       |cand AS (SELECT c1.node AS z, c1.nbr AS x, c2.nbr AS y
+       |  FROM capped c1 JOIN capped c2
+       |  ON c1.node = c2.node AND c1.nbr < c2.nbr),
+       |sc AS (SELECT x AS id_a, y AS id_b, count(*)::BIGINT AS n_common,
+       |  sum(w.w) AS s FROM cand JOIN wz w ON cand.z = w.z GROUP BY 1, 2),
+       |nonedge AS (SELECT sc.* FROM sc LEFT JOIN e
+       |  ON sc.id_a = e.a AND sc.id_b = e.b WHERE e.a IS NULL)
+       |SELECT id_a, id_b, n_common, round(s::DOUBLE, 5) AS ra_score
+       |FROM nonedge ORDER BY s DESC, id_a, id_b LIMIT $k""".stripMargin
 
   /** Conditional transition entropy — twin of
     * Events.transitionEntropy: the same pair construction as

@@ -678,6 +678,10 @@ object SparkEntry {
   private[graft] val epochMaxRepeats = 4
   private[graft] val kCoreK = 4
   private[graft] val kCoreRounds = 10
+  // Mann–Whitney cohorts: the two sources whose length distributions
+  // the rank-sum test compares
+  private[graft] val mwGroupA = "src0"
+  private[graft] val mwGroupB = "src1"
   private[graft] val bpeRounds = 3
   // graded decontamination: flag docs whose shingle-overlap fraction
   // with the held-out set reaches this share (PaLM-style rule)
@@ -691,6 +695,10 @@ object SparkEntry {
   // association rules: min pair support and report size
   private[graft] val assocMinSupport = 3L
   private[graft] val assocK = 50
+  // link prediction: report size and the hub cap bounding the
+  // deg²-sized common-neighbor expansion
+  private[graft] val linkPredK = 50
+  private[graft] val linkPredMaxDegree = 64
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1144,6 +1152,16 @@ object SparkEntry {
         k = kCoreK, rounds = kCoreRounds)
         .orderBy("node")
     },
+    // §7.5 — resource-allocation link prediction over the same
+    // co-purchase graph: hub-discounted common-neighbor scores for
+    // pairs never bought together (assortment candidates; on a pair
+    // graph, banding misses).
+    "q_link_prediction" -> withTables { s =>
+      graft.ext.Graph.linkPrediction(
+        graft.ext.Graph.coOccurrenceEdges(
+          s.table("lineitem"), "l_orderkey", "l_partkey"),
+        k = linkPredK, maxDegree = linkPredMaxDegree)
+    },
     // §7.5 — market-basket association rules over the same bipartite
     // relation: exact supports, one-division confidence/lift, top-k
     // by lift with a unique (antecedent, consequent) tiebreak.
@@ -1570,6 +1588,14 @@ object SparkEntry {
     // agreement of two independent automatic labelers).
     "q_label_kappa" -> withTables { s =>
       graft.ext.Classify.labelAgreement(s, s.table("documents"))
+    },
+    // §7.5 — nonparametric source comparison: Mann–Whitney U on
+    // document length between two sources (rank-based, so one
+    // pathological crawl artifact cannot move the verdict the way it
+    // moves a t-test on heavy-tailed length distributions).
+    "q_mannwhitney" -> withTables { s =>
+      graft.ext.Stats.mannWhitney(s.table("documents"),
+        "source", "n_chars", mwGroupA, mwGroupB)
     },
     // §7.5 — tokenizer training: frequency-weighted adjacent
     // character-pair counts (the BPE merge-candidate relation; the
@@ -2692,6 +2718,8 @@ object SparkEntry {
     "q_bootstrap_mean" -> bootstrapSql(bootstrapReplicates, "boot"),
     "q_copurchase_triangles" -> triangleSql,
     "q_kcore" -> OraclesExt.kCore(kCoreK, kCoreRounds),
+    "q_link_prediction" ->
+      OraclesExt.linkPrediction(linkPredK, linkPredMaxDegree),
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),
@@ -2768,6 +2796,7 @@ object SparkEntry {
     "q_text_langid" -> OraclesExt.textLangId,
     "q_ngram_novelty" -> OraclesExt.ngramNovelty,
     "q_length_bias" -> OraclesExt.lengthBias,
+    "q_mannwhitney" -> OraclesExt.mannWhitney(mwGroupA, mwGroupB),
     "q_zipf_fit" -> OraclesExt.zipfFit(zipfTopV),
     "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,

@@ -185,6 +185,67 @@ object Graph {
       .select(col("node"), col("degree").as("core_degree"))
   }
 
+  /** Resource-allocation link prediction over a unique (src < dst)
+    * undirected edge list: for every NON-edge pair (x, y) sharing at
+    * least one neighbor, score = Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — the
+    * common-neighbor index that discounts promiscuous hubs (RA beats
+    * plain common-neighbor counts and Adamic–Adar on co-occurrence
+    * graphs precisely because a part in every basket predicts
+    * nothing). Returns the top `k` candidate pairs
+    * (id_a, id_b, n_common, ra_score), (exact score desc, ids) order.
+    * Pipeline use: "parts frequently bridged by the same baskets but
+    * never bought together" = assortment/recommendation candidates;
+    * on a near-dup pair graph, predicted links flag cluster splits a
+    * banding miss left open.
+    *
+    * Determinism (§8.3 rule 4): each neighbor's weight is ONE
+    * division round(1/deg, 9) quantized to DECIMAL(18,9); scores sum
+    * exactly in decimal, so ordering and the final rounded rendering
+    * are pure functions of the data. Top-k is totally ordered by
+    * (exact score desc, id_a, id_b).
+    *
+    * Scale shape: the pair expansion through a common neighbor z is
+    * deg(z)²-sized — the intrinsic cost, quadratic in hub degree —
+    * so the adjacency is degree-capped FIRST (each node keeps its
+    * `maxDegree` smallest neighbors via a rank-filter window, which
+    * Spark plans as WindowGroupLimit: at most k+1 rows per node
+    * buffered per task, the cap bounding shuffle volume too, the
+    * [[triangleCounts]] posture). Scores are exact on the capped
+    * subgraph; on a graph whose degrees are all ≤ the cap they equal
+    * the uncapped scores. The EXISTING-edge exclusion anti-joins the
+    * UNCAPPED edge list (a capped-away edge is still an edge — never
+    * "predict" it). Final top-k plans as TakeOrderedAndProject.
+    */
+  def linkPrediction(pairs: DataFrame, k: Int, maxDegree: Int = 64,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxDegree >= 1, "maxDegree must be >= 1")
+    val e = Dedup.materialize(
+      pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    val und = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    val w = Window.partitionBy("node").orderBy("nbr")
+    val capped = Dedup.materialize(
+      und.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxDegree).drop("__r"))
+    val wz = capped.groupBy(col("node").as("z"))
+      .agg(count(lit(1)).as("__dz"))
+      .select(col("z"), round(lit(1.0) / col("__dz").cast("double"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__w"))
+    val cand = capped.select(col("node").as("z"), col("nbr").as("x"))
+      .join(capped.select(col("node").as("z"), col("nbr").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val scored = cand.join(wz, Seq("z"))
+      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
+    scored.join(e,
+        scored("id_a") === e("a") && scored("id_b") === e("b"), "left_anti")
+      .orderBy(col("__s").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("__s").cast("double"), 5).as("ra_score"))
+  }
+
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame =
     // the support variant's groupBy is the same (a, b) exchange a

@@ -710,6 +710,71 @@ object Stats {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Mann–Whitney U rank-sum test comparing an integer-valued metric
+    * between two named cohorts — ONE summary row (group_a, group_b,
+    * n_a, n_b, u_a, z, rank_biserial). The pipeline use: the
+    * nonparametric "did source A's documents get longer/better than
+    * source B's" check that a t-test gets wrong on the heavy-tailed,
+    * outlier-ridden length/quality distributions a crawl produces —
+    * U depends only on ranks, so one pathological document cannot
+    * move it.
+    *
+    * Statistic: U_A = Σ_v cA(v)·(cumB(<v) + cB(v)/2) over the
+    * DISTINCT-value grid (ties contribute half), kept DOUBLED so it
+    * stays integer (2U_A = Σ cA·(2·cumB(<v) + cB) — the doubled-rank
+    * trick of [[spearmanByGroup]]); z uses the tie-corrected normal
+    * approximation σ² = nA·nB·(n³−n−T)/(12·n·(n−1)) with
+    * T = Σ_v t³−t, and rank_biserial = (2U_A − nA·nB)/(nA·nB) is the
+    * effect size. All operands are exact DECIMAL(38,0) up to ONE
+    * double division each for z and the effect size (§8.3 rule 4);
+    * the variance ratio is one exact-over-exact division before one
+    * sqrt — IEEE-identical on both engines.
+    *
+    * Scale shape: one value-grid groupBy (map-side combinable), a
+    * window cumsum over the DISTINCT-value domain (bounded by the
+    * metric's value range, never the corpus — the exactLong
+    * convention), and a single-row final aggregate. Degenerate
+    * cohorts (either side empty, or every value tied) yield NULL z.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "cohorts must differ")
+    val vc = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    // bounded global window: one row per distinct metric value
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = (col("__ca") + col("__cb")).cast(Dec380)
+    val agg = vc
+      .withColumn("__cbBefore", sum(col("__cb")).over(w) - col("__cb"))
+      .agg(
+        sum(col("__ca").cast(Dec380) *
+          (lit(2).cast(Dec380) * col("__cbBefore") + col("__cb"))).as("__u2a"),
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(t * t * t - t).as("__tie"))
+    val na = col("n_a").cast(Dec380)
+    val nb = col("n_b").cast(Dec380)
+    val n = na + nb
+    // exact integer numerator/denominator; ONE division, ONE sqrt
+    val varNum = na * nb * (n * n * n - n - col("__tie"))
+    val varDen = (n * (n - 1)) * 12
+    val num = (col("__u2a") - na * nb).cast("double")
+    val sigma2 = varNum.cast("double") / varDen.cast("double")
+    agg.select(
+      lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("n_a"), col("n_b"),
+      (col("__u2a").cast("double") / 2.0).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varNum > 0,
+        round(num / (sqrt(sigma2) * 2.0), 5))
+        .otherwise(lit(null).cast("double")).as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(num / (na * nb).cast("double"), 5))
+        .otherwise(lit(null).cast("double")).as("rank_biserial"))
+  }
+
   /** Per-group Spearman rank correlation between two columns —
     * (group, n_docs, spearman_rho) via the classic 1 − 6Σd²/(n(n²−1))
     * on AVERAGE ranks (ties share the mean of their rank run; no tie

@@ -259,7 +259,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_skipping" -> "32-row shard-offset frames (constant group)",
       // gateThresholds' descending cumulative runs over the same
       // score grid (Eval.gateThresholds scaladoc)
-      "q_gate_threshold" -> "5-decimal score grid (≤ 100001 rows)")
+      "q_gate_threshold" -> "5-decimal score grid (≤ 100001 rows)",
+      // mannWhitney's cumsum runs over the DISTINCT n_chars value
+      // grid — bounded by the metric's range, never the corpus
+      "q_mannwhitney" -> "distinct-value grid (one row per n_chars)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
