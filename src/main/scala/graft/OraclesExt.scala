@@ -2349,6 +2349,32 @@ object OraclesExt {
        |ORDER BY node""".stripMargin
   }
 
+  /** Compaction planner — twin of Compaction.plan over the
+    * (source, lang) manifest: the same two-phase prefix sum (within-
+    * source cumsum + per-source offsets), integer `//` bin
+    * assignment, integer-HALF_UP fill_ratio (bin_bytes/target
+    * terminates, so it lands on .5×10⁻⁵ ties — §8.3 rule 4).
+    */
+  def compactionPlan(targetBytes: Long): String =
+    s"""WITH m AS (SELECT source, lang, sum(n_chars)::BIGINT AS fb
+       |  FROM documents GROUP BY 1, 2),
+       |gt AS (SELECT source, sum(fb)::BIGINT AS gtot FROM m GROUP BY 1),
+       |off AS (SELECT source,
+       |  coalesce(sum(gtot) OVER (ORDER BY source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS o FROM gt),
+       |b AS (SELECT m.fb,
+       |  (off.o + coalesce(sum(m.fb) OVER (PARTITION BY m.source
+       |     ORDER BY m.lang
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+       |    // $targetBytes AS bin_id
+       |  FROM m JOIN off USING (source))
+       |SELECT bin_id::BIGINT AS bin_id, count(*)::BIGINT AS n_files,
+       |  sum(fb)::BIGINT AS bin_bytes,
+       |  ((sum(fb)::BIGINT * 200000 + $targetBytes)
+       |    // ${2 * targetBytes})::DOUBLE / 100000.0 AS fill_ratio
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Resource-allocation link prediction — twin of
     * Graph.linkPrediction over the co-purchase edges: the same
     * degree-capped adjacency (maxDegree smallest neighbors), the

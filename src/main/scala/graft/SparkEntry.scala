@@ -699,6 +699,8 @@ object SparkEntry {
   // deg²-sized common-neighbor expansion
   private[graft] val linkPredK = 50
   private[graft] val linkPredMaxDegree = 64
+  // compaction planner: target output-file size for the manifest bins
+  private[graft] val compactionTargetBytes = 8000L
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1979,6 +1981,17 @@ object SparkEntry {
       TextStats.vocabCoverage(s.table("documents"), vocabSize)
         .orderBy("doc_id")
     },
+    // §7.5 — small-file compaction planner: prefix-sum bin assignment
+    // of the (source, lang) file manifest into ~target-byte outputs,
+    // key-ordered so source locality (and its partition pruning)
+    // survives the rewrite. The plan is the reviewable cheap step;
+    // Compaction.compact is the rewrite.
+    "q_compaction_plan" -> withTables { s =>
+      val manifest = s.table("documents").groupBy("source", "lang")
+        .agg(sum(col("n_chars")).as("file_bytes"))
+      graft.ext.Compaction.plan(manifest,
+        "source", "lang", "file_bytes", compactionTargetBytes)
+    },
     // §7.5 — deterministic corpus shuffle + sharding (map-only
     // assignment; the only exchange is the per-shard rank window).
     "q_shard" -> withTables { s =>
@@ -2720,6 +2733,8 @@ object SparkEntry {
     "q_kcore" -> OraclesExt.kCore(kCoreK, kCoreRounds),
     "q_link_prediction" ->
       OraclesExt.linkPrediction(linkPredK, linkPredMaxDegree),
+    "q_compaction_plan" ->
+      OraclesExt.compactionPlan(compactionTargetBytes),
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),

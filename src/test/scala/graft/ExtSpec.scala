@@ -2653,4 +2653,23 @@ class ExtSpec extends AnyFunSuite {
       r5((n.toDouble * agree - peNum) / (n.toDouble * n - peNum)))
     assert(got.getDouble(4) >= -1.0 && got.getDouble(4) <= 1.0)
   }
+
+  test("compaction plan conserves bytes; oversized file spans its own bins") {
+    // target 100: s1 has small files (40+40+40 => bins roll at the
+    // boundary), s2 a 350-byte monster that must own multiple bin ids
+    val m = Seq(("s1", "a", 40L), ("s1", "b", 40L), ("s1", "c", 40L),
+      ("s2", "a", 350L), ("s2", "b", 30L))
+      .toDF("source", "lang", "file_bytes")
+    val out = graft.ext.Compaction.plan(m, "source", "lang", "file_bytes", 100L)
+      .collect()
+    assert(out.map(_.getLong(2)).sum == 500L, "bytes must be conserved")
+    assert(out.map(_.getLong(1)).sum == 5L, "files must be conserved")
+    // cum_before: s1 files at 0,40,80 -> bins 0,0,0; s2 at 120,470 ->
+    // bins 1,4 (the monster's bin id jumps the skipped 2,3 range)
+    val bins = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bins(0L) == ((3L, 120L)) && bins(1L) == ((1L, 350L)) &&
+      bins(4L) == ((1L, 30L)), s"unexpected plan: ${bins.toSeq.sorted}")
+    // fill ratio is integer HALF_UP at scale 5 of bytes/target
+    assert(out.find(_.getLong(0) == 0L).get.getDouble(3) == 1.2)
+  }
 }

@@ -262,7 +262,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_gate_threshold" -> "5-decimal score grid (≤ 100001 rows)",
       // mannWhitney's cumsum runs over the DISTINCT n_chars value
       // grid — bounded by the metric's range, never the corpus
-      "q_mannwhitney" -> "distinct-value grid (one row per n_chars)")
+      "q_mannwhitney" -> "distinct-value grid (one row per n_chars)",
+      // compaction plan's offsets window is one row per source group
+      // (the two-phase prefix-sum design; the per-file cumsum is
+      // partitioned by source)
+      "q_compaction_plan" -> "one row per source group (offset pass)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
