@@ -2349,6 +2349,33 @@ object OraclesExt {
        |ORDER BY node""".stripMargin
   }
 
+  /** Sorted-neighborhood blocking — twin of
+    * Dedup.sortedNeighborhoodPairs over part names: the same
+    * canonicalization/prefix block/(key, id) rank order, pairs within
+    * `window` ranks (the oracle uses the inequality join the Spark
+    * side avoids — oracle-side N is small), distinct-token
+    * intersection features, one rounded division.
+    */
+  def sortedNeighborhood(window: Int, blockLen: Int): String =
+    s"""WITH base AS (SELECT p_partkey AS id,
+       |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS k
+       |  FROM part),
+       |r AS MATERIALIZED (SELECT id, k, substr(k, 1, $blockLen) AS blk,
+       |  list_distinct(list_filter(string_split(k, ' '), x -> x <> ''))
+       |    AS toks,
+       |  row_number() OVER (PARTITION BY substr(k, 1, $blockLen)
+       |    ORDER BY k, id) AS rn
+       |  FROM base),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |  len(list_intersect(a.toks, b.toks))::BIGINT AS n_shared,
+       |  (len(a.toks) + len(b.toks)
+       |    - len(list_intersect(a.toks, b.toks)))::BIGINT AS n_union
+       |  FROM r a JOIN r b ON a.blk = b.blk
+       |  AND b.rn > a.rn AND b.rn <= a.rn + ${window - 1})
+       |SELECT id_a, id_b, n_shared, n_union,
+       |  round(n_shared::DOUBLE / n_union::DOUBLE, 5) AS jaccard
+       |FROM p ORDER BY id_a, id_b""".stripMargin
+
   /** Compaction planner — twin of Compaction.plan over the
     * (source, lang) manifest: the same two-phase prefix sum (within-
     * source cumsum + per-source offsets), integer `//` bin

@@ -701,6 +701,9 @@ object SparkEntry {
   private[graft] val linkPredMaxDegree = 64
   // compaction planner: target output-file size for the manifest bins
   private[graft] val compactionTargetBytes = 8000L
+  // sorted-neighborhood blocking: slide window and prefix-block length
+  private[graft] val snmWindow = 4
+  private[graft] val snmBlockLen = 4
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1981,6 +1984,14 @@ object SparkEntry {
       TextStats.vocabCoverage(s.table("documents"), vocabSize)
         .orderBy("doc_id")
     },
+    // §7.5 — record-linkage blocking: sorted-neighborhood candidate
+    // pairs over part names (short keys give MinHash nothing to
+    // sketch; sort-adjacency inside prefix blocks is the classic
+    // complement). Linear candidate count by construction.
+    "q_blocking_pairs" -> withTables { s =>
+      graft.ext.Dedup.sortedNeighborhoodPairs(s.table("part"),
+        "p_partkey", "p_name", snmWindow, snmBlockLen)
+    },
     // §7.5 — small-file compaction planner: prefix-sum bin assignment
     // of the (source, lang) file manifest into ~target-byte outputs,
     // key-ordered so source locality (and its partition pruning)
@@ -2735,6 +2746,8 @@ object SparkEntry {
       OraclesExt.linkPrediction(linkPredK, linkPredMaxDegree),
     "q_compaction_plan" ->
       OraclesExt.compactionPlan(compactionTargetBytes),
+    "q_blocking_pairs" ->
+      OraclesExt.sortedNeighborhood(snmWindow, snmBlockLen),
     "q_assoc_rules" -> assocRulesSql(assocMinSupport, assocK),
     "q_latest_state" -> OraclesExt.latestState,
     "q_winsorize" -> OraclesExt.winsorize(winsorLo, winsorHi),

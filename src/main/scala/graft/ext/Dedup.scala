@@ -539,6 +539,60 @@ object Dedup {
       .select("id_a", "id_b", "dist", "max_len")
   }
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo) for record
+    * linkage: candidate pairs are records whose CANONICALIZED keys
+    * ([[TextStats.normalizeText]]) sort within `window` positions of
+    * each other inside a shared `blockLen`-char prefix block —
+    * "nearly the same name lands nearby in sorted order", the classic
+    * complement to set-based LSH for SHORT keys (names, titles, SKUs)
+    * whose few tokens give MinHash nothing to sketch. Each pair
+    * carries the matcher features (n_shared, n_union, jaccard over
+    * distinct tokens); the blocking emits every window pair — the
+    * match DECISION (threshold, classifier) is the caller's, exactly
+    * as LSH banding emits collisions for the verifier.
+    *
+    * Determinism: sort order is (normalized key, id) — total. The
+    * jaccard division is single with token-count denominators (§8.3
+    * rule 4's safe class at short-key cardinalities).
+    *
+    * Scale shape: NO block self-join — each record explodes exactly
+    * `window − 1` probe ranks joined equi on (block, rank), so
+    * candidates are |records|·(window−1) by construction, LINEAR
+    * regardless of block skew (the naive block² join is quadratic in
+    * the biggest block). The rank window is partitioned by block.
+    * Output: (id_a, id_b, n_shared, n_union, jaccard), id order.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      keyCol: String, window: Int, blockLen: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    val base = df.select(col(idCol).as("id"),
+        TextStats.normalizeText(col(keyCol)).as("__k"))
+      .withColumn("__blk", substring(col("__k"), 1, blockLen))
+      .withColumn("__toks", array_distinct(TextStats.tokens(col("__k"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__blk").orderBy(col("__k"), col("id"))
+    val ranked = materialize(base.withColumn("__r", row_number().over(w)))
+    val probes = ranked
+      .withColumn("__rb",
+        explode(sequence(col("__r") + 1, col("__r") + lit(window - 1))))
+      .select(col("__blk"), col("id").as("id_a"), col("__toks").as("__ta"),
+        col("__rb").as("__r"))
+    val hits = probes.join(
+      ranked.select(col("__blk"), col("__r"), col("id").as("id_b"),
+        col("__toks").as("__tb")),
+      Seq("__blk", "__r"))
+    hits
+      .withColumn("n_shared",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("n_shared"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_union"),
+        round(col("n_shared").cast("double") / col("n_union").cast("double"), 5)
+          .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Cross-corpus near-dup pairs: MinHash+LSH between TWO corpora —
     * the "dedup a new crawl against the existing training set"
     * operation (same banding machinery as [[minHashNearDupPairs]],
