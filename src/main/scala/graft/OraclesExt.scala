@@ -1399,6 +1399,46 @@ object OraclesExt {
        |FROM ($unioned) CROSS JOIN tc ORDER BY nprobe""".stripMargin
   }
 
+  /** Matryoshka prefix-dim recall — twin of
+    * Similarity.matryoshkaRecall: full-width brute-force truth, then
+    * per-prefix re-normalized slices e[1:d] scored with the same
+    * sequential-fold dot, rank ≤ k, hit counts against the truth.
+    */
+  def matryoshkaRecall(k: Int, prefixDims: Seq[Int]): String = {
+    val ds = prefixDims.distinct.sorted
+    val per = ds.map { d =>
+      s"""p$d AS (SELECT vec_id, e[1:$d] AS p FROM v),
+         |n$d AS (SELECT vec_id, list_transform(p, x -> x /
+         |  sqrt(list_sum(list_transform(p, y -> y * y)))) AS nv FROM p$d),
+         |bf$d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${dotSql("q.nv", "c.nv")} AS score
+         |  FROM n$d c CROSS JOIN
+         |    (SELECT vec_id, nv FROM n$d WHERE vec_id < 5) q
+         |  WHERE q.vec_id <> c.vec_id),
+         |got$d AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rank FROM bf$d)
+         |  WHERE rank <= $k),
+         |hit$d AS (SELECT $d AS prefix_dims, count(*)::BIGINT AS n_hit
+         |  FROM got$d JOIN truth USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val unioned = ds.map(d => s"SELECT * FROM hit$d").mkString(" UNION ALL ")
+    s"""WITH $normCte,
+       |bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
+       |  FROM n c CROSS JOIN (SELECT vec_id, nv FROM n WHERE vec_id < 5) q
+       |  WHERE q.vec_id <> c.vec_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM bf)
+       |  WHERE rank <= $k),
+       |tc AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+       |$per
+       |SELECT prefix_dims, n_hit, n_truth,
+       |  round(n_hit::DOUBLE / n_truth::DOUBLE, 5) AS recall
+       |FROM ($unioned) CROSS JOIN tc ORDER BY prefix_dims""".stripMargin
+  }
+
   /** IVF-PQ recall@k curve — twin of Similarity.annRecallPq: one
     * shared chain for the normalized vectors, PQ codebook/codes/ADC
     * tables and the IVF ranked assignment ([[knnIvfPqCore]]'s

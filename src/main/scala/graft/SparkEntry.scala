@@ -704,6 +704,8 @@ object SparkEntry {
   // sorted-neighborhood blocking: slide window and prefix-block length
   private[graft] val snmWindow = 4
   private[graft] val snmBlockLen = 4
+  // matryoshka recall: prefix widths evaluated against the 64-dim truth
+  private[graft] val matryoshkaDims = Seq(8, 16, 32, 64)
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1414,6 +1416,15 @@ object SparkEntry {
       val emb = s.table("embeddings")
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 5), k = 10,
         nlist = 16, nprobes = annRecallNprobes)
+    },
+    // Matryoshka curve: recall of prefix-dimension search vs the
+    // full-width truth — how many dims can be dropped before recall
+    // pays (the nested-embedding serving dial; 1.0 at full width by
+    // construction).
+    "q_matryoshka_recall" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 5),
+        k = 10, prefixDims = matryoshkaDims)
     },
     // The compressed sibling: ADC scoring's extra recall loss on top
     // of cell pruning — PQ recall ≤ IVF recall at every nprobe.
@@ -2792,6 +2803,8 @@ object SparkEntry {
     "q_knn_lsh" -> OraclesExt.knnLsh,
     "q_knn_ivf" -> OraclesExt.knnIvf,
     "q_ann_recall" -> OraclesExt.annRecall(10, 16, annRecallNprobes),
+    "q_matryoshka_recall" ->
+      OraclesExt.matryoshkaRecall(10, matryoshkaDims),
     "q_ann_recall_pq" -> OraclesExt.annRecallPq(pqM, pqKsub, pqDims / pqM,
       10, 16, annRecallNprobes),
     "q_knn_ivfpq_residual" -> OraclesExt.knnIvfPqResidual(pqM, pqKsub,

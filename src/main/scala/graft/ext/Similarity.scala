@@ -493,6 +493,45 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  /** Matryoshka (prefix-dimension) recall@k curve: how much of the
+    * full-dimension brute-force truth survives when search uses only
+    * the FIRST `d` coordinates, re-normalized — the tuning curve for
+    * matryoshka-style embeddings, where nested prefixes are trained
+    * to stand alone and the serving question is "how many dims can I
+    * drop before recall pays". One row per prefix length:
+    * (prefix_dims, n_hit, n_truth, recall); at d = full width the
+    * candidate set IS the truth, so recall is exactly 1.0 — the
+    * built-in sanity anchor.
+    *
+    * Scale shape: the truth is computed ONCE and checkpointed (the
+    * [[annRecall]] posture); each prefix branch is one corpus scan
+    * scored against the broadcast-class query set, reducing to a
+    * single-row count — |prefixDims| scans total, an eval-set
+    * operation by design. Slicing happens BEFORE normalization (the
+    * prefix is its own unit vector, as matryoshka serving would).
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDims: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(prefixDims.nonEmpty, "need at least one prefix length")
+    val truth = Dedup.materialize(
+      topK(corpus, queries, k, idCol, vecCol)
+        .select("query_id", "neighbor_id"))
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
+    prefixDims.distinct.sorted.map { d =>
+      val cd = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val qd = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      topK(cd, qd, k, idCol, vecCol)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(denom))
+        .select(lit(d).as("prefix_dims"), col("n_hit"), col("n_truth"),
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 5)
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy("prefix_dims")
+  }
+
   /** [[annRecall]]'s COMPRESSED sibling: recall@k of [[ivfPqTopK]]
     * (ADC scoring over codes) per nprobe — the curve that separates
     * the two losses an IVF-PQ user tunes against: cell pruning
