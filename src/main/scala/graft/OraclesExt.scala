@@ -488,6 +488,40 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** Water-filling token allocation — twin of
+    * Sampling.waterFillAllocation over per-source token totals: the
+    * same ascending (available, stratum) order, prefix saturation
+    * predicate a·m + S_below ≤ B in HUGEINT, integer level split
+    * q = R // m with the first R % m unsaturated strata taking one
+    * extra, integer-HALF_UP budget share.
+    */
+  def waterFill(budget: Long): String =
+    s"""WITH $toksCte,
+       |t AS (SELECT d.source, sum(len(toks.t))::BIGINT AS a
+       |  FROM documents d JOIN toks USING (doc_id) GROUP BY 1),
+       |r AS (SELECT source, a,
+       |  row_number() OVER (ORDER BY a, source) AS i,
+       |  coalesce(sum(a) OVER (ORDER BY a, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS sb,
+       |  count(*) OVER ()::BIGINT AS n FROM t),
+       |s AS (SELECT *,
+       |  (a::HUGEINT * (n - i + 1) + sb) <= $budget AS sat FROM r),
+       |f AS (SELECT *,
+       |  sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER ()::BIGINT AS nsat,
+       |  coalesce(sum(CASE WHEN sat THEN a END) OVER (), 0)::BIGINT AS ssat
+       |  FROM s),
+       |g AS (SELECT source, a AS available_tokens, sat AS saturated,
+       |  (CASE WHEN sat THEN a
+       |    ELSE ($budget - ssat) // (n - nsat)
+       |      + (CASE WHEN i - nsat <= ($budget - ssat) % (n - nsat)
+       |         THEN 1 ELSE 0 END) END)::BIGINT AS alloc_tokens
+       |  FROM f)
+       |SELECT source, available_tokens, alloc_tokens, saturated,
+       |  ((alloc_tokens::HUGEINT * 200000 + $budget)
+       |    // ${2 * budget})::DOUBLE / 100000.0 AS budget_share
+       |FROM g ORDER BY source""".stripMargin
+
   /** Mann–Whitney U rank-sum test — twin of Stats.mannWhitney over
     * n_chars between two sources: the same doubled-U integer
     * (2U_A = Σ cA·(2·cumB(<v) + cB) over the distinct-value grid),

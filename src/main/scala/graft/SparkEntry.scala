@@ -706,6 +706,9 @@ object SparkEntry {
   private[graft] val snmBlockLen = 4
   // matryoshka recall: prefix widths evaluated against the 64-dim truth
   private[graft] val matryoshkaDims = Seq(8, 16, 32, 64)
+  // water-filling: token budget below the corpus total so the level
+  // lands mid-distribution (small sources saturate, large ones cap)
+  private[graft] val waterfillBudget = 15000L
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1813,6 +1816,15 @@ object SparkEntry {
         budgetTokens = epochBudgetTokens, maxRepeats = epochMaxRepeats)
         .orderBy("lang")
     },
+    // §7.5 — max–min fair (water-filling) token allocation: cap
+    // dominant sources at the water level, split the leftover as
+    // evenly as integers allow — the no-weights-to-tune mixture dial;
+    // allocations sum to exactly min(budget, corpus).
+    "q_waterfill" -> withTables { s =>
+      val d = s.table("documents").withColumn("n_tokens",
+        size(TextStats.tokens(col("text"))).cast("long"))
+      Sampling.waterFillAllocation(d, "source", waterfillBudget)
+    },
     // §7.5 — temperature-flattened mixture (α = 1/2): keep rates
     // sqrt-proportional to stratum size so the largest stratum stops
     // dominating; exact cross-engine because sqrt is the one power
@@ -2838,6 +2850,7 @@ object SparkEntry {
     "q_ngram_novelty" -> OraclesExt.ngramNovelty,
     "q_length_bias" -> OraclesExt.lengthBias,
     "q_mannwhitney" -> OraclesExt.mannWhitney(mwGroupA, mwGroupB),
+    "q_waterfill" -> OraclesExt.waterFill(waterfillBudget),
     "q_zipf_fit" -> OraclesExt.zipfFit(zipfTopV),
     "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,

@@ -344,6 +344,78 @@ object Sampling {
     * literal weights. A stratum with no weight fails AT EXECUTION via
     * raise_error, naming it (the [[rebalanceToMixture]] convention).
     */
+  /** Max–min fair (water-filling) token allocation: split
+    * `budgetTokens` across strata so no stratum gets more than it
+    * HAS, and the leftover is divided as evenly as integers allow —
+    * the allocation that caps dominant sources without starving small
+    * ones (the mixture designers' third dial next to
+    * [[rebalanceToMixture]]'s fixed weights and
+    * [[temperatureMixture]]'s power law: no weights to tune, the data
+    * sizes ARE the input). A stratum is SATURATED when its whole
+    * corpus fits under the water level; the rest share the remainder
+    * q = R div m each, with the first R mod m of them (in the
+    * deterministic (size, stratum) order) taking one extra token —
+    * allocations sum to exactly min(budget, Σ available).
+    *
+    * Exactness: the saturation predicate a·m + S_below ≤ B and the
+    * level split are pure integer arithmetic (products widened to
+    * DECIMAL(38,0) — token totals × strata counts overflow a long
+    * past ~10¹⁵ tokens); budget_share is integer HALF_UP at scale 5 —
+    * alloc/budget is a ratio against a round denominator, the
+    * terminating-decimal tie class (§8.3 rule 4, the
+    * [[Compaction.plan]] fill_ratio lesson). Saturated strata form a PREFIX of the
+    * ascending (available, stratum) order — the classic water-filling
+    * invariant — which is what lets the whole solve run as windows
+    * over the one-row-per-stratum frame.
+    *
+    * Scale shape: one map-side-combined per-stratum total, then
+    * windows over the STRATUM domain (bounded by the mixture design,
+    * never the corpus). Output: (stratum, available_tokens,
+    * alloc_tokens, saturated, budget_share), stratum order.
+    */
+  def waterFillAllocation(df: DataFrame, strataCol: String,
+      budgetTokens: Long, tokensCol: String = "n_tokens"): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val dec = DecimalType(38, 0)
+    val t = df.groupBy(strataCol)
+      .agg(sum(col(tokensCol).cast("long")).as("available_tokens"))
+    // bounded global windows: one row per stratum
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("available_tokens"), col(strataCol))
+    val before = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    t.withColumn("__i", row_number().over(ord))
+      .withColumn("__sb", coalesce(sum(col("available_tokens")).over(before),
+        lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__sat",
+        col("available_tokens").cast(dec) * (col("__n") - col("__i") + 1) +
+          col("__sb") <= lit(budgetTokens).cast(dec))
+      .withColumn("__nsat",
+        sum(when(col("__sat"), 1L).otherwise(0L)).over(all))
+      .withColumn("__ssat",
+        coalesce(sum(when(col("__sat"), col("available_tokens"))).over(all),
+          lit(0L)))
+      .withColumn("__m", col("__n") - col("__nsat"))
+      .withColumn("__r", lit(budgetTokens) - col("__ssat"))
+      .withColumn("alloc_tokens",
+        when(col("__sat"), col("available_tokens"))
+          .otherwise(expr("__r div __m") +
+            when(col("__i") - col("__nsat") <= expr("__r % __m"), 1L)
+              .otherwise(0L)))
+      .select(col(strataCol), col("available_tokens"), col("alloc_tokens"),
+        col("__sat").as("saturated"),
+        // widened: alloc × 2·10⁵ wraps a long past ~5·10¹³-token budgets
+        (expr(s"(cast(alloc_tokens as decimal(38,0)) * 200000 + " +
+          s"${budgetTokens}L) div ${2 * budgetTokens}L").cast("double")
+          / 100000.0).as("budget_share"))
+      .orderBy(strataCol)
+  }
+
   def epochPlan(df: DataFrame, strataCol: String,
       weights: Map[String, Double], budgetTokens: Long, maxRepeats: Int,
       tokensCol: String = "n_tokens"): DataFrame = {

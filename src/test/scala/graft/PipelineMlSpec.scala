@@ -1261,4 +1261,24 @@ class PipelineMlSpec extends AnyFunSuite {
     // k caps the list
     assert(graft.ext.Events.eventPaths(events, k = 1).count() == 1L)
   }
+
+  test("waterFill: saturation prefix, exact conservation, remainder spread") {
+    import spark.implicits._
+    // a(5) and b(10) fit under the level; c(100) caps at the leftover
+    val d1 = Seq(("a", 5L), ("b", 10L), ("c", 100L))
+      .flatMap { case (s, n) => Seq((s, n)) }.toDF("source", "n_tokens")
+    val r1 = graft.ext.Sampling.waterFillAllocation(d1, "source", 30L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    assert(r1.toSeq == Seq(("a", 5L, true), ("b", 10L, true), ("c", 15L, false)))
+    // equal strata, indivisible budget: the first R mod m strata in
+    // (size, name) order take the extra token; total is exactly B
+    val d2 = Seq(("x", 10L), ("y", 10L), ("z", 10L)).toDF("source", "n_tokens")
+    val r2 = graft.ext.Sampling.waterFillAllocation(d2, "source", 8L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(r2 == Seq(("x", 3L), ("y", 3L), ("z", 2L)))
+    // budget above the corpus: everything saturated, alloc = available
+    val r3 = graft.ext.Sampling.waterFillAllocation(d2, "source", 1000L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3))).toSeq
+    assert(r3 == Seq((10L, true), (10L, true), (10L, true)))
+  }
 }

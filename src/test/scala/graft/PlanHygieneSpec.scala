@@ -266,7 +266,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // compaction plan's offsets window is one row per source group
       // (the two-phase prefix-sum design; the per-file cumsum is
       // partitioned by source)
-      "q_compaction_plan" -> "one row per source group (offset pass)")
+      "q_compaction_plan" -> "one row per source group (offset pass)",
+      // water-filling solves over the stratum domain — one row per
+      // source, bounded by the mixture design
+      "q_waterfill" -> "one row per source stratum")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
