@@ -488,6 +488,45 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** RAKE keywords — twin of TextStats.rakeKeywords: the same
+    * stopword-run phrase segmentation (pid window computed BEFORE the
+    * stopword filter), length cap, scale-9 integer word scores
+    * HALF_UP(deg·10⁹/freq) via (2a+b) // 2b, exact integer phrase
+    * sums, tie-safe double rendering.
+    */
+  def rakeKeywords(k: Int, maxPhraseLen: Int): String = {
+    val stops = graft.ext.TextStats.Stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH $toksCte,
+       |pt AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+       |  FROM toks),
+       |mk AS (SELECT doc_id, pos, t[pos] AS tok,
+       |  (t[pos] IN ($stops)) AS stop FROM pt),
+       |mk2 AS (SELECT doc_id, pos, tok, stop,
+       |  sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS pid FROM mk),
+       |mem AS MATERIALIZED (SELECT doc_id, pid, pos, tok FROM mk2
+       |  WHERE NOT stop),
+       |ph AS MATERIALIZED (SELECT doc_id, pid, count(*)::BIGINT AS plen,
+       |  string_agg(tok, ' ' ORDER BY pos) AS phrase
+       |  FROM mem GROUP BY 1, 2 HAVING count(*) <= $maxPhraseLen),
+       |occ AS MATERIALIZED (SELECT m.doc_id, m.pid, p.phrase, p.plen,
+       |  m.tok FROM mem m JOIN ph p USING (doc_id, pid)),
+       |ws AS (SELECT tok, count(*)::HUGEINT AS freq,
+       |  sum(plen)::HUGEINT AS deg FROM occ GROUP BY tok),
+       |wsu AS (SELECT tok,
+       |  (deg * 2000000000 + freq) // (2 * freq) AS wsu FROM ws),
+       |ps AS (SELECT o.doc_id, o.pid, o.phrase, o.plen, sum(w.wsu) AS psu
+       |  FROM occ o JOIN wsu w USING (tok) GROUP BY 1, 2, 3, 4),
+       |ag AS (SELECT phrase, min(plen)::BIGINT AS n_words,
+       |  count(*)::BIGINT AS n_occurrences, min(psu) AS su FROM ps
+       |  GROUP BY 1)
+       |SELECT phrase, n_words, n_occurrences, su::BIGINT AS score_u,
+       |  su::DOUBLE / 1000000000.0 AS rake_score
+       |FROM ag ORDER BY su DESC, phrase LIMIT $k""".stripMargin
+  }
+
   /** Water-filling token allocation — twin of
     * Sampling.waterFillAllocation over per-source token totals: the
     * same ascending (available, stratum) order, prefix saturation

@@ -709,6 +709,9 @@ object SparkEntry {
   // water-filling: token budget below the corpus total so the level
   // lands mid-distribution (small sources saturate, large ones cap)
   private[graft] val waterfillBudget = 15000L
+  // RAKE: report size and the canonical phrase-length cap
+  private[graft] val rakeK = 40
+  private[graft] val rakeMaxPhraseLen = 4
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1890,6 +1893,13 @@ object SparkEntry {
       TextStats.tfidfKeywords(s.table("documents"), tfidfK)
         .orderBy("doc_id", "rank")
     },
+    // §7.5 — RAKE phrase keywords: stopword-free runs scored by
+    // member degree/frequency — the multi-word keyword signal unigram
+    // tf-idf cannot see; exact scale-9 integer scores (pageRank
+    // rank_u convention).
+    "q_rake_keywords" -> withTables { s =>
+      TextStats.rakeKeywords(s.table("documents"), rakeK, rakeMaxPhraseLen)
+    },
     // §7.5 — the dataset card: one long-format corpus summary
     // (counts, token totals, exact-dup volume, exact HALF-UP average)
     // assembled from broadcast-class scalar aggregates — the exact
@@ -2893,6 +2903,7 @@ object SparkEntry {
     "q_dsir_sample" -> OraclesExt.dsirSample(dsirK, dsirTargetLang, dsirSalt),
     "q_shuffle_order" -> OraclesExt.shuffleOrder(shuffleShards, shuffleSalt),
     "q_tfidf_keywords" -> OraclesExt.tfidfKeywords(tfidfK),
+    "q_rake_keywords" -> OraclesExt.rakeKeywords(rakeK, rakeMaxPhraseLen),
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
     "q_unpivot" -> OraclesExt.unpivotLineitem,
     "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,

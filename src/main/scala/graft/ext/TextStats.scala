@@ -794,6 +794,79 @@ object TextStats {
         round(col("score").cast("double"), 5).as("tfidf"))
   }
 
+  /** RAKE keyword extraction (Rose et al.) over the corpus: candidate
+    * PHRASES are maximal stopword-free token runs (capped at
+    * `maxPhraseLen` words — the canonical length limit); each word
+    * scores degree/frequency where frequency counts its occurrences
+    * in kept phrases and degree sums the lengths of the phrases it
+    * appears in (its within-phrase co-occurrence count, self
+    * included); a phrase scores the sum of its member word scores.
+    * Multi-word phrases with frequent-but-co-occurring words outrank
+    * bare frequency — the keyword signal [[tfidfKeywords]]' unigram
+    * scores cannot see. Returns the corpus top `k`:
+    * (phrase, n_words, n_occurrences, score_u, rake_score), (exact
+    * score desc, phrase) order.
+    *
+    * Determinism: word scores live in EXACT scale-9 integer units
+    * (the [[graft.ext.Graph.pageRank]] rank_u convention):
+    * ws_u = HALF_UP(degree·10⁹ / frequency) via the (2a+b) div 2b
+    * integer form, phrase scores are exact integer sums, and
+    * `rake_score` is the single tie-safe double rendering
+    * score_u/10⁹. (A round(deg/freq, 9) would land on 10-digit
+    * terminating ties at 2^a·5^b frequencies — the fill_ratio
+    * lesson, §8.3 rule 4.)
+    *
+    * Scale shape: tokenize once; the phrase segmentation window is
+    * partitioned by document; phrase and word aggregations key on
+    * (doc, phrase) and the vocabulary respectively — the corpus is
+    * never shuffled wider than its token stream, and the final top-k
+    * plans as TakeOrderedAndProject. Per-phrase member arrays are
+    * bounded by document length pre-filter (the shingle-array class),
+    * `maxPhraseLen` after.
+    */
+  def rakeKeywords(df: DataFrame, k: Int, maxPhraseLen: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"rakeKeywords needs k >= 1, got $k")
+    require(maxPhraseLen >= 1, "maxPhraseLen must be >= 1")
+    val staged = Dedup.spread(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("__text")), "__text")
+      .select(col("doc_id"), tokens(col("__text")).as("__t"))
+    val pt = staged.select(col("doc_id"),
+      posexplode(col("__t")).as(Seq("__pos", "__tok")))
+    val wP = Window.partitionBy("doc_id").orderBy("__pos")
+    val marked = pt
+      .withColumn("__stop", col("__tok").isInCollection(Stopwords))
+      .withColumn("__pid", sum(when(col("__stop"), 1L).otherwise(0L)).over(wP))
+    val phrases = Dedup.materialize(
+      marked.filter(!col("__stop"))
+        .groupBy(col("doc_id"), col("__pid"))
+        .agg(count(lit(1)).as("__len"),
+          transform(sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")).as("__mtoks"))
+        .filter(col("__len") <= maxPhraseLen)
+        .withColumn("phrase", array_join(col("__mtoks"), " ")))
+    val occ = phrases.select(col("doc_id"), col("__pid"), col("phrase"),
+      col("__len"), explode(col("__mtoks")).as("__tok"))
+    val wstats = occ.groupBy("__tok")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      // exact scale-9 word score: HALF_UP(deg·10⁹/freq) as (2a+b) div 2b
+      .withColumn("__wsu", expr(
+        "(cast(__deg as decimal(38,0)) * 2000000000 + __freq) div (2 * __freq)"))
+      .select(col("__tok"), col("__wsu"))
+    occ.join(wstats, Seq("__tok"))
+      .groupBy(col("doc_id"), col("__pid"), col("phrase"), col("__len"))
+      .agg(sum(col("__wsu")).as("__psu"))
+      .groupBy(col("phrase"))
+      .agg(min(col("__len")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("__psu")).as("__su"))
+      .orderBy(col("__su").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("__su").cast("long").as("score_u"),
+        (col("__su").cast("double") / 1000000000.0).as("rake_score"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the sorted distinct token set — exact
     *    content-set identity, robust to token order/repetition.
