@@ -488,6 +488,43 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** Pooled quantile normalization — twin of
+    * Curation.quantileNormalize over (source, quality_score): the
+    * same distinct-value grids, doubled-midrank integer threshold
+    * (2·cum−c)·N vs 2·n_g·cumPool in HUGEINT, source-before-pool
+    * merge order, forward-frame min pooled value.
+    */
+  val quantileNormalize: String =
+    s"""WITH $toksCte,
+       |q AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |  $qualityScoreSql AS v
+       |  FROM documents d JOIN toks USING (doc_id)),
+       |gg AS MATERIALIZED (SELECT source, v, count(*)::BIGINT AS c
+       |  FROM q GROUP BY 1, 2),
+       |gc AS (SELECT source, v, c, sum(c) OVER (PARTITION BY source
+       |  ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  AS cum FROM gg),
+       |ng AS (SELECT source, sum(c)::BIGINT AS ngr FROM gg GROUP BY 1),
+       |gp AS (SELECT v, count(*)::BIGINT AS c FROM q GROUP BY 1),
+       |pc AS (SELECT v, sum(c) OVER (ORDER BY v
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+       |  FROM gp),
+       |na AS (SELECT count(*)::BIGINT AS n FROM q),
+       |srcr AS (SELECT g.source, g.v,
+       |  (2::HUGEINT * g.cum - g.c) * na.n AS kx, 0 AS tag,
+       |  NULL::DOUBLE AS w FROM gc g CROSS JOIN na),
+       |poolr AS (SELECT ng.source, NULL::DOUBLE AS v,
+       |  2::HUGEINT * ng.ngr * p.cump AS kx, 1 AS tag, p.v AS w
+       |  FROM pc p CROSS JOIN ng),
+       |u AS (SELECT *, min(w) OVER (PARTITION BY source
+       |  ORDER BY kx, tag ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+       |  FOLLOWING) AS normalized
+       |  FROM (SELECT * FROM srcr UNION ALL SELECT * FROM poolr)),
+       |m AS (SELECT source, v, normalized FROM u WHERE tag = 0)
+       |SELECT q.doc_id, q.source, q.v AS quality_score, m.normalized
+       |FROM q JOIN m ON q.source = m.source AND q.v = m.v
+       |ORDER BY q.doc_id""".stripMargin
+
   /** RAKE keywords — twin of TextStats.rakeKeywords: the same
     * stopword-run phrase segmentation (pid window computed BEFORE the
     * stopword filter), length cap, scale-9 integer word scores

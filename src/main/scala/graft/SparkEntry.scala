@@ -1978,6 +1978,18 @@ object SparkEntry {
         "lang", "quality_score", "doc_id")
         .orderBy("doc_id")
     },
+    // §7.5 — pooled quantile normalization (the microarray classic):
+    // each doc's score becomes the pooled value at its within-source
+    // midrank percentile, so one global threshold means the same
+    // thing for every source — the batch-effect fix calibrateScores'
+    // per-group [0,1] rank cannot give.
+    "q_quantile_normalize" -> withTables { s =>
+      graft.ext.Curation.quantileNormalize(
+        TextStats.withDocStats(s.table("documents"))
+          .select("doc_id", "source", "quality_score"),
+        "source", "quality_score", "doc_id")
+        .orderBy("doc_id")
+    },
     // §7.5 — PII redaction audit. The corpus text is synthetic word
     // salad, so a deterministic contact string derived from doc_id is
     // appended first — the redaction path then has real matches to
@@ -2904,6 +2916,7 @@ object SparkEntry {
     "q_shuffle_order" -> OraclesExt.shuffleOrder(shuffleShards, shuffleSalt),
     "q_tfidf_keywords" -> OraclesExt.tfidfKeywords(tfidfK),
     "q_rake_keywords" -> OraclesExt.rakeKeywords(rakeK, rakeMaxPhraseLen),
+    "q_quantile_normalize" -> OraclesExt.quantileNormalize,
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
     "q_unpivot" -> OraclesExt.unpivotLineitem,
     "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,

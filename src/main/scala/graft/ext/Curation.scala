@@ -93,6 +93,85 @@ object Curation {
       .drop("__n", "__rk")
   }
 
+  /** Quantile normalization onto the POOLED score distribution — the
+    * batch-effect correction [[calibrateScores]]' within-group [0,1]
+    * rank cannot give: each document's score is replaced by the
+    * pooled-corpus value at its within-source midrank percentile, so
+    * every source's distribution becomes (a type-1 discretization of)
+    * the pooled one and a single global threshold means the same
+    * thing for every source. The microarray-normalization classic,
+    * applied to quality-score harmonization.
+    *
+    * Convention (deterministic, tie-stable): a tie run shares its
+    * MIDRANK r̄, kept doubled as the integer r2 = 2·cum − c + 1; the
+    * target is the type-1 pooled quantile — the smallest pooled value
+    * w with cumPool(w)/N ≥ (r̄ − ½)/n_g, cross-multiplied to the
+    * exact integer test 2·n_g·cumPool(w) ≥ (2·cum_g − c)·N (widened
+    * to DECIMAL(38,0): both sides reach 2·N² — ~10²⁵ at corpus
+    * scale). No interpolation, no float compare anywhere; the output
+    * VALUE is an existing pooled score.
+    *
+    * Scale shape: everything runs on the DISTINCT-value grids (the
+    * exactLong convention) — per-source grids from one value-counts
+    * aggregate (cumsum partitioned by source), the pooled grid
+    * replicated per source (sources × score-grid rows, both
+    * config-bounded: the score is 5-decimal, ≤ 10⁵+1 values). The
+    * ceiling lookup is a MERGE, not a join: union the two grids per
+    * source ordered by (threshold key, source-before-pool tag) and
+    * take min pooled w over the forward frame — monotone in the key,
+    * so the first following pool row is the answer. One value-keyed
+    * join maps grid results back to documents.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(groupCol).as("__g"),
+      col(scoreCol).as("__v"))
+    // ONE corpus aggregation; the pooled grid and both totals derive
+    // from the materialized per-source grid (score derivation is the
+    // expensive upstream — without the cut each grid/total would
+    // re-tokenize the corpus; measured 2.4× on the sf0.1 sweep)
+    val gridG = Dedup.materialize(
+      base.groupBy(col("__g"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          W.partitionBy("__g").orderBy("__v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))))
+    val nG = gridG.groupBy("__g").agg(sum(col("__c")).as("__ng"))
+    // pooled grid: one row per distinct score value (5-decimal bound)
+    val gridP = gridG.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
+      .withColumn("__cump", sum(col("__c")).over(
+        W.orderBy("__v").rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val nAll = nG.agg(sum(col("__ng")).as("__n"))
+    val srcRows = gridG.join(broadcast(nG), Seq("__g"))
+      .crossJoin(broadcast(nAll))
+      .select(col("__g"), col("__v"),
+        ((lit(2).cast(dec) * col("__cum") - col("__c")) * col("__n"))
+          .as("__key"),
+        lit(0).as("__tag"), lit(null).cast("double").as("__w"))
+    val poolRows = gridP.crossJoin(broadcast(nG))
+      .select(col("__g"), lit(null).cast(gridP.schema("__v").dataType)
+          .as("__v"),
+        (lit(2).cast(dec) * col("__ng") * col("__cump")).as("__key"),
+        lit(1).as("__tag"), col("__v").as("__w"))
+    // running min over the DESC order, not min over an
+    // unbounded-FOLLOWING frame: Spark recomputes shrinking frames
+    // from scratch per row (O(n²) per partition — measured 8× on the
+    // sf0.1 sweep); the reversed prefix frame is the O(n) running-
+    // aggregate path. Pool rows sort before source rows at equal keys
+    // in this order, so an exactly-hit threshold is still included.
+    val merged = srcRows.unionByName(poolRows)
+      .withColumn("normalized", min(col("__w")).over(
+        W.partitionBy("__g").orderBy(col("__key").desc, col("__tag").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .filter(col("__tag") === 0)
+      .select(col("__g"), col("__v"), col("normalized"))
+    base.join(merged, Seq("__g", "__v"))
+      .select(col(idCol), col("__g").as(groupCol),
+        col("__v").as(scoreCol), col("normalized"))
+  }
+
   /** [[curateFull]] thresholds (also oracle-shared): repetition and
     * OOV gates sit at the observed tail of the test corpus so each
     * reason actually fires in the flagship query.

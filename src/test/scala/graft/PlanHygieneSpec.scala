@@ -269,7 +269,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_compaction_plan" -> "one row per source group (offset pass)",
       // water-filling solves over the stratum domain — one row per
       // source, bounded by the mixture design
-      "q_waterfill" -> "one row per source stratum")
+      "q_waterfill" -> "one row per source stratum",
+      // pooled-grid cumsum runs over the 5-decimal score grid alone
+      // (the merge window itself is partitioned by source)
+      "q_quantile_normalize" -> "5-decimal score grid (≤ 100001 rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
