@@ -384,10 +384,13 @@ object Events {
     * touch_event_id, n_touches, position, credit).
     *
     * Journey assignment is a FORWARD as-of: the [[asofJoin]] union
-    * trick with the frame reversed (first conversion at-or-after the
-    * touch, via first_value-ignore-nulls over CURRENT ROW →
-    * UNBOUNDED FOLLOWING on the user timeline) — one user-keyed
-    * window, no touch×conversion join. Position/count windows are
+    * trick with the ORDER reversed — last-non-null over the running
+    * prefix of the DESC user timeline ≡ first conversion at-or-after
+    * the touch, but stays on Spark's O(n) incremental frame (a
+    * CURRENT ROW → UNBOUNDED FOLLOWING frame is recomputed from
+    * scratch per row, O(n²) in one user's events — a bot with 10⁶
+    * events would own a 10¹²-op task). One user-keyed window, no
+    * touch×conversion join. Position/count windows are
     * keyed by conversion — bounded by a single journey's touches, so
     * a hyperactive user never concentrates a partition beyond one
     * journey.
@@ -418,13 +421,15 @@ object Events {
             org.apache.spark.sql.types.LongType)))).as("__t"),
       struct(col("conv_id")).as("__c"))
     // same-instant touch belongs to the conversion: side 0 sorts
-    // first. __tie (the event_id) makes the order total — two
-    // conversions by one user at the same microsecond would otherwise
-    // assign journeys partition/engine-dependently.
-    val wf = Window.partitionBy("__key").orderBy("__ts", "__side", "__tie")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // first in the forward order — i.e. LAST in this reversed
+    // running-prefix order. __tie (the event_id) makes the order
+    // total — two conversions by one user at the same microsecond
+    // would otherwise assign journeys partition/engine-dependently.
+    val wf = Window.partitionBy("__key")
+      .orderBy(col("__ts").desc, col("__side").desc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val journeys = l.unionByName(r)
-      .withColumn("__j", first(col("__c"), ignoreNulls = true).over(wf))
+      .withColumn("__j", last(col("__c"), ignoreNulls = true).over(wf))
       .where(col("__side") === 0 && col("__j").isNotNull)
       .select(col("__key").as(userCol), col("__t.touch_id").as("touch_id"),
         col("__t.touch_us").as("touch_us"), col("__j.conv_id").as("conv_id"))
