@@ -488,6 +488,47 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** Per-type daily burstiness — twin of Events.fanoFactor: zero
+    * days enter only the span length, so
+    * F = (n·Σx² − S²)/((n−1)·S) is a ratio of exact HUGEINT
+    * operands, one rounded division.
+    */
+  val fanoFactor: String =
+    """WITH daily AS (SELECT event_type,
+      |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))
+      |    ::BIGINT AS day_num, count(*)::BIGINT AS n
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |a AS (SELECT event_type,
+      |  (max(day_num) - min(day_num) + 1)::BIGINT AS n_days,
+      |  sum(n)::BIGINT AS n_events,
+      |  sum(n::HUGEINT * n) AS ss FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, n_events,
+      |  CASE WHEN n_days > 1 AND n_events > 0 THEN
+      |    round((n_days::HUGEINT * ss - n_events::HUGEINT * n_events)::DOUBLE
+      |      / ((n_days::HUGEINT - 1) * n_events)::DOUBLE, 5)
+      |  END AS fano
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** Source diversity per language — twin of
+    * TextStats.sourceDiversity: scale-9 quantized ln shares, exact
+    * decimal Σ n·llh, one division + exp + round.
+    */
+  val sourceDiversity: String =
+    """WITH c AS (SELECT lang, source, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT lang, sum(c)::BIGINT AS n,
+      |  count(*)::BIGINT AS n_sources FROM c GROUP BY 1),
+      |x AS (SELECT c.lang, t.n, t.n_sources, c.c,
+      |  round(ln(c.c::DOUBLE / t.n::DOUBLE), 9)::DECIMAL(18,9) AS llh
+      |  FROM c JOIN t USING (lang)),
+      |a AS (SELECT lang, any_value(n) AS n,
+      |  any_value(n_sources) AS n_sources,
+      |  sum(c::DECIMAL(10,0) * llh) AS s FROM x GROUP BY 1)
+      |SELECT lang, n::BIGINT AS n_docs, n_sources,
+      |  round((-s)::DOUBLE / n::DOUBLE, 5) AS entropy_nats,
+      |  round(exp((-s)::DOUBLE / n::DOUBLE), 5) AS effective_sources
+      |FROM a ORDER BY lang""".stripMargin
+
   /** Pooled quantile normalization — twin of
     * Curation.quantileNormalize over (source, quality_score): the
     * same distinct-value grids, doubled-midrank integer threshold

@@ -1126,6 +1126,18 @@ object SparkEntry {
     "q_event_periodicity" -> withTables { s =>
       Events.dailyAutocorrelation(s.table("events"), lags = autocorrLags)
     },
+    // §7.5 — arrival-regime alarm: Fano factor of daily counts
+    // (1 ≈ Poisson, ≫1 bursty, <1 scheduled) — catches "same daily
+    // total, different regime" that volume dashboards miss.
+    "q_event_fano" -> withTables { s =>
+      Events.fanoFactor(s.table("events"))
+    },
+    // §7.5 — mixture health: Shannon diversity of sources within each
+    // language; effective_sources = exp(H) exposes the
+    // one-source-holds-95% corpus a source COUNT hides.
+    "q_source_diversity" -> withTables { s =>
+      TextStats.sourceDiversity(s.table("documents"))
+    },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
     // growing" dashboard row).
@@ -2917,6 +2929,8 @@ object SparkEntry {
     "q_tfidf_keywords" -> OraclesExt.tfidfKeywords(tfidfK),
     "q_rake_keywords" -> OraclesExt.rakeKeywords(rakeK, rakeMaxPhraseLen),
     "q_quantile_normalize" -> OraclesExt.quantileNormalize,
+    "q_event_fano" -> OraclesExt.fanoFactor,
+    "q_source_diversity" -> OraclesExt.sourceDiversity,
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
     "q_unpivot" -> OraclesExt.unpivotLineitem,
     "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,

@@ -538,6 +538,46 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Per-type burstiness: the Fano factor (index of dispersion) of
+    * DAILY counts over the type's [min, max] day span, zero days
+    * included — F = s²/x̄, 1 for a Poisson-regular stream, ≫1 for
+    * bursty arrivals (batch replays, bot storms, incident retries),
+    * <1 for throttled/scheduled streams. The single-number companion
+    * to [[dailyAutocorrelation]]'s lag structure, and the alarm that
+    * catches "same daily TOTAL, completely different arrival regime"
+    * which a volume dashboard misses.
+    *
+    * Exactness: with zeros densified, F = (n·Σx² − S²)/((n−1)·S) is
+    * a ratio of exact integers (§8.3: counts sum exactly; products
+    * widened to DECIMAL(38,0) — Σx² scales with burst-size² and a
+    * long wraps past ~3·10⁹ events/day) — ONE rounded double
+    * division. Degenerate spans (n ≤ 1 or S = 0) yield NULL.
+    *
+    * Scale shape: one (type, day) map-side-combined count, a
+    * span-bounded densify (sequence explode over the date range —
+    * never corpus rows), one row per type out.
+    */
+  def fanoFactor(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .agg(count(lit(1)).as("__n"))
+    val n = col("n_days").cast(dec)
+    val s = col("n_events").cast(dec)
+    daily.groupBy("event_type")
+      .agg((max(col("day_num")) - min(col("day_num")) + 1).as("n_days"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__n").cast(dec) * col("__n")).as("__ss"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        when(col("n_days") > 1 && col("n_events") > 0,
+          round((n * col("__ss") - s * s).cast("double") /
+            ((n - 1) * s).cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** Top-k frequent 3-step event paths — the sequence-mining big
     * sibling of [[eventTransitions]]' Markov bigrams: which concrete
     * three-event journeys dominate (the funnel-DISCOVERY relation;

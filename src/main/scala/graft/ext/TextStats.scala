@@ -794,6 +794,44 @@ object TextStats {
         round(col("score").cast("double"), 5).as("tfidf"))
   }
 
+  /** Corpus-balance diagnostic: Shannon diversity of SOURCES within
+    * each language — (lang, n_docs, n_sources, entropy_nats,
+    * effective_sources), where effective_sources = exp(H) is the
+    * "numbers equivalent" (10 sources at H = ln 2 behave like 2).
+    * The mixture-health number a raw source COUNT hides: a language
+    * with 10 sources where one holds 95% of documents is effectively
+    * single-sourced, and models inherit that source's biases however
+    * long the source list looks.
+    *
+    * Determinism: the [[graft.ext.Events.transitionEntropy]]
+    * convention — each share's ln is quantized at scale 9, terms sum
+    * exactly in decimal (n·llh with the count pre-narrowed to
+    * DECIMAL(10,0) so the product keeps scale 9 — §8.3 rule 11), one
+    * division + exp + round at the end.
+    *
+    * Scale shape: one (lang, source) map-side-combined count; the
+    * entropy roll-up runs on the (lang × source) domain, never the
+    * corpus.
+    */
+  def sourceDiversity(df: DataFrame, langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
+    val cnt = df.groupBy(col(langCol), col(sourceCol))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy(col(langCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_sources"))
+    val h = (-col("__s")).cast("double") / col("__n").cast("double")
+    cnt.join(broadcast(tot), Seq(langCol))
+      .withColumn("__llh",
+        round(log(col("__c").cast("double") / col("__n").cast("double")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col(langCol), col("__n"), col("n_sources"))
+      .agg(sum(col("__c").cast(DecimalType(10, 0)) * col("__llh")).as("__s"))
+      .select(col(langCol), col("__n").as("n_docs"), col("n_sources"),
+        round(h, 5).as("entropy_nats"),
+        round(exp(h), 5).as("effective_sources"))
+      .orderBy(langCol)
+  }
+
   /** RAKE keyword extraction (Rose et al.) over the corpus: candidate
     * PHRASES are maximal stopword-free token runs (capped at
     * `maxPhraseLen` words — the canonical length limit); each word
