@@ -488,6 +488,79 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** SPRT monitor — twin of Stats.sprtMonitor: identical driver-side
+    * scale-9 ln constants interpolated as literals (no libm
+    * agreement needed), DECIMAL(12,0)×DECIMAL(18,9) daily LLR on the
+    * calendar-day grid, Wald thresholds, first-crossing flag.
+    */
+  def sprtMonitor(successType: String, p0: Double, p1: Double,
+      alpha: Double, beta: Double): String = {
+    def q9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).toPlainString
+    val l1 = q9(math.log(p1 / p0))
+    val l0 = q9(math.log((1 - p1) / (1 - p0)))
+    val thA = q9(math.log((1 - beta) / alpha))
+    val thB = q9(math.log(beta / (1 - alpha)))
+    s"""WITH daily AS (SELECT
+       |  date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT
+       |    AS day_num,
+       |  count(*)::BIGINT AS n,
+       |  sum(CASE WHEN event_type = '$successType' THEN 1 ELSE 0 END)
+       |    ::BIGINT AS s
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       |c AS (SELECT day_num,
+       |  (sum(n) OVER w)::BIGINT AS n_trials_cum,
+       |  (sum(s) OVER w)::BIGINT AS n_success_cum
+       |  FROM daily WINDOW w AS (ORDER BY day_num
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |l AS (SELECT *,
+       |  (n_success_cum::DECIMAL(12,0) * $l1::DECIMAL(18,9)
+       |   + (n_trials_cum - n_success_cum)::DECIMAL(12,0)
+       |     * $l0::DECIMAL(18,9)) AS llr FROM c),
+       |d AS (SELECT *,
+       |  CASE WHEN llr >= $thA::DECIMAL(18,9) THEN 'accept_h1'
+       |       WHEN llr <= $thB::DECIMAL(18,9) THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision FROM l)
+       |SELECT day_num, n_trials_cum, n_success_cum, llr::DOUBLE AS llr,
+       |  decision,
+       |  (decision <> 'continue' AND day_num = min(CASE WHEN
+       |    decision <> 'continue' THEN day_num END) OVER ())
+       |    AS is_first_decision
+       |FROM d ORDER BY day_num""".stripMargin
+  }
+
+  /** Kruskal–Wallis H — twin of Stats.kruskalWallis over
+    * (source, n_chars): pooled doubled midranks from the value grid,
+    * exact integer deviations, scale-9 HALF_UP D²/n terms summed
+    * exactly, tie-corrected H as one division of exact products.
+    */
+  val kruskalWallis: String =
+    """WITH gv AS (SELECT source AS g, n_chars AS v,
+      |  count(*)::BIGINT AS cg FROM documents GROUP BY 1, 2),
+      |vc AS (SELECT v, sum(cg)::BIGINT AS c FROM gv GROUP BY 1),
+      |rk AS (SELECT v,
+      |  2 * (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW))::HUGEINT - c + 1 AS r2,
+      |  c::HUGEINT * c * c - c AS t3 FROM vc),
+      |tie AS (SELECT sum(t3) AS t FROM rk),
+      |pg AS (SELECT g, sum(cg)::BIGINT AS ng,
+      |  sum(cg::HUGEINT * r2) AS rs FROM gv JOIN rk USING (v)
+      |  GROUP BY 1),
+      |nt AS (SELECT sum(ng)::BIGINT AS n,
+      |  count(*)::BIGINT AS n_groups FROM pg),
+      |t9 AS (SELECT pg.g,
+      |  ((rs - ng::HUGEINT * (n + 1)) * (rs - ng::HUGEINT * (n + 1))
+      |    * 2000000000 + ng) // (2 * ng) AS t9
+      |  FROM pg CROSS JOIN nt),
+      |s9 AS (SELECT sum(t9) AS s FROM t9)
+      |SELECT n_groups, n AS n_total,
+      |  CASE WHEN n > 1 AND (n::HUGEINT * n * n - n - tie.t) > 0 THEN
+      |    round((3::HUGEINT * s9.s * (n::HUGEINT * n * n - n))::DOUBLE
+      |      / (1000000000::HUGEINT * n * (n + 1)
+      |         * (n::HUGEINT * n * n - n - tie.t))::DOUBLE, 5)
+      |  END AS kw_h
+      |FROM nt CROSS JOIN tie CROSS JOIN s9""".stripMargin
+
   /** Per-type daily burstiness — twin of Events.fanoFactor: zero
     * days enter only the span length, so
     * F = (n·Σx² − S²)/((n−1)·S) is a ratio of exact HUGEINT

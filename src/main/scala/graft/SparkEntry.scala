@@ -712,6 +712,13 @@ object SparkEntry {
   // RAKE: report size and the canonical phrase-length cap
   private[graft] val rakeK = 40
   private[graft] val rakeMaxPhraseLen = 4
+  // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
+  // so the stream actually crosses a boundary, classic 5% errors
+  private[graft] val sprtSuccessType = "purchase"
+  private[graft] val sprtP0 = 0.18
+  private[graft] val sprtP1 = 0.20
+  private[graft] val sprtAlpha = 0.05
+  private[graft] val sprtBeta = 0.05
   // blocklist phrases: three lengths + a guaranteed miss (no quotes —
   // interpolated into the oracle as SQL literals)
   private[graft] val blocklistPhrases = Seq(
@@ -1125,6 +1132,13 @@ object SparkEntry {
     // autocorrelation of the DENSIFIED daily counts.
     "q_event_periodicity" -> withTables { s =>
       Events.dailyAutocorrelation(s.table("events"), lags = autocorrLags)
+    },
+    // §7.5 — sequential testing: Wald SPRT of the purchase share per
+    // day — the early-stopping monitor a fixed-horizon test cannot
+    // give, with alpha/beta guarantees intact.
+    "q_sprt" -> withTables { s =>
+      graft.ext.Stats.sprtMonitor(s.table("events"), sprtSuccessType,
+        sprtP0, sprtP1, sprtAlpha, sprtBeta)
     },
     // §7.5 — arrival-regime alarm: Fano factor of daily counts
     // (1 ≈ Poisson, ≫1 bursty, <1 scheduled) — catches "same daily
@@ -1630,6 +1644,13 @@ object SparkEntry {
     "q_mannwhitney" -> withTables { s =>
       graft.ext.Stats.mannWhitney(s.table("documents"),
         "source", "n_chars", mwGroupA, mwGroupB)
+    },
+    // §7.5 — the k-group sibling: Kruskal–Wallis across ALL sources
+    // at once (one omnibus test instead of k² pairwise comparisons
+    // and their multiplicity problem).
+    "q_kruskal_wallis" -> withTables { s =>
+      graft.ext.Stats.kruskalWallis(s.table("documents"),
+        "source", "n_chars")
     },
     // §7.5 — tokenizer training: frequency-weighted adjacent
     // character-pair counts (the BPE merge-candidate relation; the
@@ -2885,6 +2906,9 @@ object SparkEntry {
     "q_length_bias" -> OraclesExt.lengthBias,
     "q_mannwhitney" -> OraclesExt.mannWhitney(mwGroupA, mwGroupB),
     "q_waterfill" -> OraclesExt.waterFill(waterfillBudget),
+    "q_kruskal_wallis" -> OraclesExt.kruskalWallis,
+    "q_sprt" -> OraclesExt.sprtMonitor(sprtSuccessType,
+      sprtP0, sprtP1, sprtAlpha, sprtBeta),
     "q_zipf_fit" -> OraclesExt.zipfFit(zipfTopV),
     "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,

@@ -775,6 +775,143 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("rank_biserial"))
   }
 
+  /** Wald's sequential probability ratio test (SPRT) over the daily
+    * event stream: treat every event as a Bernoulli trial
+    * (success = `successType`), accumulate the log-likelihood ratio
+    * of H₁: p = p1 vs H₀: p = p0 day by day, and report the decision
+    * state per day against Wald's thresholds
+    * A = ln((1−β)/α), B = ln(β/(1−α)) — the early-stopping monitor a
+    * fixed-horizon test ([[abPower]]) cannot give: on a strong
+    * effect the stream crosses a boundary in days, with the
+    * classical α/β guarantees intact. One row per calendar day:
+    * (day_num, n_trials_cum, n_success_cum, llr, decision,
+    * is_first_decision).
+    *
+    * Determinism: the four ln constants are computed ONCE driver-side
+    * and quantized to DECIMAL(18,9) — both engines consume identical
+    * literals, so no libm agreement is ever needed; the daily LLR is
+    * cumS·l1 + cumF·l0 with integer cumulatives pre-narrowed to
+    * DECIMAL(12,0) (rule 11: the product keeps scale 9 below ~10¹²
+    * cumulative trials), and `llr` is the exact decimal's direct
+    * double rendering — no round, no float accumulation.
+    *
+    * Scale shape: one (day)-grid map-side-combined count; every
+    * window runs on the calendar-day grid (the [[cusumChangepoint]]
+    * bound).
+    */
+  def sprtMonitor(ev: DataFrame, successType: String, p0: Double,
+      p1: Double, alpha: Double, beta: Double,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "need distinct p0, p1 in (0, 1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "need alpha, beta in (0, 1)")
+    def q9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val l1 = q9(math.log(p1 / p0))
+    val l0 = q9(math.log((1 - p1) / (1 - p0)))
+    val thA = q9(math.log((1 - beta) / alpha))
+    val thB = q9(math.log(beta / (1 - alpha)))
+    val dec120 = DecimalType(12, 0)
+    val daily = ev.filter(col(tsCol).isNotNull)
+      .groupBy(datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+        .as("day_num"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L)).as("__s"))
+    // bounded global windows: one row per calendar day
+    val w = Window.orderBy("day_num")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val llr = col("n_success_cum").cast(dec120) * lit(l1) +
+      (col("n_trials_cum") - col("n_success_cum")).cast(dec120) * lit(l0)
+    daily
+      .withColumn("n_trials_cum", sum(col("__n")).over(w))
+      .withColumn("n_success_cum", sum(col("__s")).over(w))
+      .withColumn("__llr", llr)
+      .withColumn("decision",
+        when(col("__llr") >= lit(thA), lit("accept_h1"))
+          .when(col("__llr") <= lit(thB), lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .withColumn("is_first_decision",
+        col("decision") =!= "continue" &&
+          col("day_num") === min(when(col("decision") =!= "continue",
+            col("day_num"))).over(all))
+      .select(col("day_num"), col("n_trials_cum"), col("n_success_cum"),
+        col("__llr").cast("double").as("llr"), col("decision"),
+        col("is_first_decision"))
+      .orderBy("day_num")
+  }
+
+  /** Kruskal–Wallis H test across ALL groups at once — the k-group
+    * generalization of [[mannWhitney]] ("do ANY of the sources differ
+    * in this metric's distribution", one test instead of k² pairwise
+    * comparisons and their multiplicity problem). One summary row:
+    * (n_groups, n_total, kw_h) with H tie-corrected;
+    * H ~ χ²(k−1) under H₀.
+    *
+    * Exactness: pooled doubled midranks r2 = 2·cum − c + 1 from the
+    * distinct-value grid; per-group doubled rank sums R2_g and
+    * deviations D_g = R2_g − n_g·(N+1) are exact integers; each
+    * rational D_g²/n_g is quantized at scale 9 by integer HALF_UP
+    * ((2a+b) div 2b — the [[TextStats.rakeKeywords]] convention) and
+    * summed exactly; the tie-corrected
+    * H = 3·Σ·(N³−N) / (10⁹·N(N+1)·(N³−N−T)) is ONE division of two
+    * exact decimal products. (Decimal-38 headroom bounds group sizes
+    * at ~10⁷ rows — the [[spearmanByGroup]] width class; beyond that,
+    * sample.)
+    *
+    * Scale shape: one value-grid aggregate, one bounded grid cumsum,
+    * one (group × value)-domain join, k-row final frame.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cg"))
+    val vc = gv.groupBy("__v").agg(sum(col("__cg")).as("__c"))
+    // bounded global window: one row per distinct metric value
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("__c").cast(Dec380)
+    val ranked = vc
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .select(col("__v"),
+        (lit(2).cast(Dec380) * col("__cum") - col("__c") + 1).as("__r2"),
+        (t * t * t - t).as("__t3"))
+    val ties = ranked.agg(sum(col("__t3")).as("__tie"))
+    val perG = gv.join(ranked.select("__v", "__r2"), Seq("__v"))
+      .groupBy("__g")
+      .agg(sum(col("__cg")).as("__ng"),
+        sum(col("__cg").cast(Dec380) * col("__r2")).as("__rs"))
+    val nTot = perG.agg(sum(col("__ng")).as("__n"),
+      count(lit(1)).as("n_groups"))
+    val dev = col("__rs") - col("__ng").cast(Dec380) * (col("__n") + 1)
+    perG.crossJoin(broadcast(nTot)).crossJoin(broadcast(ties))
+      .select(col("__n"), col("n_groups"), col("__tie"),
+        dev.as("__d"), col("__ng"))
+      // t9 = HALF_UP(D²·10⁹ / n_g), exact integer per group
+      .withColumn("__t9", expr(
+        "(cast(__d as decimal(38,0)) * __d * 2000000000 + __ng) div (2 * __ng)"))
+      .groupBy(col("__n"), col("n_groups"), col("__tie"))
+      .agg(sum(col("__t9")).as("__s9"))
+      .select(col("n_groups"), col("__n").as("n_total"),
+        when(col("__n") > 1 &&
+            (t3n(col("__n")) - col("__tie")) > 0,
+          round((lit(3).cast(Dec380) * col("__s9") *
+              (t3n(col("__n")))).cast("double") /
+            (lit(1000000000L).cast(Dec380) * col("__n") * (col("__n") + 1) *
+              (t3n(col("__n")) - col("__tie"))).cast("double"), 5))
+          .otherwise(lit(null).cast("double")).as("kw_h"))
+  }
+
+  /** N³ − N in DECIMAL(38,0) — shared by the tie corrections. */
+  private def t3n(n: Column): Column = {
+    val nd = n.cast(Dec380)
+    nd * nd * nd - nd
+  }
+
   /** Per-group Spearman rank correlation between two columns —
     * (group, n_docs, spearman_rho) via the classic 1 − 6Σd²/(n(n²−1))
     * on AVERAGE ranks (ties share the mean of their rank run; no tie

@@ -252,6 +252,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       // cusum/KM windows run over the calendar-day / duration-day
       // grid — one row per day however large the event stream
       "q_cusum" -> "one row per calendar day",
+      "q_sprt" -> "one row per calendar day",
       "q_kaplan_meier" -> "one row per duration day",
       "q_logrank" -> "one row per duration day",
       // skippingReport: the constant-group sharded-cumsum offset
@@ -263,6 +264,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       // mannWhitney's cumsum runs over the DISTINCT n_chars value
       // grid — bounded by the metric's range, never the corpus
       "q_mannwhitney" -> "distinct-value grid (one row per n_chars)",
+      "q_kruskal_wallis" -> "distinct-value grid (one row per n_chars)",
       // compaction plan's offsets window is one row per source group
       // (the two-phase prefix-sum design; the per-file cumsum is
       // partitioned by source)
