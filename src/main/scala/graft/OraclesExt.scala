@@ -488,6 +488,28 @@ object OraclesExt {
        |  ELSE NULL END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  /** Positional proximity search — twin of Search.proximityPairs:
+    * the same positional postings (filtered to the two terms), one
+    * doc-keyed pair join, integer gap counts.
+    */
+  def proximityPairs(termA: String, termB: String, window: Int): String =
+    s"""WITH $toksCte,
+       |pt AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+       |  FROM toks),
+       |f AS MATERIALIZED (SELECT doc_id, pos - 1 AS pos, t[pos] AS tok
+       |  FROM pt WHERE t[pos] IN ('$termA', '$termB')),
+       |pa AS (SELECT doc_id, pos AS p FROM f WHERE tok = '$termA'),
+       |pb AS (SELECT doc_id, pos AS p FROM f WHERE tok = '$termB'),
+       |j AS (SELECT pa.doc_id, pa.p AS a, pb.p AS b,
+       |  abs(pa.p - pb.p) AS gap FROM pa JOIN pb USING (doc_id))
+       |SELECT doc_id, count(DISTINCT a)::BIGINT AS n_a,
+       |  count(DISTINCT b)::BIGINT AS n_b,
+       |  sum(CASE WHEN gap <= $window THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_pairs,
+       |  min(gap)::BIGINT AS min_gap
+       |FROM j GROUP BY doc_id HAVING n_pairs > 0
+       |ORDER BY doc_id""".stripMargin
+
   /** SPRT monitor — twin of Stats.sprtMonitor: identical driver-side
     * scale-9 ln constants interpolated as literals (no libm
     * agreement needed), DECIMAL(12,0)×DECIMAL(18,9) daily LLR on the

@@ -712,6 +712,10 @@ object SparkEntry {
   // RAKE: report size and the canonical phrase-length cap
   private[graft] val rakeK = 40
   private[graft] val rakeMaxPhraseLen = 4
+  // proximity search: two mid-frequency terms and the NEAR window
+  private[graft] val proxTermA = "spark"
+  private[graft] val proxTermB = "window"
+  private[graft] val proxWindow = 3
   // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
   // so the stream actually crosses a boundary, classic 5% errors
   private[graft] val sprtSuccessType = "purchase"
@@ -1132,6 +1136,13 @@ object SparkEntry {
     // autocorrelation of the DENSIFIED daily counts.
     "q_event_periodicity" -> withTables { s =>
       Events.dailyAutocorrelation(s.table("events"), lags = autocorrLags)
+    },
+    // §7.5 — positional proximity search (NEAR operator): docs where
+    // the two terms co-occur within a token window — the phrase-level
+    // signal BM25's bag of words cannot express.
+    "q_proximity_search" -> withTables { s =>
+      graft.ext.Search.proximityPairs(s.table("documents"),
+        proxTermA, proxTermB, proxWindow)
     },
     // §7.5 — sequential testing: Wald SPRT of the purchase share per
     // day — the early-stopping monitor a fixed-horizon test cannot
@@ -2909,6 +2920,8 @@ object SparkEntry {
     "q_kruskal_wallis" -> OraclesExt.kruskalWallis,
     "q_sprt" -> OraclesExt.sprtMonitor(sprtSuccessType,
       sprtP0, sprtP1, sprtAlpha, sprtBeta),
+    "q_proximity_search" ->
+      OraclesExt.proximityPairs(proxTermA, proxTermB, proxWindow),
     "q_zipf_fit" -> OraclesExt.zipfFit(zipfTopV),
     "q_label_kappa" -> OraclesExt.labelAgreement,
     "q_nb_confusion" -> OraclesExt.nbConfusion,

@@ -175,6 +175,47 @@ object Search {
     * @return (doc_id, bm25_score, cosine, rank) — top `k` by cosine
     *   desc, doc id tie-break.
     */
+  /** Positional proximity search: documents where `termA` and `termB`
+    * co-occur within `window` tokens — the phrase/NEAR operator BM25's
+    * bag-of-words scoring cannot express ("data pipeline" as a
+    * concept vs the two words pages apart). One row per matching doc:
+    * (doc_id, n_a, n_b, n_pairs, min_gap) — occurrence counts, pairs
+    * within the window, and the closest approach (over ALL pairs, so
+    * a doc that misses the window still reports how near it came —
+    * but only window-hit docs are returned).
+    *
+    * Scale shape: the positional token stream is filtered to the TWO
+    * query terms before anything aggregates — per-doc postings lists,
+    * the classic positional-index shape; the pair enumeration is one
+    * doc-keyed equi-join of the two postings whose per-doc cost is
+    * occA·occB, the intrinsic cost of positional intersection. All
+    * integer arithmetic; no float anywhere.
+    */
+  def proximityPairs(docs: DataFrame, termA: String, termB: String,
+      window: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(termA != termB, "terms must differ")
+    val staged = docs.select(col(idCol).as("doc_id"),
+      TextStats.tokens(col(textCol)).as("__t"))
+    val pt = staged
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isin(termA, termB))
+    val pa = pt.filter(col("__tok") === termA)
+      .select(col("doc_id"), col("__pos").as("__pa"))
+    val pb = pt.filter(col("__tok") === termB)
+      .select(col("doc_id"), col("__pos").as("__pb"))
+    pa.join(pb, Seq("doc_id"))
+      .withColumn("__gap", abs(col("__pa") - col("__pb")))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("__pa")).as("n_a"),
+        count_distinct(col("__pb")).as("n_b"),
+        sum(when(col("__gap") <= window, 1L).otherwise(0L)).as("n_pairs"),
+        min(col("__gap")).cast("long").as("min_gap"))
+      .filter(col("n_pairs") > 0)
+      .orderBy("doc_id")
+  }
+
   def hybridRerank(docs: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], queryVecId: Long, candidateK: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
