@@ -4999,4 +4999,81 @@ object OraclesExt {
        |  (count(*) < $k) AS at_risk
        |FROM customer GROUP BY 1, 2
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** Good-Turing counts-of-counts — twin of TextStats.goodTuring:
+    * same tokenize, exact integer class sizes, r* and p_mass each ONE
+    * integer-operand division.
+    */
+  def goodTuring(maxR: Int): String =
+    s"""WITH $toksCte,
+       |tc AS (SELECT tok, count(*)::BIGINT AS r FROM
+       |  (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+       |coc AS (SELECT r, count(*)::BIGINT AS n_tokens FROM tc GROUP BY r),
+       |tot AS (SELECT sum(r * n_tokens)::BIGINT AS n FROM coc)
+       |SELECT c.r, c.n_tokens, coalesce(nx.n_tokens, 0)::BIGINT AS n_next,
+       |  round(((c.r + 1) * coalesce(nx.n_tokens, 0))::DOUBLE
+       |    / c.n_tokens::DOUBLE, 5) AS r_star,
+       |  round(((c.r + 1) * coalesce(nx.n_tokens, 0))::DOUBLE
+       |    / (SELECT n FROM tot)::DOUBLE, 5) AS p_mass
+       |FROM (SELECT * FROM coc ORDER BY r LIMIT $maxR) c
+       |LEFT JOIN coc nx ON nx.r = c.r + 1
+       |ORDER BY c.r""".stripMargin
+
+  /** PSI drift per source — twin of Stats.psiDrift(documents, source,
+    * n_chars, B): exact integer equal-width bins of the global
+    * [min, max], Laplace-smoothed p/q, per-bin log-ratio rounded to 9
+    * into DECIMAL(18,9), exact integer-weighted decimal sum, ONE
+    * final division.
+    */
+  def psiDrift(nBins: Int): String =
+    s"""WITH vals AS (SELECT source AS g, n_chars::BIGINT AS v
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+       |bn AS (SELECT g, ((v - (SELECT lo FROM mm)) * $nBins)
+       |    // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1) AS b FROM vals),
+       |gb AS (SELECT g, b, count(*)::BIGINT AS cgb FROM bn GROUP BY 1, 2),
+       |gt AS (SELECT g, sum(cgb)::BIGINT AS ng FROM gb GROUP BY g),
+       |cbt AS (SELECT b, sum(cgb)::BIGINT AS cb FROM gb GROUP BY b),
+       |nt AS (SELECT sum(cb)::BIGINT AS n FROM cbt),
+       |grid AS (SELECT gt.g, gt.ng, bb.b FROM gt CROSS JOIN
+       |  (SELECT unnest(range(0, $nBins))::BIGINT AS b) bb),
+       |terms AS (SELECT grid.g, grid.ng, nt.n,
+       |    (coalesce(gb.cgb, 0) + 1)::DECIMAL(38,0) * (nt.n + $nBins) AS pn,
+       |    (coalesce(cbt.cb, 0) + 1)::DECIMAL(38,0) * (grid.ng + $nBins) AS qn
+       |  FROM grid LEFT JOIN gb ON gb.g = grid.g AND gb.b = grid.b
+       |  LEFT JOIN cbt ON cbt.b = grid.b CROSS JOIN nt),
+       |s AS (SELECT g, ng, any_value(n) AS n,
+       |    sum((pn - qn)::DECIMAL(18,0)
+       |      * round(ln(pn::DOUBLE / qn::DOUBLE), 9)::DECIMAL(18,9)) AS psum
+       |  FROM terms GROUP BY g, ng)
+       |SELECT g AS source, ng AS n_rows,
+       |  round(psum::DOUBLE /
+       |    ((ng + $nBins)::DECIMAL(38,0) * (n + $nBins))::DOUBLE, 5) AS psi
+       |FROM s ORDER BY source""".stripMargin
+
+  /** Winnowing fingerprints — twin of TextStats.winnowingFingerprints:
+    * char k-gram 48-bit md5 hashes, w-row sliding window min per doc,
+    * distinct selected hashes; density = fingerprints/windows.
+    */
+  def winnowing(k: Int, w: Int): String =
+    s"""WITH g AS (SELECT doc_id, text,
+       |    (len(text) - $k + 1)::BIGINT AS n_grams FROM documents),
+       |pos AS (SELECT doc_id, n_grams, text,
+       |    unnest(range(1, greatest(n_grams, 0) + 1))::BIGINT AS p FROM g),
+       |h AS (SELECT doc_id, n_grams, p,
+       |    cast('0x' || substr(md5(substr(text, p::INT, $k)), 1, 12)
+       |      AS BIGINT) AS hv FROM pos),
+       |wm AS (SELECT doc_id, n_grams, p,
+       |    min(hv) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin FROM h),
+       |fp AS (SELECT doc_id,
+       |    count(DISTINCT wmin) FILTER (p <= n_grams - $w + 1)::BIGINT AS nf
+       |  FROM wm GROUP BY doc_id)
+       |SELECT g.doc_id, greatest(g.n_grams, 0)::BIGINT AS n_grams,
+       |  greatest(g.n_grams - ${w - 1}, 0)::BIGINT AS n_windows,
+       |  coalesce(fp.nf, 0)::BIGINT AS n_fingerprints,
+       |  CASE WHEN g.n_grams - ${w - 1} >= 1 THEN
+       |    round(coalesce(fp.nf, 0)::DOUBLE
+       |      / (g.n_grams - ${w - 1})::DOUBLE, 5) END AS fp_density
+       |FROM g LEFT JOIN fp USING (doc_id) ORDER BY g.doc_id""".stripMargin
 }

@@ -716,6 +716,14 @@ object SparkEntry {
   private[graft] val proxTermA = "spark"
   private[graft] val proxTermB = "window"
   private[graft] val proxWindow = 3
+  // Good-Turing: report the first 10 frequency classes
+  private[graft] val goodTuringMaxR = 10
+  // PSI drift: the canonical 10-bucket scorecard binning
+  private[graft] val psiBins = 10
+  // winnowing: the MOSS defaults scaled to these short synthetic docs
+  // (guarantee threshold k+w-1 = 11 chars)
+  private[graft] val winnowK = 8
+  private[graft] val winnowW = 4
   // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
   // so the stream actually crosses a boundary, classic 5% errors
   private[graft] val sprtSuccessType = "purchase"
@@ -1162,6 +1170,26 @@ object SparkEntry {
     // one-source-holds-95% corpus a source COUNT hides.
     "q_source_diversity" -> withTables { s =>
       TextStats.sourceDiversity(s.table("documents"))
+    },
+    // §7.5 — vocabulary-growth planning: Good-Turing counts-of-counts;
+    // the r=1 row's p_mass is the unseen-token mass estimate (how much
+    // of the NEXT shard's vocabulary this corpus has never seen).
+    "q_good_turing" -> withTables { s =>
+      TextStats.goodTuring(s.table("documents"), goodTuringMaxR)
+    },
+    // §7.5 — ingest drift scorecard: Population Stability Index of the
+    // doc-length distribution per source vs the pool (0.1/0.25 the
+    // industry action thresholds).
+    "q_psi_drift" -> withTables { s =>
+      graft.ext.Stats.psiDrift(s.table("documents"), "source", "n_chars",
+        psiBins)
+    },
+    // §7.5 — winnowing (MOSS) fingerprints: position-robust substring
+    // sampling with the ≥ k+w−1 shared-substring guarantee that
+    // fixed-stride fingerprinting loses when one byte shifts the frame.
+    "q_winnowing" -> withTables { s =>
+      TextStats.winnowingFingerprints(s.table("documents"), winnowK,
+        winnowW)
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -2968,6 +2996,9 @@ object SparkEntry {
     "q_quantile_normalize" -> OraclesExt.quantileNormalize,
     "q_event_fano" -> OraclesExt.fanoFactor,
     "q_source_diversity" -> OraclesExt.sourceDiversity,
+    "q_good_turing" -> OraclesExt.goodTuring(goodTuringMaxR),
+    "q_psi_drift" -> OraclesExt.psiDrift(psiBins),
+    "q_winnowing" -> OraclesExt.winnowing(winnowK, winnowW),
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
     "q_unpivot" -> OraclesExt.unpivotLineitem,
     "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,

@@ -906,6 +906,75 @@ object Stats {
           .otherwise(lit(null).cast("double")).as("kw_h"))
   }
 
+  /** Population Stability Index of an integer metric's distribution
+    * per group against the whole corpus — THE industry drift score
+    * for "has this source's length/quality profile shifted away from
+    * the pool" (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken).
+    * Bins are `nBins` equal-width buckets of the observed global
+    * [min, max] (exact integer bucketing — no float edges), and both
+    * distributions are add-one (Laplace) smoothed so empty bins are
+    * well-defined without the classic epsilon hack:
+    * p_b = (c_gb+1)/(n_g+B), q_b = (c_b+1)/(N+B).
+    * Returns (group, n_rows, psi), group order, psi = Σ_b
+    * (p_b − q_b)·ln(p_b/q_b) rounded at 5.
+    *
+    * Determinism (§8.3): each bin's log-ratio is ln of ONE exact
+    * integer rational ((c_gb+1)(N+B)) / ((c_b+1)(n_g+B)), rounded to
+    * 9 decimals into DECIMAL(18,9) (the [[TextStats.sourceDiversity]]
+    * log-sum convention); (p_b − q_b) is kept as its exact integer
+    * numerator over the constant denominator (n_g+B)(N+B), so the
+    * PSI sum is an EXACT decimal sum of integer-weighted terms and
+    * the only float operation is the final single division.
+    *
+    * Scale shape: one map-side-combined (group, bin) count — the
+    * joined relations are bounded by |groups|·B and B, and the global
+    * min/max roll-up is a 1-row broadcast, never a driver collect.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+    val mm = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    // exact integer bucketing: (v - lo)·B div (hi - lo + 1) ∈ [0, B-1]
+    val binned = vals.crossJoin(broadcast(mm))
+      .select(col("__g"),
+        expr(s"((__v - __lo) * $nBins) div (__hi - __lo + 1)").as("__b"))
+    val gb = binned.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cgb"))
+    val gTot = gb.groupBy("__g").agg(sum(col("__cgb")).as("__ng"))
+    val cb = gb.groupBy("__b").agg(sum(col("__cgb")).as("__cb"))
+    val nTot = cb.agg(sum(col("__cb")).as("__n"))
+    // dense (group × bin) grid — PSI needs the empty bins too
+    val grid = gTot.crossJoin(
+        broadcast(mm.select(explode(sequence(lit(0L),
+          lit(nBins - 1L))).as("__b"))))
+      .join(gb, Seq("__g", "__b"), "left")
+      .join(broadcast(cb), Seq("__b"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("__g"), col("__ng"), col("__n"),
+        (coalesce(col("__cgb"), lit(0L)) + 1).as("__p1"),
+        (coalesce(col("__cb"), lit(0L)) + 1).as("__q1"))
+    val pNum = col("__p1").cast(Dec380) * (col("__n") + nBins)
+    val qNum = col("__q1").cast(Dec380) * (col("__ng") + nBins)
+    grid
+      .withColumn("__llr9",
+        round(log(pNum.cast("double") / qNum.cast("double")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("__g"), col("__ng"), col("__n"))
+      // weight cast to DECIMAL(18,0) keeps the product at (37,9) —
+      // inside 38 on both engines (the sourceDiversity convention);
+      // bound: |c·N| < 10¹⁸, i.e. corpora to ~10⁹ rows per the larger
+      // factor — beyond that, feed pre-binned shard counts
+      .agg(sum((pNum - qNum).cast(DecimalType(18, 0)) * col("__llr9"))
+        .as("__s"))
+      .select(col("__g").as(groupCol), col("__ng").as("n_rows"),
+        round(col("__s").cast("double") /
+          ((col("__ng") + nBins).cast(Dec380) * (col("__n") + nBins))
+            .cast("double"), 5).as("psi"))
+      .orderBy(groupCol)
+  }
+
   /** N³ − N in DECIMAL(38,0) — shared by the tie corrections. */
   private def t3n(n: Column): Column = {
     val nd = n.cast(Dec380)

@@ -1127,4 +1127,104 @@ object TextStats {
         round(coalesce(col("__n_novel"), lit(0L)).cast("double") /
           col("n_shingles").cast("double"), 5).as("novelty"))
   }
+
+  /** Good-Turing frequency-of-frequencies report over the corpus
+    * unigram counts: for each of the `maxR` SMALLEST observed count
+    * classes r (the rare tail — fixed-size output at every corpus
+    * scale, where a fixed r ≤ cap goes empty once nothing is rare),
+    * the number of distinct tokens seen exactly r times (n_r), the
+    * adjacent class size n_{r+1}, the Good-Turing adjusted count
+    * r* = (r+1)·n_{r+1}/n_r, and the total probability mass the
+    * class should receive, p_mass = (r+1)·n_{r+1}/N. When r = 1 is
+    * observed, its p_mass estimates the UNSEEN-token mass (Gale &
+    * Sampson's "how much of the next shard's vocabulary have we never
+    * seen") — the corpus-growth planning number a raw vocabulary
+    * count cannot give. Returns (r, n_tokens, n_next, r_star,
+    * p_mass), r order.
+    *
+    * Determinism (§8.3): n_r and N = Σ r·n_r are exact integers;
+    * r* and p_mass are each ONE division of exact integer operands
+    * (r*·n_r = (r+1)·n_{r+1}, so the mass never chains through the
+    * already-divided r*), rounded at 5.
+    *
+    * Scale shape: one corpus tokenize → token counts (map-side
+    * combinable) → counts-of-counts, a relation bounded by the
+    * distinct-count domain (≤ max token frequency, in practice a few
+    * hundred rows) — the N roll-up and the r↔r+1 self-join live on
+    * that bounded relation, never on the corpus.
+    */
+  def goodTuring(df: DataFrame, maxR: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val tokenCounts = Dedup.spread(df, textCol)
+      .select(explode_outer(tokens(col(textCol))).as("__token"))
+      .filter(col("__token").isNotNull)
+      .groupBy("__token").agg(count(lit(1)).as("__r"))
+    val coc = tokenCounts.groupBy(col("__r").as("r"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val total = coc.agg(sum(col("r") * col("n_tokens")).cast("long").as("__n"))
+    val nxt = coc.select((col("r") - 1).as("r"), col("n_tokens").as("__nn"))
+    coc.orderBy("r").limit(maxR)
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("r"), col("n_tokens"),
+        coalesce(col("__nn"), lit(0L)).as("n_next"),
+        round(((col("r") + 1) * coalesce(col("__nn"), lit(0L))).cast("double") /
+          col("n_tokens").cast("double"), 5).as("r_star"),
+        round(((col("r") + 1) * coalesce(col("__nn"), lit(0L))).cast("double") /
+          col("__n").cast("double"), 5).as("p_mass"))
+      .orderBy("r")
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): hash every character `k`-gram, slide a window
+    * of `w` consecutive gram hashes, keep each window's MINIMUM hash;
+    * the document's fingerprint set is the DISTINCT selected hashes.
+    * Winnowing guarantees any shared substring of length ≥ k+w−1
+    * yields at least one shared fingerprint, with a 2/(w+1) expected
+    * sampling density — the position-robust containment signal that
+    * fixed-stride [[textFingerprint]]-style sampling misses when one
+    * byte shifts the frame. Returns per doc:
+    * (doc_id, n_grams, n_windows, n_fingerprints, fp_density),
+    * doc order; density = fingerprints/windows, NULL when the text is
+    * shorter than k+w−1 chars (no complete window).
+    *
+    * Determinism: gram hash = first 12 md5 hex digits as a 48-bit
+    * integer (the repo's md5 convention — identical in DuckDB);
+    * window min and distinct-count are order-free; ONE division.
+    *
+    * Scale shape: the exploded gram relation is ~|text| rows per doc
+    * — the same corpus-×-length class as every shingle operator here
+    * — and the sliding min is a doc-partitioned bounded window (w
+    * rows), so nothing leaves the doc's partition until the per-doc
+    * roll-up.
+    */
+  def winnowingFingerprints(df: DataFrame, k: Int = 8, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val nGrams = (length(col(textCol)) - k + 1).cast("long")
+    val grams = Dedup.spread(df, textCol)
+      .select(col(idCol), col(textCol).as("__t"), nGrams.as("n_grams"))
+      .withColumn("__pos",
+        explode_outer(when(col("n_grams") >= 1,
+          sequence(lit(1L), col("n_grams")))))
+      .withColumn("__h",
+        when(col("__pos").isNotNull,
+          conv(substring(md5(col("__t").substr(col("__pos").cast("int"),
+            lit(k))), 1, 12), 16, 10).cast("long")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__wmin", min(col("__h")).over(win))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count_distinct(when(col("__pos") <= col("n_grams") - w + 1,
+          col("__wmin"))).as("n_fingerprints"))
+      .select(col(idCol),
+        greatest(col("n_grams"), lit(0L)).as("n_grams"),
+        greatest(col("n_grams") - w + 1, lit(0L)).as("n_windows"),
+        col("n_fingerprints"),
+        when(col("n_grams") - w + 1 >= 1,
+          round(col("n_fingerprints").cast("double") /
+            (col("n_grams") - w + 1).cast("double"), 5)).as("fp_density"))
+      .orderBy(idCol)
+  }
 }

@@ -2672,4 +2672,46 @@ class ExtSpec extends AnyFunSuite {
     // fill ratio is integer HALF_UP at scale 5 of bytes/target
     assert(out.find(_.getLong(0) == 0L).get.getDouble(3) == 1.2)
   }
+
+  test("goodTuring: hand-computed classes, r* and unseen mass") {
+    // counts: a=2, b=2, c=1 -> coc r=1:1, r=2:2 ; N = 1·1 + 2·2 = 5
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextStats.goodTuring(df, maxR = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows == Seq(
+      // r=1: n_next = n_2 = 2 -> r* = 2·2/1 = 4, p_mass = 2·2/5 = 0.8
+      (1L, 1L, 2L, 4.0, 0.8),
+      // r=2 is the top class: n_3 = 0 -> r* = 0, mass 0
+      (2L, 2L, 0L, 0.0, 0.0)))
+  }
+
+  test("goodTuring reports the maxR SMALLEST classes, not a fixed cap") {
+    // every token count >= 3: a fixed r<=2 filter would return nothing
+    val df = Seq((1L, "x x x y y y y")).toDF("doc_id", "text")
+    val rows = TextStats.goodTuring(df, maxR = 1).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 3L)
+  }
+
+  test("winnowingFingerprints: invariants, repetition collapse, short docs") {
+    val rep = "a" * 50 // every 8-gram identical -> exactly 1 fingerprint
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, txt), (2L, txt), (3L, rep), (4L, "tiny")) // 4 < k
+      .toDF("doc_id", "text")
+    val out = TextStats.winnowingFingerprints(df, k = 8, w = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // identical docs -> identical fingerprint counts
+    assert(out(1L).getLong(3) == out(2L).getLong(3))
+    val (ng, nw, nf) = (out(1L).getLong(1), out(1L).getLong(2),
+      out(1L).getLong(3))
+    assert(ng == txt.length - 8 + 1 && nw == ng - 4 + 1)
+    // winnowing selects >= 1 per disjoint window block and <= all
+    assert(nf >= nw / (2 * 4) && nf <= nw)
+    assert(out(1L).getDouble(4) > 0 && out(1L).getDouble(4) <= 1)
+    // repetitive text collapses to ONE fingerprint
+    assert(out(3L).getLong(3) == 1L)
+    // doc shorter than k: zero grams/windows, NULL density, row kept
+    assert(out(4L).getLong(1) == 0L && out(4L).getLong(2) == 0L &&
+      out(4L).getLong(3) == 0L && out(4L).isNullAt(4))
+  }
 }

@@ -495,4 +495,23 @@ class StatsSpec extends AnyFunSuite {
       ("tie", 4L, Some(0.95)),
       ("up", 4L, Some(1.0))))
   }
+
+  test("psiDrift: zero for the pool-identical group, symmetric shifts rank") {
+    // single group: group distribution IS the pool -> every bin has
+    // p = q exactly (same counts, same totals) -> PSI = 0
+    val solo = Seq(("s", 1L), ("s", 5L), ("s", 9L)).toDF("g", "v")
+    val soloOut = Stats.psiDrift(solo, "g", "v", nBins = 4).collect()
+    assert(soloOut.length == 1 && soloOut(0).getDouble(2) == 0.0)
+
+    // two mirror-image groups: lo concentrated in the bottom bin,
+    // hi in the top -> equal positive PSI by symmetry
+    val two = (Seq.fill(8)(("lo", 0L)) ++ Seq(("lo", 9L)) ++
+      Seq.fill(8)(("hi", 9L)) ++ Seq(("hi", 0L))).toDF("g", "v")
+    val rows = Stats.psiDrift(two, "g", "v", nBins = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(rows.map(_._2) == Seq(9L, 9L))
+    assert(rows(0)._3 == rows(1)._3 && rows(0)._3 > 0.25,
+      s"mirror groups must drift equally and strongly: $rows")
+  }
 }
