@@ -5051,6 +5051,99 @@ object OraclesExt {
        |    ((ng + $nBins)::DECIMAL(38,0) * (n + $nBins))::DOUBLE, 5) AS psi
        |FROM s ORDER BY source""".stripMargin
 
+  /** HITS hubs & authorities — twin of Graph.hits over the distinct
+    * customer→part purchase edges: the same UNNORMALIZED exact
+    * integer recurrence unrolled one CTE pair per iteration, each
+    * side normalized once by its max.
+    */
+  def hits(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT dst AS anode, sum(h)::BIGINT AS a
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY dst),
+         |h$i AS (SELECT src AS node, sum(a)::BIGINT AS h
+         |  FROM e JOIN a$i ON e.dst = a$i.anode GROUP BY src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, 1::BIGINT AS h FROM e),
+       |$rounds
+       |SELECT 'authority' AS node_type, anode AS node, a AS score_raw,
+       |  round(a::DOUBLE / (SELECT max(a) FROM a$iters)::DOUBLE, 9) AS score
+       |FROM a$iters
+       |UNION ALL
+       |SELECT 'hub', node, h,
+       |  round(h::DOUBLE / (SELECT max(h) FROM h$iters)::DOUBLE, 9)
+       |FROM h$iters
+       |ORDER BY node_type, node""".stripMargin
+  }
+
+  /** Best single change-point — twin of Events.bestChangepoint: the
+    * same daily roll-up, exact integer num = n·S_k − k·S, scale-6
+    * integer argmax units (n dropped — constant per type), earliest-
+    * day ties, single-division exposed doubles.
+    */
+  val bestChangepoint: String =
+    """WITH daily AS (SELECT event_type, cast(ts AS DATE) AS day,
+      |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, day, c,
+      |  sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sk,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS k,
+      |  sum(c) OVER (PARTITION BY event_type)::BIGINT AS s,
+      |  count(*) OVER (PARTITION BY event_type)::BIGINT AS n FROM daily),
+      |sc AS (SELECT *,
+      |  (n::DECIMAL(38,0) * sk - k::DECIMAL(38,0) * s) AS num
+      |  FROM cum WHERE k < n),
+      |g AS (SELECT *, (num * num * 1000000) // (k * (n - k)) AS gu FROM sc),
+      |best AS (SELECT * FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY event_type ORDER BY gu DESC, day) AS rn FROM g)
+      |  WHERE rn = 1),
+      |nd AS (SELECT event_type, count(*)::BIGINT AS n_days
+      |  FROM daily GROUP BY 1)
+      |SELECT nd.event_type, nd.n_days, best.day AS split_day,
+      |  round(best.sk::DOUBLE / best.k::DOUBLE, 5) AS mean_before,
+      |  round((best.s - best.sk)::DOUBLE / (best.n - best.k)::DOUBLE, 5)
+      |    AS mean_after,
+      |  round((best.num * best.num)::DOUBLE /
+      |    (best.n::DECIMAL(38,0) * best.k * (best.n - best.k))::DOUBLE, 5)
+      |    AS gain
+      |FROM nd LEFT JOIN best USING (event_type)
+      |ORDER BY nd.event_type""".stripMargin
+
+  /** Reciprocal-rank fusion — twin of Search.rrfFusion: the BM25 twin
+    * as one list, the shared normalize/dot CTEs as the other, ranks
+    * fused with the single-division exact rational per case.
+    */
+  def rrfFusion(queryTerms: Seq[String], queryVecId: Long, listK: Int,
+      k: Int, rrfK: Int, k1: Double, b: Double): String =
+    s"""WITH bmlist AS (${bm25(queryTerms, listK, k1, b)}),
+       |bmr AS (SELECT doc_id, cast(row_number() OVER
+       |  (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank FROM bmlist),
+       |$normCte,
+       |q AS (SELECT nv FROM n WHERE vec_id = $queryVecId),
+       |cscored AS (SELECT c.vec_id AS doc_id,
+       |  ${dotSql("c.nv", "q.nv")} AS score
+       |  FROM n c CROSS JOIN q WHERE c.vec_id <> $queryVecId),
+       |cosr AS (SELECT doc_id, cast(r AS INT) AS cosine_rank FROM
+       |  (SELECT doc_id, row_number() OVER
+       |    (ORDER BY score DESC, doc_id) AS r FROM cscored)
+       |  WHERE r <= $listK),
+       |f AS (SELECT coalesce(bmr.doc_id, cosr.doc_id) AS doc_id,
+       |    bm25_rank, cosine_rank
+       |  FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.doc_id),
+       |sc AS (SELECT doc_id, bm25_rank, cosine_rank,
+       |  CASE WHEN bm25_rank IS NOT NULL AND cosine_rank IS NOT NULL THEN
+       |    (${2 * rrfK} + bm25_rank + cosine_rank)::DOUBLE /
+       |      (($rrfK + bm25_rank)::BIGINT * ($rrfK + cosine_rank))::DOUBLE
+       |  WHEN bm25_rank IS NOT NULL THEN
+       |    1.0 / ($rrfK + bm25_rank)::DOUBLE
+       |  ELSE 1.0 / ($rrfK + cosine_rank)::DOUBLE END AS raw FROM f),
+       |r AS (SELECT *, cast(row_number() OVER
+       |  (ORDER BY raw DESC, doc_id) AS INT) AS rank FROM sc)
+       |SELECT doc_id, bm25_rank, cosine_rank, round(raw, 9) AS rrf_score,
+       |  rank
+       |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
   /** Winnowing fingerprints — twin of TextStats.winnowingFingerprints:
     * char k-gram 48-bit md5 hashes, w-row sliding window min per doc,
     * distinct selected hashes; density = fingerprints/windows.

@@ -718,6 +718,12 @@ object SparkEntry {
   private[graft] val proxWindow = 3
   // Good-Turing: report the first 10 frequency classes
   private[graft] val goodTuringMaxR = 10
+  // HITS: two mutual-reinforcement rounds (exact integer regime)
+  private[graft] val hitsIters = 2
+  // RRF fusion: list depth, fused cut, and the canonical K=60
+  private[graft] val rrfListK = 25
+  private[graft] val rrfTopK = 10
+  private[graft] val rrfKConst = 60
   // PSI drift: the canonical 10-bucket scorecard binning
   private[graft] val psiBins = 10
   // winnowing: the MOSS defaults scaled to these short synthetic docs
@@ -1190,6 +1196,31 @@ object SparkEntry {
     "q_winnowing" -> withTables { s =>
       TextStats.winnowingFingerprints(s.table("documents"), winnowK,
         winnowW)
+    },
+    // §7.5 — HITS hubs/authorities on the customer→part purchase
+    // bipartite graph: side-aware mutual reinforcement (hub buyers ↔
+    // authoritative parts) that PageRank's single score conflates.
+    "q_hits" -> withTables { s =>
+      Graph.hits(
+        s.table("orders").join(s.table("lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst")),
+        iters = hitsIters)
+    },
+    // §7.5 — reciprocal-rank fusion of the BM25 and cosine top lists
+    // (K=60): scale-free hybrid retrieval where a doc strong in EITHER
+    // list survives — vs q_hybrid_search's recall→rerank cascade.
+    "q_rrf_fusion" -> withTables { s =>
+      graft.ext.Search.rrfFusion(s.table("documents"),
+        s.table("embeddings"), bm25Terms, hybridQueryVecId, rrfListK,
+        rrfTopK, rrfKConst, bm25K1, bm25B)
+    },
+    // §7.5 — hindsight level-shift localization: best single
+    // change-point of each type's daily series (binary segmentation
+    // depth 1) — WHERE the metric changed, vs q_cusum's "is it
+    // drifting now" sequential alarm.
+    "q_changepoint" -> withTables { s =>
+      Events.bestChangepoint(s.table("events"))
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -2999,6 +3030,10 @@ object SparkEntry {
     "q_good_turing" -> OraclesExt.goodTuring(goodTuringMaxR),
     "q_psi_drift" -> OraclesExt.psiDrift(psiBins),
     "q_winnowing" -> OraclesExt.winnowing(winnowK, winnowW),
+    "q_hits" -> OraclesExt.hits(hitsIters),
+    "q_rrf_fusion" -> OraclesExt.rrfFusion(bm25Terms, hybridQueryVecId,
+      rrfListK, rrfTopK, rrfKConst, bm25K1, bm25B),
+    "q_changepoint" -> OraclesExt.bestChangepoint,
     "q_events_debounce" -> OraclesExt.eventsDebounce(debounceGapSeconds),
     "q_unpivot" -> OraclesExt.unpivotLineitem,
     "q_lang_source_matrix" -> OraclesExt.langSourceMatrix,

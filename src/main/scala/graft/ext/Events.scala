@@ -1174,4 +1174,69 @@ object Events {
         round(col("__r"), 5).as("intercept"))
       .orderBy("event_type")
   }
+
+  /** Best single change-point of each event type's daily-count series
+    * (binary segmentation, depth 1): the split after day k maximizing
+    * the between-segment SSE reduction
+    * gain(k) = (n·S_k − k·S)² / (n·k·(n−k)) — the day "the metric
+    * changed level", with the before/after means; the complement to
+    * [[cusumChangepoint]]'s sequential drift alarm (CUSUM answers
+    * "is it drifting NOW", this answers "WHERE did the level shift"
+    * in hindsight). Returns one row per type:
+    * (event_type, n_days, split_day = last day of the left segment,
+    * mean_before, mean_after, gain), type order; types with a single
+    * day emit NULL split columns.
+    *
+    * Determinism (§8.3): S_k, S, n are exact integers; the argmax
+    * compares num²·10⁶ div (k·(n−k)) — n is constant within a type,
+    * so dropping it preserves the argmax while the scale-6 integer
+    * units stay exact (LONG `div` result; bound: monthly type totals
+    * to ~10⁶ events — beyond that, pre-aggregate the series coarser);
+    * ties go to the EARLIEST day; the three exposed doubles are
+    * single divisions of exact operands.
+    *
+    * Scale shape: the cumulative window runs over the (type, day)
+    * grid — bounded by the calendar, not the event count (the
+    * [[dailyTrend]] domain) — after one map-side-combined daily
+    * roll-up of the corpus.
+    */
+  def bestChangepoint(events: DataFrame): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val cum = daily
+      .withColumn("__sk", sum(col("c")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("c")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val num = col("__n").cast(dec380) * col("__sk") -
+      col("__k").cast(dec380) * col("__s")
+    val scored = cum
+      .filter(col("__k") < col("__n"))
+      .withColumn("__num", num)
+      .withColumn("__gu",
+        expr("(__num * __num * 1000000) div (__k * (__n - __k))"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("__gu").desc, col("day").asc)))
+      .filter(col("__rn") === 1)
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+      .join(scored.select(col("event_type"), col("day").as("split_day"),
+        col("__k"), col("__n"), col("__sk"), col("__s"), col("__num")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("split_day"),
+        round(col("__sk").cast("double") / col("__k").cast("double"), 5)
+          .as("mean_before"),
+        round((col("__s") - col("__sk")).cast("double") /
+          (col("__n") - col("__k")).cast("double"), 5).as("mean_after"),
+        round((col("__num") * col("__num")).cast("double") /
+          (col("__n").cast(dec380) * col("__k") * (col("__n") - col("__k")))
+            .cast("double"), 5).as("gain"))
+      .orderBy("event_type")
+  }
 }

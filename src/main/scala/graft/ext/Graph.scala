@@ -414,4 +414,59 @@ object Graph {
       .limit(k)
       .select("antecedent", "consequent", "pair_n", "support", "confidence", "lift")
   }
+
+  /** HITS hubs & authorities (Kleinberg) over a DIRECTED edge list —
+    * on the customer→part purchase bipartite graph, hub score ranks
+    * buyers whose baskets concentrate on authoritative parts and
+    * authority score ranks parts bought by those hubs: the
+    * mutually-reinforcing centrality degree counts cannot see (and,
+    * on a bipartite graph, the side-aware ranking [[pageRank]]'s
+    * single score conflates). Fixed `iters` rounds of
+    * a ← Σ_in h, h ← Σ_out a from h₀ = 1; UNNORMALIZED until the end,
+    * so every iterate is an exact INTEGER (a path-count weighted sum
+    * — the [[pageRank]] integer-recurrence posture without even a
+    * div); the output normalizes once by each side's max. Returns
+    * (node_type 'authority'|'hub', node, score_raw, score),
+    * (node_type, node) order.
+    *
+    * Integer bound: iterate t grows like (d_max²)^t — two rounds on
+    * degrees to ~10⁴ stay far inside BIGINT; the require guards the
+    * documented regime.
+    *
+    * Scale shape: each half-round is one edge ⋈ score join (score
+    * frame keyed by node, |nodes| rows) + one map-side-combined sum —
+    * work scales with |edges| per round like [[pageRank]], with
+    * [[Dedup.materialize]] checkpoints so the plan stays flat; the
+    * max normalizers are 1-row broadcasts.
+    */
+  def hits(edges: DataFrame, iters: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 4, "iters must be in [1, 4]")
+    val e = Dedup.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var hub = Dedup.materialize(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1L).as("h")))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      auth = Dedup.materialize(
+        e.join(hub, col("src") === col("node"))
+          .groupBy(col("dst").as("anode")).agg(sum(col("h")).as("a")))
+      hub = Dedup.materialize(
+        e.join(auth, col("dst") === col("anode"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")))
+    }
+    def side(df: DataFrame, typ: String, nodeC: String,
+        scoreC: String): DataFrame = {
+      val mx = df.agg(max(col(scoreC)).as("__mx"))
+      df.crossJoin(broadcast(mx))
+        .select(lit(typ).as("node_type"), col(nodeC).as("node"),
+          col(scoreC).as("score_raw"),
+          round(col(scoreC).cast("double") / col("__mx").cast("double"), 9)
+            .as("score"))
+    }
+    side(auth, "authority", "anode", "a")
+      .unionAll(side(hub, "hub", "node", "h"))
+      .orderBy("node_type", "node")
+  }
 }

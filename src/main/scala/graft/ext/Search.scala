@@ -239,4 +239,56 @@ object Search {
       .select(col(vecIdCol).as(idCol), col("bm25_score"), col("cosine"),
         col("rank"))
   }
+
+  /** Reciprocal-rank-fusion hybrid retrieval (Cormack/Clarke/Büttcher):
+    * fuse the BM25 top-`listK` and the cosine top-`listK` lists by
+    * rrf = Σ 1/(K + rank_i), K = `rrfK` (60 — the canonical constant).
+    * Unlike [[hybridRerank]]'s recall→rerank cascade, RRF is
+    * score-scale-free: a document strong in EITHER list survives, so
+    * keyword-only and embedding-only hits both reach the fused top-k —
+    * the fusion shape every production hybrid search ships first.
+    * Returns (doc_id, bm25_rank, cosine_rank, rrf_score, rank) for the
+    * fused top `k`, rank order; list ranks are NULL for a doc absent
+    * from that list (its term contributes 0).
+    *
+    * Determinism (§8.3 rule 4): the two-term blend is folded to ONE
+    * exact-integer rational per case — both lists:
+    * (2K+r₁+r₂)/((K+r₁)(K+r₂)); one list: 1/(K+r) — so the double is
+    * a single exactly-rounded IEEE division, identical cross-engine;
+    * ties (e.g. the symmetric (r₁,r₂)↔(r₂,r₁) pair) break by doc id.
+    *
+    * Scale shape: both lists are TakeOrderedAndProject tops of their
+    * respective scans; the fusion full-outer join holds ≤ 2·listK
+    * rows — driver-bounded, never corpus-scale.
+    */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, listK: Int, k: Int,
+      rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmRanked = bm25(docs, queryTerms, listK, k1, b, idCol, textCol)
+      .select(col(idCol),
+        row_number().over(Window.orderBy(col("score").desc, col(idCol)))
+          .as("bm25_rank"))
+    val cosRanked = Similarity.topK(embeddings,
+        embeddings.filter(col(vecIdCol) === queryVecId), listK,
+        vecIdCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("rank").as("cosine_rank"))
+    val r1 = col("bm25_rank")
+    val r2 = col("cosine_rank")
+    val raw = when(r1.isNotNull && r2.isNotNull,
+        (lit(2L * rrfK) + r1 + r2).cast("double") /
+          ((lit(rrfK) + r1).cast("long") * (lit(rrfK) + r2)).cast("double"))
+      .when(r1.isNotNull, lit(1.0) / (lit(rrfK) + r1).cast("double"))
+      .otherwise(lit(1.0) / (lit(rrfK) + r2).cast("double"))
+    bmRanked.join(cosRanked, Seq(idCol), "full_outer")
+      .withColumn("__raw", raw)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__raw").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("bm25_rank"), col("cosine_rank"),
+        round(col("__raw"), 9).as("rrf_score"), col("rank"))
+      .orderBy("rank")
+  }
 }

@@ -1320,6 +1320,58 @@ class ExtSpec extends AnyFunSuite {
       "rank follows cosine descending")
   }
 
+  test("rrfFusion: hand-computed ranks, one-list terms, id tie-break") {
+    // bm25 list (term "spark", equal lengths): doc1 tf=3 > doc2 tf=1
+    //   -> bm25 ranks: doc1=1, doc2=2 ; docs 3,4 unmatched
+    // cosine list vs query vec 10=(1,0), listK=2:
+    //   doc3=(1,0) cos 1 -> rank 1 ; doc2≈(.9,.44) -> rank 2 ;
+    //   doc1=(0,1) cos 0 cut by listK
+    val docs = Seq((1L, "spark spark spark"), (2L, "spark x x"),
+      (3L, "other a b"), (4L, "other c d")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0f, 1f)), (2L, Array(0.9f, 0.44f)),
+      (3L, Array(1f, 0f)), (4L, Array(-1f, 0f)), (10L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Search.rrfFusion(docs, emb, Seq("spark"),
+      queryVecId = 10L, listK = 2, k = 10).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3), r.getInt(4))).toSeq
+    // doc2 in BOTH lists at rank 2: (120+4)/(62·62) = 124/3844
+    // doc1 bm25-only rank 1 and doc3 cosine-only rank 1 tie at 1/61
+    //   -> id tie-break puts doc1 ahead
+    assert(out.map(t => (t._1, t._2, t._3, t._5)) == Seq(
+      (2L, Some(2), Some(2), 1),
+      (1L, Some(1), None, 2),
+      (3L, None, Some(1), 3)))
+    assert(out(0)._4 == math.rint(124.0 / 3844.0 * 1e9) / 1e9)
+    assert(out(1)._4 == out(2)._4 && out(1)._4 == math.rint(1.0 / 61.0 * 1e9) / 1e9)
+  }
+
+  test("bestChangepoint: hand-computed level shift, singleton NULLs") {
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:${i % 60}%02d")
+    // type "a": daily counts 1,1,5,5 -> best split after day 2,
+    // means 1 and 5, gain = (4·2−1·12)²/(4·2·2) = 256/16 = 16
+    val rows =
+      Seq.tabulate(1)(i => ("a", ts(1, i))) ++
+      Seq.tabulate(1)(i => ("a", ts(2, i))) ++
+      Seq.tabulate(5)(i => ("a", ts(3, i))) ++
+      Seq.tabulate(5)(i => ("a", ts(4, i))) ++
+      Seq(("b", ts(1, 0))) // single day: no valid split
+    val df = rows.toDF("event_type", "ts")
+    val out = graft.ext.Events.bestChangepoint(df).collect()
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 4L &&
+      a.getDate(2).toString == "2024-01-02" &&
+      a.getDouble(3) == 1.0 && a.getDouble(4) == 5.0 &&
+      a.getDouble(5) == 16.0)
+    val b = out.find(_.getString(0) == "b").get
+    assert(b.getLong(1) == 1L && b.isNullAt(2) && b.isNullAt(3) &&
+      b.isNullAt(4) && b.isNullAt(5))
+  }
+
   // ---- Mergeable sketches ----
 
   test("HLL sketch rollup: merged daily sketches match direct sketch and near-exact") {

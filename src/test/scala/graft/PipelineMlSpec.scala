@@ -1281,4 +1281,33 @@ class PipelineMlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(2), r.getBoolean(3))).toSeq
     assert(r3 == Seq((10L, true), (10L, true), (10L, true)))
   }
+
+  // ---- Graph.hits ----
+
+  test("hits: hand-computed bipartite recurrence and max-normalization") {
+    // c1→{p1,p2}, c2→{p2}; h0 = 1 each
+    // a1: p1=1, p2=2 ; h1: c1=3, c2=2
+    // a2: p1=3, p2=5 ; h2: c1=8, c2=5
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 102L)).toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("authority", 101L, 3L, 0.6),
+      ("authority", 102L, 5L, 1.0),
+      ("hub", 1L, 8L, 1.0),
+      ("hub", 2L, 5L, 0.625)))
+  }
+
+  test("hits deduplicates edges and is partitioning-independent") {
+    val dup = Seq((1L, 101L), (1L, 101L), (1L, 102L), (2L, 102L))
+      .toDF("src", "dst")
+    val a = Graph.hits(dup.repartition(1), iters = 2).collect().toSeq
+    val b = Graph.hits(dup.repartition(7), iters = 2).collect().toSeq
+    assert(a == b)
+    // the duplicate edge must not double-count: same as the clean graph
+    val clean = Graph.hits(Seq((1L, 101L), (1L, 102L), (2L, 102L))
+      .toDF("src", "dst"), iters = 2).collect().toSeq
+    assert(a == clean)
+  }
 }
