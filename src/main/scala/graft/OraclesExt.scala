@@ -5051,6 +5051,60 @@ object OraclesExt {
        |    ((ng + $nBins)::DECIMAL(38,0) * (n + $nBins))::DOUBLE, 5) AS psi
        |FROM s ORDER BY source""".stripMargin
 
+  /** Canary-string scan — twin of Decontamination.canaryScan: same
+    * literal list, 1-based strpos, replace-length occurrence count.
+    */
+  def canaryScan(canaries: Seq[String]): String = {
+    val list = canaries.map(c => s"'${c.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    s"""SELECT doc_id, c.canary, strpos(text, c.canary)::BIGINT AS first_pos,
+       |  ((len(text) - len(replace(text, c.canary, '')))
+       |    // len(c.canary))::BIGINT AS n_occurrences
+       |FROM documents CROSS JOIN (SELECT unnest($list) AS canary) c
+       |WHERE strpos(text, c.canary) > 0
+       |ORDER BY doc_id, canary""".stripMargin
+  }
+
+  /** Pareto front — twin of Curation.paretoFront: per-length maxima,
+    * strictly-longer running max over the length domain, length-keyed
+    * join back.
+    */
+  val paretoFront: String =
+    """WITH base AS (SELECT doc_id, len(text)::BIGINT AS doc_len,
+      |  len(list_distinct(list_filter(string_split(text, ' '),
+      |    x -> x <> '')))::BIGINT AS n_unique FROM documents),
+      |ym AS (SELECT doc_len, max(n_unique) AS ymax FROM base GROUP BY 1),
+      |f AS (SELECT doc_len, ymax, max(ymax) OVER (ORDER BY doc_len DESC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smax FROM ym),
+      |front AS (SELECT doc_len, ymax FROM f
+      |  WHERE smax IS NULL OR ymax > smax)
+      |SELECT b.doc_id, b.doc_len, b.n_unique
+      |FROM base b JOIN front fr
+      |  ON b.doc_len = fr.doc_len AND b.n_unique = fr.ymax
+      |ORDER BY b.doc_len DESC, b.doc_id""".stripMargin
+
+  /** Consistent-hash reshard plan — twin of Sharding.reshardPlan:
+    * both rings as the SAME driver-computed literal vnode lists, the
+    * same 60-bit md5 doc position and clockwise-next assignment.
+    */
+  def reshardPlan(oldShards: Int, newShards: Int, vnodesPerShard: Int,
+      salt: String): String = {
+    def ringSql(n: Int) = graft.ext.Sharding.ringVnodes(n, vnodesPerShard)
+      .map { case (h, s) => s"{'vh': ${h}::BIGINT, 's': $s}" }
+      .mkString("[", ", ", "]")
+    def assign(n: Int) =
+      s"coalesce(list_filter(${ringSql(n)}, x -> x.vh >= h)[1], " +
+        s"(${ringSql(n)})[1]).s"
+    s"""WITH d AS (SELECT cast('0x' ||
+       |    substr(md5('$salt|' || doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |a AS (SELECT ${assign(oldShards)} AS old_shard,
+       |  ${assign(newShards)} AS new_shard FROM d)
+       |SELECT old_shard, new_shard, count(*)::BIGINT AS n_docs,
+       |  old_shard <> new_shard AS moved
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** HITS hubs & authorities — twin of Graph.hits over the distinct
     * customer→part purchase edges: the same UNNORMALIZED exact
     * integer recurrence unrolled one CTE pair per iteration, each

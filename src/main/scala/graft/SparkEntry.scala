@@ -730,6 +730,14 @@ object SparkEntry {
   // (guarantee threshold k+w-1 = 11 chars)
   private[graft] val winnowK = 8
   private[graft] val winnowW = 4
+  // canary scan: two phrases present in the synthetic vocabulary plus
+  // one guaranteed-absent control (hits for it would flag a scan bug)
+  private[graft] val canaryStrings =
+    Seq("merge batch", "window table", "zz-absent-canary")
+  // reshard plan: the 8→10 grow with 32 vnodes/shard
+  private[graft] val reshardOld = 8
+  private[graft] val reshardNew = 10
+  private[graft] val reshardVnodes = 32
   // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
   // so the stream actually crosses a boundary, classic 5% errors
   private[graft] val sprtSuccessType = "purchase"
@@ -1221,6 +1229,26 @@ object SparkEntry {
     // drifting now" sequential alarm.
     "q_changepoint" -> withTables { s =>
       Events.bestChangepoint(s.table("events"))
+    },
+    // §7.5 — exact canary/secret audit: literal substring hits with
+    // positions and occurrence counts; map-only, crosses token
+    // boundaries the shingle decontamination tokenizes away.
+    "q_canary_scan" -> withTables { s =>
+      graft.ext.Decontamination.canaryScan(s.table("documents"),
+        canaryStrings)
+    },
+    // §7.5 — multi-criteria curation shortlist: Pareto front over
+    // (doc length, distinct tokens); per-length maxima + one window
+    // over the bounded length domain — no all-pairs domination.
+    "q_pareto_front" -> withTables { s =>
+      graft.ext.Curation.paretoFront(s.table("documents"))
+    },
+    // §7.5 — consistent-hash reshard audit: the 8→10 movement matrix
+    // under ring assignment (~1−8/10 of keys move vs mod-N's ~90%) —
+    // the number a 100 TB re-layout decision needs first.
+    "q_reshard_plan" -> withTables { s =>
+      graft.ext.Sharding.reshardPlan(s.table("documents"), reshardOld,
+        reshardNew, reshardVnodes)
     },
     // §7.5 — per-type daily-count OLS trend (exact integer sums →
     // one identically-shaped double expression; the "is this metric
@@ -3031,6 +3059,10 @@ object SparkEntry {
     "q_psi_drift" -> OraclesExt.psiDrift(psiBins),
     "q_winnowing" -> OraclesExt.winnowing(winnowK, winnowW),
     "q_hits" -> OraclesExt.hits(hitsIters),
+    "q_canary_scan" -> OraclesExt.canaryScan(canaryStrings),
+    "q_pareto_front" -> OraclesExt.paretoFront,
+    "q_reshard_plan" -> OraclesExt.reshardPlan(reshardOld, reshardNew,
+      reshardVnodes, "shard"),
     "q_rrf_fusion" -> OraclesExt.rrfFusion(bm25Terms, hybridQueryVecId,
       rrfListK, rrfTopK, rrfKConst, bm25K1, bm25B),
     "q_changepoint" -> OraclesExt.bestChangepoint,

@@ -424,4 +424,46 @@ object Curation {
         coalesce(col("__mp"), array().cast("array<string>")).as("matched"),
         (coalesce(col("__nm"), lit(0L)) === 0L).as("keep"))
   }
+
+  /** Pareto front (skyline) of the corpus over two maximize-axes:
+    * doc length (chars) and lexical richness (distinct tokens). A doc
+    * is ON the front iff no other doc is ≥ on both axes and > on one
+    * — the "no doc strictly better" shortlist multi-criteria curation
+    * picks exemplars from, which no single weighted score can produce
+    * (every weighting selects only front points, but each picks ONE).
+    * Returns the front: (idCol, doc_len, n_unique), doc_len desc then
+    * id order; duplicate (len, unique) points on the front all
+    * surface.
+    *
+    * Exactness: both axes are exact integers; domination is pure
+    * integer comparison — nothing rounds.
+    *
+    * Scale shape (the §8.3 distinct-value-domain convention): the
+    * corpus reduces map-side to per-LENGTH maxima (the length domain
+    * is bounded — ~10⁵ distinct values at 100 TB — not the row
+    * domain); the strictly-higher-length running max is ONE window
+    * over that bounded relation, and front membership joins back
+    * length-keyed. No all-pairs domination test anywhere.
+    */
+  def paretoFront(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = Dedup.spread(df, textCol).select(col(idCol),
+      length(col(textCol)).cast("long").as("doc_len"),
+      size(array_distinct(TextStats.tokens(col(textCol)))).cast("long")
+        .as("n_unique"))
+    val ymax = base.groupBy("doc_len").agg(max("n_unique").as("__ymax"))
+    // strictly-longer running max over the bounded length domain;
+    // rows (-inf, -1) excludes the current length's own maximum
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_len").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val front = ymax
+      .withColumn("__smax", max(col("__ymax")).over(w))
+      .filter(col("__smax").isNull || col("__ymax") > col("__smax"))
+    base.join(front, "doc_len")
+      .filter(col("n_unique") === col("__ymax"))
+      .select(col(idCol), col("doc_len"), col("n_unique"))
+      .orderBy(col("doc_len").desc, col(idCol))
+  }
 }

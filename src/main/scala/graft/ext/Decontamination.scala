@@ -95,4 +95,37 @@ object Decontamination {
           .otherwise(lit(0.0)))
       .withColumn("flagged", col("contamination") >= threshold)
   }
+
+  /** Exact canary-string scan: find every occurrence of each literal
+    * `canaries` string inside the corpus — the benchmark-canary /
+    * secret-leak audit that the shingle-based [[contaminationReport]]
+    * cannot do (shingles tokenize; a canary must match EXACTLY,
+    * crossing token boundaries, punctuation and all). Returns one row
+    * per (doc, canary) HIT: (idCol, canary, first_pos 1-based,
+    * n_occurrences), (doc, canary) order; clean docs are absent.
+    *
+    * Determinism: positions and the occurrence count are exact
+    * integers (count via the replace-length identity
+    * (len(t) − len(replace(t, c, ''))) / len(c) — no regex, so canary
+    * text never needs escaping).
+    *
+    * Scale shape: MAP-ONLY — the canary list is an in-plan literal
+    * array (one row per doc×canary inside codegen, no join, no
+    * shuffle); at 100 TB the cost is the scan itself, and the output
+    * is bounded by the hit count.
+    */
+  def canaryScan(train: DataFrame, canaries: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(canaries.nonEmpty, "need at least one canary string")
+    require(canaries.forall(_.nonEmpty), "canaries must be non-empty")
+    train
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(array(canaries.map(lit): _*)).as("canary"))
+      .withColumn("first_pos", expr("instr(__t, canary)").cast("long"))
+      .filter(col("first_pos") > 0)
+      .select(col(idCol), col("canary"), col("first_pos"),
+        expr("(length(__t) - length(replace(__t, canary, ''))) div " +
+          "length(canary)").cast("long").as("n_occurrences"))
+      .orderBy(idCol, "canary")
+  }
 }

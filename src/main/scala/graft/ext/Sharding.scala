@@ -106,4 +106,68 @@ object Sharding {
       .count(f => f.getName.endsWith(".parquet") && f.isFile)
     (before, after)
   }
+
+  /** Consistent-hash ring vnodes for `numShards` shards: (hash, shard)
+    * sorted by hash, each vnode hash the first 15 md5 hex digits of
+    * "vn|shard|replica" (60-bit positive long — driver-computable,
+    * the [[graft.ext.Search]] bucketOf posture, and bit-identical to
+    * the engine-side conv(md5) convention).
+    */
+  private[graft] def ringVnodes(numShards: Int,
+      vnodesPerShard: Int): Seq[(Long, Int)] =
+    (for {
+      s <- 0 until numShards
+      r <- 0 until vnodesPerShard
+    } yield {
+      val h = java.lang.Long.parseLong(
+        Dedup.md5Hex(s"vn|$s|$r").substring(0, 15), 16)
+      (h, s)
+    }).sortBy(x => (x._1, x._2))
+
+  /** Reshard movement plan under CONSISTENT HASHING: assign every doc
+    * to its shard on the old ring (`oldShards`) and the new ring
+    * (`newShards`), and report the movement matrix
+    * (old_shard, new_shard, n_docs, moved), (old, new) order. On a
+    * ring, growing 8→10 shards moves only the arc the new vnodes
+    * claim (~1 − 8/10 of keys) — vs mod-N reassignment
+    * ([[shardCorpus]]'s static layout) which moves ~90%: THE number a
+    * 100 TB re-layout decision needs before anyone touches data.
+    *
+    * Determinism: doc position = first 15 md5 hex digits of the
+    * salted id (exact 60-bit integer); both rings are driver-computed
+    * literal arrays shared bit-for-bit with the oracle; assignment is
+    * the first vnode clockwise (hash ≥ position, wrapping to the
+    * ring's first vnode), ties impossible (distinct md5 prefixes).
+    *
+    * Scale shape: MAP-ONLY — the rings are in-plan literal arrays
+    * (shards·vnodes entries), each row does two sorted-array probes
+    * inside codegen, and the only shuffle is the final
+    * (old, new)-keyed count roll-up, bounded by oldShards·newShards.
+    */
+  def reshardPlan(df: DataFrame, oldShards: Int, newShards: Int,
+      vnodesPerShard: Int = 32, idCol: String = "doc_id",
+      salt: String = "shard"): DataFrame = {
+    require(oldShards > 0 && newShards > 0 && vnodesPerShard > 0,
+      "shard and vnode counts must be positive")
+    def ringCol(n: Int) = array(ringVnodes(n, vnodesPerShard).map {
+      case (h, s) => struct(lit(h).as("vh"), lit(s).as("shard"))
+    }: _*)
+    def assign(ring: org.apache.spark.sql.Column) = {
+      val nxt = filter(ring, v => v.getField("vh") >= col("__h"))
+      // try_element_at: the filter is legitimately empty for keys past
+      // the last vnode — they wrap to the ring's first entry
+      coalesce(try_element_at(nxt, lit(1)), element_at(ring, 1))
+        .getField("shard")
+    }
+    df.select(
+        conv(substring(md5(concat_ws("|", lit(salt),
+          col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("__h"))
+      .select(assign(ringCol(oldShards)).as("old_shard"),
+        assign(ringCol(newShards)).as("new_shard"))
+      .groupBy("old_shard", "new_shard")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+      .orderBy("old_shard", "new_shard")
+  }
 }

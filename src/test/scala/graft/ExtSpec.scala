@@ -1349,6 +1349,66 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1)._4 == out(2)._4 && out(1)._4 == math.rint(1.0 / 61.0 * 1e9) / 1e9)
   }
 
+  test("canaryScan: exact positions, replace-identity counts, absent canary") {
+    val df = Seq((1L, "ab ab ab"), (2L, "aaaa"), (3L, "clean"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Decontamination.canaryScan(df, Seq("ab", "aa", "zz"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "ab", 1L, 3L),
+      // replace counts NON-overlapping occurrences: aaaa -> 2, not 3
+      (2L, "aa", 1L, 2L)))
+  }
+
+  test("paretoFront matches the brute-force domination check") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // len 9,  unique 5
+      (2L, "aa bb aa"),        // len 8,  unique 2
+      (3L, "x x y y x x y y"), // len 15, unique 2: longest, low diversity
+      (4L, "x x x x x x x x"), // len 15, unique 1 (dominated within len)
+      (5L, "a b c d e"),       // duplicate of 1: both kept iff on front
+      (6L, "ab cd")            // len 5, unique 2 (dominated by 1 and 3)
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Curation.paretoFront(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force over the tiny set
+    val pts = docs.collect().map { r =>
+      val t = r.getString(1)
+      (r.getLong(0), t.length.toLong,
+        t.split(" ").filter(_.nonEmpty).distinct.length.toLong)
+    }
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.sortBy(p => (-p._2, p._1)).toSeq
+    assert(got == expected && got.map(_._1).toSet == Set(1L, 3L, 5L))
+  }
+
+  test("reshardPlan: ring growth moves only onto new shards, far less than mod-N") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val plan = graft.ext.Sharding.reshardPlan(docs, 8, 10, 32).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(plan.map(_._3).sum == docs.count(), "docs conserved")
+    // consistent hashing: a key only moves when a NEW shard's vnode
+    // claims its arc — every moved row lands on shard 8 or 9
+    assert(plan.filter(_._4).forall(p => p._2 >= 8),
+      s"moved rows must target new shards: ${plan.filter(_._4).toSeq}")
+    val movedFrac = plan.filter(_._4).map(_._3).sum.toDouble /
+      plan.map(_._3).sum
+    assert(movedFrac < 0.35, s"ring movement $movedFrac should be ~0.2")
+    // mod-N baseline moves the vast majority on 8→10
+    val mod = graft.ext.Sharding.shardCorpus(docs, 8)
+      .select(col("doc_id"), col("shard_id").as("s8"))
+      .join(graft.ext.Sharding.shardCorpus(docs, 10)
+        .select(col("doc_id"), col("shard_id").as("s10")), "doc_id")
+    val modFrac = mod.filter(col("s8") =!= col("s10")).count().toDouble /
+      docs.count()
+    assert(movedFrac < modFrac / 2,
+      s"ring ($movedFrac) must beat mod-N ($modFrac) by 2x+")
+  }
+
   test("bestChangepoint: hand-computed level shift, singleton NULLs") {
     def ts(day: Int, i: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:${i % 60}%02d")
