@@ -5051,6 +5051,98 @@ object OraclesExt {
        |    ((ng + $nBins)::DECIMAL(38,0) * (n + $nBins))::DOUBLE, 5) AS psi
        |FROM s ORDER BY source""".stripMargin
 
+  /** Kneser-Ney bigram cross-entropy — twin of
+    * TextStats.knCrossEntropy: the lm2 bigram convention plus
+    * prefix/continuation type counts, the interpolation folded to one
+    * exact integer rational (HUGEINT here, DECIMAL(38,0) in Spark —
+    * same values), −ln quantized to DECIMAL(18,9), exact HALF-UP
+    * per-doc mean.
+    */
+  val knCrossEntropy: String =
+    s"""WITH $toksCte,
+       |bgl AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |  i -> array_to_string(t[i:i+1], ' ')) AS bgs FROM toks),
+       |bgu AS (SELECT doc_id, unnest(bgs) AS g FROM bgl),
+       |occ AS (SELECT doc_id, g FROM bgu WHERE contains(g, ' ')),
+       |cnt2 AS (SELECT g, count(*)::BIGINT AS c2,
+       |  string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b
+       |  FROM occ GROUP BY g),
+       |pref AS (SELECT a, sum(c2)::BIGINT AS ca, count(*)::BIGINT AS n1a
+       |  FROM cnt2 GROUP BY a),
+       |cont AS (SELECT b, count(*)::BIGINT AS eb FROM cnt2 GROUP BY b),
+       |tot AS (SELECT count(*)::BIGINT AS e FROM cnt2),
+       |lp AS (SELECT g, round(-ln(
+       |    ((SELECT e FROM tot)::HUGEINT * (c2 * 4 - 3)
+       |      + n1a::HUGEINT * eb * 3)::DOUBLE /
+       |    (ca::HUGEINT * (SELECT e FROM tot) * 4)::DOUBLE), 9)
+       |    ::DECIMAL(18,9) AS nlp
+       |  FROM cnt2 JOIN pref USING (a) JOIN cont USING (b)),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  ${decAvg5Sql("nlp")} AS ce
+       |  FROM occ JOIN lp USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(per.ce, 0.0) AS kn_cross_entropy
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Jensen-Shannon source drift — twin of TextStats.jsDrift: same
+    * exact mixture rationals, scale-9 integer log units (HUGEINT
+    * ladder mirroring Spark's decimal one), closed-form absent-token
+    * ln 2 mass, ONE final division by 2AB·10⁹.
+    */
+  val jsDrift: String =
+    s"""WITH $toksCte,
+       |u AS (SELECT d.source AS g, unnest(t.t) AS tok
+       |  FROM toks t JOIN documents d USING (doc_id)),
+       |gt AS (SELECT g, tok, count(*)::BIGINT AS a FROM u GROUP BY 1, 2),
+       |pool AS (SELECT tok, sum(a)::BIGINT AS b FROM gt GROUP BY tok),
+       |att AS (SELECT g, sum(a)::BIGINT AS ta FROM gt GROUP BY g),
+       |btt AS (SELECT sum(b)::BIGINT AS tb FROM pool),
+       |terms AS (SELECT gt.g, att.ta, btt.tb, gt.a, pool.b,
+       |  (round(ln((gt.a::HUGEINT * btt.tb * 2)::DOUBLE /
+       |     (gt.a::HUGEINT * btt.tb + pool.b::HUGEINT * att.ta)::DOUBLE), 9)
+       |   ::DECIMAL(18,9) * 1000000000)::HUGEINT AS lpu,
+       |  (round(ln((pool.b::HUGEINT * att.ta * 2)::DOUBLE /
+       |     (gt.a::HUGEINT * btt.tb + pool.b::HUGEINT * att.ta)::DOUBLE), 9)
+       |   ::DECIMAL(18,9) * 1000000000)::HUGEINT AS lqu
+       |  FROM gt JOIN pool USING (tok) JOIN att USING (g) CROSS JOIN btt),
+       |s AS (SELECT g, ta, tb,
+       |    sum(a::HUGEINT * lpu)::HUGEINT AS s1,
+       |    sum(b::HUGEINT * lqu)::HUGEINT AS s2,
+       |    sum(b)::HUGEINT AS bp
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT g AS source, ta AS n_tokens,
+       |  round((tb::HUGEINT * s1 + ta::HUGEINT * s2
+       |      + ta::HUGEINT * (tb - bp) * 693147181)::DOUBLE /
+       |    (ta::HUGEINT * tb * 2000000000)::DOUBLE, 5) AS jsd
+       |FROM s ORDER BY source""".stripMargin
+
+  /** Shard-shuffle runs audit — twin of Sharding.shuffleRunsAudit:
+    * the q_shard assignment/order CTE, a lag run-boundary walk, and
+    * the Wald–Wolfowitz expectation as single integer-operand
+    * divisions.
+    */
+  def shuffleRuns(numShards: Int): String =
+    s"""WITH h AS (SELECT doc_id, source, md5('shard|' || doc_id) AS hx
+       |  FROM documents),
+       |s AS (SELECT doc_id, source, hx,
+       |  (cast('0x' || substr(hx, 1, 8) AS BIGINT) % $numShards)::INT
+       |    AS shard_id FROM h),
+       |o AS (SELECT shard_id, source, lag(source) OVER
+       |  (PARTITION BY shard_id ORDER BY hx, doc_id) AS prev FROM s),
+       |r AS (SELECT shard_id, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN prev IS NULL OR prev <> source THEN 1 ELSE 0 END)
+       |    ::BIGINT AS n_runs FROM o GROUP BY 1),
+       |sq AS (SELECT shard_id, sum(nc * nc)::HUGEINT AS ssq FROM
+       |  (SELECT shard_id, source, count(*)::HUGEINT AS nc
+       |   FROM s GROUP BY 1, 2) GROUP BY 1)
+       |SELECT r.shard_id, r.n_docs, r.n_runs,
+       |  round((r.n_docs::HUGEINT * (r.n_docs + 1) - sq.ssq)::DOUBLE
+       |    / r.n_docs::DOUBLE, 5) AS expected_runs,
+       |  round((r.n_runs::HUGEINT * r.n_docs)::DOUBLE /
+       |    (r.n_docs::HUGEINT * (r.n_docs + 1) - sq.ssq)::DOUBLE, 5)
+       |    AS runs_ratio
+       |FROM r JOIN sq USING (shard_id) ORDER BY r.shard_id""".stripMargin
+
   /** Canary-string scan — twin of Decontamination.canaryScan: same
     * literal list, 1-based strpos, replace-length occurrence count.
     */

@@ -2185,6 +2185,26 @@ object SparkEntry {
       Sharding.shardCorpus(s.table("documents"), shardCount)
         .select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
     },
+    // §7.5 — shuffle-quality certification: Wald–Wolfowitz runs of the
+    // source sequence in each shard's shuffle order; ratio ≈ 1 means
+    // the md5 shuffle interleaves sources, ≪ 1 means source batches
+    // survived — invisible to any per-shard count check.
+    "q_shuffle_runs" -> withTables { s =>
+      Sharding.shuffleRunsAudit(s.table("documents"), shardCount)
+    },
+    // §7.5 — Kneser-Ney bigram cross-entropy: continuation-count
+    // smoothing (the Chen–Goodman benchmark) as a quality-gate axis;
+    // the two-term interpolation folded to ONE exact integer rational.
+    "q_text_kn_score" -> withTables { s =>
+      TextStats.knCrossEntropy(s.table("documents"))
+    },
+    // §7.5 — content-drift scorecard: Jensen-Shannon divergence of
+    // each source's token distribution from the pool (bounded,
+    // symmetric; the vocabulary-usage axis q_psi_drift's length bins
+    // cannot see).
+    "q_js_drift" -> withTables { s =>
+      TextStats.jsDrift(s.table("documents"))
+    },
     // §7.5 — bucketed-storage co-located join: both fact tables are
     // persisted hash-clustered+sorted on the join key, so the
     // recurring fact-to-fact join runs with ZERO exchanges and ZERO
@@ -3094,6 +3114,9 @@ object SparkEntry {
     "q_text_lm2_score" -> OraclesExt.lm2CrossEntropy,
     "q_score_calibrate" -> OraclesExt.scoreCalibrate,
     "q_shard" -> OraclesExt.shard(shardCount),
+    "q_shuffle_runs" -> OraclesExt.shuffleRuns(shardCount),
+    "q_text_kn_score" -> OraclesExt.knCrossEntropy,
+    "q_js_drift" -> OraclesExt.jsDrift,
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),
     "q_sample_weighted" -> OraclesExt.sampleWeighted,

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic corpus shuffling + sharding — pipeline extension
   * (SURVEY.md §7.5). Training jobs consume a corpus as N shard files
@@ -105,6 +106,53 @@ object Sharding {
     val after = Option(d.listFiles()).toSeq.flatten
       .count(f => f.getName.endsWith(".parquet") && f.isFile)
     (before, after)
+  }
+
+  /** Wald–Wolfowitz runs audit of the shard shuffle: per shard, the
+    * number of RUNS of consecutive same-`groupCol` docs in the
+    * [[shardCorpus]] shard_pos order versus the multi-category
+    * expectation E[R] = n + 1 − Σ n_c²/n. A ratio near 1 certifies
+    * the md5 shuffle actually interleaves sources; ≪ 1 means
+    * same-source runs survived and a training job would see source
+    * batches back-to-back — the data-order pathology a mean/count
+    * check cannot detect. Returns (shard_id, n_docs, n_runs,
+    * expected_runs, runs_ratio), shard order.
+    *
+    * Determinism: runs and the n_c are exact integers; expected and
+    * ratio are each ONE division of exact integer operands
+    * (ratio = runs·n / ((n+1)·n − Σn_c²)), rounded at 5.
+    *
+    * Scale shape: the lag walk runs in the SAME shard-partitioned,
+    * shard_pos order the shuffle itself defines (a per-shard
+    * sequential window — the object under audit is that order), and
+    * the roll-ups are map-side-combined counts bounded by
+    * shards·groups.
+    */
+  def shuffleRunsAudit(df: DataFrame, numShards: Int,
+      groupCol: String = "source", idCol: String = "doc_id",
+      salt: String = "shard"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sc = shardCorpus(df, numShards, idCol, salt)
+      .select(col("shard_id"), col("shard_pos"), col(groupCol).as("__g"))
+    val w = Window.partitionBy("shard_id").orderBy("shard_pos")
+    val runs = sc
+      .withColumn("__new",
+        when(lag(col("__g"), 1).over(w).isNull ||
+          lag(col("__g"), 1).over(w) =!= col("__g"), 1L).otherwise(0L))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__new")).as("n_runs"))
+    val sq = sc.groupBy(col("shard_id"), col("__g"))
+      .agg(count(lit(1)).as("__nc"))
+      .groupBy("shard_id")
+      .agg(sum(col("__nc").cast(dec) * col("__nc")).as("__sq"))
+    val den = (col("n_docs").cast(dec) * (col("n_docs") + 1)) - col("__sq")
+    runs.join(sq, "shard_id")
+      .select(col("shard_id"), col("n_docs"), col("n_runs"),
+        round(den.cast("double") / col("n_docs").cast("double"), 5)
+          .as("expected_runs"),
+        round((col("n_runs").cast(dec) * col("n_docs")).cast("double") /
+          den.cast("double"), 5).as("runs_ratio"))
+      .orderBy("shard_id")
   }
 
   /** Consistent-hash ring vnodes for `numShards` shards: (hash, shard)

@@ -1175,6 +1175,134 @@ object TextStats {
       .orderBy("r")
   }
 
+  /** Interpolated Kneser-Ney bigram cross-entropy per document
+    * (Kneser & Ney 1995; Chen & Goodman's benchmark smoothing), with
+    * the canonical absolute discount D = 0.75 as the exact rational
+    * 3/4:
+    * P_KN(w₂|w₁) = (c₁₂ − D)/c₁ + (D·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/N₁₊(··).
+    * The continuation term scores how many CONTEXTS a word completes,
+    * not how often it occurs — the "san AND francisco are frequent,
+    * but francisco only follows san" correction [[lm2CrossEntropy]]'s
+    * raw MLE cannot make; KN-scored perplexity is the standard
+    * quality gate axis. Returns (doc_id, n_bigrams,
+    * kn_cross_entropy), doc order; sub-2-token docs surface zeros.
+    *
+    * Determinism (§8.3 rule 4): the two-term interpolation folds to
+    * ONE exact integer rational —
+    * [E·(4c₁₂ − 3) + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4·c₁·E), E = N₁₊(··) —
+    * so each bigram's −ln is of a single exact quotient, quantized to
+    * DECIMAL(18,9) and averaged with the exact HALF-UP decAvg5.
+    * c₁₂ ≥ 1 keeps the max(·,0) clamp vacuous at D < 1.
+    *
+    * Scale shape: the lm2 shape plus two vocabulary-sized side
+    * aggregates (prefix/continuation type counts from the SAME bigram
+    * count relation — the corpus is tokenized once) and a 1-row E
+    * broadcast.
+    */
+  def knCrossEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val staged = Dedup.spread(df, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val bg = staged
+      .select(col(idCol), explode_outer(Dedup.ngrams(col("__t"), 2)).as("bg"))
+      .filter(col("bg").isNotNull && col("bg").contains(" "))
+    val cnt2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+    val pref = cnt2.groupBy("a")
+      .agg(sum(col("c2")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = cnt2.groupBy("b").agg(count(lit(1)).as("eb"))
+    val tot = cnt2.agg(count(lit(1)).as("E"))
+    val num = (col("E").cast(dec380) * (col("c2") * 4 - 3) +
+      col("n1a").cast(dec380) * col("eb") * 3).cast("double")
+    val den = (col("ca").cast(dec380) * col("E") * 4).cast("double")
+    val lp = cnt2.join(pref, "a").join(cont, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"),
+        round(-log(num / den), 9).cast(DecimalType(18, 9)).as("nlp"))
+    val per = bg.join(lp, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nb"),
+        decAvg5(col("nlp"), count(lit(1))).as("__ce"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__ce"), lit(0.0)).as("kn_cross_entropy"))
+      .orderBy(idCol)
+  }
+
+  /** Jensen-Shannon divergence of each group's token distribution
+    * from the corpus pool — the bounded, symmetric drift score
+    * (0 ≤ JSD ≤ ln 2, defined even on disjoint supports) that
+    * complements [[graft.ext.Stats.psiDrift]]'s binned-length axis
+    * with a CONTENT axis: which source's vocabulary usage has walked
+    * away from the mixture. Returns (group, n_tokens, jsd), group
+    * order, jsd in nats rounded at 5.
+    *
+    * Determinism (§8.3): with p = a/A (group) and q = b/B (pool),
+    * both log-ratios against the mixture m = (p+q)/2 are EXACT
+    * integer rationals — p/m = 2aB/(aB+bA), q/m = 2bA/(aB+bA) — each
+    * quantized to a scale-9 INTEGER (round(ln,9)·10⁹, the decimal
+    * staying exact at every step: the type ladder (12,0)·(20,0) →
+    * (33,0) → Σ (38,0) never triggers Spark's precision-loss scale
+    * clamp, and the mirrored DuckDB ladder stays inside HUGEINT);
+    * tokens ABSENT from the group contribute q·ln 2 in closed form
+    * ((B − B_present)·LN2₉ — no group×vocab grid is ever
+    * materialized), and the whole JSD is ONE final division by
+    * 2AB·10⁹. Operating bound: A, B ≤ 10¹² tokens per the (12,0)
+    * casts (≈ 4 PB of text).
+    *
+    * Scale shape: one (group, token) count + one token-keyed pool
+    * re-aggregate, joined token-keyed — vocabulary-sized shuffles
+    * only; the A/B totals ride in as broadcast one-row relations.
+    */
+  def jsDrift(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val dec120 = DecimalType(12, 0)
+    val ln2u = lit(693147181L) // round(ln 2, 9)·10⁹
+    val gt = Dedup.spread(df, textCol)
+      .select(col(groupCol).as("__g"),
+        explode_outer(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__a"))
+    val pool = gt.groupBy("__tok").agg(sum(col("__a")).as("__b"))
+    val aTot = gt.groupBy("__g").agg(sum(col("__a")).as("__ta"))
+    val bTot = pool.agg(sum(col("__b")).as("__tb"))
+    val mix = col("__a").cast(dec380) * col("__tb") +
+      col("__b").cast(dec380) * col("__ta")
+    // scale-9 integer log units: round(ln,9) quantized into (18,9) is
+    // exact; ×10⁹ in (28,9) is exact; the (20,0) cast drops only zeros
+    def lu(x: org.apache.spark.sql.Column) =
+      (round(log(x), 9).cast(DecimalType(18, 9)) * 1000000000L)
+        .cast(DecimalType(20, 0))
+    val terms = gt.join(pool, "__tok")
+      .join(broadcast(aTot), "__g")
+      .crossJoin(broadcast(bTot))
+      .select(col("__g"), col("__ta"), col("__tb"), col("__a"), col("__b"),
+        lu((col("__a").cast(dec380) * col("__tb") * 2).cast("double") /
+          mix.cast("double")).as("__lpu"),
+        lu((col("__b").cast(dec380) * col("__ta") * 2).cast("double") /
+          mix.cast("double")).as("__lqu"))
+    terms
+      .groupBy(col("__g"), col("__ta"), col("__tb"))
+      .agg(
+        sum(col("__a").cast(dec120) * col("__lpu")).as("__s1"),
+        sum(col("__b").cast(dec120) * col("__lqu")).as("__s2"),
+        sum(col("__b")).as("__bPres"))
+      .select(col("__g").as(groupCol), col("__ta").as("n_tokens"),
+        round((col("__tb").cast(dec120) * col("__s1").cast(DecimalType(25, 0)) +
+          col("__ta").cast(dec120) * col("__s2").cast(DecimalType(25, 0)) +
+          col("__ta").cast(dec120) *
+            ((col("__tb") - col("__bPres")).cast(dec120) * ln2u))
+            .cast("double") /
+          (col("__ta").cast(dec120) * col("__tb").cast(dec120) *
+            lit(2000000000L)).cast("double"), 5)
+          .as("jsd"))
+      .orderBy(groupCol)
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS algorithm): hash every character `k`-gram, slide a window
     * of `w` consecutive gram hashes, keep each window's MINIMUM hash;

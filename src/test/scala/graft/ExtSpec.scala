@@ -1349,6 +1349,60 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1)._4 == out(2)._4 && out(1)._4 == math.rint(1.0 / 61.0 * 1e9) / 1e9)
   }
 
+  test("knCrossEntropy: hand-computed interpolated probabilities") {
+    // single-bigram docs: cnt2 = {a b:1, b a:1, a c:1}
+    //   pref a: ca=2 n1a=2 ; pref b: ca=1 n1a=1 ; cont eb=1 each; E=3
+    // P(a b) = (3·1 + 3·2·1)/(4·2·3) = 9/24 = 0.375 -> 0.98083
+    // P(b a) = (3·1 + 3·1·1)/(4·1·3) = 6/12 = 0.5   -> 0.69315
+    // P(a c) = 9/24 = 0.375                          -> 0.98083
+    val df = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextStats.knCrossEntropy(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 0.98083), (2L, 1L, 0.69315), (3L, 1L, 0.98083),
+      (4L, 0L, 0.0)))
+  }
+
+  test("jsDrift: identical sources score 0, disjoint sources the mixture bound") {
+    val same = Seq((1L, "x y z", "s1"), (2L, "x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val z = TextStats.jsDrift(same).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(z == Seq(("s1", 3L, 0.0), ("s2", 3L, 0.0)))
+    // disjoint equal halves: jsd = [2·ln(4/3) + ln(2/3) + ln 2]/4 vs
+    // the pool (which contains the source itself)
+    val disj = Seq((1L, "x y z", "s1"), (2L, "p q r", "s2"))
+      .toDF("doc_id", "text", "source")
+    val d = TextStats.jsDrift(disj).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val expect = math.rint((2 * math.log(4.0 / 3) + math.log(2.0 / 3) +
+      math.log(2)) / 4 * 1e5) / 1e5
+    assert(d == Seq(("s1", expect), ("s2", expect)))
+  }
+
+  test("shuffleRunsAudit: degenerate single source, brute-force runs match") {
+    val mono = (1L to 40L).map(i => (i, s"doc $i", "only"))
+      .toDF("doc_id", "text", "source")
+    val m = graft.ext.Sharding.shuffleRunsAudit(mono, 4).collect()
+    // one source: exactly one run per shard; E[R] = n+1−n²/n = 1
+    assert(m.forall(r => r.getLong(2) == 1L && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0))
+
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val got = graft.ext.Sharding.shuffleRunsAudit(docs, 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // independent brute force over the materialized shuffle order
+    val order = graft.ext.Sharding.shardCorpus(docs, 4)
+      .select("shard_id", "shard_pos", "source").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val brute = order.view.mapValues(ss =>
+      1L + ss.sliding(2).count(p => p.length == 2 && p(0) != p(1))).toMap
+    assert(got == brute)
+  }
+
   test("canaryScan: exact positions, replace-identity counts, absent canary") {
     val df = Seq((1L, "ab ab ab"), (2L, "aaaa"), (3L, "clean"))
       .toDF("doc_id", "text")
