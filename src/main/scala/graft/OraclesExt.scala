@@ -5051,6 +5051,65 @@ object OraclesExt {
        |    ((ng + $nBins)::DECIMAL(38,0) * (n + $nBins))::DOUBLE, 5) AS psi
        |FROM s ORDER BY source""".stripMargin
 
+  /** Vocabulary mass-coverage curve — twin of
+    * TextStats.vocabMassCurve: (count DESC, token) ranks, exact
+    * cumsum over the vocabulary relation, cuts pinned to
+    * min(V, |vocab|).
+    */
+  def vocabMassCurve(cuts: Seq[Int]): String = {
+    val cutList = cuts.map(_.toLong).mkString("[", ", ", "]")
+    s"""WITH $toksCte,
+       |cnt AS (SELECT tok, count(*)::BIGINT AS c FROM
+       |  (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS r,
+       |  sum(c) OVER (ORDER BY c DESC, tok
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM cnt),
+       |tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab FROM cnt),
+       |cu AS (SELECT unnest($cutList::BIGINT[]) AS v_cut)
+       |SELECT cu.v_cut, least(cu.v_cut, tot.vocab)::BIGINT AS n_vocab_used,
+       |  rk.cum AS cum_mass,
+       |  round(rk.cum::DOUBLE / tot.n::DOUBLE, 5) AS coverage
+       |FROM cu CROSS JOIN tot
+       |JOIN rk ON rk.r = least(cu.v_cut, tot.vocab)
+       |ORDER BY cu.v_cut""".stripMargin
+  }
+
+  /** Token burstiness — twin of TextStats.tokenBurstiness: cf from
+    * the raw stream, df from the per-doc distinct lists, ordering by
+    * the exactly-rounded cf/df double then token.
+    */
+  def tokenBurstiness(minCf: Long, k: Int): String =
+    s"""WITH $toksCte,
+       |cf AS (SELECT tok, count(*)::BIGINT AS cf FROM
+       |  (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+       |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM
+       |  (SELECT unnest(list_distinct(t)) AS tok FROM toks) GROUP BY tok)
+       |SELECT cf.tok AS token, cf.cf, dfq.df,
+       |  round(cf.cf::DOUBLE / dfq.df::DOUBLE, 5) AS burstiness
+       |FROM cf JOIN dfq USING (tok)
+       |WHERE cf.cf >= $minCf
+       |ORDER BY cf.cf::DOUBLE / dfq.df::DOUBLE DESC, cf.tok
+       |LIMIT $k""".stripMargin
+
+  /** Per-source n-gram diversity — twin of
+    * TextStats.sourceNgramDiversity: same non-distinct gram window,
+    * exact-arity separator filter, two map-side counts.
+    */
+  def sourceNgramDiversity(n: Int): String =
+    s"""WITH $toksCte,
+       |gl AS (SELECT d.source AS s,
+       |  list_transform(range(1, greatest(len(t.t) - ${n - 1}, 1) + 1),
+       |    i -> array_to_string(t.t[i:i+${n - 1}], ' ')) AS gs
+       |  FROM toks t JOIN documents d USING (doc_id)),
+       |g AS (SELECT s, g FROM (SELECT s, unnest(gs) AS g FROM gl)
+       |  WHERE len(g) - len(replace(g, ' ', '')) = ${n - 1}),
+       |per AS (SELECT s, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+       |SELECT s AS source, sum(c)::BIGINT AS n_grams,
+       |  count(*)::BIGINT AS n_distinct,
+       |  round(count(*)::DOUBLE / sum(c)::DOUBLE, 5) AS diversity
+       |FROM per GROUP BY s ORDER BY source""".stripMargin
+
   /** Kneser-Ney bigram cross-entropy — twin of
     * TextStats.knCrossEntropy: the lm2 bigram convention plus
     * prefix/continuation type counts, the interpolation folded to one

@@ -738,6 +738,12 @@ object SparkEntry {
   private[graft] val reshardOld = 8
   private[graft] val reshardNew = 10
   private[graft] val reshardVnodes = 32
+  // vocab budget curve: candidate tokenizer sizes bracketing this
+  // synthetic vocabulary (~40 words + numerics)
+  private[graft] val vocabCuts = Seq(5, 10, 20, 40, 100)
+  // burstiness: floor rare noise, report the full small vocabulary
+  private[graft] val burstMinCf = 10L
+  private[graft] val burstK = 30
   // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
   // so the stream actually crosses a boundary, classic 5% errors
   private[graft] val sprtSuccessType = "purchase"
@@ -2205,6 +2211,23 @@ object SparkEntry {
     "q_js_drift" -> withTables { s =>
       TextStats.jsDrift(s.table("documents"))
     },
+    // §7.5 — tokenizer budget planning: what corpus token mass each
+    // candidate vocabulary size covers (the "32k covers 99.2%" curve).
+    "q_vocab_mass_curve" -> withTables { s =>
+      TextStats.vocabMassCurve(s.table("documents"), vocabCuts)
+    },
+    // §7.5 — burstiness audit: high cf/df tokens — many occurrences
+    // in few documents (boilerplate, spam, generator tics) that a raw
+    // frequency list hides among uniform words.
+    "q_token_burstiness" -> withTables { s =>
+      TextStats.tokenBurstiness(s.table("documents"), burstMinCf, burstK)
+    },
+    // §7.5 — cross-document mode-collapse detector: per-source
+    // distinct/total trigram ratio (template saturation moves this
+    // long before any per-doc repetition score).
+    "q_source_ngram_diversity" -> withTables { s =>
+      TextStats.sourceNgramDiversity(s.table("documents"))
+    },
     // §7.5 — bucketed-storage co-located join: both fact tables are
     // persisted hash-clustered+sorted on the join key, so the
     // recurring fact-to-fact join runs with ZERO exchanges and ZERO
@@ -3117,6 +3140,9 @@ object SparkEntry {
     "q_shuffle_runs" -> OraclesExt.shuffleRuns(shardCount),
     "q_text_kn_score" -> OraclesExt.knCrossEntropy,
     "q_js_drift" -> OraclesExt.jsDrift,
+    "q_vocab_mass_curve" -> OraclesExt.vocabMassCurve(vocabCuts),
+    "q_token_burstiness" -> OraclesExt.tokenBurstiness(burstMinCf, burstK),
+    "q_source_ngram_diversity" -> OraclesExt.sourceNgramDiversity(3),
     "q_top_quality_per_lang" -> OraclesExt.topQualityPerLang(topQualityK),
     "q_quantile_gate" -> OraclesExt.quantileGate(quantileKeepNum, quantileKeepDen),
     "q_sample_weighted" -> OraclesExt.sampleWeighted,

@@ -1303,6 +1303,121 @@ object TextStats {
       .orderBy(groupCol)
   }
 
+  /** Vocabulary mass-coverage curve: for each candidate vocabulary
+    * budget V in `cuts`, what fraction of ALL token occurrences the
+    * top-V tokens (by corpus frequency) cover — THE
+    * tokenizer/vocab-budget planning curve ("32k covers 99.2%, 8k
+    * covers 96.1%"), where [[vocabCoverage]] answers the per-document
+    * question for ONE fixed V. Returns
+    * (v_cut, n_vocab_used, cum_mass, coverage), v_cut order;
+    * n_vocab_used = min(V, |vocab|) and coverage = cum_mass/N is one
+    * exact-integer division.
+    *
+    * Determinism: ranks order by (count DESC, token) — total and
+    * engine-independent; masses are exact integer cumsums.
+    *
+    * Scale shape: token counts are one map-side-combined shuffle
+    * sized by vocabulary; the rank + cumsum window runs on the
+    * VOCABULARY relation (the distinct-value-domain convention), and
+    * the cuts join touches |cuts| rows of it.
+    */
+  def vocabMassCurve(df: DataFrame, cuts: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), "cuts must be >= 1")
+    val cnt = Dedup.spread(df, textCol)
+      .select(explode_outer(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("__tok"))
+    val ranked = cnt
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cnt.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__vocab"))
+    val cutRows = tot.select(col("__n"), col("__vocab"),
+      explode(array(cuts.map(v => lit(v.toLong)): _*)).as("v_cut"))
+    cutRows
+      .withColumn("__pick", least(col("v_cut"), col("__vocab")))
+      .join(ranked.select(col("__r"), col("__cum")),
+        col("__pick") === col("__r"))
+      .select(col("v_cut"), col("__pick").as("n_vocab_used"),
+        col("__cum").as("cum_mass"),
+        round(col("__cum").cast("double") / col("__n").cast("double"), 5)
+          .as("coverage"))
+      .orderBy("v_cut")
+  }
+
+  /** Token burstiness report: the `k` tokens with the highest
+    * collection-frequency to document-frequency ratio among tokens
+    * with cf ≥ `minCf` — words that occur MANY times in FEW documents
+    * (template boilerplate, spam keywords, generator tics), invisible
+    * to a raw frequency list where uniform and bursty words mix.
+    * Returns (token, cf, df, burstiness = cf/df), ordered by the
+    * exact unrounded ratio desc then token.
+    *
+    * Determinism: cf and df are exact integers; cf/df is ONE exactly-
+    * rounded IEEE division, so the ordering double is bit-identical
+    * cross-engine (ties, including between equal rationals, break by
+    * token); the displayed value rounds at 5.
+    *
+    * Scale shape: cf is a map-side-combined token count; df counts
+    * the per-doc DISTINCT token relation (one extra per-doc
+    * array_distinct before the explode — no distinct over the corpus
+    * stream); top-k plans as TakeOrderedAndProject.
+    */
+  def tokenBurstiness(df: DataFrame, minCf: Long, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val toksCol = tokens(col(textCol))
+    val staged = Dedup.spread(df, textCol)
+    val cf = staged.select(explode_outer(toksCol).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy("__tok").agg(count(lit(1)).as("cf"))
+    val dfreq = staged.select(explode_outer(array_distinct(toksCol)).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy("__tok").agg(count(lit(1)).as("df"))
+    cf.join(dfreq, "__tok")
+      .filter(col("cf") >= minCf)
+      .withColumn("__ratio", col("cf").cast("double") / col("df").cast("double"))
+      .orderBy(col("__ratio").desc, col("__tok"))
+      .limit(k)
+      .select(col("__tok").as("token"), col("cf"), col("df"),
+        round(col("__ratio"), 5).as("burstiness"))
+  }
+
+  /** Per-source n-gram diversity: distinct word `n`-grams over total
+    * n-gram occurrences — the mode-collapse / template-saturation
+    * detector for a source (synthetic-data generators and scraped
+    * boilerplate collapse this ratio long before any per-document
+    * repetition score moves, because the repetition is ACROSS
+    * documents). Returns (source, n_grams, n_distinct, diversity),
+    * source order; diversity = distinct/total, one division.
+    *
+    * Scale shape: one exploded gram relation (corpus × length — the
+    * standard shingle cost), counted twice map-side: totals by
+    * source, distincts from the (source, gram) count relation, which
+    * is the only gram-keyed shuffle.
+    */
+  def sourceNgramDiversity(df: DataFrame, n: Int = 3,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val grams = Dedup.spread(df, textCol)
+      .select(col(sourceCol).as("__s"),
+        explode_outer(Dedup.ngrams(tokens(col(textCol)), n)).as("__g"))
+      // exact-arity grams only: docs shorter than n tokens emit a
+      // degenerate joined remainder (the lm2 contains-space filter,
+      // generalized to n−1 separators)
+      .filter(col("__g").isNotNull &&
+        expr(s"length(__g) - length(replace(__g, ' ', '')) = ${n - 1}"))
+    val per = grams.groupBy(col("__s"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+      .select(col("__s").as(sourceCol), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams").cast("double"),
+          5).as("diversity"))
+      .orderBy(sourceCol)
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS algorithm): hash every character `k`-gram, slide a window
     * of `w` consecutive gram hashes, keep each window's MINIMUM hash;

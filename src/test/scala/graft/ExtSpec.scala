@@ -1403,6 +1403,40 @@ class ExtSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("vocabMassCurve: hand-computed coverage, cut past the vocabulary") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextStats.vocabMassCurve(df, Seq(1, 2, 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 0.5),      // top-1 = a(3) of 6
+      (2L, 2L, 5L, 0.83333),  // a+b = 5 of 6
+      (5L, 3L, 6L, 1.0)))     // cut beyond vocab pins to |vocab|
+  }
+
+  test("tokenBurstiness: bursty token first, ratio ties break by token") {
+    val df = Seq((1L, "x x x x"), (2L, "y"), (3L, "y z"))
+      .toDF("doc_id", "text")
+    val out = TextStats.tokenBurstiness(df, minCf = 1L, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("x", 4L, 1L, 4.0),
+      ("y", 2L, 2L, 1.0), // ties with z at 1.0 -> token order
+      ("z", 1L, 1L, 1.0)))
+  }
+
+  test("sourceNgramDiversity: repeated trigram counted, short source absent") {
+    val df = Seq(
+      (1L, "a b c a b c", "s1"), // trigrams: abc, bca, cab, abc
+      (2L, "p q", "s2")          // too short for any trigram
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.sourceNgramDiversity(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(("s1", 4L, 3L, 0.75)))
+  }
+
   test("canaryScan: exact positions, replace-identity counts, absent canary") {
     val df = Seq((1L, "ab ab ab"), (2L, "aaaa"), (3L, "clean"))
       .toDF("doc_id", "text")
