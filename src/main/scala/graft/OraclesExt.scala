@@ -5051,6 +5051,64 @@ object OraclesExt {
        |    ((ng + $nBins)::DECIMAL(38,0) * (n + $nBins))::DOUBLE, 5) AS psi
        |FROM s ORDER BY source""".stripMargin
 
+  /** KMV period overlap — twin of Sketches.kmvPeriodOverlap: same
+    * md5 bottom-k sketches per (key, period), union bottom-k, exact
+    * j, and the single-division (k−1)·2⁶⁰/h(k) estimates with exact
+    * small-set branches.
+    */
+  def kmvPeriodOverlap(k: Int, splitDate: String): String =
+    s"""WITH hashed AS (SELECT DISTINCT event_type,
+       |  CASE WHEN cast(ts AS DATE) < DATE '$splitDate' THEN 'a' ELSE 'b' END AS p,
+       |  md5(user_id::VARCHAR) AS h FROM events),
+       |sk AS (SELECT event_type, p, h FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY event_type, p ORDER BY h) AS r FROM hashed)
+       |  WHERE r <= $k),
+       |u AS (SELECT event_type, h FROM (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+       |  FROM (SELECT DISTINCT event_type, h FROM sk)) WHERE r <= $k),
+       |fl AS (SELECT u.event_type, u.h,
+       |  (sa.h IS NOT NULL AND sb.h IS NOT NULL)::INT AS inboth
+       |  FROM u
+       |  LEFT JOIN (SELECT event_type, h FROM sk WHERE p = 'a') sa
+       |    ON sa.event_type = u.event_type AND sa.h = u.h
+       |  LEFT JOIN (SELECT event_type, h FROM sk WHERE p = 'b') sb
+       |    ON sb.event_type = u.event_type AND sb.h = u.h),
+       |sizes AS (SELECT event_type,
+       |  sum(CASE WHEN p = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |  sum(CASE WHEN p = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b
+       |  FROM sk GROUP BY 1),
+       |agg AS (SELECT event_type, count(*)::BIGINT AS nu,
+       |  max(h) AS hk, sum(inboth)::BIGINT AS j_common FROM fl GROUP BY 1),
+       |wi AS (SELECT sizes.event_type, n_a, n_b, nu, j_common,
+       |  cast('0x' || substr(hk, 1, 15) AS BIGINT)::HUGEINT AS hki
+       |  FROM sizes JOIN agg USING (event_type))
+       |SELECT event_type, n_a, n_b, j_common,
+       |  CASE WHEN nu < $k THEN round(j_common::DOUBLE / nu::DOUBLE, 5)
+       |    ELSE round(j_common::DOUBLE / ${k.toDouble}, 5) END AS jaccard_est,
+       |  CASE WHEN nu < $k THEN nu::DOUBLE
+       |    ELSE round((${k - 1}::HUGEINT * 1152921504606846976)::DOUBLE
+       |      / hki::DOUBLE, 5) END AS est_union,
+       |  CASE WHEN nu < $k THEN j_common::DOUBLE
+       |    ELSE round((j_common::HUGEINT * ${k - 1} * 1152921504606846976)::DOUBLE
+       |      / (hki * $k)::DOUBLE, 5) END AS est_intersection
+       |FROM wi ORDER BY event_type""".stripMargin
+
+  /** Frame-sampling plan — twin of Multimodal.frameSamplePlan over
+    * the video third of the asset table: same stub byte clock, same
+    * integer cadence/offset arithmetic.
+    */
+  def frameSamplePlan(intervalMs: Long, msPerByte: Long): String =
+    s"""WITH v AS (SELECT doc_id AS asset_id,
+       |  (length(text)::BIGINT * $msPerByte) AS dur FROM documents
+       |  WHERE doc_id % 3 = 2),
+       |f AS (SELECT asset_id,
+       |  unnest(range(0, (dur - 1) // $intervalMs + 1))::BIGINT AS frame_idx
+       |  FROM v WHERE dur >= 1)
+       |SELECT asset_id, frame_idx,
+       |  (frame_idx * $intervalMs)::BIGINT AS ts_ms,
+       |  ((frame_idx * $intervalMs) // $msPerByte)::BIGINT AS byte_offset
+       |FROM f ORDER BY asset_id, frame_idx""".stripMargin
+
   /** Vocabulary mass-coverage curve — twin of
     * TextStats.vocabMassCurve: (count DESC, token) ranks, exact
     * cumsum over the vocabulary relation, cuts pinned to

@@ -744,6 +744,11 @@ object SparkEntry {
   // burstiness: floor rare noise, report the full small vocabulary
   private[graft] val burstMinCf = 10L
   private[graft] val burstK = 30
+  // KMV period overlap: mid-month split of the 2024-01 event window
+  private[graft] val kmvSplitDate = "2024-01-16"
+  // frame plan: 2 fps cadence on the 8 ms/byte stub clock
+  private[graft] val frameIntervalMs = 500L
+  private[graft] val frameMsPerByte = 8L
   // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
   // so the stream actually crosses a boundary, classic 5% errors
   private[graft] val sprtSuccessType = "purchase"
@@ -2288,6 +2293,13 @@ object SparkEntry {
         graft.ext.Sketches.dailyKmvSketches(s.table("events"), kmvK), kmvK)
         .orderBy("event_type")
     },
+    // §7.5 — sketch SET OPERATION: distinct-user overlap between the
+    // month's two halves per type from KMV sketches alone (retention
+    // without rescanning either half; exact below k).
+    "q_kmv_intersect" -> withTables { s =>
+      graft.ext.Sketches.kmvPeriodOverlap(s.table("events"), kmvK,
+        kmvSplitDate)
+    },
     // §7.5 — incremental "seen before" dedup: a deterministic
     // md5-derived Bloom filter built over the train split, probed by
     // the test split (no false negatives; fpr documented in Sketches).
@@ -2449,6 +2461,14 @@ object SparkEntry {
     "q_phash_neardup" -> withTables { s =>
       Multimodal.phashNearDupPairs(Multimodal.assetTable(s.table("documents")))
         .orderBy("id_a", "id_b")
+    },
+    // §7.5 — multimodal frame-sampling plan: the row-per-frame seek
+    // schedule a decoder fleet consumes; cadence/offsets are real
+    // integer plumbing, the duration clock is the documented stub.
+    "q_frame_plan" -> withTables { s =>
+      Multimodal.frameSamplePlan(
+        Multimodal.assetTable(s.table("documents")),
+        frameIntervalMs, frameMsPerByte)
     },
     "q_multimodal_meta" -> withTables { s =>
       val assets = Multimodal.withChecksums(
@@ -3187,6 +3207,9 @@ object SparkEntry {
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),
     "q_kmv_rollup" -> OraclesExt.kmvRollup(kmvK),
+    "q_kmv_intersect" -> OraclesExt.kmvPeriodOverlap(kmvK, kmvSplitDate),
+    "q_frame_plan" -> OraclesExt.frameSamplePlan(frameIntervalMs,
+      frameMsPerByte),
     "q_cms_rollup" -> OraclesExt.cmsRollup(cmsDepth, cmsWidth, cmsProbeMax),
     "q_events_funnel" -> OraclesExt.eventsFunnel(funnelStageNames),
     "q_topk_per_nation" -> OraclesExt.topkPerNation,

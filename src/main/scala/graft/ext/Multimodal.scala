@@ -256,4 +256,41 @@ object Multimodal {
       .withColumn("resized_height",
         greatest(floor(col("decoded_height") * scale), lit(1L)).cast("int"))
   }
+
+  /** Frame-sampling schedule for the corpus' video assets: one row
+    * per frame to extract — (asset_id, frame_idx, ts_ms, byte_offset)
+    * at a fixed `intervalMs` cadence over the asset's duration, frame
+    * 0 always included. This is the PLAN a downstream decoder
+    * consumes (seek offsets precomputed, work fan-out row-per-frame);
+    * the duration itself is the STUB part — derived as
+    * payload_bytes · `msPerByte` (a fake constant-bitrate clock,
+    * since no container parser exists here), exactly like
+    * [[decodeStub]]'s fake dimensions; everything else (the explode
+    * fan-out, ordering, offset arithmetic) is production plumbing.
+    * Returns (asset_id, frame_idx), frame order.
+    *
+    * Determinism: pure integer arithmetic (div cadence and offsets).
+    *
+    * Scale shape: map-only explode bounded by duration/interval per
+    * asset — the downstream frame-work relation scales with total
+    * video TIME, never quadratically; no shuffle at all.
+    */
+  def frameSamplePlan(assets: DataFrame, intervalMs: Long = 500L,
+      msPerByte: Long = 8L): DataFrame = {
+    require(intervalMs >= 1 && msPerByte >= 1,
+      "interval and byte clock must be positive")
+    import org.apache.spark.sql.functions._
+    assets.filter(col("kind") === "video")
+      .select(col("asset_id"),
+        (length(col("media")).cast("long") * msPerByte).as("__dur"))
+      .select(col("asset_id"), col("__dur"),
+        explode_outer(when(col("__dur") >= 1,
+          sequence(lit(0L), expr(s"(__dur - 1) div $intervalMs"))))
+          .as("frame_idx"))
+      .filter(col("frame_idx").isNotNull)
+      .select(col("asset_id"), col("frame_idx"),
+        (col("frame_idx") * intervalMs).as("ts_ms"),
+        expr(s"(frame_idx * $intervalMs) div $msPerByte").as("byte_offset"))
+      .orderBy("asset_id", "frame_idx")
+  }
 }

@@ -222,4 +222,80 @@ object Sketches {
       .groupBy(itemCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ---- KMV set operations (distinct INTERSECTION from sketches) ----
+
+  /** Distinct-user overlap between two time periods per key, from
+    * KMV sketches alone — the mergeable-sketch SET OPERATION
+    * [[rollupDistinctKmv]]'s union estimate cannot give: "how many
+    * users were active in BOTH halves of the month" without
+    * rescanning either half. Periods split at `splitDate`
+    * (period a < splitDate ≤ period b). Per key:
+    * j = |union-bottom-k ∩ A ∩ B|, Jaccard ≈ j/k,
+    * |A∪B| ≈ (k−1)·2⁶⁰/h(k), |A∩B| ≈ j·(k−1)·2⁶⁰/(k·h(k)); when the
+    * union holds FEWER than k distinct digests both sketches are
+    * exact sets and so are all three numbers. Returns (key, n_a,
+    * n_b, j_common, jaccard_est, est_union, est_intersection), key
+    * order.
+    *
+    * Determinism: md5 bottom-k sketches (the [[dailyKmvSketches]]
+    * convention), integer j, and each estimate ONE division of exact
+    * integer operands ((k−1)·2⁶⁰ and j(k−1)·2⁶⁰ in DECIMAL(38,0)).
+    *
+    * Scale shape: sketches bound every relation at k rows per
+    * (key, period) regardless of corpus size; the membership joins
+    * are hash-keyed joins between k-sized relations.
+    */
+  def kmvPeriodOverlap(events: DataFrame, k: Int, splitDate: String,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val two60 = lit(1152921504606846976L) // 2^60
+    val hashed = events
+      .select(col(keyCol),
+        when(to_date(col(tsCol)) < lit(splitDate), lit("a"))
+          .otherwise(lit("b")).as("__p"),
+        md5(col(userCol).cast("string")).as("h"))
+      .distinct()
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__p")).orderBy(col("h"))
+    val sk = hashed.withColumn("__r", row_number().over(wp))
+      .filter(col("__r") <= k).drop("__r")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("h"))
+    val u = sk.select(col(keyCol), col("h")).distinct()
+      .withColumn("__r", row_number().over(wu))
+      .filter(col("__r") <= k).drop("__r")
+    def member(p: String, name: String) = u
+      .join(sk.filter(col("__p") === p).select(col(keyCol), col("h"))
+          .withColumn(name, lit(1L)),
+        Seq(keyCol, "h"), "left")
+    val flagged = member("a", "__ina")
+      .join(sk.filter(col("__p") === "b").select(col(keyCol), col("h"))
+          .withColumn("__inb", lit(1L)),
+        Seq(keyCol, "h"), "left")
+    val sizes = sk.groupBy(col(keyCol))
+      .agg(sum(when(col("__p") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__p") === "b", 1L).otherwise(0L)).as("n_b"))
+    val agg = flagged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__nu"), max(col("h")).as("__hk"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("j_common"))
+    val hkInt = conv(substring(col("__hk"), 1, 15), 16, 10).cast(dec380)
+    sizes.join(agg, keyCol)
+      .select(col(keyCol), col("n_a"), col("n_b"), col("j_common"),
+        when(col("__nu") < k,
+          round(col("j_common").cast("double") / col("__nu").cast("double"), 5))
+          .otherwise(round(col("j_common").cast("double") / lit(k.toDouble), 5))
+          .as("jaccard_est"),
+        when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise(round(
+            (lit(k - 1).cast(dec380) * two60).cast("double") /
+              hkInt.cast("double"), 5)).as("est_union"),
+        when(col("__nu") < k, col("j_common").cast("double"))
+          .otherwise(round(
+            (col("j_common").cast(dec380) * (k - 1) * two60).cast("double") /
+              (hkInt * k).cast("double"), 5)).as("est_intersection"))
+      .orderBy(keyCol)
+  }
 }

@@ -1403,6 +1403,52 @@ class ExtSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("kmvPeriodOverlap: exact below k, estimates within the KMV envelope") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    // A = {1,2,3}, B = {2,3,4}: j=2, union 4, jaccard 0.5 — exact at k=64
+    val ev = Seq(
+      ("x", ts("2024-01-02"), 1L), ("x", ts("2024-01-03"), 2L),
+      ("x", ts("2024-01-04"), 3L), ("x", ts("2024-01-20"), 2L),
+      ("x", ts("2024-01-21"), 3L), ("x", ts("2024-01-22"), 4L))
+      .toDF("event_type", "ts", "user_id")
+    val r = graft.ext.Sketches.kmvPeriodOverlap(ev, 64, "2024-01-16")
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 4.0 &&
+      r.getDouble(6) == 2.0)
+
+    // saturated path on the real table: estimates within 10% of exact
+    Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val est = graft.ext.Sketches.kmvPeriodOverlap(events, 64, "2024-01-16")
+      .collect().map(r2 => r2.getString(0) -> r2.getDouble(6)).toMap
+    val exact = events
+      .select(col("event_type"),
+        (to_date(col("ts")) < lit("2024-01-16")).as("a"), col("user_id"))
+      .groupBy("event_type", "user_id")
+      .agg(max(when(col("a"), 1).otherwise(0)).as("ina"),
+        max(when(!col("a"), 1).otherwise(0)).as("inb"))
+      .filter(col("ina") === 1 && col("inb") === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) / n < 0.10,
+        s"$k: KMV intersection ${est(k)} vs exact $n outside envelope")
+    }
+  }
+
+  test("frameSamplePlan: stub clock cadence and offsets, videos only") {
+    // doc_id 2 -> kind video (2 % 3); 100 bytes -> 800 ms -> frames 0,1
+    val docs = Seq((2L, "x" * 100, "en", "s", 100L),
+      (1L, "y" * 50, "en", "s", 50L)) // audio: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.Multimodal.frameSamplePlan(
+      graft.ext.Multimodal.assetTable(docs), 500L, 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq((2L, 0L, 0L, 0L), (2L, 1L, 500L, 62L)))
+  }
+
   test("vocabMassCurve: hand-computed coverage, cut past the vocabulary") {
     val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val out = TextStats.vocabMassCurve(df, Seq(1, 2, 5)).collect()
