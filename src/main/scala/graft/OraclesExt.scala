@@ -4009,6 +4009,64 @@ object OraclesExt {
        |    AS gap
        |FROM g ORDER BY bin""".stripMargin
 
+  /** Brier (Murphy) decomposition — twin of Eval.brierDecomposition
+    * over the trained model's cent-binned scores: the shared q_u
+    * quantization and the four single-division closed numerators.
+    */
+  def logregBrier(targetLang: String, iters: Int, lr: Double): String =
+    s"""WITH ${logregCtes(targetLang, iters, lr)},
+       |sc AS (SELECT $logregPExpr AS p, y::BIGINT AS yy
+       |  FROM feat f CROSS JOIN w$iters),
+       |bk AS (SELECT cast(round(p * 100, 0) AS BIGINT) AS c,
+       |  count(*)::BIGINT AS n, sum(yy)::BIGINT AS o FROM sc GROUP BY 1),
+       |bq AS (SELECT *, (o::HUGEINT * o * 1000000000) // n AS qu FROM bk),
+       |tot AS (SELECT sum(n)::BIGINT AS nn, sum(o)::BIGINT AS oo,
+       |  sum(o::HUGEINT * (c - 100) * (c - 100)
+       |    + (n - o)::HUGEINT * c * c)::HUGEINT AS bn,
+       |  sum(c::HUGEINT * c * n)::HUGEINT AS cn,
+       |  sum(c::HUGEINT * o)::HUGEINT AS co,
+       |  sum(qu)::HUGEINT AS q FROM bq)
+       |SELECT nn AS n, oo AS n_pos,
+       |  round(bn::DOUBLE / (nn::HUGEINT * 10000)::DOUBLE, 5) AS brier,
+       |  round(((cn - co * 200) * 1000000000 + q * 10000)::DOUBLE /
+       |    (nn::HUGEINT * 10000 * 1000000000)::DOUBLE, 5) AS reliability,
+       |  round((nn::HUGEINT * q - oo::HUGEINT * oo * 1000000000)::DOUBLE /
+       |    (nn::HUGEINT * nn * 1000000000)::DOUBLE, 5) AS resolution,
+       |  round((oo::HUGEINT * (nn - oo))::DOUBLE /
+       |    (nn::HUGEINT * nn)::DOUBLE, 5) AS uncertainty
+       |FROM tot""".stripMargin
+
+  /** Daily event-type mix drift — twin of Stats.categoricalJsDrift
+    * over (day, event_type): the jsDrift HUGEINT ladder on the
+    * bounded day×type grid, threshold on the unrounded quotient.
+    */
+  def typeMixDrift(threshold: Double): String =
+    s"""WITH gt AS (SELECT cast(ts AS DATE) AS g, event_type AS i,
+       |  count(*)::BIGINT AS a FROM events GROUP BY 1, 2),
+       |pool AS (SELECT i, sum(a)::BIGINT AS b FROM gt GROUP BY i),
+       |att AS (SELECT g, sum(a)::BIGINT AS ta FROM gt GROUP BY g),
+       |btt AS (SELECT sum(b)::BIGINT AS tb FROM pool),
+       |terms AS (SELECT gt.g, att.ta, btt.tb, gt.a, pool.b,
+       |  (round(ln((gt.a::HUGEINT * btt.tb * 2)::DOUBLE /
+       |     (gt.a::HUGEINT * btt.tb + pool.b::HUGEINT * att.ta)::DOUBLE), 9)
+       |   ::DECIMAL(18,9) * 1000000000)::HUGEINT AS lpu,
+       |  (round(ln((pool.b::HUGEINT * att.ta * 2)::DOUBLE /
+       |     (gt.a::HUGEINT * btt.tb + pool.b::HUGEINT * att.ta)::DOUBLE), 9)
+       |   ::DECIMAL(18,9) * 1000000000)::HUGEINT AS lqu
+       |  FROM gt JOIN pool USING (i) JOIN att USING (g) CROSS JOIN btt),
+       |s AS (SELECT g, ta, tb,
+       |    sum(a::HUGEINT * lpu)::HUGEINT AS s1,
+       |    sum(b::HUGEINT * lqu)::HUGEINT AS s2,
+       |    sum(b)::HUGEINT AS bp
+       |  FROM terms GROUP BY 1, 2, 3),
+       |fin AS (SELECT g, ta,
+       |  (tb::HUGEINT * s1 + ta::HUGEINT * s2
+       |    + ta::HUGEINT * (tb - bp) * 693147181)::DOUBLE /
+       |  (ta::HUGEINT * tb * 2000000000)::DOUBLE AS raw FROM s)
+       |SELECT g AS "group", ta AS n_rows, round(raw, 5) AS jsd,
+       |  (raw >= $threshold) AS drifted
+       |FROM fin ORDER BY "group"""".stripMargin
+
   /** Per-source trained-classifier AUC — twin of LogReg.aucFrom:
     * same unrolled training, the quantized score grid per source,
     * the shared ×2-integer AUC numerator.

@@ -749,6 +749,8 @@ object SparkEntry {
   // frame plan: 2 fps cadence on the 8 ms/byte stub clock
   private[graft] val frameIntervalMs = 500L
   private[graft] val frameMsPerByte = 8L
+  // daily type-mix drift: the PSI-scale "investigate" line in nats
+  private[graft] val typeMixThreshold = 0.001
   // SPRT design: H0/H1 purchase shares bracketing the observed ~0.198
   // so the stream actually crosses a boundary, classic 5% errors
   private[graft] val sprtSuccessType = "purchase"
@@ -1843,6 +1845,22 @@ object SparkEntry {
       graft.ext.LogReg.calibrationBinsFrom(s.table("documents"),
         col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir),
         nBins = calibrationBins)
+    },
+    // ...and the Murphy decomposition of its Brier score: one row
+    // separating miscalibration (fixable) from lack of resolution
+    // (not) and the base-rate floor.
+    "q_brier" -> withTablesSf { (s, sfDir) =>
+      graft.ext.Eval.brierDecomposition(
+        graft.ext.LogReg.scoredDocsFrom(s.table("documents"),
+          col("lang") === dsirTargetLang, logregWeightsShared(s, sfDir)),
+        col("y"), col("p"))
+    },
+    // §7.5 — release-night mix alarm: JSD of each day's event-type
+    // distribution vs the period mix, threshold-flagged (the jsDrift
+    // ladder on the bounded day×type grid).
+    "q_type_mix_drift" -> withTables { s =>
+      graft.ext.Stats.categoricalJsDrift(s.table("events"),
+        to_date(col("ts")), col("event_type"), typeMixThreshold)
     },
     // ...the per-slice separation check for the trained model itself
     // (one easy source can carry an aggregate AUC).
@@ -3088,6 +3106,9 @@ object SparkEntry {
     "q_logreg_predict" -> OraclesExt.logregPredict(dsirTargetLang, logregIters, logregLr),
     "q_logreg_pr" -> OraclesExt.logregPrCurve(dsirTargetLang, logregIters, logregLr),
     "q_logreg_calibration" -> OraclesExt.logregCalibration(dsirTargetLang, logregIters, logregLr, calibrationBins),
+    "q_brier" -> OraclesExt.logregBrier(dsirTargetLang, logregIters,
+      logregLr),
+    "q_type_mix_drift" -> OraclesExt.typeMixDrift(typeMixThreshold),
     "q_auc" -> OraclesExt.auc(dsirTargetLang),
     "q_ks_drift" -> OraclesExt.ksDrift,
     "q_gate_threshold" -> OraclesExt.gateThresholds(dsirTargetLang, gateAlphas),

@@ -243,4 +243,62 @@ object Eval {
         round(col("__fit"), 5).as("calibrated"))
       .orderBy("bin")
   }
+
+  /** Murphy decomposition of the Brier score over cent-binned
+    * probabilities: BRIER = RELIABILITY − RESOLUTION + UNCERTAINTY —
+    * the one-row scorecard separating "is the score mis-calibrated"
+    * (reliability, fixable by recalibration — cf.
+    * [[isotonicCalibration]]) from "does it discriminate at all"
+    * (resolution) and the irreducible base-rate term. Scores are
+    * binned to integer cents (p_b = cents/100 IS the forecast, so the
+    * decomposition identity is exact up to the one documented
+    * quantization below). Returns one row:
+    * (n, n_pos, brier, reliability, resolution, uncertainty).
+    *
+    * Determinism (§8.3): per bucket the ONLY non-closed term is
+    * ō_b² = o_b²/n_b, quantized ONCE as the scale-9 integer
+    * q_u = (o_b²·10⁹) div n_b (exact long ≤ 10⁹·n_b) and shared by
+    * reliability and resolution, whose numerators then close over
+    * exact integers:
+    *   brier·10⁴·N        = Σ_b [o_b(c_b−100)² + (n_b−o_b)c_b²]
+    *   rel·10⁴·N·10⁹      = (Σc²n_b − 200Σc·o_b)·10⁹ + 10⁴·Σq_u
+    *   res·N²·10⁹         = N·Σq_u − O²·10⁹
+    *   unc·N²             = O(N−O)
+    * — each statistic is ONE final division of DECIMAL(38,0)
+    * operands (width bound: eval sets to ~10¹² rows).
+    *
+    * Scale shape: one map-side-combined count to the ≤101-row cent
+    * grid; everything downstream is grid-sized.
+    */
+  def brierDecomposition(df: DataFrame, label: Column,
+      score: Column): DataFrame = {
+    val bk = df
+      .select(label.cast("long").as("__y"),
+        round(score.cast(DecimalType(12, 7)) * 100, 0).cast("long").as("__c"))
+      .groupBy("__c")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__o"))
+      .withColumn("__qu",
+        expr("(cast(__o AS DECIMAL(38,0)) * __o * 1000000000) div __n"))
+    val c = col("__c").cast(Dec38)
+    val tot = bk.agg(
+      sum(col("__n")).as("n"), sum(col("__o")).as("n_pos"),
+      sum(col("__o").cast(Dec38) * (c - 100) * (c - 100) +
+        (col("__n") - col("__o")).cast(Dec38) * c * c).as("__bn"),
+      sum(c * c * col("__n")).as("__cn"),
+      sum(c * col("__o")).as("__co"),
+      sum(col("__qu").cast(Dec38)).as("__q"))
+    val n = col("n").cast(Dec38)
+    val o = col("n_pos").cast(Dec38)
+    tot.select(col("n"), col("n_pos"),
+      round(col("__bn").cast("double") / (n * 10000).cast("double"), 5)
+        .as("brier"),
+      round(((col("__cn") - col("__co") * 200) * lit(1000000000L) +
+          col("__q") * 10000).cast("double") /
+        (n * lit(10000L) * lit(1000000000L)).cast("double"), 5)
+        .as("reliability"),
+      round((n * col("__q") - o * o * lit(1000000000L)).cast("double") /
+        (n * n * lit(1000000000L)).cast("double"), 5).as("resolution"),
+      round((o * (n - o)).cast("double") / (n * n).cast("double"), 5)
+        .as("uncertainty"))
+  }
 }

@@ -274,6 +274,17 @@ object LogReg {
     predictByGroupFrom(docs, label, groupCol,
       finalWeights(docs, label, iters, lr, idCol, textCol), idCol, textCol)
 
+  /** Per-document quantized scores under a precomputed weights frame:
+    * (idCol, y, p) — the raw material for score-level evaluators
+    * ([[Eval.brierDecomposition]]); one broadcast, map-only.
+    */
+  def scoredDocsFrom(docs: DataFrame, label: Column, wFinal: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    features(docs, label, idCol, textCol)
+      .crossJoin(broadcast(wFinal))
+      .select(col(idCol), col("y").cast("long").as("y"),
+        sigmoidQ(zExpr).as("p"))
+
   /** [[predictByGroup]] against a PRECOMPUTED weights frame. */
   def predictByGroupFrom(docs: DataFrame, label: Column, groupCol: String,
       wFinal: DataFrame, idCol: String = "doc_id",

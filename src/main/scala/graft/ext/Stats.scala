@@ -975,6 +975,65 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** Jensen-Shannon drift of each group's CATEGORICAL distribution
+    * from the pool — [[graft.ext.TextStats.jsDrift]]'s integer-exact
+    * machinery generalized from (source, token) to any
+    * (group, item) pair: here the flagship use is the DAILY
+    * event-type mix vs the period's overall mix (the release-night
+    * "error share exploded" detector), with `threshold` flagging
+    * actionable days. Returns (group, n_rows, jsd, drifted),
+    * group order.
+    *
+    * Determinism: the [[graft.ext.TextStats.jsDrift]] ladder
+    * verbatim — exact mixture rationals, scale-9 integer log units,
+    * closed-form absent-item ln 2 mass, ONE division by 2AB·10⁹.
+    * `drifted` compares the UNROUNDED quotient against the exact
+    * threshold literal (both engines compute the identical double).
+    *
+    * Scale shape: counts bounded by |groups|·|items| (days × types
+    * here) after one map-side-combined roll-up of the corpus.
+    */
+  def categoricalJsDrift(df: DataFrame, group: Column, item: Column,
+      threshold: Double): DataFrame = {
+    val dec380 = Dec380
+    val dec120 = DecimalType(12, 0)
+    val ln2u = lit(693147181L)
+    val gt = df.select(group.as("__g"), item.as("__i"))
+      .groupBy("__g", "__i").agg(count(lit(1)).as("__a"))
+    val pool = gt.groupBy("__i").agg(sum(col("__a")).as("__b"))
+    val aTot = gt.groupBy("__g").agg(sum(col("__a")).as("__ta"))
+    val bTot = pool.agg(sum(col("__b")).as("__tb"))
+    val mix = col("__a").cast(dec380) * col("__tb") +
+      col("__b").cast(dec380) * col("__ta")
+    def lu(x: Column) =
+      (round(log(x), 9).cast(DecimalType(18, 9)) * 1000000000L)
+        .cast(DecimalType(20, 0))
+    val q = gt.join(pool, "__i")
+      .join(broadcast(aTot), "__g")
+      .crossJoin(broadcast(bTot))
+      .select(col("__g"), col("__ta"), col("__tb"), col("__a"), col("__b"),
+        lu((col("__a").cast(dec380) * col("__tb") * 2).cast("double") /
+          mix.cast("double")).as("__lpu"),
+        lu((col("__b").cast(dec380) * col("__ta") * 2).cast("double") /
+          mix.cast("double")).as("__lqu"))
+      .groupBy(col("__g"), col("__ta"), col("__tb"))
+      .agg(
+        sum(col("__a").cast(dec120) * col("__lpu")).as("__s1"),
+        sum(col("__b").cast(dec120) * col("__lqu")).as("__s2"),
+        sum(col("__b")).as("__bPres"))
+    val jsdRaw =
+      (col("__tb").cast(dec120) * col("__s1").cast(DecimalType(25, 0)) +
+        col("__ta").cast(dec120) * col("__s2").cast(DecimalType(25, 0)) +
+        col("__ta").cast(dec120) *
+          ((col("__tb") - col("__bPres")).cast(dec120) * ln2u))
+        .cast("double") /
+        (col("__ta").cast(dec120) * col("__tb").cast(dec120) *
+          lit(2000000000L)).cast("double")
+    q.select(col("__g").as("group"), col("__ta").as("n_rows"),
+        round(jsdRaw, 5).as("jsd"), (jsdRaw >= threshold).as("drifted"))
+      .orderBy("group")
+  }
+
   /** N³ − N in DECIMAL(38,0) — shared by the tie corrections. */
   private def t3n(n: Column): Column = {
     val nd = n.cast(Dec380)

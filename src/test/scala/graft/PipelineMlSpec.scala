@@ -1282,6 +1282,43 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(r3 == Seq((10L, true), (10L, true), (10L, true)))
   }
 
+  // ---- Eval.brierDecomposition ----
+
+  test("brierDecomposition: hand-computed Murphy identity") {
+    // bucket 80: n=5 o=4 (perfectly calibrated at 0.8)
+    // bucket 20: n=5 o=1 (perfectly calibrated at 0.2)
+    val df = (Seq.fill(4)((true, 0.8)) ++ Seq((false, 0.8)) ++
+      Seq((true, 0.2)) ++ Seq.fill(4)((false, 0.2)))
+      .toDF("y", "p")
+    val r = graft.ext.Eval.brierDecomposition(df, col("y"), col("p"))
+      .collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.16)  // brier
+    assert(r.getDouble(3) == 0.0)   // reliability: perfectly calibrated
+    assert(r.getDouble(4) == 0.09)  // resolution
+    assert(r.getDouble(5) == 0.25)  // uncertainty: base rate 0.5
+    // identity: brier = rel - res + unc
+    assert(r.getDouble(2) == r.getDouble(3) - r.getDouble(4) + r.getDouble(5))
+  }
+
+  // ---- Stats.categoricalJsDrift ----
+
+  test("categoricalJsDrift: pool-identical day scores 0, shifted day flags") {
+    val rows =
+      Seq.fill(10)(("d1", "a")) ++ Seq.fill(10)(("d1", "b")) ++
+      Seq.fill(10)(("d2", "a")) ++ Seq.fill(10)(("d2", "b")) ++
+      Seq.fill(20)(("d3", "a")) // day 3 is all-a: drifted
+    val df = rows.toDF("g", "i")
+    val out = graft.ext.Stats.categoricalJsDrift(df, col("g"), col("i"), 0.05)
+      .collect().map(r => (r.getString(0), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    val d12 = out.filter(r => r._1 == "d1" || r._1 == "d2")
+    assert(d12.forall(r => r._2 > 0 && !r._3),
+      s"balanced days drift mildly vs the a-heavy pool, under threshold: $out")
+    val d3 = out.find(_._1 == "d3").get
+    assert(d3._2 > d12.head._2 && d3._3, s"all-a day must flag: $out")
+  }
+
   // ---- Graph.hits ----
 
   test("hits: hand-computed bipartite recurrence and max-normalization") {
