@@ -5415,7 +5415,9 @@ object OraclesExt {
       |sc AS (SELECT *,
       |  (n::DECIMAL(38,0) * sk - k::DECIMAL(38,0) * s) AS num
       |  FROM cum WHERE k < n),
-      |g AS (SELECT *, (num * num * 1000000) // (k * (n - k)) AS gu FROM sc),
+      |g AS (SELECT *,
+      |  (num::HUGEINT * num::HUGEINT * 1000000) // (k * (n - k)) AS gu
+      |  FROM sc),
       |best AS (SELECT * FROM (SELECT *, row_number() OVER
       |    (PARTITION BY event_type ORDER BY gu DESC, day) AS rn FROM g)
       |  WHERE rn = 1),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.{InfoSchema, Tables}
-import graft.ext.{Bucketing, Curation, Decontamination, Dedup, Events, Graph, Multimodal, Packing, Sampling, Sharding, Similarity, TextStats}
+import graft.ext.{Bucketing, Curation, Decontamination, Dedup, Events, Graph, Multimodal, Packing, Sampling, Sharding, Similarity, TableLog, TextStats}
 import graft.profile.TableProfiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -955,6 +955,28 @@ object SparkEntry {
         s.table("documents").filter(col("doc_id") % 10 =!= 0), d)
     }
 
+  // Deterministic TableLog demo: a 4-commit history over the orders
+  // payload (init / append / copy-on-write merge / compaction), the
+  // fixture q_table_history time-travels. Every version's row set is
+  // a pure function of `orders`, so the oracle reconstructs each
+  // state relationally.
+  private def tableLogDemoDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("tablelog", sfDir) { d =>
+      val o = s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      TableLog.init(o.filter(col("o_orderkey") % 4 === 0), d)
+      TableLog.append(o.filter(col("o_orderkey") % 4 === 1), d)
+      val changes = o.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(o.filter(col("o_orderkey") % 8 === 4)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("op", lit("upsert")))
+        .unionByName(o.filter(col("o_orderkey") % 4 === 2)
+          .withColumn("op", lit("upsert")))
+      TableLog.merge(changes, d, "o_orderkey")
+      TableLog.compact(s, d, targetFiles = 1)
+    }
+
   /** Build every persisted index for `sfDir` (idempotent). Bench calls
     * this in its untimed setup, same category as view registration.
     */
@@ -964,6 +986,7 @@ object SparkEntry {
     searchIndexDir(spark, sfDir)
     ivfPqIndexDir(spark, sfDir)
     nearDupIndexDir(spark, sfDir)
+    tableLogDemoDir(spark, sfDir)
   }
 
   // Shared intermediate relations, computed once per (kind, sfDir) per
@@ -2109,6 +2132,12 @@ object SparkEntry {
         .select("doc_id", "byte_len", "deflate_len", "compression_ratio")
         .orderBy("doc_id")
     },
+    // §8.3 — oracle-checkable gate for the zlib path above: exact
+    // corpus facts + codec invariants (inflate∘deflate identity,
+    // worst-case length bound) hashed against literal expectations.
+    "q_compression_check" -> withTables { s =>
+      TextStats.compressionSelfCheck(s.table("documents"))
+    },
     // §7.5 — per-source vocabulary growth (Heaps-law dashboard:
     // templated sources stop minting new words).
     "q_vocab_growth" -> withTables { s =>
@@ -2301,6 +2330,12 @@ object SparkEntry {
       graft.ext.Sketches.rollupDistinctUsers(
         graft.ext.Sketches.dailyUserSketches(s.table("events")))
         .orderBy("event_type")
+    },
+    // §8.3 — oracle-checkable gate for the HLL rollup above: exact
+    // per-type facts + the envelope/mergeability invariants hashed
+    // against literal trues.
+    "q_sketch_rollup_check" -> withTables { s =>
+      graft.ext.Sketches.rollupSelfCheck(s.table("events"))
     },
     // §7.5 — deterministic KMV distinct rollup: md5 bottom-k per day,
     // merged by re-ranking the union — the oracle-checkable
@@ -2577,6 +2612,26 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 5).as("total"))
         .orderBy("o_orderkey")
     },
+    // §7.5 — snapshot-isolated table format: a 4-commit history
+    // (init/append/copy-on-write merge/compaction) over the orders
+    // payload, then a TIME-TRAVEL read of every version — each
+    // version's rows and the log's own rows_added audited against
+    // the oracle's relational reconstruction of the same states.
+    "q_table_history" -> withTablesSf { (s, sfDir) =>
+      val d = tableLogDemoDir(s, sfDir)
+      val hist = TableLog.history(s, d)
+        .select("version", "op", "rows_added")
+      val states = (0 to 3).map { v =>
+        TableLog.read(s, d, Some(v)).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double"), 5).as("sum_price"))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+      hist.join(states, Seq("version"))
+        .select("version", "op", "rows_added", "n_rows", "sum_price")
+        .orderBy("version")
+    },
     // §7.5 — row-level snapshot diff (applyChangeSet's inverse): two
     // snapshots in, (key, added/removed/changed) out. Digest-compare
     // inside Spark; the oracle re-detects by direct value comparison,
@@ -2789,6 +2844,12 @@ object SparkEntry {
     // percentile_approx); rows-only check (approximate by construction).
     "q_profile_approx" -> withTables { s =>
       TableProfiler.approxProfile(s.table("lineitem"))
+    },
+    // §8.3 — oracle-checkable gate for the sketch profile above:
+    // exact per-column facts (one value-counts shuffle, never
+    // Expand×N) + the ExtSpec envelopes as hashed booleans.
+    "q_profile_approx_check" -> withTables { s =>
+      TableProfiler.approxProfileCheck(s.table("lineitem"))
     },
     // §2.8/§1.3 — typed JSON extraction from the events props column
     // (the engine's JSON surface on table data; from_json with an
@@ -3228,6 +3289,66 @@ object SparkEntry {
     "q_quantile_rollup" -> OraclesExt.quantileRollup(quantilePs, rollupDaysPerBucket),
     "q_bloom_dedup" -> OraclesExt.bloomDedup(testFraction, bloomBitsM, bloomK),
     "q_kmv_rollup" -> OraclesExt.kmvRollup(kmvK),
+    // self-validation gates for the three otherwise-oracle-less
+    // approximate/codec paths: exact facts recomputed here, codec and
+    // sketch invariants expected as literal trues (a false boolean on
+    // the Spark side fails the hash).
+    "q_sketch_rollup_check" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_distinct_users,
+        |  true AS events_exact, true AS hll_within_5pct,
+        |  true AS merge_within_1pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_compression_check" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        |  sum(strlen(text))::BIGINT AS sum_byte_len,
+        |  count(*)::BIGINT AS n_roundtrip_ok,
+        |  count(*)::BIGINT AS n_len_bounded
+        |FROM documents""".stripMargin,
+    // time-travel read ≡ relational reconstruction of every version:
+    // s0 = init (keys ≡ 0 mod 4), s1 = s0 ∪ append (≡ 1), s2 = merge
+    // (delete ≡ 0 mod 8, double price ≡ 4 mod 8, insert ≡ 2 mod 4),
+    // s3 = compaction (content-identical to s2, rows_added 0).
+    "q_table_history" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |s0 AS (SELECT * FROM base WHERE o_orderkey % 4 = 0),
+        |s2 AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 4 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  WHERE (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0)
+        |     OR o_orderkey % 4 = 2),
+        |agg AS (
+        |  SELECT 0 AS version, 'init' AS op,
+        |    (SELECT count(*) FROM s0)::BIGINT AS rows_added,
+        |    count(*)::BIGINT AS n_rows,
+        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |      AS sum_price
+        |  FROM s0
+        |  UNION ALL
+        |  SELECT 1, 'append',
+        |    (SELECT count(*) FROM base WHERE o_orderkey % 4 = 1)::BIGINT,
+        |    count(*)::BIGINT,
+        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |  FROM base WHERE o_orderkey % 4 <= 1
+        |  UNION ALL
+        |  SELECT 2, 'merge',
+        |    (SELECT count(*) FROM s2)::BIGINT,
+        |    count(*)::BIGINT,
+        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'compact', 0::BIGINT,
+        |    count(*)::BIGINT,
+        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |  FROM s2)
+        |SELECT * FROM agg ORDER BY version""".stripMargin,
+    "q_profile_approx_check" -> lineitemNumeric.sorted.map { c =>
+      s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n_rows,
+         |  count(DISTINCT cast($c AS DOUBLE))::BIGINT AS n_distinct,
+         |  true AS approx_distinct_ok, true AS median_in_range
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_kmv_intersect" -> OraclesExt.kmvPeriodOverlap(kmvK, kmvSplitDate),
     "q_frame_plan" -> OraclesExt.frameSamplePlan(frameIntervalMs,
       frameMsPerByte),

@@ -355,6 +355,17 @@ object Events {
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+    entropyFromTransitionCounts(pairs)
+  }
+
+  /** Entropy finalize over a (from_type, to_type, n) count relation —
+    * the shared tail of [[transitionEntropy]] and its streaming twin
+    * (EventStream.transitionCountsStream finalizes its state-store
+    * counts through THIS function, so batch ≡ stream is the identity
+    * on the finalized counts). Input is bounded by the type domain
+    * (≤ types² rows).
+    */
+  def entropyFromTransitionCounts(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("from_type")
     val dec109 = org.apache.spark.sql.types.DecimalType(10, 0)
     val dec189 = org.apache.spark.sql.types.DecimalType(18, 9)

@@ -210,11 +210,16 @@ object Graph {
     * `maxDegree` smallest neighbors via a rank-filter window, which
     * Spark plans as WindowGroupLimit: at most k+1 rows per node
     * buffered per task, the cap bounding shuffle volume too, the
-    * [[triangleCounts]] posture). Scores are exact on the capped
-    * subgraph; on a graph whose degrees are all ≤ the cap they equal
-    * the uncapped scores. The EXISTING-edge exclusion anti-joins the
-    * UNCAPPED edge list (a capped-away edge is still an edge — never
-    * "predict" it). Final top-k plans as TakeOrderedAndProject.
+    * [[triangleCounts]] posture). The capped adjacency is then
+    * collapsed to ONE ≤ maxDegree-element array per node and the
+    * candidate pairs EXPLODE MAP-SIDE from that array (x < y) — no
+    * z-keyed self-join, no second exchange of the adjacency, and the
+    * 1/deg(z) weight attaches for free from size(array). Scores are
+    * exact on the capped subgraph; on a graph whose degrees are all
+    * ≤ the cap they equal the uncapped scores. The EXISTING-edge
+    * exclusion anti-joins the UNCAPPED edge list (a capped-away edge
+    * is still an edge — never "predict" it). Final top-k plans as
+    * TakeOrderedAndProject.
     */
   def linkPrediction(pairs: DataFrame, k: Int, maxDegree: Int = 64,
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
@@ -225,20 +230,32 @@ object Graph {
     val und = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
     val w = Window.partitionBy("node").orderBy("nbr")
-    val capped = Dedup.materialize(
-      und.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= maxDegree).drop("__r"))
-    val wz = capped.groupBy(col("node").as("z"))
-      .agg(count(lit(1)).as("__dz"))
-      .select(col("z"), round(lit(1.0) / col("__dz").cast("double"), 9)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__w"))
-    val cand = capped.select(col("node").as("z"), col("nbr").as("x"))
-      .join(capped.select(col("node").as("z"), col("nbr").as("y")), Seq("z"))
+    val capped = und.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxDegree).drop("__r")
+    // One ≤ maxDegree-element adjacency array per common neighbor z;
+    // the WindowGroupLimit upstream bounds both the shuffle and the
+    // per-row array. 1/deg(z) = 1/size(array) — no separate degree
+    // relation, no join to attach it.
+    val adj = capped.groupBy(col("node").as("z"))
+      .agg(collect_list(col("nbr")).as("__nbrs"))
+    // Ordered candidate pairs explode map-side from the bounded array
+    // (two chained codegen'd explodes + x < y filter: deg(z)² rows
+    // generated, deg(z)·(deg(z)-1)/2 kept, all where the array lives).
+    val cand = adj
+      .select(
+        round(lit(1.0) / size(col("__nbrs")).cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__w"),
+        explode(col("__nbrs")).as("x"), col("__nbrs"))
+      .select(col("__w"), col("x"), explode(col("__nbrs")).as("y"))
       .filter(col("x") < col("y"))
-    val scored = cand.join(wz, Seq("z"))
+    val scored = cand
       .groupBy(col("x").as("id_a"), col("y").as("id_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
-    scored.join(e,
+    // shuffle_hash: build the per-partition hash table on the (far
+    // smaller) edge relation instead of SORT-MERGING the candidate
+    // relation — candidates are Σ deg²/2-sized, edges |E|-sized, and
+    // a sort of the big side is pure overhead for an anti lookup.
+    scored.join(e.hint("shuffle_hash"),
         scored("id_a") === e("a") && scored("id_b") === e("b"), "left_anti")
       .orderBy(col("__s").desc, col("id_a"), col("id_b"))
       .limit(k)
@@ -430,8 +447,10 @@ object Graph {
     * (node_type, node) order.
     *
     * Integer bound: iterate t grows like (d_max²)^t — two rounds on
-    * degrees to ~10⁴ stay far inside BIGINT; the require guards the
-    * documented regime.
+    * degrees to ~10⁴ stay far inside BIGINT, but round 3+ can exceed
+    * 2^63 (where Spark's non-ANSI long sum would wrap SILENTLY while
+    * the DuckDB twin's checked BIGINT cast raises), so the require
+    * admits ONLY the documented 2-round regime.
     *
     * Scale shape: each half-round is one edge ⋈ score join (score
     * frame keyed by node, |nodes| rows) + one map-side-combined sum —
@@ -441,7 +460,8 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int = 2,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(iters >= 1 && iters <= 4, "iters must be in [1, 4]")
+    require(iters >= 1 && iters <= 2,
+      "iters must be in [1, 2] — the exact-BIGINT regime")
     val e = Dedup.materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     var hub = Dedup.materialize(

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * scan of the raw data, ever. Spark's Datasketches-backed
   * `hll_sketch_agg` / `hll_union_agg` are associative and
   * merge-order-independent (register-wise max), so re-aggregation is
-  * exact over the sketch (the estimate itself is ±~2% at the default
-  * lgConfigK).
+  * deterministic and agrees with a direct sketch within a fraction
+  * of a percent — bit-equal while sketches stay sparse, slightly
+  * divergent once the union promotes past sparse mode (the estimate
+  * itself is ±~2% at the default lgConfigK).
   *
   * Verification: approximate by construction, so no DuckDB twin —
   * ExtSpec pins the estimate against the exact distinct count within
@@ -41,6 +43,50 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch")))
         .as("approx_distinct_users"),
         sum("n_events").as("n_events"))
+
+  /** SELF-VALIDATING twin of the HLL rollup, giving the sketch path
+    * an oracle-checkable driver gate (the raw estimate has no
+    * portable SQL twin — engines' HLL registers differ): per key,
+    * the exact facts the oracle recomputes (event count, exact
+    * distinct users) plus three invariants that must hold if the
+    * sketch path is correct, emitted as booleans the driver hashes
+    * against literal `true`s — the rollup's event count matches the
+    * direct count (sum-of-dailies identity), the estimate lands
+    * inside the HLL error envelope, and merged-daily sketches
+    * estimate within 1% of one direct sketch (the mergeability
+    * contract; bit-equality holds only while every sketch is still
+    * in sparse mode — measured at sf0.1: merged 1488 vs direct 1494
+    * on 1500 exact, both inside the envelope).
+    *
+    * Scale shape: three map-side-combined aggregates of the same
+    * scan joined on the key domain (broadcast-class); the exact
+    * distinct count is the check's one intrinsic cost — this is a
+    * diagnostic query run at audit time, not the serving path.
+    */
+  def rollupSelfCheck(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    val rolled = rollupDistinctUsers(
+      dailyUserSketches(events, keyCol, tsCol, userCol), keyCol)
+      .withColumnRenamed("n_events", "__ne_rolled")
+    val direct = events.groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(userCol))).as("__direct"))
+    val exact = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_distinct_users"))
+    exact.join(rolled, Seq(keyCol)).join(direct, Seq(keyCol))
+      .select(col(keyCol),
+        col("n_events"), col("n_distinct_users"),
+        (col("__ne_rolled") === col("n_events")).as("events_exact"),
+        (abs(col("approx_distinct_users").cast("double") -
+          col("n_distinct_users").cast("double")) <=
+          col("n_distinct_users").cast("double") * lit(0.05))
+          .as("hll_within_5pct"),
+        (abs(col("approx_distinct_users").cast("double") -
+          col("__direct").cast("double")) <=
+          greatest(lit(1.0), col("__direct").cast("double") * lit(0.01)))
+          .as("merge_within_1pct"))
+      .orderBy(keyCol)
+  }
 
   /** Per-day mergeable VALUE-COUNT relations — the exact counterpart
     * to [[dailyUserSketches]]: where HLL registers merge with bounded

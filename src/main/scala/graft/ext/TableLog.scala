@@ -1,0 +1,239 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated LOCAL TABLE FORMAT over plain parquet — the
+  * table-maintenance layer the loose-file operators compose into:
+  * an ordered commit log of immutable data files with copy-on-write
+  * MERGE ([[Merge.applyChangeSet]] semantics), history-preserving
+  * compaction (the [[Sharding.compactDir]] capability, without
+  * destroying old versions), and time-travel reads. The engine-side
+  * re-expression of what Delta/Iceberg provide, small enough to
+  * audit.
+  *
+  * Layout:
+  * {{{
+  *   dir/_log/v00000000.json   one JSON object per commit
+  *   dir/data/<name>.parquet   immutable data files (never mutated)
+  * }}}
+  *
+  * Commit record (fixed shape, written by [[render]], read by
+  * [[parse]]): `{"version":N,"op":"...","add":[...],"remove":[...],
+  * "rows_added":N}`. The live file set at version v is the fold of
+  * add/remove over commits 0..v; a data file removed by a later
+  * commit stays on disk, which is exactly what makes old versions
+  * readable (no vacuum is implemented — retention policy is the
+  * caller's).
+  *
+  * Snapshot isolation, single-writer: data files land under `data/`
+  * BEFORE their commit record exists, and the commit file itself is
+  * staged and atomically renamed into `_log/` — so a concurrent
+  * reader resolves either the previous version or the complete new
+  * one, never a torn state, and a crash mid-write leaves only
+  * unreferenced orphans. Readers NEVER list `data/`; the log is the
+  * sole source of truth. Concurrent WRITERS are out of scope (the
+  * rename-fails-if-exists check turns a race into an error, not
+  * corruption).
+  *
+  * Scale shape: every operation is one Spark read/write of the live
+  * file set; the log itself is commit-count-sized driver metadata
+  * (the same class as shard offsets / centroid lists). At warehouse
+  * scale the log would live on an object store with conditional
+  * puts — the protocol is the same.
+  */
+object TableLog {
+
+  final case class Commit(version: Int, op: String, add: Seq[String],
+      remove: Seq[String], rowsAdded: Long)
+
+  private def logDir(dir: String) = new java.io.File(dir, "_log")
+  private def dataDir(dir: String) = new java.io.File(dir, "data")
+
+  private def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},""" +
+      s""""remove":${arr(c.remove)},"rows_added":${c.rowsAdded}}"""
+  }
+
+  // strict parse of the fixed shape above — file names are generated
+  // by [[writeData]] (no quotes/escapes possible), so splitting on
+  // the quoted-list grammar is exact, not heuristic
+  private def parse(s: String): Commit = {
+    def field(name: String): String = {
+      val m = (("\"" + name + "\":").r findFirstMatchIn s)
+        .getOrElse(sys.error(s"commit record missing $name: $s"))
+      s.drop(m.end)
+    }
+    def longAt(name: String): Long =
+      field(name).takeWhile(c => c.isDigit || c == '-').toLong
+    def listAt(name: String): Seq[String] = {
+      val body = field(name).drop(1).takeWhile(_ != ']')
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+    }
+    def strAt(name: String): String =
+      field(name).drop(1).takeWhile(_ != '"')
+    Commit(longAt("version").toInt, strAt("op"), listAt("add"),
+      listAt("remove"), longAt("rows_added"))
+  }
+
+  /** All commits, version order; empty if the table does not exist. */
+  def commits(dir: String): Seq[Commit] =
+    Option(logDir(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map(f => parse(java.nio.file.Files.readString(f.toPath)))
+
+  def currentVersion(dir: String): Int =
+    commits(dir).lastOption.map(_.version)
+      .getOrElse(sys.error(s"no table at $dir"))
+
+  /** The live data files at `asOf` (default: latest). */
+  private def liveFiles(dir: String, asOf: Option[Int]): Seq[String] = {
+    val cs = commits(dir)
+    require(cs.nonEmpty, s"no table at $dir")
+    val upTo = asOf.map(v => cs.filter(_.version <= v)).getOrElse(cs)
+    require(asOf.forall(v => cs.exists(_.version == v)),
+      s"version ${asOf.get} does not exist (have 0..${cs.last.version})")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    upTo.foreach { c => live ++= c.add; live --= c.remove }
+    live.toSeq
+  }
+
+  /** Write `df` as immutable files named `v{version}-{i}.parquet`
+    * under data/, via a staging dir (files are complete before any
+    * commit references them). Returns (names, row count).
+    */
+  private def writeData(df: DataFrame, dir: String,
+      version: Int): (Seq[String], Long) = {
+    val staging = new java.io.File(dir, f"_staging_v$version%08d")
+    df.write.mode("overwrite").parquet(staging.toString)
+    dataDir(dir).mkdirs()
+    val parts = Option(staging.listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+      .sortBy(_.getName)
+    val names = parts.zipWithIndex.map { case (f, i) =>
+      val name = f"v$version%08d-$i%05d.parquet"
+      val dst = new java.io.File(dataDir(dir), name)
+      require(f.renameTo(dst), s"could not place $name")
+      name
+    }
+    val rows = df.sparkSession.read
+      .parquet(names.map(n => new java.io.File(dataDir(dir), n).toString): _*)
+      .count()
+    Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+    staging.delete()
+    (names, rows)
+  }
+
+  /** Atomically publish a commit record; the rename-if-absent check
+    * turns a writer race into an error instead of a lost update.
+    */
+  private def publish(dir: String, c: Commit): Int = {
+    logDir(dir).mkdirs()
+    val tmp = new java.io.File(logDir(dir), f"_tmp_v${c.version}%08d.json")
+    java.nio.file.Files.writeString(tmp.toPath, render(c))
+    val dst = new java.io.File(logDir(dir), f"v${c.version}%08d.json")
+    require(!dst.exists() && tmp.renameTo(dst),
+      s"commit v${c.version} already exists — concurrent writer?")
+    c.version
+  }
+
+  /** Create the table at `dir` (must not exist) as version 0. */
+  def init(df: DataFrame, dir: String): Int = {
+    require(commits(dir).isEmpty, s"table already exists at $dir")
+    val (names, rows) = writeData(df, dir, 0)
+    publish(dir, Commit(0, "init", names, Seq.empty, rows))
+  }
+
+  /** Append-only commit: new files only, nothing removed. */
+  def append(df: DataFrame, dir: String): Int = {
+    val v = currentVersion(dir) + 1
+    val (names, rows) = writeData(df, dir, v)
+    publish(dir, Commit(v, "append", names, Seq.empty, rows))
+  }
+
+  /** Copy-on-write MERGE: applies `changes` (payload ∪ {op}) with
+    * [[Merge.applyChangeSet]] semantics and rewrites the snapshot —
+    * the new version's live set is entirely the new files (old files
+    * remain for time travel).
+    */
+  def merge(changes: DataFrame, dir: String, keyCol: String): Int = {
+    val v = currentVersion(dir) + 1
+    val next = Merge.applyChangeSet(read(changes.sparkSession, dir),
+      changes, keyCol)
+    val (names, rows) = writeData(next, dir, v)
+    publish(dir, Commit(v, "merge", names, liveFiles(dir, None), rows))
+  }
+
+  /** History-preserving compaction: rewrites the live set into
+    * ~`targetFiles` files; rows are untouched (rows_added = 0 marks
+    * the no-op on content), old files stay readable at old versions.
+    */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Int = {
+    val v = currentVersion(dir) + 1
+    val old = liveFiles(dir, None)
+    val (names, _) = writeData(read(spark, dir).repartition(targetFiles),
+      dir, v)
+    publish(dir, Commit(v, "compact", names, old, 0L))
+  }
+
+  /** Time-travel read: the table as of `asOf` (default latest). */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame =
+    spark.read.parquet(liveFiles(dir, asOf)
+      .map(n => new java.io.File(dataDir(dir), n).toString): _*)
+
+  /** Retention enforcement: physically delete data files that are
+    * not live in ANY version >= `retainFrom` (older versions become
+    * unreadable — that is the point; the log records the vacuum so
+    * history stays auditable). Returns the number of files deleted.
+    * The one operation that breaks time travel, so it is explicit,
+    * never implicit in compact/merge.
+    */
+  def vacuum(dir: String, retainFrom: Int): Int = {
+    val cs = commits(dir)
+    require(cs.nonEmpty, s"no table at $dir")
+    require(cs.exists(_.version == retainFrom),
+      s"retainFrom $retainFrom does not exist")
+    val keep = cs.filter(_.version >= retainFrom)
+      .flatMap(c => liveFiles(dir, Some(c.version))).toSet
+    val all = cs.flatMap(_.add).toSet
+    val doomed = (all -- keep).toSeq.sorted
+    doomed.foreach(n => new java.io.File(dataDir(dir), n).delete())
+    publish(dir, Commit(cs.last.version + 1, "vacuum", Seq.empty,
+      doomed, 0L))
+    doomed.size
+  }
+
+  /** Streaming ingestion into the table format: each micro-batch
+    * lands as one append commit via foreachBatch — exactly-once per
+    * batch replay is the checkpoint's contract; a replayed batch
+    * re-appends, which is why production formats pair this with
+    * batch-id idempotence (documented limitation, matching
+    * [[EventStream.maintainSnapshot]]'s posture).
+    */
+  def appendStream(df: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (commits(dir).isEmpty) init(batch, dir) else append(batch, dir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The commit history as a DataFrame: (version, op, n_files_added,
+    * n_files_removed, rows_added), version order.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    commits(dir)
+      .map(c => (c.version, c.op, c.add.size, c.remove.size, c.rowsAdded))
+      .toDF("version", "op", "n_files_added", "n_files_removed",
+        "rows_added")
+      .orderBy("version")
+  }
+}

@@ -749,6 +749,64 @@ object TextStats {
           round(col("deflate_len").cast("double") /
             col("byte_len").cast("double"), 5)))
 
+  /** True iff inflate(deflate(text)) byte-equals the original UTF-8 —
+    * the codec-path integrity bit for [[compressionSelfCheck]].
+    */
+  private val deflateRoundtripOk = udf { (s: String) =>
+    if (s == null) true
+    else {
+      val in = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(in); d.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      val inf = new java.util.zip.Inflater(false)
+      inf.setInput(comp.toByteArray)
+      val back = new java.io.ByteArrayOutputStream()
+      var corrupt = false
+      while (!corrupt && !inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          corrupt = true // truncated/corrupt stream
+        else back.write(buf, 0, n)
+      }
+      inf.end()
+      !corrupt && java.util.Arrays.equals(back.toByteArray, in)
+    }
+  }
+
+  /** Corpus-level SELF-VALIDATION of the zlib path — the oracle-
+    * checkable companion of [[withCompressionRatio]] (whose raw
+    * deflate_len has no portable SQL twin): every column here is
+    * either an exact relational fact the oracle recomputes (counts,
+    * byte mass) or an invariant of the codec itself that MUST be
+    * true (inflate∘deflate identity; deflate_len inside zlib's
+    * documented worst-case bound), emitted as counts the driver
+    * hashes against literal expectations. A wrong deflate
+    * implementation fails this hash; rows-only checks would not see
+    * it.
+    *
+    * Scale shape: one scan, one map-side-combined 1-row aggregate.
+    */
+  def compressionSelfCheck(df: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val scored = withCompressionRatio(df, textCol)
+      .withColumn("__rt", deflateRoundtripOk(col(textCol)))
+      // zlib worst case: 2-byte header + 4-byte adler + 5 bytes per
+      // 16 KiB stored block — comfortably inside len/1000 + 64
+      .withColumn("__bounded",
+        col("deflate_len") >= lit(1L) &&
+          col("deflate_len") <= col("byte_len") +
+          (col("byte_len") / lit(1000L)) + lit(64L))
+    scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("byte_len")).as("sum_byte_len"),
+      sum(when(col("__rt"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+      sum(when(col("__bounded"), 1L).otherwise(0L)).as("n_len_bounded"))
+  }
+
   /** Per-document TF-IDF keyword extraction: for every document, the
     * top-`k` terms by tf·idf — the per-doc companion of [[topTokens]]
     * (corpus heavy hitters) and the extraction twin of Search.bm25
@@ -1317,9 +1375,14 @@ object TextStats {
     * engine-independent; masses are exact integer cumsums.
     *
     * Scale shape: token counts are one map-side-combined shuffle
-    * sized by vocabulary; the rank + cumsum window runs on the
-    * VOCABULARY relation (the distinct-value-domain convention), and
-    * the cuts join touches |cuts| rows of it.
+    * sized by vocabulary; the rank + cumsum window NEVER sees the
+    * full vocabulary — the curve is only ever read at ranks
+    * <= max(cuts), so the ranked relation is first bounded to the
+    * top max(cuts) tokens via orderBy+limit (TakeOrderedAndProject —
+    * per-partition top-k, no global sort), and the window runs over
+    * that <= max(cuts)-row, config-bounded frame. Total mass comes
+    * from the separate corpus aggregate, so truncation cannot skew
+    * coverage.
     */
   def vocabMassCurve(df: DataFrame, cuts: Seq[Int],
       textCol: String = "text"): DataFrame = {
@@ -1328,8 +1391,9 @@ object TextStats {
       .select(explode_outer(tokens(col(textCol))).as("__tok"))
       .filter(col("__tok").isNotNull)
       .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val top = cnt.orderBy(col("__c").desc, col("__tok")).limit(cuts.max)
     val w = Window.orderBy(col("__c").desc, col("__tok"))
-    val ranked = cnt
+    val ranked = top
       .withColumn("__r", row_number().over(w).cast("long"))
       .withColumn("__cum", sum(col("__c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -372,4 +372,58 @@ object TableProfiler {
         cols.map(c => col(s"entry.`$c`").as(c)): _*)
       .orderBy("agg_type")
   }
+
+  /** SELF-VALIDATING twin of [[approxProfile]], giving the sketch
+    * path an oracle-checkable driver gate (raw HLL / log-bucket
+    * estimates have no portable SQL twin): per numeric column, the
+    * exact facts the oracle recomputes (non-null count, exact
+    * distinct count) plus the two envelope invariants ExtSpec
+    * asserts, emitted as booleans the driver hashes against literal
+    * `true`s — approx_count_distinct within 15% of exact (3× the
+    * default 5% rsd), and the log-bucket median inside
+    * [min, max] ± the sketch's alpha.
+    *
+    * Scale shape: the exact side is ONE value-counts shuffle (the
+    * [[exactLong]] stack→groupBy shape — never Expand×N distinct);
+    * the approx side is one 1-row sketch aggregate; they meet in an
+    * N-row join (column-count-sized, broadcast-class).
+    */
+  def approxProfileCheck(df: DataFrame): DataFrame = {
+    val cols = numericColumns(df.schema)
+    require(cols.nonEmpty, "no numeric columns to profile")
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"$i, cast(`$c` as double)" }.mkString(", ")
+    val vc = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) as (ci, v)")
+      .filter(col("v").isNotNull)
+      .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
+    val exact = vc.groupBy("ci").agg(
+      sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      min("v").as("__mn"), max("v").as("__mx"))
+    val approxAggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      approx_count_distinct(col(c)).cast(DoubleType).as(s"and_$i"),
+      graft.functions.QuantileSketch.logBucketMedian(col(c))
+        .cast(DoubleType).as(s"amd_$i")) }
+    val one = df.agg(approxAggs.head, approxAggs.tail: _*)
+    val approxLong = one.select(explode(array(cols.indices.map { i =>
+        struct(lit(i).as("ci"), col(s"and_$i").as("__and"),
+          col(s"amd_$i").as("__amd")) }: _*)).as("e"))
+      .select(col("e.ci").as("ci"), col("e.__and").as("__and"),
+        col("e.__amd").as("__amd"))
+    val alpha = 0.005
+    exact.join(broadcast(approxLong), Seq("ci"))
+      .select(
+        element_at(array(cols.map(lit): _*), col("ci") + 1).as("col_name"),
+        col("n_rows"),
+        col("n_distinct"),
+        (abs(col("__and") - col("n_distinct").cast(DoubleType)) <=
+          col("n_distinct").cast(DoubleType) * lit(0.15))
+          .as("approx_distinct_ok"),
+        (col("__amd") >= col("__mn") - lit(alpha) * abs(col("__mn")) -
+          lit(1e-9) &&
+          col("__amd") <= col("__mx") + lit(alpha) * abs(col("__mx")) +
+          lit(1e-9)).as("median_in_range"))
+      .orderBy("col_name")
+  }
 }

@@ -375,6 +375,26 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of `Events.transitionEntropy`, stage 1: the
+    * stateful per-user transition extraction ([[transitionsStream]])
+    * feeding a streaming (from_type, to_type) count aggregation.
+    * Run in complete/update mode; the finalized counts are the SAME
+    * relation the batch op builds with its lag window, so the
+    * entropy report is `Events.entropyFromTransitionCounts(counts)`
+    * — a finishing SELECT over the bounded type² domain, the
+    * identical derivation on both sides (StreamingSpec pins
+    * cell-exact equality).
+    *
+    * State: one LastEvent per user (the transition extractor) plus
+    * one count per (from, to) pair — both bounded (users, types²).
+    */
+  def transitionCountsStream(events: DataFrame)(
+      implicit enc: SparkSession): DataFrame =
+    transitionsStream(events)
+      .groupBy(col("fromType").as("from_type"),
+        col("toType").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** An attributed conversion (streaming first-touch output record).
     * Touch fields are None when the user had no click at or before
     * the purchase instant — the batch twin's null row.

@@ -274,7 +274,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_waterfill" -> "one row per source stratum",
       // pooled-grid cumsum runs over the 5-decimal score grid alone
       // (the merge window itself is partitioned by source)
-      "q_quantile_normalize" -> "5-decimal score grid (≤ 100001 rows)")
+      "q_quantile_normalize" -> "5-decimal score grid (≤ 100001 rows)",
+      // paretoFront's running max runs over the DISTINCT doc_len
+      // value domain — bounded by the length range, never the corpus
+      // (the q_mannwhitney distinct-value-grid convention)
+      "q_pareto_front" -> "distinct-value grid (one row per doc_len)",
+      // rrfFusion ranks two ≤listK retrieval lists and fuses their
+      // union — every global window sees ≤ 2·listK rows
+      "q_rrf_fusion" -> "≤ 2·listK fusion rows (listK config bound)",
+      // vocabMassCurve windows over the top max(cuts) tokens only —
+      // bounded upstream by a TakeOrderedAndProject limit(cuts.max)
+      "q_vocab_mass_curve" -> "≤ max(cuts)-row top-token relation")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val wins = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan.collect {
@@ -287,6 +297,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unaudited global windows (add a bound or repartition): ${offenders.mkString(", ")}")
+  }
+
+  test("link prediction explodes candidates map-side — no self-join on z") {
+    Tables.register(spark, TestSpark.sfDir)
+    // The candidate pairs must come from exploding the per-node capped
+    // adjacency ARRAY (one exchange: the node-keyed window/groupBy),
+    // not from a z-keyed self-join of the adjacency relation. The only
+    // join in the whole plan is the existing-edge LeftAnti exclusion.
+    val plan = SparkEntry.queries("q_link_prediction")(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1 && joins.head.joinType.sql == "LEFT ANTI",
+      s"candidate path must be join-free (LeftAnti exclusion only); got: " +
+        joins.map(j => j.joinType.sql).mkString(", "))
   }
 
   test("decontamination is a pure shingle equi-join — nothing quadratic") {

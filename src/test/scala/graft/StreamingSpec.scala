@@ -216,6 +216,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, "streamed edges must roll up to the batch matrix")
   }
 
+  test("transitionCountsStream finalizes to the exact batch transition entropy") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val streamed = EventStream.transitionCountsStream(
+      EventStream.readEvents(spark, eventsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_transition_counts")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ckpt-tentropy").toString)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    q.stop()
+    val got = Events.entropyFromTransitionCounts(
+      spark.table("stream_transition_counts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    Tables.register(spark, TestSpark.sfDir)
+    val batch = Events.transitionEntropy(spark.table("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch,
+      "streamed transition counts must finalize to the batch entropy rows")
+    assert(batch.nonEmpty)
+  }
+
   test("maintainCorpusStats: merged numerators finalize to the exact batch stats") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")

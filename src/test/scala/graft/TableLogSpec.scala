@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Merge, TableLog}
+
+/** Specs for the snapshot-isolated local table format (commit log +
+  * copy-on-write merge + history-preserving compaction + time
+  * travel). The oracle-checked q_table_history covers the fixture
+  * lifecycle; these pin the format's own contracts.
+  */
+class TableLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-tablelog").toString
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("id", "tag", "v")
+
+  test("lifecycle: init/append/merge/compact with correct history") {
+    val dir = freshDir()
+    TableLog.init(base, dir)
+    TableLog.append(Seq((5L, "e", 50.0)).toDF("id", "tag", "v"), dir)
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 0.0, Merge.Delete), // drop id 2
+      (3L, "c2", 33.0, Merge.Upsert),                     // replace id 3
+      (6L, "f", 60.0, Merge.Upsert))                      // insert id 6
+      .toDF("id", "tag", "v", Merge.OpCol)
+    TableLog.merge(changes, dir, "id")
+    TableLog.compact(spark, dir)
+    val hist = TableLog.history(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(4)))
+    assert(hist.toSeq == Seq(
+      (0, "init", 4L), (1, "append", 1L), (2, "merge", 5L),
+      (3, "compact", 0L)))
+    val now = TableLog.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(now.toSeq == Seq((1L, "a", 10.0), (3L, "c2", 33.0),
+      (4L, "d", 40.0), (5L, "e", 50.0), (6L, "f", 60.0)))
+  }
+
+  test("time travel: every historical version stays readable verbatim") {
+    val dir = freshDir()
+    TableLog.init(base, dir)
+    val v0 = TableLog.read(spark, dir).orderBy("id").collect().toSeq
+    TableLog.append(Seq((5L, "e", 50.0)).toDF("id", "tag", "v"), dir)
+    TableLog.merge(Seq((1L, "x", 0.0, Merge.Delete))
+      .toDF("id", "tag", "v", Merge.OpCol), dir, "id")
+    TableLog.compact(spark, dir)
+    // the v0 snapshot is byte-stable across later rewrites
+    assert(TableLog.read(spark, dir, Some(0)).orderBy("id")
+      .collect().toSeq == v0)
+    assert(TableLog.read(spark, dir, Some(1)).count() == 5)
+    assert(TableLog.read(spark, dir, Some(2)).count() == 4)
+    assert(TableLog.read(spark, dir, Some(3)).count() == 4)
+    // compacted content ≡ pre-compaction content
+    assert(TableLog.read(spark, dir, Some(3)).orderBy("id").collect().toSeq
+      == TableLog.read(spark, dir, Some(2)).orderBy("id").collect().toSeq)
+  }
+
+  test("compaction reduces the live file count without touching rows") {
+    val dir = freshDir()
+    TableLog.init(base.repartition(4), dir)
+    TableLog.append(base.withColumn("id", col("id") + 10).repartition(4),
+      dir)
+    val before = TableLog.read(spark, dir).inputFiles.length
+    assert(before >= 2, "fixture must start multi-file")
+    TableLog.compact(spark, dir, targetFiles = 1)
+    assert(TableLog.read(spark, dir).inputFiles.length == 1)
+    assert(TableLog.read(spark, dir).count() == 8)
+  }
+
+  test("the log is the source of truth — orphan data files are invisible") {
+    val dir = freshDir()
+    TableLog.init(base, dir)
+    // simulate a crashed writer: a data file no commit references
+    Seq((99L, "zz", 9.9)).toDF("id", "tag", "v")
+      .coalesce(1).write.parquet(dir + "/orphan")
+    val orphan = new java.io.File(dir + "/orphan").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(orphan.renameTo(new java.io.File(dir + "/data/zzz-orphan.parquet")))
+    assert(TableLog.read(spark, dir).count() == 4,
+      "reads must resolve from the log, never from a data-dir listing")
+  }
+
+  test("vacuum deletes only pre-retention files and logs itself") {
+    val dir = freshDir()
+    TableLog.init(base, dir)
+    TableLog.merge(Seq((1L, "x", 11.0, Merge.Upsert))
+      .toDF("id", "tag", "v", Merge.OpCol), dir, "id") // v1 rewrites
+    TableLog.append(Seq((9L, "i", 90.0)).toDF("id", "tag", "v"), dir)
+    val v2Rows = TableLog.read(spark, dir, Some(2)).orderBy("id")
+      .collect().toSeq
+    val deleted = TableLog.vacuum(dir, retainFrom = 1)
+    assert(deleted >= 1, "v0's rewritten files must be reclaimed")
+    // retained versions still read verbatim; history records the vacuum
+    assert(TableLog.read(spark, dir, Some(2)).orderBy("id")
+      .collect().toSeq == v2Rows)
+    assert(TableLog.read(spark, dir, Some(1)).count() == 4)
+    val hist = TableLog.history(spark, dir).collect()
+    assert(hist.last.getString(1) == "vacuum" &&
+      hist.last.getInt(3) == deleted)
+    // pre-retention version is gone — that is vacuum's contract
+    intercept[Exception](TableLog.read(spark, dir, Some(0)).collect())
+  }
+
+  test("appendStream: micro-batches land as append commits") {
+    val dir = freshDir()
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-tablelog-in").toString
+    val schema = base.schema
+    def run(sub: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      part.coalesce(1).write.parquet(s"$inDir/$sub")
+      val q = TableLog.appendStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(s"$inDir/$sub"),
+        dir,
+        java.nio.file.Files
+          .createTempDirectory(s"graft-ckpt-tl-$sub").toString)
+      q.awaitTermination(120000L)
+    }
+    run("r1", base)
+    run("r2", base.withColumn("id", col("id") + 10))
+    assert(TableLog.read(spark, dir).count() == 8)
+    val ops = TableLog.history(spark, dir).collect().map(_.getString(1))
+    assert(ops.head == "init" && ops.tail.forall(_ == "append"))
+  }
+
+  test("guards: double init, missing table, unknown version, commit race") {
+    val dir = freshDir()
+    intercept[RuntimeException](TableLog.read(spark, dir)) // no table
+    TableLog.init(base, dir)
+    intercept[IllegalArgumentException](TableLog.init(base, dir))
+    intercept[IllegalArgumentException](
+      TableLog.read(spark, dir, Some(7))) // version never committed
+  }
+}
