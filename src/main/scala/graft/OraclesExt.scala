@@ -5492,4 +5492,174 @@ object OraclesExt {
        |    round(coalesce(fp.nf, 0)::DOUBLE
        |      / (g.n_grams - ${w - 1})::DOUBLE, 5) END AS fp_density
        |FROM g LEFT JOIN fp USING (doc_id) ORDER BY g.doc_id""".stripMargin
+
+  /** Day-of-week seasonal decomposition — twin of Events.seasonalDow:
+    * the same Monday=0 integer dow bucketing ((epoch_day + 3) % 7),
+    * both exposed ratios single double divisions of exact HUGEINT
+    * products (twin of the Spark side's DECIMAL(38,0)).
+    */
+  val seasonalDow: String =
+    """WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+      |    count(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, ((day_num + 3) % 7)::INT AS dow FROM daily),
+      |bt AS (SELECT event_type, sum(n_events)::HUGEINT AS st,
+      |  count(*)::HUGEINT AS nd FROM d2 GROUP BY 1),
+      |bd AS (SELECT event_type, dow, sum(n_events)::HUGEINT AS sd,
+      |  count(*)::HUGEINT AS ndw FROM d2 GROUP BY 1, 2)
+      |SELECT d2.event_type, d2.day_num, d2.dow, d2.n_events,
+      |  round((bd.sd * bt.nd)::DOUBLE / (bd.ndw * bt.st)::DOUBLE, 5)
+      |    AS seasonal_index,
+      |  round((d2.n_events::HUGEINT * bd.ndw * bt.st)::DOUBLE
+      |    / (bd.sd * bt.nd)::DOUBLE, 5) AS deseasonalized
+      |FROM d2 JOIN bd USING (event_type, dow) JOIN bt USING (event_type)
+      |ORDER BY event_type, day_num""".stripMargin
+
+  /** Daily-series autocorrelation — twin of Events.acfDaily: the same
+    * zero-filled calendar spine, the lag pairing as a self-join on
+    * day_num − lag (value-identical to the Spark side's window lag —
+    * the grid is complete), and the same mean-cleared exact-integer
+    * rational r = (n²·Sxy − n·S·(Sh+St) + (n−lag)·S²) /
+    * (n²·Sxx − n·S²) as ONE double division per (type, lag).
+    */
+  def acfDaily(maxLag: Int): String =
+    s"""WITH daily AS (SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))::BIGINT AS day_num,
+       |    count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT event_type, min(day_num) AS d0, max(day_num) AS d1
+       |  FROM daily GROUP BY 1),
+       |spine AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day_num FROM span),
+       |series AS (SELECT s.event_type, s.day_num, coalesce(d.c, 0)::BIGINT AS x
+       |  FROM spine s LEFT JOIN daily d USING (event_type, day_num)),
+       |m AS (SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+       |  sum(x::HUGEINT * x) AS sxx FROM series GROUP BY 1),
+       |lags AS (SELECT unnest(range(1, $maxLag + 1)) AS lag),
+       |p AS (SELECT a.event_type, l.lag, a.x AS xt, b.x AS xl
+       |  FROM series a CROSS JOIN lags l
+       |  JOIN series b ON b.event_type = a.event_type
+       |    AND b.day_num = a.day_num - l.lag),
+       |agg AS (SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
+       |  sum(xt::HUGEINT * xl) AS sxy, sum(xt)::HUGEINT AS stail,
+       |  sum(xl)::HUGEINT AS shead
+       |  FROM p GROUP BY 1, 2)
+       |SELECT a.event_type, a.lag::INT AS lag, a.n_pairs,
+       |  CASE WHEN m.n * m.n * m.sxx - m.n * m.s * m.s <> 0 THEN
+       |    round((m.n * m.n * a.sxy - m.n * m.s * (a.shead + a.stail)
+       |        + (m.n - a.lag) * m.s * m.s)::DOUBLE
+       |      / (m.n * m.n * m.sxx - m.n * m.s * m.s)::DOUBLE, 5)
+       |  END AS acf
+       |FROM agg a JOIN m USING (event_type)
+       |ORDER BY a.event_type, a.lag""".stripMargin
+
+  /** Fellegi–Sunter linkage scores — twin of Dedup.linkageScores over
+    * the sortedNeighborhood candidate pairs on part: the same
+    * data-estimated u_f = Σc²/n² chance agreements, scale-9
+    * quantized-ln weights from single double divisions of exact
+    * HUGEINT products, exact DECIMAL score sums and DECIMAL threshold
+    * compares.
+    */
+  def linkageScores(fields: Seq[String], window: Int, blockLen: Int,
+      mNum: Int, mDen: Int, upper: String, lower: String): String = {
+    val statCtes = fields.map { f =>
+      s"""vc_$f AS (SELECT $f AS v, count(*)::HUGEINT AS c
+         |  FROM part GROUP BY 1),
+         |t_$f AS (SELECT sum(c * c) AS ssq, sum(c) AS n FROM vc_$f),
+         |w_$f AS (SELECT vc_$f.v,
+         |  round(ln(($mNum * t.n)::DOUBLE / ($mDen * vc_$f.c)::DOUBLE), 9)
+         |    ::DECIMAL(18,9) AS wa,
+         |  round(ln((${mDen - mNum} * t.n * t.n)::DOUBLE
+         |    / ($mDen * (t.n * t.n - t.ssq))::DOUBLE), 9)::DECIMAL(18,9)
+         |    AS wd
+         |  FROM vc_$f CROSS JOIN t_$f t)""".stripMargin
+    }.mkString(",\n")
+    val scoreExpr = fields.map(f =>
+      s"CASE WHEN a.$f = b.$f THEN w_$f.wa ELSE w_$f.wd END")
+      .mkString(" + ")
+    val agreeExpr = fields.map(f =>
+      s"CASE WHEN a.$f = b.$f THEN 1 ELSE 0 END").mkString(" + ")
+    val crossJoins = fields.map(f =>
+      s"JOIN w_$f ON a.$f IS NOT DISTINCT FROM w_$f.v").mkString(" ")
+    s"""WITH base AS (SELECT p_partkey AS id,
+       |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS k
+       |  FROM part),
+       |r AS MATERIALIZED (SELECT id, substr(k, 1, $blockLen) AS blk,
+       |  k, row_number() OVER (PARTITION BY substr(k, 1, $blockLen)
+       |    ORDER BY k, id) AS rn
+       |  FROM base),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM r a JOIN r b ON a.blk = b.blk
+       |  AND b.rn > a.rn AND b.rn <= a.rn + ${window - 1}),
+       |$statCtes
+       |SELECT p.id_a, p.id_b,
+       |  ($agreeExpr)::BIGINT AS n_agree,
+       |  round(($scoreExpr)::DOUBLE, 5) AS score,
+       |  CASE WHEN ($scoreExpr) > $upper::DECIMAL(18,9) THEN 'match'
+       |    WHEN ($scoreExpr) >= $lower::DECIMAL(18,9) THEN 'possible'
+       |    ELSE 'non_match' END AS verdict
+       |FROM p JOIN part a ON a.p_partkey = p.id_a
+       |JOIN part b ON b.p_partkey = p.id_b $crossJoins
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
+  /** Split-conformal OLS intervals — twin of Stats.conformalOls over
+    * (source, quality_score ~ n_chars): the same md5-uniform three-way
+    * split, exact DECIMAL(19,6) train moments, the olsRegression
+    * fixed double dag for slope/intercept/residuals, rank-k
+    * calibration order statistic (ties by doc_id), integer-ceil
+    * conformal rank, and the decAvg5 HALF-UP coverage rendering.
+    */
+  def conformalOls(covNum: Int, covDen: Int): String =
+    s"""WITH $toksCte,
+       |q AS MATERIALIZED (SELECT d.doc_id, d.source, d.n_chars::DOUBLE AS x,
+       |  $qualityScoreSql AS y, ${hashUniformSql("conformal")} AS u
+       |  FROM documents d JOIN toks USING (doc_id)),
+       |s AS (SELECT doc_id, source, x, y,
+       |  CASE WHEN u < 0.5 THEN 'train' WHEN u < 0.75 THEN 'cal'
+       |    ELSE 'test' END AS split FROM q),
+       |f AS (SELECT source, count(*)::BIGINT AS n_train,
+       |  sum(x::DECIMAL(19,6)) AS sx, sum(y::DECIMAL(19,6)) AS sy,
+       |  sum(x::DECIMAL(19,6) * x::DECIMAL(19,6)) AS sxx,
+       |  sum(x::DECIMAL(19,6) * y::DECIMAL(19,6)) AS sxy
+       |  FROM s WHERE split = 'train' GROUP BY 1),
+       |g AS (SELECT source, n_train,
+       |  CASE WHEN n_train::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+       |    THEN (n_train::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |      / (n_train::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |  END AS b,
+       |  CASE WHEN n_train::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+       |    THEN (sy::DOUBLE -
+       |      (n_train::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |      / (n_train::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |      * sx::DOUBLE) / n_train::DOUBLE
+       |  END AS a
+       |  FROM f),
+       |sc AS (SELECT s.doc_id, s.source, s.split,
+       |  abs(s.y - (g.a + g.b * s.x)) AS r
+       |  FROM s JOIN g USING (source) WHERE s.split <> 'train'),
+       |cn AS (SELECT source, count(*)::BIGINT AS n_cal FROM sc
+       |  WHERE split = 'cal' GROUP BY 1),
+       |ck AS (SELECT source, n_cal,
+       |  least(((n_cal + 1) * $covNum + $covDen - 1) // $covDen, n_cal) AS k
+       |  FROM cn),
+       |cr AS (SELECT source, r, row_number() OVER
+       |  (PARTITION BY source ORDER BY r, doc_id) AS rn
+       |  FROM sc WHERE split = 'cal'),
+       |qh AS (SELECT cr.source, cr.r AS qhat FROM cr
+       |  JOIN ck ON cr.source = ck.source AND cr.rn = ck.k),
+       |t AS (SELECT sc.source, count(*)::BIGINT AS n_test,
+       |    sum(CASE WHEN sc.r <= qh.qhat THEN 1 ELSE 0 END)::BIGINT AS n_cov
+       |  FROM sc LEFT JOIN qh USING (source) WHERE sc.split = 'test'
+       |  GROUP BY 1)
+       |SELECT t.source, coalesce(cn.n_cal, 0)::BIGINT AS n_cal, t.n_test,
+       |  round(g.a, 5) AS intercept, round(g.b, 5) AS slope,
+       |  round(qh.qhat, 5) AS qhat,
+       |  CASE WHEN qh.qhat IS NOT NULL THEN t.n_cov END AS n_covered,
+       |  CASE WHEN qh.qhat IS NOT NULL AND t.n_test > 0 THEN
+       |    floor((t.n_cov * 200000 + t.n_test)::DOUBLE
+       |      / (t.n_test * 2)::DOUBLE) / 100000.0 END AS coverage
+       |FROM t LEFT JOIN qh USING (source) LEFT JOIN cn USING (source)
+       |JOIN g USING (source)
+       |ORDER BY t.source""".stripMargin
 }

@@ -678,6 +678,11 @@ object SparkEntry {
   private[graft] val epochMaxRepeats = 4
   private[graft] val kCoreK = 4
   private[graft] val kCoreRounds = 10
+  // daily-series autocorrelation lags (weekly rhythm needs lag 7)
+  private[graft] val acfMaxLag = 7
+  // split-conformal target coverage 9/10 (exact rational, never 0.9)
+  private[graft] val conformalCovNum = 9
+  private[graft] val conformalCovDen = 10
   // Mann–Whitney cohorts: the two sources whose length distributions
   // the rank-sum test compares
   private[graft] val mwGroupA = "src0"
@@ -704,6 +709,8 @@ object SparkEntry {
   // sorted-neighborhood blocking: slide window and prefix-block length
   private[graft] val snmWindow = 4
   private[graft] val snmBlockLen = 4
+  // Fellegi–Sunter comparison vector over the part candidate pairs
+  private[graft] val linkageFields = Seq("p_brand", "p_type", "p_size")
   // matryoshka recall: prefix widths evaluated against the 64-dim truth
   private[graft] val matryoshkaDims = Seq(8, 16, 32, 64)
   // water-filling: token budget below the corpus total so the level
@@ -3006,6 +3013,32 @@ object SparkEntry {
       graft.ext.Graph.labelPropagation(
         graft.ext.Graph.coOccurrenceEdges(
           s.table("lineitem"), "l_orderkey", "l_partkey"), lpaIters)
+    },
+    // Day-of-week seasonal decomposition — the "is that drop just
+    // Saturday" read BEFORE trusting trend/anomaly output.
+    "q_seasonal_dow" -> withTables { s =>
+      Events.seasonalDow(s.table("events"))
+    },
+    // Zero-filled daily-count autocorrelation at lags 1..7 — the
+    // periodicity fingerprint (r7 = weekly rhythm strength).
+    "q_acf_daily" -> withTables { s =>
+      Events.acfDaily(s.table("events"), acfMaxLag)
+    },
+    // Split-conformal prediction intervals around quality ~ n_chars
+    // per source: distribution-free error bars + realized coverage.
+    "q_conformal" -> withTables { s =>
+      graft.ext.Stats.conformalOls(
+        TextStats.withDocStats(s.table("documents"))
+          .select("doc_id", "source", "n_chars", "quality_score"),
+        "source", "quality_score", "n_chars",
+        conformalCovNum, conformalCovDen)
+    },
+    // Fellegi–Sunter match scores over the sorted-neighborhood
+    // candidate pairs: data-estimated chance-agreement weights, an
+    // exact-decimal log-likelihood-ratio score, 3-way verdict.
+    "q_linkage_score" -> withTables { s =>
+      Dedup.linkageScores(s.table("part"), "p_partkey", "p_name",
+        linkageFields, snmWindow, snmBlockLen)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3370,5 +3403,11 @@ object SparkEntry {
     "q_ab_power" -> OraclesExt.abPower(abVariants, abSalt),
     "q_funnel_latency" -> OraclesExt.funnelLatency(funnelStageNames, quantilePs),
     "q_theil_sen" -> OraclesExt.theilSen,
-    "q_communities" -> OraclesExt.labelPropagation(lpaIters))
+    "q_communities" -> OraclesExt.labelPropagation(lpaIters),
+    "q_seasonal_dow" -> OraclesExt.seasonalDow,
+    "q_acf_daily" -> OraclesExt.acfDaily(acfMaxLag),
+    "q_conformal" ->
+      OraclesExt.conformalOls(conformalCovNum, conformalCovDen),
+    "q_linkage_score" -> OraclesExt.linkageScores(linkageFields,
+      snmWindow, snmBlockLen, 9, 10, "3.0", "0.0"))
 }

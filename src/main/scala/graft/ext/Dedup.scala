@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for a large-scale document corpus —
   * training-data-pipeline extensions (SURVEY.md §7.5; the reference
@@ -590,6 +591,97 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("n_union"),
         round(col("n_shared").cast("double") / col("n_union").cast("double"), 5)
           .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Fellegi–Sunter record-linkage scoring over the
+    * [[sortedNeighborhoodPairs]] candidate set: each candidate pair
+    * gets a log-likelihood-ratio match score
+    * Σ_f [agree(f) ? ln(m/u_f) : ln((1−m)/(1−u_f))] and a
+    * match / possible / non_match verdict — the probabilistic
+    * decision layer (Fellegi & Sunter 1969) that blocking alone
+    * lacks. Agreement weights are FREQUENCY-BASED (the value-specific
+    * refinement): agreeing on value v of field f earns
+    * ln(m / (c_v/n)) — rare values earn large weights, a
+    * half-the-table value almost none — while disagreement costs the
+    * field's global ln((1−m)/(1−u_f)) with u_f = Σ_v p_v² (the
+    * chance two RANDOM records agree on f at all). m (agreement
+    * probability among true matches) is the caller's exact rational
+    * mNum/mDen.
+    *
+    * Determinism (§8.3): every weight ingredient is an exact integer
+    * aggregate (c_v, n, Σ c_v²); each weight is ONE double division
+    * of exact DECIMAL(38,0) products through the scale-9
+    * quantized-ln rule (the NB-llh convention), so per-pair scores
+    * are exact DECIMAL sums of ≤ |fields| quantized terms; verdict
+    * thresholds compare DECIMALS (never a double re-blend); ties
+    * inherit the candidate generator's (id, id) order.
+    *
+    * Scale shape: |fields| value-histogram aggregates (map-side
+    * combinable, bounded by each field's value domain) broadcast
+    * into the pair stream; the attribute attach is two id-keyed
+    * equi-joins against the record relation; everything else is
+    * map-only over candidate pairs — which scale with BLOCKS, never
+    * |records|².
+    */
+  def linkageScores(df: DataFrame, idCol: String, keyCol: String,
+      fields: Seq[String], window: Int, blockLen: Int,
+      mNum: Int = 9, mDen: Int = 10,
+      upper: BigDecimal = BigDecimal("3.0"),
+      lower: BigDecimal = BigDecimal("0.0")): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(mNum >= 1 && mNum < mDen,
+      s"m must be a proper fraction, got $mNum/$mDen")
+    require(upper >= lower, "upper threshold must be >= lower")
+    val dec189 = DecimalType(18, 9)
+    val dec380 = DecimalType(38, 0)
+    // per-field value histograms: c_v per value (bounded domains),
+    // with the field's n and global chance agreement Σc²/n² attached
+    val valueWeights = fields.map { f =>
+      val vc = df.groupBy(col(f)).agg(count(lit(1)).as("__c"))
+      val tot = vc.agg(
+        sum(col("__c").cast(dec380) * col("__c")).as("__ssq"),
+        sum(col("__c").cast(dec380)).as("__n"))
+      vc.crossJoin(broadcast(tot)).select(
+        col(f).as(s"__a_$f"),
+        // value-specific agreement: ln(m·n / c_v)
+        round(log((lit(mNum).cast(dec380) * col("__n")).cast("double") /
+          (lit(mDen).cast(dec380) * col("__c")).cast("double")), 9)
+          .cast(dec189).as(s"__wa_$f"),
+        // field-global disagreement: ln((1−m)·n² / (n²−Σc²))
+        round(log((lit(mDen - mNum).cast(dec380) * col("__n") * col("__n"))
+          .cast("double") /
+          (lit(mDen).cast(dec380) *
+            (col("__n") * col("__n") - col("__ssq"))).cast("double")), 9)
+          .cast(dec189).as(s"__wd_$f"))
+    }
+    val pairs = sortedNeighborhoodPairs(df, idCol, keyCol, window, blockLen)
+      .select("id_a", "id_b")
+    val aSide = df.select(col(idCol).as("id_a") +:
+      fields.map(f => col(f).as(s"__a_$f")): _*)
+    val bSide = df.select(col(idCol).as("id_b") +:
+      fields.map(f => col(f).as(s"__b_$f")): _*)
+    val scoredFields = fields.map { f =>
+      when(col(s"__a_$f") === col(s"__b_$f"), col(s"__wa_$f"))
+        .otherwise(col(s"__wd_$f"))
+    }
+    val agreeCount = fields.map { f =>
+      when(col(s"__a_$f") === col(s"__b_$f"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val score = scoredFields.reduce(_ + _)
+    valueWeights.foldLeft(pairs.join(aSide, "id_a").join(bSide, "id_b")) {
+        (acc, vw) =>
+          // null-safe equi-join: a null field value still matches its
+          // own histogram row, so no candidate pair is dropped
+          acc.join(broadcast(vw), acc(vw.columns.head) <=> vw(vw.columns.head))
+            .drop(vw(vw.columns.head))
+      }
+      .withColumn("__score", score)
+      .select(col("id_a"), col("id_b"), agreeCount.as("n_agree"),
+        round(col("__score").cast("double"), 5).as("score"),
+        when(col("__score") > lit(upper).cast(dec189), lit("match"))
+          .when(col("__score") >= lit(lower).cast(dec189), lit("possible"))
+          .otherwise(lit("non_match")).as("verdict"))
       .orderBy("id_a", "id_b")
   }
 

@@ -1250,4 +1250,128 @@ object Events {
             .cast("double"), 5).as("gain"))
       .orderBy("event_type")
   }
+
+  /** Day-of-week seasonal decomposition of each type's daily-count
+    * series: one row per (type, observed day) with the multiplicative
+    * weekday index and the deseasonalized count — the classical
+    * ratio-to-overall-mean decomposition
+    * (index_dow = mean(count | dow) / mean(count); deseasonalized =
+    * count / index). The series health-check a weekly-rhythmed
+    * product metric needs BEFORE a trend/changepoint read: a "drop"
+    * every Saturday is seasonality, not an incident, and
+    * [[anomalyFlags]]' trailing z-test over the RAW series would
+    * page on it weekly.
+    *
+    * Weekday convention: dow = (epoch_day + 3) mod 7 with Monday = 0
+    * (1970-01-01 was a Thursday) — pure integer arithmetic, so both
+    * engines bucket identically with no locale/DOW-origin trap.
+    *
+    * Determinism (§8.3): both exposed ratios are SINGLE double
+    * divisions of exact DECIMAL(38,0) integer products —
+    * index = (sum_dow·n_days) / (n_dow·sum_total) and
+    * deseasonalized = (count·n_dow·sum_total) / (sum_dow·n_days) —
+    * rounded once. Bound: the triple product stays exact in double
+    * conversion to ~2⁵³ (daily totals ×10⁹ at day grids ×10³ —
+    * beyond that, pre-aggregate coarser, the [[bestChangepoint]]
+    * caveat).
+    *
+    * Scale shape: one map-side-combined daily roll-up of the raw
+    * stream, then all arithmetic on the O(types × days) grid — two
+    * grid-sized aggregates broadcast-joined back. No window at all.
+    */
+  def seasonalDow(events: DataFrame): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", ((col("day_num") + 3) % 7).cast("int"))
+    val byType = daily.groupBy("event_type")
+      .agg(sum(col("n_events")).as("__st"), count(lit(1)).as("__nd"))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(sum(col("n_events")).as("__sd"), count(lit(1)).as("__ndw"))
+    daily
+      .join(byDow, Seq("event_type", "dow"))
+      .join(broadcast(byType), Seq("event_type"))
+      .select(col("event_type"), col("day_num"), col("dow"),
+        col("n_events"),
+        round((col("__sd").cast(dec380) * col("__nd")).cast("double") /
+          (col("__ndw").cast(dec380) * col("__st")).cast("double"), 5)
+          .as("seasonal_index"),
+        round((col("n_events").cast(dec380) * col("__ndw") * col("__st"))
+          .cast("double") /
+          (col("__sd").cast(dec380) * col("__nd")).cast("double"), 5)
+          .as("deseasonalized"))
+      .orderBy("event_type", "day_num")
+  }
+
+  /** Sample autocorrelation of each type's ZERO-FILLED daily-count
+    * series at lags 1..maxLag — one row per (type, lag) with
+    * r_lag = Σ(x_t−x̄)(x_{t+lag}−x̄) / Σ(x_t−x̄)² over the full
+    * calendar span (absent days count 0, the [[gapFillDaily]] spine —
+    * ACF over only-observed days would alias the very gaps it should
+    * detect). r₇ ≈ weekly rhythm strength, r₁ ≈ day-to-day
+    * persistence: the periodicity fingerprint read BEFORE trusting a
+    * trailing-window anomaly threshold.
+    *
+    * Determinism (§8.3): multiplying numerator and denominator by n²
+    * clears the rational mean x̄ = S/n —
+    * r = (n²·Sxy − n·S·(Sh+St) + (n−lag)·S²) / (n²·Sxx − n·S²) —
+    * so every operand is an exact DECIMAL(38,0) integer and each r is
+    * ONE double division, rounded once. Constant series (den = 0)
+    * yield NULL r rather than an artifact.
+    *
+    * Scale shape: the raw stream collapses to the O(types × days)
+    * grid first; the lag pairing is ONE partitioned window pass
+    * emitting maxLag lag columns, unpivoted map-side by `stack` —
+    * work is grid × maxLag rows, never event-scale. One grid-sized
+    * join attaches the per-type moments.
+    */
+  def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 28,
+      s"maxLag must be in [1, 28], got $maxLag")
+    val dec380 = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = daily.groupBy("event_type")
+      .agg(min(col("day_num")).as("__d0"), max(col("day_num")).as("__d1"))
+      .select(col("event_type"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day_num"))
+    val series = spine.join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"),
+        coalesce(col("__c"), lit(0L)).as("__x"))
+    val byDay = Window.partitionBy("event_type").orderBy("day_num")
+    val lagCols = (1 to maxLag).map(l =>
+      lag(col("__x"), l).over(byDay).as(s"__l$l"))
+    val stacked = series
+      .select(col("event_type") +: col("__x") +: lagCols: _*)
+      .select(col("event_type"), col("__x"),
+        expr(s"stack($maxLag, " +
+          (1 to maxLag).map(l => s"$l, __l$l").mkString(", ") +
+          ") as (lag, __xl)"))
+      .filter(col("__xl").isNotNull)
+    val moments = series.groupBy("event_type")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec380)).as("__s"),
+        sum(col("__x").cast(dec380) * col("__x")).as("__sxx"))
+    val pairs = stacked.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec380) * col("__xl")).as("__sxy"),
+        sum(col("__x").cast(dec380)).as("__stail"),
+        sum(col("__xl").cast(dec380)).as("__shead"))
+    val n = col("__n").cast(dec380)
+    val num = n * n * col("__sxy") -
+      n * col("__s") * (col("__shead") + col("__stail")) +
+      (n - col("lag")) * col("__s") * col("__s")
+    val den = n * n * col("__sxx") - n * col("__s") * col("__s")
+    pairs.join(broadcast(moments), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(den =!= lit(0).cast(dec380),
+          round(num.cast("double") / den.cast("double"), 5)).as("acf"))
+      .orderBy("event_type", "lag")
+  }
 }

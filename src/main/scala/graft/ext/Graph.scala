@@ -115,11 +115,16 @@ object Graph {
         .select(col("n").as("node"), col("label"))
         .unionByName(labels)
         .groupBy("node", "label").agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy("node")
-        .orderBy(col("__c").desc, col("label").asc)
+      // argmax by (votes desc, label asc) as a HASH aggregate: the
+      // (__c, -label) sort key is unique per (node, label) row, so
+      // max_by is deterministic and picks exactly the old rank-1
+      // window row — but as a map-side-combinable aggregate instead
+      // of a per-node sort, and the node exchange carries one
+      // partial-max row per node per task, never the vote relation.
       labels = Dedup.materialize(votes
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select("node", "label"))
+        .groupBy("node")
+        .agg(max_by(col("label"),
+          struct(col("__c"), (-col("label")).as("__negl"))).as("label")))
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")

@@ -1091,4 +1091,113 @@ object Stats {
           round((den - col("__s4") * 3).cast("double") / den.cast("double"), 5))
           .otherwise(lit(null).cast("double")).as("spearman_rho"))
   }
+
+  /** Split-conformal prediction intervals around a per-group simple
+    * OLS fit of `yCol` on `xCol` — one row per group with the fit,
+    * the conformal half-width q̂, and the realized test-set coverage.
+    * The distribution-free error bar for a learned data-quality
+    * scorer: fit on the train split, take q̂ = the
+    * ⌈(n_cal+1)·covNum/covDen⌉-th smallest absolute calibration
+    * residual, and |y − ŷ| ≤ q̂ then covers ≥ covNum/covDen of fresh
+    * rows by the exchangeability argument (Vovk et al.; Lei et al.
+    * 2018) — no normality assumption the heavy-tailed quality/length
+    * distributions would break.
+    *
+    * Splits are the [[Sampling.hashUniform]] md5 membership on the id
+    * (train u < 1/2, calibration 1/2 ≤ u < 3/4, test u ≥ 3/4) —
+    * partitioning-independent and leak-proof under joins, like every
+    * split in this repo.
+    *
+    * Determinism (§8.3): the OLS moments are exact DECIMAL(19,6)
+    * sums; slope/intercept/residuals are then a FIXED dag of IEEE
+    * double ops over those exact inputs (the [[olsRegression]]
+    * convention), so residual magnitudes are bit-identical on both
+    * engines; the rank-k order statistic ties break by ascending id;
+    * the conformal rank k = ⌈(n_cal+1)·covNum/covDen⌉ is pure
+    * integer arithmetic (clamped to n_cal when the target coverage
+    * is unattainable at that calibration size); coverage renders via
+    * the exact integer HALF-UP rule, never a double blend. Groups
+    * with a singular fit (constant x) or an empty calibration split
+    * surface NULL q̂/coverage rather than an artifact.
+    *
+    * Scale shape: one group-keyed aggregate over the train split
+    * (map-side combinable), the fit broadcast back onto the
+    * calibration and test rows (map-only scoring), ONE rank window
+    * partitioned by group on the calibration split (~1/4 of rows,
+    * WindowGroupLimit-free but group-partitioned — never global),
+    * and one final group-sized aggregate.
+    */
+  def conformalOls(df: DataFrame, groupCol: String, yCol: String,
+      xCol: String, covNum: Int = 9, covDen: Int = 10,
+      idCol: String = "doc_id", salt: String = "conformal"): DataFrame = {
+    require(covNum >= 1 && covNum < covDen,
+      s"target coverage must be a proper fraction, got $covNum/$covDen")
+    val d196 = DecimalType(19, 6)
+    val u = Sampling.hashUniform(col(idCol), salt)
+    val split = when(u < 0.5, lit("train"))
+      .when(u < 0.75, lit("cal")).otherwise(lit("test"))
+    val rows = df.select(col(groupCol).as("__g"),
+        col(idCol).cast("long").as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"),
+        split.as("__split"))
+    def dec(c: Column) = c.cast(Dec186).cast(d196)
+    val fit = rows.filter(col("__split") === "train")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_train"),
+        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"))
+    val nT = col("n_train").cast("double")
+    val det = nT * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val slope = (nT * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) / det
+    val fitted = fit.select(col("__g"), col("n_train"),
+      when(det =!= 0.0, slope).as("__b"),
+      when(det =!= 0.0,
+        (col("__sy").cast("double") - slope * col("__sx").cast("double")) / nT)
+        .as("__a"))
+    val scored = rows.filter(col("__split") =!= "train")
+      .join(broadcast(fitted), Seq("__g"))
+      .withColumn("__r", fabs(col("__y") - (col("__a") + col("__b") * col("__x"))))
+    val byResid = Window.partitionBy("__g")
+      .orderBy(col("__r").asc, col("__id").asc)
+    val cal = scored.filter(col("__split") === "cal")
+      .withColumn("__rn", row_number().over(byResid))
+    val calN = cal.groupBy("__g").agg(count(lit(1)).as("n_cal"))
+    // k = ceil((n_cal + 1)·covNum / covDen), clamped to n_cal — the
+    // decAvg5 floor-of-exact-double-division idiom (operands < 2⁵³)
+    val k = least(
+      floor(((col("n_cal") + 1) * covNum + covDen - 1).cast("double") /
+        lit(covDen.toDouble)).cast("long"),
+      col("n_cal"))
+    val qhat = cal.join(broadcast(calN.select(col("__g"), k.as("__k"))),
+        Seq("__g"))
+      .filter(col("__rn") === col("__k"))
+      .select(col("__g"), col("__r").as("__qhat"))
+    val test = scored.filter(col("__split") === "test")
+      .join(broadcast(qhat), Seq("__g"), "left")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("__qhat"), 1L).otherwise(0L))
+          .as("n_covered"),
+        first(col("__qhat")).as("__q"),
+        first(col("__a")).as("__fa"), first(col("__b")).as("__fb"))
+    // HALF_UP(n_covered/n_test, 5 dp) by the decAvg5 rule: one exact
+    // integer expression, one double division of integers < 2⁵³
+    val coverage = floor(
+      (col("n_covered") * 200000 + col("n_test")).cast("double") /
+        (col("n_test") * 2).cast("double")) / lit(100000.0)
+    test.join(broadcast(calN), Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"), col("n_test"),
+        round(col("__fa"), 5).as("intercept"),
+        round(col("__fb"), 5).as("slope"),
+        round(col("__q"), 5).as("qhat"),
+        when(col("__q").isNotNull, col("n_covered")).as("n_covered"),
+        when(col("__q").isNotNull && col("n_test") > 0, coverage)
+          .as("coverage"))
+      .orderBy(groupCol)
+  }
 }

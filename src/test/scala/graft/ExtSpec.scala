@@ -2980,4 +2980,53 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L).getLong(1) == 0L && out(4L).getLong(2) == 0L &&
       out(4L).getLong(3) == 0L && out(4L).isNullAt(4))
   }
+
+  test("linkageScores: full agreement outranks disagreement and crosses the verdict bands") {
+    // one blocking block (shared name prefix, window covers all):
+    // ids 1,2 agree on both fields; 3,4 disagree on both
+    val df = Seq(
+      (1L, "aaaa one", "rare", "x"),
+      (2L, "aaaa two", "rare", "x"),
+      (3L, "aaaa three", "p", "y"),
+      (4L, "aaaa four", "q", "z"))
+      .toDF("id", "name", "f1", "f2")
+    val out = Dedup.linkageScores(df, "id", "name", Seq("f1", "f2"),
+        window = 4, blockLen = 4,
+        upper = BigDecimal("1.0"), lower = BigDecimal("0.0"))
+      .collect().map { r =>
+        // key by unordered pair: id_a/id_b follow KEY rank, not id
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        (math.min(x, y), math.max(x, y)) -> r
+      }.toMap
+    assert(out.size == 6, "window 4 over one 4-row block = all pairs")
+    val full = out((1L, 2L))
+    assert(full.getLong(2) == 2L)
+    assert(full.getString(4) == "match",
+      s"double agreement must clear the upper band: $full")
+    val none = out((3L, 4L))
+    assert(none.getLong(2) == 0L && none.getString(4) == "non_match")
+    assert(full.getDouble(3) > out((1L, 3L)).getDouble(3),
+      "agreement must outscore partial/disagreement")
+    // hand-check the frequency-based agreement weights: both agreeing
+    // values ('rare' on f1, 'x' on f2) have c_v = 2 of n = 4, so each
+    // field contributes ln(0.9·4/2) quantized at scale 9
+    val wa = math.round(math.log(0.9 * 4 / 2) * 1e9) / 1e9
+    assert(math.abs(full.getDouble(3) -
+      BigDecimal(2 * wa).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9,
+      s"score ${full.getDouble(3)} vs expected ${2 * wa}")
+  }
+
+  test("linkageScores: rare-value agreement outweighs common-value agreement") {
+    // field g: value 'c' appears 8 times, 'r' twice -> agreeing on
+    // 'r' must earn a strictly larger weight than agreeing on 'c'
+    val df = (1L to 8L).map(i => (i, f"aaaa c$i%02d", "c")) ++
+      Seq((9L, "aaaa r01", "r"), (10L, "aaaa r02", "r"))
+    val out = Dedup.linkageScores(df.toDF("id", "name", "g"), "id",
+        "name", Seq("g"), window = 10, blockLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(out((9L, 10L)) > out((1L, 2L)),
+      "both agree, but the rare value must score higher")
+  }
 }

@@ -496,6 +496,100 @@ class StatsSpec extends AnyFunSuite {
       ("up", 4L, Some(1.0))))
   }
 
+  test("seasonalDow: weekly rhythm flattens to a constant deseasonalized series") {
+    // 2024-01-01 is a Monday (dow 0). Two full weeks: Mondays get 10
+    // events, every other day 5 — the multiplicative index must be
+    // 1.75 on Mondays, 0.875 elsewhere, and deseasonalization must
+    // flatten the whole series to the same constant.
+    val ev = (1 to 14).flatMap { d =>
+      val c = if (d == 1 || d == 8) 10 else 5
+      Seq.fill(c)(("t", ts(d)))
+    }.toDF("event_type", "ts")
+    val rows = graft.ext.Events.seasonalDow(ev).collect()
+    assert(rows.length == 14)
+    val monday = rows.filter(_.getInt(2) == 0)
+    assert(monday.length == 2 && monday.forall(_.getDouble(4) == 1.75))
+    val rest = rows.filter(_.getInt(2) != 0)
+    assert(rest.forall(_.getDouble(4) == 0.875))
+    // index = count/overall-mean ratio, so count/index is constant
+    assert(rows.forall(_.getDouble(5) == 5.71429),
+      s"deseasonalized series must be flat: ${rows.map(_.getDouble(5)).toSeq}")
+  }
+
+  test("acfDaily: alternating series anti-correlates at lag 1, zero-filling absent days") {
+    // events only on odd days 1,3,5,7 (4 each); even days ABSENT from
+    // the input — the spine must zero-fill them, giving the series
+    // [4,0,4,0,4,0,4] whose exact ACF is -1152/1344 at lag 1 and
+    // 944/1344 at lag 2 (hand-computed integer rational).
+    val ev = Seq(1, 3, 5, 7).flatMap { d =>
+      Seq.fill(4)(("t", ts(d))) }.toDF("event_type", "ts")
+    val rows = graft.ext.Events.acfDaily(ev, maxLag = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1, 6L, -0.85714), (2, 5L, 0.70238)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("acfDaily: constant series yields NULL acf; partitioning-independent") {
+    val flat = (1 to 10).flatMap(d => Seq.fill(3)(("t", ts(d))))
+      .toDF("event_type", "ts")
+    val r = graft.ext.Events.acfDaily(flat, maxLag = 3).collect()
+    assert(r.length == 3 && r.forall(_.isNullAt(3)))
+    val ev = (1 to 20).flatMap { d =>
+      Seq.fill((d * 5) % 7 + 1)(("t", ts(d))) }.toDF("event_type", "ts")
+    val a = graft.ext.Events.acfDaily(ev.repartition(1), 4).collect().toSeq
+    val b = graft.ext.Events.acfDaily(ev.repartition(7), 4).collect().toSeq
+    assert(a == b)
+  }
+
+  test("conformalOls: perfect fit recovers the line with zero-width intervals") {
+    // y = 2 + 3x exactly everywhere: residuals are 0 on every split,
+    // so qhat = 0 and every test row is covered
+    val df = (1L to 400L).map(i => (i, "g", i.toDouble, 2.0 + 3.0 * i))
+      .toDF("doc_id", "g", "x", "y")
+    val r = Stats.conformalOls(df, "g", "y", "x").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getDouble(3) == 2.0 && row.getDouble(4) == 3.0)
+    assert(row.getDouble(5) == 0.0, "perfect fit -> zero half-width")
+    assert(row.getDouble(7) == 1.0, "zero residuals -> full coverage")
+  }
+
+  test("conformalOls: constant predictor surfaces NULLs, never an artifact") {
+    val df = (1L to 100L).map(i => (i, "g", 5.0, i.toDouble))
+      .toDF("doc_id", "g", "x", "y")
+    val r = Stats.conformalOls(df, "g", "y", "x").collect().head
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(7))
+  }
+
+  test("conformalOls: qhat is the ceil((n+1)·9/10)-th smallest calibration residual") {
+    // train rows sit exactly on y = 2 + 3x (so the fit is exact);
+    // cal/test rows get a known per-id deviation id/1000.0 — the
+    // expected qhat and coverage are recomputed here independently
+    // from the SAME md5 split the operator uses.
+    import graft.ext.Sampling
+    val ids = (1L to 600L)
+    val u = ids.toDF("doc_id")
+      .withColumn("u", Sampling.hashUniform(col("doc_id"), "conformal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def split(i: Long) =
+      if (u(i) < 0.5) "train" else if (u(i) < 0.75) "cal" else "test"
+    val df = ids.map { i =>
+      val dev = if (split(i) == "train") 0.0 else i / 1000.0
+      (i, "g", i.toDouble, 2.0 + 3.0 * i + dev)
+    }.toDF("doc_id", "g", "x", "y")
+    val r = Stats.conformalOls(df, "g", "y", "x").collect().head
+    val calDevs = ids.filter(split(_) == "cal").map(_ / 1000.0).sorted
+    val k = math.min(((calDevs.length + 1) * 9 + 9) / 10, calDevs.length)
+    val qhat = calDevs(k - 1)
+    assert(r.getLong(1) == calDevs.length)
+    assert(math.abs(r.getDouble(5) - qhat) < 1e-9,
+      s"qhat ${r.getDouble(5)} vs expected $qhat")
+    val testIds = ids.filter(split(_) == "test")
+    val covered = testIds.count(i => i / 1000.0 <= qhat + 1e-12)
+    assert(r.getLong(6) == covered.toLong,
+      s"n_covered ${r.getLong(6)} vs expected $covered")
+  }
+
   test("psiDrift: zero for the pool-identical group, symmetric shifts rank") {
     // single group: group distribution IS the pool -> every bin has
     // p = q exactly (same counts, same totals) -> PSI = 0
