@@ -5553,6 +5553,257 @@ object OraclesExt {
        |FROM agg a JOIN m USING (event_type)
        |ORDER BY a.event_type, a.lag""".stripMargin
 
+  /** Personalized PageRank — twin of Graph.personalizedPageRank over
+    * the co-purchase graph with one brand's parts as the teleport
+    * set: the pageRank exact scale-9 integer recurrence, but init
+    * 10⁹//ǀSǀ and jump 0.15·10⁹//ǀSǀ land on connected seeds only
+    * (ǀSǀ counts seeds present in the graph), zero elsewhere; the
+    * per-round sum joins LEFT so sink-side nodes keep their jump
+    * term.
+    */
+  def personalizedPageRank(seedBrand: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT s.dst, sum(r.ru // r.deg)::BIGINT AS su
+         |  FROM sym s JOIN r${i - 1} r ON s.src = r.node GROUP BY s.dst),
+         |r$i AS (SELECT d.node, d.deg, d.seed,
+         |  ((CASE WHEN d.seed THEN (SELECT 150000000 // ns FROM sc)
+         |      ELSE 0 END)
+         |    + (85 * coalesce(su, 0)) // 100)::BIGINT AS ru
+         |  FROM deg d LEFT JOIN s$i ON d.node = s$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |e AS (SELECT DISTINCT x.i AS a, y.i AS b FROM items x
+       |  JOIN items y ON x.g = y.g AND x.i < y.i),
+       |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |dg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+       |sd AS (SELECT DISTINCT p_partkey AS s FROM part
+       |  WHERE p_brand = '$seedBrand'),
+       |deg AS (SELECT dg.node, dg.deg, sd.s IS NOT NULL AS seed
+       |  FROM dg LEFT JOIN sd ON dg.node = sd.s),
+       |sc AS (SELECT count(*)::BIGINT AS ns FROM deg WHERE seed),
+       |r0 AS (SELECT node, deg, seed,
+       |  (CASE WHEN seed THEN (SELECT 1000000000 // ns FROM sc)
+       |    ELSE 0 END)::BIGINT AS ru FROM deg),
+       |$rounds
+       |SELECT node, seed, ru AS rank_u, round(ru / 1000000000.0, 9) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Incrementally maintained grouped view — INDEPENDENT ground truth
+    * for Merge.incrementalAgg: the oracle ignores the delta algebra
+    * entirely and re-aggregates the FULLY MERGED snapshot (the
+    * mergeUpsert CTE chain), so a wrong retraction or addition on the
+    * Spark side fails the hash.
+    */
+  val incrementalAgg: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 17 = 0),
+      |upd AS (SELECT o_orderkey, 'F' AS o_orderstatus,
+      |  o_totalprice * 1.1::DOUBLE AS o_totalprice FROM base
+      |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0),
+      |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+      |  'N' AS o_orderstatus, o_totalprice FROM base
+      |  WHERE o_orderkey % 1000 = 0),
+      |changed_keys AS (SELECT o_orderkey FROM del
+      |  UNION ALL SELECT o_orderkey FROM upd
+      |  UNION ALL SELECT o_orderkey FROM ins),
+      |survivors AS (SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+      |  FROM base b WHERE NOT EXISTS
+      |    (SELECT 1 FROM changed_keys c WHERE c.o_orderkey = b.o_orderkey)),
+      |merged AS (SELECT * FROM survivors
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins)
+      |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+      |  round(sum(o_totalprice::DECIMAL(18,6))::DOUBLE, 5) AS sum_value
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fellegi–Sunter EM — twin of Dedup.linkageEm: identical blocked
+    * candidate pairs (the linkageScores CTE), identical ≤ 2^F pattern
+    * collapse, then the EM rounds unrolled as CTEs — per round the
+    * same left-fold double likelihood chains over the scale-9
+    * decimal parameters, gq re-quantized to DECIMAL(18,9), exact
+    * decimal M-step sums, one rounded double division per parameter.
+    */
+  def linkageEm(fields: Seq[String], window: Int, blockLen: Int,
+      iters: Int): String = {
+    val gammaSel = fields.map(f =>
+      s"CASE WHEN a.$f = b.$f THEN 1 ELSE 0 END AS g_$f").mkString(", ")
+    val gPos = fields.indices.map(i => s"${i + 1}").mkString(", ")
+    def adExpr = "pp::DOUBLE " + fields.map(f =>
+      s"* (CASE WHEN g_$f = 1 THEN m_$f::DOUBLE ELSE 1.0 - m_$f::DOUBLE END)")
+      .mkString(" ")
+    def bdExpr = "(1.0 - pp::DOUBLE) " + fields.map(f =>
+      s"* (CASE WHEN g_$f = 1 THEN u_$f::DOUBLE ELSE 1.0 - u_$f::DOUBLE END)")
+      .mkString(" ")
+    val e0 = "e0 AS (SELECT " +
+      (fields.map(f => s"0.9::DECIMAL(18,9) AS m_$f") ++
+        fields.map(f => s"0.1::DECIMAL(18,9) AS u_$f") :+
+        "0.1::DECIMAL(18,9) AS pp").mkString(", ") + ")"
+    val rounds = (1 to iters).map { r =>
+      s"""sc$r AS (SELECT g.*, round(($adExpr) / (($adExpr) + ($bdExpr)),
+         |    9)::DECIMAL(18,9) AS gq
+         |  FROM gam g CROSS JOIN e${r - 1}),
+         |e$r AS (SELECT ${fields.map(f =>
+        s"round(sum(gq * g_$f * n)::DOUBLE / sum(gq * n)::DOUBLE, 9)" +
+          s"::DECIMAL(18,9) AS m_$f").mkString(", ")},
+         |  ${fields.map(f =>
+        s"round(sum((1 - gq) * g_$f * n)::DOUBLE / " +
+          s"sum((1 - gq) * n)::DOUBLE, 9)::DECIMAL(18,9) AS u_$f")
+        .mkString(", ")},
+         |  round(sum(gq * n)::DOUBLE / sum(n)::DOUBLE, 9)::DECIMAL(18,9)
+         |    AS pp
+         |  FROM sc$r)""".stripMargin
+    }.mkString(",\n")
+    val finalRows = fields.map(f =>
+      s"""SELECT '$f' AS field, m_$f::DOUBLE AS m, u_$f::DOUBLE AS u,
+         |  pp::DOUBLE AS lambda,
+         |  (SELECT sum(n) FROM gam)::BIGINT AS n_pairs FROM e$iters"""
+        .stripMargin).mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT p_partkey AS id,
+       |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS k
+       |  FROM part),
+       |r AS MATERIALIZED (SELECT id, substr(k, 1, $blockLen) AS blk,
+       |  k, row_number() OVER (PARTITION BY substr(k, 1, $blockLen)
+       |    ORDER BY k, id) AS rn
+       |  FROM base),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM r a JOIN r b ON a.blk = b.blk
+       |  AND b.rn > a.rn AND b.rn <= a.rn + ${window - 1}),
+       |gam AS (SELECT $gammaSel, count(*)::BIGINT AS n
+       |  FROM p JOIN part a ON a.p_partkey = p.id_a
+       |  JOIN part b ON b.p_partkey = p.id_b
+       |  GROUP BY $gPos),
+       |$e0,
+       |$rounds
+       |SELECT * FROM ($finalRows) ORDER BY field""".stripMargin
+  }
+
+  /** Binary sign-quantized search — twin of Similarity.binaryTopK:
+    * per-dimension sign disagreements counted directly (the unpacked
+    * form of the Spark side's `bit_count(qbits XOR cbits)` — the
+    * COUNT is definitionally identical to the packed-long popcount),
+    * ascending-Hamming candidates with id tie-break, exact-cosine
+    * rerank.
+    */
+  def knnBinary(k: Int, rerank: Int): String =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, nv AS nqv FROM n WHERE vec_id < 5),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.nqv, c.nv,
+       |  list_sum(list_transform(list_zip(q.nqv, c.nv), z ->
+       |    CASE WHEN (z[1] >= 0) <> (z[2] >= 0) THEN 1 ELSE 0 END))::INT AS hamming
+       |  FROM n c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+       |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY hamming ASC, neighbor_id) AS ar FROM sc),
+       |ex AS (SELECT query_id, neighbor_id, hamming,
+       |  ${dotSql("nqv", "nv")} AS score FROM cand WHERE ar <= $rerank),
+       |rk AS (SELECT query_id, neighbor_id, hamming, score, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, hamming, score, cast(rank AS INT) AS rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Hard-negative mining — twin of Similarity.hardNegatives: the
+    * brute-force scored relation band-filtered on the SAME rounded
+    * scale-5 score the result reports, then per-query top-k.
+    */
+  def hardNegatives(k: Int, floor: Double, ceiling: Double): String =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, nv AS nqv FROM n WHERE vec_id < 5),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nqv", "c.nv")} AS score
+       |  FROM n c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+       |b AS (SELECT * FROM sc WHERE score >= $floor AND score < $ceiling),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY score DESC, neighbor_id) AS rank FROM b)
+       |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** MMR diversified rerank — twin of Search.mmrRerank: identical
+    * candidate lists and scale-5 rel/sim, then the greedy selection
+    * unrolled as `selectK` CTE rounds (the personalizedPageRank
+    * rounds pattern); every argmax repeats the Spark side's
+    * `0.5·rel − 0.5·max(sim)` double expression with id tie-break.
+    */
+  def mmrRerank(queryIds: Seq[Long], candidateK: Int,
+      selectK: Int): String = {
+    val ids = queryIds.mkString(", ")
+    val rounds = (2 to selectK).map { r =>
+      s"""mx$r AS (SELECT rm.query_id, rm.neighbor_id, rm.rel,
+         |  max(p.sim) AS mxs
+         |  FROM rem${r - 1} rm
+         |  JOIN selall${r - 1} s ON s.query_id = rm.query_id
+         |  JOIN sims p ON p.query_id = rm.query_id
+         |    AND p.cand_id = rm.neighbor_id AND p.other_id = s.neighbor_id
+         |  GROUP BY 1, 2, 3),
+         |sel$r AS (SELECT query_id, $r AS pos, neighbor_id, rel,
+         |  0.5 * rel - 0.5 * mxs AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.5 * rel - 0.5 * mxs DESC, neighbor_id) AS rn
+         |    FROM mx$r) WHERE rn = 1),
+         |selall$r AS (SELECT * FROM selall${r - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel$r),
+         |rem$r AS (SELECT rm.* FROM rem${r - 1} rm WHERE NOT EXISTS
+         |  (SELECT 1 FROM sel$r s WHERE s.query_id = rm.query_id
+         |    AND s.neighbor_id = rm.neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to selectK).map(r => s"SELECT * FROM sel$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, nv AS nqv FROM n
+       |  WHERE vec_id IN ($ids)),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nqv", "c.nv")} AS rel
+       |  FROM n c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, rel FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, neighbor_id) AS rn FROM sc)
+       |  WHERE rn <= $candidateK),
+       |cv AS (SELECT cand.query_id, cand.neighbor_id, n.nv
+       |  FROM cand JOIN n ON n.vec_id = cand.neighbor_id),
+       |sims AS (SELECT l.query_id, l.neighbor_id AS cand_id,
+       |  r.neighbor_id AS other_id, ${dotSql("l.nv", "r.nv")} AS sim
+       |  FROM cv l JOIN cv r ON l.query_id = r.query_id
+       |    AND l.neighbor_id <> r.neighbor_id),
+       |sel1 AS (SELECT query_id, 1 AS pos, neighbor_id, rel,
+       |  0.5 * rel AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY 0.5 * rel DESC, neighbor_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |selall1 AS (SELECT query_id, neighbor_id FROM sel1),
+       |rem1 AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+       |  (SELECT 1 FROM selall1 s WHERE s.query_id = c.query_id
+       |    AND s.neighbor_id = c.neighbor_id)),
+       |$rounds
+       |SELECT query_id, cast(pos AS INT) AS pos, neighbor_id,
+       |  rel AS relevance, round(mmr, 9) AS mmr_score
+       |FROM ($unioned) ORDER BY query_id, pos""".stripMargin
+  }
+
+  /** Exact α=1/2 EWMA of daily value totals — twin of
+    * Events.ewmaDaily: the identical power-of-two integer-weighted
+    * cumulative numerator in HUGEINT (the DECIMAL(38,0) twin), one
+    * identical double division chain per row.
+    */
+  val ewmaDaily: String =
+    """WITH daily AS (SELECT event_type, ts::DATE AS day,
+      |  count(*)::BIGINT AS n_events,
+      |  sum(value::DECIMAL(18,6)) AS x FROM events GROUP BY 1, 2),
+      |idx AS (SELECT *, (x * 1000000)::HUGEINT AS xu,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |ws AS (SELECT *, CASE WHEN i = 1 THEN 1::HUGEINT
+      |    ELSE (1::BIGINT << (i - 2))::HUGEINT END AS w FROM idx),
+      |cum AS (SELECT *, sum(w * xu) OVER (PARTITION BY event_type
+      |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  AS s FROM ws),
+      |den AS (SELECT *, ((1::BIGINT << (i - 1))::HUGEINT * 10) AS d
+      |  FROM cum)
+      |SELECT event_type, day, n_events,
+      |  round(x::DOUBLE, 5) AS day_value,
+      |  (((2 * s + d) // (2 * d))::DOUBLE / 100000.0) AS ewma
+      |FROM den ORDER BY event_type, day""".stripMargin
+
   /** Fellegi–Sunter linkage scores — twin of Dedup.linkageScores over
     * the sortedNeighborhood candidate pairs on part: the same
     * data-estimated u_f = Σc²/n² chance agreements, scale-9

@@ -711,6 +711,19 @@ object SparkEntry {
   private[graft] val snmBlockLen = 4
   // Fellegi–Sunter comparison vector over the part candidate pairs
   private[graft] val linkageFields = Seq("p_brand", "p_type", "p_size")
+  // personalized-PageRank teleport set: one brand's parts
+  private[graft] val pprSeedBrand = "Brand#4"
+  // hard-negative mining band: below the near-dup/positive ceiling,
+  // above the trivially-easy floor (synthetic corpus cosines top out
+  // ~0.4; p90 ≈ 0.16, p99 ≈ 0.28 — the band is the informative tail)
+  private[graft] val hardNegFloor = 0.20
+  private[graft] val hardNegCeiling = 0.35
+  // MMR diversified rerank: greedy picks from the candidate pool
+  private[graft] val mmrQueryIds = Seq(0L, 1L, 2L)
+  private[graft] val mmrCandidateK = 20
+  private[graft] val mmrSelectK = 5
+  // Fellegi–Sunter EM rounds (each is one CTE pass over <= 2^F rows)
+  private[graft] val linkageEmIters = 5
   // matryoshka recall: prefix widths evaluated against the 64-dim truth
   private[graft] val matryoshkaDims = Seq(8, 16, 32, 64)
   // water-filling: token budget below the corpus total so the level
@@ -3039,6 +3052,79 @@ object SparkEntry {
     "q_linkage_score" -> withTables { s =>
       Dedup.linkageScores(s.table("part"), "p_partkey", "p_name",
         linkageFields, snmWindow, snmBlockLen)
+    },
+    // Personalized PageRank over the co-purchase graph, teleporting
+    // to one brand's parts — "buyers of this brand also buy" ranks.
+    "q_ppr" -> withTables { s =>
+      Graph.personalizedPageRank(
+        Graph.coOccurrenceEdges(
+          s.table("lineitem"), "l_orderkey", "l_partkey"),
+        s.table("part").filter(col("p_brand") === pprSeedBrand)
+          .select(col("p_partkey").as("node")),
+        pageRankIters).orderBy("node")
+    },
+    // Incrementally maintained (count, sum) view under the
+    // q_merge_upsert change set — delta algebra, never a re-scan;
+    // the oracle recomputes the view from the merged snapshot, so a
+    // wrong retraction/addition fails the hash.
+    "q_incremental_agg" -> withTables { s =>
+      import graft.ext.Merge
+      val base = s.table("orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val deletes = base.where(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(Merge.Delete).as(Merge.OpCol))
+      val updates = base
+        .where(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit(Merge.Upsert).as(Merge.OpCol))
+      val inserts = base.where(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          lit(Merge.Upsert).as(Merge.OpCol))
+      Merge.incrementalAgg(base,
+        deletes.unionByName(updates).unionByName(inserts),
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    // Binary sign-quantized ANN: 1 bit/dim packed into one BIGINT,
+    // Hamming-ranked candidates, exact-cosine rerank — the most
+    // compressed member of the quantization family (SQ8, PQ, binary).
+    "q_knn_binary" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          rerank = sq8Rerank)
+        .orderBy("query_id", "rank")
+    },
+    // Contrastive hard-negative mining: per query, top-k neighbors in
+    // the informative band [floor, ceiling) — excludes positives/
+    // near-dups above and trivially-easy negatives below.
+    "q_hard_negatives" -> withTables { s =>
+      val emb = s.table("embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          k = 10, hardNegFloor, hardNegCeiling)
+        .orderBy("query_id", "rank")
+    },
+    // MMR diversified rerank: greedy relevance-vs-redundancy selection
+    // from each query's brute-force candidate list.
+    "q_mmr_rerank" -> withTables { s =>
+      graft.ext.Search.mmrRerank(s.table("embeddings"), mmrQueryIds,
+        mmrCandidateK, mmrSelectK)
+    },
+    // Exact EWMA (α = 1/2) of the daily value total per event type —
+    // integer power-of-two weights in DECIMAL(38,0), one double
+    // division per row.
+    "q_ewma_daily" -> withTables { s =>
+      Events.ewmaDaily(s.table("events"))
+    },
+    // Fellegi–Sunter EM: estimate per-field m/u probabilities and the
+    // match proportion from the blocked candidate pairs themselves —
+    // the unsupervised calibration behind q_linkage_score's weights.
+    "q_linkage_em" -> withTables { s =>
+      Dedup.linkageEm(s.table("part"), "p_partkey", "p_name",
+        linkageFields, snmWindow, snmBlockLen, linkageEmIters)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3409,5 +3495,17 @@ object SparkEntry {
     "q_conformal" ->
       OraclesExt.conformalOls(conformalCovNum, conformalCovDen),
     "q_linkage_score" -> OraclesExt.linkageScores(linkageFields,
-      snmWindow, snmBlockLen, 9, 10, "3.0", "0.0"))
+      snmWindow, snmBlockLen, 9, 10, "3.0", "0.0"),
+    "q_ppr" ->
+      OraclesExt.personalizedPageRank(pprSeedBrand, pageRankIters),
+    "q_incremental_agg" -> OraclesExt.incrementalAgg,
+    "q_knn_binary" -> OraclesExt.knnBinary(10, sq8Rerank),
+    "q_hard_negatives" ->
+      OraclesExt.hardNegatives(10, hardNegFloor, hardNegCeiling),
+    "q_mmr_rerank" ->
+      OraclesExt.mmrRerank(mmrQueryIds, mmrCandidateK, mmrSelectK),
+    "q_ewma_daily" -> OraclesExt.ewmaDaily,
+    "q_linkage_em" ->
+      OraclesExt.linkageEm(linkageFields, snmWindow, snmBlockLen,
+        linkageEmIters))
 }

@@ -685,6 +685,111 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** EM estimation of the Fellegi–Sunter parameters (Winkler 1988):
+    * instead of ASSUMING the m-probability like [[linkageScores]],
+    * estimate per-field m_f (P[agree | match]), u_f
+    * (P[agree | non-match]) and the match proportion λ from the
+    * candidate pairs themselves, under the conditional-independence
+    * model. E-step: each agreement PATTERN γ ∈ {0,1}^F gets
+    * g(γ) = λ·Π m^γ(1−m)^(1−γ) / (λ·Π m… + (1−λ)·Π u^γ(1−u)^(1−γ));
+    * M-step: m_f = Σ g·γ_f·n / Σ g·n (and the mirrored forms for u_f
+    * and λ). The unsupervised calibration step that makes the linkage
+    * score thresholds principled rather than hand-tuned.
+    *
+    * Determinism (§8.3): the comparison vectors collapse to ≤ 2^F
+    * pattern rows FIRST (one map-side-combined aggregate), so EM
+    * arithmetic never touches pair-count-sized data. Per round, the
+    * pattern likelihoods are fixed LEFT-FOLD double products of the
+    * scale-9 decimal parameters (no accumulation — one product chain
+    * per pattern row), g is quantized back to DECIMAL(18,9), the
+    * M-step numerators/denominators are EXACT decimal·integer sums
+    * over the ≤ 2^F rows, and each new parameter is ONE double
+    * division rounded to scale 9 — bit-identical across engines and
+    * partitionings. Rounds are materialized fresh leaves.
+    *
+    * Scale shape: one blocked-pair scan + one pattern aggregate
+    * (map-side combined, output ≤ 2^F rows); every EM round runs on
+    * the pattern relation only. At 100 TB the candidate generation
+    * ([[sortedNeighborhoodPairs]]) dominates; EM itself is
+    * metadata-sized. Returns one row per field:
+    * (field, m, u, lambda, n_pairs), field order.
+    */
+  def linkageEm(df: DataFrame, idCol: String, keyCol: String,
+      fields: Seq[String], window: Int, blockLen: Int,
+      iters: Int = 5): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(fields.size <= 8, "pattern space is 2^F — keep F <= 8")
+    require(iters >= 1, "iters must be >= 1")
+    val dec189 = DecimalType(18, 9)
+    val pairs = sortedNeighborhoodPairs(df, idCol, keyCol, window, blockLen)
+      .select("id_a", "id_b")
+    val aSide = df.select(col(idCol).as("id_a") +:
+      fields.map(f => col(f).as(s"__a_$f")): _*)
+    val bSide = df.select(col(idCol).as("id_b") +:
+      fields.map(f => col(f).as(s"__b_$f")): _*)
+    val gammaCols = fields.map { f =>
+      when(col(s"__a_$f") === col(s"__b_$f"), 1).otherwise(0).as(s"__g_$f")
+    }
+    val gam = materialize(
+      pairs.join(aSide, "id_a").join(bSide, "id_b")
+        .groupBy(gammaCols: _*).agg(count(lit(1)).as("__n")))
+    def d9(s: String) = lit(new java.math.BigDecimal(s)).cast(dec189)
+    var state = materialize(df.sparkSession.range(1).select(
+      fields.map(f => d9("0.9").as(s"__m_$f")) ++
+        fields.map(f => d9("0.1").as(s"__u_$f")) :+
+        d9("0.1").as("__p"): _*))
+    for (_ <- 1 to iters) {
+      val joined = gam.crossJoin(broadcast(state))
+      // fixed left-fold double product chains — one per pattern row
+      val ad = fields.foldLeft(col("__p").cast("double")) { (acc, f) =>
+        acc * when(col(s"__g_$f") === 1, col(s"__m_$f").cast("double"))
+          .otherwise(lit(1.0) - col(s"__m_$f").cast("double"))
+      }
+      val bd = fields.foldLeft(lit(1.0) - col("__p").cast("double")) {
+        (acc, f) =>
+          acc * when(col(s"__g_$f") === 1, col(s"__u_$f").cast("double"))
+            .otherwise(lit(1.0) - col(s"__u_$f").cast("double"))
+      }
+      val scored = joined
+        .withColumn("__gq", round(ad / (ad + bd), 9).cast(dec189))
+      // M-step: exact decimal sums over <= 2^F rows, one double
+      // division per parameter
+      def ratio9(num: Column, den: Column): Column =
+        round(num.cast("double") / den.cast("double"), 9).cast(dec189)
+      // §8.3 rule 11: DECIMAL(18,9) × LONG asks for precision > 38
+      // and Spark silently DROPS SCALE — cast the integer factors to
+      // the narrowest sufficient decimals so the exact scale survives
+      // (γ is one bit; pattern counts are bounded by the candidate-
+      // pair count, comfortably inside 10^14)
+      val nD = col("__n").cast(DecimalType(14, 0))
+      def gD(f: String) = col(s"__g_$f").cast(DecimalType(1, 0))
+      val aggCols = Seq(
+        sum(col("__gq") * nD).as("__sg"),
+        sum((lit(1.0).cast(dec189) - col("__gq")) * nD).as("__sn"),
+        sum(col("__n")).as("__tot")) ++
+        fields.flatMap(f => Seq(
+          sum(col("__gq") * gD(f) * nD).as(s"__sgf_$f"),
+          sum((lit(1.0).cast(dec189) - col("__gq")) * gD(f) * nD)
+            .as(s"__snf_$f")))
+      val sums = scored.agg(aggCols.head, aggCols.tail: _*)
+      state = materialize(sums.select(
+        fields.map(f =>
+          ratio9(col(s"__sgf_$f"), col("__sg")).as(s"__m_$f")) ++
+          fields.map(f =>
+            ratio9(col(s"__snf_$f"), col("__sn")).as(s"__u_$f")) :+
+          ratio9(col("__sg"), col("__tot")).as("__p"): _*))
+    }
+    val nPairs = gam.agg(sum(col("__n")).as("__tot"))
+    val wide = state.crossJoin(broadcast(nPairs))
+    fields.map { f =>
+      wide.select(lit(f).as("field"),
+        col(s"__m_$f").cast("double").as("m"),
+        col(s"__u_$f").cast("double").as("u"),
+        col("__p").cast("double").as("lambda"),
+        col("__tot").as("n_pairs"))
+    }.reduce(_ unionByName _).orderBy("field")
+  }
+
   /** Cross-corpus near-dup pairs: MinHash+LSH between TWO corpora —
     * the "dedup a new crawl against the existing training set"
     * operation (same banding machinery as [[minHashNearDupPairs]],

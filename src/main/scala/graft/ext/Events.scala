@@ -1374,4 +1374,63 @@ object Events {
           round(num.cast("double") / den.cast("double"), 5)).as("acf"))
       .orderBy("event_type", "lag")
   }
+
+  /** Per-type EXACT exponentially-weighted moving average (α = 1/2)
+    * of the daily value total — the smoothing curve behind "is this
+    * metric trending or just noisy today": each day's EWMA halves
+    * yesterday's and adds half of today (`s_t = (x_t + s_{t-1})/2`,
+    * init `s_1 = x_1`). Rendered EXACTLY via the closed form: with
+    * day index i per type (1-based over OBSERVED days — gaps carry
+    * the running average forward, the trading-day convention),
+    * `2^{t-1}·s_t = x_1 + Σ_{i=2..t} 2^{i-2}·x_i` — an integer-
+    * weighted cumulative window sum in DECIMAL(38,0) over scale-6
+    * units, so the recurrence never accumulates float error and both
+    * engines compute the identical numerator. α = 1/2 is exactly the
+    * choice that makes the weights powers of two; the ONE double
+    * division per row (`S_t / 2^{t-1}`, then scale-6 down) is §8.3
+    * rule 4's allowed finalize.
+    *
+    * The day-index bound: weights stay exact while `i ≤ 62`
+    * (`1L << 60` is the last power with Σ 2^i·x_i safely inside
+    * DECIMAL(38,0) at petabyte value sums); a `raise_error` guard on
+    * the TINY daily relation (≤ types·days rows) enforces it loudly
+    * instead of wrapping silently. Beyond 62 observed days the
+    * honest form is a windowed restart (smooth the trailing 62) —
+    * at 2^-62 the older terms are below any double's resolution
+    * anyway.
+    *
+    * Scale shape: ONE map-side-combined daily roll-up of the corpus;
+    * everything after is the types×days calendar grid (the
+    * [[dailyTrend]] domain), windowed PER TYPE. Returns (event_type,
+    * day, n_events, day_value, ewma), (event_type, day) order.
+    */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val dec380 = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).as("__x"))
+      .withColumn("__xu", (col("__x") * 1000000).cast(dec380))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val cumW = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__i", row_number().over(byDay))
+      .withColumn("__i", when(col("__i") > 62,
+        raise_error(lit("ewmaDaily: > 62 observed days per type — " +
+          "exact 2^i weights leave DECIMAL(38,0)"))).otherwise(col("__i")))
+      .withColumn("__w", when(col("__i") === 1, lit(1L))
+        .otherwise(expr("shiftleft(1L, __i - 2)")).cast(dec380))
+      .withColumn("__s", sum(col("__w") * col("__xu")).over(cumW))
+      // §8.3 rule 4: S / 2^{t-1} lands EXACTLY on .5×10⁻⁵ ties
+      // (…0625 tails), where engine `round`s disagree — render the
+      // 5-decimal value as exact integer HALF_UP: floor((2S+den) /
+      // (2den)) with den = 2^{t-1}·10, one exact div, one /10⁵
+      .withColumn("__den",
+        expr("shiftleft(1L, __i - 1)").cast(dec380) * 10)
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("__x").cast("double"), 5).as("day_value"),
+        (expr("(2 * __s + __den) div (2 * __den)").cast("double") /
+          100000.0).as("ewma"))
+      .orderBy("event_type", "day")
+  }
 }

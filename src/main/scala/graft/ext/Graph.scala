@@ -79,6 +79,60 @@ object Graph {
       round(col("ru") / lit(1000000000.0), 9).as("rank"))
   }
 
+  /** Personalized PageRank: the [[pageRank]] recurrence with ALL
+    * teleport mass restricted to a seed set — random walks restart at
+    * the seeds, so rank measures proximity TO THE SEEDS rather than
+    * global centrality. The recommendation/expansion read over a
+    * co-occurrence graph: seed one brand's parts and the ranking
+    * surfaces what their buyers also buy; seed one near-dup cluster
+    * and it surfaces the related clusters.
+    *
+    * Same exact scale-9 integer-unit determinism contract as
+    * [[pageRank]] (init 10⁹ div ǀSǀ and jump 0.15·10⁹ div ǀSǀ on
+    * seeds, 0 elsewhere; damping 85·Σ div 100; per-edge contribution
+    * ru div deg; floor division identical cross-engine). ǀSǀ counts
+    * seeds CONNECTED to the graph — disconnected seeds can receive
+    * no walk and contribute none. Returns one row per edge-connected
+    * node: (node, seed, rank_u, rank), node order.
+    *
+    * Scale shape: identical to [[pageRank]] (one equi-join + one
+    * map-side-combined sum + one node-list join per round,
+    * materialized rounds), plus ONE broadcast seed join at setup —
+    * seed sets are small by construction (a brand, a cluster).
+    */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+      iters: Int = 5, srcCol: String = "id_a", dstCol: String = "id_b",
+      seedCol: String = "node"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym = Dedup.materialize(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    val deg = Dedup.materialize(
+      sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .join(broadcast(seeds.select(col(seedCol).as("__s")).distinct()),
+          col("node") === col("__s"), "left")
+        .select(col("node"), col("deg"), col("__s").isNotNull.as("seed")))
+    val ns = deg.filter(col("seed")).count()
+    require(ns >= 1, "no seed node is connected to the graph")
+    val initU = 1000000000L / ns
+    val jumpU = 150000000L / ns
+    var ranks = Dedup.materialize(
+      deg.select(col("node"), col("deg"), col("seed"),
+        when(col("seed"), initU).otherwise(0L).as("ru")))
+    for (_ <- 0 until iters) {
+      val sums = sym.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("ru div deg").as("cu"))
+        .groupBy("dst").agg(sum(col("cu")).as("su"))
+      ranks = Dedup.materialize(
+        deg.join(sums, col("node") === col("dst"), "left")
+          .select(col("node"), col("deg"), col("seed"),
+            (when(col("seed"), jumpU).otherwise(0L) +
+              expr("(85 * coalesce(su, 0L)) div 100")).as("ru")))
+    }
+    ranks.select(col("node"), col("seed"), col("ru").as("rank_u"),
+      round(col("ru") / lit(1000000000.0), 9).as("rank"))
+  }
+
   /** Label-propagation communities over a unique (a < b) undirected
     * edge list, SYNCHRONOUS with a fixed round count: every node
     * starts labeled with its own id; each round every node adopts the

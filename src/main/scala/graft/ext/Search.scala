@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -261,6 +262,92 @@ object Search {
     * respective scans; the fusion full-outer join holds ≤ 2·listK
     * rows — driver-bounded, never corpus-scale.
     */
+  /** Maximal-marginal-relevance (MMR) diversified re-ranking: from a
+    * per-query brute-force cosine candidate list of `candidateK`
+    * items, greedily select `selectK` — each step takes the remaining
+    * candidate maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s)`
+    * with λ = 1/2, i.e. relevance penalized by redundancy against
+    * what is already picked. The result-diversification step between
+    * retrieval and a context window: near-duplicate hits stop
+    * crowding out coverage. (Carbonell & Goldstein, SIGIR '98.)
+    *
+    * Determinism: `rel` and `sim` are the scale-5 rounded cosine the
+    * search family reports; the MMR score is `0.5·rel − 0.5·max(sim)`
+    * on those identical doubles (max is order-independent); every
+    * argmax breaks ties on neighbor id. The first pick has no
+    * selected set — its score is `0.5·rel` (empty-max = 0, the
+    * standard convention).
+    *
+    * Scale shape: candidates come from [[Similarity.topK]] (broadcast
+    * queries, WindowGroupLimit) — swap in the IVF variant at corpus
+    * scale; every relation past candidate generation is
+    * ≤ queries·candidateK rows (pairwise sims ≤ queries·candidateK²),
+    * ALL config-bounded; the `selectK` greedy rounds are materialized
+    * fresh-leaf frames over those bounded relations, never a
+    * corpus-sized loop. Returns (query_id, pos, neighbor_id,
+    * relevance, mmr_score), (query_id, pos) order.
+    */
+  def mmrRerank(embeddings: DataFrame, queryVecIds: Seq[Long],
+      candidateK: Int, selectK: Int, vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(selectK >= 1 && selectK <= candidateK,
+      "need 1 <= selectK <= candidateK")
+    val queries = embeddings.filter(col(vecIdCol).isin(queryVecIds: _*))
+    val cand = Dedup.materialize(
+      Similarity.topK(embeddings, queries, candidateK, vecIdCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"), col("score").as("rel")))
+    // pairwise candidate sims, both directions (cand_id, other_id):
+    // ≤ candidateK² rows per query, all config-bounded
+    val nv = Similarity.normalized(embeddings, vecIdCol, vecCol)
+    val withVec = cand
+      .join(nv, cand("neighbor_id") === nv(vecIdCol))
+      .select(col("query_id"), col("neighbor_id"), col(vecCol).as("__v"))
+    val l = withVec.select(col("query_id"), col("neighbor_id").as("cand_id"),
+      col("__v").as("__vl"))
+    val r = withVec.select(col("query_id"), col("neighbor_id").as("other_id"),
+      col("__v").as("__vr"))
+    val sims = Dedup.materialize(
+      l.join(r, Seq("query_id")).filter(col("cand_id") =!= col("other_id"))
+        .select(col("query_id"), col("cand_id"), col("other_id"),
+          round(Similarity.dot(col("__vl"), col("__vr")), 5).as("sim")))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("__mmr").desc, col("neighbor_id").asc)
+    def pickTop(scored: DataFrame, pos: Int): DataFrame =
+      Dedup.materialize(scored
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), lit(pos).as("pos"), col("neighbor_id"),
+          col("rel"), col("__mmr")))
+    var sel = pickTop(cand.withColumn("__mmr", col("rel") * 0.5), 1)
+    var selAll = sel.select(col("query_id"), col("neighbor_id").as("sel_id"))
+    var rem = Dedup.materialize(
+      cand.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti"))
+    val picks = scala.collection.mutable.ListBuffer(sel)
+    for (p <- 2 to selectK) {
+      val mx = sims.join(selAll, Seq("query_id"))
+        .filter(col("other_id") === col("sel_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim")).as("__mx"))
+      val scored = rem.join(mx,
+          rem("query_id") === mx("query_id") &&
+            rem("neighbor_id") === mx("cand_id"))
+        .select(rem("query_id"), rem("neighbor_id"), rem("rel"),
+          (rem("rel") * 0.5 - col("__mx") * 0.5).as("__mmr"))
+      sel = pickTop(scored, p)
+      picks += sel
+      selAll = Dedup.materialize(selAll.unionByName(
+        sel.select(col("query_id"), col("neighbor_id").as("sel_id"))))
+      rem = Dedup.materialize(
+        rem.join(sel.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti"))
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("query_id"), col("pos"), col("neighbor_id"),
+        col("rel").as("relevance"), round(col("__mmr"), 9).as("mmr_score"))
+      .orderBy("query_id", "pos")
+  }
+
   def rrfFusion(docs: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], queryVecId: Long, listK: Int, k: Int,
       rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75,

@@ -1271,6 +1271,101 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Binary (1-bit sign) quantized search — the most compressed point
+    * of the quantization family (SQ8 = 8 bits/dim, PQ = m codes,
+    * binary = 1 bit/dim): each normalized vector is reduced to its
+    * per-dimension SIGN BITS packed into one BIGINT (dims ≤ 64), the
+    * approximate ranking is ASCENDING Hamming distance
+    * `bit_count(qbits XOR cbits)` (for unit vectors the expected
+    * angle grows with the number of disagreeing hyperplane signs —
+    * the SimHash estimate with the coordinate axes as planes), and
+    * the per-query top `rerank` candidates are re-scored with the
+    * exact cosine. 64 dims collapse to 8 BYTES per corpus row, and
+    * the distance is ONE xor + popcount — the cheapest possible scan.
+    *
+    * Determinism: the sign test `v >= 0` on exactly-normalized
+    * doubles is engine-identical; Hamming is integer; both rank
+    * stages break ties on neighbor id (Hamming ties are COMMON at
+    * 1 bit/dim — the id tie-break carries the determinism, and the
+    * exact rerank restores metric quality).
+    *
+    * Scale shape: bit-packing is a map-side pass (no shuffle);
+    * scoring is broadcast-queries × corpus with an 8-byte payload;
+    * both rank stages are per-query WindowGroupLimit. At 100 TB the
+    * packed-bits relation is ~1/256th of the float corpus and would
+    * be the persisted scan artifact; the rerank fetches only
+    * `rerank` full vectors per query by id.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 30, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= 64, "packed sign bits need dims in [1, 64]")
+    // Σ_d (nv[d] >= 0) << d, folded as a long — one BIGINT per vector.
+    // Bit 63 makes the long negative; XOR + bit_count is sign-blind.
+    val powers = typedLit((0 until dims).map(1L << _))
+    def signBits(vec: Column): Column = aggregate(
+      zip_with(vec, powers, (v, p) => when(v >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"))
+      .withColumn("__cb", signBits(col("ncv")))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"))
+      .withColumn("__qb", signBits(col("nqv")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ham").asc, col("neighbor_id").asc)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ham",
+        expr("bit_count(__qb ^ __cb)").cast("int"))
+      .withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerank)
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("__ham").as("hamming"),
+        col("score"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k corpus neighbors whose cosine lands in the HARD BAND
+    * `[floor, ceiling)` — close enough to be informative negatives,
+    * but below the near-duplicate/positive ceiling (those are the
+    * POSITIVES a contrastive pair must not treat as negatives —
+    * false negatives poison the loss) and above the floor that cuts
+    * trivially-easy negatives the model already separates. The
+    * standard mining step for embedding-model training data
+    * (anchor, positive, k hard negatives).
+    *
+    * Determinism: band edges compare the same rounded scale-5 score
+    * the result reports; ranking breaks ties on neighbor id.
+    *
+    * Scale shape: identical to [[topK]] — broadcast queries,
+    * map-side scoring, per-query WindowGroupLimit; the band filter
+    * prunes BEFORE the window, so the ranked relation only holds
+    * in-band rows. At 100 TB the scoring pass rides the same IVF /
+    * binary-code pruning as the search family (compose: feed
+    * [[ivfTopK]] candidates in as `corpus`).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      floor: Double, ceiling: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(floor < ceiling, "need floor < ceiling")
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("ncv"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("nqv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(dot(col("nqv"), col("ncv")), 5))
+      .filter(col("score") >= floor && col("score") < ceiling)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** IVF + PQ composed search — the full FAISS-style shape: IVF
     * cells prune WHICH corpus vectors a query meets (equi-join on
     * centroid_id, nprobe/nlist of the corpus per query), and PQ

@@ -2747,6 +2747,118 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"recall@10 with rerank=30 was $overlap")
   }
 
+  test("binaryTopK agrees with brute force at full-recall rerank width") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 2)
+    // rerank = whole corpus → the exact rerank reproduces brute force
+    val bin = Similarity.binaryTopK(emb, q, k = 10, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    val bf = Similarity.topK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(bin == bf)
+  }
+
+  test("binaryTopK: packed-long popcount equals the per-dim sign disagreement count") {
+    // 4-dim vectors with hand-countable sign patterns; dims = 4 packs
+    // into the low nibble — Hamming(q, a) = 2, Hamming(q, b) = 0,
+    // Hamming(q, c) = 4 (all signs flipped)
+    val rows = Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f, 1.0f)),   // query: + + - +
+      (1L, Array(1.0f, -1.0f, -1.0f, -1.0f)), // a: + - - -  → 2 flips
+      (2L, Array(2.0f, 0.5f, -3.0f, 0.1f)),   // b: + + - +  → 0 flips
+      (3L, Array(-1.0f, -1.0f, 1.0f, -1.0f))  // c: - - + -  → 4 flips
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.binaryTopK(rows, rows.filter(col("vec_id") === 0),
+        k = 3, rerank = 3, dims = 4)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 2, 2L -> 0, 3L -> 4), s"got $out")
+  }
+
+  test("hardNegatives: band filter + ranking equals the filtered brute-force scan") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 3)
+    val (lo, hi) = (0.20, 0.35)
+    val got = Similarity.hardNegatives(emb, q, k = 10, lo, hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty, "band produced no rows — fixture drifted")
+    assert(got.forall(t => t._3 >= lo && t._3 < hi))
+    // expected = full scored scan, band-filtered, re-ranked
+    val expected = Similarity.topK(emb, q, k = n)
+      .filter(col("score") >= lo && col("score") < hi)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSet == expected.toSet)
+  }
+
+  test("mmrRerank: redundancy penalty picks the diverse candidate over the near-dup") {
+    // query 0; a (id 1) is most relevant; b (id 2) is a near-duplicate
+    // of a with slightly lower relevance; c (id 3) is less relevant
+    // but diverse. MMR must pick a, then c (b's max-sim ≈ 1 kills it).
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.44f, 0.0f, 0.0f)),
+      (2L, Array(0.89f, 0.44f, 0.02f, 0.0f)),
+      (3L, Array(0.85f, -0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Search.mmrRerank(rows, Seq(0L),
+        candidateK = 3, selectK = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 1L), (2, 3L), (3, 2L)), s"got $out")
+    // pure-relevance order would have been a, b, c — MMR reordered
+  }
+
+  test("mmrRerank: selection scores are non-increasing and picks never repeat") {
+    Tables.register(spark, TestSpark.sfDir)
+    val out = graft.ext.Search.mmrRerank(spark.table("embeddings"),
+        Seq(0L, 1L), candidateK = 10, selectK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(out.length == 10)
+    for (qid <- Seq(0L, 1L)) {
+      val mine = out.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._3).distinct.length == 5, "a pick repeated")
+      // from pos 2 on, greedy MMR scores can only fall: per candidate
+      // the max-sim penalty is non-decreasing as the selected set
+      // widens, and the argmax pool only shrinks. (pos 1 → 2 is NOT
+      // monotone in general — negative sims can raise pos 2 above
+      // pos 1's penalty-free 0.5·rel.)
+      assert(mine.drop(1).map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+        s"scores rose: ${mine.map(_._4).toSeq}")
+    }
+  }
+
+  test("ewmaDaily: halving recurrence, exact values, per-type independence") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
+    val df = Seq(
+      ("a", ts(1), 2.0), ("a", ts(2), 4.0), ("a", ts(3), 8.0),
+      ("a", ts(2), 0.0), // same-day extra event: counted, adds 0 value
+      ("b", ts(5), 7.0)
+    ).toDF("event_type", "ts", "value")
+    val out = Events.ewmaDaily(df).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // s1 = 2, s2 = (4+2)/2 = 3, s3 = (8+3)/2 = 5.5; b: s1 = 7
+    // (n_events: day 2 has TWO events — the 0-value one still counts)
+    assert(out.toSeq == Seq(
+      ("a", 1L, 2.0, 2.0), ("a", 2L, 4.0, 3.0), ("a", 1L, 8.0, 5.5),
+      ("b", 1L, 7.0, 7.0)), s"got ${out.toSeq}")
+  }
+
+  test("ewmaDaily is partitioning-independent") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
+    val rows = (1 to 20).map(d => ("a", ts(d), d * 1.5)) ++
+      (1 to 7).map(d => ("b", ts(d), 100.0 - d))
+    val df = rows.toDF("event_type", "ts", "value")
+    val one = Events.ewmaDaily(df.coalesce(1)).collect().toSeq
+    val many = Events.ewmaDaily(df.repartition(13)).collect().toSeq
+    assert(one == many)
+  }
+
   test("kCore: iterative peel prunes chains a single-shot threshold keeps") {
     import spark.implicits._
     // triangle {1,2,3} with a chain 3-4-5 hanging off it; k=2:
@@ -3015,6 +3127,78 @@ class ExtSpec extends AnyFunSuite {
       BigDecimal(2 * wa).setScale(5, BigDecimal.RoundingMode.HALF_UP)
         .toDouble) < 1e-9,
       s"score ${full.getDouble(3)} vs expected ${2 * wa}")
+  }
+
+  test("incrementalAgg: delta-maintained view equals the full recompute") {
+    import graft.ext.Merge
+    val base = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "c", 50.0)).toDF("k", "g", "v")
+    val changes = Seq(
+      (2L, "b", 21.0, "upsert"), // group MOVE a → b with a new value
+      (3L, "x", 0.0, "delete"),  // delete payload is ignored
+      (6L, "c", 60.0, "upsert"), // brand-new key
+      (5L, "c", 55.0, "upsert")  // in-place update
+    ).toDF("k", "g", "v", "op")
+    val got = Merge.incrementalAgg(base, changes, "k", "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(("a", 1L, 10.0), ("b", 2L, 61.0), ("c", 2L, 115.0)))
+    // and it must equal re-aggregating the fully merged snapshot
+    val full = Merge.applyChangeSet(base, changes, "k")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        round(sum(col("v").cast("decimal(18,6)")).cast("double"), 5)
+          .as("sum_value"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == full)
+  }
+
+  test("incrementalAgg: a group emptied by deletes disappears") {
+    import graft.ext.Merge
+    val base = Seq((1L, "solo", 5.0), (2L, "other", 7.0)).toDF("k", "g", "v")
+    val changes = Seq((1L, "x", 0.0, "delete")).toDF("k", "g", "v", "op")
+    val got = Merge.incrementalAgg(base, changes, "k", "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(("other", 1L, 7.0)))
+  }
+
+  test("linkageEm: m/u separate on a planted duplicate structure") {
+    // one block, window 2 → 9 consecutive-rank pairs; ranks (1,2),
+    // (3,4), (5,6), (7,8) are planted duplicates agreeing on BOTH
+    // fields; (9,10) agrees on f2 only; the other 4 pairs disagree
+    // on everything
+    val rows = Seq(
+      (1L, "aaa k01", "x1", "y1"), (2L, "aaa k02", "x1", "y1"),
+      (3L, "aaa k03", "x2", "y2"), (4L, "aaa k04", "x2", "y2"),
+      (5L, "aaa k05", "x3", "y3"), (6L, "aaa k06", "x3", "y3"),
+      (7L, "aaa k07", "x4", "y4"), (8L, "aaa k08", "x4", "y4"),
+      (9L, "aaa k09", "x5", "y5"), (10L, "aaa k10", "x6", "y5")
+    ).toDF("id", "k", "f1", "f2")
+    val out = graft.ext.Dedup.linkageEm(rows, "id", "k",
+        Seq("f1", "f2"), window = 2, blockLen = 3, iters = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val (m1, u1, lam, np) = out("f1")
+    val (m2, u2, _, _) = out("f2")
+    assert(np == 9L)
+    // match class: both fields agree with high probability
+    assert(m1 > 0.8 && m2 > 0.8, s"m did not rise: m1=$m1 m2=$m2")
+    // non-match class: f1 never agrees outside the planted dups, f2
+    // agrees once ((9,10)) → u2 must sit above u1
+    assert(u1 < 0.05, s"u1=$u1")
+    assert(u2 > u1 && u2 < 0.35, s"u2=$u2 u1=$u1")
+    assert(lam > 0.2 && lam < 0.7, s"lambda=$lam")
+  }
+
+  test("linkageEm is partitioning-independent") {
+    Tables.register(spark, TestSpark.sfDir)
+    val part = spark.table("part")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.linkageEm(df, "p_partkey", "p_name",
+        Seq("p_brand", "p_size"), window = 4, blockLen = 4, iters = 3)
+        .collect().toSeq
+    assert(run(part.coalesce(1)) == run(part.repartition(11)))
   }
 
   test("linkageScores: rare-value agreement outweighs common-value agreement") {

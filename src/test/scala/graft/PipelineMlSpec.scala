@@ -50,6 +50,37 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 2L).forall(_._2 < center))
   }
 
+  test("personalizedPageRank: all-seed run IS plain pageRank; seed proximity ranks") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    // seeding EVERY node reduces the recurrence to plain pageRank
+    val allSeeds = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val ppr = Graph.personalizedPageRank(pairs, allSeeds, iters = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val pr = Graph.pageRank(pairs, iters = 4).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ppr == pr)
+
+    // path 1-2-3-4 seeded at 1: a path is BIPARTITE, so synchronous
+    // rounds oscillate between the parity classes ({1,3} vs {2,4})
+    // and cross-parity rank order is iteration-parity-dependent —
+    // proximity ordering only holds WITHIN a parity class. Assert
+    // that, plus the seed flag marking exactly node 1.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Graph.personalizedPageRank(path, Seq(1L).toDF("node"),
+        iters = 6).orderBy("node").collect()
+    val rank = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.filter(_.getBoolean(1)).map(_.getLong(0)).toSeq == Seq(1L))
+    assert(rank(1L) > rank(3L) && rank(2L) > rank(4L),
+      s"within-parity proximity order violated: $rank")
+    // a seed disconnected from the graph contributes nothing
+    val withGhost = Graph.personalizedPageRank(path,
+      Seq(1L, 99L).toDF("node"), iters = 6).orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(withGhost == rank, "disconnected seed must be a no-op")
+  }
+
   test("pageRank is partitioning-independent") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("id_a", "id_b")
