@@ -419,6 +419,72 @@ object OraclesExt {
        |FROM tot2 CROSS JOIN pe""".stripMargin
   }
 
+  /** Fleiss' kappa over three labelers — twin of
+    * Classify.fleissKappa: the [[labelAgreement]] NB + heuristic
+    * chains plus the chunk-majority langid ([[langIdChunks]] CTEs),
+    * joined per doc; S from the 9/5/3 agreement-pattern CASE, ΣT²
+    * from the stacked label relation, each metric one DECIMAL(38,0)
+    * division.
+    */
+  def fleissKappa(chunkTokens: Int): String = {
+    val values = graft.ext.TextStats.LangProfiles
+      .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
+    s"""WITH $nbPredCtes,
+       |lid_toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+       |lid_profile AS (SELECT * FROM (VALUES $values) p(cand_lang, token, weight)),
+       |lid_scores AS (SELECT doc_id, cand_lang, sum(weight)::BIGINT AS score
+       |  FROM lid_toks JOIN lid_profile USING (token) GROUP BY 1, 2),
+       |lid_rank AS (SELECT doc_id, cand_lang, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM lid_scores),
+       |heur AS (SELECT doc_id, cand_lang AS heur_lang FROM lid_rank WHERE rn = 1),
+       |ck_toks AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |ck_n AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM ck_toks),
+       |ck_c AS (SELECT doc_id, t, n, unnest(range(0,
+       |  CASE WHEN n > 0 THEN (n - 1) // $chunkTokens + 1 ELSE 1 END)) AS ci FROM ck_n),
+       |ck_t AS (SELECT doc_id, ci,
+       |  unnest(t[(ci * $chunkTokens + 1):(ci * $chunkTokens + $chunkTokens)]) AS token
+       |  FROM ck_c),
+       |ck_scores AS (SELECT doc_id, ci, cand_lang, sum(weight)::BIGINT AS score
+       |  FROM ck_t JOIN lid_profile USING (token) GROUP BY 1, 2, 3),
+       |ck_rank AS (SELECT doc_id, ci, cand_lang, row_number() OVER
+       |  (PARTITION BY doc_id, ci ORDER BY score DESC, cand_lang) AS rn FROM ck_scores),
+       |ck_pred AS (SELECT doc_id, ci, cand_lang FROM ck_rank WHERE rn = 1),
+       |ck_perlang AS (SELECT doc_id, cand_lang, count(*)::BIGINT AS nc
+       |  FROM ck_pred GROUP BY 1, 2),
+       |ck_maj AS (SELECT doc_id, cand_lang AS maj_lang FROM (SELECT doc_id,
+       |  cand_lang, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY nc DESC, cand_lang) AS rn FROM ck_perlang) WHERE rn = 1),
+       |tri AS MATERIALIZED (SELECT p.doc_id, p.predicted AS l1,
+       |  h.heur_lang AS l2, m.maj_lang AS l3
+       |  FROM pred p JOIN heur h USING (doc_id) JOIN ck_maj m USING (doc_id)
+       |  WHERE p.predicted IS NOT NULL),
+       |s AS (SELECT count(*)::BIGINT AS n_items,
+       |  coalesce(sum(CASE WHEN l1 = l2 AND l2 = l3 THEN 9
+       |    WHEN l1 = l2 OR l2 = l3 OR l1 = l3 THEN 5
+       |    ELSE 3 END), 0)::BIGINT AS ssum FROM tri),
+       |stacked AS (SELECT l1 AS l FROM tri UNION ALL
+       |  SELECT l2 FROM tri UNION ALL SELECT l3 FROM tri),
+       |t2 AS (SELECT coalesce(sum(cnt::DECIMAL(38,0) * cnt),
+       |  0)::DECIMAL(38,0) AS tsq
+       |  FROM (SELECT l, count(*)::BIGINT AS cnt FROM stacked GROUP BY l))
+       |SELECT n_items,
+       |  CASE WHEN n_items > 0 THEN round(
+       |    (ssum::DECIMAL(38,0) - n_items::DECIMAL(38,0) * 3)::DOUBLE
+       |    / (n_items::DECIMAL(38,0) * 6)::DOUBLE, 5) ELSE 0.0 END AS p_bar,
+       |  CASE WHEN n_items > 0 THEN round(tsq::DOUBLE
+       |    / (n_items::DECIMAL(38,0) * n_items * 9)::DOUBLE, 5)
+       |    ELSE 0.0 END AS p_e,
+       |  CASE WHEN (n_items::DECIMAL(38,0) * n_items * 9 - tsq) * 2 > 0
+       |    THEN round((n_items::DECIMAL(38,0) * 3 *
+       |      (ssum::DECIMAL(38,0) - n_items::DECIMAL(38,0) * 3)
+       |      - tsq * 2)::DOUBLE
+       |      / ((n_items::DECIMAL(38,0) * n_items * 9 - tsq) * 2)::DOUBLE, 5)
+       |    ELSE 0.0 END AS kappa
+       |FROM s CROSS JOIN t2""".stripMargin
+  }
+
   /** Zipf-law fit per source — twin of TextStats.zipfFit: the same
     * scale-9 ln quantization, exact decimal moments, and the SAME
     * double expression tree for slope / intercept / r² (the
@@ -1600,6 +1666,65 @@ object OraclesExt {
        |SELECT query_id, neighbor_id, score, cast(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Graded ranking-quality report — twin of Eval.rankingQuality:
+    * IVF run (knnIvf's CTE chain at the given nprobe) left-joined to
+    * the brute-force truth; per-position terms gain/ln(p+1) and
+    * hits/p quantized at scale 9 and summed exactly in DECIMAL(18,9);
+    * MRR / AP / nDCG each one exact-operand double division rounded
+    * at 5.
+    */
+  def rankingQuality(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+       |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
+       |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cents c),
+       |ranked_a AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
+       |cells AS (SELECT vec_id AS neighbor_id, nv AS cv, centroid_id
+       |  FROM ranked_a WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, nv AS qv, centroid_id
+       |  FROM ranked_a WHERE crank <= $nprobe AND vec_id < 5),
+       |scored AS (SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS score
+       |  FROM cells JOIN probes USING (centroid_id) WHERE query_id <> neighbor_id),
+       |run AS (SELECT query_id, neighbor_id, rank FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |  WHERE rank <= $k),
+       |bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("q.nv", "c.nv")} AS score
+       |  FROM n c CROSS JOIN (SELECT vec_id, nv FROM n WHERE vec_id < 5) q
+       |  WHERE q.vec_id <> c.vec_id),
+       |truth AS (SELECT query_id, neighbor_id, rank AS tr FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM bf)
+       |  WHERE rank <= $k),
+       |cum AS (SELECT r.query_id, r.rank, t.tr,
+       |  sum(CASE WHEN t.tr IS NOT NULL THEN 1 ELSE 0 END) OVER
+       |    (PARTITION BY r.query_id ORDER BY r.rank) AS cumh
+       |  FROM run r LEFT JOIN truth t
+       |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id),
+       |terms AS (SELECT query_id,
+       |  CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END AS hit, rank,
+       |  (CASE WHEN tr IS NOT NULL THEN round((${k + 1} - tr)::DOUBLE /
+       |    ln(rank::DOUBLE + 1), 9) ELSE 0 END)::DECIMAL(18,9) AS dcg_t,
+       |  (CASE WHEN tr IS NOT NULL THEN round(cumh::DOUBLE /
+       |    rank::DOUBLE, 9) ELSE 0 END)::DECIMAL(18,9) AS ap_t
+       |  FROM cum),
+       |per AS (SELECT query_id, sum(hit)::BIGINT AS nh,
+       |  min(CASE WHEN hit = 1 THEN rank END) AS firsth,
+       |  sum(dcg_t) AS dcg, sum(ap_t) AS aps FROM terms GROUP BY query_id),
+       |ideal AS (SELECT query_id, count(*)::BIGINT AS n_truth,
+       |  sum(round((${k + 1} - tr)::DOUBLE / ln(tr::DOUBLE + 1),
+       |    9)::DECIMAL(18,9)) AS idcg FROM truth GROUP BY query_id)
+       |SELECT i.query_id, coalesce(p.nh, 0)::BIGINT AS n_hit, i.n_truth,
+       |  coalesce(round(1::DOUBLE / p.firsth::DOUBLE, 5), 0::DOUBLE) AS mrr,
+       |  round(coalesce(p.aps, 0)::DOUBLE / i.n_truth::DOUBLE, 5)
+       |    AS avg_precision,
+       |  round(coalesce(p.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 5) AS ndcg
+       |FROM ideal i LEFT JOIN per p USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   /** Recall@k tuning curve — twin of Similarity.annRecall: the
     * brute-force top-k truth ([[knnBruteForce]]'s shape) and, per
     * nprobe setting, the IVF retrieval from one shared ranked
@@ -2383,6 +2508,43 @@ object OraclesExt {
        |  FROM uni JOIN lp ON uni.g = lp.token GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
        |  coalesce(per.ce, 0.0) AS cross_entropy
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Min-K% prob memorization audit — twin of TextStats.minKProb:
+    * the [[lmCrossEntropy]] nlp relation, the (doc, term) count grid,
+    * (nlp desc, token)-ordered cumulative selection of the m
+    * highest-NLL occurrences (straddling term takes its remainder),
+    * weighted HALF-UP integer mean over m.
+    */
+  def minKProb(kPct: Int): String =
+    s"""WITH $toksCte, $uniCte,
+       |cnt AS (SELECT g AS token, count(*)::BIGINT AS c FROM uni GROUP BY g),
+       |tot AS (SELECT sum(c)::BIGINT AS n_total FROM cnt),
+       |lp AS (SELECT token,
+       |  round(-ln(c::DOUBLE / n_total::DOUBLE), 9)::DECIMAL(18,9) AS nlp
+       |  FROM cnt CROSS JOIN tot),
+       |grid AS (SELECT doc_id, g AS token, count(*)::BIGINT AS c
+       |  FROM uni GROUP BY doc_id, g),
+       |g2 AS (SELECT grid.doc_id, grid.token, grid.c, lp.nlp
+       |  FROM grid JOIN lp ON grid.token = lp.token),
+       |g3 AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n,
+       |  sum(c) OVER (PARTITION BY doc_id ORDER BY nlp DESC, token
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g2),
+       |g4 AS (SELECT *, greatest(1, (n * $kPct) // 100) AS m FROM g3),
+       |g5 AS (SELECT doc_id, n, m,
+       |  (CASE WHEN cum <= m THEN c
+       |        WHEN cum - c < m THEN m - cum + c
+       |        ELSE 0 END)::DECIMAL(10,0) * nlp AS wq FROM g4),
+       |per AS (SELECT doc_id, max(n)::BIGINT AS n_tokens,
+       |  max(m)::BIGINT AS n_scored,
+       |  floor((cast(sum(wq) * 1000000000 AS BIGINT) * 2
+       |      + max(m) * 10000)::DOUBLE
+       |    / (max(m) * 10000 * 2)::DOUBLE) / 100000.0 AS min_k_nll
+       |  FROM g5 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(per.n_scored, 0)::BIGINT AS n_scored,
+       |  coalesce(per.min_k_nll, 0.0) AS min_k_nll
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** CCNet-style perplexity buckets — twin of

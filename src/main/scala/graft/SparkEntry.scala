@@ -3125,6 +3125,28 @@ object SparkEntry {
     "q_linkage_em" -> withTables { s =>
       Dedup.linkageEm(s.table("part"), "p_partkey", "p_name",
         linkageFields, snmWindow, snmBlockLen, linkageEmIters)
+    },
+    // Graded ranking quality: MRR / average precision / nDCG@k of the
+    // IVF retrieval vs brute-force truth — the position-sensitive
+    // companions of q_ann_recall's hit-count curve.
+    "q_ranking_quality" -> withTables { s =>
+      val emb = s.table("embeddings")
+      graft.ext.Eval.rankingQuality(emb, emb.filter(col("vec_id") < 5),
+        k = 10, nlist = 16, nprobe = 2)
+    },
+    // Min-K% prob memorization audit: mean NLL of each doc's 20%
+    // least-likely tokens under the corpus unigram LM — the
+    // membership-inference tail signal the whole-doc mean dilutes.
+    "q_mink_prob" -> withTables { s =>
+      TextStats.minKProb(s.table("documents"), kPct = 20)
+        .orderBy("doc_id")
+    },
+    // Fleiss' kappa: panel agreement of the THREE automatic labelers
+    // (NB self-train, whole-doc langid, chunk-majority langid) — the
+    // multi-rater generalization of q_label_kappa.
+    "q_fleiss_kappa" -> withTables { s =>
+      graft.ext.Classify.fleissKappa(s, s.table("documents"),
+        langidChunkTokens)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3507,5 +3529,8 @@ object SparkEntry {
     "q_ewma_daily" -> OraclesExt.ewmaDaily,
     "q_linkage_em" ->
       OraclesExt.linkageEm(linkageFields, snmWindow, snmBlockLen,
-        linkageEmIters))
+        linkageEmIters),
+    "q_ranking_quality" -> OraclesExt.rankingQuality(10, 16, 2),
+    "q_mink_prob" -> OraclesExt.minKProb(20),
+    "q_fleiss_kappa" -> OraclesExt.fleissKappa(langidChunkTokens))
 }

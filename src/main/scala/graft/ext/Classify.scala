@@ -285,4 +285,68 @@ object Classify {
             .cast("double") / (n2 - col("pe_num")).cast("double"), 5))
           .otherwise(lit(0.0)).as("kappa"))
   }
+
+  /** Fleiss' kappa over THREE automatic labelers — the NB self-train
+    * model ([[nbPredict]]), the whole-document profile langid
+    * ([[graft.ext.TextStats.langId]]) and the chunk-majority langid
+    * ([[graft.ext.TextStats.langIdChunks]]) — the multi-rater
+    * generalization of [[labelAgreement]]'s pairwise Cohen kappa
+    * (three pairwise kappas can all look fine while the panel as a
+    * whole is unstable; Fleiss reads the panel at once). Items are
+    * documents ALL three raters label. One row:
+    * (n_items, p_bar, p_e, kappa).
+    *
+    * Exact integer identity (n = 3 raters): with per-item category
+    * counts n_ij, Σ_j n_ij² collapses to the agreement PATTERN —
+    * 9 (all agree), 5 (exactly two agree), 3 (all differ) — so
+    * S = Σ_i Σ_j n_ij² is one CASE sum, never an explode. With
+    * T_j = Σ_i n_ij over the label domain and N items:
+    * P̄ = (S − 3N)/(6N), P̄_e = ΣT²/(9N²), and
+    * kappa = (3N(S − 3N) − 2ΣT²) / (2(9N² − ΣT²)) — each reported
+    * value ONE division of DECIMAL(38,0) operands (§8.3 rules 4/6;
+    * N² and T² pass 2⁶³ long before a 100 TB corpus does).
+    * Degenerate panel (P̄_e = 1: every rater one category) → 0.0.
+    *
+    * Scale shape: the three label relations are the existing
+    * one-token-shuffle plans; joins are doc-keyed; the rating long
+    * relation collapses to the label domain map-side.
+    */
+  def fleissKappa(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, chunkTokens: Int, labelCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val nb = nbPredict(df, labelCol, idCol, textCol)
+      .filter(col("predicted").isNotNull)
+      .select(col(idCol), col("predicted").as("l1"))
+    val heur = TextStats.langId(spark, df, idCol, textCol)
+      .select(col(idCol), col("predicted_lang").as("l2"))
+    val chunk = TextStats.langIdChunks(spark, df, chunkTokens)
+      .select(col(idCol), col("majority_lang").as("l3"))
+    val tri = nb.join(heur, Seq(idCol)).join(chunk, Seq(idCol))
+    val pat = when(col("l1") === col("l2") && col("l2") === col("l3"), 9L)
+      .when(col("l1") === col("l2") || col("l2") === col("l3") ||
+        col("l1") === col("l3"), 5L)
+      .otherwise(3L)
+    val s = tri.agg(count(lit(1)).as("n_items"), sum(pat).as("__s"))
+    val longL = tri.select(col("l1").as("l"))
+      .unionAll(tri.select(col("l2").as("l")))
+      .unionAll(tri.select(col("l3").as("l")))
+    val t2 = longL.groupBy("l").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt").cast(dec) * col("cnt").cast(dec)),
+        lit(0).cast(dec)).as("__t2"))
+    val n = col("n_items").cast(dec)
+    val sd = col("__s").cast(dec)
+    val num = n * 3 * (sd - n * 3) - col("__t2") * 2
+    val den = (n * n * 9 - col("__t2")) * 2
+    s.crossJoin(broadcast(t2)).select(
+      col("n_items"),
+      when(col("n_items") > 0,
+        round((sd - n * 3).cast("double") / (n * 6).cast("double"), 5))
+        .otherwise(lit(0.0)).as("p_bar"),
+      when(col("n_items") > 0,
+        round(col("__t2").cast("double") / (n * n * 9).cast("double"), 5))
+        .otherwise(lit(0.0)).as("p_e"),
+      when(den > 0, round(num.cast("double") / den.cast("double"), 5))
+        .otherwise(lit(0.0)).as("kappa"))
+  }
 }

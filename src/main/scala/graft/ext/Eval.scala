@@ -301,4 +301,86 @@ object Eval {
       round((o * (n - o)).cast("double") / (n * n).cast("double"), 5)
         .as("uncertainty"))
   }
+
+  /** Graded ranking-quality report of an ANN retrieval against the
+    * brute-force truth: per query, MRR, average precision and nDCG@k
+    * of the IVF top-k run ([[graft.ext.Similarity.ivfTopK]]) scored
+    * against the exact cosine top-k ([[graft.ext.Similarity.topK]])
+    * with graded relevance gain = k+1 − truth_rank — the
+    * position-sensitive companions of the recall curve
+    * ([[graft.ext.Similarity.annRecall]] answers "how many of the
+    * true neighbors came back"; this answers "how early, and were
+    * the BEST ones first"). One row per query:
+    * (query_id, n_hit, n_truth, mrr, avg_precision, ndcg).
+    *
+    * Definitions (per query, run positions p = 1..k):
+    *   - mrr  = 1 / (first position whose item is in the truth set);
+    *     0.0 when no run item is relevant.
+    *   - avg_precision = Σ_{hits at p} (hits≤p / p) / n_truth.
+    *   - ndcg = DCG / IDCG with DCG = Σ_{hits at p} gain(p)/ln(p+1),
+    *     gain = k+1 − truth_rank, and IDCG the same sum over the
+    *     truth list in its own order (the ideal permutation). The log
+    *     base cancels in the ratio, so ln replaces the textbook log₂.
+    *
+    * Determinism (SURVEY §8.3 rule 4): each per-position term —
+    * gain/ln(p+1) and hits/p — is ONE division quantized at scale 9
+    * into DECIMAL(18,9); per-query sums are exact decimal; each
+    * reported metric is then a single integer-exact-double division
+    * rounded at 5. Ties inside run/truth ranking are broken on
+    * neighbor_id by the underlying operators.
+    *
+    * Scale shape: truth is bounded by the broadcast-class query set
+    * (k rows per query) and checkpointed (it feeds both the join and
+    * the IDCG roll-up); the run relation is the established ivfTopK
+    * shape; the cumulative-hit window is partitioned by query over
+    * ≤ k rows. Output is |queries| rows.
+    */
+  def rankingQuality(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val dec9 = DecimalType(18, 9)
+    val truth = Dedup.materialize(
+      Similarity.topK(corpus, queries, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("__tr")))
+    val run = Similarity
+      .ivfTopK(corpus, queries, k, nlist, nprobe, idCol, vecCol)
+      .select("query_id", "neighbor_id", "rank")
+    val wCum = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isHit = col("__tr").isNotNull
+    val terms = run
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__hit", when(isHit, 1L).otherwise(0L))
+      .withColumn("__cum", sum(col("__hit")).over(wCum))
+      .withColumn("__dcg_t",
+        when(isHit, round((lit(k + 1) - col("__tr")).cast("double") /
+            log(col("rank").cast("double") + 1.0), 9))
+          .otherwise(lit(0.0)).cast(dec9))
+      .withColumn("__ap_t",
+        when(isHit, round(col("__cum").cast("double") /
+            col("rank").cast("double"), 9))
+          .otherwise(lit(0.0)).cast(dec9))
+    val perRun = terms.groupBy("query_id").agg(
+      sum(col("__hit")).as("__nh"),
+      min(when(col("__hit") === 1L, col("rank"))).as("__first"),
+      sum(col("__dcg_t")).as("__dcg"),
+      sum(col("__ap_t")).as("__aps"))
+    val ideal = truth.groupBy("query_id").agg(
+      count(lit(1)).as("n_truth"),
+      sum(round((lit(k + 1) - col("__tr")).cast("double") /
+          log(col("__tr").cast("double") + 1.0), 9).cast(dec9))
+        .as("__idcg"))
+    ideal.join(perRun, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"), col("n_truth"),
+        coalesce(round(lit(1.0) / col("__first").cast("double"), 5),
+          lit(0.0)).as("mrr"),
+        round(coalesce(col("__aps"), lit(0).cast(dec9)).cast("double") /
+          col("n_truth").cast("double"), 5).as("avg_precision"),
+        round(coalesce(col("__dcg"), lit(0).cast(dec9)).cast("double") /
+          col("__idcg").cast("double"), 5).as("ndcg"))
+      .orderBy("query_id")
+  }
 }

@@ -502,6 +502,84 @@ object TextStats {
         coalesce(col("__ce"), lit(0.0)).as("cross_entropy"))
   }
 
+  /** Min-K% token-probability memorization audit (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models", unigram
+    * instantiation): per document, the mean negative log-probability
+    * of its k% LEAST-LIKELY tokens under the corpus unigram model.
+    * A natural document's rare-token tail is expensive (high score);
+    * a verbatim copy of templated/boilerplate text whose every token
+    * — even the "rarest" — is corpus-frequent scores suspiciously
+    * LOW. The min-k tail is the membership signal the whole-document
+    * mean ([[lmCrossEntropy]]) dilutes: one sharp quote inside an
+    * otherwise-normal document barely moves the mean but caps the
+    * tail. Returns (doc_id, n_tokens, n_scored, min_k_nll) per
+    * document; zero-token docs surface with zeros.
+    *
+    * Selection: m = max(1, ⌊n·kPct/100⌋) occurrences with the
+    * HIGHEST −ln p, taken on the (doc, term) COUNT GRID — terms
+    * ordered by (nlp desc, token), the straddling term contributing
+    * only its remainder. Equal-nlp terms are interchangeable at the
+    * boundary (identical contribution), so the selected multiset —
+    * and the score — is deterministic under any partitioning.
+    *
+    * Determinism (SURVEY §8.3): per-token −ln p quantized at scale 9
+    * (the [[lmCrossEntropy]] relation); counts multiply in as
+    * DECIMAL(10,0) (rule 11 — a long would silently drop the scale);
+    * the mean over m is the weighted [[decAvg5]] HALF-UP integer
+    * form.
+    *
+    * Scale shape: the vocabulary model is the lmCrossEntropy
+    * broadcast; the corpus collapses to its (doc, term) grid in one
+    * map-side-combined shuffle; both windows are doc-partitioned
+    * over grid rows (bounded by per-doc distinct terms).
+    */
+  def minKProb(df: DataFrame, kPct: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct must be in [1, 100]")
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = Dedup.spread(df, textCol)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val lp = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(-log(col("c").cast("double") / col("n_total").cast("double")), 9)
+          .cast(dec9).as("nlp"))
+    val grid = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lp), "token")
+    val wAll = Window.partitionBy(idCol)
+    val wOrd = Window.partitionBy(idCol)
+      .orderBy(col("nlp").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = grid
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("m",
+        greatest(lit(1L), expr(s"(n * $kPct) div 100")))
+      .withColumn("take",
+        when(col("cum") <= col("m"), col("c"))
+          .when(col("cum") - col("c") < col("m"),
+            col("m") - col("cum") + col("c"))
+          .otherwise(lit(0L)))
+      .withColumn("wq",
+        col("take").cast(org.apache.spark.sql.types.DecimalType(10, 0)) *
+          col("nlp"))
+    val su = (sum(col("wq")) * lit(1000000000L)).cast("long")
+    val d = max(col("m")) * lit(10000L)
+    val per = sel.groupBy(idCol).agg(
+      max(col("n")).as("__nt"),
+      max(col("m")).as("__m"),
+      (floor((su * 2 + d).cast("double") / (d * 2).cast("double")) /
+        lit(100000.0)).as("__s"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__m"), lit(0L)).as("n_scored"),
+        coalesce(col("__s"), lit(0.0)).as("min_k_nll"))
+  }
+
   /** Per-document Shannon entropy (nats) of the document's OWN token
     * distribution: H = Σ (c_t/n)·ln(n/c_t) over the doc's term
     * counts. A low-entropy document is repetitive/templated junk even

@@ -3004,6 +3004,72 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3) == (4L, 4L, 3L, 0.75))
   }
 
+  test("minKProb: hand-computed tail means, straddling term, zero-token doc") {
+    // corpus counts: the=7, foo=2, zyx=1, T=10
+    // nlp: the = -ln 0.7, foo = -ln 0.2, zyx = -ln 0.1 (scale-9)
+    val df = Seq(
+      (1L, "the the the the zyx"),
+      (2L, "the the the foo foo"),
+      (3L, "")).toDF("doc_id", "text")
+    def q9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r5(x: BigDecimal) = x
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // kPct=20, n=5 -> m=1: the single least-likely occurrence
+    val out20 = TextStats.minKProb(df, kPct = 20).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out20(0) == ((1L, 5L, 1L, r5(q9(-math.log(0.1))))))
+    assert(out20(1) == ((2L, 5L, 1L, r5(q9(-math.log(0.2))))))
+    assert(out20(2) == ((3L, 0L, 0L, 0.0)), "zero-token doc surfaces with zeros")
+    // kPct=40 -> m=2: doc 1 takes zyx then ONE 'the' (the straddling
+    // term contributes only its remainder)
+    val out40 = TextStats.minKProb(df, kPct = 40).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out40(0)._2 == 2L)
+    assert(out40(0)._3 ==
+      r5((q9(-math.log(0.1)) + q9(-math.log(0.7))) / 2))
+    // doc 2 takes both foo occurrences: mean = nlp(foo)
+    assert(out40(1)._3 == r5(q9(-math.log(0.2))))
+    // a memorized-template doc (all corpus-frequent tokens) scores
+    // BELOW a natural doc with a rare tail at the same length
+    assert(out20(1)._4 < out20(0)._4)
+  }
+
+  test("fleissKappa: equals the hand-computed three-rater panel value") {
+    Tables.register(spark, TestSpark.sfDir)
+    val docs = spark.table("documents")
+    val nb = graft.ext.Classify.nbPredict(docs)
+      .filter(col("predicted").isNotNull)
+      .select(col("doc_id"), col("predicted")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heur = graft.ext.TextStats.langId(spark, docs)
+      .select(col("doc_id"), col("predicted_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunk = graft.ext.TextStats.langIdChunks(spark, docs, 16)
+      .select(col("doc_id"), col("majority_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val items = nb.keySet.intersect(heur.keySet).intersect(chunk.keySet).toSeq
+    val n = items.size.toLong
+    assert(n > 0, "the three labelers must overlap on some docs")
+    val s = items.map { d =>
+      val ls = Seq(nb(d), heur(d), chunk(d))
+      if (ls.distinct.size == 1) 9L else if (ls.distinct.size == 2) 5L else 3L
+    }.sum
+    val tj = items.flatMap(d => Seq(nb(d), heur(d), chunk(d)))
+      .groupBy(identity).values.map(_.size.toLong)
+    val t2 = tj.map(c => BigInt(c) * c).sum
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.ext.Classify.fleissKappa(spark, docs, 16).collect()(0)
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == r5((s - 3 * n).toDouble / (6 * n).toDouble))
+    assert(got.getDouble(2) == r5(t2.toDouble / (BigInt(n) * n * 9).toDouble))
+    val num = BigInt(3) * n * (s - 3 * n) - 2 * t2
+    val den = (BigInt(9) * n * n - t2) * 2
+    assert(got.getDouble(3) == r5(num.toDouble / den.toDouble))
+    assert(got.getDouble(3) >= -1.0 && got.getDouble(3) <= 1.0)
+  }
+
   test("labelAgreement: kappa equals the hand-computed chance-corrected value") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")

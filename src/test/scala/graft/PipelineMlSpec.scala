@@ -301,6 +301,64 @@ class PipelineMlSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) <= r.getLong(2)))
   }
 
+  test("rankingQuality: perfect metrics at nprobe = nlist") {
+    val e = emb
+    val out = graft.ext.Eval.rankingQuality(e, e.filter(col("vec_id") < 5),
+      k = 10, nlist = 16, nprobe = 16).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "all truth items retrieved")
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 &&
+        r.getDouble(5) == 1.0, s"perfect run must score 1.0: $r")
+    }
+  }
+
+  test("rankingQuality: metrics equal a driver recomputation from run + truth") {
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val run = Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val truth = Similarity.topK(e, q, k = 10)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+    def q9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r5(x: Double) = BigDecimal.valueOf(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.ext.Eval.rankingQuality(e, q, k = 10, nlist = 16,
+      nprobe = 2).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val qid = r.getLong(0)
+      val t = truth(qid)
+      val rr = run.filter(_._1 == qid).sortBy(_._3)
+      val hits = rr.filter(x => t.contains(x._2))
+      val nTruth = t.size
+      // mrr / AP / nDCG exactly as the operator defines them
+      val mrr = hits.headOption.map(h => r5(1.0 / h._3)).getOrElse(0.0)
+      var cum = 0
+      var aps = BigDecimal(0)
+      var dcg = BigDecimal(0)
+      rr.foreach { case (_, nid, pos) =>
+        if (t.contains(nid)) {
+          cum += 1
+          aps += q9(cum.toDouble / pos)
+          dcg += q9((11 - t(nid)).toDouble / math.log(pos + 1.0))
+        }
+      }
+      val idcg = t.values.map(tr =>
+        q9((11 - tr).toDouble / math.log(tr + 1.0))).sum
+      assert(r.getLong(1) == hits.length.toLong && r.getLong(2) == nTruth)
+      assert(r.getDouble(3) == mrr, s"mrr mismatch for query $qid")
+      assert(r.getDouble(4) == r5(aps.toDouble / nTruth),
+        s"avg_precision mismatch for query $qid")
+      assert(r.getDouble(5) == r5(dcg.toDouble / idcg.toDouble),
+        s"ndcg mismatch for query $qid")
+    }
+  }
+
   test("sourceOverlap: mirrors score 1.0, partial overlap in between, disjoint absent") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon", "mirror1"),
