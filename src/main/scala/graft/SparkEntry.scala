@@ -1070,6 +1070,19 @@ object SparkEntry {
         col("lang") === dsirTargetLang, iters = logregIters, lr = logregLr)
     }
 
+  // One bipartite projection, five graph operators: triangles, k-core,
+  // link prediction, communities and personalized PageRank all read
+  // the SAME co-purchase edge list — deriving it is input
+  // construction (basket groupBy + ordered-pair generate + distinct),
+  // not the graph operator under measurement, so it is shared like the
+  // diff profiles; each operator's own materialize sees the
+  // checkpointed leaf and skips the copy.
+  private def coPurchaseEdges(s: SparkSession, sfDir: String): DataFrame =
+    sharedFrame(s, "copurchase_edges", sfDir) {
+      graft.ext.Graph.coOccurrenceEdges(
+        s.table("lineitem"), "l_orderkey", "l_partkey")
+    }
+
   /** Force-build every shared frame for `sfDir`, returning
     * `(name, seconds)` per build. Bench records these as explicit
     * `setup_*` entries so the one-time construction cost (k-means
@@ -1090,7 +1103,8 @@ object SparkEntry {
       timed("setup_importance") { importanceWeightsShared(s, sfDir) },
       timed("setup_profile_long_lineitem") { profileLongShared(s, sfDir, "lineitem") },
       timed("setup_profile_long_orders") { profileLongShared(s, sfDir, "orders") },
-      timed("setup_logreg_weights") { logregWeightsShared(s, sfDir) })
+      timed("setup_logreg_weights") { logregWeightsShared(s, sfDir) },
+      timed("setup_copurchase_edges") { coPurchaseEdges(s, sfDir) })
   }
 
   // Long profiles shared by the DIFF composition only (the reference's
@@ -1329,19 +1343,17 @@ object SparkEntry {
     // §7.5 — co-purchase graph triangles: bipartite (order, part)
     // projection → unique low→high edges → compact-forward triangle
     // enumeration, each triangle crediting its three corners.
-    "q_copurchase_triangles" -> withTables { s =>
+    "q_copurchase_triangles" -> withTablesSf { (s, sfDir) =>
       graft.ext.Graph.triangleCounts(
-        graft.ext.Graph.coOccurrenceEdges(
-          s.table("lineitem"), "l_orderkey", "l_partkey"))
+        coPurchaseEdges(s, sfDir))
         .orderBy("node")
     },
     // §7.5 — k-core density backbone of the co-purchase graph
     // (iterative peeling; single-shot degree thresholds miss chains
     // of high-degree nodes hanging off the core).
-    "q_kcore" -> withTables { s =>
+    "q_kcore" -> withTablesSf { (s, sfDir) =>
       graft.ext.Graph.kCore(
-        graft.ext.Graph.coOccurrenceEdges(
-          s.table("lineitem"), "l_orderkey", "l_partkey"),
+        coPurchaseEdges(s, sfDir),
         k = kCoreK, rounds = kCoreRounds)
         .orderBy("node")
     },
@@ -1349,10 +1361,9 @@ object SparkEntry {
     // co-purchase graph: hub-discounted common-neighbor scores for
     // pairs never bought together (assortment candidates; on a pair
     // graph, banding misses).
-    "q_link_prediction" -> withTables { s =>
+    "q_link_prediction" -> withTablesSf { (s, sfDir) =>
       graft.ext.Graph.linkPrediction(
-        graft.ext.Graph.coOccurrenceEdges(
-          s.table("lineitem"), "l_orderkey", "l_partkey"),
+        coPurchaseEdges(s, sfDir),
         k = linkPredK, maxDegree = linkPredMaxDegree)
     },
     // §7.5 — market-basket association rules over the same bipartite
@@ -3022,10 +3033,9 @@ object SparkEntry {
     // Label-propagation communities over the co-purchase graph —
     // fixed synchronous rounds (the quantized-trajectory contract),
     // one label row of state per node per round.
-    "q_communities" -> withTables { s =>
+    "q_communities" -> withTablesSf { (s, sfDir) =>
       graft.ext.Graph.labelPropagation(
-        graft.ext.Graph.coOccurrenceEdges(
-          s.table("lineitem"), "l_orderkey", "l_partkey"), lpaIters)
+        coPurchaseEdges(s, sfDir), lpaIters)
     },
     // Day-of-week seasonal decomposition — the "is that drop just
     // Saturday" read BEFORE trusting trend/anomaly output.
@@ -3055,10 +3065,9 @@ object SparkEntry {
     },
     // Personalized PageRank over the co-purchase graph, teleporting
     // to one brand's parts — "buyers of this brand also buy" ranks.
-    "q_ppr" -> withTables { s =>
+    "q_ppr" -> withTablesSf { (s, sfDir) =>
       Graph.personalizedPageRank(
-        Graph.coOccurrenceEdges(
-          s.table("lineitem"), "l_orderkey", "l_partkey"),
+        coPurchaseEdges(s, sfDir),
         s.table("part").filter(col("p_brand") === pprSeedBrand)
           .select(col("p_partkey").as("node")),
         pageRankIters).orderBy("node")

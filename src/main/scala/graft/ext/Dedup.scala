@@ -929,8 +929,27 @@ object Dedup {
     * executor-loss recovery; the stats reset is needed either way.)
     */
   private[graft] def materialize(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    // Fast path: a frame that IS already a checkpointed leaf (or a
+    // rename/reorder projection of one — the graph operators' id_a/
+    // id_b → a/b aliasing) gains nothing from a second checkpoint;
+    // re-materializing the shared co-purchase edge frame would copy
+    // the whole relation once per consuming operator.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.execution.LogicalRDD
+    val alreadyLeaf = df.queryExecution.analyzed match {
+      case _: LogicalRDD => true
+      case Project(ps, _: LogicalRDD) => ps.forall {
+        case _: Attribute => true
+        case a: Alias => a.child.isInstanceOf[Attribute]
+        case _ => false
+      }
+      case _ => false
+    }
+    if (alreadyLeaf) df else {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
   }
 
   /** Connected components over an undirected candidate-pair graph by

@@ -270,18 +270,30 @@ object Graph {
     * Spark plans as WindowGroupLimit: at most k+1 rows per node
     * buffered per task, the cap bounding shuffle volume too, the
     * [[triangleCounts]] posture). The capped adjacency is then
-    * collapsed to ONE ≤ maxDegree-element array per node and the
-    * candidate pairs EXPLODE MAP-SIDE from that array (x < y) — no
-    * z-keyed self-join, no second exchange of the adjacency, and the
-    * 1/deg(z) weight attaches for free from size(array). Scores are
-    * exact on the capped subgraph; on a graph whose degrees are all
-    * ≤ the cap they equal the uncapped scores. The EXISTING-edge
-    * exclusion anti-joins the UNCAPPED edge list (a capped-away edge
-    * is still an edge — never "predict" it). Final top-k plans as
-    * TakeOrderedAndProject.
+    * collapsed to ONE SORTED ≤ maxDegree-element array per node and
+    * the ORDERED candidate pairs generate map-side from it —
+    * posexplode(x) then explode of the post-x slice emits exactly
+    * deg(deg−1)/2 (x < y) rows through codegen'd generators (no
+    * x ≥ y half to produce and filter, no z-keyed self-join, no
+    * second exchange of the adjacency); 1/deg(z) attaches for free
+    * from size(array). Scores are exact on the capped subgraph; on a
+    * graph whose degrees are all ≤ the cap they equal the uncapped
+    * scores. The EXISTING-edge exclusion anti-joins the UNCAPPED edge
+    * list (a capped-away edge is still an edge — never "predict" it)
+    * — BROADCAST while the materialized edge count fits
+    * [[BroadcastMaxEdges]] (the candidate relation, the query's
+    * largest, then never re-shuffles: generate → one pair exchange →
+    * map-side anti → TakeOrderedAndProject), shuffle_hash above it
+    * (build side = the smaller edge relation). Weight units are
+    * scale-9 LONGS — HALF_UP(10⁹/deg) = (2·10⁹ + deg) div (2·deg),
+    * the integer identity of round(1/deg, 9) — so the hot aggregate
+    * sums longs, not decimals; per-pair sums are ≤ maxDegree·10⁹,
+    * nowhere near 2⁶³ at any corpus size (§8.3 rule 6 bound
+    * documented, not assumed).
     */
   def linkPrediction(pairs: DataFrame, k: Int, maxDegree: Int = 64,
-      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      broadcastEdges: Option[Boolean] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxDegree >= 1, "maxDegree must be >= 1")
     val e = Dedup.materialize(
@@ -291,35 +303,30 @@ object Graph {
     val w = Window.partitionBy("node").orderBy("nbr")
     val capped = und.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= maxDegree).drop("__r")
-    // One ≤ maxDegree-element adjacency array per common neighbor z;
-    // the WindowGroupLimit upstream bounds both the shuffle and the
-    // per-row array. 1/deg(z) = 1/size(array) — no separate degree
-    // relation, no join to attach it.
+    // One sorted ≤ maxDegree-element adjacency array per common
+    // neighbor z; the WindowGroupLimit upstream bounds both the
+    // shuffle and the per-row array.
     val adj = capped.groupBy(col("node").as("z"))
-      .agg(collect_list(col("nbr")).as("__nbrs"))
-    // Ordered candidate pairs explode map-side from the bounded array
-    // (two chained codegen'd explodes + x < y filter: deg(z)² rows
-    // generated, deg(z)·(deg(z)-1)/2 kept, all where the array lives).
+      .agg(sort_array(collect_list(col("nbr"))).as("__nbrs"))
     val cand = adj
       .select(
-        round(lit(1.0) / size(col("__nbrs")).cast("double"), 9)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__w"),
-        explode(col("__nbrs")).as("x"), col("__nbrs"))
-      .select(col("__w"), col("x"), explode(col("__nbrs")).as("y"))
-      .filter(col("x") < col("y"))
+        expr("(2 * 1000000000 + size(__nbrs)) div (2 * size(__nbrs))")
+          .as("__w"),
+        posexplode(col("__nbrs")).as(Seq("__i", "x")), col("__nbrs"))
+      .select(col("__w"), col("x"),
+        explode(slice(col("__nbrs"), col("__i") + 2, lit(maxDegree)))
+          .as("y"))
     val scored = cand
       .groupBy(col("x").as("id_a"), col("y").as("id_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
-    // shuffle_hash: build the per-partition hash table on the (far
-    // smaller) edge relation instead of SORT-MERGING the candidate
-    // relation — candidates are Σ deg²/2-sized, edges |E|-sized, and
-    // a sort of the big side is pure overhead for an anti lookup.
-    scored.join(e.hint("shuffle_hash"),
+    val bcast = broadcastEdges.getOrElse(e.count() <= BroadcastMaxEdges)
+    val eSide = if (bcast) broadcast(e) else e.hint("shuffle_hash")
+    scored.join(eSide,
         scored("id_a") === e("a") && scored("id_b") === e("b"), "left_anti")
       .orderBy(col("__s").desc, col("id_a"), col("id_b"))
       .limit(k)
       .select(col("id_a"), col("id_b"), col("n_common"),
-        round(col("__s").cast("double"), 5).as("ra_score"))
+        round(col("__s").cast("double") / 1e9, 5).as("ra_score"))
   }
 
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
@@ -436,11 +443,17 @@ object Graph {
       .select(col(groupCol).as("g"), col(itemCol).as("i"))
       .groupBy("g")
       .agg(array_distinct(sort_array(collect_list(col("i")))).as("items"))
-    val pairs = flatten(transform(col("items"), (x, ix) =>
-      transform(slice(col("items"), ix + 2, size(col("items"))),
-        y => struct(x.as("a"), y.as("b")))))
-    grouped.select(explode(pairs).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    // ordered pairs via two chained CODEGEN'D generators — posexplode
+    // of the sorted basket, then explode of the post-x slice — not the
+    // interpreted flatten/transform/struct HOF chain (§8.4 rule 3:
+    // HOFs re-evaluate interpreted per element; this is the hottest
+    // per-basket path of every co-occurrence consumer)
+    grouped
+      .select(posexplode(col("items")).as(Seq("__i", "id_a")), col("items"))
+      .select(col("id_a"),
+        explode(slice(col("items"), col("__i") + 2, size(col("items"))))
+          .as("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("pair_n"))
   }
 
