@@ -2963,6 +2963,31 @@ object OraclesExt {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** RM1 pseudo-relevance-feedback expansion — twin of
+    * Search.prfExpand: the BM25 twin verbatim as the feedback stage
+    * (nested WITH), then per-term Σ round(tf/len, 9) over the
+    * feedback docs' tokens (query terms excluded) with the su
+    * HALF-UP rendering.
+    */
+  def prfExpand(queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+      k1: Double, b: Double): String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH fb AS (${bm25(queryTerms, fbDocs, k1, b)}),
+       |$toksCte, $uniCte,
+       |lens AS (SELECT doc_id, len(t)::BIGINT AS len
+       |  FROM toks JOIN fb USING (doc_id)),
+       |ft AS (SELECT uni.doc_id, uni.g AS token, count(*)::BIGINT AS tf
+       |  FROM uni JOIN fb ON uni.doc_id = fb.doc_id
+       |  WHERE uni.g NOT IN ($terms) GROUP BY 1, 2),
+       |w AS (SELECT token, count(*)::BIGINT AS n_fb_docs,
+       |  (sum(round(tf::DOUBLE / len::DOUBLE, 9)::DECIMAL(18,9))
+       |    * 1000000000)::BIGINT AS su
+       |  FROM ft JOIN lens USING (doc_id) GROUP BY token)
+       |SELECT token, n_fb_docs,
+       |  floor((su * 2 + 10000)::DOUBLE / 20000.0) / 100000.0 AS weight
+       |FROM w ORDER BY weight DESC, token LIMIT $fbTerms""".stripMargin
+  }
+
   /** Hybrid retrieval — twin of Search.hybridRerank: the BM25 twin
     * verbatim as the candidate stage (nested WITH), the shared
     * normalize/dot CTEs for the rerank stage.
@@ -6014,6 +6039,48 @@ object OraclesExt {
        |FROM p JOIN part a ON a.p_partkey = p.id_a
        |JOIN part b ON b.p_partkey = p.id_b $crossJoins
        |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
+  /** Golden-record materialization — twin of Dedup.goldenRecords:
+    * the [[linkageScores]] twin nested as the match-edge stage, the
+    * [[dedupClusters]] recursive min-reachable-id closure over every
+    * part id, then per-field majority survivorship ((count desc,
+    * value) rank 1) and the canonical name from the component-label
+    * member.
+    */
+  def goldenRecords(fields: Seq[String], window: Int, blockLen: Int,
+      mNum: Int, mDen: Int, upper: String, lower: String): String = {
+    val fvCtes = fields.map { f =>
+      s"""fv_$f AS (SELECT cluster_id, $f AS v, count(*)::BIGINT AS c
+         |  FROM mem GROUP BY 1, 2),
+         |g_$f AS (SELECT cluster_id, v AS golden_$f FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY c DESC, v) AS rn FROM fv_$f) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val gJoins = fields.map(f => s"JOIN g_$f USING (cluster_id)").mkString(" ")
+    val gCols = fields.map(f => s"golden_$f").mkString(", ")
+    s"""WITH RECURSIVE m AS (
+       |  SELECT id_a, id_b FROM (
+       |    ${linkageScores(fields, window, blockLen, mNum, mDen, upper, lower)}
+       |  ) WHERE verdict = 'match'),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM m
+       |  UNION ALL SELECT id_b, id_a FROM m),
+       |reach AS (
+       |  SELECT p_partkey AS id, p_partkey AS label FROM part
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |mem AS (SELECT cc.cluster_id, p.* FROM cc
+       |  JOIN part p ON p.p_partkey = cc.id),
+       |sizes AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+       |  FROM cc GROUP BY 1),
+       |canon AS (SELECT cc.cluster_id, p.p_name AS canonical_p_name
+       |  FROM cc JOIN part p ON p.p_partkey = cc.id
+       |  WHERE cc.id = cc.cluster_id),
+       |$fvCtes
+       |SELECT cluster_id, n_members, canonical_p_name, $gCols
+       |FROM sizes JOIN canon USING (cluster_id) $gJoins
+       |ORDER BY cluster_id""".stripMargin
   }
 
   /** Split-conformal OLS intervals — twin of Stats.conformalOls over

@@ -825,6 +825,8 @@ object SparkEntry {
   private[graft] val checkPriceLo = 0.0
   private[graft] val checkPriceHi = 50000.0
   private[graft] val bm25Terms = Seq("spark", "window", "merge")
+  private[graft] val prfFbDocs = 10
+  private[graft] val prfFbTerms = 25
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
   private[graft] val bm25B = 0.75
@@ -3156,6 +3158,20 @@ object SparkEntry {
     "q_fleiss_kappa" -> withTables { s =>
       graft.ext.Classify.fleissKappa(s, s.table("documents"),
         langidChunkTokens)
+    },
+    // RM1 pseudo-relevance-feedback expansion: terms the BM25 top
+    // hits rank by relevance-model mass — the second-pass query a
+    // retrieval pipeline actually issues.
+    "q_prf_expand" -> withTables { s =>
+      graft.ext.Search.prfExpand(s.table("documents"), bm25Terms,
+        fbDocs = prfFbDocs, fbTerms = prfFbTerms, bm25K1, bm25B)
+    },
+    // Golden records: the record-linkage family's terminal stage —
+    // match verdicts -> connected components -> one merged row per
+    // entity with majority-value survivorship per field.
+    "q_golden_records" -> withTables { s =>
+      Dedup.goldenRecords(s.table("part"), "p_partkey", "p_name",
+        linkageFields, snmWindow, snmBlockLen)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3541,5 +3557,9 @@ object SparkEntry {
         linkageEmIters),
     "q_ranking_quality" -> OraclesExt.rankingQuality(10, 16, 2),
     "q_mink_prob" -> OraclesExt.minKProb(20),
-    "q_fleiss_kappa" -> OraclesExt.fleissKappa(langidChunkTokens))
+    "q_fleiss_kappa" -> OraclesExt.fleissKappa(langidChunkTokens),
+    "q_prf_expand" ->
+      OraclesExt.prfExpand(bm25Terms, prfFbDocs, prfFbTerms, bm25K1, bm25B),
+    "q_golden_records" -> OraclesExt.goldenRecords(linkageFields,
+      snmWindow, snmBlockLen, 9, 10, "3.0", "0.0"))
 }

@@ -1164,6 +1164,57 @@ object Dedup {
     dedupSavingsFrom(nearDupClusters(docs, idCol = idCol, textCol = textCol),
       docs, idCol, textCol, sourceCol)
 
+  /** Golden-record materialization — the terminal stage of the record
+    * linkage family (blocking [[sortedNeighborhoodPairs]] → scoring
+    * [[linkageScores]] → parameters [[linkageEm]] → THIS): 'match'
+    * verdicts become edges, [[connectedComponents]] resolves records
+    * into entities, and each entity emits ONE merged row — the
+    * canonical `keyCol` from the minimum-id member (the component
+    * label) plus, per comparison field, the MAJORITY value across
+    * members (ties → smallest value): classic most-frequent
+    * survivorship, which heals single-record typos inside a resolved
+    * entity. Singleton records are entities too (every input row is
+    * represented downstream). One row per entity:
+    * (cluster_id, n_members, canonical_<keyCol>, golden_<field>...).
+    *
+    * Determinism: component labels are min ids; majority picks order
+    * by (count desc, value asc) under a cluster-partitioned
+    * row_number — no floats anywhere.
+    *
+    * Scale shape: match pairs are SNM-window-bounded; components loop
+    * over edge-connected nodes only (the size-switched CC); each
+    * survivorship vote is a (cluster, field) map-side-combined count
+    * + a cluster-partitioned WindowGroupLimit-class rank; the
+    * per-field golden frames join back cluster-keyed.
+    */
+  def goldenRecords(df: DataFrame, idCol: String, keyCol: String,
+      fields: Seq[String], window: Int, blockLen: Int): DataFrame = {
+    require(fields.nonEmpty, "need at least one survivorship field")
+    val matches = linkageScores(df, idCol, keyCol, fields, window, blockLen)
+      .filter(col("verdict") === "match")
+      .select("id_a", "id_b")
+    val cc = connectedComponents(df.select(col(idCol).as("id")), matches)
+    val mem = cc.join(
+      df.select(col(idCol).as("id") +: fields.map(col): _*), "id")
+    val sizes = cc.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val canon = df.select(col(idCol).as("cluster_id"),
+      col(keyCol).as(s"canonical_$keyCol"))
+    val goldens = fields.map { f =>
+      val vc = mem.groupBy(col("component"), col(f))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("__c").desc, col(f))
+      vc.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("component").as("cluster_id"), col(f).as(s"golden_$f"))
+    }
+    goldens.foldLeft(sizes.join(canon, "cluster_id")) {
+        (acc, g) => acc.join(g, "cluster_id")
+      }
+      .orderBy("cluster_id")
+  }
+
   /** [[dedupSavings]] over a PRECOMPUTED cluster assignment (the
     * [[nearDupClusters]] output relation) — a pipeline deriving
     * several reports from one dedup run (savings + keep-best + the

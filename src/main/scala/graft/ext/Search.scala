@@ -57,6 +57,59 @@ object Search {
     scoreMatches(tf, dfreq, lens, consts, k, k1, b, idCol)
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM1, Lavrenko &
+    * Croft 2001, uniform feedback-document prior): run the original
+    * query, take the top `fbDocs` BM25 hits as pseudo-relevant, and
+    * rank every term they contain by its relevance-model mass
+    * Σ_{d ∈ F} p(t|d) = Σ tf_td / len_d — the expansion terms a
+    * retrieval pipeline adds (with these weights) to sharpen recall
+    * on a second pass. Original query terms are excluded (they are
+    * the query, not an expansion). Returns the top `fbTerms` rows
+    * (token, n_fb_docs, weight), (weight desc, token) order.
+    *
+    * Determinism (§8.3 rule 4): each p(t|d) is ONE division quantized
+    * at scale 9 into DECIMAL(18,9); the per-term sum is exact
+    * decimal; the reported weight is the exact-integer HALF-UP
+    * rendering at 5 decimals (the [[scoreMatches]] su form — sums of
+    * quantized rationals land on .5×10⁻⁵ ties).
+    *
+    * Scale shape: the corpus is touched only by the BM25 stage
+    * (already term-filtered + TakeOrderedAndProject) and by ONE
+    * broadcast semi-join on the fbDocs-bounded id list; everything
+    * after is bounded by the feedback docs' token multiset. Top
+    * terms plan as TakeOrderedAndProject.
+    */
+  def prfExpand(docs: DataFrame, queryTerms: Seq[String], fbDocs: Int,
+      fbTerms: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(fbDocs >= 1, "fbDocs must be >= 1")
+    require(fbTerms >= 1, "fbTerms must be >= 1")
+    val top = bm25(docs, queryTerms, fbDocs, k1, b, idCol, textCol)
+      .select(col(idCol))
+    val staged = Dedup.spread(docs, textCol)
+      .join(broadcast(top), Seq(idCol))
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+    val lens = staged.select(col(idCol),
+      size(col("__toks")).cast("long").as("__len"))
+    val tf = staged
+      .select(col(idCol), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .filter(!col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val terms = tf.join(lens, idCol)
+      .withColumn("__p",
+        round(col("__tf").cast("double") / col("__len").cast("double"), 9)
+          .cast(DecimalType(18, 9)))
+    val su = (sum(col("__p")) * lit(1000000000L)).cast("long")
+    terms.groupBy("token")
+      .agg(count(lit(1)).as("n_fb_docs"),
+        (floor((su * 2 + 10000).cast("double") / 20000.0) /
+          lit(100000.0)).as("weight"))
+      .orderBy(col("weight").desc, col("token"))
+      .limit(fbTerms)
+  }
+
   /** The ONE BM25 scoring tree, shared by [[bm25]] and
     * [[bm25Indexed]] so the two paths cannot drift: Lucene-smoothed
     * idf (rounded at 5 decimals — a 1-ulp libm `ln` difference

@@ -3070,6 +3070,69 @@ class ExtSpec extends AnyFunSuite {
     assert(got.getDouble(3) >= -1.0 && got.getDouble(3) <= 1.0)
   }
 
+  test("prfExpand: hand-computed RM1 weights, query terms excluded, tie order") {
+    val df = Seq(
+      (1L, "spark window shuffle shuffle"),
+      (2L, "spark merge shuffle codegen"),
+      (3L, "plain text nothing here")).toDF("doc_id", "text")
+    val out = graft.ext.Search.prfExpand(df, Seq("spark"), fbDocs = 2,
+      fbTerms = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // feedback docs = the two BM25 hits (1, 2); weights: shuffle
+    // 2/4 + 1/4 = 0.75, then the 0.25 tie class in token order
+    assert(out == Seq(("shuffle", 2L, 0.75), ("codegen", 1L, 0.25),
+      ("merge", 1L, 0.25)), s"unexpected expansion: $out")
+    assert(!out.exists(_._1 == "spark"), "query terms are never expansions")
+  }
+
+  test("goldenRecords: equals a driver union-find + majority survivorship") {
+    Tables.register(spark, TestSpark.sfDir)
+    val part = spark.table("part")
+    val fields = Seq("p_brand", "p_type", "p_size")
+    val matches = graft.ext.Dedup.linkageScores(part, "p_partkey", "p_name",
+      fields, 4, 4).filter(col("verdict") === "match")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = part.select(col("p_partkey") +: col("p_name") +:
+      fields.map(col): _*).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toMap
+    // driver union-find with min-id roots
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      rows.keys.map(k => k -> k)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    matches.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb)
+        parent(math.max(ra, rb)) = lo }
+    }
+    val clusters = rows.keys.groupBy(find).view.mapValues(_.toSeq.sorted).toMap
+    def majS(vs: Seq[String]): String =
+      vs.groupBy(identity).toSeq.map { case (v, g) => (v, g.size) }
+        .minBy { case (v, c) => (-c, v) }._1
+    def majI(vs: Seq[Int]): Int =
+      vs.groupBy(identity).toSeq.map { case (v, g) => (v, g.size) }
+        .minBy { case (v, c) => (-c, v) }._1
+    val got = graft.ext.Dedup.goldenRecords(part, "p_partkey", "p_name",
+      fields, 4, 4).collect()
+    assert(got.length == clusters.size)
+    assert(got.map(_.getLong(1)).sum == rows.size.toLong,
+      "every record resolves to exactly one entity")
+    got.foreach { r =>
+      val cid = r.getLong(0)
+      val mem = clusters(cid)
+      assert(mem.min == cid, "cluster label must be the min member id")
+      assert(r.getLong(1) == mem.size.toLong)
+      assert(r.getString(2) == rows(cid)._1, "canonical name = label member's")
+      assert(r.getString(3) == majS(mem.map(rows(_)._2)), s"brand maj, c=$cid")
+      assert(r.getString(4) == majS(mem.map(rows(_)._3)), s"type maj, c=$cid")
+      assert(r.getInt(5) == majI(mem.map(rows(_)._4)), s"size maj, c=$cid")
+    }
+    assert(got.exists(_.getLong(1) > 1L),
+      "fixture must exercise at least one real merge")
+  }
+
   test("labelAgreement: kappa equals the hand-computed chance-corrected value") {
     Tables.register(spark, TestSpark.sfDir)
     val docs = spark.table("documents")
