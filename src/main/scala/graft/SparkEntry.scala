@@ -827,6 +827,10 @@ object SparkEntry {
   private[graft] val bm25Terms = Seq("spark", "window", "merge")
   private[graft] val prfFbDocs = 10
   private[graft] val prfFbTerms = 25
+  private[graft] val bloomSkipShards = 8
+  private[graft] val bloomSkipMBits = 1L << 17
+  private[graft] val bloomSkipK = 5
+  private[graft] val bloomSkipProbeDoc = 7L
   private[graft] val bm25K = 20
   private[graft] val bm25K1 = 1.2
   private[graft] val bm25B = 0.75
@@ -960,6 +964,15 @@ object SparkEntry {
       Similarity.writeIvfIndex(s.table("embeddings"), d, nlist = 16)
     }
 
+  private def bloomSkipDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("bloomskip", sfDir) { d =>
+      Sharding.writeShards(
+        s.table("documents").withColumn("content_key", md5(col("text"))),
+        s"$d/data", numShards = bloomSkipShards)
+      Sharding.writeBloomSkipIndex(s, s"$d/data", s"$d/index",
+        "content_key", bloomSkipMBits, bloomSkipK)
+    }
+
   private def searchIndexDir(s: SparkSession, sfDir: String): String =
     cachedIndexDir("search", sfDir) { d =>
       graft.ext.Search.writeSearchIndex(s.table("documents"), d)
@@ -1006,6 +1019,7 @@ object SparkEntry {
     Tables.register(spark, sfDir)
     ivfIndexDir(spark, sfDir)
     searchIndexDir(spark, sfDir)
+    bloomSkipDir(spark, sfDir)
     ivfPqIndexDir(spark, sfDir)
     nearDupIndexDir(spark, sfDir)
     tableLogDemoDir(spark, sfDir)
@@ -3172,6 +3186,20 @@ object SparkEntry {
     "q_golden_records" -> withTables { s =>
       Dedup.goldenRecords(s.table("part"), "p_partkey", "p_name",
         linkageFields, snmWindow, snmBlockLen)
+    },
+    // Content-key point lookup through the per-shard Bloom skipping
+    // index: shards whose filter proves the key absent cost zero I/O;
+    // survivors are scanned with the exact residual predicate (false
+    // positives eliminated there -- pruning is I/O-only, never a
+    // correctness dial). Returns the probe doc's exact-duplicate set.
+    "q_bloom_skip_lookup" -> withTablesSf { (s, sfDir) =>
+      val d = bloomSkipDir(s, sfDir)
+      val key = s.table("documents")
+        .filter(col("doc_id") === bloomSkipProbeDoc)
+        .select(md5(col("text")).as("k")).head.getString(0)
+      Sharding.lookupByKey(s, s"$d/data", s"$d/index", "content_key",
+        key, bloomSkipMBits, bloomSkipK)
+        .select("doc_id", "lang", "source").orderBy("doc_id")
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3561,5 +3589,10 @@ object SparkEntry {
     "q_prf_expand" ->
       OraclesExt.prfExpand(bm25Terms, prfFbDocs, prfFbTerms, bm25K1, bm25B),
     "q_golden_records" -> OraclesExt.goldenRecords(linkageFields,
-      snmWindow, snmBlockLen, 9, 10, "3.0", "0.0"))
+      snmWindow, snmBlockLen, 9, 10, "3.0", "0.0"),
+    "q_bloom_skip_lookup" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE md5(text) = (SELECT md5(text) FROM documents
+         |  WHERE doc_id = $bloomSkipProbeDoc)
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -218,4 +218,80 @@ object Sharding {
       .withColumn("moved", col("old_shard") =!= col("new_shard"))
       .orderBy("old_shard", "new_shard")
   }
+
+  // ---- Bloom file-skipping index (point-lookup pruning) ----
+
+  /** Build a per-shard Bloom skipping index over `keyCol` of a
+    * [[writeShards]]-layout table (parquet partitioned by shard_id):
+    * one SPARSE (shard_id, word_idx, bits) relation, mBits per shard,
+    * the [[graft.ext.Sketches.bloomPositions]] md5 family — so a
+    * point lookup can prune, from the index alone, every shard whose
+    * filter proves the key absent. This is the skipping story for a
+    * key the layout is NOT sorted or partitioned by (z-order serves
+    * range probes on layout dimensions; content keys, fingerprints
+    * and foreign ids hash uniformly across shards, and only a filter
+    * per file can rule files out). No false negatives ever: a pruned
+    * shard provably lacks the key; a false-positive shard is scanned
+    * and eliminated by the residual `keyCol = key` filter — pruning
+    * is a pure I/O optimization, never a correctness dial.
+    *
+    * Index size: ≤ numShards · mBits/63 rows of two longs — for a
+    * 100 TB corpus at 10⁵ shards × 2²⁰ bits ≈ 1.7 G sparse words
+    * WORST case but in practice ~n·k set bits per shard; the probe
+    * reads only the k word rows per shard (word_idx-filtered scan).
+    */
+  def writeBloomSkipIndex(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, indexDir: String, keyCol: String,
+      mBits: Long = 1L << 17, k: Int = 5): Unit = {
+    spark.read.parquet(dataDir)
+      .select(col("shard_id"),
+        explode(Sketches.bloomPositions(col(keyCol), mBits, k)).as("pos"))
+      .select(col("shard_id"), expr("pos div 63").as("word_idx"),
+        expr("shiftleft(1L, int(pos % 63))").as("__b"))
+      .groupBy("shard_id", "word_idx")
+      .agg(expr("bit_or(__b)").as("bits"))
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** The probe key's (word_idx → required bits) map, computed on the
+    * DRIVER — the identical md5 family as the build side (15 hex
+    * digits = 60 bits, always positive), so no cluster job is needed
+    * to plan the pruning.
+    */
+  private[graft] def bloomKeyWords(key: String, mBits: Long,
+      k: Int): Map[Long, Long] =
+    (0 until k).map { i =>
+      val p = java.lang.Long.parseLong(
+        Dedup.md5Hex(s"bloom$i|$key").take(15), 16) % mBits
+      (p / 63, 1L << (p % 63).toInt)
+    }.groupBy(_._1).map { case (w, bs) => w -> bs.map(_._2).reduce(_ | _) }
+
+  /** Content-key point lookup through the skipping index: read the k
+    * index word rows, keep only shards whose filter has EVERY
+    * required bit set, and scan the data dir with a `shard_id IN
+    * (survivors)` partition filter + the exact residual predicate.
+    * Unpruned the lookup scans every shard; pruned it reads the
+    * survivor shards' files only (usually one) — the
+    * [[graft.ext.Similarity.ivfTopKIndexed]] driver-literal pruning
+    * shape applied to point lookups.
+    */
+  def lookupByKey(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, indexDir: String, keyCol: String, key: String,
+      mBits: Long = 1L << 17, k: Int = 5): DataFrame = {
+    val words = bloomKeyWords(key, mBits, k)
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("word_idx").isin(words.keys.toSeq: _*))
+      .select("shard_id", "word_idx", "bits").collect()
+      .groupBy(_.getInt(0))
+    val pass = idx.collect { case (shard, rows) =>
+      val have = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val ok = words.forall { case (w, need) =>
+        (have.getOrElse(w, 0L) & need) == need }
+      shard -> ok
+    }.collect { case (shard, true) => shard }.toSeq.sorted
+    spark.read.parquet(dataDir)
+      .filter(if (pass.isEmpty) lit(false)
+        else col("shard_id").isin(pass: _*))
+      .filter(col(keyCol) === key)
+  }
 }

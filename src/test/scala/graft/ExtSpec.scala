@@ -3070,6 +3070,52 @@ class ExtSpec extends AnyFunSuite {
     assert(got.getDouble(3) >= -1.0 && got.getDouble(3) <= 1.0)
   }
 
+  test("bloomSkipIndex: lookup ≡ direct filter, absent key prunes everything, scan pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomskip-spec").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma"),               // exact dup of 1
+      (4L, "eta theta iota"), (5L, "kappa lambda mu"),
+      (6L, "nu xi omicron"), (7L, "pi rho sigma"),
+      (8L, "tau upsilon phi")).toDF("doc_id", "text")
+      .withColumn("content_key", md5(col("text")))
+    graft.ext.Sharding.writeShards(docs, s"$dir/data", numShards = 4)
+    graft.ext.Sharding.writeBloomSkipIndex(spark, s"$dir/data",
+      s"$dir/index", "content_key", mBits = 1L << 12, k = 5)
+    val keys = docs.select("doc_id", "content_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every present key: lookup == direct filter over the table
+    keys.values.toSeq.distinct.foreach { key =>
+      val got = graft.ext.Sharding.lookupByKey(spark, s"$dir/data",
+        s"$dir/index", "content_key", key, 1L << 12, 5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = keys.collect { case (d, k) if k == key => d }.toSeq.sorted
+      assert(got == want, s"lookup mismatch for $key")
+    }
+    // the dup pair resolves together
+    val dupKey = keys(1L)
+    assert(graft.ext.Sharding.lookupByKey(spark, s"$dir/data",
+      s"$dir/index", "content_key", dupKey, 1L << 12, 5)
+      .count() == 2L)
+    // absent key: no false negatives is the guarantee; with 4096 bits
+    // over 8 keys the absent probe must prune EVERY shard (fp odds
+    // are (n·k/m)^k-class) — zero rows AND zero files scanned
+    val absent = graft.ext.Sharding.lookupByKey(spark, s"$dir/data",
+      s"$dir/index", "content_key", "not a real key", 1L << 12, 5)
+    assert(absent.count() == 0L)
+    // pruning is visible in the plan: the present-key scan reads a
+    // PartitionFilters subset, not all 4 shard dirs
+    val pruned = graft.ext.Sharding.lookupByKey(spark, s"$dir/data",
+      s"$dir/index", "content_key", dupKey, 1L << 12, 5)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty, "shard_id IN must be a partition filter")
+    assert(scan.selectedPartitions.partitionCount < 4,
+      s"expected shard pruning, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("prfExpand: hand-computed RM1 weights, query terms excluded, tie order") {
     val df = Seq(
       (1L, "spark window shuffle shuffle"),
