@@ -75,6 +75,28 @@ object Bench {
         System.err.println(s"[bench] shared-frame setup FAILED: ${e.getMessage}")
         Seq("setup_shared_frames" -> Left(e.getClass.getSimpleName))
       }
+    // Calibration: a PINNED micro-benchmark (fixed rows, fixed plan,
+    // no benchmark tables) timed with the same min-of-2 protocol at
+    // run start and run end. Per-query numbers cannot be compared
+    // across runs on a shared box without it — round 10's driver run
+    // drifted ~40% mid-round and produced 3-4× phantom "regressions"
+    // on untouched code. A cross-run query ratio that does not exceed
+    // the calibration ratio is environment, not code.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 8000000L, 1, 32)
+          .selectExpr("id % 997 as k", "md5(cast(id as string)) as h")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.expr(
+            "count(distinct substring(h, 1, 4)) as c"))
+          .agg(org.apache.spark.sql.functions.sum("c")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      math.min(once(), once())
+    }
+    val calStart = calibrate()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink, not .count(): count() re-plans the query as an
       // empty-schema aggregate, letting Catalyst prune every computed
@@ -111,6 +133,7 @@ object Bench {
         name -> Left(e.getClass.getSimpleName)
       }
     }
+    val calEnd = calibrate()
     val qs = (sharedSetup ++ results).map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(e))  => s"\"" + k + "\":" + s"""{"err":"$e"}"""
@@ -121,7 +144,9 @@ object Bench {
     // conflate with steady-state plan cost round-over-round.
     val total = results.values.collect { case Right(v) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
+        s""""calibration":{"start_s":$calStart,"end_s":$calEnd},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // Also persist to files: the driver captures a bounded stdout tail
     // and round 4's artifact was truncated mid-object ("parsed": null);
     // round 9's tail lost 195 of 261 per-query entries. The in-repo

@@ -322,7 +322,11 @@ object Classify {
       .select(col(idCol), col("predicted_lang").as("l2"))
     val chunk = TextStats.langIdChunks(spark, df, chunkTokens)
       .select(col(idCol), col("majority_lang").as("l3"))
-    val tri = nb.join(heur, Seq(idCol)).join(chunk, Seq(idCol))
+    // tri feeds FOUR consumers (the s-aggregate plus the 3-way label
+    // union); without materialization each consumer can re-run the
+    // NB-training + langId + chunk-langId pipelines end to end.
+    val tri = Dedup.materialize(
+      nb.join(heur, Seq(idCol)).join(chunk, Seq(idCol)))
     val pat = when(col("l1") === col("l2") && col("l2") === col("l3"), 9L)
       .when(col("l1") === col("l2") || col("l2") === col("l3") ||
         col("l1") === col("l3"), 5L)

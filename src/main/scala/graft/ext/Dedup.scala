@@ -928,29 +928,56 @@ object Dedup {
     * (On a real cluster prefer `checkpoint` with a durable dir for
     * executor-loss recovery; the stats reset is needed either way.)
     */
-  private[graft] def materialize(df: DataFrame): DataFrame = {
-    // Fast path: a frame that IS already a checkpointed leaf (or a
-    // rename/reorder projection of one — the graph operators' id_a/
-    // id_b → a/b aliasing) gains nothing from a second checkpoint;
-    // re-materializing the shared co-purchase edge frame would copy
-    // the whole relation once per consuming operator.
+  /** The materialized leaf under `df`, when `df` IS a checkpointed
+    * leaf or a rename/reorder projection of one (the graph operators'
+    * id_a/id_b → a/b aliasing). None for any other plan shape.
+    */
+  private[graft] def materializedLeaf(df: DataFrame)
+      : Option[org.apache.spark.sql.execution.LogicalRDD] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.execution.LogicalRDD
-    val alreadyLeaf = df.queryExecution.analyzed match {
-      case _: LogicalRDD => true
-      case Project(ps, _: LogicalRDD) => ps.forall {
-        case _: Attribute => true
-        case a: Alias => a.child.isInstanceOf[Attribute]
-        case _ => false
-      }
-      case _ => false
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l)
+      case Project(ps, l: LogicalRDD) if ps.forall {
+          case _: Attribute => true
+          case a: Alias => a.child.isInstanceOf[Attribute]
+          case _ => false
+        } => Some(l)
+      case _ => None
     }
-    if (alreadyLeaf) df else {
+  }
+
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    // Fast path: a frame that IS already a checkpointed leaf gains
+    // nothing from a second checkpoint; re-materializing the shared
+    // co-purchase edge frame would copy the whole relation once per
+    // consuming operator.
+    if (materializedLeaf(df).isDefined) df else {
       val ck = df.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-  }
+
+  // Row counts of materialized leaves, keyed by (application, RDD id).
+  // A rename projection over a leaf has the leaf's count, and a
+  // localCheckpoint'd RDD is immutable — so the memo never goes stale
+  // within an application. Callers with non-leaf frames fall through
+  // to a plain count.
+  private val leafCounts =
+    scala.collection.concurrent.TrieMap[(String, Int), Long]()
+
+  /** `df.count()`, memoized when `df` is a materialized leaf (or a
+    * rename projection of one) — the broadcast-or-shuffle regime
+    * probes in the graph operators re-decide on the SAME shared edge
+    * frame once per consuming query otherwise, charging a full count
+    * job to every benchmarked call (ADVICE r10).
+    */
+  private[graft] def cachedCount(df: DataFrame): Long =
+    materializedLeaf(df) match {
+      case Some(l) => leafCounts.getOrElseUpdate(
+        (df.sparkSession.sparkContext.applicationId, l.rdd.id), df.count())
+      case None => df.count()
+    }
 
   /** Connected components over an undirected candidate-pair graph by
     * bounded min-label propagation: every node starts labeled with its

@@ -319,7 +319,8 @@ object Graph {
     val scored = cand
       .groupBy(col("x").as("id_a"), col("y").as("id_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
-    val bcast = broadcastEdges.getOrElse(e.count() <= BroadcastMaxEdges)
+    val bcast =
+      broadcastEdges.getOrElse(Dedup.cachedCount(e) <= BroadcastMaxEdges)
     val eSide = if (bcast) broadcast(e) else e.hint("shuffle_hash")
     scored.join(eSide,
         scored("id_a") === e("a") && scored("id_b") === e("b"), "left_anti")
@@ -407,8 +408,8 @@ object Graph {
     // that fits executor memory; past the threshold fall back to
     // shuffle equi-joins — still edge-sized exchanges, never
     // wedge-sized.
-    val useBroadcast =
-      broadcastAdjacency.getOrElse(eAll.count() <= BroadcastMaxEdges)
+    val useBroadcast = broadcastAdjacency.getOrElse(
+      Dedup.cachedCount(eAll) <= BroadcastMaxEdges)
     val side =
       if (useBroadcast) (df: DataFrame) => broadcast(df)
       else (df: DataFrame) => df

@@ -279,9 +279,13 @@ object Sharding {
       dataDir: String, indexDir: String, keyCol: String, key: String,
       mBits: Long = 1L << 17, k: Int = 5): DataFrame = {
     val words = bloomKeyWords(key, mBits, k)
+    // shard_id in the index inherits its type from the dataDir read's
+    // partition-column inference; cast all three probe columns so the
+    // driver-side getInt/getLong stay layout-config independent.
     val idx = spark.read.parquet(indexDir)
-      .filter(col("word_idx").isin(words.keys.toSeq: _*))
-      .select("shard_id", "word_idx", "bits").collect()
+      .filter(col("word_idx").cast("long").isin(words.keys.toSeq: _*))
+      .select(col("shard_id").cast("int"), col("word_idx").cast("long"),
+        col("bits").cast("long")).collect()
       .groupBy(_.getInt(0))
     val pass = idx.collect { case (shard, rows) =>
       val have = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap

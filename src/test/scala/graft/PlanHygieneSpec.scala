@@ -436,4 +436,42 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(n == 1,
       s"change-detection and interval-chaining windows must share one exchange, got $n:\n$plan")
   }
+
+  test("fleiss kappa consumes the 3-labeler join as ONE materialized leaf") {
+    // tri feeds four consumers (s-aggregate + 3-way label union);
+    // materialization means the NB-training / langId / chunk-langId
+    // pipelines run once at checkpoint time, so the final plan must
+    // contain NO parquet scan — every leaf is the checkpointed RDD.
+    Tables.register(spark, TestSpark.sfDir)
+    val df = SparkEntry.queries("q_fleiss_kappa")(spark, TestSpark.sfDir)
+    assert(scans(df).isEmpty,
+      s"labeler pipelines must not re-run per consumer:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("materialize fast path recognizes a leaf and its rename projection") {
+    // Guards the Catalyst plan-shape match inside Dedup.materialize
+    // (LogicalRDD / Project-of-attributes over it): if a Spark upgrade
+    // changes the analyzed shape of a checkpointed frame, every
+    // shared-frame consumer silently re-checkpoints the full relation
+    // — correct but defeating the optimization with no signal
+    // (ADVICE r10). The leaf's underlying RDD id must survive a
+    // second materialize, both direct and through a rename/reorder.
+    import graft.ext.Dedup
+    val df = spark.range(100).selectExpr("id as a", "id % 7 as b")
+    val leaf = Dedup.materialize(df)
+    def rddId(d: org.apache.spark.sql.DataFrame): Int =
+      Dedup.materializedLeaf(d).getOrElse(
+        fail(s"not recognized as a materialized leaf:\n${d.queryExecution.analyzed}")
+      ).rdd.id
+    val id0 = rddId(leaf)
+    assert(rddId(Dedup.materialize(leaf)) == id0,
+      "re-materializing a leaf must be a no-op")
+    val renamed = Dedup.materialize(
+      leaf.select(col("b").as("id_b"), col("a").as("id_a")))
+    assert(rddId(renamed) == id0,
+      "rename/reorder projection over a leaf must not re-checkpoint")
+    // cachedCount memoizes by that RDD id and agrees with count()
+    assert(Dedup.cachedCount(leaf) == 100L)
+    assert(Dedup.cachedCount(renamed) == 100L)
+  }
 }
