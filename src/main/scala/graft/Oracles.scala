@@ -28,25 +28,38 @@ object Oracles {
     *    integer units; double round() diverges across engines on the
     *    exact .5×10⁻⁵ ties these quantized sums produce);
     *  - std is the two-pass form around the unrounded mean, with each
-    *    squared deviation quantized at `decimal(26,12)` before the
-    *    exact sum (identical per-row doubles → identical quantization
-    *    → order-independent equality);
+    *    squared deviation quantized before the exact sum (identical
+    *    per-row doubles → identical quantization → order-independent
+    *    equality) at a range-adaptive scale: 10⁻¹² for column ranges
+    *    ≤ 10⁷, 10⁰ beyond (wide surrogate keys);
     *  - median interpolates like Spark's Percentile, which
     *    `quantile_cont` matches.
     */
   def duckStats(c: String, table: String): Seq[String] = {
-    val su6 = s"cast(sum(cast($c as decimal(18,6))) * 1000000 as bigint)"
+    // HUGEINT, not BIGINT: key-column sums × 10⁶ exceed 2⁶³ at large
+    // scale (mirrors the Spark side's decimal(38,0) su6).
+    val su6 = s"cast(sum(cast($c as decimal(18,6))) * 1000000 as hugeint)"
     val sign = s"(CASE WHEN sum(cast($c as decimal(18,6))) < 0 THEN -1.0 ELSE 1.0 END)"
     def r5(b: String) =
       s"$sign * floor((abs($su6) * 2 + ($b))::DOUBLE / (($b) * 2)::DOUBLE) / 100000.0"
     val meanRaw =
       s"(SELECT cast(sum(cast($c as decimal(18,6))) as double) / count($c) FROM $table)"
     val dev = s"(cast($c as double) - $meanRaw)"
+    // Range-adaptive squared-deviation quantization, the exact twin of
+    // TableProfiler.exactLong pass 2: scale 12 for ranges ≤ 10⁷,
+    // scale 0 beyond (wide surrogate-key columns would overflow the
+    // fine cast). The range gate sits INSIDE each sum (DuckDB
+    // evaluates all aggregates regardless of an outer CASE, so an
+    // unguarded fine sum would overflow on coarse columns).
+    val rangeBig =
+      s"(SELECT max(cast($c as double)) - min(cast($c as double)) > 10000000.0 FROM $table)"
+    val s2f = s"sum(CASE WHEN $rangeBig THEN NULL ELSE cast($dev * $dev as decimal(27,12)) END)"
+    val s2c = s"sum(CASE WHEN $rangeBig THEN cast($dev * $dev as decimal(27,0)) ELSE NULL END)"
     Seq(
       s"cast(count($c) as double)",
       s"cast(count(distinct $c) as double)",
       r5(s"count($c) * 10"),
-      s"CASE WHEN count($c) > 1 THEN round(sqrt(cast(sum(cast($dev * $dev as decimal(26,12))) as double) / (count($c) - 1)), 5) END",
+      s"CASE WHEN count($c) > 1 THEN round(sqrt(coalesce(cast($s2f as double), cast($s2c as double)) / (count($c) - 1)), 5) END",
       s"round(cast(min($c) as double), 5)",
       s"round(quantile_cont($c, 0.5), 5)",
       s"round(cast(max($c) as double), 5)",

@@ -1097,23 +1097,15 @@ object OraclesExt {
        |SELECT id_a, id_b, score FROM p2 WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** Cross-lingual bitext candidates — twin of
-    * Similarity.crossLingualPairs: the [[embeddingNearDup]] banded-LSH
-    * pair chain, language labels attached by doc-id joins, same-lang
-    * pairs dropped.
+    * Similarity.crossLingualPairs: the [[semDedupPairs]] IVF-cell
+    * pair chain (bitext mining runs at LOW thresholds, where banding
+    * degenerates — see Similarity.crossLingualPairs), language labels
+    * attached by doc-id joins, same-lang pairs dropped.
     */
-  def crossLingualPairs(threshold: Double): String =
+  def crossLingualPairs(threshold: Double, nlistSql: String,
+      nprobe: Int): String =
     s"""WITH $normCte,
-       |planes AS (SELECT p, list_transform(range(0, 64),
-       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
-       |  FROM range(0, 16) t(p)),
-       |bits AS (SELECT vec_id, p // 2 AS band,
-       |  CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
-       |    THEN (1::BIGINT << (p % 2)) ELSE 0::BIGINT END AS bit
-       |  FROM n CROSS JOIN planes),
-       |keys AS (SELECT vec_id, band || ':' || sum(bit)::BIGINT AS bk
-       |  FROM bits GROUP BY vec_id, band),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |${ivfCandCtes(nlistSql, nprobe)},
        |p2 AS (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, da.lang AS lang_a, db.lang AS lang_b, score
@@ -1265,42 +1257,45 @@ object OraclesExt {
     * (identical index to [[knnIvf]]), then candidates are verified
     * with the exact normalized dot.
     */
-  def semDedupPairs(threshold: Double, nlist: Int, nprobe: Int): String =
-    s"""WITH $normCte,
-       |cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
-       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+  /** The corpus-adaptive nlist rule as SQL (twin of
+    * SparkEntry.adaptiveNlist): cells hold ~cellTarget vectors, so
+    * Σcell² candidate work stays linear in corpus size.
+    */
+  def adaptiveNlistSql(nlistMin: Int, cellTarget: Long): String =
+    s"greatest($nlistMin, (SELECT count(*) // $cellTarget FROM embeddings))"
+
+  /** CTE chain `cents → ascore → ranked_a → cells → cand` over the
+    * `n` relation of [[normCte]]: IVF-cell candidate pairs, twin of
+    * Similarity.cellPairs. `nlistSql` is any SQL expression — the
+    * adaptive rule above, or a literal.
+    */
+  private def ivfCandCtes(nlistSql: String, nprobe: Int): String =
+    s"""cents AS (SELECT vec_id AS centroid_id, nv AS ce FROM n
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $nlistSql),
        |ascore AS (SELECT n.vec_id, n.nv, c.centroid_id,
        |  ${dotSql("n.nv", "c.ce")} AS cscore FROM n CROSS JOIN cents c),
        |ranked_a AS (SELECT *, row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS crank FROM ascore),
        |cells AS (SELECT vec_id, centroid_id FROM ranked_a WHERE crank <= $nprobe),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |  FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)""".stripMargin
+
+  def semDedupPairs(threshold: Double, nlistSql: String, nprobe: Int): String =
+    s"""WITH $normCte,
+       |${ivfCandCtes(nlistSql, nprobe)},
        |p2 AS (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, score FROM p2 WHERE score >= $threshold ORDER BY id_a, id_b""".stripMargin
 
-  /** Embedding near-dup clustering — twin of q_embedding_clusters:
-    * the [[embeddingNearDup]] pair graph, closed transitively by the
-    * same recursive min-reachable-id CTE as [[dedupClusters]].
-    */
-  /** CTE chain ending in `cc(id, cluster_id)` — the banded-LSH pair
-    * graph over embeddings closed transitively; shared by
+  /** CTE chain ending in `cc(id, cluster_id)` — the IVF-cell pair
+    * graph over embeddings (LOW-threshold regime, twin of
+    * Similarity.cellPairs candidates) closed transitively by the same
+    * recursive min-reachable-id CTE as [[dedupClusters]]; shared by
     * [[embeddingClusters]] and [[curateSemantic]].
     */
-  private val embeddingClusterCtes =
+  private def embeddingClusterCtes(nlistSql: String, nprobe: Int) =
     s"""$normCte,
-       |planes AS (SELECT p, list_transform(range(0, 64),
-       |  d -> cast('0x' || substr(md5(p || ',' || d), 1, 8) AS BIGINT)::DOUBLE / 2147483648.0 - 1.0) AS w
-       |  FROM range(0, 16) t(p)),
-       |bits AS (SELECT vec_id, p // 2 AS band,
-       |  CASE WHEN list_sum(list_transform(list_zip(nv, w), z -> z[1] * z[2])) >= 0
-       |    THEN (1::BIGINT << (p % 2)) ELSE 0::BIGINT END AS bit
-       |  FROM n CROSS JOIN planes),
-       |keys AS (SELECT vec_id, band || ':' || sum(bit)::BIGINT AS bk
-       |  FROM bits GROUP BY vec_id, band),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |${ivfCandCtes(nlistSql, nprobe)},
        |p2 AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |  WHERE score >= 0.4),
@@ -1312,8 +1307,8 @@ object OraclesExt {
        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
-  val embeddingClusters: String =
-    s"""WITH RECURSIVE $embeddingClusterCtes,
+  def embeddingClusters(nlistSql: String, nprobe: Int): String =
+    s"""WITH RECURSIVE ${embeddingClusterCtes(nlistSql, nprobe)},
        |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY cluster_id)
        |SELECT cc.id AS vec_id, cc.cluster_id, cs.cluster_size,
        |       (cc.id = cc.cluster_id) AS is_survivor
@@ -1324,10 +1319,10 @@ object OraclesExt {
     * gates first, then the text gates, same priority CASE and quality
     * blend as [[curate]].
     */
-  val curateSemantic: String = {
+  def curateSemantic(nlistSql: String, nprobe: Int): String = {
     val minTokens = graft.ext.Curation.DefaultMinTokens
     val minQuality = graft.ext.Curation.DefaultMinQuality
-    s"""WITH RECURSIVE $embeddingClusterCtes,
+    s"""WITH RECURSIVE ${embeddingClusterCtes(nlistSql, nprobe)},
        |$toksCte,
        |qq AS (SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
        |  $qualityScoreSql AS quality_score

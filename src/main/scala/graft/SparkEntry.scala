@@ -797,6 +797,18 @@ object SparkEntry {
   // nprobe nearest (shared with OraclesExt.semDedupPairs)
   private[graft] val semDedupNlist = 16
   private[graft] val semDedupNprobe = 2
+  // Corpus-adaptive nlist for the LOW-threshold pair queries
+  // (SemDeDup's nlist ∝ n rule): cells hold ~cellTarget vectors, so
+  // Σcell² stays linear in n. 2000/125 = 16 — at the driver's sf0.01
+  // and sf0.1 this is EXACTLY the historical literal nlist (hashes
+  // unchanged); at sf1 it grows to 160 and the 17-26× superlinear
+  // ratios the first sweep measured collapse to ~linear. The oracle
+  // twins derive the same value in SQL (greatest(16, count/125)).
+  private[graft] val semDedupCellTarget = 125L
+  private def adaptiveNlist(emb: DataFrame): Int =
+    math.max(semDedupNlist.toLong, emb.count() / semDedupCellTarget).toInt
+  private def adaptiveNlistOracle: String =
+    OraclesExt.adaptiveNlistSql(semDedupNlist, semDedupCellTarget)
   // k-means cluster profile: 16 clusters, 2 Lloyd refinements —
   // single-sourced so the Spark query and oracle SQL cannot drift.
   private[graft] val kmeansNlist = 16
@@ -990,6 +1002,28 @@ object SparkEntry {
         s.table("documents").filter(col("doc_id") % 10 =!= 0), d)
     }
 
+  // CSV/JSON staged copies of the small dim tables — the two mundane
+  // text ingestion formats a pipeline tool meets first. Written once
+  // per (format, sfDir) FROM the parquet source, so the q_*_source
+  // queries exercise the full text decode path (quoting, header,
+  // number parsing) while the DuckDB oracle runs on the parquet
+  // originals: a value mismatch means the round-trip corrupted data.
+  // Explicit schemas on read, never inferSchema — inference is a
+  // whole extra pass over the data at 100 TB.
+  private def csvSourceDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("csvsrc", sfDir) { d =>
+      s.table("nation").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$d/nation")
+    }
+
+  private def jsonSourceDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("jsonsrc", sfDir) { d =>
+      // Jackson emits shortest-round-trip doubles, so s_acctbal
+      // survives the text hop bit-exactly.
+      s.table("supplier").coalesce(1).write.mode("overwrite")
+        .json(s"$d/supplier")
+    }
+
   // Deterministic TableLog demo: a 4-commit history over the orders
   // payload (init / append / copy-on-write merge / compaction), the
   // fixture q_table_history time-travels. Every version's row set is
@@ -1146,6 +1180,17 @@ object SparkEntry {
     },
     "q_profile_orders" -> withTables { s =>
       TableProfiler.profileTable(s, "orders")
+    },
+    // §2.4 — exact profile of a WIDE-RANGE surrogate-key column
+    // (range ≫ 10⁷): pins the profiler's coarse std-quantization
+    // regime and the decimal(38,0) su6 display path in the oracle
+    // gate at sf0.01 — the envelope the sf1 sweep overflowed is now
+    // correctness-checked every round, next to a fine-regime column
+    // in the same profile so both branches hash in one query.
+    "q_profile_wide_keys" -> withTables { s =>
+      TableProfiler.profileLong(s.table("lineitem").selectExpr(
+          "l_orderkey * 1000000 AS wide_key", "l_quantity"))
+        .orderBy("column_name", "agg_type")
     },
     "q_profile_customer" -> withTables { s =>
       TableProfiler.profileTable(s, "customer")
@@ -1562,15 +1607,18 @@ object SparkEntry {
     // space whose documents carry different language labels — the
     // LASER/CCMatrix translation-candidate surface.
     "q_bitext_mine" -> withTables { s =>
-      Similarity.crossLingualPairs(s.table("embeddings"),
-        s.table("documents"), threshold = 0.4)
+      val emb = s.table("embeddings")
+      Similarity.crossLingualPairs(emb, s.table("documents"),
+        threshold = 0.4, nlist = adaptiveNlist(emb),
+        nprobe = semDedupNprobe)
         .orderBy("id_a", "id_b")
     },
     // SemDeDup-style cell-pruned pairs: the LOW-threshold companion
     // (cluster-then-compare; per-cell work bounded by nlist ∝ corpus).
     "q_semdedup" -> withTables { s =>
-      Similarity.cellPairs(s.table("embeddings"), threshold = 0.4,
-        nlist = semDedupNlist, nprobe = semDedupNprobe)
+      val emb = s.table("embeddings")
+      Similarity.cellPairs(emb, threshold = 0.4,
+        nlist = adaptiveNlist(emb), nprobe = semDedupNprobe)
         .orderBy("id_a", "id_b")
     },
     // Embedding-space near-dup clustering: the banded-LSH pair graph
@@ -1579,8 +1627,11 @@ object SparkEntry {
     // chains can be longer than text near-dup chains).
     "q_embedding_clusters" -> withTables { s =>
       val emb = s.table("embeddings")
-      val pairs = Similarity.thresholdPairs(emb, threshold = 0.4,
-        bands = 8, planesPerBand = 2, dims = 64).select("id_a", "id_b")
+      // cellPairs (adaptive nlist), not banded LSH: 0.4 is the
+      // low-threshold regime — see crossLingualPairs' scale note.
+      val pairs = Similarity.cellPairs(emb, threshold = 0.4,
+        nlist = adaptiveNlist(emb), nprobe = semDedupNprobe)
+        .select("id_a", "id_b")
       Dedup.clustersFromPairs(emb, pairs, idCol = "vec_id", maxIter = 50)
         .orderBy("vec_id")
     },
@@ -2531,7 +2582,9 @@ object SparkEntry {
     // §7.5 — cross-modal curation: the near-dup gate runs in
     // embedding space (SemDeDup decision), then the text gates.
     "q_curate_semantic" -> withTables { s =>
-      Curation.curateSemantic(s.table("documents"), s.table("embeddings"))
+      val emb = s.table("embeddings")
+      Curation.curateSemantic(s.table("documents"), emb,
+        nlist = adaptiveNlist(emb), nprobe = semDedupNprobe)
         .orderBy("doc_id")
     },
     // §7.5 extensions — multimodal binary-column metadata.
@@ -2914,6 +2967,35 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy("k_bucket")
     },
+    // §2.1 sources — a CSV-registered table (staged once from the
+    // parquet original; see csvSourceDir) joined against a parquet
+    // dim: the oracle runs on parquet, so hash-green proves the CSV
+    // decode path (header, quoting, INT parsing) is lossless.
+    "q_csv_source" -> withTablesSf { (s, sfDir) =>
+      val nation = s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(s"${csvSourceDir(s, sfDir)}/nation")
+      nation.join(s.table("region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy("r_name")
+    },
+    // §2.1 sources — a JSON-lines-registered table (staged once; see
+    // jsonSourceDir) with DOUBLE columns: hash-green proves the
+    // shortest-round-trip number encoding survives the text hop
+    // bit-exactly (the decimal-cast sum would drift on any ulp loss).
+    "q_json_source" -> withTablesSf { (s, sfDir) =>
+      val sup = s.read
+        .schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(s"${jsonSourceDir(s, sfDir)}/supplier")
+      sup.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal").cast("decimal(18,6)")).cast("double"), 5)
+            .as("sum_acctbal"))
+        .orderBy("s_nationkey")
+    },
     // §2.3 joins — fact-to-dimension star join over part + supplier
     // (both broadcast), decimal-exact revenue per brand.
     "q_brand_revenue" -> withTables { s =>
@@ -3209,6 +3291,9 @@ object SparkEntry {
     "q_profile_lineitem" -> Oracles.profilePivot("lineitem", lineitemNumeric),
     "q_profile_lineitem_long" -> Oracles.profileLong("lineitem", lineitemNumeric),
     "q_profile_orders" -> Oracles.profilePivot("orders", ordersNumeric),
+    "q_profile_wide_keys" -> Oracles.profileLong(
+      "(SELECT l_orderkey * 1000000 AS wide_key, l_quantity FROM lineitem) AS t",
+      Seq("wide_key", "l_quantity")),
     "q_profile_customer" -> Oracles.profilePivot("customer", customerNumeric),
     "q_profile_events" -> Oracles.profilePivot("events", eventsNumeric),
     "q_infoschema_lineitem" -> Oracles.infoSchemaValues("lineitem", lineitemTypes),
@@ -3296,8 +3381,8 @@ object SparkEntry {
     "q_pagerank" -> OraclesExt.pageRank(pageRankIters),
     "q_dedup_simhash" -> OraclesExt.dedupSimHash,
     "q_embedding_neardup" -> OraclesExt.embeddingNearDup,
-    "q_semdedup" -> OraclesExt.semDedupPairs(0.4, semDedupNlist, semDedupNprobe),
-    "q_embedding_clusters" -> OraclesExt.embeddingClusters,
+    "q_semdedup" -> OraclesExt.semDedupPairs(0.4, adaptiveNlistOracle, semDedupNprobe),
+    "q_embedding_clusters" -> OraclesExt.embeddingClusters(adaptiveNlistOracle, semDedupNprobe),
     "q_knn_bruteforce" -> OraclesExt.knnBruteForce,
     "q_knn_filtered" -> OraclesExt.knnFiltered(dsirTargetLang),
     "q_random_projection" -> OraclesExt.randomProjection(outDims = 8, dims = 64),
@@ -3384,7 +3469,7 @@ object SparkEntry {
     "q_sample_fixed" -> OraclesExt.sampleFixed(fixedSampleN, "sample"),
     "q_kfold" -> OraclesExt.kfold(kfoldK, "fold"),
     "q_ppl_buckets" -> OraclesExt.pplBuckets,
-    "q_bitext_mine" -> OraclesExt.crossLingualPairs(0.4),
+    "q_bitext_mine" -> OraclesExt.crossLingualPairs(0.4, adaptiveNlistOracle, semDedupNprobe),
     "q_source_overlap" -> OraclesExt.sourceOverlap,
     "q_importance_weights" -> OraclesExt.importanceWeights(dsirTargetLang),
     "q_dsir_sample" -> OraclesExt.dsirSample(dsirK, dsirTargetLang, dsirSalt),
@@ -3445,7 +3530,7 @@ object SparkEntry {
     "q_redact" -> OraclesExt.redact,
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
-    "q_curate_semantic" -> OraclesExt.curateSemantic,
+    "q_curate_semantic" -> OraclesExt.curateSemantic(adaptiveNlistOracle, semDedupNprobe),
     "q_curate_full" -> OraclesExt.curateFull,
     "q_curation_funnel" -> OraclesExt.curationFunnel,
     "q_curation_by_source" -> OraclesExt.curationBySource,
@@ -3459,6 +3544,18 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    // q_csv_source / q_json_source run on text-staged copies of the
+    // dims; the oracles run on the parquet ORIGINALS — hash equality
+    // IS the lossless-round-trip proof.
+    "q_csv_source" ->
+      """SELECT r_name, count(*)::BIGINT AS n_nations,
+        |  min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_json_source" ->
+      """SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
+        |  round(cast(sum(cast(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_acctbal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_brand_revenue" ->
       """SELECT p_brand, count(*)::BIGINT AS n_items,
         |  count(DISTINCT s_suppkey)::BIGINT AS n_suppliers,

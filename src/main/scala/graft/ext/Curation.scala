@@ -211,15 +211,19 @@ object Curation {
     * equi-join — no new shuffle kinds.
     */
   def curateSemantic(docs: DataFrame, embeddings: DataFrame,
+      nlist: Int, nprobe: Int = 2,
       minTokens: Long = DefaultMinTokens,
       minQuality: Double = DefaultMinQuality,
-      threshold: Double = 0.4, bands: Int = 8, planesPerBand: Int = 2,
-      dims: Int = 64, idCol: String = "doc_id",
+      threshold: Double = 0.4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val stats = TextStats.withDocStats(docs, textCol)
       .select(col(idCol), col("n_tokens"), col("quality_score"))
+    // IVF-cell candidates, not hyperplane banding: semantic dedup runs
+    // at threshold 0.4, the regime where banding degenerates to
+    // near-all-pairs (SemDeDup's own cluster-then-compare argument;
+    // measured 17× at 10× rows before the switch).
     val pairs = Similarity
-      .thresholdPairs(embeddings, threshold, bands, planesPerBand, dims)
+      .cellPairs(embeddings, threshold, nlist, nprobe)
       .select("id_a", "id_b")
     val surv = Dedup
       .clustersFromPairs(embeddings, pairs, idCol = "vec_id", maxIter = 50)

@@ -419,11 +419,15 @@ object Similarity {
     * kinds over the operators already graded.
     */
   def crossLingualPairs(embeddings: DataFrame, docs: DataFrame,
-      threshold: Double, bands: Int = 8, planesPerBand: Int = 2,
-      dims: Int = 64, idCol: String = "vec_id",
+      threshold: Double, nlist: Int, nprobe: Int = 2,
+      idCol: String = "vec_id",
       docIdCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
-    val pairs = thresholdPairs(embeddings, threshold, bands, planesPerBand,
-      dims, idCol)
+    // cellPairs, not thresholdPairs: bitext mining runs at LOW
+    // similarity thresholds (0.4), where hyperplane banding barely
+    // prunes — the sf1 sweep measured 26× at 10× rows (quadratic).
+    // IVF-cell candidates are Σcell², linear once nlist scales with
+    // the corpus (pass nlist ∝ n/cellTarget).
+    val pairs = cellPairs(embeddings, threshold, nlist, nprobe, idCol)
     val langs = docs.select(col(docIdCol).as("__id"), col(langCol))
     pairs
       .join(langs.select(col("__id").as("id_a"), col(langCol).as("lang_a")), "id_a")

@@ -109,10 +109,13 @@ object TableProfiler {
       // x² quantized at 10⁻⁶ then summed exactly; decimal(38,6) keeps
       // 32 integer digits of headroom before the sum can overflow
       val s2 = sum((x * x).cast(DecimalType(38, 6)))
-      val su6 = (s1 * lit(1000000L)).cast(LongType)
+      // decimal(38,0) su6 + long-free floor — see exactLong's notes
+      val su6 = (s1 * lit(1000000L)).cast(DecimalType(38, 0))
+      def floorPos(x: Column): Column =
+        (x - lit(0.5)).cast(DecimalType(38, 0)).cast(DoubleType)
       def r5FromSu6(b: Column): Column =
         when(s1 < 0, lit(-1.0)).otherwise(lit(1.0)) *
-          floor((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
+          floorPos((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
           lit(100000.0)
       val m = s1.cast(DoubleType) / n
       val variance = (s2.cast(DoubleType) - (m * m) * n) / (n - 1)
@@ -161,8 +164,9 @@ object TableProfiler {
     *   sum / mean  — Σ decimal(18,6)(v)·cnt: exact decimal arithmetic
     *     (associative → partitioning-independent); mean = Σ/n in one
     *     double division
-    *   std  — TWO-PASS: Σ decimal(26,12)((v−m)²)·cnt around the exact
-    *     mean, then sqrt(S₂/(n−1)). No Welford merge (whose result
+    *   std  — TWO-PASS: Σ decimal((v−m)²)·cnt around the exact mean
+    *     (range-adaptive scale — see the pass-2 note), then
+    *     sqrt(S₂/(n−1)). No Welford merge (whose result
     *     depends on partition merge order) and no single-pass
     *     Σx²−(Σx)²/n cancellation
     *   median  — window cumsum over value order (N-way parallel sort
@@ -216,14 +220,32 @@ object TableProfiler {
       max("v").as("maxv"),
       sum(col("v").cast(DecimalType(18, 6)) * col("cnt")).as("s1"))
       .withColumn("m", col("s1").cast(DoubleType) / col("n"))
-    // pass 2 for stddev: exact decimal sum of (v-m)^2 around the mean
+    // pass 2 for stddev: exact decimal sum of (v-m)^2 around the mean.
+    // TWO quantization regimes, selected PER COLUMN by its exact range
+    // (deterministic: both engines compare the same doubles): columns
+    // with range ≤ 10⁷ quantize each squared deviation at 10⁻¹²
+    // (decimal(27,12) — the legacy behavior, value-identical to the
+    // old decimal(26,12)); wider columns (large surrogate keys: the
+    // sf1 sweep overflowed decimal(26,12) on 10-digit ids, and real
+    // 100 TB corpora carry 13-digit ids) quantize at 10⁰
+    // (decimal(27,0) — absolute error ≤ 0.5·ndist against a Σ that is
+    // ≥ n·range²/4 ≫ 10¹⁴ whenever this branch is selected, i.e.
+    // relative error < 10⁻¹⁴, invisible at the 5-decimal display).
+    // Precision 27 is the exact-multiply bound: (27,s)×(10,0) has
+    // ideal precision 38, so the ·cnt product NEVER triggers Spark's
+    // precision-loss scale reduction — both branches stay exact,
+    // associative, partition-order independent.
     val sq = vc
-      .join(broadcast(basic.select(col("ci"), col("m"), col("n"))), "ci")
-      .withColumn("d2",
-        ((col("v") - col("m")) * (col("v") - col("m")))
-          .cast(DecimalType(26, 12)) * col("cnt"))
+      .join(broadcast(basic.select(col("ci"), col("m"),
+        (col("maxv") - col("minv") > lit(1e7)).as("__coarse"))), "ci")
+      .withColumn("__dd",
+        (col("v") - col("m")) * (col("v") - col("m")))
+      .withColumn("d2f", when(col("__coarse"), lit(null))
+        .otherwise(col("__dd").cast(DecimalType(27, 12))) * col("cnt"))
+      .withColumn("d2c", when(col("__coarse"),
+        col("__dd").cast(DecimalType(27, 0))).otherwise(lit(null)) * col("cnt"))
       .groupBy("ci")
-      .agg(sum("d2").as("s2"))
+      .agg(sum("d2f").as("s2f"), sum("d2c").as("s2c"))
     // median: position-targeted sharded lookup, Percentile-exact
     // interpolation. The general machinery is the range-SHARDED
     // two-phase prefix sum (graft.ext.Quantiles.shardedCumsum — a
@@ -259,10 +281,23 @@ object TableProfiler {
     // across engines (see TextStats.decAvg5) — round them with exact
     // integer HALF-AWAY-FROM-ZERO instead. su6 = scale-6 integer
     // units of the exact decimal sum.
-    val su6 = (col("s1") * lit(1000000L)).cast(LongType)
+    // decimal(38,0), NOT Long: key-column sums at large scale exceed
+    // Long/10⁶ (the sf1 sweep threw on the cast); the integer
+    // HALF-AWAY arithmetic below is exact either way.
+    val su6 = (col("s1") * lit(1000000L)).cast(DecimalType(38, 0))
+    // floor WITHOUT Spark's floor(): that builtin returns LongType and
+    // Java's double→long conversion SATURATES at 2⁶³ (the wide-key
+    // quotient ≈ sum·10⁵ exceeds it — q_profile_wide_keys caught the
+    // clamp as a wrong `8. sum`). HALF_UP(x − 0.5) to decimal(38,0)
+    // equals floor(x) for every positive double — including the exact
+    // k.5 ties this formula exists to settle — and DuckDB's floor on
+    // DOUBLE stays double, so both engines now agree over the full
+    // decimal range.
+    def floorPos(x: Column): Column =
+      (x - lit(0.5)).cast(DecimalType(38, 0)).cast(DoubleType)
     def r5FromSu6(b: Column): Column =
       when(col("s1") < 0, lit(-1.0)).otherwise(lit(1.0)) *
-        floor((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
+        floorPos((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
         lit(100000.0)
     // emit the long (column_name, agg_type, result) relation directly
     // from the N per-column stat rows: one 8-entry struct-array explode
@@ -286,7 +321,8 @@ object TableProfiler {
       e("2. count_distinct", col("ndist")),
       e("3. mean", r5FromSu6(col("n") * lit(10L))),
       e("4. std", when(col("n") > 1,
-        round(sqrt(col("s2").cast(DoubleType) / (col("n") - 1)), 5))),
+        round(sqrt(coalesce(col("s2f").cast(DoubleType),
+          col("s2c").cast(DoubleType)) / (col("n") - 1)), 5))),
       e("5. min", round(col("minv"), 5)),
       e("6. median", col("median")),
       e("7. max", round(col("maxv"), 5)),

@@ -41,7 +41,7 @@ object ScaleSweep {
       once(); math.min(once(), once())
     }
 
-    def sweep(dir: String): (Map[String, Double], Double, Double) = {
+    def sweep(dir: String): (Map[String, Either[String, Double]], Double, Double) = {
       graft.catalog.Tables.register(spark, dir)
       graft.SparkEntry.prewarmIndexes(spark, dir)
       graft.SparkEntry.buildSharedFrames(spark, dir)
@@ -53,10 +53,19 @@ object ScaleSweep {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        once()
-        val t = math.min(once(), once())
-        println(f"[sweep] $dir%-20s $q%-28s $t%8.2f s")
-        q -> t
+        // a throwing query records an err marker and the sweep goes
+        // on — at the big scale a single overflow/regression must not
+        // cost the whole run (it did once: the profiler's decimal
+        // envelope, found by exactly this sweep)
+        try {
+          once()
+          val t = math.min(once(), once())
+          println(f"[sweep] $dir%-20s $q%-28s $t%8.2f s")
+          q -> Right(t)
+        } catch { case e: Throwable =>
+          println(s"[sweep] $dir $q FAILED: ${e.getClass.getSimpleName}")
+          q -> Left(e.getClass.getSimpleName)
+        }
       }.toMap
       (times, calA, calibrate())
     }
@@ -64,8 +73,13 @@ object ScaleSweep {
     val (ts, calS0, calS1) = sweep(small)
     val (tb, calB0, calB1) = sweep(big)
     val rows = queries.map { q =>
-      val r = tb(q) / ts(q)
-      s""""$q":{"small_s":${ts(q)},"big_s":${tb(q)},"ratio":${math.round(r * 100) / 100.0}}"""
+      (ts(q), tb(q)) match {
+        case (Right(a), Right(b)) =>
+          s""""$q":{"small_s":$a,"big_s":$b,"ratio":${math.round(b / a * 100) / 100.0}}"""
+        case (a, b) =>
+          val err = Seq(a, b).collect { case Left(e) => e }.mkString("/")
+          s""""$q":{"err":"$err"}"""
+      }
     }.mkString(",")
     val line =
       s"""{"small":"$small","big":"$big","row_ratio":10,""" +
