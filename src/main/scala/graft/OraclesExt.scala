@@ -1258,11 +1258,13 @@ object OraclesExt {
     * with the exact normalized dot.
     */
   /** The corpus-adaptive nlist rule as SQL (twin of
-    * SparkEntry.adaptiveNlist): cells hold ~cellTarget vectors, so
-    * Σcell² candidate work stays linear in corpus size.
+    * SparkEntry.adaptiveNlist): nlist ∝ √n balances the n·nlist
+    * assignment term against the nprobe·n²/nlist candidate term —
+    * both O(n^1.5), the standard IVF compromise. Double sqrt/ceil on
+    * an exact integer count is engine-identical.
     */
-  def adaptiveNlistSql(nlistMin: Int, cellTarget: Long): String =
-    s"greatest($nlistMin, (SELECT count(*) // $cellTarget FROM embeddings))"
+  def adaptiveNlistSql(nlistMin: Int): String =
+    s"greatest($nlistMin, (SELECT ceil(sqrt(count(*) / 2.0))::BIGINT FROM embeddings))"
 
   /** CTE chain `cents → ascore → ranked_a → cells → cand` over the
     * `n` relation of [[normCte]]: IVF-cell candidate pairs, twin of

@@ -797,18 +797,21 @@ object SparkEntry {
   // nprobe nearest (shared with OraclesExt.semDedupPairs)
   private[graft] val semDedupNlist = 16
   private[graft] val semDedupNprobe = 2
-  // Corpus-adaptive nlist for the LOW-threshold pair queries
-  // (SemDeDup's nlist ∝ n rule): cells hold ~cellTarget vectors, so
-  // Σcell² stays linear in n. 2000/125 = 16 — at the driver's sf0.01
-  // and sf0.1 this is EXACTLY the historical literal nlist (hashes
-  // unchanged); at sf1 it grows to 160 and the 17-26× superlinear
-  // ratios the first sweep measured collapse to ~linear. The oracle
-  // twins derive the same value in SQL (greatest(16, count/125)).
-  private[graft] val semDedupCellTarget = 125L
+  // Corpus-adaptive nlist for the LOW-threshold pair queries.
+  // IVF cost has two terms: centroid ASSIGNMENT (n·nlist dots) and
+  // within-cell CANDIDATES (≈ nprobe·n·cellSize = nprobe·n²/nlist
+  // dots). nlist ∝ n makes candidates linear but assignment quadratic
+  // (the sf10 sweep ground on 200k × 1600 assignment dots); nlist ∝
+  // √n balances both terms at O(n^1.5) — the standard IVF compromise.
+  // max(16, ceil(√(n/2))): 16 at the driver's sf0.01 (n=200 → √100 =
+  // 10 → floor 16, EXACTLY the historical literal, so the correctness
+  // gate's hashes are unchanged), 32 at sf0.1, 100 at sf1, 316 at
+  // sf10. The oracle twins derive the same value in SQL.
   private def adaptiveNlist(emb: DataFrame): Int =
-    math.max(semDedupNlist.toLong, emb.count() / semDedupCellTarget).toInt
+    math.max(semDedupNlist.toDouble,
+      math.ceil(math.sqrt(emb.count() / 2.0))).toInt
   private def adaptiveNlistOracle: String =
-    OraclesExt.adaptiveNlistSql(semDedupNlist, semDedupCellTarget)
+    OraclesExt.adaptiveNlistSql(semDedupNlist)
   // k-means cluster profile: 16 clusters, 2 Lloyd refinements —
   // single-sourced so the Spark query and oracle SQL cannot drift.
   private[graft] val kmeansNlist = 16

@@ -231,16 +231,26 @@ object Graph {
       e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
-    def restrict(alive: DataFrame): DataFrame =
-      edges
-        .join(alive.select(col("node").as("a")), Seq("a"))
+    def restrict(e: DataFrame, alive: DataFrame): DataFrame =
+      e.join(alive.select(col("node").as("a")), Seq("a"))
         .join(alive.select(col("node").as("b")), Seq("b"))
+    // Each round re-restricts the ORIGINAL edge frame against the
+    // shrinking alive set — deliberately. The alternative (iterating
+    // on a per-round materialized restricted edge set) was built and
+    // MEASURED at the 60M-row sf10 sweep: rounds × edge-sized
+    // checkpoint generations exhaust the heap faster than they can be
+    // freed (OOM twice, including with explicit unpersist of
+    // superseded generations), while this shape completed at ~1.7×
+    // above proportional (shuffle spill, not a plan defect). On a
+    // graph whose core barely peels — co-purchase graphs — the
+    // restriction doesn't shrink enough to pay for its checkpoints.
     var alive = Dedup.materialize(
       degrees(edges).filter(col("degree") >= k).select("node"))
     for (_ <- 2 to rounds)
       alive = Dedup.materialize(
-        degrees(restrict(alive)).filter(col("degree") >= k).select("node"))
-    degrees(restrict(alive))
+        degrees(restrict(edges, alive)).filter(col("degree") >= k)
+          .select("node"))
+    degrees(restrict(edges, alive))
       .select(col("node"), col("degree").as("core_degree"))
   }
 
@@ -319,9 +329,20 @@ object Graph {
     val scored = cand
       .groupBy(col("x").as("id_a"), col("y").as("id_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
-    val bcast =
-      broadcastEdges.getOrElse(Dedup.cachedCount(e) <= BroadcastMaxEdges)
-    val eSide = if (bcast) broadcast(e) else e.hint("shuffle_hash")
+    // THREE join regimes by edge count: broadcast while the edge list
+    // fits executor memory; shuffle-hash while a PARTITION of it does
+    // (avoids SMJ's two sorts at mid scale); sort-merge beyond — the
+    // only strategy with no in-memory build floor (the sf10 sweep's
+    // 90M-edge run OOM'd the forced shuffle-hash build).
+    val nEdges = broadcastEdges match {
+      case Some(true) => 0L
+      case Some(false) => Long.MaxValue
+      case None => Dedup.cachedCount(e)
+    }
+    val eSide =
+      if (nEdges <= BroadcastMaxEdges) broadcast(e)
+      else if (nEdges <= ShuffleHashMaxEdges) e.hint("shuffle_hash")
+      else e.hint("merge")
     scored.join(eSide,
         scored("id_a") === e("a") && scored("id_b") === e("b"), "left_anti")
       .orderBy(col("__s").desc, col("id_a"), col("id_b"))
@@ -432,6 +453,12 @@ object Graph {
     * Above the ceiling the adjacency joins shuffle on their keys.
     */
   val BroadcastMaxEdges: Long = 2L << 20
+
+  /** Upper bound for the shuffle-hash regime: one partition's share
+    * (edges/32 at the pinned parallelism) must fit a per-task hash
+    * map. Past this, sort-merge — no build-side memory floor.
+    */
+  val ShuffleHashMaxEdges: Long = 32L << 20
 
   /** Pair co-occurrence SUPPORT: how many groups contain BOTH items —
     * the counting sibling of [[coOccurrenceEdges]] (same bounded

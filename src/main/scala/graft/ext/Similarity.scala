@@ -426,7 +426,7 @@ object Similarity {
     // similarity thresholds (0.4), where hyperplane banding barely
     // prunes — the sf1 sweep measured 26× at 10× rows (quadratic).
     // IVF-cell candidates are Σcell², linear once nlist scales with
-    // the corpus (pass nlist ∝ n/cellTarget).
+    // the corpus (pass nlist ∝ √n — the assignment/candidate balance).
     val pairs = cellPairs(embeddings, threshold, nlist, nprobe, idCol)
     val langs = docs.select(col(docIdCol).as("__id"), col(langCol))
     pairs

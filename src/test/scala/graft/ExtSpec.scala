@@ -2084,8 +2084,8 @@ class ExtSpec extends AnyFunSuite {
     val emb = Seq((1L, v), (2L, v), (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val out = graft.ext.Curation.curateSemantic(docs, emb,
-      minTokens = 40, minQuality = 0.0, threshold = 0.4,
-      bands = 2, planesPerBand = 2, dims = 4)
+      nlist = 4, nprobe = 2,
+      minTokens = 40, minQuality = 0.0, threshold = 0.4)
       .orderBy("doc_id").collect()
     assert(out(0).getBoolean(3), "survivor of the coincident pair is kept")
     assert(!out(1).getBoolean(3) && out(1).getString(4) == "semantic_duplicate",

@@ -385,7 +385,8 @@ class PipelineMlSpec extends AnyFunSuite {
       (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
     val docs = Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "de"), (5L, "es"))
       .toDF("doc_id", "lang")
-    val got = Similarity.crossLingualPairs(emb, docs, threshold = 0.9, dims = 4)
+    val got = Similarity.crossLingualPairs(emb, docs, threshold = 0.9,
+        nlist = 8, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getString(2), r.getString(3)))
     assert(got.toSeq == Seq((1L, 2L, "en", "fr")),
