@@ -7,9 +7,9 @@ package graft
   * Portability rules used throughout (so Spark parquet output and
   * DuckDB in-memory results hash-match):
   *  - every computed column is aliased identically on both sides;
-  *  - double sums accumulate in DECIMAL(18,6) on both sides (double
-  *    addition is order-dependent; decimal is exact, and precision 18
-  *    keeps Spark's compact-Long decimal representation);
+  *  - double sums accumulate in exact DECIMAL on both sides (double
+  *    addition is order-dependent; decimal is exact) — (18,6) for
+  *    bounded measures, (27,6) for the profiler's value envelope;
   *  - visible doubles are `round(x, 5)`;
   *  - counts stay BIGINT, or are cast to double on both sides;
   *  - explicit ORDER BY on a deterministic key on both sides.
@@ -23,7 +23,7 @@ object Oracles {
     *
     * Mean/std/sum mirror the engine's partitioning-independent
     * definitions exactly (TableProfiler.exactLong scaladoc):
-    *  - sum/mean from the exact `decimal(18,6)` sum, displayed via
+    *  - sum/mean from the exact `decimal(27,6)` sum, displayed via
     *    integer HALF-AWAY-FROM-ZERO at 5 decimals (su6 = scale-6
     *    integer units; double round() diverges across engines on the
     *    exact .5×10⁻⁵ ties these quantized sums produce);
@@ -38,12 +38,15 @@ object Oracles {
   def duckStats(c: String, table: String): Seq[String] = {
     // HUGEINT, not BIGINT: key-column sums × 10⁶ exceed 2⁶³ at large
     // scale (mirrors the Spark side's decimal(38,0) su6).
-    val su6 = s"cast(sum(cast($c as decimal(18,6))) * 1000000 as hugeint)"
-    val sign = s"(CASE WHEN sum(cast($c as decimal(18,6))) < 0 THEN -1.0 ELSE 1.0 END)"
+    // decimal(27,6), not (18,6): the per-value envelope is |v| < 10²¹
+    // on both sides (ADVICE r11 — the Spark twin loud-guards it;
+    // DuckDB's cast throws on its own past the width).
+    val su6 = s"cast(sum(cast($c as decimal(27,6))) * 1000000 as hugeint)"
+    val sign = s"(CASE WHEN sum(cast($c as decimal(27,6))) < 0 THEN -1.0 ELSE 1.0 END)"
     def r5(b: String) =
       s"$sign * floor((abs($su6) * 2 + ($b))::DOUBLE / (($b) * 2)::DOUBLE) / 100000.0"
     val meanRaw =
-      s"(SELECT cast(sum(cast($c as decimal(18,6))) as double) / count($c) FROM $table)"
+      s"(SELECT cast(sum(cast($c as decimal(27,6))) as double) / count($c) FROM $table)"
     val dev = s"(cast($c as double) - $meanRaw)"
     // Range-adaptive squared-deviation quantization, the exact twin of
     // TableProfiler.exactLong pass 2: scale 12 for ranges ≤ 10⁷,

@@ -2849,12 +2849,18 @@ object OraclesExt {
 
   /** Resource-allocation link prediction — twin of
     * Graph.linkPrediction over the co-purchase edges: the same
-    * degree-capped adjacency (maxDegree smallest neighbors), the
-    * same round(1/deg, 9)::DECIMAL(18,9) weights summed exactly,
-    * anti-join against the UNCAPPED edge list, top-k by (exact score
-    * desc, ids).
+    * degree-capped adjacency (smallest neighbors), the same
+    * round(1/deg, 9)::DECIMAL(18,9) weights summed exactly, anti-join
+    * against the UNCAPPED edge list, top-k by (exact score desc,
+    * ids), and the same AUTOMATIC SKEW GUARD — the effective cap is
+    * the largest c ∈ [1, maxDegree] whose total candidate volume
+    * Σ min(deg,c)·(min(deg,c)−1)/2 stays within `candBudget`,
+    * re-derived here from the degree histogram by the identical
+    * integer arithmetic (generate_series over caps × histogram;
+    * Spark's binary search lands on the same max-c-within-budget),
+    * with the `n_capped_nodes` audit column on every row.
     */
-  def linkPrediction(k: Int, maxDegree: Int): String =
+  def linkPrediction(k: Int, maxDegree: Int, candBudget: Long): String =
     s"""WITH items AS (
        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
        |e AS MATERIALIZED (
@@ -2862,10 +2868,22 @@ object OraclesExt {
        |  JOIN items y ON x.g = y.g AND x.i < y.i),
        |und AS (SELECT a AS node, b AS nbr FROM e
        |  UNION ALL SELECT b, a FROM e),
+       |dh AS MATERIALIZED (SELECT dg, count(*)::BIGINT AS n FROM (
+       |  SELECT node, count(*)::BIGINT AS dg FROM und GROUP BY node)
+       |  GROUP BY dg),
+       |vol AS (SELECT t.c::BIGINT AS c,
+       |  sum(n * (least(dg, t.c::BIGINT) * (least(dg, t.c::BIGINT) - 1)
+       |    // 2))::BIGINT AS v
+       |  FROM generate_series(1, $maxDegree) t(c) CROSS JOIN dh
+       |  GROUP BY 1),
+       |eff AS (SELECT max(c)::BIGINT AS cap FROM vol
+       |  WHERE v <= $candBudget),
+       |ncap AS (SELECT coalesce(sum(n) FILTER (
+       |  WHERE dg > (SELECT cap FROM eff)), 0)::BIGINT AS nc FROM dh),
        |capped AS MATERIALIZED (SELECT node, nbr FROM (
        |  SELECT node, nbr,
        |    row_number() OVER (PARTITION BY node ORDER BY nbr) AS r
-       |  FROM und) WHERE r <= $maxDegree),
+       |  FROM und) WHERE r <= (SELECT cap FROM eff)),
        |wz AS (SELECT node AS z,
        |  round(1.0 / count(*)::DOUBLE, 9)::DECIMAL(18,9) AS w
        |  FROM capped GROUP BY node),
@@ -2876,7 +2894,8 @@ object OraclesExt {
        |  sum(w.w) AS s FROM cand JOIN wz w ON cand.z = w.z GROUP BY 1, 2),
        |nonedge AS (SELECT sc.* FROM sc LEFT JOIN e
        |  ON sc.id_a = e.a AND sc.id_b = e.b WHERE e.a IS NULL)
-       |SELECT id_a, id_b, n_common, round(s::DOUBLE, 5) AS ra_score
+       |SELECT id_a, id_b, n_common, round(s::DOUBLE, 5) AS ra_score,
+       |  (SELECT nc FROM ncap) AS n_capped_nodes
        |FROM nonedge ORDER BY s DESC, id_a, id_b LIMIT $k""".stripMargin
 
   /** Conditional transition entropy — twin of

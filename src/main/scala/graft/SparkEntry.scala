@@ -807,9 +807,22 @@ object SparkEntry {
   // 10 → floor 16, EXACTLY the historical literal, so the correctness
   // gate's hashes are unchanged), 32 at sf0.1, 100 at sf1, 316 at
   // sf10. The oracle twins derive the same value in SQL.
-  private def adaptiveNlist(emb: DataFrame): Int =
+  // The count is MEMOIZED per (application, backing file set) — the
+  // leafCounts posture (ADVICE r11): adaptiveNlist is called at
+  // DataFrame-construction time inside four benchmarked queries, and
+  // an un-memoized count() would charge a full scan job to every
+  // timed invocation. The first input file identifies the registered
+  // corpus dir, so a ScaleSweep that registers two dirs in one JVM
+  // still gets each dir's own count.
+  private val embCounts =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+  private def adaptiveNlist(emb: DataFrame): Int = {
+    val key = (emb.sparkSession.sparkContext.applicationId,
+      emb.inputFiles.headOption.getOrElse(""))
+    val n = embCounts.getOrElseUpdate(key, emb.count())
     math.max(semDedupNlist.toDouble,
-      math.ceil(math.sqrt(emb.count() / 2.0))).toInt
+      math.ceil(math.sqrt(n / 2.0))).toInt
+  }
   private def adaptiveNlistOracle: String =
     OraclesExt.adaptiveNlistSql(semDedupNlist)
   // k-means cluster profile: 16 clusters, 2 Lloyd refinements —
@@ -979,6 +992,17 @@ object SparkEntry {
       Similarity.writeIvfIndex(s.table("embeddings"), d, nlist = 16)
     }
 
+  // Persisted cellPairs probe structure (nlist = the corpus-adaptive
+  // value, nprobe = semDedupNprobe — the exact parameters
+  // q_curate_semantic mines with, so the indexed query is
+  // bit-identical to the in-memory form and shares its oracle).
+  private def cellIndexDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("cellidx", sfDir) { d =>
+      val emb = s.table("embeddings")
+      Similarity.writeCellIndex(emb, d,
+        nlist = adaptiveNlist(emb), nprobe = semDedupNprobe)
+    }
+
   private def bloomSkipDir(s: SparkSession, sfDir: String): String =
     cachedIndexDir("bloomskip", sfDir) { d =>
       Sharding.writeShards(
@@ -1027,6 +1051,18 @@ object SparkEntry {
         .json(s"$d/supplier")
     }
 
+  // The WRITE half of the text-format surface: customer staged once
+  // through the ENGINE'S OWN pinned-option CSV sink
+  // (graft.sources.FileSinks) — where csvSourceDir exercises only the
+  // read path on a Spark-default-written file, this exercises
+  // writeCsv ∘ readCsv as a pair; the DuckDB oracle still runs on the
+  // parquet original, so hash-green proves the full round trip
+  // (RFC-4180 quoting, null sentinel, double text encoding) lossless.
+  private def csvSinkDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir("csvsink", sfDir) { d =>
+      graft.sources.FileSinks.writeCsv(s.table("customer"), s"$d/customer")
+    }
+
   // Deterministic TableLog demo: a 4-commit history over the orders
   // payload (init / append / copy-on-write merge / compaction), the
   // fixture q_table_history time-travels. Every version's row set is
@@ -1060,6 +1096,7 @@ object SparkEntry {
     ivfPqIndexDir(spark, sfDir)
     nearDupIndexDir(spark, sfDir)
     tableLogDemoDir(spark, sfDir)
+    cellIndexDir(spark, sfDir)
   }
 
   // Shared intermediate relations, computed once per (kind, sfDir) per
@@ -2590,6 +2627,18 @@ object SparkEntry {
         nlist = adaptiveNlist(emb), nprobe = semDedupNprobe)
         .orderBy("doc_id")
     },
+    // §7.5 — the SAME cross-modal curation verdict, but the near-dup
+    // gate probes the PERSISTED cell index (built once in
+    // prewarmIndexes — the build/serve split for the n^1.5
+    // low-threshold pair-mining cost): identical results, identical
+    // oracle; the n·nlist assignment is paid at build, not per run.
+    "q_curate_semantic_indexed" -> withTablesSf { (s, sfDir) =>
+      val emb = s.table("embeddings")
+      Curation.curateSemanticFromPairs(s.table("documents"), emb,
+        Similarity.cellPairsIndexed(s, cellIndexDir(s, sfDir),
+          threshold = 0.4, nprobe = semDedupNprobe))
+        .orderBy("doc_id")
+    },
     // §7.5 extensions — multimodal binary-column metadata.
     // §7.5 — magic-byte sniffing end-to-end: payloads are CONSTRUCTED
     // with a real container signature chosen by doc_id, then the
@@ -2999,6 +3048,22 @@ object SparkEntry {
             .as("sum_acctbal"))
         .orderBy("s_nationkey")
     },
+    // §2.1 sinks — CSV write-then-read through the engine's own
+    // pinned-option sink/reader pair (see csvSinkDir): the oracle
+    // aggregates the parquet original, so hash-green proves the WRITE
+    // path lossless, not just the read.
+    "q_csv_roundtrip" -> withTablesSf { (s, sfDir) =>
+      val cust = graft.sources.FileSinks.readCsv(s,
+        s"${csvSinkDir(s, sfDir)}/customer",
+        "c_custkey LONG, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+      cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 5)
+            .as("sum_acctbal"),
+          min(col("c_name")).as("first_name"))
+        .orderBy("c_mktsegment")
+    },
     // §2.3 joins — fact-to-dimension star join over part + supplier
     // (both broadcast), decimal-exact revenue per brand.
     "q_brand_revenue" -> withTables { s =>
@@ -3343,7 +3408,8 @@ object SparkEntry {
     "q_copurchase_triangles" -> triangleSql,
     "q_kcore" -> OraclesExt.kCore(kCoreK, kCoreRounds),
     "q_link_prediction" ->
-      OraclesExt.linkPrediction(linkPredK, linkPredMaxDegree),
+      OraclesExt.linkPrediction(linkPredK, linkPredMaxDegree,
+        graft.ext.Graph.LinkPredCandBudget),
     "q_compaction_plan" ->
       OraclesExt.compactionPlan(compactionTargetBytes),
     "q_blocking_pairs" ->
@@ -3534,6 +3600,9 @@ object SparkEntry {
     "q_vocab_coverage" -> OraclesExt.vocabCoverage(vocabSize),
     "q_curate" -> OraclesExt.curate,
     "q_curate_semantic" -> OraclesExt.curateSemantic(adaptiveNlistOracle, semDedupNprobe),
+    // the indexed probe must produce the IDENTICAL verdict — same twin
+    "q_curate_semantic_indexed" ->
+      OraclesExt.curateSemantic(adaptiveNlistOracle, semDedupNprobe),
     "q_curate_full" -> OraclesExt.curateFull,
     "q_curation_funnel" -> OraclesExt.curationFunnel,
     "q_curation_by_source" -> OraclesExt.curationBySource,
@@ -3559,6 +3628,14 @@ object SparkEntry {
       """SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
         |  round(cast(sum(cast(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_acctbal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // q_csv_roundtrip reads a CSV the engine's own sink WROTE; the
+    // oracle aggregates the parquet original — hash equality proves
+    // the write+read pair lossless end to end.
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+        |  round(cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 5) AS sum_acctbal,
+        |  min(c_name) AS first_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_brand_revenue" ->
       """SELECT p_brand, count(*)::BIGINT AS n_items,
         |  count(DISTINCT s_suppkey)::BIGINT AS n_suppliers,

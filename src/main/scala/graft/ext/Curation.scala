@@ -215,18 +215,35 @@ object Curation {
       minTokens: Long = DefaultMinTokens,
       minQuality: Double = DefaultMinQuality,
       threshold: Double = 0.4, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val stats = TextStats.withDocStats(docs, textCol)
-      .select(col(idCol), col("n_tokens"), col("quality_score"))
+      textCol: String = "text"): DataFrame =
     // IVF-cell candidates, not hyperplane banding: semantic dedup runs
     // at threshold 0.4, the regime where banding degenerates to
     // near-all-pairs (SemDeDup's own cluster-then-compare argument;
     // measured 17× at 10× rows before the switch).
-    val pairs = Similarity
-      .cellPairs(embeddings, threshold, nlist, nprobe)
-      .select("id_a", "id_b")
+    curateSemanticFromPairs(docs, embeddings,
+      Similarity.cellPairs(embeddings, threshold, nlist, nprobe)
+        .select("id_a", "id_b"),
+      minTokens, minQuality, idCol, textCol)
+
+  /** [[curateSemantic]] with the near-dup CANDIDATE PAIRS supplied by
+    * the caller — the seam that lets a recurring curation pipeline
+    * probe a PERSISTED cell index ([[Similarity.cellPairsIndexed]])
+    * instead of re-running the n·nlist assignment every pass:
+    * identical verdicts when the pairs come from the same
+    * (nlist, nprobe, threshold) index, with the build cost amortized
+    * across runs. The clustering, survivorship and text gates are
+    * unchanged.
+    */
+  def curateSemanticFromPairs(docs: DataFrame, embeddings: DataFrame,
+      pairs: DataFrame,
+      minTokens: Long = DefaultMinTokens,
+      minQuality: Double = DefaultMinQuality,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stats = TextStats.withDocStats(docs, textCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"))
     val surv = Dedup
-      .clustersFromPairs(embeddings, pairs, idCol = "vec_id", maxIter = 50)
+      .clustersFromPairs(embeddings, pairs.select("id_a", "id_b"),
+        idCol = "vec_id", maxIter = 50)
       .select(col("vec_id").as(idCol), col("is_survivor"))
     val reason =
       when(!col("is_survivor"), lit("semantic_duplicate"))

@@ -227,32 +227,124 @@ object Graph {
     require(k >= 1 && rounds >= 1)
     val edges = Dedup.materialize(
       pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("node"))
-        .unionAll(e.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
-    def restrict(e: DataFrame, alive: DataFrame): DataFrame =
-      e.join(alive.select(col("node").as("a")), Seq("a"))
-        .join(alive.select(col("node").as("b")), Seq("b"))
-    // Each round re-restricts the ORIGINAL edge frame against the
-    // shrinking alive set — deliberately. The alternative (iterating
-    // on a per-round materialized restricted edge set) was built and
-    // MEASURED at the 60M-row sf10 sweep: rounds × edge-sized
-    // checkpoint generations exhaust the heap faster than they can be
-    // freed (OOM twice, including with explicit unpersist of
-    // superseded generations), while this shape completed at ~1.7×
-    // above proportional (shuffle spill, not a plan defect). On a
-    // graph whose core barely peels — co-purchase graphs — the
-    // restriction doesn't shrink enough to pay for its checkpoints.
+    // Two regimes, switched on the materialized edge count like every
+    // other graph operator here: in-memory peel while the per-round
+    // checkpoints are cheap; disk-generation peel past
+    // [[KCoreDiskMinEdges]] (each round's surviving edge set lives in
+    // a scratch parquet generation, never on the heap).
+    //
+    // Both regimes share the CONVERGED-PEEL EARLY EXIT: alive sets
+    // shrink monotonically (a node outside alive_{r-1} has degree 0 in
+    // the restriction, so alive_r ⊆ alive_{r-1}), so equal consecutive
+    // COUNTS imply equal SETS imply every later round is a no-op —
+    // exiting early is bit-identical to unrolling all `rounds`, which
+    // keeps the fixed-round determinism convention intact while a
+    // co-purchase core that stabilizes in 3 peels stops paying for 10.
+    if (Dedup.cachedCount(edges) <= KCoreDiskMinEdges)
+      kCoreInMemory(edges, k, rounds)
+    else kCoreDiskGen(edges, k, rounds)
+  }
+
+  private def kCoreDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  private def kCoreRestrict(e: DataFrame, alive: DataFrame): DataFrame =
+    e.join(alive.select(col("node").as("a")), Seq("a"))
+      .join(alive.select(col("node").as("b")), Seq("b"))
+
+  // Each round re-restricts the ORIGINAL edge frame against the
+  // shrinking alive set — deliberately. Iterating on a per-round
+  // CHECKPOINTED restricted edge set was built and MEASURED at the
+  // 60M-row sf10 sweep: rounds × edge-sized checkpoint generations
+  // exhaust the heap faster than they can be freed (OOM twice,
+  // including with explicit unpersist of superseded generations).
+  // Above [[KCoreDiskMinEdges]] the shrinking-edge-set idea returns
+  // as [[kCoreDiskGen]], which keeps generations on DISK instead.
+  private[graft] def kCoreInMemory(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     var alive = Dedup.materialize(
-      degrees(edges).filter(col("degree") >= k).select("node"))
-    for (_ <- 2 to rounds)
+      kCoreDegrees(edges).filter(col("degree") >= k).select("node"))
+    var prevN = -1L
+    var n = Dedup.cachedCount(alive)
+    var r = 1
+    while (r < rounds && n != prevN) {
       alive = Dedup.materialize(
-        degrees(restrict(edges, alive)).filter(col("degree") >= k)
-          .select("node"))
-    degrees(restrict(edges, alive))
+        kCoreDegrees(kCoreRestrict(edges, alive))
+          .filter(col("degree") >= k).select("node"))
+      prevN = n
+      n = Dedup.cachedCount(alive)
+      r += 1
+    }
+    kCoreDegrees(kCoreRestrict(edges, alive))
       .select(col("node"), col("degree").as("core_degree"))
   }
+
+  // Disk-generation peel: each round writes the RESTRICTED edge set
+  // to a scratch parquet generation (A/B alternating dirs) and reads
+  // it back as the next round's fresh leaf — bounded heap by
+  // construction (loop state is two on-disk generations, zero
+  // checkpoint storage), and per-round work shrinks with the
+  // SURVIVING edge set instead of re-scanning the original frame.
+  // The alive set goes through disk too (it feeds both semijoin
+  // sides; a disk leaf shares the computation without a checkpoint).
+  // Restricting the current generation equals restricting the
+  // original (alive_r ⊆ alive_{r-1} makes the restrictions nest), so
+  // this is bit-identical to the unrolled in-memory peel.
+  private[graft] def kCoreDiskGen(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft-kcore-")
+    try {
+      var cur = edges
+      var prevN = -1L
+      var converged = false
+      var r = 1
+      var gen = 0
+      while (r <= rounds && !converged) {
+        val aDir = s"$base/alive${r % 2}"
+        kCoreDegrees(cur).filter(col("degree") >= k).select("node")
+          .write.mode("overwrite").parquet(aDir)
+        val alive = spark.read.parquet(aDir)
+        val n = alive.count()
+        if (n == prevN) converged = true
+        else {
+          val eDir = s"$base/edges${(gen + 1) % 2}"
+          kCoreRestrict(cur, alive).select("a", "b")
+            .write.mode("overwrite").parquet(eDir)
+          cur = spark.read.parquet(eDir)
+          gen += 1
+          prevN = n
+        }
+        r += 1
+      }
+      // cur IS the final restriction; one node-sized checkpoint lets
+      // the scratch generations be deleted before returning.
+      Dedup.materialize(
+        kCoreDegrees(cur)
+          .select(col("node"), col("degree").as("core_degree")))
+    } finally deleteRecursively(base)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Edge-count threshold for [[kCore]]'s disk-generation regime.
+    * Below it (sf0.1's co-purchase graph is 1.2M edges) the per-round
+    * localCheckpoint of a NODE list is cheap and the original-frame
+    * re-restriction never spills; above it (sf10's 90M edges spilled
+    * ~10× proportional cost through 10 full-frame peels) the
+    * surviving edge set goes through scratch parquet instead of the
+    * heap. The regimes are bit-identical (nested restrictions), so
+    * the switch can never change results.
+    */
+  val KCoreDiskMinEdges: Long = 8L << 20
 
   /** Resource-allocation link prediction over a unique (src < dst)
     * undirected edge list: for every NON-edge pair (x, y) sharing at
@@ -300,19 +392,66 @@ object Graph {
     * sums longs, not decimals; per-pair sums are ≤ maxDegree·10⁹,
     * nowhere near 2⁶³ at any corpus size (§8.3 rule 6 bound
     * documented, not assumed).
+    *
+    * @param broadcastEdges pins the anti-join regime without the
+    *   edge-count probe: Some(true) = broadcast, Some(false) =
+    *   SORT-MERGE (the no-memory-floor strategy — NOT shuffle-hash;
+    *   a caller pinning "don't broadcast" is asserting the edge list
+    *   is too big to hold, which is exactly when a build-side hash
+    *   map is unsafe too, so the mid regime is only reachable through
+    *   the automatic probe). None (default) probes the materialized
+    *   edge count against the three thresholds.
+    * @param candBudget total candidate-pair budget for the automatic
+    *   skew guard (default [[LinkPredCandBudget]]) — see the
+    *   in-method comment; on a graph whose cap-`maxDegree` volume
+    *   fits the budget, results are bit-identical to the unguarded
+    *   form (plus the constant `n_capped_nodes` audit column).
     */
   def linkPrediction(pairs: DataFrame, k: Int, maxDegree: Int = 64,
       srcCol: String = "id_a", dstCol: String = "id_b",
-      broadcastEdges: Option[Boolean] = None): DataFrame = {
+      broadcastEdges: Option[Boolean] = None,
+      candBudget: Long = LinkPredCandBudget): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxDegree >= 1, "maxDegree must be >= 1")
+    require(candBudget >= 0, "candBudget must be >= 0")
     val e = Dedup.materialize(
       pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
     val und = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    // AUTOMATIC SKEW GUARD (the "no silent caps" form): the fixed
+    // maxDegree bounds per-HUB cost but not TOTAL candidate volume —
+    // Σ min(deg,c)·(min(deg,c)−1)/2 grows with the node count and
+    // exhausted 74 GB of spill disk at the 90M-edge sf10 sweep with
+    // c = 64. The EFFECTIVE cap is min(maxDegree, largest c whose
+    // total candidate volume fits candBudget), derived from the
+    // degree HISTOGRAM (distinct degree values + counts —
+    // metadata-scale, one driver collect, the pageRank-N posture) by
+    // exact integer arithmetic, so it is a pure function of the data
+    // that the oracle twin re-derives in SQL; every output row
+    // carries n_capped_nodes so a capped run is visibly capped.
+    val hist = und.groupBy("node").agg(count(lit(1)).as("dg"))
+      .groupBy("dg").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Total (x < y) candidate pairs if every adjacency is capped at c.
+    def volume(c: Long): Long = hist.iterator.map { case (dg, n) =>
+      val m = math.min(dg, c); n * (m * (m - 1) / 2)
+    }.sum
+    // Largest cap in [1, maxDegree] within budget — volume(c) is
+    // monotone in c and volume(1) = 0, so the search always lands.
+    val effCap: Long =
+      if (volume(maxDegree.toLong) <= candBudget) maxDegree.toLong
+      else {
+        var lo = 1L; var hi = maxDegree.toLong
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (volume(mid) <= candBudget) lo = mid else hi = mid - 1
+        }
+        lo
+      }
+    val nCapped = hist.iterator.filter(_._1 > effCap).map(_._2).sum
     val w = Window.partitionBy("node").orderBy("nbr")
     val capped = und.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= maxDegree).drop("__r")
+      .filter(col("__r") <= effCap).drop("__r")
     // One sorted ≤ maxDegree-element adjacency array per common
     // neighbor z; the WindowGroupLimit upstream bounds both the
     // shuffle and the per-row array.
@@ -324,7 +463,7 @@ object Graph {
           .as("__w"),
         posexplode(col("__nbrs")).as(Seq("__i", "x")), col("__nbrs"))
       .select(col("__w"), col("x"),
-        explode(slice(col("__nbrs"), col("__i") + 2, lit(maxDegree)))
+        explode(slice(col("__nbrs"), col("__i") + 2, lit(effCap)))
           .as("y"))
     val scored = cand
       .groupBy(col("x").as("id_a"), col("y").as("id_b"))
@@ -348,8 +487,20 @@ object Graph {
       .orderBy(col("__s").desc, col("id_a"), col("id_b"))
       .limit(k)
       .select(col("id_a"), col("id_b"), col("n_common"),
-        round(col("__s").cast("double") / 1e9, 5).as("ra_score"))
+        round(col("__s").cast("double") / 1e9, 5).as("ra_score"),
+        lit(nCapped).as("n_capped_nodes"))
   }
+
+  /** Default total candidate-pair budget for [[linkPrediction]]'s
+    * automatic cap. 5·10⁸ pairs ≈ 12-15 GB of pre-combine shuffle —
+    * well inside one box's spill disk and a rounding error per
+    * executor on a cluster. Measured volumes on the co-purchase
+    * graph at cap 64: sf0.1 ≈ 4·10⁷ and sf1 ≈ 4·10⁸ (cap stays 64 —
+    * results bit-identical to the unguarded form), sf10 ≈ 4·10⁹ (the
+    * run that exhausted 74 GB of spill; the guard drops the cap to
+    * ~23 and says so in n_capped_nodes).
+    */
+  val LinkPredCandBudget: Long = 500000000L
 
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame =

@@ -286,12 +286,19 @@ object Similarity {
         sort_array(collect_list(col("centroid_id"))).as("cs"))
     val keyed = cells.select(col("id"), col("nv"), col("cs"),
       explode(col("cs")).as("cell"))
-    // a pair sharing several probed cells meets once per shared cell;
-    // only the MINIMUM shared cell emits it. cs is sorted ascending,
-    // so the min shared cell is the first l.cs element also present in
-    // r.cs — expanded as literal getItem compares (nprobe is a
-    // plan-time constant): codegen'd long compares, no per-row
-    // array_intersect allocation.
+    cellPairsFromKeyed(keyed, threshold, nprobe)
+  }
+
+  // The pair-generating tail shared by [[cellPairs]] (in-memory
+  // probe structure) and [[cellPairsIndexed]] (persisted one).
+  // A pair sharing several probed cells meets once per shared cell;
+  // only the MINIMUM shared cell emits it. cs is sorted ascending,
+  // so the min shared cell is the first l.cs element also present in
+  // r.cs — expanded as literal getItem compares (nprobe is a
+  // plan-time constant): codegen'd long compares, no per-row
+  // array_intersect allocation.
+  private def cellPairsFromKeyed(keyed: DataFrame, threshold: Double,
+      nprobe: Int): DataFrame = {
     def inR(i: Int) = (0 until nprobe)
       .map(j => col("l.cs").getItem(i) === col("r.cs").getItem(j))
       .reduce(_ || _)
@@ -305,6 +312,44 @@ object Similarity {
         round(dot(col("l.nv"), col("r.nv")), 5).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Materialize the [[cellPairs]] probe structure on disk: each
+    * vector normalized, probed against the deterministic IVF
+    * centroids at `nprobe`, and written once per probed cell —
+    * parquet PARTITIONED BY `cell` (one directory per cell, the
+    * [[writeIvfIndex]] layout), centroids beside it. This is the
+    * build/serve split for LOW-THRESHOLD pair mining: the n·nlist
+    * assignment scoring and its per-vector top-nprobe window — the
+    * dominant cost of every cellPairs call once nlist ∝ √n (the sf10
+    * sweep's 200k × 316 assignment dots) — runs ONCE at build, and
+    * every later mining pass pays only the within-cell join. The
+    * dedup gate of a recurring curation pipeline re-mines the same
+    * corpus every run; this is its amortization.
+    */
+  def writeCellIndex(corpus: DataFrame, dir: String, nlist: Int,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val v = normalized(corpus, idCol, vecCol)
+    val cents = ivfCentroids(v, nlist, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(v, cents, nprobe, idCol, vecCol)
+      .groupBy(col(idCol).as("id"))
+      .agg(first(col(vecCol)).as("nv"),
+        sort_array(collect_list(col("centroid_id"))).as("cs"))
+      .select(col("id"), col("nv"), col("cs"), explode(col("cs")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/probed")
+  }
+
+  /** [[cellPairs]] over a [[writeCellIndex]] index: bit-identical
+    * pairs (same centroids, same assignment arithmetic — ExtSpec
+    * asserts equality), but the only per-call work is the within-cell
+    * equi-join + exact dots; normalization, centroid selection and
+    * the n·nlist assignment live in the index. `nprobe` must equal
+    * the build-time value (it shapes the persisted cs arrays).
+    */
+  def cellPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nprobe: Int = 2): DataFrame =
+    cellPairsFromKeyed(spark.read.parquet(s"$dir/probed"), threshold, nprobe)
 
   /** IVF (inverted-file) centroids: `nlist` corpus vectors selected
     * deterministically — the vectors whose md5(id) sorts smallest.

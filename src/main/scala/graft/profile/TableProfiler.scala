@@ -80,13 +80,16 @@ object TableProfiler {
     *    quantiles, so exactness is the only portable semantics
     *    (SURVEY.md §7.6). The sketch variant lives in
     *    [[approxProfile]].
-    *  - sum/mean accumulate in DECIMAL(18,6): double addition is not
+    *  - sum/mean accumulate in DECIMAL(27,6): double addition is not
     *    associative, so a shuffle-order-dependent double sum can flip
     *    the 5th decimal at scale; decimal accumulation is exact and
-    *    deterministic regardless of partitioning. Precision 18 keeps
-    *    Spark's Decimal in its compact-Long representation (~10×
-    *    faster than precision>18), and scale 6 out-scales the
-    *    5-decimal display rounding.
+    *    deterministic regardless of partitioning. Precision 27 is the
+    *    exact-multiply bound against the (10,0) counts ((27,6)×(10,0)
+    *    = (38,6), never scale-reduced), putting the value envelope at
+    *    |v| < 10²¹ with a loud raise_error guard past it; scale 6
+    *    out-scales the 5-decimal display rounding. (Values that fit a
+    *    compact Long still use Spark's fast Decimal representation —
+    *    declared precision does not force the wide path.)
     *  - std is the two-pass sample standard deviation around the
     *    exact mean (see [[exactLong]]).
     */
@@ -105,7 +108,14 @@ object TableProfiler {
     cols.zipWithIndex.flatMap { case (c, i) =>
       val x = col(c)
       val n = count(x)
-      val s1 = sum(x.cast(DecimalType(18, 6)))
+      // same (27,6) quantization + loud envelope guard as exactLong
+      // (the ProfilerSpec `==` assertion holds over the whole
+      // envelope, not just below the old 10¹² edge)
+      val s1 = sum(when(abs(x.cast(DoubleType)) < lit(1e21),
+        x.cast(DecimalType(27, 6)))
+        .otherwise(raise_error(lit(
+          "profiler value envelope exceeded: |value| >= 1e21 overflows " +
+            "the exact decimal(27,6) sum"))))
       // x² quantized at 10⁻⁶ then summed exactly; decimal(38,6) keeps
       // 32 integer digits of headroom before the sum can overflow
       val s2 = sum((x * x).cast(DecimalType(38, 6)))
@@ -161,7 +171,7 @@ object TableProfiler {
     *   unpivot (ci, value) → groupBy(ci, value) count   [one shuffle,
     *     map-side combined, key space = Σ distinct values]
     *   count / count_distinct / min / max  — trivial per-ci roll-ups
-    *   sum / mean  — Σ decimal(18,6)(v)·cnt: exact decimal arithmetic
+    *   sum / mean  — Σ decimal(27,6)(v)·cnt: exact decimal arithmetic
     *     (associative → partitioning-independent); mean = Σ/n in one
     *     double division
     *   std  — TWO-PASS: Σ decimal((v−m)²)·cnt around the exact mean
@@ -184,8 +194,9 @@ object TableProfiler {
     *
     * Semantics notes (mirrored in the oracle, Oracles.duckStats):
     * values compare as doubles (exact for doubles and for integers
-    * below 2⁵³); sum/mean quantize each value at 10⁻⁶ (the existing
-    * `decimal(18,6)` sum contract); per-(column,value) row counts are
+    * below 2⁵³); sum/mean quantize each value at 10⁻⁶ (the
+    * `decimal(27,6)` sum contract — |value| < 10²¹, loud-guarded
+    * past it); per-(column,value) row counts are
     * assumed < 10¹⁰ (decimal(10,0) — far beyond any real corpus; a
     * hotter single value would need a wider count decimal).
     */
@@ -213,12 +224,24 @@ object TableProfiler {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")
       .filter(col("v").isNotNull)
       .groupBy("ci", "v").agg(count(lit(1)).cast(DecimalType(10, 0)).as("cnt"))
+    // Per-value quantization at decimal(27,6) — the exact-multiply
+    // bound ((27,6)×(10,0) = (38,6), never reduced), putting the VALUE
+    // envelope at |v| < 10²¹ (ADVICE r11: the old (18,6) cast nulled
+    // SILENTLY past 10¹² under non-ANSI Spark while DuckDB threw —
+    // wide surrogate keys crossed it at ~sf1). Past the envelope the
+    // guard FAILS LOUDLY instead of dropping the value from s1 while
+    // still counting it in n: a wrong mean is worse than no mean.
     val basic = vc.groupBy("ci").agg(
       sum(col("cnt").cast(LongType)).as("n"),
       count(lit(1)).cast(DoubleType).as("ndist"),
       min("v").as("minv"),
       max("v").as("maxv"),
-      sum(col("v").cast(DecimalType(18, 6)) * col("cnt")).as("s1"))
+      sum(when(abs(col("v")) < lit(1e21), col("v").cast(DecimalType(27, 6)))
+        .otherwise(raise_error(concat(
+          lit("profiler value envelope exceeded: |value| >= 1e21 " +
+            "overflows the exact decimal(27,6) sum (got "),
+          col("v").cast(StringType), lit(")"))))
+        * col("cnt")).as("s1"))
       .withColumn("m", col("s1").cast(DoubleType) / col("n"))
     // pass 2 for stddev: exact decimal sum of (v-m)^2 around the mean.
     // TWO quantization regimes, selected PER COLUMN by its exact range
@@ -242,8 +265,17 @@ object TableProfiler {
         (col("v") - col("m")) * (col("v") - col("m")))
       .withColumn("d2f", when(col("__coarse"), lit(null))
         .otherwise(col("__dd").cast(DecimalType(27, 12))) * col("cnt"))
+      // Same loud-guard posture on the coarse branch: squared
+      // deviations ≥ 10²⁷ (column range ≳ 3·10¹³) overflow
+      // decimal(27,0) — fail with the envelope named instead of
+      // Spark's silent null (the DuckDB twin's cast throws there).
       .withColumn("d2c", when(col("__coarse"),
-        col("__dd").cast(DecimalType(27, 0))).otherwise(lit(null)) * col("cnt"))
+        when(col("__dd") < lit(1e27), col("__dd").cast(DecimalType(27, 0)))
+          .otherwise(raise_error(lit(
+            "profiler range envelope exceeded: squared deviation >= 1e27 " +
+              "(column range >= ~3e13) overflows the coarse decimal(27,0) " +
+              "quantization"))))
+        .otherwise(lit(null)) * col("cnt"))
       .groupBy("ci")
       .agg(sum("d2f").as("s2f"), sum("d2c").as("s2c"))
     // median: position-targeted sharded lookup, Percentile-exact

@@ -219,6 +219,21 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("persisted cell index: cellPairsIndexed ≡ cellPairs bit-for-bit") {
+    Tables.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cellidx-spec").toString
+    Similarity.writeCellIndex(emb, dir, nlist = 16, nprobe = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = canon(Similarity.cellPairs(emb, 0.4, nlist = 16, nprobe = 2))
+    val indexed = canon(
+      Similarity.cellPairsIndexed(spark, dir, 0.4, nprobe = 2))
+    assert(indexed.nonEmpty && indexed == direct,
+      "the persisted probe structure must reproduce the in-memory pairs")
+  }
+
   test("persisted IVF index: probe ≡ ivfTopK, scan prunes to probed cells") {
     Tables.register(spark, TestSpark.sfDir)
     val emb = spark.table("embeddings")
@@ -2875,6 +2890,55 @@ class ExtSpec extends AnyFunSuite {
     assert(more == out)
     // k above the densest core empties the result
     assert(graft.ext.Graph.kCore(edges, k = 3, rounds = 5).isEmpty)
+  }
+
+  test("kCore disk-generation regime is bit-identical to the in-memory peel") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with a chain appendix so the
+    // peel takes several rounds to converge (exercises both the A/B
+    // generation swap and the converged-peel early exit)
+    val core = for (i <- 0L until 12L; j <- (i + 1) until 12L
+      if (i * 31 + j * 17) % 3 != 0) yield (i, j)
+    val chain = (12L until 20L).map(i => (i - 1, i))
+    val edges = (core ++ chain).toDF("id_a", "id_b")
+    for (k <- Seq(2, 3, 4); rounds <- Seq(3, 10)) {
+      val e = graft.ext.Dedup.materialize(
+        edges.select(col("id_a").as("a"), col("id_b").as("b")))
+      val mem = graft.ext.Graph.kCoreInMemory(e, k, rounds)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val disk = graft.ext.Graph.kCoreDiskGen(e, k, rounds)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(disk == mem, s"regimes diverged at k=$k rounds=$rounds")
+    }
+  }
+
+  test("linkPrediction: budget guard caps degree and reports n_capped_nodes") {
+    import spark.implicits._
+    // star through two hubs: nodes 1..8 all co-occur via hubs 100/101
+    val edges = ((1L to 8L).flatMap(i => Seq((i, 100L), (i, 101L))) ++
+      Seq((100L, 101L))).map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .toDF("id_a", "id_b")
+    // unguarded (huge budget): leaves spoke pairs with n_common = 2,
+    // audit column present but zero nodes capped (max degree is 9 < 64)
+    val free = graft.ext.Graph.linkPrediction(edges, k = 100)
+    assert(free.columns.toSeq ==
+      Seq("id_a", "id_b", "n_common", "ra_score", "n_capped_nodes"))
+    val freeRows = free.collect()
+    assert(freeRows.forall(_.getLong(4) == 0L), "no node exceeds the cap")
+    assert(freeRows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L), "spokes share both hubs uncapped")
+    // tight budget: hubs (degree 9) must be capped below 9 — the
+    // audit column says exactly how many nodes lost neighbors, and
+    // every score stays a pure function of (data, budget)
+    val tight = graft.ext.Graph.linkPrediction(edges, k = 100,
+      candBudget = 50L)
+    val tightRows = tight.collect()
+    assert(tightRows.nonEmpty && tightRows.forall(_.getLong(4) > 0L),
+      "a binding budget must report capped nodes")
+    // determinism: same inputs, same budget => identical output
+    val again = graft.ext.Graph.linkPrediction(edges, k = 100,
+      candBudget = 50L).collect().toSeq
+    assert(again == tightRows.toSeq)
   }
 
   test("phashNearDupPairs: identical = 0, one-byte edit small, short excluded") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.Tables
 
@@ -16,10 +17,25 @@ import graft.catalog.Tables
   * zlib encoder) and partition-independence is sweep-proven, so a
   * hash change here means the OUTPUT changed — which must be a
   * deliberate, reviewed edit of the expected constants below.
+  *
+  * Suite hygiene (ADVICE r11): the data dir derives from
+  * [[TestSpark.sf001Dir]] (same root every suite uses), the catalog
+  * mutation is undone in `afterAll` (order/filter-proof, unlike the
+  * old trailing restore test), and on a machine without the sf0.01
+  * corpus the pins CANCEL instead of failing.
   */
-class GoldenPinSpec extends AnyFunSuite {
+class GoldenPinSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
-  private val sf001 = "/root/testdata/sf0.01"
+  private val sf001 = TestSpark.sf001Dir
+  private def sf001Present =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001))
+
+  override def afterAll(): Unit = {
+    // undo this suite's catalog registration even if a test failed or
+    // the suite ran filtered
+    if (sf001Present) Tables.register(spark, TestSpark.sfDir)
+    super.afterAll()
+  }
 
   /** Canonical serialization mirroring the driver's compare: columns
     * sorted by name, rows sorted lexicographically, cells via Java
@@ -43,15 +59,12 @@ class GoldenPinSpec extends AnyFunSuite {
 
   pins.toSeq.sortBy(_._1).foreach { case (name, expected) =>
     test(s"$name output at sf0.01 matches its committed golden hash") {
+      assume(sf001Present, s"sf0.01 corpus not present at $sf001")
       val actual = goldenMd5(name)
       assert(actual == expected,
         s"$name sf0.01 output changed: got $actual, pinned $expected — " +
           "if the change is intentional, update the pin AND re-verify " +
           "the _check twin still passes")
     }
-  }
-
-  test("restore sf0.001 registration for subsequent suites") {
-    Tables.register(spark, TestSpark.sfDir)
   }
 }

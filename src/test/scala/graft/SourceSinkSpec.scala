@@ -54,6 +54,38 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(fromCsv.collect().toSeq == docs.collect().toSeq)
   }
 
+  test("FileSinks: pinned-option CSV and JSON sinks round-trip adversarial content") {
+    import spark.implicits._
+    import graft.sources.FileSinks
+    // the fields CSV gets wrong when options drift between write and
+    // read: delimiters/quotes/newlines inside values, empty string vs
+    // NULL, negative and tie-prone doubles
+    val df = Seq(
+      (1L, Option("plain"), Option(1.5)),
+      (2L, Option("comma, \"quote\" and\nnewline"), Option(-0.1)),
+      (3L, Option(""), Option(0.1 + 0.2)),
+      (4L, Option.empty[String], Option.empty[Double]),
+      (5L, Option("trailing space "), Option(-0.0))
+    ).toDF("id", "s", "x")
+    val want = df.orderBy("id").collect().toSeq
+
+    val csvDir = tmp("sinkcsv")
+    FileSinks.writeCsv(df, csvDir)
+    val fromCsv = FileSinks
+      .readCsv(spark, csvDir, "id LONG, s STRING, x DOUBLE")
+      .orderBy("id")
+    assert(fromCsv.collect().toSeq == want,
+      "CSV write+read through the pinned option pair must be lossless")
+
+    val jsonDir = tmp("sinkjson")
+    FileSinks.writeJson(df, jsonDir)
+    val fromJson = FileSinks
+      .readJson(spark, jsonDir, "id LONG, s STRING, x DOUBLE")
+      .orderBy("id")
+    assert(fromJson.collect().toSeq == want,
+      "JSON write+read must be lossless (doubles bit-exact)")
+  }
+
   test("raw text lines ingest as one-document-per-line with stable ids") {
     // the rawest corpus shape: a directory of .txt, one doc per line.
     // spark.read.text is the entry; ids come from the deterministic

@@ -18,5 +18,10 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sfDir = "/root/testdata/sf0.001"
+  // Overridable for machines whose corpus lives elsewhere; every
+  // suite that needs a second scale derives it from this root.
+  val dataRoot: String =
+    sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
+  val sfDir = s"$dataRoot/sf0.001"
+  val sf001Dir = s"$dataRoot/sf0.01"
 }
