@@ -31,7 +31,7 @@ object Oracles {
     *    squared deviation quantized before the exact sum (identical
     *    per-row doubles → identical quantization → order-independent
     *    equality) at a range-adaptive scale: 10⁻¹² for column ranges
-    *    ≤ 10⁷, 10⁰ beyond (wide surrogate keys);
+    *    ≤ 10⁷, 10⁰ to 3·10¹³, dd/10¹² beyond (wide surrogate keys);
     *  - median interpolates like Spark's Percentile, which
     *    `quantile_cont` matches.
     */
@@ -43,26 +43,36 @@ object Oracles {
     // DuckDB's cast throws on its own past the width).
     val su6 = s"cast(sum(cast($c as decimal(27,6))) * 1000000 as hugeint)"
     val sign = s"(CASE WHEN sum(cast($c as decimal(27,6))) < 0 THEN -1.0 ELSE 1.0 END)"
+    // EXACT hugeint floor division, twin of the Spark side's
+    // exact-decimal HALF_UP quotient: the earlier ::DOUBLE division
+    // rounded the 10²²-scale numerator 1 ulp high on the sf0.1
+    // wide-key mean's exact k.5 tie and floored to k+1 while Spark
+    // landed on k — quotients ≥ 2⁵² must never pass through a double.
     def r5(b: String) =
-      s"$sign * floor((abs($su6) * 2 + ($b))::DOUBLE / (($b) * 2)::DOUBLE) / 100000.0"
+      s"$sign * ((abs($su6) * 2 + ($b)) // (($b) * 2))::DOUBLE / 100000.0"
     val meanRaw =
       s"(SELECT cast(sum(cast($c as decimal(27,6))) as double) / count($c) FROM $table)"
     val dev = s"(cast($c as double) - $meanRaw)"
     // Range-adaptive squared-deviation quantization, the exact twin of
-    // TableProfiler.exactLong pass 2: scale 12 for ranges ≤ 10⁷,
-    // scale 0 beyond (wide surrogate-key columns would overflow the
-    // fine cast). The range gate sits INSIDE each sum (DuckDB
-    // evaluates all aggregates regardless of an outer CASE, so an
-    // unguarded fine sum would overflow on coarse columns).
+    // TableProfiler.exactLong pass 2 — THREE regimes: scale 12 for
+    // ranges ≤ 10⁷, scale 0 to 3·10¹³, and dd/10¹² at scale 0 beyond
+    // (×10¹² on the way out) so 13-17-digit surrogate keys neither
+    // overflow nor lose visible precision. The range gates sit INSIDE
+    // each sum (DuckDB evaluates all aggregates regardless of an
+    // outer CASE, so an unguarded fine sum would overflow on coarse
+    // columns).
     val rangeBig =
       s"(SELECT max(cast($c as double)) - min(cast($c as double)) > 10000000.0 FROM $table)"
+    val rangeUltra =
+      s"(SELECT max(cast($c as double)) - min(cast($c as double)) > 30000000000000.0 FROM $table)"
     val s2f = s"sum(CASE WHEN $rangeBig THEN NULL ELSE cast($dev * $dev as decimal(27,12)) END)"
-    val s2c = s"sum(CASE WHEN $rangeBig THEN cast($dev * $dev as decimal(27,0)) ELSE NULL END)"
+    val s2c = s"sum(CASE WHEN $rangeBig AND NOT $rangeUltra THEN cast($dev * $dev as decimal(27,0)) ELSE NULL END)"
+    val s2u = s"sum(CASE WHEN $rangeUltra THEN cast($dev * $dev / 1000000000000.0 as decimal(27,0)) ELSE NULL END)"
     Seq(
       s"cast(count($c) as double)",
       s"cast(count(distinct $c) as double)",
       r5(s"count($c) * 10"),
-      s"CASE WHEN count($c) > 1 THEN round(sqrt(coalesce(cast($s2f as double), cast($s2c as double)) / (count($c) - 1)), 5) END",
+      s"CASE WHEN count($c) > 1 THEN round(sqrt(coalesce(cast($s2f as double), cast($s2c as double), cast($s2u as double) * 1000000000000.0) / (count($c) - 1)), 5) END",
       s"round(cast(min($c) as double), 5)",
       s"round(quantile_cont($c, 0.5), 5)",
       s"round(cast(max($c) as double), 5)",

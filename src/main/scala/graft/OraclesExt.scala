@@ -3290,13 +3290,20 @@ object OraclesExt {
     }.mkString(", ")
   }
 
-  /** Percentile-exact interpolation projections from the picks. */
+  /** Percentile-exact interpolation projections from the picks —
+    * with the magnitude-gated display rounding of
+    * Quantiles.quantilesFromVc (round-at-5 is engine-divergent once
+    * ulp approaches the 10⁻⁵ grid; the raw interpolated double is
+    * bit-identical cross-engine, so huge values pass unrounded).
+    */
   private def quantileProjSql(ps: Seq[(String, Double)]): String = {
     def pos(p: Double) = quantilePos(p)
     ps.map { case (name, p) =>
-      s"""round(CASE WHEN floor(${pos(p)}) = ceil(${pos(p)}) THEN lo_$name
-         |    ELSE lo_$name * (ceil(${pos(p)}) - ${pos(p)}) + hi_$name * (${pos(p)} - floor(${pos(p)})) END,
-         |  5) AS $name""".stripMargin
+      val raw =
+        s"""CASE WHEN floor(${pos(p)}) = ceil(${pos(p)}) THEN lo_$name
+           |    ELSE lo_$name * (ceil(${pos(p)}) - ${pos(p)}) + hi_$name * (${pos(p)} - floor(${pos(p)})) END""".stripMargin
+      s"""CASE WHEN abs($raw) < 1000000000.0 THEN round($raw, 5)
+         |    ELSE $raw END AS $name""".stripMargin
     }.mkString(", ")
   }
 

@@ -286,11 +286,18 @@ object Quantiles {
       val pos = lit(p) * (col("n") - 1).cast("double")
       val lower = floor(pos)
       val higher = ceil(pos)
-      round(
-        when(lower === higher, col(s"__lo_$name"))
-          .otherwise(col(s"__lo_$name") * (higher.cast("double") - pos) +
-            col(s"__hi_$name") * (pos - lower.cast("double"))), 5)
-        .as(name)
+      val raw = when(lower === higher, col(s"__lo_$name"))
+        .otherwise(col(s"__lo_$name") * (higher.cast("double") - pos) +
+          col(s"__hi_$name") * (pos - lower.cast("double")))
+      // MAGNITUDE-GATED display rounding: past |x| ≈ 10⁹ the double's
+      // ulp approaches the 10⁻⁵ grid and round-at-5 is ENGINE-
+      // DIVERGENT (Spark rounds the shortest decimal rendering,
+      // DuckDB the exact binary expansion — the sf0.1 µs-latency
+      // quantiles split on exactly this). The raw interpolated double
+      // IS bit-identical cross-engine (every FP op in the
+      // interpolation is the same op in the same order on both
+      // sides), so huge values pass through unrounded.
+      when(abs(raw) < lit(1e9), round(raw, 5)).otherwise(raw).as(name)
     }
     out.select(gcs ++ (col("n").cast(LongType).as("n") +: qCols): _*)
   }

@@ -119,14 +119,19 @@ object TableProfiler {
       // x² quantized at 10⁻⁶ then summed exactly; decimal(38,6) keeps
       // 32 integer digits of headroom before the sum can overflow
       val s2 = sum((x * x).cast(DecimalType(38, 6)))
-      // decimal(38,0) su6 + long-free floor — see exactLong's notes
+      // decimal(38,0) su6 + exact-decimal HALF_UP division — see
+      // exactLong's notes (the double-division floor broke at
+      // quotients ≥ 2⁵²; this stays in decimal until one final
+      // exact-integer→double conversion)
       val su6 = (s1 * lit(1000000L)).cast(DecimalType(38, 0))
-      def floorPos(x: Column): Column =
-        (x - lit(0.5)).cast(DecimalType(38, 0)).cast(DoubleType)
+      def exactHalfUpQuot(b: Column): Column = {
+        val xx = (abs(su6) * 2 + b).cast(DecimalType(38, 0))
+        val yy = (b * 2).cast(DecimalType(38, 0))
+        ((xx - pmod(xx, yy)) / yy).cast(DoubleType)
+      }
       def r5FromSu6(b: Column): Column =
         when(s1 < 0, lit(-1.0)).otherwise(lit(1.0)) *
-          floorPos((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
-          lit(100000.0)
+          exactHalfUpQuot(b) / lit(100000.0)
       val m = s1.cast(DoubleType) / n
       val variance = (s2.cast(DoubleType) - (m * m) * n) / (n - 1)
       Seq(
@@ -244,40 +249,43 @@ object TableProfiler {
         * col("cnt")).as("s1"))
       .withColumn("m", col("s1").cast(DoubleType) / col("n"))
     // pass 2 for stddev: exact decimal sum of (v-m)^2 around the mean.
-    // TWO quantization regimes, selected PER COLUMN by its exact range
-    // (deterministic: both engines compare the same doubles): columns
-    // with range ≤ 10⁷ quantize each squared deviation at 10⁻¹²
-    // (decimal(27,12) — the legacy behavior, value-identical to the
-    // old decimal(26,12)); wider columns (large surrogate keys: the
-    // sf1 sweep overflowed decimal(26,12) on 10-digit ids, and real
-    // 100 TB corpora carry 13-digit ids) quantize at 10⁰
-    // (decimal(27,0) — absolute error ≤ 0.5·ndist against a Σ that is
-    // ≥ n·range²/4 ≫ 10¹⁴ whenever this branch is selected, i.e.
-    // relative error < 10⁻¹⁴, invisible at the 5-decimal display).
-    // Precision 27 is the exact-multiply bound: (27,s)×(10,0) has
-    // ideal precision 38, so the ·cnt product NEVER triggers Spark's
-    // precision-loss scale reduction — both branches stay exact,
-    // associative, partition-order independent.
+    // Precision 27 everywhere is the exact-multiply bound: (27,s)×
+    // (10,0) has ideal precision 38, so the ·cnt product NEVER
+    // triggers Spark's precision-loss scale reduction — every branch
+    // stays exact, associative, partition-order independent.
+    // THREE σ-quantization regimes (ADVICE r11 found the coarse
+    // branch's silent-null edge at range ≈ 3·10¹³): per column,
+    // selected by its exact range (both engines compare the same
+    // doubles) — fine ≤ 10⁷ quantizes each squared deviation at
+    // 10⁻¹²; coarse ≤ 3·10¹³ at 10⁰ (dd ≤ range² = 9·10²⁶ fits
+    // decimal(27,0) BY CONSTRUCTION — no guard needed); ultra beyond
+    // quantizes dd/10¹² at 10⁰ and scales the sum back by 10¹²
+    // (absolute error ≤ 0.5·10¹²·ndist against a Σ ≥ n·range²/4 ≫
+    // 10²⁶ whenever ultra is selected — relative < 10⁻¹⁴, invisible
+    // at the display). The ultra edge (dd ≥ 10³⁹, range ≳ 3·10¹⁹)
+    // FAILS LOUDLY — past the widened 10²¹ value envelope anyway.
     val sq = vc
       .join(broadcast(basic.select(col("ci"), col("m"),
-        (col("maxv") - col("minv") > lit(1e7)).as("__coarse"))), "ci")
+        (col("maxv") - col("minv") > lit(1e7)).as("__coarse"),
+        (col("maxv") - col("minv") > lit(3e13)).as("__ultra"))), "ci")
       .withColumn("__dd",
         (col("v") - col("m")) * (col("v") - col("m")))
       .withColumn("d2f", when(col("__coarse"), lit(null))
         .otherwise(col("__dd").cast(DecimalType(27, 12))) * col("cnt"))
-      // Same loud-guard posture on the coarse branch: squared
-      // deviations ≥ 10²⁷ (column range ≳ 3·10¹³) overflow
-      // decimal(27,0) — fail with the envelope named instead of
-      // Spark's silent null (the DuckDB twin's cast throws there).
-      .withColumn("d2c", when(col("__coarse"),
-        when(col("__dd") < lit(1e27), col("__dd").cast(DecimalType(27, 0)))
+      .withColumn("d2c", when(col("__coarse") && !col("__ultra"),
+        col("__dd").cast(DecimalType(27, 0)))
+        .otherwise(lit(null)) * col("cnt"))
+      .withColumn("d2u", when(col("__ultra"),
+        when(col("__dd") < lit(1e39),
+          (col("__dd") / lit(1e12)).cast(DecimalType(27, 0)))
           .otherwise(raise_error(lit(
-            "profiler range envelope exceeded: squared deviation >= 1e27 " +
-              "(column range >= ~3e13) overflows the coarse decimal(27,0) " +
+            "profiler range envelope exceeded: squared deviation >= 1e39 " +
+              "(column range >= ~3e19) overflows the ultra decimal(27,0) " +
               "quantization"))))
         .otherwise(lit(null)) * col("cnt"))
       .groupBy("ci")
-      .agg(sum("d2f").as("s2f"), sum("d2c").as("s2c"))
+      .agg(sum("d2f").as("s2f"), sum("d2c").as("s2c"),
+        sum("d2u").as("s2u"))
     // median: position-targeted sharded lookup, Percentile-exact
     // interpolation. The general machinery is the range-SHARDED
     // two-phase prefix sum (graft.ext.Quantiles.shardedCumsum — a
@@ -317,20 +325,25 @@ object TableProfiler {
     // Long/10⁶ (the sf1 sweep threw on the cast); the integer
     // HALF-AWAY arithmetic below is exact either way.
     val su6 = (col("s1") * lit(1000000L)).cast(DecimalType(38, 0))
-    // floor WITHOUT Spark's floor(): that builtin returns LongType and
-    // Java's double→long conversion SATURATES at 2⁶³ (the wide-key
-    // quotient ≈ sum·10⁵ exceeds it — q_profile_wide_keys caught the
-    // clamp as a wrong `8. sum`). HALF_UP(x − 0.5) to decimal(38,0)
-    // equals floor(x) for every positive double — including the exact
-    // k.5 ties this formula exists to settle — and DuckDB's floor on
-    // DOUBLE stays double, so both engines now agree over the full
-    // decimal range.
-    def floorPos(x: Column): Column =
-      (x - lit(0.5)).cast(DecimalType(38, 0)).cast(DoubleType)
+    // HALF_UP(|su6| / b) = (|su6|·2 + b) div (2b), computed ENTIRELY
+    // in exact decimal arithmetic. The earlier double-division form
+    // broke at quotients ≥ 2⁵² (the sf0.1 wide-key mean landed on an
+    // exact k.5·10⁻⁵ tie whose 9·10²² numerator rounds 1 ulp high as
+    // a double — DuckDB's floor saw k+1, Spark's x−0.5 trick saw k;
+    // BOTH double pipelines are unreliable there, and they disagreed).
+    // pmod subtracts the exact remainder, so the decimal division is
+    // integer-valued and exact (quotient < 10²⁶ under the 10²¹ value
+    // envelope — far inside decimal(38,6)); the one double conversion
+    // happens on that exact integer, which both engines round
+    // identically by IEEE nearest.
+    def exactHalfUpQuot(b: Column): Column = {
+      val x = (abs(su6) * 2 + b).cast(DecimalType(38, 0))
+      val y = (b * 2).cast(DecimalType(38, 0))
+      ((x - pmod(x, y)) / y).cast(DoubleType)
+    }
     def r5FromSu6(b: Column): Column =
       when(col("s1") < 0, lit(-1.0)).otherwise(lit(1.0)) *
-        floorPos((abs(su6) * 2 + b).cast(DoubleType) / (b * 2).cast(DoubleType)) /
-        lit(100000.0)
+        exactHalfUpQuot(b) / lit(100000.0)
     // emit the long (column_name, agg_type, result) relation directly
     // from the N per-column stat rows: one 8-entry struct-array explode
     // instead of collapsing to a 64-aggregate wide row and stacking it
@@ -354,7 +367,8 @@ object TableProfiler {
       e("3. mean", r5FromSu6(col("n") * lit(10L))),
       e("4. std", when(col("n") > 1,
         round(sqrt(coalesce(col("s2f").cast(DoubleType),
-          col("s2c").cast(DoubleType)) / (col("n") - 1)), 5))),
+          col("s2c").cast(DoubleType),
+          col("s2u").cast(DoubleType) * lit(1e12)) / (col("n") - 1)), 5))),
       e("5. min", round(col("minv"), 5)),
       e("6. median", col("median")),
       e("7. max", round(col("maxv"), 5)),
