@@ -291,11 +291,16 @@ object Graph {
   // sides; a disk leaf shares the computation without a checkpoint).
   // Restricting the current generation equals restricting the
   // original (alive_r ⊆ alive_{r-1} makes the restrictions nest), so
-  // this is bit-identical to the unrolled in-memory peel.
+  // this is bit-identical to the unrolled in-memory peel. The scratch
+  // generations go through graft.EngineScratch — set
+  // spark.graft.scratchDir to a shared filesystem on a multi-node
+  // cluster (ADVICE r12: a driver-local temp dir is only correct in
+  // local mode, exactly the >KCoreDiskMinEdges regime this branch
+  // exists for).
   private[graft] def kCoreDiskGen(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    val base = java.nio.file.Files.createTempDirectory("graft-kcore-")
+    val base = graft.EngineScratch.dir(spark, "graft-kcore")
     try {
       var cur = edges
       var prevN = -1L
@@ -324,15 +329,7 @@ object Graph {
       Dedup.materialize(
         kCoreDegrees(cur)
           .select(col("node"), col("degree").as("core_degree")))
-    } finally deleteRecursively(base)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.EngineScratch.delete(spark, base)
   }
 
   /** Edge-count threshold for [[kCore]]'s disk-generation regime.

@@ -126,7 +126,25 @@ object Quantiles {
     */
   private[graft] def valuesAtPositions(vc: DataFrame, keyCols: Seq[String],
       vCol: String, cntCol: String, pos: DataFrame, shards: Int = 32,
-      broadcastGroups: Boolean = true): DataFrame = {
+      broadcastGroups: Boolean = true): DataFrame =
+    valuesAtPositionsCarrying(vc, keyCols, vCol, cntCol, pos, Nil,
+      shards, broadcastGroups)._1
+
+  /** [[valuesAtPositions]] plus a free ride on its eager checkpoint:
+    * `carry` names extra columns of `pos` (constant per key) to haul
+    * through the internally MATERIALIZED `picked` relation. The
+    * second returned frame is `(keyCols ++ carry)` — one row per key,
+    * read back from the checkpointed rows, so collecting it costs no
+    * recomputation of `vc`. The profiler uses this to evaluate its
+    * per-column exact stats inside the one eager job this machinery
+    * already runs (the same `vc` exchange serves the stats
+    * aggregation, the boundary sketch and the offsets), instead of
+    * re-aggregating `vc` once per consumer in the main query.
+    */
+  private[graft] def valuesAtPositionsCarrying(vc: DataFrame,
+      keyCols: Seq[String], vCol: String, cntCol: String, pos: DataFrame,
+      carry: Seq[String], shards: Int = 32,
+      broadcastGroups: Boolean = true): (DataFrame, DataFrame) = {
     val kc = keyCols.map(col)
     def maybeB(df: DataFrame) = if (broadcastGroups) broadcast(df) else df
     // CONSISTENCY INVARIANT: the percentile_approx boundary sketch is
@@ -173,7 +191,7 @@ object Quantiles {
         .where(col("__pos").between(col("__offset"),
           col("__offset") + col("__stot") - 1))
         .select((kc :+ col("__shard") :+ col("__lo") :+ col("__hi") :+
-          col("__offset") :+ col("__pos")): _*))
+          col("__offset") :+ col("__pos")) ++ carry.map(col): _*))
     // prune raw vc by the shard's value interval — exactly the rows
     // the offsets evaluation assigned there, because assignment is
     // v > __bs[s] && v <= __bs[s+1] by construction
@@ -187,13 +205,17 @@ object Quantiles {
       sum(col(cntCol).cast(LongType)).over(
         Window.partitionBy(skc: _*).orderBy(vCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    localCum.join(
+    val hits = localCum.join(
         maybeB(picked.select((kc :+ col("__shard") :+ col("__offset") :+
           col("__pos")): _*)),
         keyCols :+ "__shard")
       .where(col("__offset") + col("__lcum") - col(cntCol).cast(LongType) <= col("__pos") &&
         col("__pos") <= col("__offset") + col("__lcum") - 1)
       .select((kc :+ col("__pos") :+ col(vCol)): _*)
+    // `carry` values are constant per key, so the distinct collapses
+    // the ≤2 position rows back to one stats row per key; this scans
+    // only the checkpointed (few-rows-per-key) RDD, never `vc`.
+    (hits, picked.select(kc ++ carry.map(col): _*).distinct())
   }
 
   /** One row per group: `(group, n, <name1>, <name2>, ...)` with each

@@ -704,8 +704,7 @@ object Similarity {
     val affected = cells.filter(col(idCol).isin(ids: _*))
       .select("cell").distinct().collect().map(_.getLong(0))
     if (affected.nonEmpty) {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ivf-del").toString
+      val tmp = graft.EngineScratch.dir(spark, "graft-ivf-del")
       cells.filter(col("cell").isin(affected.toIndexedSeq: _*))
         .filter(!col(idCol).isin(ids: _*))
         .write.mode("overwrite").parquet(tmp)

@@ -80,16 +80,17 @@ object TableProfiler {
     *    quantiles, so exactness is the only portable semantics
     *    (SURVEY.md §7.6). The sketch variant lives in
     *    [[approxProfile]].
-    *  - sum/mean accumulate in DECIMAL(27,6): double addition is not
+    *  - sum/mean accumulate in exact decimal: double addition is not
     *    associative, so a shuffle-order-dependent double sum can flip
     *    the 5th decimal at scale; decimal accumulation is exact and
-    *    deterministic regardless of partitioning. Precision 27 is the
-    *    exact-multiply bound against the (10,0) counts ((27,6)×(10,0)
-    *    = (38,6), never scale-reduced), putting the value envelope at
-    *    |v| < 10²¹ with a loud raise_error guard past it; scale 6
-    *    out-scales the 5-decimal display rounding. (Values that fit a
-    *    compact Long still use Spark's fast Decimal representation —
-    *    declared precision does not force the wide path.)
+    *    deterministic regardless of partitioning. The sum is
+    *    RANGE-SPLIT into two exact legs (see [[legCompact]] /
+    *    [[legWide]]): |v| < 10¹² quantizes at decimal(18,6) — 18
+    *    digits keeps the per-row cast on Spark's compact-long Decimal
+    *    path (VERDICT r12: declaring (27,6) forced per-row BigDecimal
+    *    everywhere, ~2× on the long profile) — and wider values at
+    *    decimal(27,6) with a loud raise_error guard at the |v| < 10²¹
+    *    envelope. Scale 6 out-scales the 5-decimal display rounding.
     *  - std is the two-pass sample standard deviation around the
     *    exact mean (see [[exactLong]]).
     */
@@ -104,18 +105,61 @@ object TableProfiler {
     * columns (|mean| ≫ σ, where the single-pass cancellation loses
     * digits) the exact two-pass profile is the reference answer.
     */
+  /** Range-split exact decimal sum, shared by [[baseStats]] and
+    * [[exactLong]]: the two legs of `Σ decimal(v)` with the same
+    * 10⁻⁶ quantization but regime-matched precision.
+    *
+    *  - compact leg, |v| < 10¹²: decimal(18,6) — 18 digits is
+    *    `Decimal.MAX_LONG_DIGITS`, so the per-row cast stays on
+    *    Spark's compact-long path (no per-row BigDecimal — VERDICT
+    *    r12 measured the unconditional (27,6) widening at ~2× on the
+    *    long profile).
+    *  - wide leg, 10¹² ≤ |v| < 10²¹: decimal(27,6) (exact-multiply
+    *    bound against the (10,0) counts), entered only by wide
+    *    surrogate-key-class columns.
+    *  - past 10²¹ (and NaN/±Inf): loud `raise_error` — a silently
+    *    dropped value would mean a wrong mean (ADVICE r11).
+    *
+    * A NULL value falls through BOTH legs as NULL and is skipped by
+    * `sum` — the r12 guard raised on NULL because the CASE condition
+    * evaluated to NULL and fell into the error branch (ADVICE r12);
+    * here the wide leg tests `isNull` explicitly before the error arm.
+    * Every non-null value lands in exactly one leg and decimal
+    * addition is exact, so compactLeg + wideLeg ≡ the single wide sum
+    * bit-for-bit.
+    *
+    * @param cmpV double-valued copy of the value for the range tests
+    * @param v    the value actually quantized (kept distinct so
+    *             [[baseStats]] preserves its historical behavior of
+    *             casting the ORIGINAL column to decimal)
+    */
+  private def legCompact(cmpV: Column, v: Column): Column =
+    when(abs(cmpV) < lit(1e12), v.cast(DecimalType(18, 6)))
+  private def legWide(cmpV: Column, v: Column): Column =
+    when(cmpV.isNull || abs(cmpV) < lit(1e12),
+        lit(null).cast(DecimalType(27, 6)))
+      .otherwise(when(abs(cmpV) < lit(1e21), v.cast(DecimalType(27, 6)))
+        .otherwise(raise_error(concat(
+          lit("profiler value envelope exceeded: |value| >= 1e21 " +
+            "overflows the exact decimal(27,6) sum (got "),
+          cmpV.cast(StringType), lit(")")))))
+
   private def baseStats(cols: Seq[String]): Seq[Column] =
     cols.zipWithIndex.flatMap { case (c, i) =>
       val x = col(c)
       val n = count(x)
-      // same (27,6) quantization + loud envelope guard as exactLong
-      // (the ProfilerSpec `==` assertion holds over the whole
-      // envelope, not just below the old 10¹² edge)
-      val s1 = sum(when(abs(x.cast(DoubleType)) < lit(1e21),
-        x.cast(DecimalType(27, 6)))
-        .otherwise(raise_error(lit(
-          "profiler value envelope exceeded: |value| >= 1e21 overflows " +
-            "the exact decimal(27,6) sum"))))
+      // range-split exact decimal sum (see the leg scaladoc): the two
+      // leg sums recombine exactly, and the ProfilerSpec `==`
+      // assertion against the exact path holds over the whole
+      // envelope. All-null column: both legs null → s1 null.
+      val xd = x.cast(DoubleType)
+      val s1c = sum(legCompact(xd, x))
+      val s1w = sum(legWide(xd, x))
+      def dec386(cc: Column): Column = cc.cast(DecimalType(38, 6))
+      val s1 = when(s1c.isNull && s1w.isNull,
+          lit(null).cast(DecimalType(38, 6)))
+        .otherwise(coalesce(dec386(s1c), dec386(lit(0))) +
+          coalesce(dec386(s1w), dec386(lit(0))))
       // x² quantized at 10⁻⁶ then summed exactly; decimal(38,6) keeps
       // 32 integer digits of headroom before the sum can overflow
       val s2 = sum((x * x).cast(DecimalType(38, 6)))
@@ -174,11 +218,14 @@ object TableProfiler {
     * and — crucially — deterministic under ARBITRARY partitioning:
     *
     *   unpivot (ci, value) → groupBy(ci, value) count   [one shuffle,
-    *     map-side combined, key space = Σ distinct values]
-    *   count / count_distinct / min / max  — trivial per-ci roll-ups
-    *   sum / mean  — Σ decimal(27,6)(v)·cnt: exact decimal arithmetic
-    *     (associative → partitioning-independent); mean = Σ/n in one
-    *     double division
+    *     map-side combined, key space = Σ distinct values; the result
+    *     is MATERIALIZED once and read by both jobs below]
+    *   count / count_distinct / min / max / sum / mean  — one roll-up
+    *     over vc, evaluated inside the median machinery's eager
+    *     checkpoint job and joined back as an N-row literal relation;
+    *     the sum is the range-split exact decimal Σ leg(v)·cnt of
+    *     [[legCompact]]/[[legWide]] (associative →
+    *     partitioning-independent); mean = Σ/n in one double division
     *   std  — TWO-PASS: Σ decimal((v−m)²)·cnt around the exact mean
     *     (range-adaptive scale — see the pass-2 note), then
     *     sqrt(S₂/(n−1)). No Welford merge (whose result
@@ -200,7 +247,7 @@ object TableProfiler {
     * Semantics notes (mirrored in the oracle, Oracles.duckStats):
     * values compare as doubles (exact for doubles and for integers
     * below 2⁵³); sum/mean quantize each value at 10⁻⁶ (the
-    * `decimal(27,6)` sum contract — |value| < 10²¹, loud-guarded
+    * range-split decimal sum contract — |value| < 10²¹, loud-guarded
     * past it); per-(column,value) row counts are
     * assumed < 10¹⁰ (decimal(10,0) — far beyond any real corpus; a
     * hotter single value would need a wider count decimal).
@@ -225,28 +272,103 @@ object TableProfiler {
     val spreadDf =
       if (df.queryExecution.toRdd.getNumPartitions >= parallelism) df
       else df.repartition(parallelism)
+    // The value-counts relation is MATERIALIZED once (executor block
+    // store, memory-then-disk): it has two whole-job consumers — the
+    // eager stats/offsets checkpoint below and the main σ+median query
+    // — and without the cut each would recompute the raw scan + stack
+    // + shuffle (the dominant cost of the profile; measured ~2 s of
+    // the 8 s at sf0.1, and at 100 TB a full second pass over the
+    // table). Storing vc is strictly cheaper than recomputing it:
+    // it is at most table-sized (distinct (column, value) pairs), the
+    // same size class as the shuffle files the recompute would write
+    // anyway. Within each job the blocks are just re-read; consumers
+    // stay partitioning-independent, so the materialization changes
+    // no values.
+    // localCheckpoint directly (NOT Dedup.materialize, whose
+    // createDataFrame re-wrap deserializes InternalRow → Row → back
+    // per read — negligible on its designed few-row inputs, ~1 s/pass
+    // on a millions-of-rows one): the checkpointed frame is an
+    // InternalRow-backed LogicalRDD, so downstream reads are plain
+    // block reads. Blocks are reference-tracked and freed by the
+    // ContextCleaner once the profile frame is unreachable.
     val vc = spreadDf
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")
       .filter(col("v").isNotNull)
       .groupBy("ci", "v").agg(count(lit(1)).cast(DecimalType(10, 0)).as("cnt"))
-    // Per-value quantization at decimal(27,6) — the exact-multiply
-    // bound ((27,6)×(10,0) = (38,6), never reduced), putting the VALUE
-    // envelope at |v| < 10²¹ (ADVICE r11: the old (18,6) cast nulled
-    // SILENTLY past 10¹² under non-ANSI Spark while DuckDB threw —
-    // wide surrogate keys crossed it at ~sf1). Past the envelope the
-    // guard FAILS LOUDLY instead of dropping the value from s1 while
-    // still counting it in n: a wrong mean is worse than no mean.
-    val basic = vc.groupBy("ci").agg(
+      .localCheckpoint()
+    // ALL per-column single-pass exact stats — n, ndist, min, max and
+    // the range-split exact decimal sum legs (see [[legCompact]] /
+    // [[legWide]]: |v| < 10¹² sums compact decimal(18,6), wider values
+    // sum decimal(27,6) with the loud 10²¹ raise_error envelope of
+    // ADVICE r11) — are evaluated ONCE, inside the eager checkpoint
+    // job the median machinery already runs: valuesAtPositionsCarrying
+    // hauls them through its materialized `picked` relation, so the
+    // collect below reads N checkpointed rows and never recomputes vc.
+    // The main query then sees the stats as a LITERAL N-row relation
+    // (`basicLit`): the previous shape re-aggregated vc once per
+    // consumer (σ's mean broadcast, the median's n join, the final
+    // assembly — three full reduce passes over the value-counts
+    // exchange, each carrying the wide-decimal sum), which VERDICT r12
+    // measured at ~2× on the long profile. Now vc is aggregated
+    // exactly once per job — stats+offsets in the build job, σ+median
+    // window in the main job — and every display expression below is
+    // UNCHANGED, just reading literal columns, so results are
+    // bit-identical by construction.
+    val statsAgg = vc.groupBy("ci").agg(
       sum(col("cnt").cast(LongType)).as("n"),
       count(lit(1)).cast(DoubleType).as("ndist"),
       min("v").as("minv"),
       max("v").as("maxv"),
-      sum(when(abs(col("v")) < lit(1e21), col("v").cast(DecimalType(27, 6)))
-        .otherwise(raise_error(concat(
-          lit("profiler value envelope exceeded: |value| >= 1e21 " +
-            "overflows the exact decimal(27,6) sum (got "),
-          col("v").cast(StringType), lit(")"))))
-        * col("cnt")).as("s1"))
+      sum(legCompact(col("v"), col("v")) * col("cnt")).as("s1c"),
+      sum(legWide(col("v"), col("v")) * col("cnt")).as("s1w"))
+    // median positions: position-targeted sharded lookup,
+    // Percentile-exact interpolation. The general machinery is the
+    // range-SHARDED two-phase prefix sum (graft.ext.Quantiles
+    // .shardedCumsum — a single `partitionBy(ci)` window would sort
+    // ALL distinct values of a column in ONE task); the median probes
+    // exactly TWO global positions per column, so the sort-window is
+    // pruned to the one or two shards that hold them (32× less window
+    // input) after the exact shard offsets are known. Boundary sketch
+    // affects load balance only — shard totals are exact, so the
+    // probed values are identical to the full cumsum's.
+    val pos = lit(0.5) * (col("n") - 1).cast(DoubleType)
+    val lower = floor(pos)
+    val higher = ceil(pos)
+    val carryCols = Seq("n", "ndist", "minv", "maxv", "s1c", "s1w")
+    val wanted = statsAgg.select(
+      (col("ci") +: carryCols.map(col)) :+
+        explode(array_distinct(array(lower.cast(LongType),
+          higher.cast(LongType)))).as("__pos"): _*)
+    val (hitsRaw, carried) = graft.ext.Quantiles
+      .valuesAtPositionsCarrying(vc, Seq("ci"), "v", "cnt", wanted, carryCols)
+    val statRows = carried.collect() // N rows, from the checkpointed RDD
+    // recombine the two sum legs exactly on the driver (decimal
+    // addition; each value landed in exactly one leg). java
+    // BigDecimal.add at scale 6 is the same exact arithmetic Spark's
+    // Decimal would run.
+    val statSchema = StructType(Seq(
+      StructField("ci", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("ndist", DoubleType, nullable = false),
+      StructField("minv", DoubleType, nullable = true),
+      StructField("maxv", DoubleType, nullable = true),
+      StructField("s1", DecimalType(38, 6), nullable = true)))
+    val zero6 = java.math.BigDecimal.ZERO.setScale(6)
+    val litRows: Seq[org.apache.spark.sql.Row] = statRows.toSeq.map { r =>
+      val s1c = r.getDecimal(r.fieldIndex("s1c"))
+      val s1w = r.getDecimal(r.fieldIndex("s1w"))
+      val s1 =
+        if (s1c == null && s1w == null) null
+        else Option(s1c).getOrElse(zero6).add(Option(s1w).getOrElse(zero6))
+      org.apache.spark.sql.Row(
+        r.getInt(r.fieldIndex("ci")), r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("ndist")),
+        r.getDouble(r.fieldIndex("minv")), r.getDouble(r.fieldIndex("maxv")),
+        s1)
+    }
+    import scala.jdk.CollectionConverters._
+    val basicLit = df.sparkSession
+      .createDataFrame(litRows.asJava, statSchema)
       .withColumn("m", col("s1").cast(DoubleType) / col("n"))
     // pass 2 for stddev: exact decimal sum of (v-m)^2 around the mean.
     // Precision 27 everywhere is the exact-multiply bound: (27,s)×
@@ -255,58 +377,57 @@ object TableProfiler {
     // stays exact, associative, partition-order independent.
     // THREE σ-quantization regimes (ADVICE r11 found the coarse
     // branch's silent-null edge at range ≈ 3·10¹³): per column,
-    // selected by its exact range (both engines compare the same
-    // doubles) — fine ≤ 10⁷ quantizes each squared deviation at
-    // 10⁻¹²; coarse ≤ 3·10¹³ at 10⁰ (dd ≤ range² = 9·10²⁶ fits
-    // decimal(27,0) BY CONSTRUCTION — no guard needed); ultra beyond
-    // quantizes dd/10¹² at 10⁰ and scales the sum back by 10¹²
-    // (absolute error ≤ 0.5·10¹²·ndist against a Σ ≥ n·range²/4 ≫
-    // 10²⁶ whenever ultra is selected — relative < 10⁻¹⁴, invisible
-    // at the display). The ultra edge (dd ≥ 10³⁹, range ≳ 3·10¹⁹)
-    // FAILS LOUDLY — past the widened 10²¹ value envelope anyway.
+    // selected by its exact range — fine ≤ 10⁷ quantizes each squared
+    // deviation at 10⁻¹²; coarse ≤ 3·10¹³ at 10⁰ (dd ≤ range² =
+    // 9·10²⁶ fits decimal(27,0) BY CONSTRUCTION — no guard needed);
+    // ultra beyond quantizes dd/10¹² at 10⁰ and scales the sum back
+    // by 10¹² (absolute error ≤ 0.5·10¹²·ndist against a Σ ≥
+    // n·range²/4 ≫ 10²⁶ whenever ultra is selected — relative <
+    // 10⁻¹⁴, invisible at the display). The ultra edge (dd ≥ 10³⁹,
+    // range ≳ 3·10¹⁹) FAILS LOUDLY — past the widened 10²¹ value
+    // envelope anyway. The regime of each column is now DECIDED ON
+    // THE DRIVER from the collected exact min/max (same IEEE compares
+    // the old broadcast flag columns evaluated; NaN/±Inf can't reach
+    // here — the wide sum leg raised on them in the stats job), so a
+    // single-regime profile — the common case — emits ONE
+    // unconditional σ sum with no per-row regime dispatch.
+    val range = statRows.map { r =>
+      r.getInt(r.fieldIndex("ci")) ->
+        (r.getDouble(r.fieldIndex("maxv")) - r.getDouble(r.fieldIndex("minv")))
+    }.toMap
+    val fineCis = range.collect { case (ci, rg) if !(rg > 1e7) => ci }.toSeq
+    val coarseCis =
+      range.collect { case (ci, rg) if rg > 1e7 && !(rg > 3e13) => ci }.toSeq
+    val ultraCis = range.collect { case (ci, rg) if rg > 3e13 => ci }.toSeq
+    def ciIn(cis: Seq[Int]): Column =
+      if (cis.isEmpty) lit(false)
+      else if (range.size == cis.size) lit(true)
+      else col("ci").isInCollection(cis)
+    def gated(cis: Seq[Int], expr: Column): Column =
+      if (cis.isEmpty) lit(null)
+      else if (range.size == cis.size) expr
+      else when(ciIn(cis), expr).otherwise(lit(null))
+    val dd = (col("v") - col("m")) * (col("v") - col("m"))
     val sq = vc
-      .join(broadcast(basic.select(col("ci"), col("m"),
-        (col("maxv") - col("minv") > lit(1e7)).as("__coarse"),
-        (col("maxv") - col("minv") > lit(3e13)).as("__ultra"))), "ci")
-      .withColumn("__dd",
-        (col("v") - col("m")) * (col("v") - col("m")))
-      .withColumn("d2f", when(col("__coarse"), lit(null))
-        .otherwise(col("__dd").cast(DecimalType(27, 12))) * col("cnt"))
-      .withColumn("d2c", when(col("__coarse") && !col("__ultra"),
-        col("__dd").cast(DecimalType(27, 0)))
-        .otherwise(lit(null)) * col("cnt"))
-      .withColumn("d2u", when(col("__ultra"),
-        when(col("__dd") < lit(1e39),
-          (col("__dd") / lit(1e12)).cast(DecimalType(27, 0)))
+      .join(broadcast(basicLit.select(col("ci"), col("m"))), "ci")
+      .withColumn("d2f",
+        gated(fineCis, dd.cast(DecimalType(27, 12))).cast(DecimalType(27, 12))
+          * col("cnt"))
+      .withColumn("d2c",
+        gated(coarseCis, dd.cast(DecimalType(27, 0))).cast(DecimalType(27, 0))
+          * col("cnt"))
+      .withColumn("d2u",
+        gated(ultraCis, when(dd < lit(1e39),
+            (dd / lit(1e12)).cast(DecimalType(27, 0)))
           .otherwise(raise_error(lit(
             "profiler range envelope exceeded: squared deviation >= 1e39 " +
               "(column range >= ~3e19) overflows the ultra decimal(27,0) " +
-              "quantization"))))
-        .otherwise(lit(null)) * col("cnt"))
+              "quantization")))).cast(DecimalType(27, 0)) * col("cnt"))
       .groupBy("ci")
       .agg(sum("d2f").as("s2f"), sum("d2c").as("s2c"),
         sum("d2u").as("s2u"))
-    // median: position-targeted sharded lookup, Percentile-exact
-    // interpolation. The general machinery is the range-SHARDED
-    // two-phase prefix sum (graft.ext.Quantiles.shardedCumsum — a
-    // single `partitionBy(ci)` window would sort ALL distinct values
-    // of a column in ONE task); the median probes exactly TWO global
-    // positions per column, so Quantiles.valuesAtPositions prunes the
-    // sort-window to the one or two shards that hold them (32× less
-    // window input) after the exact shard offsets are known. Boundary
-    // sketch affects load balance only — shard totals are exact, so
-    // the probed values are identical to the full cumsum's.
-    val pos = lit(0.5) * (col("n") - 1).cast(DoubleType)
-    val lower = floor(pos)
-    val higher = ceil(pos)
-    val wanted = basic.select(col("ci"), col("n"))
-      .select(col("ci"), col("n"),
-        explode(array_distinct(array(lower.cast(LongType),
-          higher.cast(LongType)))).as("__pos"))
-      .select("ci", "__pos")
-    val hits = graft.ext.Quantiles
-      .valuesAtPositions(vc, Seq("ci"), "v", "cnt", wanted)
-      .join(broadcast(basic.select(col("ci"), col("n"))), "ci")
+    val hits = hitsRaw
+      .join(broadcast(basicLit.select(col("ci"), col("n"))), "ci")
     val med = hits.groupBy("ci", "n")
       .agg(
         max(when(col("__pos") === lower.cast(LongType), col("v"))).as("lowv"),
@@ -315,7 +436,7 @@ object TableProfiler {
         when(lower === higher, col("lowv"))
           .otherwise(col("lowv") * (higher - pos) + col("highv") * (pos - lower)), 5))
       .select("ci", "median")
-    val perCi = basic.join(sq, Seq("ci")).join(med, Seq("ci"))
+    val perCi = basicLit.join(sq, Seq("ci")).join(med, Seq("ci"))
     // mean and sum display 6-decimal-quantized sums, which land
     // exactly on .5×10⁻⁵ rounding ties where double round() diverges
     // across engines (see TextStats.decAvg5) — round them with exact

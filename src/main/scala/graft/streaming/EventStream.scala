@@ -595,8 +595,7 @@ object EventStream {
       .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     val payloadSchema = StructType(
       changes.schema.filterNot(_.name == Merge.OpCol))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-snapshot").toString
+    val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-snapshot")
     // the chain pointer: seeded once, advanced only by OUR completed
     // writes — never re-derived from the directory mid-run
     @volatile var baseVersion: Option[Long] = versions().sorted.lastOption
@@ -704,8 +703,7 @@ object EventStream {
     import graft.ext.Dedup
     val spark = docs.sparkSession
     new java.io.File(storeDir).mkdirs()
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-neardup").toString
+    val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-neardup")
     val storeSchema = StructType(Seq(
       StructField("id", LongType), StructField("bk", StringType),
       StructField("sig", ArrayType(LongType))))
@@ -779,8 +777,7 @@ object EventStream {
     fs.mkdirs()
     def versions(): Seq[Long] = Option(fs.list()).toSeq.flatten
       .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-corpusstats").toString
+    val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-corpusstats")
     @volatile var baseVersion: Option[Long] = versions().sorted.lastOption
     docs.writeStream
       .option("checkpointLocation", ckpt)
@@ -961,8 +958,7 @@ object EventStream {
       tableName: String): DataFrame = {
     // Explicit checkpoint dir: the auto-created temporary checkpoint
     // is deleted on stop and races Hadoop's local-FS .crc renames.
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft-ckpt-$tableName").toString
+    val ckpt = graft.EngineScratch.dir(spark, s"graft-ckpt-$tableName")
     val q = streamed.writeStream
       .format("memory")
       .queryName(tableName)

@@ -67,6 +67,52 @@ class ProfilerSpec extends AnyFunSuite {
     assert(er("7. max").isNullAt(1))
   }
 
+  test("approxProfile on nullable/all-null columns: nulls skipped, never raised") {
+    // ADVICE r12: the r12 envelope guard's CASE condition evaluated to
+    // NULL for a NULL value and fell into the raise_error branch, so
+    // approxProfile threw on any NULL. The range-split legs let NULL
+    // fall through both sums.
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null), (null, null)).toDF("a", "b")
+    val rows = TableProfiler.approxProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("1. count").getDouble(1) == 2.0)
+    assert(rows("1. count").getDouble(2) == 0.0)
+    assert(rows("3. mean").getDouble(1) == 1.5)
+    assert(rows("8. sum").getDouble(1) == 3.0)
+    assert(rows("3. mean").isNullAt(2))
+    assert(rows("8. sum").isNullAt(2))
+  }
+
+  test("range-split sum legs: wide values exact, 1e21 envelope still loud") {
+    // compact leg (|v| < 1e12), wide leg (1e12 <= |v| < 1e21) and the
+    // mixed case must recombine exactly in BOTH paths
+    val mixed = Seq(1.5, 2.5e12, -5.0e12, 0.25).toDF("v")
+    val exact = TableProfiler.profile(mixed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = TableProfiler.approxProfile(mixed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // -5e12 + 2.5e12 + 1.75 = -2.4999999999982.5e12... exact decimal:
+    val want = BigDecimal("-2499999999998.25").toDouble
+    assert(exact("8. sum").getDouble(1) == want)
+    assert(approx("8. sum").getDouble(1) == want)
+    assert(exact("3. mean").getDouble(1) == approx("3. mean").getDouble(1))
+    // past the envelope both paths fail loudly, not with a wrong sum
+    // (the raise_error guard or, on the approx path, the ANSI decimal
+    // overflow of the s2 accumulator — either way an error, never a
+    // silently dropped value)
+    def loud(e: Exception): Boolean =
+      e.getMessage.contains("envelope") ||
+        e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+    val huge = Seq(1.0, 2.0e21).toDF("v")
+    val e1 = intercept[Exception] { TableProfiler.profile(huge).collect() }
+    assert(loud(e1))
+    val e2 = intercept[Exception] {
+      TableProfiler.approxProfile(huge).collect()
+    }
+    assert(loud(e2))
+  }
+
   test("round half-up at 5th decimal and stddev of constant column") {
     val df = Seq(0.000015, 0.000015, 0.000015).toDF("v")
     val rows = TableProfiler.profile(df).collect().map(r => r.getString(0) -> r).toMap
