@@ -127,7 +127,20 @@ object Bench {
       }
       try {
         once()
-        name -> Right(math.min(once(), once()))
+        val t1 = once(); val t2 = once()
+        // NOISE GUARD (VERDICT r12 #3): when the two timed runs of a
+        // byte-identical plan disagree by >1.5×, the pair straddled a
+        // GC pause / scheduler stall / page-cache miss and the min of
+        // two is still contaminated-or-lucky — take two more samples
+        // and record the min of four. This is what the r12 record
+        // needed for q_rrf_fusion (0.87 s builder vs 4.80 s driver on
+        // identical code): a same-code outlier gets re-sampled inside
+        // the run instead of adjudicated across runs.
+        val ts =
+          if (math.max(t1, t2) > 1.5 * math.min(t1, t2))
+            Seq(t1, t2, once(), once())
+          else Seq(t1, t2)
+        name -> Right(ts.min)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         name -> Left(e.getClass.getSimpleName)

@@ -817,9 +817,17 @@ object SparkEntry {
   private val embCounts =
     scala.collection.concurrent.TrieMap[(String, String), Long]()
   private def adaptiveNlist(emb: DataFrame): Int = {
-    val key = (emb.sparkSession.sparkContext.applicationId,
-      emb.inputFiles.headOption.getOrElse(""))
-    val n = embCounts.getOrElseUpdate(key, emb.count())
+    // memoize ONLY file-backed frames: two different non-file-backed
+    // embedding frames in one JVM would otherwise share the "" key
+    // and silently reuse the first frame's count — nlist is a
+    // result-shaping parameter, not just a perf knob (ADVICE r12). A
+    // frame without input files falls through to a plain count().
+    val n = emb.inputFiles.headOption match {
+      case Some(firstFile) =>
+        val key = (emb.sparkSession.sparkContext.applicationId, firstFile)
+        embCounts.getOrElseUpdate(key, emb.count())
+      case None => emb.count()
+    }
     math.max(semDedupNlist.toDouble,
       math.ceil(math.sqrt(n / 2.0))).toInt
   }

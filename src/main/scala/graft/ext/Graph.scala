@@ -34,6 +34,23 @@ import org.apache.spark.sql.expressions.Window
   * round scales with |edges|, not |corpus|: a pair graph scales with
   * duplicates, and a domain graph with domains.
   */
+/** Anti-join strategy for [[Graph.linkPrediction]]'s existing-edge
+  * exclusion — one value per physical regime, so a caller can pin any
+  * of the three (the old `Option[Boolean]` switch could only reach
+  * broadcast and sort-merge).
+  */
+sealed trait EdgeJoinStrategy
+object EdgeJoinStrategy {
+  /** Probe the materialized edge count and pick by the
+    * [[Graph.BroadcastMaxEdges]] / [[Graph.ShuffleHashMaxEdges]]
+    * thresholds (the default).
+    */
+  case object Auto extends EdgeJoinStrategy
+  case object Broadcast extends EdgeJoinStrategy
+  case object ShuffleHash extends EdgeJoinStrategy
+  case object SortMerge extends EdgeJoinStrategy
+}
+
 object Graph {
 
   /** Damped PageRank (d = 0.85, the classic constant, expressed as
@@ -390,14 +407,13 @@ object Graph {
     * nowhere near 2⁶³ at any corpus size (§8.3 rule 6 bound
     * documented, not assumed).
     *
-    * @param broadcastEdges pins the anti-join regime without the
-    *   edge-count probe: Some(true) = broadcast, Some(false) =
-    *   SORT-MERGE (the no-memory-floor strategy — NOT shuffle-hash;
-    *   a caller pinning "don't broadcast" is asserting the edge list
-    *   is too big to hold, which is exactly when a build-side hash
-    *   map is unsafe too, so the mid regime is only reachable through
-    *   the automatic probe). None (default) probes the materialized
-    *   edge count against the three thresholds.
+    * @param edgeJoin pins the anti-join regime without the edge-count
+    *   probe — one value per physical regime ([[EdgeJoinStrategy]]):
+    *   `Broadcast`, `ShuffleHash` (caller asserts a PARTITION of the
+    *   edge list fits a build-side hash map), `SortMerge` (no
+    *   in-memory build floor at all), or `Auto` (default: probe the
+    *   materialized edge count against [[BroadcastMaxEdges]] /
+    *   [[ShuffleHashMaxEdges]]).
     * @param candBudget total candidate-pair budget for the automatic
     *   skew guard (default [[LinkPredCandBudget]]) — see the
     *   in-method comment; on a graph whose cap-`maxDegree` volume
@@ -406,7 +422,7 @@ object Graph {
     */
   def linkPrediction(pairs: DataFrame, k: Int, maxDegree: Int = 64,
       srcCol: String = "id_a", dstCol: String = "id_b",
-      broadcastEdges: Option[Boolean] = None,
+      edgeJoin: EdgeJoinStrategy = EdgeJoinStrategy.Auto,
       candBudget: Long = LinkPredCandBudget): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxDegree >= 1, "maxDegree must be >= 1")
@@ -487,15 +503,16 @@ object Graph {
     // (avoids SMJ's two sorts at mid scale); sort-merge beyond — the
     // only strategy with no in-memory build floor (the sf10 sweep's
     // 90M-edge run OOM'd the forced shuffle-hash build).
-    val nEdges = broadcastEdges match {
-      case Some(true) => 0L
-      case Some(false) => Long.MaxValue
-      case None => Dedup.cachedCount(e)
+    val eSide = edgeJoin match {
+      case EdgeJoinStrategy.Broadcast => broadcast(e)
+      case EdgeJoinStrategy.ShuffleHash => e.hint("shuffle_hash")
+      case EdgeJoinStrategy.SortMerge => e.hint("merge")
+      case EdgeJoinStrategy.Auto =>
+        val nEdges = Dedup.cachedCount(e)
+        if (nEdges <= BroadcastMaxEdges) broadcast(e)
+        else if (nEdges <= ShuffleHashMaxEdges) e.hint("shuffle_hash")
+        else e.hint("merge")
     }
-    val eSide =
-      if (nEdges <= BroadcastMaxEdges) broadcast(e)
-      else if (nEdges <= ShuffleHashMaxEdges) e.hint("shuffle_hash")
-      else e.hint("merge")
     scored.join(eSide,
         scored("id_a") === e("a") && scored("id_b") === e("b"), "left_anti")
       .orderBy(col("__s").desc, col("id_a"), col("id_b"))

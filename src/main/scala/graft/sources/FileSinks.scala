@@ -32,6 +32,12 @@ object FileSinks {
   // RFC-4180: quotes escape by DOUBLING, every field quoted, an
   // out-of-alphabet null sentinel (empty string is a legal VALUE for
   // quoted strings — "" and absent must stay distinguishable).
+  // RESERVED SENTINEL (ADVICE r12): the two-character string \N is
+  // the one value the CSV hop does NOT round-trip — Spark applies
+  // nullValue after unquoting on read, so a literal "\N" payload
+  // comes back as NULL. SourceSinkSpec pins this behavior; payloads
+  // that may legitimately contain \N belong in the JSON sink, which
+  // has no in-band sentinel.
   private val CsvOptions = Map(
     "header" -> "true",
     "quoteAll" -> "true",

@@ -2939,6 +2939,15 @@ class ExtSpec extends AnyFunSuite {
     val again = graft.ext.Graph.linkPrediction(edges, k = 100,
       candBudget = 50L).collect().toSeq
     assert(again == tightRows.toSeq)
+    // every pinned anti-join regime (three values + auto) returns the
+    // same rows — the strategy enum only moves the physical join
+    import graft.ext.EdgeJoinStrategy
+    for (strat <- Seq(EdgeJoinStrategy.Broadcast,
+        EdgeJoinStrategy.ShuffleHash, EdgeJoinStrategy.SortMerge)) {
+      val pinned = graft.ext.Graph.linkPrediction(edges, k = 100,
+        edgeJoin = strat).collect().toSeq
+      assert(pinned == freeRows.toSeq, s"regime $strat diverged")
+    }
   }
 
   test("phashNearDupPairs: identical = 0, one-byte edit small, short excluded") {

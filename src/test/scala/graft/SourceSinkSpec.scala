@@ -86,6 +86,35 @@ class SourceSinkSpec extends AnyFunSuite {
       "JSON write+read must be lossless (doubles bit-exact)")
   }
 
+  test("FileSinks: the \\N null sentinel is reserved in CSV, round-trips in JSON") {
+    import spark.implicits._
+    import graft.sources.FileSinks
+    // ADVICE r12: Spark applies nullValue AFTER unquoting on read, so
+    // a literal "\N" string payload collides with the null sentinel
+    // and reads back as NULL. Pin that documented boundary here —
+    // and show the JSON sink (no in-band sentinel) carries the value.
+    val df = Seq(
+      (1L, Option("""\N""")),
+      (2L, Option.empty[String]),
+      (3L, Option("N"))).toDF("id", "s")
+
+    val csvDir = tmp("sentcsv")
+    FileSinks.writeCsv(df, csvDir)
+    val fromCsv = FileSinks.readCsv(spark, csvDir, "id LONG, s STRING")
+      .orderBy("id").collect()
+    assert(fromCsv(0).isNullAt(1), "literal \\N payload reads as NULL (reserved)")
+    assert(fromCsv(1).isNullAt(1))
+    assert(fromCsv(2).getString(1) == "N")
+
+    val jsonDir = tmp("sentjson")
+    FileSinks.writeJson(df, jsonDir)
+    val fromJson = FileSinks.readJson(spark, jsonDir, "id LONG, s STRING")
+      .orderBy("id").collect()
+    assert(fromJson(0).getString(1) == """\N""",
+      "JSON has no in-band sentinel; \\N round-trips")
+    assert(fromJson(1).isNullAt(1))
+  }
+
   test("raw text lines ingest as one-document-per-line with stable ids") {
     // the rawest corpus shape: a directory of .txt, one doc per line.
     // spark.read.text is the entry; ids come from the deterministic

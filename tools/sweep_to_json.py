@@ -3,11 +3,14 @@
 
 Usage: sweep_to_json.py DIR_A DIR_B OUT.json CPUS_A CPUS_B
 
-Runs the same cell-for-cell compare as determinism_sweep.py (imports
-its logic inline to keep one source of truth for the compare rule:
-columns sorted by name, rows sorted, exact cell equality via pandas)
-and writes {meta, per-query flags, counts} as JSON. Exit 0 iff all
-queries are bit-identical across the two parallelism settings.
+Runs the same cell-for-cell compare rule as determinism_sweep.py —
+columns sorted by name, rows sorted, exact cell equality — and writes
+{meta, per-query flags, counts} as JSON. NOTE: the rule is DUPLICATED
+here (this script compares via DuckDB EXCEPT, the sweep via pandas);
+if determinism_sweep.py's compare ever changes, keep this one in
+sync or the committed artifacts silently diverge from the sweep.
+Exit 0 iff all queries are bit-identical across the two parallelism
+settings.
 """
 import sys, os, json
 import duckdb
