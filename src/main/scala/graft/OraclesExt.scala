@@ -1289,6 +1289,21 @@ object OraclesExt {
        |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
        |SELECT id_a, id_b, score FROM p2 WHERE score >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Twin of Similarity.sq8ScreenAudit: the exact within-cell
+    * ≥-threshold pair count (same CTEs as [[semDedupPairs]]), plus
+    * `screen_lossless` pinned against literal TRUE — the engine sets
+    * it false iff ANY exact-threshold pair was dropped by the SQ8
+    * pre-screen, which its quantization bound forbids; the oracle
+    * row makes that invariant a hash-checked fact each round.
+    */
+  def sq8ScreenAudit(threshold: Double, nlistSql: String, nprobe: Int): String =
+    s"""WITH $normCte,
+       |${ivfCandCtes(nlistSql, nprobe)},
+       |p2 AS (SELECT id_a, id_b, ${dotSql("x.nv", "y.nv")} AS score
+       |  FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
+       |SELECT count(*)::BIGINT AS n_true, TRUE AS screen_lossless
+       |FROM p2 WHERE score >= $threshold""".stripMargin
+
   /** CTE chain ending in `cc(id, cluster_id)` — the IVF-cell pair
     * graph over embeddings (LOW-threshold regime, twin of
     * Similarity.cellPairs candidates) closed transitively by the same

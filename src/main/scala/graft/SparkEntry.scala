@@ -2650,6 +2650,27 @@ object SparkEntry {
           threshold = 0.4, nprobe = semDedupNprobe))
         .orderBy("doc_id")
     },
+    // §7.5 — the SAME verdict a third way: the indexed probe with the
+    // SQ8 pre-screen inside cells (the declared escalation past the
+    // n^1.5 exact-dot tail — PLANS.md). The screen's quantization
+    // bound makes it lossless BY CONSTRUCTION, so the query shares
+    // the oracle; q_sq8_screen_audit re-proves losslessness on the
+    // data every round.
+    "q_curate_semantic_screened" -> withTablesSf { (s, sfDir) =>
+      val emb = s.table("embeddings")
+      Curation.curateSemanticFromPairs(s.table("documents"), emb,
+        Similarity.cellPairsIndexedScreened(s, cellIndexDir(s, sfDir),
+          threshold = 0.4, nprobe = semDedupNprobe))
+        .orderBy("doc_id")
+    },
+    // §7.5 — screen-stage audit (the lshStageAudit posture): over ALL
+    // within-cell candidates, every exact ≥-threshold pair survived
+    // the SQ8 screen; the oracle recomputes the exact pair count and
+    // pins screen_lossless against literal TRUE.
+    "q_sq8_screen_audit" -> withTablesSf { (s, sfDir) =>
+      Similarity.sq8ScreenAudit(s, cellIndexDir(s, sfDir),
+        threshold = 0.4, nprobe = semDedupNprobe)
+    },
     // §7.5 extensions — multimodal binary-column metadata.
     // §7.5 — magic-byte sniffing end-to-end: payloads are CONSTRUCTED
     // with a real container signature chosen by doc_id, then the
@@ -3614,6 +3635,11 @@ object SparkEntry {
     // the indexed probe must produce the IDENTICAL verdict — same twin
     "q_curate_semantic_indexed" ->
       OraclesExt.curateSemantic(adaptiveNlistOracle, semDedupNprobe),
+    // the SQ8-screened probe is lossless by construction — same twin
+    "q_curate_semantic_screened" ->
+      OraclesExt.curateSemantic(adaptiveNlistOracle, semDedupNprobe),
+    "q_sq8_screen_audit" -> OraclesExt.sq8ScreenAudit(
+      0.4, adaptiveNlistOracle, semDedupNprobe),
     "q_curate_full" -> OraclesExt.curateFull,
     "q_curation_funnel" -> OraclesExt.curationFunnel,
     "q_curation_by_source" -> OraclesExt.curationBySource,

@@ -106,11 +106,40 @@ object Merge {
     * only the key join + group-sized merge, never a re-scan.
     */
   def incrementalAgg(base: DataFrame, changes: DataFrame,
-      keyCol: String, groupCol: String, valueCol: String): DataFrame = {
+      keyCol: String, groupCol: String, valueCol: String): DataFrame =
+    renderAggView(applyDeltaToView(
+      aggViewExact(base, groupCol, valueCol), base, changes,
+      keyCol, groupCol, valueCol), groupCol)
+
+  // -- the delta algebra as separable pieces, so a streaming
+  //    maintainer (EventStream.maintainAggView) can fold micro-batch
+  //    deltas into a STORED exact view instead of re-deriving it from
+  //    base each time. The accumulator is (__n long, __s
+  //    decimal(28,6)) — the exact sum type of the base aggregation,
+  //    re-pinned after every merge so the stored schema is stable
+  //    across batches; decimal addition is exact and associative, so
+  //    ANY batch split folds to the identical view.
+  private val AccDec = org.apache.spark.sql.types.DecimalType(28, 6)
+
+  /** Exact accumulator view of `base`: (groupCol, __n, __s). */
+  private[graft] def aggViewExact(base: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    val zero = lit(0).cast(dec)
-    val view = base.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol).cast(dec)).as("__s"))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(dec)).cast(AccDec).as("__s"))
+  }
+
+  /** One delta step: retract every changed key's old row from its
+    * group (fetched from `base` by ONE key equi-join — broadcast when
+    * the change-key set fits), add every upsert row to its group,
+    * merge into the view. Groups emptied to zero rows drop out.
+    */
+  private[graft] def applyDeltaToView(view: DataFrame, base: DataFrame,
+      changes: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val zero = lit(0).cast(AccDec)
     val retractions = base
       .join(changes.select(col(keyCol)).distinct(), Seq(keyCol))
       .select(col(groupCol), lit(-1L).as("__dn"),
@@ -120,16 +149,23 @@ object Merge {
         col(valueCol).cast(dec).as("__dv"))
     val delta = retractions.unionByName(additions)
       .groupBy(col(groupCol))
-      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+      .agg(sum(col("__dn")).as("__dn"),
+        sum(col("__dv")).cast(AccDec).as("__dv"))
     view.join(delta, Seq(groupCol), "full")
       .select(col(groupCol),
         (coalesce(col("__n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
-          .as("n_rows"),
+          .as("__n"),
         (coalesce(col("__s"), zero) + coalesce(col("__dv"), zero))
-          .as("__sum"))
-      .filter(col("n_rows") > 0)
-      .select(col(groupCol), col("n_rows"),
-        round(col("__sum").cast("double"), 5).as("sum_value"))
-      .orderBy(groupCol)
+          .cast(AccDec).as("__s"))
+      .filter(col("__n") > 0)
   }
+
+  /** Render an accumulator view as the public (groupCol, n_rows,
+    * sum_value) relation, group order.
+    */
+  private[graft] def renderAggView(view: DataFrame,
+      groupCol: String): DataFrame =
+    view.select(col(groupCol), col("__n").as("n_rows"),
+        round(col("__s").cast("double"), 5).as("sum_value"))
+      .orderBy(groupCol)
 }

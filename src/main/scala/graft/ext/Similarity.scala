@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over an embedding column (`array<float>`) —
   * training-data-pipeline extension (SURVEY.md §7.5; absent from the
@@ -289,16 +289,16 @@ object Similarity {
     cellPairsFromKeyed(keyed, threshold, nprobe)
   }
 
-  // The pair-generating tail shared by [[cellPairs]] (in-memory
-  // probe structure) and [[cellPairsIndexed]] (persisted one).
+  // The candidate-pair join shared by [[cellPairs]] (in-memory
+  // probe structure), [[cellPairsIndexed]] (persisted one) and the
+  // SQ8-screened variants.
   // A pair sharing several probed cells meets once per shared cell;
   // only the MINIMUM shared cell emits it. cs is sorted ascending,
   // so the min shared cell is the first l.cs element also present in
   // r.cs — expanded as literal getItem compares (nprobe is a
   // plan-time constant): codegen'd long compares, no per-row
   // array_intersect allocation.
-  private def cellPairsFromKeyed(keyed: DataFrame, threshold: Double,
-      nprobe: Int): DataFrame = {
+  private def cellCandidateJoin(keyed: DataFrame, nprobe: Int): DataFrame = {
     def inR(i: Int) = (0 until nprobe)
       .map(j => col("l.cs").getItem(i) === col("r.cs").getItem(j))
       .reduce(_ || _)
@@ -308,10 +308,110 @@ object Similarity {
     keyed.as("l").join(keyed.as("r"),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .filter(col("l.cell") === minShared)
+  }
+
+  private def cellPairsFromKeyed(keyed: DataFrame, threshold: Double,
+      nprobe: Int): DataFrame =
+    cellCandidateJoin(keyed, nprobe)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(dot(col("l.nv"), col("r.nv")), 5).as("score"))
       .filter(col("score") >= threshold)
+
+  // ===== SQ8 pre-screen inside cells ======================================
+  // The within-cell candidate join is Θ(Σ cell²) exact 64-dim double
+  // dots — the intrinsic n^1.5 tail of low-threshold pair mining once
+  // nlist ∝ √n. The screen replaces the FIRST look at each candidate
+  // pair with an 8-bit scalar-quantized (SQ8) code dot — 1 byte/dim of
+  // memory traffic instead of 8 — and recomputes the EXACT dot only on
+  // pairs the screen cannot rule out. No false negatives BY
+  // CONSTRUCTION: with code_i = round((nv_i+1)/δ), δ = 2/255, the
+  // reconstruction r satisfies ‖v−r‖₂ ≤ √dims·δ/2 =: ε, so
+  // |dot(x,y) − dot(rx,ry)| ≤ ε·‖x‖ + ε·‖ry‖ ≤ ε(2+ε) =: B, and a pair
+  // is screened out ONLY when codeDot + B (+ rounding/float slop)
+  // still misses the threshold — such a pair's exact rounded score
+  // cannot reach the threshold either. Screened variants are
+  // therefore bit-identical to their unscreened forms and SHARE their
+  // oracle; q_sq8_screen_audit additionally verifies losslessness on
+  // data every round.
+  private val Sq8Delta = 2.0 / 255.0
+
+  /** Per-ROW SQ8 codes (+ level sum) for the screen — computed once
+    * per keyed row, never per pair. Codes store level−128 so [0,255]
+    * fits array<tinyint> (1 byte/element in UnsafeArrayData).
+    */
+  private def withSq8(keyed: DataFrame): DataFrame =
+    keyed
+      .withColumn("__q8", expr(
+        s"transform(nv, v -> cast(cast(round((v + 1.0d) / ${Sq8Delta}d, 0) as int) - 128 as tinyint))"))
+      .withColumn("__s8", expr(
+        "aggregate(__q8, 0, (a, x) -> a + cast(x as int) + 128)"))
+
+  private[graft] def cellPairsScreenedFromKeyed(keyed: DataFrame,
+      threshold: Double, nprobe: Int): DataFrame =
+    screenedCandidates(keyed, threshold, nprobe)
+      .filter(col("__keep"))
+      .select(col("id_a"), col("id_b"), col("score"))
+      .filter(col("score") >= threshold)
+
+  // Candidates with the screen verdict and the exact score side by
+  // side — the audit reads both; the screened pair query prunes on
+  // __keep BEFORE the exact dot. (Catalyst evaluates the filter
+  // before the projection's exact dot on the pruned rows only.)
+  private def screenedCandidates(keyed: DataFrame, threshold: Double,
+      nprobe: Int): DataFrame = {
+    val cand = cellCandidateJoin(withSq8(keyed), nprobe)
+    val dims = size(col("l.__q8")).cast(DoubleType)
+    val codeDot = graft.functions.VectorExpressions
+      .sq8DotU(col("l.__q8"), col("r.__q8")).cast(DoubleType)
+    // dot(rx, ry) = δ²·Σuxuy − δ·(Σux + Σuy) + dims  (u = code+128)
+    val drs = lit(Sq8Delta * Sq8Delta) * codeDot -
+      lit(Sq8Delta) * (col("l.__s8") + col("r.__s8")).cast(DoubleType) + dims
+    val eps = sqrt(dims) * lit(Sq8Delta / 2.0)
+    // + 5e-6 for the round(·,5) lift at the threshold, + 1e-6 float
+    // slop on the bound arithmetic itself
+    val keep = drs + eps * (lit(2.0) + eps) + lit(6e-6) >= lit(threshold)
+    cand.select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+      keep.as("__keep"),
+      round(dot(col("l.nv"), col("r.nv")), 5).as("score"))
   }
+
+  /** [[cellPairs]] with the SQ8 pre-screen — identical pairs. */
+  def cellPairsScreened(df: DataFrame, threshold: Double, nlist: Int,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = normalized(df, idCol, vecCol)
+    val cents = ivfCentroids(v, nlist, idCol, vecCol)
+    val cells = ivfAssign(v, cents, nprobe, idCol, vecCol)
+      .groupBy(col(idCol).as("id"))
+      .agg(first(col(vecCol)).as("nv"),
+        sort_array(collect_list(col("centroid_id"))).as("cs"))
+    val keyed = cells.select(col("id"), col("nv"), col("cs"),
+      explode(col("cs")).as("cell"))
+    cellPairsScreenedFromKeyed(keyed, threshold, nprobe)
+  }
+
+  /** [[cellPairsIndexed]] with the SQ8 pre-screen — identical pairs,
+    * same oracle; the codes derive per probed row at read time (n·
+    * nprobe transform calls), never per candidate pair.
+    */
+  def cellPairsIndexedScreened(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nprobe: Int = 2): DataFrame =
+    cellPairsScreenedFromKeyed(
+      spark.read.parquet(s"$dir/probed"), threshold, nprobe)
+
+  /** One-row audit of the screen (the lshStageAudit posture): over
+    * ALL within-cell candidates, is every exact-threshold pair kept
+    * by the screen (`screen_lossless` — must ALWAYS be true; the
+    * bound guarantees it, this row proves it on the data at hand),
+    * and the exact pair count for the oracle to recompute.
+    */
+  def sq8ScreenAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nprobe: Int = 2): DataFrame =
+    screenedCandidates(spark.read.parquet(s"$dir/probed"), threshold, nprobe)
+      .agg(
+        count(when(col("score") >= threshold, 1)).as("n_true"),
+        (count(when(col("score") >= threshold && !col("__keep"), 1)) === 0L)
+          .as("screen_lossless"))
 
   /** Materialize the [[cellPairs]] probe structure on disk: each
     * vector normalized, probed against the deterministic IVF

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the dense dot product of two
   * `array<double>` columns.
@@ -92,6 +92,77 @@ final case class DotProductDouble(left: Expression, right: Expression)
   override def prettyName: String = "dot_product_double"
 }
 
+/** Integer dot of two SQ8 code arrays (`array<tinyint>`, the codes
+  * stored SHIFTED by −128 so [0,255] quantization levels fit a
+  * tinyint): Σ (x_i + 128)·(y_i + 128), as INT — the per-pair kernel
+  * of the SQ8 pre-screen inside IVF cells
+  * (graft.ext.Similarity.cellPairsIndexedScreened). Max value
+  * 64·255² ≈ 4.2M per 64-dim pair, far inside Int. Codegen'd tight
+  * byte loop: the point of the screen is that this runs on 1/8th the
+  * memory traffic of the 8-byte-per-element exact double dot.
+  */
+final case class Sq8DotU(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq8_dot_u expects two array<tinyint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += (x.getByte(i) + 128) * (y.getByte(i) + 128)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (((int) $a.getByte($i)) + 128) * (((int) $b.getByte($i)) + 128);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8DotU =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sq8_dot_u"
+}
+
 object VectorExpressions {
 
   /** Column wrapper: codegen'd dot product of two `array<double>`s.
@@ -101,6 +172,10 @@ object VectorExpressions {
     */
   def dotd(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product_double", a, b)
+
+  /** Column wrapper: codegen'd SQ8 code dot (see [[Sq8DotU]]). */
+  def sq8DotU(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sq8_dot_u", a, b)
 }
 
 /** Engine extension entry point — the public mechanism for native
@@ -116,6 +191,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
       (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_dot_u"),
+      new ExpressionInfo(classOf[Sq8DotU].getName, "sq8_dot_u"),
+      (children: Seq[Expression]) => Sq8DotU(children(0), children(1))))
     // word_ngrams(tokens, n) — the codegen'd shingling primitive
     // (n must be a foldable integer literal; it parameterizes the
     // generated loop).

@@ -817,6 +817,84 @@ object EventStream {
     spark.read.parquet(s"$snapshotDir/v=${versions.max}")
   }
 
+  /** Streaming twin of `Merge.incrementalAgg` — foreachBatch ∘ the
+    * delta algebra (VERDICT r11/r12 board item). Each micro-batch of
+    * changes (payload ∪ {op}) advances TWO version chains under
+    * `dir`, both with [[maintainSnapshot]]'s tmp-write + atomic-rename
+    * commit:
+    *
+    *   - `snap/v=N`: the applyChangeSet payload snapshot — the
+    *     relation the NEXT batch's retractions are fetched from;
+    *   - `view/v=N`: the maintained aggregate view as its EXACT
+    *     accumulator (group, count, decimal sum — never the rounded
+    *     rendering, which would poison later folds).
+    *
+    * Per batch the base is touched only by the change-key equi-join
+    * inside the delta (broadcast-class for a day's changes vs a
+    * 100 TB base); the view merge joins two group-cardinality
+    * relations. Decimal addition is exact and associative, so the
+    * folded view is bit-identical to a full re-aggregation of the
+    * final snapshot regardless of how the change log was
+    * micro-batched — StreamingSpec pins stream ≡ batch ≡ full
+    * recompute.
+    */
+  def maintainAggView(changes: DataFrame, dir: String, keyCol: String,
+      groupCol: String, valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.Merge
+    val spark = changes.sparkSession
+    val snapRoot = new java.io.File(dir, "snap"); snapRoot.mkdirs()
+    val viewRoot = new java.io.File(dir, "view"); viewRoot.mkdirs()
+    def versions(d: java.io.File): Seq[Long] = Option(d.list()).toSeq
+      .flatten.filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    val payloadSchema = StructType(
+      changes.schema.filterNot(_.name == Merge.OpCol))
+    val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-aggview")
+    @volatile var cur: Option[Long] = versions(snapRoot).sorted.lastOption
+    def commit(df: DataFrame, root: java.io.File, v: Long): Unit = {
+      val tmp = new java.io.File(root, s"_tmp_v=$v")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val dest = new java.io.File(root, s"v=$v")
+      require(tmp.renameTo(dest), s"could not commit $dest")
+    }
+    changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val base = cur match {
+          case Some(v) => spark.read.parquet(s"$snapRoot/v=$v")
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            payloadSchema)
+        }
+        val view = cur match {
+          case Some(v) => spark.read.parquet(s"$viewRoot/v=$v")
+          case None => Merge.aggViewExact(base, groupCol, valueCol)
+        }
+        val next = cur.getOrElse(-1L) + 1L
+        commit(Merge.applyDeltaToView(view, base, batch.toDF(),
+          keyCol, groupCol, valueCol), viewRoot, next)
+        commit(Merge.applyChangeSet(base, batch.toDF(), keyCol),
+          snapRoot, next)
+        cur = Some(next)
+        ()
+      }
+      .start()
+  }
+
+  /** The maintained view of [[maintainAggView]] at its latest
+    * version, rendered as `Merge.incrementalAgg`'s public shape.
+    */
+  def readAggView(spark: SparkSession, dir: String,
+      groupCol: String): DataFrame = {
+    val viewRoot = new java.io.File(dir, "view")
+    val versions = Option(viewRoot.list()).toSeq.flatten
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(versions.nonEmpty, s"no view versions under $dir/view")
+    graft.ext.Merge.renderAggView(
+      spark.read.parquet(s"$viewRoot/v=${versions.max}"), groupCol)
+  }
+
   /** Drain all currently-available input through a streaming query
     * into an in-memory table (Trigger.AvailableNow — the batch-like
     * run mode used by tests and backfills), returning the result.

@@ -232,6 +232,47 @@ class ExtSpec extends AnyFunSuite {
       Similarity.cellPairsIndexed(spark, dir, 0.4, nprobe = 2))
     assert(indexed.nonEmpty && indexed == direct,
       "the persisted probe structure must reproduce the in-memory pairs")
+    // the SQ8 pre-screen must be invisible in the result — its
+    // quantization bound forbids false negatives at any threshold
+    val screened = canon(
+      Similarity.cellPairsIndexedScreened(spark, dir, 0.4, nprobe = 2))
+    assert(screened == direct, "SQ8 screen changed the pair set")
+    val screenedMem = canon(
+      Similarity.cellPairsScreened(emb, 0.4, nlist = 16, nprobe = 2))
+    assert(screenedMem == direct)
+    val audit = Similarity.sq8ScreenAudit(spark, dir, 0.4, nprobe = 2)
+      .collect().head
+    assert(audit.getBoolean(1), "screen dropped a true pair")
+    assert(audit.getLong(0) == direct.size.toLong)
+  }
+
+  test("SQ8 screen is lossless on adversarial near-threshold vectors") {
+    import spark.implicits._
+    // pairs engineered to score exactly AT, just under and just over
+    // the threshold, plus anti-parallel and orthogonal vectors — the
+    // screen may only ever discard pairs whose exact rounded score
+    // misses the threshold
+    val dims = 8
+    def v(parts: Double*): Array[Double] = {
+      val a = parts.toArray.padTo(dims, 0.0)
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val vecs = Seq(
+      1L -> v(1, 0), 2L -> v(0.4, math.sqrt(1 - 0.16)), // dot = 0.4 exactly
+      3L -> v(0.399999, math.sqrt(1 - 0.399999 * 0.399999)),
+      4L -> v(0.400001, math.sqrt(1 - 0.400001 * 0.400001)),
+      5L -> v(-1, 0), 6L -> v(0, 1), 7L -> v(1, 0),
+      8L -> v(0.5, 0.5), 9L -> v(0.5, -0.5))
+      .toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.4, 0.0, 0.9, -0.5)) {
+      // nlist 1 → every pair is a candidate (the screen does all work)
+      val plain = canon(Similarity.cellPairs(vecs, t, nlist = 1, nprobe = 1))
+      val scr = canon(Similarity.cellPairsScreened(vecs, t, nlist = 1, nprobe = 1))
+      assert(scr == plain, s"screen diverged at threshold $t")
+    }
   }
 
   test("persisted IVF index: probe ≡ ivfTopK, scan prunes to probed cells") {

@@ -312,6 +312,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored == Set(1L, 2L, 5L, 7L))
   }
 
+  test("maintainAggView: micro-batched delta folds equal incrementalAgg and the full recompute") {
+    import spark.implicits._
+    import graft.ext.Merge
+    val changesDir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-changes").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggview").toString
+    // b0 seeds two groups; b1 moves a key ACROSS groups, updates one
+    // in place, inserts a new key; b2 deletes a key and empties no
+    // group; two keys share values that exercise the decimal fold
+    Seq((1L, "g1", 1.25, "upsert"), (2L, "g1", 2.5, "upsert"),
+      (3L, "g2", 10.0, "upsert"))
+      .toDF("id", "g", "v", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b0")
+    Seq((1L, "g2", 1.75, "upsert"), (2L, "g1", 0.5, "upsert"),
+      (4L, "g3", 7.0, "upsert"))
+      .toDF("id", "g", "v", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b1")
+    Seq((3L, "g2", 0.0, "delete"))
+      .toDF("id", "g", "v", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    val q = EventStream.maintainAggView(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(changesDir),
+      dir, "id", "g", "v")
+    q.awaitTermination(120000L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed = canon(EventStream.readAggView(spark, dir, "g"))
+    // truth 1: full re-aggregation of the final snapshot
+    val snap = EventStream.readSnapshot(spark, s"$dir/snap")
+    val full = canon(snap.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("v").cast("decimal(18,6)")).cast("double"), 5)
+          .as("sum_value"))
+      .orderBy("g"))
+    // truth 2: the BATCH incrementalAgg applied in one step (base =
+    // snapshot before the last batch, changes = the last batch)
+    val beforeLast = spark.read.parquet(s"$dir/snap/v=1")
+    val lastBatch = spark.read.parquet(s"$changesDir/b2")
+    val oneStep = canon(Merge.incrementalAgg(
+      beforeLast, lastBatch, "id", "g", "v"))
+    // after b1: key 1 moved g1→g2 (1.75), key 2 upserted IN PLACE to
+    // 0.5, key 4 inserted in g3; b2 deletes key 3 (g2's 10.0)
+    assert(streamed == Seq(("g1", 1L, 0.5), ("g2", 1L, 1.75),
+      ("g3", 1L, 7.0)))
+    assert(streamed == full, "streamed view != full recompute")
+    assert(streamed == oneStep, "streamed view != batch incrementalAgg")
+  }
+
   test("maintainSnapshot: a second run on the same directory continues the chain") {
     import spark.implicits._
     val changesDir = java.nio.file.Files

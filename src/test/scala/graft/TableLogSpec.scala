@@ -129,6 +129,48 @@ class TableLogSpec extends AnyFunSuite {
     assert(ops.head == "init" && ops.tail.forall(_ == "append"))
   }
 
+  test("snapshot isolation: readers vs a concurrent MERGE writer (r12 task 7)") {
+    val dir = freshDir()
+    val n = 100
+    def state(c: Int) = spark.range(1, n + 1)
+      .select(col("id"), lit(c.toDouble).as("v"), lit("t").as("tag"))
+    TableLog.init(state(0), dir)
+    // reader A RESOLVES its snapshot (the v0 file list) before any
+    // writer runs — copy-on-write merges must never invalidate it
+    val pinned = TableLog.read(spark, dir)
+    val writer = new Thread(() => {
+      for (c <- 1 to 4)
+        TableLog.merge(state(c).withColumn("op", lit(Merge.Upsert)), dir, "id")
+    })
+    writer.start()
+    // concurrent readers: every read must observe a WHOLE version —
+    // all n rows carrying one constant v (sum divisible by n, count
+    // exactly n) — never a mix of two versions' files. The commit is
+    // an atomic log rename over immutable files, so a torn read here
+    // is a format bug, not scheduling luck.
+    val seen = scala.collection.mutable.Set[Double]()
+    while (writer.isAlive) {
+      val r = TableLog.read(spark, dir)
+        .agg(count(lit(1)), sum(col("v"))).collect().head
+      assert(r.getLong(0) == n.toLong, "reader saw a partial version")
+      val total = r.getDouble(1)
+      assert(total % n == 0, s"reader saw mixed versions: sum $total")
+      seen += total / n
+    }
+    writer.join()
+    // the pinned pre-writer snapshot still reads the v0 content
+    val pinnedRows = pinned.agg(count(lit(1)), sum(col("v"))).collect().head
+    assert(pinnedRows.getLong(0) == n.toLong && pinnedRows.getDouble(1) == 0.0,
+      "copy-on-write merge must not disturb a resolved reader")
+    // post-writer state and time travel to every intermediate version
+    assert(TableLog.read(spark, dir).agg(sum("v")).collect().head
+      .getDouble(0) == 4.0 * n)
+    for (c <- 0 to 4)
+      assert(TableLog.read(spark, dir, Some(c)).agg(sum("v"))
+        .collect().head.getDouble(0) == c.toDouble * n, s"version $c")
+    assert(seen.subsetOf((0 to 4).map(_.toDouble).toSet))
+  }
+
   test("guards: double init, missing table, unknown version, commit race") {
     val dir = freshDir()
     intercept[RuntimeException](TableLog.read(spark, dir)) // no table

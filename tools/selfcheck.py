@@ -98,8 +98,12 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; GenSf-scaled dirs are
+        # Spark-layout directories of part files — accept both
+        p = Path(sf_dir) / f"{t}.parquet"
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     failures = []
     report = {}
