@@ -346,34 +346,65 @@ object Similarity {
       .withColumn("__s8", expr(
         "aggregate(__q8, 0, (a, x) -> a + cast(x as int) + 128)"))
 
+  // The screened pair query runs the candidate join SLIM: the probe
+  // rows enter it carrying codes (65 bytes/vector) but NOT the
+  // 64-double vector payload (520 bytes), and the exact vectors are
+  // re-fetched by an id join for the screen's SURVIVORS only. The
+  // first sf10 measurement (SCALING_r13) showed why this matters:
+  // with vectors carried through the join, a 97%-kill screen changed
+  // NOTHING (78.9 s vs 78.8 s unscreened at sf10) — the within-cell
+  // cost is candidate-row assembly and shuffle bytes, not the final
+  // dot. Slimming removes ~8× the bytes from every candidate the
+  // screen kills; the survivor re-fetch joins a 2-3%-sized pair list
+  // against the n-row vector relation.
   private[graft] def cellPairsScreenedFromKeyed(keyed: DataFrame,
-      threshold: Double, nprobe: Int): DataFrame =
-    screenedCandidates(keyed, threshold, nprobe)
-      .filter(col("__keep"))
-      .select(col("id_a"), col("id_b"), col("score"))
+      threshold: Double, nprobe: Int): DataFrame = {
+    val k8 = withSq8(keyed)
+    val slim = k8.drop("nv")
+    val survivors = screenedCandidatesSlim(slim, threshold, nprobe)
+      .select(col("id_a"), col("id_b"))
+    // one row per id (every probed copy carries the identical nv)
+    val vecs = keyed.groupBy(col("id")).agg(first(col("nv")).as("nv"))
+    survivors
+      .join(vecs.select(col("id").as("id_a"), col("nv").as("__nva")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("nv").as("__nvb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("__nva"), col("__nvb")), 5).as("score"))
       .filter(col("score") >= threshold)
+  }
 
-  // Candidates with the screen verdict and the exact score side by
-  // side — the audit reads both; the screened pair query prunes on
-  // __keep BEFORE the exact dot. (Catalyst evaluates the filter
-  // before the projection's exact dot on the pruned rows only.)
-  private def screenedCandidates(keyed: DataFrame, threshold: Double,
+  // Screen verdict over SLIM candidate rows (codes, no vectors).
+  private def screenedCandidatesSlim(slim: DataFrame, threshold: Double,
       nprobe: Int): DataFrame = {
-    val cand = cellCandidateJoin(withSq8(keyed), nprobe)
+    val cand = cellCandidateJoin(slim, nprobe)
+    cand.select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .where(screenKeep(threshold))
+  }
+
+  // dot(rx, ry) = δ²·Σuxuy − δ·(Σux + Σuy) + dims  (u = code+128);
+  // keep when the reconstruction bound cannot rule the pair out.
+  private def screenKeep(threshold: Double): Column = {
     val dims = size(col("l.__q8")).cast(DoubleType)
     val codeDot = graft.functions.VectorExpressions
       .sq8DotU(col("l.__q8"), col("r.__q8")).cast(DoubleType)
-    // dot(rx, ry) = δ²·Σuxuy − δ·(Σux + Σuy) + dims  (u = code+128)
     val drs = lit(Sq8Delta * Sq8Delta) * codeDot -
       lit(Sq8Delta) * (col("l.__s8") + col("r.__s8")).cast(DoubleType) + dims
     val eps = sqrt(dims) * lit(Sq8Delta / 2.0)
     // + 5e-6 for the round(·,5) lift at the threshold, + 1e-6 float
     // slop on the bound arithmetic itself
-    val keep = drs + eps * (lit(2.0) + eps) + lit(6e-6) >= lit(threshold)
-    cand.select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-      keep.as("__keep"),
-      round(dot(col("l.nv"), col("r.nv")), 5).as("score"))
+    drs + eps * (lit(2.0) + eps) + lit(6e-6) >= lit(threshold)
   }
+
+  // Candidates with the screen verdict and the exact score side by
+  // side — the audit reads both; the screened pair query prunes on
+  // __keep BEFORE the exact dot. (Catalyst evaluates the filter
+  // before the projection's exact dot on the pruned rows only.)
+  private[graft] def screenedCandidates(keyed: DataFrame, threshold: Double,
+      nprobe: Int): DataFrame =
+    cellCandidateJoin(withSq8(keyed), nprobe)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        screenKeep(threshold).as("__keep"),
+        round(dot(col("l.nv"), col("r.nv")), 5).as("score"))
 
   /** [[cellPairs]] with the SQ8 pre-screen — identical pairs. */
   def cellPairsScreened(df: DataFrame, threshold: Double, nlist: Int,
