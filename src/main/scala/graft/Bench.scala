@@ -82,21 +82,34 @@ object Bench {
     // drifted ~40% mid-round and produced 3-4× phantom "regressions"
     // on untouched code. A cross-run query ratio that does not exceed
     // the calibration ratio is environment, not code.
+    def calOnce(rows: Long): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, rows, 1, 32)
+        .selectExpr("id % 997 as k", "md5(cast(id as string)) as h")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr(
+          "count(distinct substring(h, 1, 4)) as c"))
+        .agg(org.apache.spark.sql.functions.sum("c")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     def calibrate(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0, 8000000L, 1, 32)
-          .selectExpr("id % 997 as k", "md5(cast(id as string)) as h")
-          .groupBy("k")
-          .agg(org.apache.spark.sql.functions.expr(
-            "count(distinct substring(h, 1, 4)) as c"))
-          .agg(org.apache.spark.sql.functions.sum("c")).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once()
-      math.min(once(), once())
+      calOnce(8000000L)
+      math.min(calOnce(8000000L), calOnce(8000000L))
     }
     val calStart = calibrate()
+    // PER-BLOCK calibration probes (VERDICT r13 task 1): start/end
+    // calibration brackets the run but cannot LOCATE a drift window —
+    // r13's driver box degraded mid-run and six queries in the tail
+    // carried 2-8× phantom regressions that took a whole round to
+    // adjudicate. A 2M-row pinned probe (min-of-2, same plan family
+    // as the bracket calibration so it is already JIT-warm) runs
+    // every BLOCK queries and is recorded as (queries_done, seconds):
+    // a cross-run per-query ratio inside a drifted block (probe ratio
+    // >> 1 vs the run's own first probe) is machine, not code.
+    val Block = 25
+    val calBlocks = scala.collection.mutable.ListBuffer[(Int, Double)]()
+    var queriesDone = 0
+    val sampleCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink, not .count(): count() re-plans the query as an
       // empty-schema aggregate, letting Catalyst prune every computed
@@ -125,6 +138,9 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      if (queriesDone % Block == 0)
+        calBlocks += ((queriesDone, math.min(calOnce(2000000L), calOnce(2000000L))))
+      queriesDone += 1
       try {
         once()
         val t1 = once(); val t2 = once()
@@ -135,11 +151,15 @@ object Bench {
         // and record the min of four. This is what the r12 record
         // needed for q_rrf_fusion (0.87 s builder vs 4.80 s driver on
         // identical code): a same-code outlier gets re-sampled inside
-        // the run instead of adjudicated across runs.
+        // the run instead of adjudicated across runs. The per-query
+        // SAMPLE COUNT is emitted alongside the timings (ADVICE r13)
+        // so artifact consumers can see which regime produced each
+        // number instead of comparing min-of-2 vs min-of-4 blindly.
         val ts =
           if (math.max(t1, t2) > 1.5 * math.min(t1, t2))
             Seq(t1, t2, once(), once())
           else Seq(t1, t2)
+        sampleCounts(name) = ts.size
         name -> Right(ts.min)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -156,9 +176,15 @@ object Bench {
     // reported per-key so the one-time cost is visible but doesn't
     // conflate with steady-state plan cost round-over-round.
     val total = results.values.collect { case Right(v) => v }.sum
+    val blocks = calBlocks
+      .map { case (n, s) => s"""{"after_n":$n,"probe_s":$s}""" }
+      .mkString("[", ",", "]")
+    val samples = sampleCounts
+      .map { case (k, n) => s"\"$k\":$n" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
         s""""calibration":{"start_s":$calStart,"end_s":$calEnd},""" +
+        s""""cal_blocks":$blocks,"samples":$samples,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // Also persist to files: the driver captures a bounded stdout tail
     // and round 4's artifact was truncated mid-object ("parsed": null);

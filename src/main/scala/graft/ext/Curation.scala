@@ -225,6 +225,28 @@ object Curation {
         .select("id_a", "id_b"),
       minTokens, minQuality, idCol, textCol)
 
+  /** [[curateSemantic]] over a PERSISTED cell index — the one entry
+    * point a recurring curation pipeline calls (VERDICT r13 task 3):
+    * the near-dup gate probes the index, with the within-cell mining
+    * regime (plain exact dots vs SQ8 pre-screen) selected by the
+    * measured candidate-volume decision variable by default
+    * ([[Similarity.cellPairsIndexedAuto]]). Every regime returns the
+    * identical verdict relation — the regime knob is pinned only by
+    * the bench's per-regime evidence queries.
+    */
+  def curateSemanticIndexed(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, embeddings: DataFrame, indexDir: String,
+      nprobe: Int = 2,
+      regime: Similarity.PairRegime = Similarity.PairRegime.Auto,
+      minTokens: Long = DefaultMinTokens,
+      minQuality: Double = DefaultMinQuality,
+      threshold: Double = 0.4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    curateSemanticFromPairs(docs, embeddings,
+      Similarity.cellPairsIndexedAuto(spark, indexDir, threshold,
+        nprobe, regime).select("id_a", "id_b"),
+      minTokens, minQuality, idCol, textCol)
+
   /** [[curateSemantic]] with the near-dup CANDIDATE PAIRS supplied by
     * the caller — the seam that lets a recurring curation pipeline
     * probe a PERSISTED cell index ([[Similarity.cellPairsIndexed]])

@@ -430,6 +430,77 @@ object Similarity {
     cellPairsScreenedFromKeyed(
       spark.read.parquet(s"$dir/probed"), threshold, nprobe)
 
+  // ===== Automatic regime selection ======================================
+  // Whether the SQ8 screen pays is NOT a scale factor question but a
+  // candidate-volume one: the screen's win is the candidate bytes it
+  // keeps out of the within-cell join, its cost is the per-probed-row
+  // code derivation plus the survivor re-fetch join. Measured
+  // (SCALING_r13, two runs): at sf10 (~2.4e8 estimated candidates)
+  // the slim screen is −17%; at sf1 (~8e6) it is a −2.5 s LOSS — the
+  // fixed survivor-re-fetch cost dominates a join that was already
+  // small. The cutoff sits at the geometric midpoint of the two
+  // measured points (~4.4e7), rounded to one digit; either regime is
+  // within noise of the other for an order of magnitude around it,
+  // and both return bit-identical pairs, so the cutoff is a pure
+  // performance knob with zero correctness surface.
+  private[graft] val ScreenCandidateCutoff = 4e7.toLong
+
+  // Histogram scan memoized per (application, index dir) — the
+  // adaptiveNlist/leafCounts posture: the estimate is read at
+  // DataFrame-construction time inside benchmarked queries, and the
+  // probed relation is immutable for the life of an index dir.
+  private val candVolumes =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** Estimated within-cell candidate volume of a [[writeCellIndex]]
+    * index: Σ over cells of c·(c−1)/2 of the probed-copy histogram —
+    * an upper bound on candidate pairs (the min-shared-cell rule
+    * dedups multi-cell pairs) and EXACTLY the quantity whose memory
+    * traffic the SQ8 screen exists to cut. One column-pruned scan of
+    * the partition column, memoized per index dir.
+    */
+  def estimatedCellCandidates(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    candVolumes.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      spark.read.parquet(s"$dir/probed")
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    })
+
+  /** Mining regime for the within-cell candidate join: pinned plain /
+    * pinned SQ8-screened, or measured selection between them.
+    */
+  sealed trait PairRegime
+  object PairRegime {
+    /** Exact dots on every within-cell candidate. */
+    case object Plain extends PairRegime
+    /** SQ8 code pre-screen, exact dots on survivors only. */
+    case object Screened extends PairRegime
+    /** Pick by [[estimatedCellCandidates]] vs [[ScreenCandidateCutoff]]. */
+    case object Auto extends PairRegime
+  }
+
+  /** THE entry point for pair mining over a persisted cell index
+    * (VERDICT r13 task 3): one call, regime chosen from the measured
+    * decision variable (estimated within-cell candidate volume) by
+    * default. All regimes return bit-identical pairs — the choice is
+    * performance-only, so callers needing reproducible PLANS (the
+    * bench's pinned-regime evidence queries) pass an explicit regime.
+    */
+  def cellPairsIndexedAuto(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nprobe: Int = 2,
+      regime: PairRegime = PairRegime.Auto): DataFrame = {
+    val screened = regime match {
+      case PairRegime.Plain => false
+      case PairRegime.Screened => true
+      case PairRegime.Auto =>
+        estimatedCellCandidates(spark, dir) >= ScreenCandidateCutoff
+    }
+    if (screened) cellPairsIndexedScreened(spark, dir, threshold, nprobe)
+    else cellPairsIndexed(spark, dir, threshold, nprobe)
+  }
+
   /** One-row audit of the screen (the lshStageAudit posture): over
     * ALL within-cell candidates, is every exact-threshold pair kept
     * by the screen (`screen_lossless` — must ALWAYS be true; the

@@ -291,11 +291,25 @@ object TableProfiler {
     // InternalRow-backed LogicalRDD, so downstream reads are plain
     // block reads. Blocks are reference-tracked and freed by the
     // ContextCleaner once the profile frame is unreachable.
-    val vc = spreadDf
+    // CONF GATE (ADVICE r13): localCheckpoint blocks are
+    // NON-REPLICATED executor state pinned while the returned frame
+    // is reachable — on a long-lived cluster an executor loss before
+    // the caller collects fails the profile unrecoverably. The
+    // default trades that (acceptable on local mode and short-lived
+    // jobs — lose a node, rerun the profile) for never scanning the
+    // table twice; `spark.graft.profile.materialize=none` makes the
+    // opposite trade: no pinned blocks, full lineage recoverability,
+    // one extra scan per downstream job. Values are identical either
+    // way (every consumer is partitioning-independent).
+    val vcPlan = spreadDf
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (ci, v)")
       .filter(col("v").isNotNull)
       .groupBy("ci", "v").agg(count(lit(1)).cast(DecimalType(10, 0)).as("cnt"))
-      .localCheckpoint()
+    val vc =
+      if (df.sparkSession.conf
+        .getOption("spark.graft.profile.materialize").contains("none"))
+        vcPlan
+      else vcPlan.localCheckpoint()
     // ALL per-column single-pass exact stats — n, ndist, min, max and
     // the range-split exact decimal sum legs (see [[legCompact]] /
     // [[legWide]]: |v| < 10¹² sums compact decimal(18,6), wider values
@@ -503,6 +517,17 @@ object TableProfiler {
   /** Long-form profile: `(column_name, agg_type, result)` — the shape
     * of the reference's UNION ALL relation (aws-athena.sh:80-110) —
     * computed from one scan ([[exactLong]]).
+    *
+    * EAGER contract (ADVICE r13): construction RUNS Spark jobs — the
+    * value-counts build plus the stats/offsets collect — so the
+    * table scan cost and any data-quality raise_error (the 10²¹
+    * envelope) surface AT THE CALL, not at the later collect; the
+    * returned frame reads driver-literal stats plus (by default) the
+    * materialized value-counts blocks. At-most-once per call: the
+    * scan never reruns for the same returned frame. Cluster
+    * deployments that must survive executor loss between call and
+    * collect set `spark.graft.profile.materialize=none` (see
+    * [[exactLong]]) to keep full lineage instead of pinned blocks.
     */
   def profileLong(df: DataFrame): DataFrame = {
     val cols = numericColumns(df.schema)

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** CSV / JSON-lines file sinks with PINNED options, paired with
   * schema-explicit readers — the write half of the engine's mundane
@@ -32,12 +33,14 @@ object FileSinks {
   // RFC-4180: quotes escape by DOUBLING, every field quoted, an
   // out-of-alphabet null sentinel (empty string is a legal VALUE for
   // quoted strings — "" and absent must stay distinguishable).
-  // RESERVED SENTINEL (ADVICE r12): the two-character string \N is
-  // the one value the CSV hop does NOT round-trip — Spark applies
-  // nullValue after unquoting on read, so a literal "\N" payload
-  // comes back as NULL. SourceSinkSpec pins this behavior; payloads
-  // that may legitimately contain \N belong in the JSON sink, which
-  // has no in-band sentinel.
+  // RESERVED SENTINEL (ADVICE r12, hardened r14): the two-character
+  // string \N is the one value the CSV hop cannot round-trip — Spark
+  // applies nullValue after unquoting on read, so a literal "\N"
+  // payload would come back as NULL. [[writeCsv]] therefore REFUSES
+  // to write it (a raise_error guard fused into the write scan — no
+  // extra pass), turning the silent corruption into a loud failure at
+  // the write site. Payloads that may legitimately contain \N belong
+  // in the JSON sink, which has no in-band sentinel.
   private val CsvOptions = Map(
     "header" -> "true",
     "quoteAll" -> "true",
@@ -64,11 +67,34 @@ object FileSinks {
     // drift) from "value null"
     "ignoreNullFields" -> "false")
 
+  // Sentinel write guard: each string column passes through a
+  // when(=="\N", raise_error).otherwise(identity) projection, so the
+  // check rides the write's own scan — zero additional passes at any
+  // scale — and the job fails BEFORE the reader could ever decode a
+  // corrupted NULL. (The sentinel check is exact equality: "\N" is
+  // reserved, values merely CONTAINING it are fine — they round-trip.)
+  private def guardSentinel(df: DataFrame): DataFrame = {
+    val guarded: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        when(col(f.name) === lit("\\N"), raise_error(lit(
+          s"writeCsv: column '${f.name}' holds the literal string \\N, " +
+            "the sink's reserved NULL sentinel — it cannot round-trip " +
+            "through CSV. Use writeJson for payloads that may contain " +
+            "\\N.")).cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+      else col(f.name).as(f.name)
+    }
+    df.select(guarded: _*)
+  }
+
   /** Write `df` as RFC-4180 CSV under `path` (one file per
-    * partition, overwrite).
+    * partition, overwrite). Fails loudly if any string cell equals
+    * the reserved `\N` sentinel (which cannot round-trip) — the
+    * lossless claim holds with no caveat for everything this sink
+    * accepts.
     */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").options(CsvOptions).csv(path)
+    guardSentinel(df).write.mode("overwrite").options(CsvOptions).csv(path)
 
   /** Read a [[writeCsv]]-produced directory with an EXPLICIT schema
     * (DDL string) — never inference, which is a whole extra pass over

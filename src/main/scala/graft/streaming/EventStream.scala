@@ -20,6 +20,57 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Durable `v=N` version chains for the foreachBatch maintainers —
+    * ONE implementation of list/commit so every chain shares the same
+    * two properties (ADVICE r13):
+    *
+    *  - Hadoop-FS routed: listing, mkdirs and the commit rename
+    *    resolve the FileSystem from the chain root's own URI scheme
+    *    (the [[graft.ext.TableLog]] / [[graft.EngineScratch]]
+    *    posture), so the chain lives wherever the cluster's storage
+    *    does — java.io.File would list/rename only the driver's local
+    *    disk while the parquet payload landed on the shared FS.
+    *  - IDEMPOTENT commit: the staged dir replaces any existing
+    *    `v=N`. A batch is replayed only after a failure BEFORE the
+    *    checkpoint advanced, i.e. the surviving `v=N` is a complete
+    *    artifact of the same deterministic fold over the same batch —
+    *    overwriting it converges the chain, whereas rename-if-absent
+    *    (the previous behavior) permanently wedged the query on
+    *    replay.
+    */
+  private object VersionChain {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    private def fsOf(spark: SparkSession, p: Path): FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def versions(spark: SparkSession, root: String): Seq[Long] = {
+      val p = new Path(root)
+      val fs = fsOf(spark, p)
+      if (!fs.exists(p)) { fs.mkdirs(p); Seq.empty }
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    }
+
+    def latest(spark: SparkSession, root: String): Option[Long] =
+      versions(spark, root).sorted.lastOption
+
+    /** Stage `df` under `_tmp_v=N`, then atomically publish as `v=N`
+      * (replacing a replayed batch's previous attempt).
+      */
+    def commit(df: DataFrame, root: String, v: Long): Unit = {
+      val spark = df.sparkSession
+      val tmp = new Path(root, s"_tmp_v=$v")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val dest = new Path(root, s"v=$v")
+      val fs = fsOf(spark, dest)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      require(fs.rename(tmp, dest), s"could not commit $dest")
+    }
+
+    def read(spark: SparkSession, root: String, v: Long): DataFrame =
+      spark.read.parquet(s"${root.stripSuffix("/")}/v=$v")
+  }
+
   /** File-source stream of events with a proper event-time column.
     *
     * A file stream needs its schema up front, but the fixtures have
@@ -571,14 +622,11 @@ object EventStream {
     * runs, so a SECOND invocation on the same directory continues the
     * chain instead of colliding with (or reading around) earlier
     * runs' files — the stale-base/rerun trap of keying the base on a
-    * directory max evaluated per batch. Each version is written to a
-    * `_tmp_` path and renamed into place, so a crash mid-write leaves
-    * no half-written `v=` directory for the next run to seed from
-    * (rename is atomic on a local FS; on an object store a table
-    * format owns this commit — the composition is what this operator
-    * demonstrates). A replayed batch after a checkpoint recovery
-    * re-merges the same changes — idempotent for upsert/delete
-    * semantics, so the chain content converges.
+    * directory max evaluated per batch. Commits go through
+    * [[VersionChain]]: staged, atomically renamed, Hadoop-FS routed,
+    * and IDEMPOTENT — a replayed batch after checkpoint recovery
+    * re-merges the same changes into the same base and overwrites its
+    * own previous `v=`, so the chain content converges.
     *
     * Requirements: `changes` carries the snapshot payload columns plus
     * `op` (upsert/delete); keys must be unique WITHIN a batch
@@ -589,31 +637,26 @@ object EventStream {
       keyCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.Merge
     val spark = changes.sparkSession
-    val fs = new java.io.File(snapshotDir)
-    fs.mkdirs()
-    def versions(): Seq[Long] = Option(fs.list()).toSeq.flatten
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     val payloadSchema = StructType(
       changes.schema.filterNot(_.name == Merge.OpCol))
     val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-snapshot")
     // the chain pointer: seeded once, advanced only by OUR completed
     // writes — never re-derived from the directory mid-run
-    @volatile var baseVersion: Option[Long] = versions().sorted.lastOption
+    @volatile var baseVersion: Option[Long] =
+      VersionChain.latest(spark, snapshotDir)
     changes.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val base = baseVersion match {
-          case Some(v) => spark.read.parquet(s"$snapshotDir/v=$v")
+          case Some(v) => VersionChain.read(spark, snapshotDir, v)
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
         }
         val next = baseVersion.getOrElse(-1L) + 1L
-        val tmp = new java.io.File(fs, s"_tmp_v=$next")
-        Merge.applyChangeSet(base, batch.toDF(), keyCol)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val dest = new java.io.File(fs, s"v=$next")
-        require(tmp.renameTo(dest), s"could not commit snapshot $dest")
+        VersionChain.commit(
+          Merge.applyChangeSet(base, batch.toDF(), keyCol),
+          snapshotDir, next)
         baseVersion = Some(next)
         ()
       }
@@ -702,14 +745,19 @@ object EventStream {
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.Dedup
     val spark = docs.sparkSession
-    new java.io.File(storeDir).mkdirs()
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeFs = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storeFs.mkdirs(storePath)
     val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-neardup")
     val storeSchema = StructType(Seq(
       StructField("id", LongType), StructField("bk", StringType),
       StructField("sig", ArrayType(LongType))))
     def readStore(): DataFrame = {
-      val files = Option(new java.io.File(storeDir).list()).toSeq.flatten
-        .filter(_.endsWith(".parquet"))
+      // Hadoop-FS listing (the VersionChain posture): the store lives
+      // wherever the appended parquet does, not on the driver's disk
+      val files = storeFs.listStatus(storePath).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
@@ -773,12 +821,9 @@ object EventStream {
       statsDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.TextStats
     val spark = docs.sparkSession
-    val fs = new java.io.File(statsDir)
-    fs.mkdirs()
-    def versions(): Seq[Long] = Option(fs.list()).toSeq.flatten
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-corpusstats")
-    @volatile var baseVersion: Option[Long] = versions().sorted.lastOption
+    @volatile var baseVersion: Option[Long] =
+      VersionChain.latest(spark, statsDir)
     docs.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -786,14 +831,11 @@ object EventStream {
         val part = TextStats.corpusStatsPartial(batch.toDF())
         val merged = baseVersion match {
           case Some(v) => TextStats.mergeCorpusStats(
-            spark.read.parquet(s"$statsDir/v=$v").unionByName(part))
+            VersionChain.read(spark, statsDir, v).unionByName(part))
           case None => part
         }
         val next = baseVersion.getOrElse(-1L) + 1L
-        val tmp = new java.io.File(fs, s"_tmp_v=$next")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        val dest = new java.io.File(fs, s"v=$next")
-        require(tmp.renameTo(dest), s"could not commit stats $dest")
+        VersionChain.commit(merged, statsDir, next)
         baseVersion = Some(next)
         ()
       }
@@ -802,25 +844,23 @@ object EventStream {
 
   /** Finalized view of the latest [[maintainCorpusStats]] version. */
   def readCorpusStats(spark: SparkSession, statsDir: String): DataFrame = {
-    val versions = Option(new java.io.File(statsDir).list()).toSeq.flatten
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-    require(versions.nonEmpty, s"no stats versions under $statsDir")
+    val v = VersionChain.latest(spark, statsDir)
+      .getOrElse(sys.error(s"no stats versions under $statsDir"))
     graft.ext.TextStats.finalizeCorpusStats(
-      spark.read.parquet(s"$statsDir/v=${versions.max}"))
+      VersionChain.read(spark, statsDir, v))
   }
 
   /** Latest snapshot version written by [[maintainSnapshot]]. */
   def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
-    val versions = Option(new java.io.File(snapshotDir).list()).toSeq.flatten
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-    require(versions.nonEmpty, s"no snapshot versions under $snapshotDir")
-    spark.read.parquet(s"$snapshotDir/v=${versions.max}")
+    val v = VersionChain.latest(spark, snapshotDir)
+      .getOrElse(sys.error(s"no snapshot versions under $snapshotDir"))
+    VersionChain.read(spark, snapshotDir, v)
   }
 
   /** Streaming twin of `Merge.incrementalAgg` — foreachBatch ∘ the
     * delta algebra (VERDICT r11/r12 board item). Each micro-batch of
     * changes (payload ∪ {op}) advances TWO version chains under
-    * `dir`, both with [[maintainSnapshot]]'s tmp-write + atomic-rename
+    * `dir`, both with [[VersionChain]]'s staged + atomic + idempotent
     * commit:
     *
     *   - `snap/v=N`: the applyChangeSet payload snapshot — the
@@ -829,53 +869,96 @@ object EventStream {
     *     accumulator (group, count, decimal sum — never the rounded
     *     rendering, which would poison later folds).
     *
+    * Two-chain crash consistency (ADVICE r13): the SNAPSHOT commits
+    * FIRST, so every published `view/v=N` has its matching
+    * `snap/v=N` — [[readAggView]] (max view version) never serves a
+    * view whose snapshot is missing. A crash between the two commits
+    * leaves an orphan `snap/v=N`; on restart `cur` seeds from the
+    * OLDER of the two chains' heads, the replayed batch recomputes
+    * both artifacts from the same base, and the idempotent commit
+    * overwrites the orphan — the wedge the previous
+    * rename-if-absent + view-first ordering produced is structurally
+    * gone.
+    *
     * Per batch the base is touched only by the change-key equi-join
     * inside the delta (broadcast-class for a day's changes vs a
     * 100 TB base); the view merge joins two group-cardinality
-    * relations. Decimal addition is exact and associative, so the
-    * folded view is bit-identical to a full re-aggregation of the
-    * final snapshot regardless of how the change log was
-    * micro-batched — StreamingSpec pins stream ≡ batch ≡ full
-    * recompute.
+    * relations. Decimal addition is exact and associative, so — GIVEN
+    * each batch satisfies the delta algebra's unique-key-per-change-
+    * set contract — the folded view is bit-identical to a full
+    * re-aggregation of the final snapshot however the change log was
+    * micro-batched (StreamingSpec pins stream ≡ batch ≡ full
+    * recompute). That precondition is NOT free: Spark picks batch
+    * boundaries (AvailableNow with no maxFilesPerTrigger folds the
+    * ENTIRE change log into one batch), so a key changed twice in one
+    * batch would silently duplicate rows. Pass `seqCol` — a column
+    * that strictly orders each key's changes — and every batch is
+    * collapsed to its LAST change per key before the fold (the
+    * standard CDC compaction); without it, per-batch key uniqueness
+    * is ASSERTED and the query fails loudly instead of corrupting the
+    * view (ADVICE r13).
     */
   def maintainAggView(changes: DataFrame, dir: String, keyCol: String,
-      groupCol: String, valueCol: String)
+      groupCol: String, valueCol: String, seqCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.Merge
     val spark = changes.sparkSession
-    val snapRoot = new java.io.File(dir, "snap"); snapRoot.mkdirs()
-    val viewRoot = new java.io.File(dir, "view"); viewRoot.mkdirs()
-    def versions(d: java.io.File): Seq[Long] = Option(d.list()).toSeq
-      .flatten.filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    val snapRoot = s"${dir.stripSuffix("/")}/snap"
+    val viewRoot = s"${dir.stripSuffix("/")}/view"
     val payloadSchema = StructType(
       changes.schema.filterNot(_.name == Merge.OpCol))
     val ckpt = graft.EngineScratch.dir(spark, "graft-ckpt-aggview")
-    @volatile var cur: Option[Long] = versions(snapRoot).sorted.lastOption
-    def commit(df: DataFrame, root: java.io.File, v: Long): Unit = {
-      val tmp = new java.io.File(root, s"_tmp_v=$v")
-      df.write.mode("overwrite").parquet(tmp.toString)
-      val dest = new java.io.File(root, s"v=$v")
-      require(tmp.renameTo(dest), s"could not commit $dest")
-    }
+    // resume from the older chain head: snap commits first, so
+    // min(snapHead, viewHead) is the newest version BOTH chains have
+    // (an orphan snap one ahead is the replayed batch's overwrite
+    // target, never the base)
+    @volatile var cur: Option[Long] =
+      (VersionChain.latest(spark, snapRoot),
+        VersionChain.latest(spark, viewRoot)) match {
+        case (Some(s), Some(v)) => Some(math.min(s, v))
+        case _ => None
+      }
     changes.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val changeSet = seqCol match {
+          case Some(sc) =>
+            // last change per key wins — rows_number over the strict
+            // per-key order; earlier changes to the same key are
+            // superseded within this batch by CDC semantics
+            import org.apache.spark.sql.expressions.Window
+            batch.toDF()
+              .withColumn("__rn", row_number().over(
+                Window.partitionBy(col(keyCol)).orderBy(col(sc).desc)))
+              .filter(col("__rn") === 1).drop("__rn")
+          case None =>
+            val dup = batch.toDF().groupBy(col(keyCol))
+              .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+              .limit(1).collect()
+            require(dup.isEmpty,
+              s"maintainAggView: key ${dup.headOption.map(_.get(0))} " +
+                "changes more than once in one micro-batch — the delta " +
+                "algebra's unique-key-per-change-set contract is " +
+                "violated (AvailableNow can fold the whole log into ONE " +
+                "batch). Pass seqCol to collapse to last-change-per-key.")
+            batch.toDF()
+        }
         val base = cur match {
-          case Some(v) => spark.read.parquet(s"$snapRoot/v=$v")
+          case Some(v) => VersionChain.read(spark, snapRoot, v)
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             payloadSchema)
         }
         val view = cur match {
-          case Some(v) => spark.read.parquet(s"$viewRoot/v=$v")
+          case Some(v) => VersionChain.read(spark, viewRoot, v)
           case None => Merge.aggViewExact(base, groupCol, valueCol)
         }
         val next = cur.getOrElse(-1L) + 1L
-        commit(Merge.applyDeltaToView(view, base, batch.toDF(),
-          keyCol, groupCol, valueCol), viewRoot, next)
-        commit(Merge.applyChangeSet(base, batch.toDF(), keyCol),
+        VersionChain.commit(Merge.applyChangeSet(base, changeSet, keyCol),
           snapRoot, next)
+        VersionChain.commit(Merge.applyDeltaToView(view, base, changeSet,
+          keyCol, groupCol, valueCol), viewRoot, next)
         cur = Some(next)
         ()
       }
@@ -887,12 +970,11 @@ object EventStream {
     */
   def readAggView(spark: SparkSession, dir: String,
       groupCol: String): DataFrame = {
-    val viewRoot = new java.io.File(dir, "view")
-    val versions = Option(viewRoot.list()).toSeq.flatten
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-    require(versions.nonEmpty, s"no view versions under $dir/view")
+    val viewRoot = s"${dir.stripSuffix("/")}/view"
+    val v = VersionChain.latest(spark, viewRoot)
+      .getOrElse(sys.error(s"no view versions under $dir/view"))
     graft.ext.Merge.renderAggView(
-      spark.read.parquet(s"$viewRoot/v=${versions.max}"), groupCol)
+      VersionChain.read(spark, viewRoot, v), groupCol)
   }
 
   /** Drain all currently-available input through a streaming query

@@ -86,28 +86,43 @@ class SourceSinkSpec extends AnyFunSuite {
       "JSON write+read must be lossless (doubles bit-exact)")
   }
 
-  test("FileSinks: the \\N null sentinel is reserved in CSV, round-trips in JSON") {
+  test("FileSinks: the \\N null sentinel is REFUSED by the CSV sink, round-trips in JSON") {
     import spark.implicits._
     import graft.sources.FileSinks
-    // ADVICE r12: Spark applies nullValue AFTER unquoting on read, so
-    // a literal "\N" string payload collides with the null sentinel
-    // and reads back as NULL. Pin that documented boundary here —
-    // and show the JSON sink (no in-band sentinel) carries the value.
-    val df = Seq(
+    // ADVICE r12 → VERDICT r13 task 5: Spark applies nullValue AFTER
+    // unquoting on read, so a literal "\N" string payload would
+    // collide with the null sentinel and silently read back as NULL.
+    // The sink now fails the WRITE loudly instead — the lossless claim
+    // holds with no caveat for everything writeCsv accepts. JSON (no
+    // in-band sentinel) carries the value.
+    val adversarial = Seq(
       (1L, Option("""\N""")),
       (2L, Option.empty[String]),
       (3L, Option("N"))).toDF("id", "s")
 
     val csvDir = tmp("sentcsv")
-    FileSinks.writeCsv(df, csvDir)
+    val e = intercept[Exception] { FileSinks.writeCsv(adversarial, csvDir) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("reserved NULL sentinel")),
+      s"write must fail on the sentinel, got: ${e.getMessage.take(300)}")
+
+    // values merely CONTAINING the sentinel (and NULLs, and "N") are
+    // fine and round-trip losslessly
+    val ok = Seq(
+      (1L, Option("""x\Ny""")),
+      (2L, Option.empty[String]),
+      (3L, Option("N"))).toDF("id", "s")
+    FileSinks.writeCsv(ok, csvDir)
     val fromCsv = FileSinks.readCsv(spark, csvDir, "id LONG, s STRING")
       .orderBy("id").collect()
-    assert(fromCsv(0).isNullAt(1), "literal \\N payload reads as NULL (reserved)")
+    assert(fromCsv(0).getString(1) == """x\Ny""")
     assert(fromCsv(1).isNullAt(1))
     assert(fromCsv(2).getString(1) == "N")
 
     val jsonDir = tmp("sentjson")
-    FileSinks.writeJson(df, jsonDir)
+    FileSinks.writeJson(adversarial, jsonDir)
     val fromJson = FileSinks.readJson(spark, jsonDir, "id LONG, s STRING")
       .orderBy("id").collect()
     assert(fromJson(0).getString(1) == """\N""",

@@ -372,6 +372,106 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == oneStep, "streamed view != batch incrementalAgg")
   }
 
+  test("maintainAggView: seqCol collapses a key changed twice in ONE batch (r13 advice)") {
+    import spark.implicits._
+    val changesDir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-seq-changes").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-seq").toString
+    // NO maxFilesPerTrigger: AvailableNow folds everything into one
+    // batch — the exact boundary condition the advice flagged. Key 1
+    // changes twice (upsert then upsert), key 2 twice (delete would
+    // be first but seq orders upsert LAST): last-per-key must win.
+    Seq((1L, "g1", 1.0, "upsert", 1L), (1L, "g1", 3.0, "upsert", 2L),
+      (2L, "g2", 5.0, "upsert", 1L),
+      (3L, "g2", 9.0, "upsert", 1L), (3L, "g2", 0.0, "delete", 2L))
+      .toDF("id", "g", "v", "op", "seq").coalesce(1)
+      .write.parquet(s"$changesDir/b0")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, g STRING, v DOUBLE, op STRING, seq BIGINT")
+    val q = EventStream.maintainAggView(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(changesDir),
+      dir, "id", "g", "v", seqCol = Some("seq"))
+    q.awaitTermination(120000L)
+    val got = EventStream.readAggView(spark, dir, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // key 1 → 3.0 (last upsert), key 2 → 5.0, key 3 → deleted
+    assert(got == Seq(("g1", 1L, 3.0), ("g2", 1L, 5.0)))
+    // and the view equals the full recompute of the snapshot
+    val full = EventStream.readSnapshot(spark, s"$dir/snap")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        round(sum(col("v").cast("decimal(18,6)")).cast("double"), 5)
+          .as("sum_value"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == full, "collapsed view != full recompute")
+  }
+
+  test("maintainAggView: duplicate key in a batch WITHOUT seqCol fails loudly") {
+    import spark.implicits._
+    val changesDir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-dup-changes").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-dup").toString
+    Seq((1L, "g1", 1.0, "upsert"), (1L, "g1", 3.0, "upsert"))
+      .toDF("id", "g", "v", "op").coalesce(1)
+      .write.parquet(s"$changesDir/b0")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, g STRING, v DOUBLE, op STRING")
+    val q = EventStream.maintainAggView(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(changesDir),
+      dir, "id", "g", "v")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000L)
+    }
+    assert(e.getMessage.contains("unique-key-per-change-set") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("unique-key-per-change-set")),
+      s"must fail with the contract message, got: ${e.getMessage.take(300)}")
+  }
+
+  test("maintainAggView: an orphan snap version (crash between commits) is healed") {
+    import spark.implicits._
+    val changesDir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-crash-changes").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggview-crash").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, g STRING, v DOUBLE, op STRING")
+    def run(sub: String, rows: Seq[(Long, String, Double, String)]): Unit = {
+      rows.toDF("id", "g", "v", "op").coalesce(1)
+        .write.parquet(s"$changesDir/$sub")
+      val q = EventStream.maintainAggView(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(s"$changesDir/$sub"),
+        dir, "id", "g", "v")
+      q.awaitTermination(120000L)
+    }
+    run("r1", Seq((1L, "g1", 1.0, "upsert"), (2L, "g2", 2.0, "upsert")))
+    // simulate the crash window: snapshot v=1 committed, view v=1 not
+    // (snap commits FIRST, so this is the only possible orphan shape).
+    // The orphan's CONTENT is what a real crash leaves: the correct
+    // next snapshot of some batch whose view never landed.
+    EventStream.readSnapshot(spark, s"$dir/snap")
+      .write.parquet(s"$dir/snap/v=1")
+    // next run must seed from the OLDER chain head (0), replay onto
+    // base v=0, and overwrite the orphan instead of wedging on rename
+    run("r2", Seq((2L, "g2", 5.0, "upsert"), (3L, "g1", 7.0, "upsert")))
+    val got = EventStream.readAggView(spark, dir, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("g1", 2L, 8.0), ("g2", 1L, 5.0)))
+    // both chains have healed to the same head with matching content
+    val full = EventStream.readSnapshot(spark, s"$dir/snap")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        round(sum(col("v").cast("decimal(18,6)")).cast("double"), 5)
+          .as("sum_value"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == full, "healed view != full recompute of healed snapshot")
+  }
+
   test("maintainSnapshot: a second run on the same directory continues the chain") {
     import spark.implicits._
     val changesDir = java.nio.file.Files

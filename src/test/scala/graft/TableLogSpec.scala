@@ -171,6 +171,69 @@ class TableLogSpec extends AnyFunSuite {
     assert(seen.subsetOf((0 to 4).map(_.toDouble).toSet))
   }
 
+  test("the whole format runs against a non-file Hadoop FS scheme (r13 task 2)") {
+    // Every TableLog filesystem touch (log list/read, commit publish,
+    // data-file placement, vacuum delete) resolves the FS from the
+    // table dir's OWN URI scheme — so the same code that passed the
+    // local-path suites above must run verbatim against a registered
+    // connector scheme. MockDfs is the sandbox stand-in for hdfs/s3a
+    // (the SourceSinkSpec trick); if any code path had kept a
+    // java.io.File assumption it would throw or silently read an
+    // empty local dir here.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockdfs.impl", classOf[MockDfs].getName)
+    val dir = s"mockdfs://${freshDir()}/tbl"
+    TableLog.init(base, dir)
+    TableLog.append(Seq((5L, "e", 50.0)).toDF("id", "tag", "v"), dir)
+    TableLog.merge(Seq(
+      (2L, null.asInstanceOf[String], 0.0, Merge.Delete),
+      (6L, "f", 60.0, Merge.Upsert)).toDF("id", "tag", "v", Merge.OpCol),
+      dir, "id")
+    TableLog.compact(spark, dir)
+    // reads must route through the registered scheme, not leak to file:
+    val now = TableLog.read(spark, dir)
+    assert(now.inputFiles.nonEmpty &&
+      now.inputFiles.forall(_.startsWith("mockdfs:")),
+      s"data files must live on the table's scheme, got ${now.inputFiles.headOption}")
+    assert(now.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 4L, 5L, 6L))
+    // time travel and history work off the scheme'd log
+    assert(TableLog.read(spark, dir, Some(0)).count() == 4)
+    assert(TableLog.history(spark, dir).collect().map(_.getString(1)).toSeq
+      == Seq("init", "append", "merge", "compact"))
+    // vacuum's deletes go through the scheme'd FS too
+    val deleted = TableLog.vacuum(dir, retainFrom = 2)
+    assert(deleted >= 1)
+    intercept[Exception](TableLog.read(spark, dir, Some(0)).collect())
+    assert(TableLog.read(spark, dir, Some(2)).count() == 5)
+  }
+
+  test("snapshot isolation holds on the non-file scheme (concurrent reader)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockdfs.impl", classOf[MockDfs].getName)
+    val dir = s"mockdfs://${freshDir()}/tbl"
+    val n = 50
+    def state(c: Int) = spark.range(1, n + 1)
+      .select(col("id"), lit(c.toDouble).as("v"), lit("t").as("tag"))
+    TableLog.init(state(0), dir)
+    val writer = new Thread(() => {
+      for (c <- 1 to 3)
+        TableLog.merge(state(c).withColumn("op", lit(Merge.Upsert)), dir, "id")
+    })
+    writer.start()
+    while (writer.isAlive) {
+      val r = TableLog.read(spark, dir)
+        .agg(count(lit(1)), sum(col("v"))).collect().head
+      assert(r.getLong(0) == n.toLong, "reader saw a partial version")
+      assert(r.getDouble(1) % n == 0,
+        s"reader saw mixed versions: sum ${r.getDouble(1)}")
+    }
+    writer.join()
+    for (c <- 0 to 3)
+      assert(TableLog.read(spark, dir, Some(c)).agg(sum("v"))
+        .collect().head.getDouble(0) == c.toDouble * n, s"version $c")
+  }
+
   test("guards: double init, missing table, unknown version, commit race") {
     val dir = freshDir()
     intercept[RuntimeException](TableLog.read(spark, dir)) // no table
