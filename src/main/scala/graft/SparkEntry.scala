@@ -1097,6 +1097,36 @@ object SparkEntry {
       TableLog.compact(s, d, targetFiles = 1)
     }
 
+  // MERGE-SQL demo (VERDICT r13 task 6): a TableLog table whose final
+  // state is produced by executing ANSI MERGE TEXT through the
+  // dialect's DML surface (graft.exec.MergeSql) — delete, partial-SET
+  // update (o_custkey must stay the TARGET's: the source deliberately
+  // ships a shifted custkey so a compiler that wrongly took the
+  // source value hash-fails), conditional insert, and untouched
+  // survivors, all in one statement. The oracle reconstructs the
+  // merged state relationally from orders.
+  private[graft] val mergeSqlText =
+    """MERGE INTO orders_tl AS t
+      |USING (
+      |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+      |         o_totalprice * 2 AS o_totalprice, o_orderkey % 16 AS m
+      |  FROM orders WHERE o_orderkey % 16 IN (0, 1, 4, 9)
+      |) AS s
+      |ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED AND s.m = 0 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      |WHEN NOT MATCHED AND s.m <> 9 THEN
+      |  INSERT (o_orderkey, o_custkey, o_totalprice)
+      |  VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)""".stripMargin
+  private def mergeSqlDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir(s, "mergesql", sfDir) { d =>
+      TableLog.init(s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 4 === 0), d)
+      graft.exec.MergeSql.execute(s, mergeSqlText, d)
+      ()
+    }
+
   /** Build every persisted index for `sfDir` (idempotent). Bench calls
     * this in its untimed setup, same category as view registration.
     */
@@ -1108,6 +1138,7 @@ object SparkEntry {
     ivfPqIndexDir(spark, sfDir)
     nearDupIndexDir(spark, sfDir)
     tableLogDemoDir(spark, sfDir)
+    mergeSqlDir(spark, sfDir)
     cellIndexDir(spark, sfDir)
   }
 
@@ -2827,6 +2858,19 @@ object SparkEntry {
         .select("version", "op", "rows_added", "n_rows", "sum_price")
         .orderBy("version")
     },
+    // §7.6 — ANSI MERGE INTO as TEXT, executed by the dialect's DML
+    // surface against the table format: delete / partial-SET update /
+    // conditional insert / survivors in one statement, then a read of
+    // the committed final state. The oracle reconstructs the merged
+    // relation with explicit joins — hash-green proves the parser,
+    // the clause routing (incl. ANSI partial-SET keeping TARGET
+    // values) and the copy-on-write commit end-to-end.
+    "q_merge_sql" -> withTablesSf { (s, sfDir) =>
+      TableLog.read(s, mergeSqlDir(s, sfDir))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 5).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
     // §7.5 — row-level snapshot diff (applyChangeSet's inverse): two
     // snapshots in, (key, added/removed/changed) out. Digest-compare
     // inside Spark; the oracle re-detects by direct value comparison,
@@ -3764,6 +3808,32 @@ object SparkEntry {
         |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
         |  FROM s2)
         |SELECT * FROM agg ORDER BY version""".stripMargin,
+    // the merged state, reconstructed with explicit clause algebra:
+    // survivors (no source match) ∪ updates (matched, m<>0, partial
+    // SET keeps the TARGET custkey) ∪ inserts (unmatched, m<>9)
+    "q_merge_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |         o_totalprice * 2 AS o_totalprice, o_orderkey % 16 AS m
+        |  FROM orders WHERE o_orderkey % 16 IN (0, 1, 4, 9)),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+        |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT b.o_orderkey, b.o_custkey, s.o_totalprice
+        |  FROM base b JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.m <> 0
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+        |  WHERE b.o_orderkey IS NULL AND s.m <> 9)
+        |SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 5) AS o_totalprice
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
     "q_profile_approx_check" -> lineitemNumeric.sorted.map { c =>
       s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n_rows,
          |  count(DISTINCT cast($c AS DOUBLE))::BIGINT AS n_distinct,

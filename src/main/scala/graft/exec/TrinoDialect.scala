@@ -131,7 +131,7 @@ object TrinoDialect {
   /** Split an argument list at top-level commas (quote / comment /
     * paren / bracket aware).
     */
-  private def splitTopLevel(args: String): Seq[String] = {
+  private[exec] def splitTopLevel(args: String): Seq[String] = {
     val lit = literalMask(args)
     val out = Seq.newBuilder[String]
     var start = 0; var depth = 0; var i = 0
@@ -160,7 +160,7 @@ object TrinoDialect {
     * are masked too, so a column literally named `varchar` or
     * `unnest` is never treated as a keyword by later rewrites.
     */
-  private def literalMask(sql: String): Array[Boolean] = {
+  private[exec] def literalMask(sql: String): Array[Boolean] = {
     val m = new Array[Boolean](sql.length)
     var i = 0
     while (i < sql.length) {
@@ -206,7 +206,7 @@ object TrinoDialect {
   /** True iff `sql(at)` starts keyword `kw` at a word boundary on both
     * sides (case-insensitive).
     */
-  private def isKeywordAt(sql: String, at: Int, kw: String): Boolean = {
+  private[exec] def isKeywordAt(sql: String, at: Int, kw: String): Boolean = {
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     at >= 0 && at + kw.length <= sql.length &&
       sql.regionMatches(true, at, kw, 0, kw.length) &&

@@ -207,12 +207,20 @@ object TableLog {
     * the new version's live set is entirely the new files (old files
     * remain for time travel).
     */
-  def merge(changes: DataFrame, dir: String, keyCol: String): Int = {
+  def merge(changes: DataFrame, dir: String, keyCol: String): Int =
+    commitSnapshot(Merge.applyChangeSet(read(changes.sparkSession, dir),
+      changes, keyCol), dir, "merge")
+
+  /** Copy-on-write commit of a caller-computed NEXT snapshot — the
+    * landing point [[merge]] and the MERGE-SQL compiler
+    * ([[graft.exec.MergeSql]]) share: the new version's live set is
+    * entirely the new files; the previous live set is recorded as
+    * removed (old versions stay readable).
+    */
+  def commitSnapshot(next: DataFrame, dir: String, op: String): Int = {
     val v = currentVersion(dir) + 1
-    val next = Merge.applyChangeSet(read(changes.sparkSession, dir),
-      changes, keyCol)
     val (names, rows) = writeData(next, dir, v)
-    publish(dir, Commit(v, "merge", names, liveFiles(dir, None), rows))
+    publish(dir, Commit(v, op, names, liveFiles(dir, None), rows))
   }
 
   /** History-preserving compaction: rewrites the live set into

@@ -331,4 +331,111 @@ class TrinoParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("merge sql: the full CDC shape parses into its exact clause structure") {
+    import graft.exec.MergeSql
+    val s = MergeSql.parse(
+      """MERGE INTO cat.db.orders_tl AS t
+        |USING (SELECT k, v, op_kind FROM changes) AS s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.op_kind = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v * 2, note = 'x, y'
+        |WHEN NOT MATCHED AND s.v > 0 THEN
+        |  INSERT (k, v) VALUES (s.k, s.v);""".stripMargin)
+    assert(s.target == "cat.db.orders_tl" && s.targetAlias == "t")
+    assert(s.sourceIsSubquery &&
+      s.source == "SELECT k, v, op_kind FROM changes" && s.sourceAlias == "s")
+    assert(s.targetKey == "k" && s.sourceKey == "k")
+    assert(s.deleteCond == Some(Some("s.op_kind = 'd'")))
+    // SET split is top-level-comma aware: the literal ', ' survives
+    assert(s.updateSet == Some(Seq(
+      MergeSql.Assignment("v", "s.v * 2"),
+      MergeSql.Assignment("note", "'x, y'"))))
+    assert(s.insert == Some((Seq("k", "v"), Seq("s.k", "s.v"),
+      Some("s.v > 0"))))
+  }
+
+  test("merge sql: variant shapes — table source, flipped ON, CASE WHEN in SET") {
+    import graft.exec.MergeSql
+    // bare-table source, no AS keywords, ON sides flipped
+    val a = MergeSql.parse(
+      "MERGE INTO tgt t USING changes c ON c.id = t.id " +
+        "WHEN MATCHED THEN UPDATE SET v = c.v")
+    assert(!a.sourceIsSubquery && a.source == "changes" &&
+      a.sourceAlias == "c" && a.targetKey == "id" && a.sourceKey == "id")
+    assert(a.deleteCond.isEmpty && a.insert.isEmpty)
+    // a CASE WHEN inside an assignment must not split the clause scan
+    val b = MergeSql.parse(
+      "MERGE INTO tgt AS t USING src AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 0 THEN s.v ELSE 0 END " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    assert(b.updateSet.get.head.expr ==
+      "CASE WHEN s.v > 0 THEN s.v ELSE 0 END")
+    assert(b.insert.get._3.isEmpty)
+  }
+
+  test("merge sql: out-of-scope shapes fail loudly, not silently") {
+    import graft.exec.MergeSql
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](MergeSql.parse(sql))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    rejects("UPDATE t SET x = 1", "MERGE INTO")
+    rejects("MERGE INTO t USING s ON t.k = s.k", "WHEN clause")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k AND a.j = b.j " +
+      "WHEN MATCHED THEN DELETE", "single alias-qualified equality")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k " +
+      "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET v = b.v",
+      "unreachable")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k " +
+      "WHEN MATCHED THEN UPDATE SET v = b.v " +
+      "WHEN MATCHED AND b.v < 0 THEN DELETE", "before UPDATE")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (b.k)", "1 values")
+  }
+
+  test("merge sql: compile routes clauses with ANSI semantics (incl. NULL cond)") {
+    import spark.implicits._
+    import graft.exec.MergeSql
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"),
+      (4L, 40.0, "d")).toDF("id", "v", "tag")
+    // source: id 1 delete, id 2 update, id 3 NULL delete-cond (must
+    // route to UPDATE — three-valued logic), id 5 insert, id 6
+    // insert-cond false
+    Seq((1L, 0.0, Option("del")), (2L, 22.0, Option("keep")),
+      (3L, 33.0, Option.empty[String]), (5L, 55.0, Option("keep")),
+      (6L, 66.0, Option("skip")))
+      .toDF("id", "v", "k").createOrReplaceTempView("merge_src_spec")
+    val stmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_src_spec) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.k = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED AND s.k <> 'skip' THEN
+        |  INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val next = MergeSql.compile(spark, stmt, base)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    assert(next.toSeq == Seq(
+      (2L, 22.0, Some("b")),   // updated; partial SET keeps target tag
+      (3L, 33.0, Some("c")),   // NULL delete-cond → update, not drop
+      (4L, 40.0, Some("d")),   // survivor
+      (5L, 55.0, None)))       // inserted; unlisted column → NULL
+  }
+
+  test("merge sql: duplicate source matches are an error (ANSI rule)") {
+    import spark.implicits._
+    import graft.exec.MergeSql
+    val base = Seq((1L, 1.0)).toDF("id", "v")
+    Seq((1L, 2.0), (1L, 3.0)).toDF("id", "v")
+      .createOrReplaceTempView("merge_dup_spec")
+    val stmt = MergeSql.parse(
+      "MERGE INTO tbl AS t USING (SELECT * FROM merge_dup_spec) AS s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+    val e = intercept[IllegalArgumentException](
+      MergeSql.compile(spark, stmt, base))
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
