@@ -1127,6 +1127,32 @@ object SparkEntry {
       ()
     }
 
+  // Streaming ingest-with-maintenance demo (VERDICT r13 task 7):
+  // orders arrives as 4 equal-keyspace micro-batches (one file per
+  // trigger, coalesce(1) so every append is exactly one data file);
+  // appendStreamCompacting compacts whenever live files exceed 2.
+  // The OP SEQUENCE and per-commit file counts are then fully
+  // determined by the policy — (init, append, append, COMPACT at
+  // live=3, append) — independent of batch arrival order, and the
+  // final content equals orders exactly; both facts are what
+  // q_table_compaction hashes.
+  private def tableCompactionDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir(s, "tlcompact", sfDir) { d =>
+      val o = s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      (0 to 3).foreach(r => o.filter(col("o_orderkey") % 4 === r)
+        .coalesce(1).write.parquet(s"$d/in/b$r"))
+      val q = TableLog.appendStreamCompacting(
+        s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(s"$d/in"),
+        s"$d/tbl",
+        graft.EngineScratch.dir(s, "graft-ckpt-tlcompact"),
+        maxLiveFiles = 2)
+      q.awaitTermination(120000L)
+      ()
+    }
+
   /** Build every persisted index for `sfDir` (idempotent). Bench calls
     * this in its untimed setup, same category as view registration.
     */
@@ -1139,6 +1165,7 @@ object SparkEntry {
     nearDupIndexDir(spark, sfDir)
     tableLogDemoDir(spark, sfDir)
     mergeSqlDir(spark, sfDir)
+    tableCompactionDir(spark, sfDir)
     cellIndexDir(spark, sfDir)
   }
 
@@ -2858,6 +2885,22 @@ object SparkEntry {
         .select("version", "op", "rows_added", "n_rows", "sum_price")
         .orderBy("version")
     },
+    // §7.5 — streaming ingestion WITH a maintenance policy: one file
+    // per micro-batch lands as an append commit and the table
+    // auto-compacts (history-preserving) when live files exceed the
+    // bound. The op sequence + per-commit file counts are a pure
+    // function of the policy, and the final state must equal orders
+    // exactly — the oracle pins both.
+    "q_table_compaction" -> withTablesSf { (s, sfDir) =>
+      val d = s"${tableCompactionDir(s, sfDir)}/tbl"
+      val hist = TableLog.history(s, d)
+        .select("version", "op", "n_files_added", "n_files_removed")
+      val fin = TableLog.read(s, d).agg(
+        count(lit(1)).as("n_rows_final"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double"), 5).as("sum_price_final"))
+      hist.crossJoin(fin).orderBy("version")
+    },
     // §7.6 — ANSI MERGE INTO as TEXT, executed by the dialect's DML
     // surface against the table format: delete / partial-SET update /
     // conditional insert / survivors in one statement, then a read of
@@ -3808,6 +3851,20 @@ object SparkEntry {
         |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
         |  FROM s2)
         |SELECT * FROM agg ORDER BY version""".stripMargin,
+    // policy-determined op sequence (compact fires exactly when live
+    // files would reach 3) + content preservation
+    "q_table_compaction" ->
+      """WITH hist(version, op, n_files_added, n_files_removed) AS (
+        |  VALUES (0,'init',1,0),(1,'append',1,0),(2,'append',1,0),
+        |         (3,'compact',1,3),(4,'append',1,0)),
+        |fin AS (
+        |  SELECT count(*)::BIGINT AS n_rows_final,
+        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |      AS sum_price_final
+        |  FROM orders)
+        |SELECT version, op, n_files_added, n_files_removed,
+        |  n_rows_final, sum_price_final
+        |FROM hist CROSS JOIN fin ORDER BY version""".stripMargin,
     // the merged state, reconstructed with explicit clause algebra:
     // survivors (no source match) ∪ updates (matched, m<>0, partial
     // SET keeps the TARGET custkey) ∪ inserts (unmatched, m<>9)

@@ -283,6 +283,43 @@ object TableLog {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Live data-file count at the latest version — the small-file
+    * pressure gauge a compaction policy reads (commit-log metadata
+    * only; no filesystem listing, no data touched).
+    */
+  def liveFileCount(dir: String): Int = liveFiles(dir, None).size
+
+  /** [[appendStream]] with a MAINTENANCE POLICY under the commit log
+    * (VERDICT r13 task 7): each micro-batch lands as an append
+    * commit, and whenever the live file count exceeds
+    * `maxLiveFiles` the table is compacted — history-preserving, so
+    * every pre-compaction version stays readable and the log records
+    * the rewrite as its own `compact` commit. This is the streaming
+    * ingestion shape production table formats converge on (Delta's
+    * optimize-after-ingest, Iceberg's rewrite_data_files): without
+    * it, a forever-running file-per-batch ingest degrades every
+    * reader linearly in batch count; with it, reader cost is bounded
+    * by `maxLiveFiles` while writer cost stays amortized O(table/
+    * maxLiveFiles) per compaction. The policy reads only commit-log
+    * metadata (driver-sized); the compaction itself is one Spark
+    * rewrite of the live set.
+    */
+  def appendStreamCompacting(df: DataFrame, dir: String,
+      checkpoint: String, maxLiveFiles: Int,
+      targetFiles: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxLiveFiles >= 1 && targetFiles >= 1)
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (commits(dir).isEmpty) init(batch, dir) else append(batch, dir)
+        if (liveFileCount(dir) > maxLiveFiles)
+          compact(batch.sparkSession, dir, targetFiles)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** The commit history as a DataFrame: (version, op, n_files_added,
     * n_files_removed, rows_added), version order.
     */
