@@ -948,6 +948,11 @@ object Dedup {
     }
   }
 
+  // NOTE (r14): a `rewrap = false` variant (bare localCheckpoint, no
+  // Row round-trip, partitioning preserved) was built and MEASURED
+  // for the rank recurrences' edge relation and rejected — see
+  // Graph.symEdges for the numbers (hub-skew −18%; repeat-run OOM).
+  // The re-wrap below is load-bearing beyond stats reset.
   private[graft] def materialize(df: DataFrame): DataFrame =
     // Fast path: a frame that IS already a checkpointed leaf gains
     // nothing from a second checkpoint; re-materializing the shared

