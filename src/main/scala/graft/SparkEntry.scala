@@ -1149,7 +1149,11 @@ object SparkEntry {
         s"$d/tbl",
         graft.EngineScratch.dir(s, "graft-ckpt-tlcompact"),
         maxLiveFiles = 2)
-      q.awaitTermination(120000L)
+      // a timeout here must fail AT THE BUILD SITE — returning
+      // normally would cache a partially-ingested table and surface
+      // only as an opaque q_table_compaction hash mismatch (ADVICE r14)
+      require(q.awaitTermination(120000L),
+        "table-compaction ingest did not finish within 120 s")
       ()
     }
 

@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   *     — or survive unchanged if no UPDATE clause exists;
   *   - unmatched SOURCE rows satisfying the INSERT condition insert,
   *     with unlisted target columns NULL;
-  *   - a source key matching multiple source rows is an ERROR (the
-  *     ANSI duplicate-match rule), checked with one group-limit probe.
+  *   - a TARGET row matched by multiple source rows is an ERROR (the
+  *     ANSI duplicate-match rule), checked with one semi-join +
+  *     group-limit probe; duplicate source keys that match NO target
+  *     row are legal and each fires WHEN NOT MATCHED independently.
   *
   * Scale shape: the compiled plan is two key equi-joins of the source
   * against the snapshot (broadcast-class for a day's changes vs a
@@ -224,14 +226,21 @@ object MergeSql {
     val src =
       if (stmt.sourceIsSubquery) spark.sql(TrinoDialect.translate(stmt.source))
       else spark.table(stmt.source)
-    // ANSI duplicate-match rule: one group-limit probe, driver-bounded
-    val dup = src.groupBy(col(stmt.sourceKey))
+    // ANSI duplicate-match rule: a TARGET row matched by multiple
+    // source rows is an error. The probe therefore counts only source
+    // keys that MATCH the target (semi-join first — ADVICE r14: a
+    // duplicated source key that matches no target row is legal and
+    // fires WHEN NOT MATCHED once per row). One group-limit probe,
+    // driver-bounded.
+    val dup = src
+      .join(base, src(stmt.sourceKey) === base(stmt.targetKey), "left_semi")
+      .groupBy(col(stmt.sourceKey))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .limit(1).collect()
     if (dup.nonEmpty)
       fail(s"source key ${stmt.sourceKey} value ${dup.head.get(0)} " +
-        "matches multiple source rows (ANSI MERGE forbids duplicate " +
-        "matches) — deduplicate the source query")
+        "matches one target row through multiple source rows (ANSI " +
+        "MERGE forbids duplicate matches) — deduplicate the source query")
     val t = base.as(stmt.targetAlias)
     val sl = src.as(stmt.sourceAlias)
     val keyEq = col(s"${stmt.targetAlias}.${stmt.targetKey}") ===

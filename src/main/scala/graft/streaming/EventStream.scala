@@ -56,15 +56,29 @@ object EventStream {
 
     /** Stage `df` under `_tmp_v=N`, then atomically publish as `v=N`
       * (replacing a replayed batch's previous attempt).
+      *
+      * Replacement keeps SOME complete `v=N` visible at every instant
+      * (ADVICE r14): the old version is renamed ASIDE (to `_old_v=N`,
+      * a name [[versions]] never lists) before the staged one renames
+      * into place — a delete-then-rename pair would open a window
+      * where a reader that just resolved latest()=N finds nothing,
+      * and a crash between the two steps would transiently regress
+      * the chain head. The unavoidable residue shrinks to the instant
+      * between two metadata renames; a crash exactly there leaves the
+      * complete old content recoverable at `_old_v=N` and the next
+      * replay's aside-cleanup converges the chain.
       */
     def commit(df: DataFrame, root: String, v: Long): Unit = {
       val spark = df.sparkSession
       val tmp = new Path(root, s"_tmp_v=$v")
       df.write.mode("overwrite").parquet(tmp.toString)
       val dest = new Path(root, s"v=$v")
+      val aside = new Path(root, s"_old_v=$v")
       val fs = fsOf(spark, dest)
-      if (fs.exists(dest)) fs.delete(dest, true)
+      if (fs.exists(aside)) fs.delete(aside, true) // prior crash leftover
+      val hadPrev = fs.exists(dest) && fs.rename(dest, aside)
       require(fs.rename(tmp, dest), s"could not commit $dest")
+      if (hadPrev) fs.delete(aside, true)
     }
 
     def read(spark: SparkSession, root: String, v: Long): DataFrame =

@@ -270,6 +270,173 @@ class TableLogSpec extends AnyFunSuite {
         .collect().head.getDouble(0) == c.toDouble * n, s"version $c")
   }
 
+  test("data skipping: commit records carry footer stats; readWhere prunes by them (r14 task 1)") {
+    val dir = freshDir()
+    // four appends with DISJOINT id ranges, one file each — file
+    // boundaries are exact, so the pruned set is fully determined
+    def slice(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 10)
+        .select(col("id"), concat(lit("t"), format_string("%03d", col("id")))
+          .as("tag"), (col("id") * 1.5).as("v"))
+        .coalesce(1)
+    TableLog.init(slice(0), dir)
+    TableLog.append(slice(10), dir)
+    TableLog.append(slice(20), dir)
+    TableLog.append(slice(30), dir)
+    // stats recorded per commit, with the right bounds
+    val cs = TableLog.commits(dir)
+    assert(cs.forall(c => c.add.forall(f => c.stats.contains(f))),
+      "every added file must carry stats")
+    val v0 = cs.head; val f0 = v0.stats(v0.add.head)
+    assert(f0.rows == 10L)
+    assert(f0.cols("id").min.contains(0L) && f0.cols("id").max.contains(9L))
+    assert(f0.cols("tag").min.contains("t000") &&
+      f0.cols("tag").max.contains("t009"))
+    assert(f0.cols("v").max.contains(13.5))
+    assert(f0.cols.forall(_._2.nulls.contains(0L)))
+
+    def scanned(filter: String): Int =
+      TableLog.readWhere(spark, dir, filter).inputFiles.length
+    def identical(filter: String): Unit = {
+      val pruned = TableLog.readWhere(spark, dir, filter)
+        .orderBy("id").collect().toSeq
+      val full = TableLog.read(spark, dir).where(expr(filter))
+        .orderBy("id").collect().toSeq
+      assert(pruned == full, s"pruned read diverged for: $filter")
+    }
+    // range predicates touch exactly the overlapping files
+    assert(scanned("id >= 30") == 1); identical("id >= 30")
+    assert(scanned("id BETWEEN 8 AND 12") == 2); identical("id BETWEEN 8 AND 12")
+    assert(scanned("id = 25") == 1); identical("id = 25")
+    assert(scanned("id IN (5, 35)") == 2); identical("id IN (5, 35)")
+    assert(scanned("id = 5 OR id = 25") == 2); identical("id = 5 OR id = 25")
+    assert(scanned("NOT (id < 30)") == 1); identical("NOT (id < 30)")
+    // string zone maps prune too
+    assert(scanned("tag > 't029'") == 1); identical("tag > 't029'")
+    assert(scanned("tag = 't015'") == 1); identical("tag = 't015'")
+    // double column
+    assert(scanned("v < 3.0") == 1); identical("v < 3.0")
+    // null-count pruning: no file has nulls
+    assert(scanned("tag IS NULL") == 0); identical("tag IS NULL")
+    // everything pruned → empty frame, right schema, zero files
+    val none = TableLog.readWhere(spark, dir, "id > 1000")
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.schema.fieldNames.toSeq == Seq("id", "tag", "v"))
+    // unmodeled shapes fall back to every file — and stay correct
+    assert(scanned("id % 7 = 3") == 4); identical("id % 7 = 3")
+    // compaction rewrites carry fresh stats for the new files
+    TableLog.compact(spark, dir, targetFiles = 2)
+    val cc = TableLog.commits(dir).last
+    assert(cc.op == "compact" && cc.add.forall(f => cc.stats.contains(f)))
+    identical("id >= 30")
+    // time travel prunes against the asOf version's own live set
+    assert(TableLog.readWhere(spark, dir, "id >= 30", asOf = Some(2))
+      .count() == 0)
+    assert(TableLog.readWhere(spark, dir, "id >= 10", asOf = Some(1))
+      .count() == 10)
+  }
+
+  test("data skipping: pre-stats (r14-format) commit records read fine and never prune") {
+    val dir = freshDir()
+    TableLog.init(base.coalesce(1), dir)
+    TableLog.append(Seq((50L, "z", 5.0)).toDF("id", "tag", "v"), dir)
+    // strip the stats field from v0's record — a table written by the
+    // pre-r15 code
+    val log = new java.io.File(dir, "_log")
+    val v0 = new java.io.File(log, "v00000000.json")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(java.nio.file.Files.readString(v0.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("stats")
+    java.nio.file.Files.writeString(v0.toPath, m.writeValueAsString(node))
+    // the rewrite bypassed Hadoop's checksummed local FS — drop the
+    // stale .crc sidecar so the doctored "old-format" record reads
+    new java.io.File(log, ".v00000000.json.crc").delete()
+    assert(TableLog.commits(dir).head.stats.isEmpty)
+    // a filter that would prune v0's file by range CANNOT (no stats),
+    // but v1's file still prunes; results stay exact either way
+    val pruned = TableLog.readWhere(spark, dir, "id > 100")
+    assert(pruned.inputFiles.length == 1,
+      "the stats-less file must be kept, the stats-bearing one pruned")
+    assert(pruned.count() == 0)
+    assert(TableLog.readWhere(spark, dir, "id <= 4").collect().length == 4)
+  }
+
+  test("conditional-put-only store: full lifecycle without atomic rename (r14 task 2)") {
+    // CondPutFs renames ALWAYS clobber and only create-if-absent is
+    // atomic — the object-store worst case. The whole protocol must
+    // run verbatim because publish's mutual exclusion now rides
+    // create(overwrite=false), never rename.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.condput.impl", classOf[CondPutFs].getName)
+    val dir = s"condput://${freshDir()}/tbl"
+    TableLog.init(base, dir)
+    TableLog.append(Seq((5L, "e", 50.0)).toDF("id", "tag", "v"), dir)
+    TableLog.merge(Seq(
+      (2L, null.asInstanceOf[String], 0.0, Merge.Delete),
+      (6L, "f", 60.0, Merge.Upsert)).toDF("id", "tag", "v", Merge.OpCol),
+      dir, "id")
+    TableLog.compact(spark, dir)
+    val now = TableLog.read(spark, dir)
+    assert(now.inputFiles.nonEmpty &&
+      now.inputFiles.forall(_.startsWith("condput:")))
+    assert(now.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 4L, 5L, 6L))
+    assert(TableLog.read(spark, dir, Some(0)).count() == 4)
+    // crash-orphan: an unreferenced data file stays invisible
+    Seq((99L, "zz", 9.9)).toDF("id", "tag", "v")
+      .coalesce(1).write.parquet(s"$dir/orphan")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/orphan"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(orphan,
+      new org.apache.hadoop.fs.Path(s"$dir/data/zzz-orphan.parquet")))
+    assert(TableLog.read(spark, dir).count() == 5)
+    assert(TableLog.vacuum(dir, retainFrom = 3) >= 1)
+    intercept[Exception](TableLog.read(spark, dir, Some(0)).collect())
+  }
+
+  test("conditional-put-only store: racing writers — one winner per version, no lost update") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.condput.impl", classOf[CondPutFs].getName)
+    val dir = s"condput://${freshDir()}/tbl"
+    TableLog.init(base, dir)
+    // 3 writers x 3 appends, optimistic retry on the publish error —
+    // the client loop a real concurrent ingester runs. Data-file
+    // names are writer-unique, so a loser's files are orphans; the
+    // winner's data can never be clobbered even though this store's
+    // rename replaces silently.
+    val perWriter = 3
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        for (i <- 0 until perWriter) {
+          val row = Seq((100L + w * 10 + i, s"w$w-$i", 1.0))
+            .toDF("id", "tag", "v")
+          var done = false; var tries = 0
+          while (!done && tries < 60) {
+            try { TableLog.append(row, dir); done = true }
+            catch { case _: Throwable =>
+              failures.incrementAndGet(); tries += 1; Thread.sleep(20L)
+            }
+          }
+          assert(done, s"writer $w could not commit after $tries retries")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every acknowledged append is present EXACTLY once, plus base
+    val ids = TableLog.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == ids.distinct.size, "duplicated rows — lost-update corruption")
+    assert(ids.toSet == (base.collect().map(_.getLong(0)).toSet ++
+      (for (w <- 0 until 3; i <- 0 until perWriter) yield 100L + w * 10 + i)))
+    // history is a gapless version chain with one commit per version
+    val hist = TableLog.history(spark, dir).collect().map(_.getInt(0)).toSeq
+    assert(hist == (0 to 9), s"expected versions 0..9, got $hist")
+  }
+
   test("guards: double init, missing table, unknown version, commit race") {
     val dir = freshDir()
     intercept[RuntimeException](TableLog.read(spark, dir)) // no table
