@@ -110,6 +110,11 @@ object Bench {
     val calBlocks = scala.collection.mutable.ListBuffer[(Int, Double)]()
     var queriesDone = 0
     val sampleCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // which probe governs each query — consumed below to emit
+    // NORMALIZED timings (VERDICT r14 task 4: the probes made drift
+    // visible; nothing consumed them, so every cross-box comparison
+    // still needed a manual A/B)
+    val blockOf = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink, not .count(): count() re-plans the query as an
       // empty-schema aggregate, letting Catalyst prune every computed
@@ -141,6 +146,7 @@ object Bench {
       if (queriesDone % Block == 0)
         calBlocks += ((queriesDone, math.min(calOnce(2000000L), calOnce(2000000L))))
       queriesDone += 1
+      blockOf(name) = calBlocks.size - 1
       try {
         once()
         val t1 = once(); val t2 = once()
@@ -181,10 +187,32 @@ object Bench {
       .mkString("[", ",", "]")
     val samples = sampleCounts
       .map { case (k, n) => s"\"$k\":$n" }.mkString("{", ",", "}")
+    // NORMALIZED per-query timings (VERDICT r14 task 4): each raw
+    // timing divided by its governing block's probe seconds — i.e.
+    // "how many pinned-probe units did this plan cost". The probe
+    // measures the box's instantaneous throughput on a fixed plan, so
+    // probe-relative numbers are comparable ACROSS boxes and across
+    // mid-run drift windows without a manual same-box A/B: a query
+    // whose raw time doubled but whose normalized value held steady
+    // sat in a drifted block (machine, not code). Raw stays the
+    // headline; consumers diff `queries_norm` when raw disagrees.
+    // `drifted_blocks` lists probe indices >1.3× the run's best probe
+    // — any query in one of those blocks has an UNRELIABLE raw number
+    // by the run's own evidence.
+    val minProbe = calBlocks.map(_._2).min
+    val norm = results.collect { case (k, Right(v)) =>
+      val probe = calBlocks(blockOf(k))._2
+      s"\"$k\":${math.round(v / probe * 1000) / 1000.0}"
+    }.mkString("{", ",", "}")
+    val drifted = calBlocks.zipWithIndex
+      .collect { case ((_, s), i) if s > 1.3 * minProbe => i }
+      .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
         s""""calibration":{"start_s":$calStart,"end_s":$calEnd},""" +
         s""""cal_blocks":$blocks,"samples":$samples,""" +
+        s""""queries_norm":$norm,"norm_unit":"probe_multiples",""" +
+        s""""drifted_blocks":$drifted,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // Also persist to files: the driver captures a bounded stdout tail
     // and round 4's artifact was truncated mid-object ("parsed": null);

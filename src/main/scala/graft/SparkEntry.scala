@@ -1127,6 +1127,78 @@ object SparkEntry {
       ()
     }
 
+  // Composite-key MERGE demo (VERDICT r14 task 5): the target keys on
+  // (o_orderkey, o_custkey) and the source deliberately ships HALF its
+  // rows with a shifted custkey — those match on the simple key but
+  // NOT on the composite, so a compiler that joined on o_orderkey
+  // alone would update rows the composite statement must insert
+  // (hash-fail by construction).
+  private[graft] val mergeSqlCompositeText =
+    """MERGE INTO orders_tlc AS t
+      |USING (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 8 = 4 THEN o_custkey + 5000000
+      |              ELSE o_custkey END AS o_custkey,
+      |         o_totalprice * 3 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |) AS s
+      |ON t.o_orderkey = s.o_orderkey AND t.o_custkey = s.o_custkey
+      |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      |WHEN NOT MATCHED THEN
+      |  INSERT (o_orderkey, o_custkey, o_totalprice)
+      |  VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)""".stripMargin
+  private def mergeSqlCompositeDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir(s, "mergesqlc", sfDir) { d =>
+      TableLog.init(s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 4 === 0), d)
+      graft.exec.MergeSql.execute(s, mergeSqlCompositeText, d)
+      ()
+    }
+
+  // WHEN NOT MATCHED BY SOURCE demo (VERDICT r14 task 7): the
+  // full-sync MERGE — rows still in the feed update, rows that LEFT
+  // the feed are deleted when the guard condition holds, everything
+  // else survives. The guard references TARGET columns only (the row
+  // has no source match by definition).
+  private[graft] val mergeSqlBySourceText =
+    """MERGE INTO orders_tlb AS t
+      |USING (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 8 = 0
+      |) AS s
+      |ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      |WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 2 = 0 THEN DELETE""".stripMargin
+  private def mergeSqlBySourceDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir(s, "mergesqlb", sfDir) { d =>
+      TableLog.init(s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 4 === 0), d)
+      graft.exec.MergeSql.execute(s, mergeSqlBySourceText, d)
+      ()
+    }
+
+  // Data-skipping demo (VERDICT r14 task 1): the orders payload as a
+  // 4-commit TableLog table whose files hold DISJOINT o_orderkey
+  // quarters (one file per commit, so the file↔range map is exact).
+  // A selective readWhere over it must prune to exactly the files
+  // whose zone maps overlap the predicate — q_tablelog_skipping pins
+  // the scanned-file count in its oracle, making the pruning itself
+  // hash-checked, not just spec-asserted.
+  private def tableLogSkipDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir(s, "tlskip", sfDir) { d =>
+      val o = s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val m = o.agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+      // lower sentinel -1: order keys start at 0 in the fixtures
+      val bounds = Seq(-1L, m / 4, m / 2, 3 * m / 4, m)
+      def slice(i: Int) = o.filter(col("o_orderkey") > bounds(i) &&
+        col("o_orderkey") <= bounds(i + 1)).coalesce(1)
+      TableLog.init(slice(0), d)
+      (1 to 3).foreach(i => TableLog.append(slice(i), d))
+    }
+
   // Streaming ingest-with-maintenance demo (VERDICT r13 task 7):
   // orders arrives as 4 equal-keyspace micro-batches (one file per
   // trigger, coalesce(1) so every append is exactly one data file);
@@ -1169,6 +1241,9 @@ object SparkEntry {
     nearDupIndexDir(spark, sfDir)
     tableLogDemoDir(spark, sfDir)
     mergeSqlDir(spark, sfDir)
+    mergeSqlCompositeDir(spark, sfDir)
+    mergeSqlBySourceDir(spark, sfDir)
+    tableLogSkipDir(spark, sfDir)
     tableCompactionDir(spark, sfDir)
     cellIndexDir(spark, sfDir)
   }
@@ -2889,6 +2964,28 @@ object SparkEntry {
         .select("version", "op", "rows_added", "n_rows", "sum_price")
         .orderBy("version")
     },
+    // §7.6 — TIME TRAVEL AS SQL TEXT (VERDICT r14 task 6): the same
+    // 4-version lifecycle read through `FOR VERSION AS OF n` in the
+    // dialect (TableLogSql), sharing q_table_history's oracle
+    // verbatim — the text surface must reproduce the API surface's
+    // states bit-for-bit.
+    "q_table_history_sql" -> withTablesSf { (s, sfDir) =>
+      val d = tableLogDemoDir(s, sfDir)
+      val hist = TableLog.history(s, d)
+        .select("version", "op", "rows_added")
+      val states = (0 to 3).map { v =>
+        graft.exec.TableLogSql.select(s,
+          s"""SELECT count(*) AS n_rows,
+             |  round(cast(sum(cast(o_totalprice AS decimal(18,6))) AS double), 5)
+             |    AS sum_price
+             |FROM orders_tl FOR VERSION AS OF $v""".stripMargin,
+          Map("orders_tl" -> d))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+      hist.join(states, Seq("version"))
+        .select("version", "op", "rows_added", "n_rows", "sum_price")
+        .orderBy("version")
+    },
     // §7.5 — streaming ingestion WITH a maintenance policy: one file
     // per micro-batch lands as an append commit and the table
     // auto-compacts (history-preserving) when live files exceed the
@@ -2917,6 +3014,47 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 5).as("o_totalprice"))
         .orderBy("o_orderkey")
+    },
+    // §7.6 — composite-key MERGE as TEXT: the ON clause is a
+    // two-column equality conjunction; rows matching on only ONE
+    // component are NOT MATCHED and insert (the oracle reconstructs
+    // exactly that routing, so a single-key join hash-fails).
+    "q_merge_sql_composite" -> withTablesSf { (s, sfDir) =>
+      TableLog.read(s, mergeSqlCompositeDir(s, sfDir))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 5).as("o_totalprice"))
+        .orderBy("o_orderkey", "o_custkey")
+    },
+    // §7.6 — WHEN NOT MATCHED BY SOURCE (full-sync MERGE, the
+    // Delta-spelled extension): matched rows take the doubled price,
+    // feed-departed rows with an even custkey are deleted, odd-custkey
+    // departures survive — the oracle reconstructs all three routes.
+    "q_merge_sql_bysource" -> withTablesSf { (s, sfDir) =>
+      TableLog.read(s, mergeSqlBySourceDir(s, sfDir))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 5).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    // §7.5 — DATA SKIPPING through the table format (VERDICT r14
+    // task 1): a selective predicate over a range-sliced TableLog
+    // table resolves its file list from commit-log zone maps alone.
+    // The oracle pins BOTH the content (count + price sum over the
+    // filtered orders) and the scanned-file count — 1 of 4 live
+    // files — so a regression that silently stops pruning (or,
+    // worse, prunes a qualifying file) hash-fails, the
+    // q_knn_ivf_indexed pruned-probe precedent applied to the
+    // durable table layer.
+    "q_tablelog_skipping" -> withTablesSf { (s, sfDir) =>
+      val d = tableLogSkipDir(s, sfDir)
+      val m = s.table("orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+      val pruned = TableLog.readWhere(s, d, s"o_orderkey <= ${m / 8}")
+      pruned.agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double"), 5).as("sum_price"))
+        .withColumn("n_files_scanned", lit(pruned.inputFiles.length))
+        .withColumn("n_files_live", lit(TableLog.liveFileCount(d)))
     },
     // §7.5 — row-level snapshot diff (applyChangeSet's inverse): two
     // snapshots in, (key, added/removed/changed) out. Digest-compare
@@ -3489,6 +3627,45 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  // time-travel read ≡ relational reconstruction of every version of
+  // the tableLogDemoDir lifecycle — shared verbatim by the API-surface
+  // query (q_table_history) and the SQL-text surface
+  // (q_table_history_sql), so the two must hash identically
+  private val tableHistoryOracleSql =
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |s0 AS (SELECT * FROM base WHERE o_orderkey % 4 = 0),
+      |s2 AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 8 = 4 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM base
+      |  WHERE (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0)
+      |     OR o_orderkey % 4 = 2),
+      |agg AS (
+      |  SELECT 0 AS version, 'init' AS op,
+      |    (SELECT count(*) FROM s0)::BIGINT AS rows_added,
+      |    count(*)::BIGINT AS n_rows,
+      |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+      |      AS sum_price
+      |  FROM s0
+      |  UNION ALL
+      |  SELECT 1, 'append',
+      |    (SELECT count(*) FROM base WHERE o_orderkey % 4 = 1)::BIGINT,
+      |    count(*)::BIGINT,
+      |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+      |  FROM base WHERE o_orderkey % 4 <= 1
+      |  UNION ALL
+      |  SELECT 2, 'merge',
+      |    (SELECT count(*) FROM s2)::BIGINT,
+      |    count(*)::BIGINT,
+      |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+      |  FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'compact', 0::BIGINT,
+      |    count(*)::BIGINT,
+      |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+      |  FROM s2)
+      |SELECT * FROM agg ORDER BY version""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_profile_lineitem" -> Oracles.profilePivot("lineitem", lineitemNumeric),
     "q_profile_lineitem_long" -> Oracles.profileLong("lineitem", lineitemNumeric),
@@ -3821,40 +3998,10 @@ object SparkEntry {
     // s0 = init (keys ≡ 0 mod 4), s1 = s0 ∪ append (≡ 1), s2 = merge
     // (delete ≡ 0 mod 8, double price ≡ 4 mod 8, insert ≡ 2 mod 4),
     // s3 = compaction (content-identical to s2, rows_added 0).
-    "q_table_history" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        |s0 AS (SELECT * FROM base WHERE o_orderkey % 4 = 0),
-        |s2 AS (SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 8 = 4 THEN o_totalprice * 2
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM base
-        |  WHERE (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0)
-        |     OR o_orderkey % 4 = 2),
-        |agg AS (
-        |  SELECT 0 AS version, 'init' AS op,
-        |    (SELECT count(*) FROM s0)::BIGINT AS rows_added,
-        |    count(*)::BIGINT AS n_rows,
-        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
-        |      AS sum_price
-        |  FROM s0
-        |  UNION ALL
-        |  SELECT 1, 'append',
-        |    (SELECT count(*) FROM base WHERE o_orderkey % 4 = 1)::BIGINT,
-        |    count(*)::BIGINT,
-        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
-        |  FROM base WHERE o_orderkey % 4 <= 1
-        |  UNION ALL
-        |  SELECT 2, 'merge',
-        |    (SELECT count(*) FROM s2)::BIGINT,
-        |    count(*)::BIGINT,
-        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
-        |  FROM s2
-        |  UNION ALL
-        |  SELECT 3, 'compact', 0::BIGINT,
-        |    count(*)::BIGINT,
-        |    round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
-        |  FROM s2)
-        |SELECT * FROM agg ORDER BY version""".stripMargin,
+    "q_table_history" -> tableHistoryOracleSql,
+    // the TEXT surface must reproduce the API surface's states
+    // exactly — same oracle, by construction (VERDICT r14 task 6)
+    "q_table_history_sql" -> tableHistoryOracleSql,
     // policy-determined op sequence (compact fires exactly when live
     // files would reach 3) + content preservation
     "q_table_compaction" ->
@@ -3895,6 +4042,50 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey,
         |  round(o_totalprice, 5) AS o_totalprice
         |FROM merged ORDER BY o_orderkey""".stripMargin,
+    // the composite-key merged state: matched rows (both key columns
+    // agree) take the tripled price; shifted-custkey rows keep their
+    // original target row AND add an inserted row
+    "q_merge_sql_composite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 5000000, o_totalprice * 3
+        |  FROM base WHERE o_orderkey % 8 = 4)
+        |SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 5) AS o_totalprice
+        |FROM merged ORDER BY o_orderkey, o_custkey""".stripMargin,
+    // full-sync routing: matched → doubled price; unmatched-by-source
+    // with even custkey → deleted; odd custkey → survives unchanged
+    "q_merge_sql_bysource" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 8 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 8 = 4 AND o_custkey % 2 <> 0)
+        |SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 5) AS o_totalprice
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
+    // content of the selective read over the range-sliced table,
+    // PLUS the pruning facts: the predicate (max/8) falls inside the
+    // first of four quarter-range files, so exactly 1 of 4 live
+    // files may be scanned — pinned as literals
+    "q_tablelog_skipping" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |    AS sum_price,
+        |  1 AS n_files_scanned, 4 AS n_files_live
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 8""".stripMargin,
     "q_profile_approx_check" -> lineitemNumeric.sorted.map { c =>
       s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n_rows,
          |  count(DISTINCT cast($c AS DOUBLE))::BIGINT AS n_distinct,

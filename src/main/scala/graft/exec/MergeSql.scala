@@ -17,17 +17,32 @@ import org.apache.spark.sql.functions._
   * {{{
   *   MERGE INTO <name> [AS] <t>
   *   USING ( <source query> ) [AS] <s>        -- or USING <table> [AS] <s>
-  *   ON <t>.<key> = <s>.<key>                 -- one equality, either order
+  *   ON <t>.<k1> = <s>.<k1> [AND <t>.<k2> = <s>.<k2> ...]
+  *                         -- equality conjunction (composite keys ok,
+  *                         -- either operand order per conjunct)
   *   [WHEN MATCHED AND <cond> THEN DELETE]
   *   [WHEN MATCHED THEN UPDATE SET c = <expr> [, ...]]   -- partial SET ok
-  *   [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+  *   [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+  *   [WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE]      -- extension
+  *   [WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = <expr>]  -- extension
   * }}}
   * at least one WHEN clause; when both DELETE and UPDATE are present
-  * the DELETE must be written first (ANSI first-match-wins is honored
-  * by refusing the order this compiler would silently reorder).
+  * (in either the MATCHED or the BY SOURCE family) the DELETE must be
+  * written first (first-match-wins is honored by refusing the order
+  * this compiler would silently reorder).
   *
-  * Semantics compiled (exactly ANSI for this shape):
-  *   - target rows matching no source row survive unchanged;
+  * `WHEN NOT MATCHED BY SOURCE` — target rows with NO source match —
+  * is a Delta/SQL-Server EXTENSION, not ANSI (Trino rejects it);
+  * supported here with the Delta spelling and semantics because it is
+  * the standard way to express "full-sync: delete/flag rows that left
+  * the feed" in one statement. `BY TARGET` is the optional explicit
+  * spelling of the plain NOT MATCHED insert clause.
+  *
+  * Semantics compiled (exactly ANSI for the ANSI subset):
+  *   - target rows matching no source row survive unchanged — unless
+  *     a BY SOURCE clause deletes or updates them (conditions here
+  *     may reference TARGET columns only; three-valued routing as
+  *     with MATCHED);
   *   - matched rows satisfying the DELETE condition drop;
   *   - remaining matched rows take the UPDATE SET projection —
   *     columns not SET keep their TARGET value (the partial-SET rule)
@@ -47,23 +62,32 @@ import org.apache.spark.sql.functions._
   * through [[TrinoDialect.translate]], so Trino spellings work inside
   * the clauses too.
   *
-  * Known scope limits, by design: single-equality ON (no composite
-  * keys), no `WHEN NOT MATCHED BY SOURCE` (a Delta extension, not
-  * ANSI), and an expression containing the exact token sequence
-  * `WHEN MATCHED` / `WHEN NOT MATCHED` at top parenthesis level
-  * cannot appear inside a clause (wrap it in parens).
+  * Known scope limits, by design: equality-only ON (no range/expr
+  * match conditions), and an expression containing the exact token
+  * sequence `WHEN MATCHED` / `WHEN NOT MATCHED` at top parenthesis
+  * level cannot appear inside a clause (wrap it in parens).
   */
 object MergeSql {
 
   final case class Assignment(column: String, expr: String)
 
+  /** `keys` = (target column, source column) per ON conjunct — one
+    * entry for a simple key, several for a composite business key
+    * (VERDICT r14 task 5). `targetKey`/`sourceKey` are the simple-key
+    * accessors kept for the single-equality shape.
+    */
   final case class Stmt(
       target: String, targetAlias: String,
       source: String, sourceIsSubquery: Boolean, sourceAlias: String,
-      targetKey: String, sourceKey: String,
+      keys: Seq[(String, String)],
       deleteCond: Option[Option[String]],
       updateSet: Option[Seq[Assignment]],
-      insert: Option[(Seq[String], Seq[String], Option[String])])
+      insert: Option[(Seq[String], Seq[String], Option[String])],
+      bySourceDelete: Option[Option[String]] = None,
+      bySourceUpdate: Option[Seq[Assignment]] = None) {
+    def targetKey: String = keys.head._1
+    def sourceKey: String = keys.head._2
+  }
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
 
@@ -155,9 +179,21 @@ object MergeSql {
     val whens = whenStarts(sql, mask, onAt)
     if (whens.isEmpty) fail("at least one WHEN clause is required")
     val onText = sql.substring(onAt + 2, whens.head).trim
+    // the ON clause is a CONJUNCTION of alias-qualified equalities —
+    // one conjunct for a simple key, several for a composite business
+    // key (the standard CDC shape). Split on top-level AND (literal
+    // masking + paren depth, so an AND inside a quoted string or a
+    // parenthesized fragment never splits).
+    val onMask = TrinoDialect.literalMask(onText)
+    val andAts = Iterator.iterate(topLevelKeyword(onText, onMask, "AND", 0))(
+      at => if (at < 0) -1 else topLevelKeyword(onText, onMask, "AND", at + 3))
+      .takeWhile(_ >= 0).toSeq
+    val conjuncts = (Seq(-3) ++ andAts :+ onText.length)
+      .sliding(2).map { case Seq(a, b) => onText.substring(a + 3, b).trim }
+      .toSeq
     val onRe = ("(?is)^(" + Ident + ")\\.(" + Ident + ")\\s*=\\s*(" +
       Ident + ")\\.(" + Ident + ")$").r
-    val (tKey, sKey) = onText match {
+    val keys: Seq[(String, String)] = conjuncts.map {
       case onRe(q1, c1, q2, c2) =>
         if (q1.equalsIgnoreCase(targetAlias) &&
           q2.equalsIgnoreCase(sourceAlias)) (c1, c2)
@@ -165,21 +201,40 @@ object MergeSql {
           q2.equalsIgnoreCase(targetAlias)) (c2, c1)
         else fail(s"ON must equate <$targetAlias>.<col> with " +
           s"<$sourceAlias>.<col>, got: $onText")
-      case _ => fail("ON must be a single alias-qualified equality " +
-        s"(composite keys are out of scope), got: $onText")
+      case bad => fail("each ON conjunct must be a single " +
+        "alias-qualified equality (AND-combined for composite keys), " +
+        s"got: $bad")
     }
+    if (keys.map(_._1.toLowerCase).distinct.size != keys.size)
+      fail(s"duplicate target column in composite ON: $onText")
     // clause spans
     val spans = whens.zipAll(whens.drop(1), -1, sql.length)
       .map { case (a, b) => sql.substring(a + 4, b).trim }
     var deleteCond: Option[Option[String]] = None
     var updateSet: Option[Seq[Assignment]] = None
     var insert: Option[(Seq[String], Seq[String], Option[String])] = None
+    var bySourceDelete: Option[Option[String]] = None
+    var bySourceUpdate: Option[Seq[Assignment]] = None
     var deleteSeen = -1; var updateSeen = -1
+    var bsDeleteSeen = -1; var bsUpdateSeen = -1
     val delCondRe = "(?is)^MATCHED\\s+AND\\s+(.*?)\\s+THEN\\s+DELETE$".r
     val delRe = "(?is)^MATCHED\\s+THEN\\s+DELETE$".r
     val updRe = "(?is)^MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.*)$".r
-    val insRe = ("(?is)^NOT\\s+MATCHED\\s*(?:AND\\s+(.*?)\\s*)?THEN\\s+" +
+    val insRe = ("(?is)^NOT\\s+MATCHED\\s*(?:BY\\s+TARGET\\s*)?" +
+      "(?:AND\\s+(.*?)\\s*)?THEN\\s+" +
       "INSERT\\s*\\((.*?)\\)\\s*VALUES\\s*\\((.*)\\)$").r
+    val bsDelCondRe = ("(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+AND\\s+" +
+      "(.*?)\\s+THEN\\s+DELETE$").r
+    val bsDelRe = "(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+DELETE$".r
+    val bsUpdRe = ("(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+" +
+      "UPDATE\\s+SET\\s+(.*)$").r
+    def parseSets(sets: String): Seq[Assignment] = {
+      val assignRe = ("(?s)^\\s*(" + Ident + ")\\s*=\\s*(.*?)\\s*$").r
+      TrinoDialect.splitTopLevel(sets).map {
+        case assignRe(c, e) => Assignment(c, e)
+        case bad => fail(s"cannot parse SET assignment: $bad")
+      }
+    }
     spans.zipWithIndex.foreach { case (span, ix) =>
       span match {
         case delCondRe(c) =>
@@ -190,12 +245,20 @@ object MergeSql {
           deleteCond = Some(None); deleteSeen = ix
         case updRe(sets) =>
           if (updateSet.isDefined) fail("duplicate UPDATE clause")
-          val assignRe = ("(?s)^\\s*(" + Ident + ")\\s*=\\s*(.*?)\\s*$").r
-          updateSet = Some(TrinoDialect.splitTopLevel(sets).map {
-            case assignRe(c, e) => Assignment(c, e)
-            case bad => fail(s"cannot parse SET assignment: $bad")
-          })
+          updateSet = Some(parseSets(sets))
           updateSeen = ix
+        // BY SOURCE family before the INSERT pattern: both start with
+        // NOT MATCHED
+        case bsDelCondRe(c) =>
+          if (bySourceDelete.isDefined) fail("duplicate BY SOURCE DELETE clause")
+          bySourceDelete = Some(Some(c)); bsDeleteSeen = ix
+        case bsDelRe() =>
+          if (bySourceDelete.isDefined) fail("duplicate BY SOURCE DELETE clause")
+          bySourceDelete = Some(None); bsDeleteSeen = ix
+        case bsUpdRe(sets) =>
+          if (bySourceUpdate.isDefined) fail("duplicate BY SOURCE UPDATE clause")
+          bySourceUpdate = Some(parseSets(sets))
+          bsUpdateSeen = ix
         case insRe(c, cols, vals) =>
           if (insert.isDefined) fail("duplicate INSERT clause")
           insert = Some((
@@ -210,12 +273,18 @@ object MergeSql {
     if (deleteSeen >= 0 && updateSeen >= 0 && updateSeen < deleteSeen)
       fail("write the DELETE clause before UPDATE — ANSI first-match-" +
         "wins would route delete-condition rows into the UPDATE")
+    if (bySourceDelete.contains(None) && bySourceUpdate.isDefined)
+      fail("BY SOURCE UPDATE is unreachable after an unconditional " +
+        "BY SOURCE DELETE")
+    if (bsDeleteSeen >= 0 && bsUpdateSeen >= 0 && bsUpdateSeen < bsDeleteSeen)
+      fail("write the BY SOURCE DELETE clause before BY SOURCE UPDATE — " +
+        "first-match-wins would route delete-condition rows into the UPDATE")
     insert.foreach { case (cols, vals, _) =>
       if (cols.size != vals.size)
         fail(s"INSERT lists ${cols.size} columns but ${vals.size} values")
     }
-    Stmt(target, targetAlias, source, isSub, sourceAlias, tKey, sKey,
-      deleteCond, updateSet, insert)
+    Stmt(target, targetAlias, source, isSub, sourceAlias, keys,
+      deleteCond, updateSet, insert, bySourceDelete, bySourceUpdate)
   }
 
   /** Compile a parsed MERGE against the current snapshot `base`,
@@ -231,26 +300,50 @@ object MergeSql {
     // keys that MATCH the target (semi-join first — ADVICE r14: a
     // duplicated source key that matches no target row is legal and
     // fires WHEN NOT MATCHED once per row). One group-limit probe,
-    // driver-bounded.
+    // driver-bounded; the composite shape groups on every key column.
     val dup = src
-      .join(base, src(stmt.sourceKey) === base(stmt.targetKey), "left_semi")
-      .groupBy(col(stmt.sourceKey))
+      .join(base, stmt.keys.map { case (tk, sk) => src(sk) === base(tk) }
+        .reduce(_ && _), "left_semi")
+      .groupBy(stmt.keys.map { case (_, sk) => col(sk) }: _*)
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .limit(1).collect()
     if (dup.nonEmpty)
-      fail(s"source key ${stmt.sourceKey} value ${dup.head.get(0)} " +
+      fail(s"source key (${stmt.keys.map(_._2).mkString(", ")}) value " +
+        s"(${(0 until stmt.keys.size).map(dup.head.get).mkString(", ")}) " +
         "matches one target row through multiple source rows (ANSI " +
         "MERGE forbids duplicate matches) — deduplicate the source query")
     val t = base.as(stmt.targetAlias)
     val sl = src.as(stmt.sourceAlias)
-    val keyEq = col(s"${stmt.targetAlias}.${stmt.targetKey}") ===
-      col(s"${stmt.sourceAlias}.${stmt.sourceKey}")
+    val keyEq = stmt.keys.map { case (tk, sk) =>
+      col(s"${stmt.targetAlias}.$tk") === col(s"${stmt.sourceAlias}.$sk")
+    }.reduce(_ && _)
     val targetCols = base.columns.toSeq
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     def shaped(c: String, e: Column): Column = e.cast(types(c)).as(c)
     def frag(text: String): Column = expr(TrinoDialect.translate(text))
-    val survivors = t.join(sl, keyEq, "left_anti")
-      .select(targetCols.map(col): _*)
+    def applySets(rows: DataFrame, assigns: Seq[Assignment]): DataFrame = {
+      val unknown = assigns.map(_.column).filterNot(targetCols.contains)
+      if (unknown.nonEmpty)
+        fail(s"SET assigns unknown column(s): ${unknown.mkString(", ")}")
+      val setMap = assigns.map(a => a.column -> frag(a.expr)).toMap
+      rows.select(targetCols.map(c => shaped(c,
+        setMap.getOrElse(c, col(s"${stmt.targetAlias}.$c")))): _*)
+    }
+    // target rows with no source match: unchanged under ANSI; the BY
+    // SOURCE extension routes them through its own DELETE/UPDATE pair
+    // (same three-valued condition rule as MATCHED)
+    val survivorsRaw = t.join(sl, keyEq, "left_anti")
+    val survivorsKept = stmt.bySourceDelete match {
+      case Some(Some(cond)) =>
+        survivorsRaw.where(!coalesce(frag(cond), lit(false)))
+      case Some(None) => survivorsRaw.where(lit(false))
+      case None => survivorsRaw
+    }
+    val survivors = stmt.bySourceUpdate match {
+      case Some(assigns) => applySets(survivorsKept, assigns)
+      case None => survivorsKept.select(targetCols
+        .map(c => col(s"${stmt.targetAlias}.$c").as(c)): _*)
+    }
     val matched = t.join(sl, keyEq, "inner")
     val matchedKept = stmt.deleteCond match {
       // NULL delete-condition = not satisfied = the row falls through
@@ -262,13 +355,7 @@ object MergeSql {
       case None => matched
     }
     val matchedOut = stmt.updateSet match {
-      case Some(assigns) =>
-        val unknown = assigns.map(_.column).filterNot(targetCols.contains)
-        if (unknown.nonEmpty)
-          fail(s"SET assigns unknown column(s): ${unknown.mkString(", ")}")
-        val setMap = assigns.map(a => a.column -> frag(a.expr)).toMap
-        matchedKept.select(targetCols.map(c => shaped(c,
-          setMap.getOrElse(c, col(s"${stmt.targetAlias}.$c")))): _*)
+      case Some(assigns) => applySets(matchedKept, assigns)
       case None =>
         matchedKept.select(targetCols
           .map(c => col(s"${stmt.targetAlias}.$c").as(c)): _*)

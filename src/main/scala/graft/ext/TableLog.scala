@@ -212,6 +212,32 @@ object TableLog {
     commits(dir).lastOption.map(_.version)
       .getOrElse(sys.error(s"no table at $dir"))
 
+  /** The version visible at wall-clock instant `tsMillis`: the
+    * LATEST committed version whose record existed then, read from
+    * the log files' own modification times (the Delta/Iceberg
+    * commit-timestamp rule — no extra metadata to maintain, commits
+    * are immutable so mtime = publish time). Errors if the instant
+    * predates the first commit.
+    */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val log = logDir(dir)
+    val fs = fsOf(log)
+    val committed = commits(dir).map(_.version).toSet
+    require(committed.nonEmpty, s"no table at $dir")
+    val at = fs.listStatus(log).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".json")
+      }
+      .map(st => (st.getPath.getName.stripPrefix("v")
+        .stripSuffix(".json").toInt, st.getModificationTime))
+      .filter { case (v, mt) => committed(v) && mt <= tsMillis }
+      .map(_._1).sorted
+    require(at.nonEmpty,
+      s"no version existed at timestamp $tsMillis (table $dir)")
+    at.last
+  }
+
   /** The live data files at `asOf` (default: latest), each with the
     * per-file stats its creating commit recorded (None for files from
     * pre-stats commits — those are simply never pruned).

@@ -374,6 +374,181 @@ class TrinoParitySpec extends AnyFunSuite {
     assert(b.insert.get._3.isEmpty)
   }
 
+  test("merge sql: composite ON keys parse, compile, and enforce the duplicate-match rule (r14 task 5)") {
+    import spark.implicits._
+    import graft.exec.MergeSql
+    // parse: AND-conjunction of equalities, mixed operand order
+    val s = MergeSql.parse(
+      "MERGE INTO tgt AS t USING src AS s " +
+        "ON t.k1 = s.a AND s.b = t.k2 " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(s.keys == Seq(("k1", "a"), ("k2", "b")))
+    // compile: the same row key only matches when BOTH columns agree
+    val base = Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+      .toDF("k1", "k2", "v")
+    Seq((1L, "x", 11.0), (9L, "z", 99.0))
+      .toDF("a", "b", "v").createOrReplaceTempView("merge_comp_src")
+    val stmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_comp_src) AS s
+        |ON t.k1 = s.a AND t.k2 = s.b
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k1, k2, v) VALUES (s.a, s.b, s.v)""".stripMargin)
+    val out = MergeSql.compile(spark, stmt, base)
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "x", 11.0), (1L, "y", 20.0), (2L, "x", 30.0),
+      (9L, "z", 99.0)))
+    // duplicate-match on the FULL composite key errors; a pair that
+    // collides on only one component is two distinct keys and legal
+    Seq((1L, "x", 1.0), (1L, "x", 2.0), (1L, "y", 3.0))
+      .toDF("a", "b", "v").createOrReplaceTempView("merge_comp_dup")
+    val dupStmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_comp_dup) AS s
+        |ON t.k1 = s.a AND t.k2 = s.b
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      MergeSql.compile(spark, dupStmt, base))
+    assert(e.getMessage.contains("duplicate matches"))
+    Seq((1L, "x", 1.0), (1L, "y", 3.0))
+      .toDF("a", "b", "v").createOrReplaceTempView("merge_comp_ok")
+    val okStmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_comp_ok) AS s
+        |ON t.k1 = s.a AND t.k2 = s.b
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(MergeSql.compile(spark, okStmt, base).count() == 3)
+  }
+
+  test("merge sql: duplicate UNMATCHED source keys are legal and insert once each (ADVICE r14)") {
+    import spark.implicits._
+    import graft.exec.MergeSql
+    val base = Seq((1L, 10.0)).toDF("id", "v")
+    // id 7 duplicated in the source but matches NO target row: ANSI
+    // routes both rows through WHEN NOT MATCHED — two inserts, no error
+    Seq((7L, 70.0), (7L, 71.0)).toDF("id", "v")
+      .createOrReplaceTempView("merge_dup_unmatched")
+    val stmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_dup_unmatched) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val out = MergeSql.compile(spark, stmt, base)
+      .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 10.0), (7L, 70.0), (7L, 71.0)))
+    // but the same duplicate MATCHING a target row still errors
+    val base2 = Seq((1L, 10.0), (7L, 0.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      MergeSql.compile(spark, stmt, base2))
+    assert(e.getMessage.contains("duplicate matches"))
+  }
+
+  test("time-travel sql: FOR VERSION AS OF / FOR TIMESTAMP AS OF route to snapshots (r14 task 6)") {
+    import spark.implicits._
+    import graft.exec.TableLogSql
+    import graft.ext.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttsql").toString
+    TableLog.init(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("id", "v"), dir)
+    Thread.sleep(60L) // separate commit mtimes for the timestamp rule
+    val betweenTs = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(60L)
+    TableLog.append(Seq((5L, 50.0)).toDF("id", "v"), dir)
+    val t = Map("tbl" -> dir)
+    // exact version
+    assert(TableLogSql.select(spark,
+      "SELECT count(*) AS n FROM tbl FOR VERSION AS OF 0", t)
+      .head.getLong(0) == 4L)
+    // bare name = current snapshot; composes with a versioned self-join
+    assert(TableLogSql.select(spark, "SELECT count(*) AS n FROM tbl", t)
+      .head.getLong(0) == 5L)
+    assert(TableLogSql.select(spark,
+      """SELECT count(*) AS n FROM tbl a
+        |LEFT JOIN tbl FOR VERSION AS OF 0 b ON a.id = b.id
+        |WHERE b.id IS NULL""".stripMargin, t)
+      .head.getLong(0) == 1L, "current-vs-v0 anti rows must be the append")
+    // timestamp between the two commits resolves to version 0
+    assert(TableLogSql.select(spark,
+      s"SELECT count(*) AS n FROM tbl FOR TIMESTAMP AS OF '$betweenTs'", t)
+      .head.getLong(0) == 4L)
+    // a clause inside a string literal is data, not syntax
+    assert(TableLogSql.select(spark,
+      "SELECT 'FOR VERSION AS OF 7' AS s FROM tbl FOR VERSION AS OF 0", t)
+      .count() == 4L)
+    // loud errors: unknown table, never-committed version, pre-history
+    // timestamp, garbage timestamp
+    assert(intercept[RuntimeException](TableLogSql.select(spark,
+      "SELECT * FROM nope FOR VERSION AS OF 0", t))
+      .getMessage.contains("not a known TableLog table"))
+    assert(intercept[Exception](TableLogSql.select(spark,
+      "SELECT * FROM tbl FOR VERSION AS OF 9", t))
+      .getMessage.contains("does not exist"))
+    assert(intercept[RuntimeException](TableLogSql.select(spark,
+      "SELECT * FROM tbl FOR TIMESTAMP AS OF '1999-01-01 00:00:00'", t))
+      .getMessage.contains("no version existed"))
+    assert(intercept[RuntimeException](TableLogSql.select(spark,
+      "SELECT * FROM tbl FOR TIMESTAMP AS OF 'yesterday-ish'", t))
+      .getMessage.contains("cannot parse timestamp"))
+    // a timestamp AFTER the last commit sees the current version
+    val afterTs = new java.sql.Timestamp(System.currentTimeMillis() + 1000L)
+    assert(TableLogSql.select(spark,
+      s"SELECT count(*) AS n FROM tbl FOR TIMESTAMP AS OF '$afterTs'", t)
+      .head.getLong(0) == 5L)
+  }
+
+  test("merge sql: WHEN NOT MATCHED BY SOURCE routes feed-departed target rows (r14 task 7)") {
+    import spark.implicits._
+    import graft.exec.MergeSql
+    // parse: BY SOURCE delete with guard + BY TARGET insert spelling
+    val s = MergeSql.parse(
+      "MERGE INTO tgt AS t USING src AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED BY TARGET THEN INSERT (id, v) VALUES (s.id, s.v) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE")
+    assert(s.bySourceDelete == Some(Some("t.v < 0")) && s.insert.isDefined)
+    // compile: matched updates, departed-with-guard deletes, departed
+    // rows failing the guard (incl. a NULL guard value) survive
+    val base = Seq((1L, 10.0, "a"), (2L, -2.0, "b"), (3L, 3.0, "c"))
+      .toDF("id", "v", "tag")
+    Seq((1L, 11.0)).toDF("id", "v").createOrReplaceTempView("merge_bs_src")
+    val stmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_bs_src) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE""".stripMargin)
+    val out = MergeSql.compile(spark, stmt, base)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 11.0), (3L, 3.0)))
+    // BY SOURCE UPDATE: flag departures instead of deleting them
+    val upStmt = MergeSql.parse(
+      """MERGE INTO tbl AS t
+        |USING (SELECT * FROM merge_bs_src) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'""".stripMargin)
+    val flagged = MergeSql.compile(spark, upStmt, base)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(flagged.toSeq == Seq((1L, 11.0, "a"), (2L, -2.0, "stale"),
+      (3L, 3.0, "stale")))
+    // order/reachability rules mirror the MATCHED family
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](MergeSql.parse(sql))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 1",
+      "unreachable")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 1 " +
+      "WHEN NOT MATCHED BY SOURCE AND a.v < 0 THEN DELETE",
+      "before BY SOURCE UPDATE")
+  }
+
   test("merge sql: out-of-scope shapes fail loudly, not silently") {
     import graft.exec.MergeSql
     def rejects(sql: String, needle: String): Unit = {
@@ -383,8 +558,12 @@ class TrinoParitySpec extends AnyFunSuite {
     }
     rejects("UPDATE t SET x = 1", "MERGE INTO")
     rejects("MERGE INTO t USING s ON t.k = s.k", "WHEN clause")
-    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k AND a.j = b.j " +
-      "WHEN MATCHED THEN DELETE", "single alias-qualified equality")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k < b.k " +
+      "WHEN MATCHED THEN DELETE", "alias-qualified equality")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k OR a.j = b.j " +
+      "WHEN MATCHED THEN DELETE", "alias-qualified equality")
+    rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k AND a.k = b.j " +
+      "WHEN MATCHED THEN DELETE", "duplicate target column")
     rejects("MERGE INTO t AS a USING s AS b ON a.k = b.k " +
       "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET v = b.v",
       "unreachable")
