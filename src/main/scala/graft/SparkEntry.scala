@@ -1199,6 +1199,21 @@ object SparkEntry {
       (1 to 3).foreach(i => TableLog.append(slice(i), d))
     }
 
+  // Schema-evolution demo (VERDICT r14 task 7): version 0 carries
+  // two columns; version 1 appends a THIRD (o_flag) under the
+  // explicit mergeSchema flag. The merged read must surface the old
+  // files' missing column as NULL and the new file's values exactly —
+  // both pinned relationally by the oracle.
+  private def tableLogEvolveDir(s: SparkSession, sfDir: String): String =
+    cachedIndexDir(s, "tlevolve", sfDir) { d =>
+      val o = s.table("orders").select("o_orderkey", "o_totalprice")
+      TableLog.init(o.filter(col("o_orderkey") % 4 === 0).coalesce(1), d)
+      TableLog.append(o.filter(col("o_orderkey") % 4 === 1)
+        .withColumn("o_flag", (col("o_orderkey") % 7).cast("long"))
+        .coalesce(1), d, mergeSchema = true)
+      ()
+    }
+
   // Streaming ingest-with-maintenance demo (VERDICT r13 task 7):
   // orders arrives as 4 equal-keyspace micro-batches (one file per
   // trigger, coalesce(1) so every append is exactly one data file);
@@ -1244,6 +1259,7 @@ object SparkEntry {
     mergeSqlCompositeDir(spark, sfDir)
     mergeSqlBySourceDir(spark, sfDir)
     tableLogSkipDir(spark, sfDir)
+    tableLogEvolveDir(spark, sfDir)
     tableCompactionDir(spark, sfDir)
     cellIndexDir(spark, sfDir)
   }
@@ -3035,6 +3051,18 @@ object SparkEntry {
           round(col("o_totalprice"), 5).as("o_totalprice"))
         .orderBy("o_orderkey")
     },
+    // §7.5 — SCHEMA EVOLUTION through the table format: an evolved
+    // table's merged read — old files' young column as NULL, new
+    // file's values exact, row set untouched — aggregated into facts
+    // the oracle reconstructs from orders.
+    "q_tablelog_evolve" -> withTablesSf { (s, sfDir) =>
+      TableLog.read(s, tableLogEvolveDir(s, sfDir)).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double"), 5).as("sum_price"),
+        count(col("o_flag")).as("n_flagged"),
+        sum(col("o_flag")).as("sum_flag"))
+    },
     // §7.5 — DATA SKIPPING through the table format (VERDICT r14
     // task 1): a selective predicate over a range-sliced TableLog
     // table resolves its file list from commit-log zone maps alone.
@@ -4075,6 +4103,17 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey,
         |  round(o_totalprice, 5) AS o_totalprice
         |FROM merged ORDER BY o_orderkey""".stripMargin,
+    // evolved-table read: the young column is NULL exactly on the
+    // pre-evolution rows, valued exactly on the appended slice
+    "q_tablelog_evolve" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 5)
+        |    AS sum_price,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 1)::BIGINT
+        |    AS n_flagged,
+        |  (SELECT sum(o_orderkey % 7) FROM orders
+        |   WHERE o_orderkey % 4 = 1)::BIGINT AS sum_flag
+        |FROM orders WHERE o_orderkey % 4 <= 1""".stripMargin,
     // content of the selective read over the range-sliced table,
     // PLUS the pruning facts: the predicate (max/8) falls inside the
     // first of four quarter-range files, so exactly 1 of 4 live

@@ -67,9 +67,17 @@ import org.apache.spark.sql.functions._
   */
 object TableLog {
 
+  /** `columns` = the exact column names of the files this commit
+    * added (empty for pre-r15 records and file-less commits like
+    * vacuum) — the schema-evolution bookkeeping: the read path
+    * compares live commits' column lists from LOG METADATA alone and
+    * only pays parquet's read-every-footer `mergeSchema` when they
+    * actually diverge.
+    */
   final case class Commit(version: Int, op: String, add: Seq[String],
       remove: Seq[String], rowsAdded: Long,
-      stats: Map[String, TableStats.FileStats] = Map.empty)
+      stats: Map[String, TableStats.FileStats] = Map.empty,
+      columns: Seq[String] = Seq.empty)
 
   private def logDir(dir: String) = new Path(dir, "_log")
   private def dataDir(dir: String) = new Path(dir, "data")
@@ -100,6 +108,9 @@ object TableLog {
     val add = o.putArray("add"); c.add.foreach(add.add)
     val rem = o.putArray("remove"); c.remove.foreach(rem.add)
     o.put("rows_added", c.rowsAdded)
+    if (c.columns.nonEmpty) {
+      val cols = o.putArray("columns"); c.columns.foreach(cols.add)
+    }
     if (c.stats.nonEmpty) {
       val st = o.putObject("stats")
       c.add.foreach { f => // add-order: files the commit created
@@ -165,7 +176,7 @@ object TableLog {
       }
     Commit(root.get("version").asInt(), root.get("op").asText(),
       strSeq("add"), strSeq("remove"), root.get("rows_added").asLong(),
-      stats)
+      stats, if (root.has("columns")) strSeq("columns") else Seq.empty)
   }
 
   private def readString(fs: FileSystem, p: Path): String = {
@@ -239,28 +250,75 @@ object TableLog {
   }
 
   /** The live data files at `asOf` (default: latest), each with the
-    * per-file stats its creating commit recorded (None for files from
-    * pre-stats commits — those are simply never pruned).
+    * per-file stats and column list its creating commit recorded
+    * (None for files from pre-r15 commits — those are never pruned
+    * and their schema is treated as unknown-but-uniform).
     */
-  private def liveWithStats(dir: String, asOf: Option[Int])
-      : Seq[(String, Option[TableStats.FileStats])] = {
+  private def liveEntries(dir: String, asOf: Option[Int])
+      : Seq[(String, Option[TableStats.FileStats], Option[Seq[String]])] = {
     val cs = commits(dir)
     require(cs.nonEmpty, s"no table at $dir")
     val upTo = asOf.map(v => cs.filter(_.version <= v)).getOrElse(cs)
     require(asOf.forall(v => cs.exists(_.version == v)),
       s"version ${asOf.get} does not exist (have 0..${cs.last.version})")
-    val live = scala.collection.mutable
-      .LinkedHashMap[String, Option[TableStats.FileStats]]()
+    val live = scala.collection.mutable.LinkedHashMap[String,
+      (Option[TableStats.FileStats], Option[Seq[String]])]()
     upTo.foreach { c =>
-      c.add.foreach(f => live(f) = c.stats.get(f))
+      val cols = if (c.columns.nonEmpty) Some(c.columns) else None
+      c.add.foreach(f => live(f) = (c.stats.get(f), cols))
       c.remove.foreach(live.remove)
     }
-    live.toSeq
+    live.toSeq.map { case (n, (st, cols)) => (n, st, cols) }
   }
 
   /** The live data files at `asOf` (default: latest). */
   private def liveFiles(dir: String, asOf: Option[Int]): Seq[String] =
-    liveWithStats(dir, asOf).map(_._1)
+    liveEntries(dir, asOf).map(_._1)
+
+  /** Do the live files at `asOf` carry MORE than one distinct column
+    * list? Decided from log metadata alone; unknown (pre-r15) lists
+    * count as "whatever the known list is" — pre-r15 tables never
+    * evolved, so plain single-footer schema resolution stays correct
+    * and cheap for them.
+    */
+  private def needsMergeSchema(
+      entries: Seq[(String, Option[TableStats.FileStats], Option[Seq[String]])])
+      : Boolean = {
+    val known = entries.flatMap(_._3).map(_.map(_.toLowerCase).toSet).distinct
+    val hasUnknown = entries.exists(_._3.isEmpty)
+    // >1 known lists = evolved; 1 known + unknowns = a pre-r15 table
+    // continued by post-r15 appends, where the old files' schema is
+    // unrecorded — pay the merge to stay correct. All-unknown =
+    // a pure pre-r15 table, which never evolved: plain read.
+    known.size > 1 || (known.size == 1 && hasUnknown)
+  }
+
+  /** One file per distinct recorded column list (plus the first
+    * unrecorded-schema file, if any) — enough footers to resolve the
+    * table's full merged schema without touching every file.
+    */
+  private def schemaRepresentatives(
+      entries: Seq[(String, Option[TableStats.FileStats], Option[Seq[String]])])
+      : Seq[String] = {
+    val picks = scala.collection.mutable.LinkedHashMap[Set[String], String]()
+    var unknown: Option[String] = None
+    entries.foreach { case (n, _, cols) =>
+      cols match {
+        case Some(l) =>
+          val k = l.map(_.toLowerCase).toSet
+          if (!picks.contains(k)) picks(k) = n
+        case None => if (unknown.isEmpty) unknown = Some(n)
+      }
+    }
+    picks.values.toSeq ++ unknown.toSeq
+  }
+
+  private def readFiles(spark: SparkSession, dir: String,
+      names: Seq[String], merge: Boolean): DataFrame = {
+    val r = if (merge) spark.read.option("mergeSchema", "true")
+    else spark.read
+    r.parquet(names.map(n => new Path(dataDir(dir), n).toString): _*)
+  }
 
   /** Write `df` as immutable files named
     * `v{version}-{i}-{writerToken}.parquet` under data/, via a
@@ -336,14 +394,48 @@ object TableLog {
   def init(df: DataFrame, dir: String): Int = {
     require(commits(dir).isEmpty, s"table already exists at $dir")
     val (names, rows, stats) = writeData(df, dir, 0)
-    publish(dir, Commit(0, "init", names, Seq.empty, rows, stats))
+    publish(dir, Commit(0, "init", names, Seq.empty, rows, stats,
+      df.columns.toSeq))
   }
 
-  /** Append-only commit: new files only, nothing removed. */
-  def append(df: DataFrame, dir: String): Int = {
+  /** The table's logical column set: the union, in first-appearance
+    * order, of the live commits' recorded column lists — log metadata
+    * only. Empty for a table written entirely by pre-r15 code.
+    */
+  def tableColumns(dir: String, asOf: Option[Int] = None): Seq[String] = {
+    val lists = liveEntries(dir, asOf).flatMap(_._3)
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    lists.foreach(seen ++= _)
+    seen.toSeq
+  }
+
+  /** Append-only commit: new files only, nothing removed.
+    *
+    * SCHEMA EVOLUTION (explicit, Delta's posture): by default the
+    * batch must carry exactly the table's columns — a drifted
+    * producer fails loudly instead of silently forking the schema.
+    * With `mergeSchema = true`, added columns widen the table (old
+    * files read them as NULL) and omitted columns are allowed (the
+    * new files read them as NULL); the read path notices the
+    * divergence from LOG METADATA and only then pays parquet's
+    * merge-all-footers schema resolution. Same-name type conflicts
+    * surface at read time from parquet's merge, not silently.
+    */
+  def append(df: DataFrame, dir: String,
+      mergeSchema: Boolean = false): Int = {
     val v = currentVersion(dir) + 1
+    val known = tableColumns(dir, None)
+    if (!mergeSchema && known.nonEmpty) {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val want = known.map(_.toLowerCase).toSet
+      require(have == want,
+        s"append schema ${df.columns.mkString("(", ",", ")")} does not " +
+          s"match table columns ${known.mkString("(", ",", ")")} — pass " +
+          "mergeSchema = true to evolve the schema explicitly")
+    }
     val (names, rows, stats) = writeData(df, dir, v)
-    publish(dir, Commit(v, "append", names, Seq.empty, rows, stats))
+    publish(dir, Commit(v, "append", names, Seq.empty, rows, stats,
+      df.columns.toSeq))
   }
 
   /** Copy-on-write MERGE: applies `changes` (payload ∪ {op}) with
@@ -364,7 +456,8 @@ object TableLog {
   def commitSnapshot(next: DataFrame, dir: String, op: String): Int = {
     val v = currentVersion(dir) + 1
     val (names, rows, stats) = writeData(next, dir, v)
-    publish(dir, Commit(v, op, names, liveFiles(dir, None), rows, stats))
+    publish(dir, Commit(v, op, names, liveFiles(dir, None), rows, stats,
+      next.columns.toSeq))
   }
 
   /** History-preserving compaction: rewrites the live set into
@@ -374,16 +467,26 @@ object TableLog {
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Int = {
     val v = currentVersion(dir) + 1
     val old = liveFiles(dir, None)
-    val (names, _, stats) = writeData(read(spark, dir).repartition(targetFiles),
-      dir, v)
-    publish(dir, Commit(v, "compact", names, old, 0L, stats))
+    // on an evolved table the rewrite reads merged and lands ONE
+    // uniform column list — compaction doubles as schema
+    // normalization, after which reads are single-footer cheap again
+    val next = read(spark, dir).repartition(targetFiles)
+    val (names, _, stats) = writeData(next, dir, v)
+    publish(dir, Commit(v, "compact", names, old, 0L, stats,
+      next.columns.toSeq))
   }
 
-  /** Time-travel read: the table as of `asOf` (default latest). */
+  /** Time-travel read: the table as of `asOf` (default latest).
+    * Schema-evolved tables (live files with diverging recorded
+    * column lists) read with parquet's mergeSchema — absent columns
+    * surface as NULL; uniform tables keep the cheap single-footer
+    * resolution, decided from log metadata alone.
+    */
   def read(spark: SparkSession, dir: String,
-      asOf: Option[Int] = None): DataFrame =
-    spark.read.parquet(liveFiles(dir, asOf)
-      .map(n => new Path(dataDir(dir), n).toString): _*)
+      asOf: Option[Int] = None): DataFrame = {
+    val entries = liveEntries(dir, asOf)
+    readFiles(spark, dir, entries.map(_._1), needsMergeSchema(entries))
+  }
 
   /** DATA-SKIPPING read (VERDICT r14 task 1): semantically identical
     * to `read(...).where(filter)`, but the live FILE LIST is pruned
@@ -409,18 +512,37 @@ object TableLog {
   def readWhere(spark: SparkSession, dir: String, filter: String,
       asOf: Option[Int] = None): DataFrame = {
     val pred = spark.sessionState.sqlParser.parseExpression(filter)
-    val live = liveWithStats(dir, asOf)
+    val live = liveEntries(dir, asOf)
+    val merge = needsMergeSchema(live)
+    // on an evolved table, a column younger than a file has NO stats
+    // in that file and mayMatch keeps it — pruning and evolution
+    // compose without special cases. The result schema must be the
+    // FULL table schema even when pruning drops every file carrying
+    // some column, so the evolved path aligns against the schema of
+    // one representative file per distinct column list.
+    def fullSchema = readFiles(spark, dir, schemaRepresentatives(live),
+      merge = true).schema
     val kept = live.collect {
-      case (n, st) if st.forall(TableStats.mayMatch(pred, _)) => n
+      case (n, st, _) if st.forall(TableStats.mayMatch(pred, _)) => n
     }
     val col = org.apache.spark.sql.functions.expr(filter)
-    if (kept.nonEmpty)
-      spark.read.parquet(kept
-        .map(n => new Path(dataDir(dir), n).toString): _*).where(col)
-    else live.headOption match {
-      case Some((n, _)) => // schema from one footer, zero data scan
-        val schema = spark.read
-          .parquet(new Path(dataDir(dir), n).toString).schema
+    if (kept.nonEmpty) {
+      val base = readFiles(spark, dir, kept, merge)
+      val aligned =
+        if (!merge) base
+        else {
+          val have = base.columns.map(_.toLowerCase).toSet
+          base.select(fullSchema.map(f =>
+            if (have(f.name.toLowerCase)) org.apache.spark.sql.functions.col(f.name)
+            else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+              .as(f.name)): _*)
+        }
+      aligned.where(col)
+    } else live.headOption match {
+      case Some((n, _, _)) => // schema from footers only, zero data scan
+        val schema =
+          if (merge) fullSchema
+          else spark.read.parquet(new Path(dataDir(dir), n).toString).schema
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case None => read(spark, dir, asOf).where(col) // zero-file table

@@ -362,6 +362,51 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.readWhere(spark, dir, "id <= 4").collect().length == 4)
   }
 
+  test("schema evolution: explicit mergeSchema appends widen; reads, pruning and travel stay exact (r14 task 7)") {
+    val dir = freshDir()
+    TableLog.init(base.coalesce(1), dir) // (id, tag, v)
+    // a drifted producer without the flag fails loudly
+    intercept[IllegalArgumentException](TableLog.append(
+      Seq((9L, "x", 9.0, "EX")).toDF("id", "tag", "v", "extra"), dir))
+    // widening append under the flag
+    TableLog.append(Seq((9L, "x", 9.0, "EX"))
+      .toDF("id", "tag", "v", "extra"), dir, mergeSchema = true)
+    val now = TableLog.read(spark, dir)
+    assert(now.columns.toSeq == Seq("id", "tag", "v", "extra"))
+    assert(now.where(col("extra").isNull).count() == 4, "old rows read NULL")
+    assert(now.where(col("extra") === "EX").count() == 1)
+    // subset append under the flag: omitted columns land as NULL
+    TableLog.append(Seq((10L, "y")).toDF("id", "tag"), dir,
+      mergeSchema = true)
+    assert(TableLog.read(spark, dir)
+      .where(col("id") === 10L && col("v").isNull).count() == 1)
+    // time travel keeps each version's own schema
+    assert(TableLog.read(spark, dir, Some(0)).columns.toSeq ==
+      Seq("id", "tag", "v"))
+    // logical column set from log metadata alone
+    assert(TableLog.tableColumns(dir) == Seq("id", "tag", "v", "extra"))
+    // pruned reads on the evolved table: full schema, exact content
+    val pw = TableLog.readWhere(spark, dir, "id >= 9")
+    assert(pw.columns.toSeq == Seq("id", "tag", "v", "extra"))
+    assert(pw.orderBy("id").collect().toSeq ==
+      TableLog.read(spark, dir).where(expr("id >= 9"))
+        .orderBy("id").collect().toSeq)
+    // a predicate on the YOUNG column: files predating it have no
+    // stats for it and stay (conservative), the stats-bearing file
+    // can still prune — and content stays exact either way
+    val pz = TableLog.readWhere(spark, dir, "extra = 'ZZ'")
+    assert(pz.count() == 0)
+    assert(!pz.inputFiles.exists(_.contains("v00000001")),
+      "the file whose extra-range excludes 'ZZ' must be pruned")
+    // compaction normalizes the schema back to ONE uniform list
+    TableLog.compact(spark, dir)
+    assert(TableLog.commits(dir).last.columns ==
+      Seq("id", "tag", "v", "extra"))
+    assert(TableLog.read(spark, dir).columns.toSeq ==
+      Seq("id", "tag", "v", "extra"))
+    assert(TableLog.read(spark, dir).count() == 6)
+  }
+
   test("conditional-put-only store: full lifecycle without atomic rename (r14 task 2)") {
     // CondPutFs renames ALWAYS clobber and only create-if-absent is
     // atomic — the object-store worst case. The whole protocol must
