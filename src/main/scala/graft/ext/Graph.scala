@@ -474,11 +474,17 @@ object Graph {
     // the shared co-purchase frame feeds several graph queries, and
     // the histogram is a pure function of the immutable leaf — one
     // aggregate job per JVM, not one per benchmarked invocation
-    def computeHist(): Array[(Long, Long)] =
-      und.groupBy("node").agg(count(lit(1)).as("dg"))
-        .groupBy("dg").agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val hist = Dedup.materializedLeaf(e) match {
+    def computeHist(): (Array[(Long, Long)], Long, Long) = {
+      val rows = und.groupBy("node").agg(count(lit(1)).as("dg"))
+        .groupBy("dg").agg(count(lit(1)).as("n"),
+          min(col("node").cast("long")).as("mn"),
+          max(col("node").cast("long")).as("mx"))
+        .collect()
+      (rows.map(r => (r.getLong(0), r.getLong(1))),
+        if (rows.isEmpty) 0L else rows.map(_.getLong(2)).min,
+        if (rows.isEmpty) 0L else rows.map(_.getLong(3)).max)
+    }
+    val (hist, minId, maxId) = Dedup.materializedLeaf(e) match {
       case Some(l) => degHists.getOrElseUpdate(
         (e.sparkSession.sparkContext.applicationId, l.rdd.id), computeHist())
       case None => computeHist()
@@ -523,9 +529,36 @@ object Graph {
       .select(col("__w"), col("x"),
         explode(slice(col("__nbrs"), col("__i") + 2, lit(effCapI)))
           .as("y"))
-    val scored = cand
-      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
-      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
+    // PAIR-KEY PACKING: the candidate aggregation is the query's
+    // dominant cost (measured at sf0.1: the fused window→explode→
+    // partial-agg stage carries ~all the executor time, spilling
+    // ~240 MB at 8 g heap) and its groups are ~unique (RA pairs
+    // rarely repeat), so every byte of group key is paid per ROW.
+    // When the id domain fits 31 bits (known for free from the same
+    // driver-side histogram collect that derives the cap — ids at
+    // 100× TPC-H scale are ~2·10⁹, right at the edge, so this is a
+    // data-derived gate, not an assumption), the (x, y) pair packs
+    // into ONE non-negative long: 8-byte key instead of 16 in the
+    // hash map, the spill files and the exchange. Unpacking is exact
+    // integer bit arithmetic (y < 2³¹ by the gate), and the unpacked
+    // ids are cast back to the input id type, so the output is
+    // bit-identical to the unpacked plan — which remains the fallback
+    // for wider id domains.
+    val packable = minId >= 0L && maxId < (1L << 31)
+    val idT = e.schema("a").dataType
+    val scored =
+      if (packable)
+        cand.select(
+            (col("x").cast("long") * lit(1L << 31) +
+              col("y").cast("long")).as("__xy"), col("__w"))
+          .groupBy("__xy")
+          .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
+          .select(shiftright(col("__xy"), 31).cast(idT).as("id_a"),
+            col("__xy").bitwiseAND(lit((1L << 31) - 1)).cast(idT).as("id_b"),
+            col("n_common"), col("__s"))
+      else cand
+        .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+        .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
     // THREE join regimes by edge count: broadcast while the edge list
     // fits executor memory; shuffle-hash while a PARTITION of it does
     // (avoids SMJ's two sorts at mid scale); sort-merge beyond — the
@@ -550,10 +583,11 @@ object Graph {
         lit(nCapped).as("n_capped_nodes"))
   }
 
-  // Degree histograms of materialized edge leaves, keyed by
-  // (application, RDD id) — see linkPrediction's memo note.
-  private val degHists =
-    scala.collection.concurrent.TrieMap[(String, Int), Array[(Long, Long)]]()
+  // Degree histograms (+ id bounds for the pair-key packing gate) of
+  // materialized edge leaves, keyed by (application, RDD id) — see
+  // linkPrediction's memo note.
+  private val degHists = scala.collection.concurrent
+    .TrieMap[(String, Int), (Array[(Long, Long)], Long, Long)]()
 
   /** Default total candidate-pair budget for [[linkPrediction]]'s
     * automatic cap. 5·10⁸ pairs ≈ 12-15 GB of pre-combine shuffle —
